@@ -1,0 +1,737 @@
+"""Relational-core queries: projection, filters, aggregation, joins, windows.
+
+Each query maps one or more reference operators (cited per query) onto
+idiomatic DataFrame lineage, with a DuckDB oracle computing the identical
+result. Fractional aggregates use tuktu_spark.exactness for bit-exact
+cross-engine parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..exactness import (
+    davg,
+    davg_sql,
+    dsum,
+    dsum_sql,
+    dvar_pop,
+    dvar_pop_sql,
+)
+from ..tables import load_table
+from . import query
+
+# ---------------------------------------------------------------------------
+# Flagship: pricing summary (filter -> groupBy+agg exprs -> sort).
+# Reference chain: CSVGenerator -> PacketFilterProcessor ->
+# AggregateByValueProcessor -> SortProcessor (SURVEY.md §7.1);
+# AggregateByValue: app/tuktu/processors/bucket/aggregate/AggregateByValue.scala:16-72.
+# ---------------------------------------------------------------------------
+
+_Q1_ORACLE = f"""
+SELECT
+  l_returnflag,
+  l_linestatus,
+  {dsum_sql('l_quantity', 2)} AS sum_qty,
+  {dsum_sql('l_extendedprice', 4)} AS sum_base_price,
+  {dsum_sql('l_extendedprice * (1 - l_discount)', 6)} AS sum_disc_price,
+  {dsum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 6)} AS sum_charge,
+  {davg_sql('l_quantity', 2)} AS avg_qty,
+  {davg_sql('l_extendedprice', 4)} AS avg_price,
+  {davg_sql('l_discount', 6)} AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@query("q1_pricing_summary", oracle=_Q1_ORACLE, tags=("filter", "groupby", "agg"), bench=True)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    charge = disc_price * (F.lit(1.0) + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", 2).alias("sum_qty"),
+            dsum("l_extendedprice", 4).alias("sum_base_price"),
+            dsum(disc_price, 6).alias("sum_disc_price"),
+            dsum(charge, 6).alias("sum_charge"),
+            davg("l_quantity", 2).alias("avg_qty"),
+            davg("l_extendedprice", 4).alias("avg_price"),
+            davg("l_discount", 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Projection — FieldFilterProcessor (BaseProcessors.scala:120-139): keep
+# listed paths, re-label, with defaults (coalesce).
+# ---------------------------------------------------------------------------
+
+_SELECT_ORACLE = """
+SELECT c_custkey AS id,
+       upper(c_name) AS name_uc,
+       coalesce(c_mktsegment, 'UNKNOWN') AS segment,
+       c_acctbal AS balance
+FROM customer
+"""
+
+
+@query("select_project", oracle=_SELECT_ORACLE, tags=("projection",))
+def select_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        F.col("c_custkey").alias("id"),
+        F.upper("c_name").alias("name_uc"),
+        F.coalesce(F.col("c_mktsegment"), F.lit("UNKNOWN")).alias("segment"),
+        F.col("c_acctbal").alias("balance"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# WHERE — PacketFilterProcessor (BaseProcessors.scala:374-496): compound
+# predicate with comparisons, IN-membership and negation.
+# ---------------------------------------------------------------------------
+
+_FILTER_ORACLE = """
+SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_returnflag
+FROM lineitem
+WHERE l_quantity >= 30 AND l_discount < 0.05
+  AND l_returnflag IN ('A', 'R') AND NOT (l_linestatus = 'O')
+"""
+
+
+@query("filter_predicate", oracle=_FILTER_ORACLE, tags=("filter",))
+def filter_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    cond = (
+        (F.col("l_quantity") >= 30)
+        & (F.col("l_discount") < 0.05)
+        & F.col("l_returnflag").isin("A", "R")
+        & ~(F.col("l_linestatus") == "O")
+    )
+    return li.filter(cond).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_returnflag"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Regex filter — PacketRegexFilterProcessor (BaseProcessors.scala:501-569).
+# ---------------------------------------------------------------------------
+
+_REGEX_ORACLE = r"""
+SELECT doc_id, lang
+FROM documents
+WHERE regexp_matches(text, 'stream.*join') AND NOT regexp_matches(text, 'slow{2,}')
+"""
+
+
+@query("filter_regex", oracle=_REGEX_ORACLE, tags=("filter", "regex"))
+def filter_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.filter(
+        F.col("text").rlike("stream.*join") & ~F.col("text").rlike("slow{2,}")
+    ).select("doc_id", "lang")
+
+
+# ---------------------------------------------------------------------------
+# LIMIT / top-k — TakeProcessor (sample/TakeProcessor.scala:13-24) +
+# SortProcessor (bucket/SortProcessor.scala:13-46). Deterministic tiebreak on
+# the unique key so the result set is engine-stable.
+# ---------------------------------------------------------------------------
+
+_TOPK_ORACLE = """
+SELECT o_orderkey, o_totalprice, o_orderpriority
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 25
+"""
+
+
+@query("top_k_orders", oracle=_TOPK_ORACLE, tags=("sort", "limit"))
+def top_k_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .limit(25)
+    )
+
+
+# ---------------------------------------------------------------------------
+# OFFSET — DropProcessor (sample/DropProcessor.scala:13-24): skip first n in
+# a defined order; distributed via row_number.
+# ---------------------------------------------------------------------------
+
+_OFFSET_ORACLE = """
+SELECT o_orderkey, o_totalprice FROM (
+  SELECT o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) t WHERE rn > 10 AND rn <= 30
+"""
+
+
+@query("drop_offset", oracle=_OFFSET_ORACLE, tags=("sort", "offset"))
+def drop_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") > 10) & (F.col("rn") <= 30))
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup, first occurrence per key — DeduplicationProcessor
+# (bucket/DeduplicationProcessor.scala:13-35). "First" needs an explicit
+# order in a distributed engine: smallest l_linenumber per order.
+# ---------------------------------------------------------------------------
+
+_DEDUP_ORACLE = """
+SELECT l_orderkey, l_linenumber, l_partkey FROM (
+  SELECT l_orderkey, l_linenumber, l_partkey,
+         ROW_NUMBER() OVER (
+           PARTITION BY l_orderkey
+           ORDER BY l_linenumber, l_partkey, l_suppkey) AS rn
+  FROM lineitem
+) t WHERE rn = 1
+"""
+
+
+@query("dedup_first_per_key", oracle=_DEDUP_ORACLE, tags=("dedup",))
+def dedup_first_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    # (l_orderkey, l_linenumber) is not unique in the corpus; the extra keys
+    # make "first" total-order deterministic across engines and runs.
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey", "l_suppkey")
+    return (
+        li.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("l_orderkey", "l_linenumber", "l_partkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# GROUP BY + aggregate expressions — AggregateByValueProcessor
+# (bucket/aggregate/AggregateByValue.scala:16-72) and Min/Max/Sum/Count
+# (bucket/aggregate/NumericProcessors.scala).
+# ---------------------------------------------------------------------------
+
+_GROUP_ORACLE = f"""
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       {dsum_sql('o_totalprice', 4)} AS sum_total,
+       {davg_sql('o_totalprice', 4)} AS avg_total,
+       min(o_totalprice) AS min_total,
+       max(o_totalprice) AS max_total
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@query("group_agg_orders", oracle=_GROUP_ORACLE, tags=("groupby", "agg"))
+def group_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice", 4).alias("sum_total"),
+        davg("o_totalprice", 4).alias("avg_total"),
+        F.min("o_totalprice").alias("min_total"),
+        F.max("o_totalprice").alias("max_total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Inner equi-join + group — JoinGenerator (JoinGenerator.scala:29-151).
+# Dimension side broadcast: no shuffle of the fact table at scale.
+# ---------------------------------------------------------------------------
+
+_JOIN_ORACLE = f"""
+SELECT c_mktsegment,
+       COUNT(*) AS n_orders,
+       {dsum_sql('o_totalprice', 4)} AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+@query("join_orders_customer", oracle=_JOIN_ORACLE, tags=("join", "groupby"), bench=True)
+def join_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "inner")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", 4).alias("revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Semi/anti joins — absent in the reference (SURVEY.md §2.4 note: only the
+# `in` predicate, Parsing.scala:339-360); exposed because Spark gives them
+# free and they subsume Tuktu's membership tests.
+# ---------------------------------------------------------------------------
+
+_ANTI_ORACLE = """
+SELECT c_custkey, c_name
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+@query("join_anti_customers_without_orders", oracle=_ANTI_ORACLE, tags=("join",))
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+_SEMI_ORACLE = """
+SELECT c_custkey, c_acctbal
+FROM customer
+WHERE EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey AND o_totalprice > 400000
+)
+"""
+
+
+@query("join_semi_big_spenders", oracle=_SEMI_ORACLE, tags=("join",))
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_acctbal")
+
+
+# ---------------------------------------------------------------------------
+# Multi-way star join (TPC-H Q5 shape): fact shuffled once, all dims
+# broadcast; exercises Catalyst join reordering + AQE.
+# ---------------------------------------------------------------------------
+
+_Q5_ORACLE = f"""
+SELECT n_name,
+       {dsum_sql('l_extendedprice * (1 - l_discount)', 6)} AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+
+@query("q5_local_supplier_volume", oracle=_Q5_ORACLE, tags=("join", "groupby"), bench=True)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(dsum(revenue, 6).alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# UNION ALL of branches — SerialMerger (merge/BaseMergers.scala:90-97);
+# fan-in maps to unionByName (SURVEY.md §1.4).
+# ---------------------------------------------------------------------------
+
+_UNION_ORACLE = """
+SELECT o_orderkey AS okey, 'high' AS bucket FROM orders WHERE o_totalprice > 350000
+UNION ALL
+SELECT o_orderkey AS okey, 'urgent' AS bucket FROM orders WHERE o_orderpriority = '1-URGENT'
+"""
+
+
+@query("union_merge_branches", oracle=_UNION_ORACLE, tags=("union", "merge"))
+def union_merge_branches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    high = o.filter(F.col("o_totalprice") > 350000).select(
+        F.col("o_orderkey").alias("okey"), F.lit("high").alias("bucket")
+    )
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_orderkey").alias("okey"), F.lit("urgent").alias("bucket")
+    )
+    return high.unionByName(urgent)
+
+
+# ---------------------------------------------------------------------------
+# INTERSECT / EXCEPT — absent in reference (SURVEY.md §2.6), exposed free.
+# ---------------------------------------------------------------------------
+
+_SETOP_ORACLE = """
+SELECT c_nationkey AS nationkey FROM customer
+INTERSECT
+SELECT s_nationkey AS nationkey FROM supplier
+"""
+
+
+@query("setop_intersect_nations", oracle=_SETOP_ORACLE, tags=("setop",))
+def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+_EXCEPT_ORACLE = """
+SELECT c_nationkey AS nationkey FROM customer
+EXCEPT
+SELECT s_nationkey AS nationkey FROM supplier
+"""
+
+
+@query("setop_except_nations", oracle=_EXCEPT_ORACLE, tags=("setop",))
+def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.subtract(s)
+
+
+# ---------------------------------------------------------------------------
+# Running count — RunningCountProcessor (BaseProcessors.scala:184-208):
+# monotonically increasing counter; distributed = row_number over an
+# explicit order (SURVEY.md §7.3 hard part 5).
+# ---------------------------------------------------------------------------
+
+_RUNNING_ORACLE = """
+SELECT event_id, user_id,
+       ROW_NUMBER() OVER (
+         PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS seq
+FROM events
+"""
+
+
+@query("running_count_per_user", oracle=_RUNNING_ORACLE, tags=("window",))
+def running_count_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select("event_id", "user_id", F.row_number().over(w).alias("seq"))
+
+
+# ---------------------------------------------------------------------------
+# Analytic window frame (moving aggregate) — absent in reference
+# (SURVEY.md §2.7: only RunningCount ≈ row_number); exposed free. Decimal
+# frame-sum for engine parity and run-to-run determinism.
+# ---------------------------------------------------------------------------
+
+_MOVING_ORACLE = """
+SELECT o_orderkey, o_custkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_sum,
+       lag(o_totalprice, 1) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_total
+FROM orders
+"""
+
+
+@query("window_moving_sum", oracle=_MOVING_ORACLE, tags=("window",), bench=True)
+def window_moving_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    order_w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    frame_w = order_w.rowsBetween(-3, Window.currentRow)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.sum(F.col("o_totalprice").cast("decimal(38,4)"))
+        .over(frame_w)
+        .cast("double")
+        .alias("moving_sum"),
+        F.lag("o_totalprice", 1).over(order_w).alias("prev_total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Statistics bucket — Mean/Var/StDev/Midrange/Median processors
+# (bucket/statistics/StatisticsProcessors.scala). Median is EXACT (reference
+# sorts the packet, :34-57): avg of the two middle order statistics, via
+# exact decimal arithmetic so engines agree bitwise.
+# ---------------------------------------------------------------------------
+
+_STATS_ORACLE = f"""
+WITH base AS (
+  SELECT l_returnflag AS flag, l_quantity AS v FROM lineitem
+), agg AS (
+  SELECT flag,
+         COUNT(*) AS n_rows,
+         {davg_sql('v', 2)} AS mean_qty,
+         {dvar_pop_sql('v', 2)} AS var_qty,
+         sqrt({dvar_pop_sql('v', 2)}) AS stdev_qty,
+         (min(v) + max(v)) / 2 AS midrange_qty
+  FROM base GROUP BY flag
+), ranked AS (
+  SELECT flag, v,
+         ROW_NUMBER() OVER (PARTITION BY flag ORDER BY v) AS rn,
+         COUNT(*) OVER (PARTITION BY flag) AS n
+  FROM base
+), med AS (
+  SELECT flag,
+         CAST(SUM(CAST(v AS DECIMAL(38,2))) AS DOUBLE) / COUNT(v) AS median_qty
+  FROM ranked
+  WHERE rn IN ((n + 1) // 2, (n + 2) // 2)
+  GROUP BY flag
+)
+SELECT agg.flag, n_rows, mean_qty, var_qty, stdev_qty, midrange_qty, median_qty
+FROM agg JOIN med ON agg.flag = med.flag
+"""
+
+
+@query("stats_summary", oracle=_STATS_ORACLE, tags=("agg", "stats"))
+def stats_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"), F.col("l_quantity").alias("v")
+    )
+    agg = li.groupBy("flag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        davg("v", 2).alias("mean_qty"),
+        dvar_pop("v", 2).alias("var_qty"),
+        F.sqrt(dvar_pop("v", 2)).alias("stdev_qty"),
+        ((F.min("v") + F.max("v")) / 2).alias("midrange_qty"),
+    )
+    w = Window.partitionBy("flag").orderBy("v")
+    cw = Window.partitionBy("flag")
+    ranked = li.select(
+        "flag",
+        "v",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(cw).alias("n"),
+    )
+    med = (
+        ranked.filter(
+            (F.col("rn") == F.expr("(n + 1) DIV 2")) | (F.col("rn") == F.expr("(n + 2) DIV 2"))
+        )
+        .groupBy("flag")
+        .agg((F.sum(F.col("v").cast("decimal(38,2)")).cast("double") / F.count("v")).alias("median_qty"))
+    )
+    return agg.join(med, "flag")
+
+
+# ---------------------------------------------------------------------------
+# Mode — ModeProcessor (StatisticsProcessors.scala:62-83): most frequent
+# value + count, smallest-value tiebreak for determinism.
+# ---------------------------------------------------------------------------
+
+_MODE_ORACLE = """
+SELECT flag, mode_qty, n_mode FROM (
+  SELECT l_returnflag AS flag, l_quantity AS mode_qty, COUNT(*) AS n_mode,
+         ROW_NUMBER() OVER (
+           PARTITION BY l_returnflag ORDER BY COUNT(*) DESC, l_quantity ASC) AS rk
+  FROM lineitem GROUP BY l_returnflag, l_quantity
+) t WHERE rk = 1
+"""
+
+
+@query("mode_per_group", oracle=_MODE_ORACLE, tags=("agg", "stats"))
+def mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    counted = li.groupBy(
+        F.col("l_returnflag").alias("flag"), F.col("l_quantity").alias("mode_qty")
+    ).agg(F.count(F.lit(1)).alias("n_mode"))
+    w = Window.partitionBy("flag").orderBy(F.col("n_mode").desc(), F.col("mode_qty").asc())
+    return (
+        counted.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("flag", "mode_qty", "n_mode")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Value histogram — CountValuesProcessor (StatisticsProcessors.scala:257-269).
+# ---------------------------------------------------------------------------
+
+_HIST_ORACLE = """
+SELECT event_type, COUNT(*) AS amount FROM events GROUP BY event_type
+"""
+
+
+@query("histogram_event_types", oracle=_HIST_ORACLE, tags=("agg",))
+def histogram_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(F.count(F.lit(1)).alias("amount"))
+
+
+# ---------------------------------------------------------------------------
+# Correlation / covariance — CorrelationProcessor / CovarianceProcessor
+# (StatisticsProcessors.scala:154-210): Pearson r from exact sums.
+# ---------------------------------------------------------------------------
+
+_CORR_ORACLE = f"""
+WITH s AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         {dsum_sql('l_quantity', 2)} AS sx,
+         {dsum_sql('l_extendedprice', 4)} AS sy,
+         {dsum_sql('l_quantity * l_quantity', 2)} AS sxx,
+         {dsum_sql('l_extendedprice * l_extendedprice', 6)} AS syy,
+         {dsum_sql('l_quantity * l_extendedprice', 4)} AS sxy
+  FROM lineitem
+)
+SELECT (sxy / n - (sx / n) * (sy / n)) AS cov_pop,
+       (sxy / n - (sx / n) * (sy / n))
+         / (sqrt(sxx / n - (sx / n) * (sx / n)) * sqrt(syy / n - (sy / n) * (sy / n))) AS pearson_r
+FROM s
+"""
+
+
+@query("corr_qty_price", oracle=_CORR_ORACLE, tags=("agg", "stats"))
+def corr_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity")
+    y = F.col("l_extendedprice")
+    s = li.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dsum(x, 2).alias("sx"),
+        dsum(y, 4).alias("sy"),
+        dsum(x * x, 2).alias("sxx"),
+        dsum(y * y, 6).alias("syy"),
+        dsum(x * y, 4).alias("sxy"),
+    )
+    cov = F.col("sxy") / F.col("n") - (F.col("sx") / F.col("n")) * (F.col("sy") / F.col("n"))
+    vx = F.col("sxx") / F.col("n") - (F.col("sx") / F.col("n")) * (F.col("sx") / F.col("n"))
+    vy = F.col("syy") / F.col("n") - (F.col("sy") / F.col("n")) * (F.col("sy") / F.col("n"))
+    return s.select(
+        cov.alias("cov_pop"), (cov / (F.sqrt(vx) * F.sqrt(vy))).alias("pearson_r")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar routing — IfThenElseProcessor (meta/IfThenElseProcessor.scala:27-205)
+# compiled to CASE WHEN (SURVEY.md §2.10 mapping).
+# ---------------------------------------------------------------------------
+
+_CASE_ORACLE = f"""
+SELECT CASE WHEN o_totalprice >= 300000 THEN 'large'
+            WHEN o_totalprice >= 100000 THEN 'medium'
+            ELSE 'small' END AS bucket,
+       COUNT(*) AS n,
+       {dsum_sql('o_totalprice', 4)} AS total
+FROM orders GROUP BY 1
+"""
+
+
+@query("case_route_buckets", oracle=_CASE_ORACLE, tags=("meta", "case"))
+def case_route_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    bucket = (
+        F.when(F.col("o_totalprice") >= 300000, "large")
+        .when(F.col("o_totalprice") >= 100000, "medium")
+        .otherwise("small")
+    )
+    return o.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"), dsum("o_totalprice", 4).alias("total")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Zip-merge — SimpleMerger (merge/BaseMergers.scala:14-21): positional
+# zip-join of two branches; distributed via row_number equi-join.
+# ---------------------------------------------------------------------------
+
+_ZIP_ORACLE = """
+WITH a AS (
+  SELECT c_custkey, c_name, ROW_NUMBER() OVER (ORDER BY c_acctbal DESC, c_custkey) AS rn
+  FROM customer
+), b AS (
+  SELECT s_suppkey, s_name, ROW_NUMBER() OVER (ORDER BY s_acctbal DESC, s_suppkey) AS rn
+  FROM supplier
+)
+SELECT a.rn AS pos, c_custkey, c_name, s_suppkey, s_name
+FROM a JOIN b ON a.rn = b.rn
+"""
+
+
+@query("zip_merge_branches", oracle=_ZIP_ORACLE, tags=("merge", "join"))
+def zip_merge_branches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    a = c.select(
+        "c_custkey",
+        "c_name",
+        F.row_number()
+        .over(Window.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey")))
+        .alias("rn"),
+    )
+    b = s.select(
+        "s_suppkey",
+        "s_name",
+        F.row_number()
+        .over(Window.orderBy(F.col("s_acctbal").desc(), F.col("s_suppkey")))
+        .alias("rn"),
+    )
+    return a.join(b, "rn").select(
+        F.col("rn").alias("pos"), "c_custkey", "c_name", "s_suppkey", "s_name"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stratified sampling — StratifiedSamplingProcessor
+# (sample/StratifiedSamplingProcessor.scala:14-41): cap every class at the
+# same count. Deterministic variant: first-k per class in key order.
+# ---------------------------------------------------------------------------
+
+_STRAT_ORACLE = """
+SELECT c_mktsegment, c_custkey, c_acctbal FROM (
+  SELECT c_mktsegment, c_custkey, c_acctbal,
+         ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY c_custkey) AS rn
+  FROM customer
+) t WHERE rn <= 20
+"""
+
+
+@query("stratified_sample_first_k", oracle=_STRAT_ORACLE, tags=("sample",))
+def stratified_sample_first_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_custkey")
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("c_mktsegment", "c_custkey", "c_acctbal")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Systematic (deterministic) sampling — reference samples randomly; a
+# distributed engine wants reproducible samples: key-modulus systematic
+# sampling (engine-portable, unlike rand()).
+# ---------------------------------------------------------------------------
+
+_SYS_SAMPLE_ORACLE = """
+SELECT l_orderkey, l_linenumber, l_quantity
+FROM lineitem WHERE l_orderkey % 97 = 0
+"""
+
+
+@query("sample_systematic", oracle=_SYS_SAMPLE_ORACLE, tags=("sample",))
+def sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_orderkey") % 97 == 0).select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )

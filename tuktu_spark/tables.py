@@ -1,0 +1,43 @@
+"""Loaders for the driver test corpus (TESTDATA.md).
+
+One parquet file per table under ``{sf_dir}/{name}.parquet``. At cluster
+scale these would be partitioned directories; ``spark.read.parquet`` is
+identical either way and keeps predicate pushdown / column pruning intact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return f"{sf_dir}/{name}.parquet"
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # TIMESTAMP(NANOS) read via nanosAsLong -> microsecond timestamp,
+        # matching DuckDB's CAST(ts AS TIMESTAMP) truncation.
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str, names=TABLES) -> None:
+    """Register each table as a temp view so flows can use ``spark.sql``."""
+    for name in names:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
