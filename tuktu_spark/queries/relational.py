@@ -19,6 +19,7 @@ from ..exactness import (
     dvar_pop,
     dvar_pop_sql,
 )
+from ..expressions import arith_column, predicate_column, template_column
 from ..tables import load_table
 from . import query
 
@@ -109,11 +110,10 @@ WHERE l_quantity >= 30 AND l_discount < 0.05
 @query("filter_predicate", oracle=_FILTER_ORACLE, tags=("filter",))
 def filter_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    cond = (
-        (F.col("l_quantity") >= 30)
-        & (F.col("l_discount") < 0.05)
-        & F.col("l_returnflag").isin("A", "R")
-        & ~(F.col("l_linestatus") == "O")
+    # Tuktu predicate language end-to-end (PredicateParser grammar)
+    cond = predicate_column(
+        "${l_quantity} >= 30 && ${l_discount} < 0.05"
+        " && ${l_returnflag} in ('A', 'R') && !(${l_linestatus} == 'O')"
     )
     return li.filter(cond).select(
         "l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_returnflag"
@@ -714,6 +714,71 @@ def stratified_sample_first_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 20)
         .select("c_mktsegment", "c_custkey", "c_acctbal")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregate expression language — AggregateByValueProcessor evaluates an
+# ArithmeticParser expression with aggregate functions per group
+# (AggregateByValue.scala:16-72; Parsing.scala:114-166). l_quantity is
+# integral, so float sums are order-independent-exact and the oracle can use
+# plain SUM. stdev is excluded (engine-internal incremental algorithms
+# differ in low-order bits; covered by stats_summary's exact-sum variance).
+# ---------------------------------------------------------------------------
+
+_AGG_EXPR_ORACLE = """
+SELECT l_returnflag AS flag,
+       CAST(COUNT(*) AS DOUBLE) AS n,
+       CAST(SUM(l_quantity) AS DOUBLE) AS qty_sum,
+       CAST(SUM(l_quantity) AS DOUBLE) / COUNT(l_quantity) AS qty_avg,
+       CAST(MIN(l_quantity) AS DOUBLE) AS qty_min,
+       CAST(MAX(l_quantity) AS DOUBLE) AS qty_max,
+       CAST(COUNT(DISTINCT l_quantity) AS DOUBLE) AS qty_distinct,
+       CAST(SUM(l_quantity) AS DOUBLE) / COUNT(*) * 2 + 1 AS derived
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@query("agg_expr_language", oracle=_AGG_EXPR_ORACLE, tags=("groupby", "agg", "expressions"))
+def agg_expr_language(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        arith_column("count()", mode="agg").alias("n"),
+        arith_column("sum(${l_quantity})", mode="agg").alias("qty_sum"),
+        (
+            arith_column("sum(${l_quantity})", mode="agg")
+            / F.count("l_quantity")
+        ).alias("qty_avg"),
+        arith_column("min(${l_quantity})", mode="agg").alias("qty_min"),
+        arith_column("max(${l_quantity})", mode="agg").alias("qty_max"),
+        arith_column("distinct(${l_quantity})", mode="agg").alias("qty_distinct"),
+        (
+            arith_column("sum(${l_quantity})", mode="agg") / F.count(F.lit(1)) * 2 + 1
+        ).alias("derived"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Template strings — Tuktu ${} interpolation with string functions
+# (utils.scala:48-191) compiled to one concat expression.
+# ---------------------------------------------------------------------------
+
+_TEMPLATE_ORACLE = """
+SELECT doc_id,
+       'doc ' || CAST(doc_id AS VARCHAR) || ' [' || upper(lang) || '] '
+              || split_part(text, ' ', 3) AS rendered
+FROM documents
+"""
+
+
+@query("template_interpolation", oracle=_TEMPLATE_ORACLE, tags=("expressions", "projection"))
+def template_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        template_column("doc ${doc_id} [${toUpperCase(lang)}] ${SplitGet(text, ' ', 3)}").alias(
+            "rendered"
+        ),
     )
 
 
