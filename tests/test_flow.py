@@ -1,0 +1,145 @@
+"""End-to-end flow-spec tests — the analogue of the reference's
+BaseFlowTester (test/tuktu/test/flow/BaseFlowTester.scala:99-191): load a
+JSON flow config, run the compiled pipeline, compare against expected."""
+
+from __future__ import annotations
+
+import pytest
+
+from tuktu_spark.flow import FlowError, compile_flow, run_flow
+
+
+def test_vertical_slice(spark, sf_dir):
+    """SURVEY.md §7.1: source -> filter (predicate expr) -> groupBy+agg
+    expr -> sort -> limit — Tuktu's CSVGenerator -> PacketFilter ->
+    AggregateByValue -> Sort -> Take chain."""
+    flow = {
+        "generators": [
+            {
+                "id": "src",
+                "name": "parquet",
+                "config": {"path": f"{sf_dir}/lineitem.parquet"},
+                "next": ["filt"],
+            }
+        ],
+        "processors": [
+            {
+                "id": "filt",
+                "name": "filter",
+                "config": {"expression": "${l_quantity} > 10 && ${l_returnflag} != 'N'"},
+                "next": ["agg"],
+            },
+            {
+                "id": "agg",
+                "name": "aggregate_by_value",
+                "config": {
+                    "group": ["l_returnflag"],
+                    "aggregations": {"n": "count()", "qty": "sum(${l_quantity})"},
+                },
+                "next": ["srt"],
+            },
+            {"id": "srt", "name": "sort", "config": {"by": [{"field": "qty", "desc": True}]}, "next": ["top"]},
+            {"id": "top", "name": "take", "config": {"n": 1}, "next": []},
+        ],
+    }
+    out = run_flow(spark, flow)
+    assert list(out) == ["top"]
+    row = out["top"].collect()[0]
+    assert row["n"] > 0 and row["l_returnflag"] in ("A", "R")
+
+
+def test_fanout_fanin_union(spark):
+    """Diamond DAG: one generator fans out to two filter branches that merge
+    (fan-out = shared lineage, fan-in = unionByName; SURVEY.md §1.4)."""
+    flow = {
+        "generators": [
+            {
+                "id": "g",
+                "name": "inline",
+                "config": {"rows": [[1], [2], [3], [4]], "columns": ["v"]},
+                "next": ["low", "high"],
+            }
+        ],
+        "processors": [
+            {"id": "low", "name": "filter", "config": {"expression": "${v} <= 2"}, "next": ["merge"]},
+            {"id": "high", "name": "filter", "config": {"expression": "${v} >= 4"}, "next": ["merge"]},
+            {"id": "merge", "name": "union_merge", "config": {}, "next": []},
+        ],
+    }
+    out = run_flow(spark, flow)
+    assert sorted(r["v"] for r in out["merge"].collect()) == [1, 2, 4]
+
+
+def test_join_two_generators(spark):
+    flow = {
+        "generators": [
+            {"id": "facts", "name": "inline",
+             "config": {"rows": [[1, 10.0], [2, 20.0]], "columns": ["k", "amount"]},
+             "next": ["j"]},
+            {"id": "dims", "name": "inline",
+             "config": {"rows": [[1, "one"]], "columns": ["k", "label"]},
+             "next": ["j"]},
+        ],
+        "processors": [
+            {"id": "j", "name": "join", "config": {"on": ["k"], "how": "left", "broadcast": True}, "next": []}
+        ],
+    }
+    out = run_flow(spark, flow)
+    got = {r["k"]: r["label"] for r in out["j"].collect()}
+    assert got == {1: "one", 2: None}
+
+
+def test_config_params_substitution(spark, sf_dir):
+    """#{param} config-time substitution (utils.scala:150-162)."""
+    flow = {
+        "generators": [
+            {"id": "g", "name": "parquet", "config": {"path": "#{dir}/orders.parquet"}, "next": ["t"]}
+        ],
+        "processors": [
+            {"id": "t", "name": "take", "config": {"n": "#{n}", "by": ["o_orderkey"]}, "next": []}
+        ],
+    }
+    out = run_flow(spark, flow, params={"dir": sf_dir, "n": 5})
+    assert out["t"].count() == 5
+
+
+def test_dead_node_pruning(spark):
+    """Processors unreachable from a generator are never compiled
+    (Dispatcher.scala:94-104) — even if they'd error."""
+    flow = {
+        "generators": [
+            {"id": "g", "name": "inline", "config": {"rows": [[1]], "columns": ["v"]}, "next": ["ok"]}
+        ],
+        "processors": [
+            {"id": "ok", "name": "skip", "config": {}, "next": []},
+            {"id": "dead", "name": "filter", "config": {"expression": "${missing_col} > 0"}, "next": []},
+        ],
+    }
+    outputs = compile_flow(spark, flow)
+    assert "dead" not in outputs and "ok" in outputs
+
+
+def test_unknown_edge_raises(spark):
+    flow = {
+        "generators": [
+            {"id": "g", "name": "inline", "config": {"rows": [[1]], "columns": ["v"]}, "next": ["nope"]}
+        ],
+        "processors": [],
+    }
+    with pytest.raises(FlowError):
+        compile_flow(spark, flow)
+
+
+def test_flow_from_file(spark, tmp_path, sf_dir):
+    import json
+
+    cfg = {
+        "generators": [
+            {"id": "g", "name": "parquet", "config": {"path": f"{sf_dir}/region.parquet"}, "next": ["c"]}
+        ],
+        "processors": [{"id": "c", "name": "field_filter", "config": {"fields": ["r_name"]}, "next": []}],
+    }
+    path = tmp_path / "flow.json"
+    path.write_text(json.dumps(cfg))
+    out = run_flow(spark, str(path))
+    assert out["c"].count() == 5

@@ -1,0 +1,123 @@
+"""Sink operators (SURVEY.md §2.2) — terminal nodes of a flow.
+
+A sink factory returns ``DataFrame -> None`` (side effect) except
+``memory``/``console`` which also return data for sync flows
+(SyncStreamGenerator analogue, SURVEY.md §3.2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from .registry import operator
+
+
+@operator("parquet_sink")
+def parquet_sink(config: dict):
+    """TDFS/HDFS writers (dfs/WriterProcessor.scala; nosql/hdfs.scala) ->
+    parquet with optional partitioning (rotation analogue)."""
+    path = config["path"]
+    mode = config.get("mode", "overwrite")
+    partition_by = config.get("partition_by")
+
+    def sink(df: DataFrame):
+        writer = df.write.mode(mode)
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(path)
+        return df
+
+    return sink
+
+
+@operator("csv_sink")
+def csv_sink(config: dict):
+    """CSVWriterProcessor (csv/CsvProcessors.scala:116-174) /
+    FileStreamProcessor (FileProcessors.scala:25-59): field/line separators
+    = csv options; dynamic filename -> partition_by."""
+    path = config["path"]
+
+    def sink(df: DataFrame):
+        writer = df.write.mode(config.get("mode", "overwrite")).options(
+            header=str(bool(config.get("header", True))).lower(),
+            sep=config.get("separator", ","),
+        )
+        if config.get("partition_by"):
+            writer = writer.partitionBy(*config["partition_by"])
+        writer.csv(path)
+        return df
+
+    return sink
+
+
+@operator("json_sink")
+def json_sink(config: dict):
+    path = config["path"]
+
+    def sink(df: DataFrame):
+        df.write.mode(config.get("mode", "overwrite")).json(path)
+        return df
+
+    return sink
+
+
+@operator("jdbc_sink")
+def jdbc_sink(config: dict):
+    """SQLProcessor fire-and-forget / BulkUpserter (nosql/sql.scala:46-111)
+    -> df.write.jdbc. Append/overwrite; MERGE needs foreachBatch upstream."""
+    def sink(df: DataFrame):
+        writer = (
+            df.write.format("jdbc")
+            .option("url", config["url"])
+            .option("dbtable", config["table"])
+            .mode(config.get("mode", "append"))
+        )
+        for k, v in config.get("properties", {}).items():
+            writer = writer.option(k, v)
+        writer.save()
+        return df
+
+    return sink
+
+
+@operator("console")
+def console(config: dict):
+    """ConsoleWriterProcessor (BaseProcessors.scala:641-663)."""
+    n = int(config.get("n", 20))
+    truncate = bool(config.get("truncate", True))
+
+    def sink(df: DataFrame):
+        df.show(n, truncate=truncate)
+        return df
+
+    return sink
+
+
+@operator("memory")
+def memory(config: dict):
+    """Sync-flow endpoint (SyncStreamGenerator, StreamGenerators.scala:50-147
+    analogue): materialize for the caller."""
+    def sink(df: DataFrame):
+        return df
+
+    return sink
+
+
+@operator("noop_sink")
+def noop_sink(config: dict):
+    """Force full execution without materializing (benchmark sink)."""
+    def sink(df: DataFrame):
+        df.write.mode("overwrite").format("noop").save()
+        return df
+
+    return sink
+
+
+@operator("cache")
+def cache(config: dict):
+    """CachingProcessor / CacheTableProcessor (cache/CachingProcessor.scala:
+    24-91) -> df.persist; reused by every downstream branch."""
+    def transform(df: DataFrame) -> DataFrame:
+        return df.cache()
+
+    return transform
