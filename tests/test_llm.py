@@ -1,0 +1,153 @@
+"""LLM-pipeline operator tests: dedup recall, simhash properties,
+similarity search sanity, multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tuktu_spark.llm import dedup as D
+from tuktu_spark.llm import multimodal as M
+from tuktu_spark.llm import similarity as S
+from tuktu_spark.llm import text as T
+from tuktu_spark.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents").cache()
+
+
+class TestDedup:
+    def test_exact_dedup_synthetic(self, spark):
+        df = spark.createDataFrame(
+            [(1, "same text"), (2, "same text"), (3, "different")], ["doc_id", "text"]
+        )
+        out = {r["canonical_id"]: r["n_copies"] for r in D.exact_dedup(df).collect()}
+        assert out == {1: 2, 3: 1}
+
+    def test_minhash_matches_exact_jaccard(self, docs):
+        """LSH+verify must equal the exhaustive pair set on the corpus
+        (recall check backing the shared oracle of dedup_minhash_lsh)."""
+        exact = {
+            (r["id_a"], r["id_b"])
+            for r in D.ngram_jaccard_pairs(docs, threshold=0.8).collect()
+        }
+        lsh = {
+            (r["id_a"], r["id_b"])
+            for r in D.minhash_dedup_pairs(docs, threshold=0.8).collect()
+        }
+        assert exact, "corpus should contain planted near-duplicates"
+        assert lsh == exact
+
+    def test_simhash_identical_text_same_hash(self, spark):
+        df = spark.createDataFrame(
+            [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "x y z unrelated w")],
+            ["doc_id", "text"],
+        )
+        vals = {r["doc_id"]: r["simhash"] for r in D.simhash_table(df).collect()}
+        assert vals[1] == vals[2]
+        assert vals[1] != vals[3]
+
+    def test_simhash_near_pairs_on_corpus(self, docs):
+        """Planted near-dups (jaccard ~0.99) should land within hamming<=8."""
+        pairs = D.simhash_near_pairs(docs, max_hamming=8).collect()
+        exact = {
+            (r["id_a"], r["id_b"])
+            for r in D.ngram_jaccard_pairs(docs, threshold=0.9).collect()
+        }
+        found = {(r["id_a"], r["id_b"]) for r in pairs}
+        assert exact and exact <= found
+
+    def test_banding_shapes(self, docs):
+        sigs = D.minhash_signatures(docs.limit(10))
+        row = sigs.first()
+        assert len(row["signature"]) == D.NUM_HASHES
+        assert all(0 <= v < D.MERSENNE_P for v in row["signature"])
+
+
+class TestSimilarity:
+    def test_self_cosine_is_one(self, spark, sf_dir):
+        emb = load_table(spark, sf_dir, "embeddings").limit(5)
+        v = emb.select(
+            "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+        )
+        out = v.select(S.cosine(F.col("v"), F.col("v")).alias("c")).collect()
+        assert all(abs(r["c"] - 1.0) < 1e-12 for r in out)
+
+    def test_bruteforce_topk_shape(self, spark, sf_dir):
+        emb = load_table(spark, sf_dir, "embeddings")
+        q = emb.filter(F.col("vec_id") < 3)
+        out = S.brute_force_topk(emb, q, k=4).collect()
+        assert len(out) == 12
+        by_q = {}
+        for r in out:
+            by_q.setdefault(r["query_id"], []).append((r["rank"], r["cosine"]))
+        for ranks in by_q.values():
+            ranks.sort()
+            cosines = [c for _, c in ranks]
+            assert cosines == sorted(cosines, reverse=True)
+
+    def test_ivf_subset_of_bucket(self, spark, sf_dir):
+        emb = load_table(spark, sf_dir, "embeddings")
+        q = emb.filter(F.col("vec_id") < 3)
+        brute = S.brute_force_topk(emb, q, k=3)
+        ivf = S.ivf_bucketed_topk(emb, q, k=3, bits=4)
+        # approximate: every IVF hit must score <= the exact best at its rank
+        b = {(r["query_id"], r["rank"]): r["cosine"] for r in brute.collect()}
+        for r in ivf.collect():
+            assert r["cosine"] <= b[(r["query_id"], r["rank"])] + 1e-12
+
+
+class TestText:
+    def test_language_id_picks_stopworded_lang(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "the cat and the dog is in the house"),
+                (2, "der Hund und die Katze ist von der Stadt"),
+                (3, "le chat et la maison est pour les amis"),
+            ],
+            ["doc_id", "text"],
+        )
+        got = {r["doc_id"]: r["p"] for r in df.select("doc_id", T.predicted_language("text").alias("p")).collect()}
+        assert got == {1: "en", 2: "de", 3: "fr"}
+
+    def test_quality_features_values(self, spark):
+        df = spark.createDataFrame([(1, "The cat, the hat! 42")], ["doc_id", "text"])
+        out = df.select(
+            *[c.alias(n) for n, c in T.quality_features("text").items()]
+        ).first()
+        assert out["n_tokens"] == 5
+        assert out["n_chars"] == 20
+        assert out["stopword_ratio"] == pytest.approx(2 / 5)
+        assert out["digit_ratio"] == pytest.approx(2 / 20)
+
+    def test_fingerprint_deterministic_and_order_sensitive(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a b c"), (2, "a b c"), (3, "c b a")], ["doc_id", "text"]
+        )
+        got = {r["doc_id"]: r["f"] for r in df.select("doc_id", T.fingerprint("text").alias("f")).collect()}
+        assert got[1] == got[2] and got[1] != got[3]
+
+
+class TestMultimodal:
+    def test_attach_and_decode(self, spark):
+        df = spark.createDataFrame([("payload-one",), ("payload-two-longer",)], ["raw"])
+        media = M.attach_binary(df, "raw", media_type="image/fake")
+        assert set(media.columns) == {"media", "media_type", "byte_len", "checksum"}
+        feats = M.decode_features(media)
+        rows = feats.collect()
+        assert len(rows) == 2
+        for r in rows:
+            assert len(r["feature"]) == 8
+            assert r["width"] >= 1 and r["height"] >= 1
+        # deterministic: same bytes -> same features
+        again = {r["checksum"]: r["feature"] for r in M.decode_features(media).collect()}
+        for r in rows:
+            assert again[r["checksum"]] == r["feature"]
+
+    def test_frame_sample_plan(self, spark):
+        df = spark.createDataFrame([("x" * 5000,)], ["raw"])
+        media = M.attach_binary(df, "raw")
+        frames = M.frame_sample_plan(media, every_n=2).collect()
+        assert [r["frame_idx"] for r in frames] == [0, 2, 4]

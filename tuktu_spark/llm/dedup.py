@@ -1,0 +1,280 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Hashing is md5-derived (engine-portable, seed-free, deterministic): a
+shingle's base hash is the first 15 hex digits of its md5 (60 bits, fits a
+signed int64 in any engine), and the MinHash family is the classic
+universal-hash construction h_i(x) = (a_i*x + b_i) mod p over that base.
+
+Scale design (100 TB):
+- shingling + hashing is a narrow map (codegen'd column ops);
+- MinHash signatures reduce each doc to NUM_HASHES ints (groupBy doc);
+- LSH banding turns all-pairs into an equi-join on (band, band_hash) —
+  the only shuffle is by band key, and candidate verification touches
+  only bucket-mates. Never do the naive all-pairs shingle join at scale;
+  it is provided (ngram_jaccard_pairs) as the exact small-scale oracle
+  and for verification of candidate pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Mersenne prime 2^31-1: (p-1)^2 + b < 2^63, so the universal-hash product
+# never overflows int64 (Spark runs ANSI mode; overflow would throw).
+MERSENNE_P = (1 << 31) - 1
+NUM_HASHES = 64
+BANDS = 16
+ROWS_PER_BAND = NUM_HASHES // BANDS
+
+# Deterministic universal-hash coefficients (seed-free: digits of pi/e-style
+# constants are overkill; a fixed LCG keeps them reproducible everywhere).
+def _coeffs(n: int, seed: int) -> list[int]:
+    out, x = [], seed
+    for _ in range(n):
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        out.append(x % (MERSENNE_P - 1) + 1)
+    return out
+
+
+HASH_A = _coeffs(NUM_HASHES, 7)
+HASH_B = _coeffs(NUM_HASHES, 13)
+
+
+def base_hash(col):
+    """md5-prefix 60-bit integer hash of a string column (engine-portable:
+    DuckDB `CAST('0x'||substr(md5(s),1,15) AS BIGINT)`)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def word_shingles(text_col, n: int = 3):
+    """Distinct word n-gram shingles of a text column (array)."""
+    toks = F.filter(F.split(text_col, r"\s+"), lambda x: x != "")
+    count = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), count),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        )
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup by content hash: canonical (min id) doc per md5(text).
+    The md5 groupBy shuffles only (hash, id) pairs, never the text."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("content_md5"), F.col(id_col))
+        .groupBy("content_md5")
+        .agg(F.min(id_col).alias("canonical_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def shingle_table(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    return df.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("shingle")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard similar pairs (id_a < id_b, jaccard >= t).
+
+    All-pairs via shingle equi-join — exact, for modest corpora and for
+    verifying LSH candidates; at 100 TB use minhash_lsh_candidates first.
+    """
+    sh = shingle_table(df, text_col, id_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, (F.col(f"a.shingle") == F.col(f"b.shingle")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("common").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("common")
+    ).cast("double")
+    return (
+        common.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """Per-doc MinHash signature: sig[i] = min over shingles of
+    (a_i*h + b_i) mod p. Computed entirely as array algebra on the shingle
+    array — one narrow projection per doc, no explode, no shuffle."""
+    shingles = word_shingles(F.col(text_col), n)
+    hashes = F.transform(
+        shingles, lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+    )
+    # closure factory, NOT `lambda h, i=i`: pyspark counts lambda params and
+    # would feed the element index into the default arg
+    def _minhash_of(i: int):
+        a, b = HASH_A[i], HASH_B[i]
+        return lambda h: (h % MERSENNE_P * a + b) % MERSENNE_P
+
+    sig = F.array(
+        *[
+            F.array_min(F.transform(hashes, _minhash_of(i))).alias(f"h{i}")
+            for i in range(NUM_HASHES)
+        ]
+    )
+    return df.select(F.col(id_col), sig.alias("signature"))
+
+
+def minhash_lsh_candidates(
+    sigs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """LSH banding: docs sharing any band-hash become candidate pairs.
+    Shuffle key is (band, hash-of-band-slice) — cardinality ~docs*BANDS."""
+    bands = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.md5(
+                        F.array_join(
+                            F.transform(
+                                F.slice("signature", b * ROWS_PER_BAND + 1, ROWS_PER_BAND),
+                                lambda x: x.cast("string"),
+                            ),
+                            "-",
+                        )
+                    ).alias("bucket"),
+                )
+                for b in range(BANDS)
+            ]
+        )
+    )
+    buckets = sigs.select(F.col(id_col), bands.alias("bb")).select(
+        id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """MinHash+LSH near-dup pipeline: signatures -> banded candidates ->
+    exact Jaccard verification of candidates only."""
+    sigs = minhash_signatures(df, text_col, id_col, n)
+    cands = minhash_lsh_candidates(sigs, id_col)
+    sh = shingle_table(df, text_col, id_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("shingle"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("shingle"))
+    common = (
+        cands.join(a, "id_a")
+        .join(b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    jac = F.col("common").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("common")
+    ).cast("double")
+    return (
+        common.join(F.broadcast(sizes.withColumnsRenamed({id_col: "id_a", "n_sh": "n_a"})), "id_a")
+        .join(F.broadcast(sizes.withColumnsRenamed({id_col: "id_b", "n_sh": "n_b"})), "id_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+SIMHASH_BITS = 48  # of the 60-bit base hash; stays clear of int64 sign
+
+
+def simhash(text_col) -> "F.Column":
+    """SimHash over whitespace tokens: per-bit majority vote of token
+    hashes, packed into SIMHASH_BITS. Pure array algebra per row."""
+    toks = F.filter(F.split(text_col, r"\s+"), lambda x: x != "")
+    hashes = F.transform(
+        toks, lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+    )
+    def _vote(b: int):
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    bit_cols = []
+    for b in range(SIMHASH_BITS):
+        votes = F.aggregate(hashes, F.lit(0).cast("long"), _vote(b))
+        bit_cols.append(F.when(votes > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long")))
+    out = bit_cols[0]
+    for c in bit_cols[1:]:
+        out = out + c
+    return out
+
+
+def simhash_table(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    return df.select(F.col(id_col), simhash(F.col(text_col)).alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance, banded: split the
+    signature into max_hamming+1 chunks — any pair within distance k shares
+    at least one exact chunk (pigeonhole), so candidates come from an
+    equi-join on (chunk_idx, chunk_value), never all-pairs."""
+    chunks = max_hamming + 1
+    width = SIMHASH_BITS // chunks
+    sh = simhash_table(df, text_col, id_col)
+    pieces = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("chunk"),
+                    F.shiftright(F.col("simhash"), i * width)
+                    .bitwiseAND(F.lit((1 << width) - 1))
+                    .alias("val"),
+                )
+                for i in range(chunks)
+            ]
+        )
+    )
+    banded = sh.select(id_col, "simhash", pieces.alias("p")).select(
+        id_col, "simhash", F.col("p.chunk").alias("chunk"), F.col("p.val").alias("val")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.filter(F.col("hamming") <= max_hamming)

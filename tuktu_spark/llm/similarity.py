@@ -1,0 +1,144 @@
+"""Similarity search over embedding columns (array<float>).
+
+Float math is done as explicit left folds over double-cast elements so the
+result is bit-identical across engines and across runs (Spark F.aggregate
+== DuckDB list_reduce, both sequential) — which also makes top-k ordering
+deterministic given the id tiebreak.
+
+Scale path: brute-force top-k is O(Q*N) dot products — fine when the query
+set is small and broadcastable. For N large, ivf_bucketed_topk quantizes
+vectors into sign-prefix buckets (a cheap LSH) so each query only scans its
+bucket: the join key is the bucket id, turning ANN into an equi-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a, b):
+    """Deterministic left-fold dot product of two double arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm_sq(a):
+    return F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v)
+
+
+def cosine(a, b):
+    return dot(a, b) / (F.sqrt(norm_sq(a)) * F.sqrt(norm_sq(b)))
+
+
+def brute_force_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k neighbors for each query vector.
+
+    The query side is broadcast (small by contract); candidates never
+    shuffle — only the per-query top-k reduction does.
+    """
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("nv")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    )
+    scored = (
+        v.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", cosine(F.col("qv"), F.col("nv")))
+        .select("query_id", "neighbor_id", "cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def sign_bucket(vec, bits: int = 8):
+    """Coarse quantizer: sign pattern of the first ``bits`` dimensions —
+    a random-hyperplane LSH with axis-aligned planes."""
+    idx = F.sequence(F.lit(1), F.lit(bits))
+    return F.aggregate(
+        idx,
+        F.lit(0),
+        lambda acc, i: acc * 2
+        + F.when(F.element_at(vec, i) >= 0, 1).otherwise(0),
+    )
+
+
+def ivf_bucketed_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's sign bucket.
+
+    At scale the vector table is pre-partitioned (or bucketed) by bucket id,
+    so a query touches one partition — the IVF inverted-list pattern as an
+    equi-join."""
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("nv"),
+    ).withColumn("bucket", sign_bucket(F.col("nv"), bits))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        _as_double(F.col(vec_col)).alias("qv"),
+    ).withColumn("bucket", sign_bucket(F.col("qv"), bits))
+    scored = (
+        v.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", cosine(F.col("qv"), F.col("nv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def embedding_near_dup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 8,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b), bucketed by the
+    sign quantizer first (near-identical vectors share the sign pattern)."""
+    v = vectors.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("v")
+    ).withColumn("bucket", sign_bucket(F.col("v"), bits))
+    a, b = v.alias("a"), v.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .withColumn("cosine", cosine(F.col("a.v"), F.col("b.v")))
+        .filter(F.col("cosine") >= threshold)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            "cosine",
+        )
+    )

@@ -1,1 +1,132 @@
-"""Placeholder — populated in later milestones."""
+"""Deduplication queries over the documents table (LLM-pipeline north
+star): exact, n-gram Jaccard, MinHash+LSH, SimHash — each oracle-checked.
+
+The corpus has planted near-duplicate pairs at Jaccard ~0.99 (verified),
+so threshold 0.8 finds real structure.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..llm import dedup as D
+from ..tables import load_table
+from . import query
+
+# ---------------------------------------------------------------------------
+# Exact dedup by content hash.
+# ---------------------------------------------------------------------------
+
+_EXACT_ORACLE = """
+SELECT md5(text) AS content_md5,
+       MIN(doc_id) AS canonical_id,
+       COUNT(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+
+@query("dedup_exact_md5", oracle=_EXACT_ORACLE, tags=("llm", "dedup"))
+def dedup_exact_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Exact word-3-gram Jaccard pairs (threshold 0.8). The DuckDB oracle
+# recomputes shingles/intersections from scratch.
+# ---------------------------------------------------------------------------
+
+_JACCARD_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+  FROM toks
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       CAST(common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - common AS DOUBLE) AS jaccard
+FROM pairs
+JOIN sizes sa ON id_a = sa.doc_id
+JOIN sizes sb ON id_b = sb.doc_id
+WHERE CAST(common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - common AS DOUBLE) >= 0.8
+"""
+
+
+@query("dedup_ngram_jaccard", oracle=_JACCARD_ORACLE, tags=("llm", "dedup"), bench=True)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.8
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup pipeline. The oracle is the EXACT Jaccard pair set:
+# verified candidates equal it whenever banding recall is 1, which holds at
+# this threshold/shape (planted pairs sit at j~0.99 where the 16x4 banding
+# miss probability is ~(1-0.99^4)^16 ≈ 1e-22). The query itself is the real
+# scale path: signatures -> banded candidates -> verify candidates only.
+# ---------------------------------------------------------------------------
+
+
+@query("dedup_minhash_lsh", oracle=_JACCARD_ORACLE, tags=("llm", "dedup"), bench=True)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_dedup_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.8
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash values per document — deterministic md5-derived bit votes; the
+# oracle recomputes all 48 bit majorities in SQL.
+# ---------------------------------------------------------------------------
+
+
+def _simhash_oracle() -> str:
+    votes = ",\n         ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(D.SIMHASH_BITS)
+    )
+    packed = " + ".join(
+        f"CASE WHEN v{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END"
+        for b in range(D.SIMHASH_BITS)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS tok
+  FROM documents
+), hashed AS (
+  SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h FROM toks
+), votes AS (
+  SELECT doc_id,
+         {votes}
+  FROM hashed GROUP BY doc_id
+)
+SELECT doc_id, {packed} AS simhash FROM votes
+"""
+
+
+@query("dedup_simhash_values", oracle=_simhash_oracle(), tags=("llm", "dedup"))
+def dedup_simhash_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash_table(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-pairs via pigeonhole banding (no all-pairs): rows-only check
+# (the banded candidate set is the non-SQL part); correctness of the
+# distance itself is covered by dedup_simhash_values.
+# ---------------------------------------------------------------------------
+
+
+@query("dedup_simhash_near_pairs", tags=("llm", "dedup"))
+def dedup_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash_near_pairs(
+        load_table(spark, sf_dir, "documents"), max_hamming=3
+    )

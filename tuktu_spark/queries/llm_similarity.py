@@ -1,1 +1,137 @@
-"""Placeholder — populated in later milestones."""
+"""Similarity-search queries over the embeddings table: exact brute-force
+top-k (the baseline) and sign-bucketed IVF/LSH top-k (the scale path).
+
+Cosine math is explicit left-fold double arithmetic in BOTH engines
+(Spark F.aggregate == DuckDB list_reduce) — bit-identical scores, so even
+ranks compare exactly."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..llm import similarity as S
+from ..tables import load_table
+from . import query
+
+_N_QUERIES = 10
+_K = 5
+
+_DOT = (
+    "list_reduce(list_prepend(0.0, list_transform(list_zip({a}, {b}),"
+    " x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), (acc, v) -> acc + v)"
+)
+_NORM = (
+    "list_reduce(list_prepend(0.0, list_transform({a},"
+    " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (acc, v) -> acc + v)"
+)
+
+
+def _cosine_sql(a: str, b: str) -> str:
+    return (
+        f"{_DOT.format(a=a, b=b)} / "
+        f"(sqrt({_NORM.format(a=a)}) * sqrt({_NORM.format(a=b)}))"
+    )
+
+
+_BRUTE_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < {_N_QUERIES}
+), scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         {_cosine_sql('q.qv', 'e.embedding')} AS cosine
+  FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cosine
+FROM ranked WHERE rank <= {_K}
+"""
+
+
+@query("similarity_topk_bruteforce", oracle=_BRUTE_ORACLE, tags=("llm", "similarity"), bench=True)
+def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    return S.brute_force_topk(emb, queries, k=_K)
+
+
+_BUCKET_SQL = (
+    "list_reduce(list_prepend(0, list_transform({v}[1:8],"
+    " x -> CASE WHEN CAST(x AS DOUBLE) >= 0 THEN 1 ELSE 0 END)), (a, b) -> a * 2 + b)"
+)
+
+_IVF_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, embedding, {_BUCKET_SQL.format(v='embedding')} AS bucket
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, embedding AS qv, bucket FROM e WHERE vec_id < {_N_QUERIES}
+), scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         {_cosine_sql('q.qv', 'e.embedding')} AS cosine
+  FROM q JOIN e ON e.bucket = q.bucket AND e.vec_id <> q.query_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cosine
+FROM ranked WHERE rank <= {_K}
+"""
+
+
+@query("similarity_topk_ivf_bucketed", oracle=_IVF_ORACLE, tags=("llm", "similarity"))
+def similarity_topk_ivf_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    return S.ivf_bucketed_topk(emb, queries, k=_K, bits=8)
+
+
+# ---------------------------------------------------------------------------
+# Centroid distance per label — k-means-adjacent fixture: mean vector per
+# label then each vector's cosine to its label centroid. Exact: per-dim sums
+# are left-fold free (elementwise aggregate of doubles is order-dependent!)
+# so the centroid uses decimal-exact per-dimension sums.
+# ---------------------------------------------------------------------------
+
+_CENTROID_ORACLE = """
+WITH exploded AS (
+  SELECT label,
+         generate_subscripts(embedding, 1) AS i,
+         unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS x
+  FROM embeddings
+), dims AS (
+  SELECT label, i,
+         CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS c,
+         COUNT(*) AS n
+  FROM exploded
+  GROUP BY label, i
+)
+SELECT label, CAST(SUM(n) / 64 AS BIGINT) AS n_vectors,
+       CAST(SUM(CAST(c * c AS DECIMAL(38,12))) AS DOUBLE) AS centroid_norm_sq
+FROM dims GROUP BY label
+"""
+
+
+@query("similarity_label_centroids", oracle=_CENTROID_ORACLE, tags=("llm", "similarity"))
+def similarity_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    # explode to (label, dim_index, value): per-dimension exact mean, then
+    # reassemble the centroid's squared norm — all shuffles carry scalars.
+    dims = emb.select(
+        "label",
+        F.posexplode(F.col("embedding")).alias("i0", "x"),
+    ).select("label", (F.col("i0") + 1).alias("i"), F.col("x").cast("double").alias("x"))
+    cent = dims.groupBy("label", "i").agg(
+        (F.sum(F.col("x").cast("decimal(38,12)")).cast("double") / F.count(F.lit(1))).alias("c"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return cent.groupBy("label").agg(
+        (F.sum("n") / 64).cast("bigint").alias("n_vectors"),
+        F.sum(((F.col("c") * F.col("c")).cast("decimal(38,12)"))).cast("double").alias("centroid_norm_sq"),
+    )

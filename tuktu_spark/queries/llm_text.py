@@ -1,1 +1,156 @@
-"""Placeholder — populated in later milestones."""
+"""Text-analysis queries: language ID, quality features, token counts,
+fingerprints — all pure column algebra with exact DuckDB oracles."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..llm import text as T
+from ..tables import load_table
+from . import query
+
+# ---------------------------------------------------------------------------
+# Stopword-vote language ID with alphabetical tiebreak.
+# ---------------------------------------------------------------------------
+
+
+def _lang_score_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in T.STOPWORDS[lang])
+    return (
+        f"len(list_filter(list_transform(toks, x -> lower(x)),"
+        f" x -> list_contains([{words}], x))) AS s_{lang}"
+    )
+
+
+_LANGID_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+  FROM documents
+), scores AS (
+  SELECT doc_id, lang,
+         {_lang_score_sql('de')},
+         {_lang_score_sql('en')},
+         {_lang_score_sql('es')},
+         {_lang_score_sql('fr')},
+         {_lang_score_sql('zh')}
+  FROM toks
+)
+SELECT doc_id, lang AS labeled_lang,
+       CASE WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+            WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+            WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+            WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+            ELSE 'zh' END AS predicted_lang
+FROM scores
+"""
+
+
+@query("text_language_id", oracle=_LANGID_ORACLE, tags=("llm", "text"))
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        T.predicted_language("text").alias("predicted_lang"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quality features (C4-style heuristics) — integer-sum arithmetic, exact.
+# ---------------------------------------------------------------------------
+
+_EN_STOP = ", ".join(f"'{w}'" for w in T.STOPWORDS["en"])
+
+_QUALITY_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CASE WHEN len(toks) > 0 THEN
+         CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(toks, x -> CAST(length(x) AS BIGINT))), (a,b) -> a+b) AS DOUBLE)
+           / len(toks)
+         ELSE 0.0 END AS mean_token_len,
+       CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+         / greatest(length(text), 1) AS alpha_ratio,
+       CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+         / greatest(length(text), 1) AS digit_ratio,
+       CAST(length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS DOUBLE)
+         / greatest(length(text), 1) AS punct_ratio,
+       CAST(len(list_filter(list_transform(toks, x -> lower(x)),
+                            x -> list_contains([{_EN_STOP}], x))) AS DOUBLE)
+         / greatest(len(toks), 1) AS stopword_ratio
+FROM base
+"""
+
+
+@query("text_quality_features", oracle=_QUALITY_ORACLE, tags=("llm", "text"), bench=True)
+def text_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    feats = T.quality_features("text")
+    return d.select("doc_id", *[col.alias(name) for name, col in feats.items()])
+
+
+# ---------------------------------------------------------------------------
+# Token counting (whitespace + BPE-ish regex) and rolling-hash fingerprints.
+# ---------------------------------------------------------------------------
+
+_TOKENS_ORACLE = f"""
+SELECT doc_id,
+       CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS INT)
+         AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '{T.TOKEN_REGEX}')) AS INT) AS bpe_tokens,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(range(1, length(text) + 1),
+                          i -> CAST(unicode(text[i]) AS BIGINT))),
+         (acc, c) -> (acc * 31 + c) % {T.FINGERPRINT_MOD}) AS fingerprint
+FROM documents
+"""
+
+
+@query("text_token_fingerprint", oracle=_TOKENS_ORACLE, tags=("llm", "text"))
+def text_token_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        T.token_count("text").alias("ws_tokens"),
+        T.regex_token_count("text").alias("bpe_tokens"),
+        T.fingerprint("text").alias("fingerprint"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-level rollup: quality stats per (source, lang) — the shape of a
+# pre-training data audit; counts and integer sums keep it exact.
+# ---------------------------------------------------------------------------
+
+_AUDIT_ORACLE = """
+SELECT source, lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))) AS BIGINT)
+         AS total_tokens,
+       MIN(n_chars) AS min_chars,
+       MAX(n_chars) AS max_chars
+FROM documents
+GROUP BY source, lang
+"""
+
+
+@query("text_corpus_audit", oracle=_AUDIT_ORACLE, tags=("llm", "text", "groupby"))
+def text_corpus_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(T.token_count("text").cast("bigint")).alias("total_tokens"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )

@@ -1,1 +1,165 @@
-"""Placeholder — populated in later milestones."""
+"""Reshaping queries: explode/implode, JSON ops, string functions —
+SURVEY.md §2.8 on the driver surface with DuckDB oracles."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import load_table
+from . import query
+
+# ---------------------------------------------------------------------------
+# Explode — SequenceExploderProcessor (BaseProcessors.scala:900-918) +
+# StringSplitterProcessor (:1004-1025): tokenize text, one row per token,
+# then histogram. Explode happens before the aggregate, so the shuffle
+# carries (token, partial count) — map-side combine keeps it small.
+# ---------------------------------------------------------------------------
+
+_TOKENS_ORACLE = """
+SELECT token, COUNT(*) AS n
+FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
+WHERE token <> ''
+GROUP BY token
+"""
+
+
+@query("explode_token_histogram", oracle=_TOKENS_ORACLE, tags=("reshape", "explode"))
+def explode_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Implode — KeyImploderProcessor (BaseProcessors.scala:785-802): gather
+# values per group into an ordered list (string-joined for engine-portable
+# comparison).
+# ---------------------------------------------------------------------------
+
+_IMPLODE_ORACLE = """
+SELECT lang, string_agg(doc_id, ',' ORDER BY doc_id) AS ids
+FROM documents GROUP BY lang
+"""
+
+
+@query("implode_ids_per_lang", oracle=_IMPLODE_ORACLE, tags=("reshape", "implode"))
+def implode_ids_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.array_join(
+            F.transform(F.sort_array(F.collect_list("doc_id")), lambda x: x.cast("string")),
+            ",",
+        ).alias("ids")
+    )
+
+
+# ---------------------------------------------------------------------------
+# JSON fetch — JsonFetcherProcessor (BaseProcessors.scala:234-263) /
+# JSONParseProcessor: pull $.k out of the events props JSON.
+# ---------------------------------------------------------------------------
+
+_JSON_ORACLE = """
+SELECT event_type,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+       COUNT(*) AS n
+FROM events
+GROUP BY event_type
+"""
+
+
+@query("json_fetch_props", oracle=_JSON_ORACLE, tags=("reshape", "json"))
+def json_fetch_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return e.groupBy("event_type").agg(
+        F.sum(k).alias("k_sum"), F.count(F.lit(1)).alias("n")
+    )
+
+
+# ---------------------------------------------------------------------------
+# from_json + struct access — ConvertFromJson (processors/json/*): typed
+# parse, filter on a parsed field.
+# ---------------------------------------------------------------------------
+
+_PARSE_ORACLE = """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+FROM events
+WHERE CAST(json_extract_string(props, '$.k') AS INT) >= 95
+"""
+
+
+@query("json_parse_filter", oracle=_PARSE_ORACLE, tags=("reshape", "json"))
+def json_parse_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    parsed = e.withColumn("obj", F.from_json("props", "k int"))
+    return (
+        parsed.select("event_id", F.col("obj.k").alias("k"))
+        .filter(F.col("k") >= 95)
+    )
+
+
+# ---------------------------------------------------------------------------
+# String scalar functions — ReplaceProcessor / StringImploder etc. over
+# customer names; engine-portable subset (no initcap in DuckDB 1.0).
+# ---------------------------------------------------------------------------
+
+_STRINGS_ORACLE = """
+SELECT c_custkey,
+       upper(c_name) AS uc,
+       lower(c_mktsegment) AS lc,
+       substring(c_name, 1, 8) AS prefix,
+       length(c_name) AS len,
+       replace(c_name, '#', '-') AS replaced,
+       concat(c_mktsegment, ':', c_custkey) AS tagged
+FROM customer
+"""
+
+
+@query("string_functions", oracle=_STRINGS_ORACLE, tags=("reshape", "strings"))
+def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("uc"),
+        F.lower("c_mktsegment").alias("lc"),
+        F.substring("c_name", 1, 8).alias("prefix"),
+        F.length("c_name").alias("len"),
+        F.regexp_replace("c_name", "#", "-").alias("replaced"),
+        F.concat_ws("", F.col("c_mktsegment"), F.lit(":"), F.col("c_custkey").cast("string")).alias("tagged"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Array algebra — FieldsToList + DistinctSequence + SequenceLength + flatten
+# (BaseProcessors.scala §2.8 family) — built from per-doc token arrays.
+# ---------------------------------------------------------------------------
+
+_ARRAY_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS tokens FROM documents
+)
+SELECT doc_id,
+       len(tokens) AS n_tokens,
+       len(list_distinct(tokens)) AS n_distinct,
+       tokens[1] AS head,
+       array_to_string(list_sort(list_distinct(tokens)), ' ') AS sorted_vocab
+FROM toks
+"""
+
+
+@query("array_algebra_tokens", oracle=_ARRAY_ORACLE, tags=("reshape", "array"))
+def array_algebra_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("tokens"))
+    return toks.select(
+        "doc_id",
+        F.size("tokens").alias("n_tokens"),
+        F.size(F.array_distinct("tokens")).alias("n_distinct"),
+        F.element_at("tokens", 1).alias("head"),
+        F.array_join(F.sort_array(F.array_distinct("tokens")), " ").alias("sorted_vocab"),
+    )
