@@ -1,0 +1,153 @@
+"""Structured Streaming tests: replay the events table through the real
+streaming code path (file-stream micro-batches) and check results against
+batch-computed truth — the streaming analogue of BaseFlowTester."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tuktu_spark import streaming as STR
+from tuktu_spark.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def events(spark, sf_dir):
+    return load_table(spark, sf_dir, "events").cache()
+
+
+@pytest.fixture()
+def event_stream(spark, events, tmp_path):
+    return STR.replay_dataframe(events, str(tmp_path), chunks=4, order_col="ts")
+
+
+def run_to_table(spark, sdf, output_mode="append"):
+    q, name = STR.memory_sink(sdf, output_mode=output_mode)
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name)
+
+
+def test_tumbling_window_matches_batch(spark, events, event_stream):
+    aggs = {"n": F.count(F.lit(1)), "v": F.sum("value")}
+    # update mode: every window's latest update reaches the sink even when
+    # the stream ends before the watermark closes it (append would withhold
+    # trailing windows — correct SS semantics, inconvenient for replay).
+    out = run_to_table(
+        spark,
+        STR.tumbling_window_agg(event_stream, "ts", "1 hour", aggs, watermark="1 hour"),
+        output_mode="update",
+    )
+    final = out.groupBy("window_start").agg(F.max("n").alias("n"))
+    batch = (
+        events.groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    got = {r["window_start"]: r["n"] for r in final.collect()}
+    want = {r["window"]["start"]: r["n"] for r in batch}
+    assert got == want
+
+
+def test_sliding_and_session_windows_run(spark, event_stream):
+    out = run_to_table(
+        spark,
+        STR.sliding_window_agg(
+            event_stream, "ts", "2 hours", "1 hour", {"n": F.count(F.lit(1))}
+        ),
+    )
+    assert out.count() > 0
+    sess = run_to_table(
+        spark,
+        STR.session_window_agg(
+            event_stream.filter(F.col("user_id") < 5),
+            "ts",
+            "30 minutes",
+            {"n": F.count(F.lit(1))},
+            keys=["user_id"],
+        ),
+    )
+    assert sess.count() > 0
+
+
+def test_streaming_dedup(spark, events, event_stream, tmp_path):
+    # duplicate the stream by unioning it with itself: dedup must halve it
+    doubled = event_stream.unionByName(event_stream)
+    out = run_to_table(
+        spark, STR.streaming_dedup(doubled, ["event_id"], ts_col="ts", watermark="2 hours")
+    )
+    assert out.count() == events.count()
+
+
+def test_running_count_stateful(spark, event_stream, events):
+    out = run_to_table(
+        spark,
+        STR.running_count_stateful(
+            event_stream.select(F.col("user_id").cast("string"), "event_id"),
+            ["user_id"],
+        ),
+        output_mode="update",
+    )
+    # final per-key total across micro-batch updates == batch count
+    finals = (
+        out.groupBy("user_id").agg(F.max("total").alias("total")).collect()
+    )
+    truth = {
+        str(r["user_id"]): r["n"]
+        for r in events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    got = {r["user_id"]: r["total"] for r in finals}
+    assert got == truth
+
+
+def test_stream_static_join(spark, event_stream, sf_dir):
+    customers = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    out = run_to_table(
+        spark, STR.stream_static_join(event_stream, customers, ["user_id"])
+    )
+    assert out.count() > 0
+    assert "c_mktsegment" in out.columns
+
+
+def test_stream_stream_join(spark, events, tmp_path):
+    left = STR.replay_dataframe(
+        events.select("event_id", "ts", "user_id"), str(tmp_path / "l"), chunks=2
+    )
+    right = STR.replay_dataframe(
+        events.select(
+            F.col("event_id").alias("eid"), F.col("ts").alias("rts"), "value"
+        ),
+        str(tmp_path / "r"),
+        chunks=2,
+    )
+    joined = STR.stream_stream_join(
+        left,
+        right.withColumnRenamed("eid", "event_id"),
+        ["event_id"],
+        "ts",
+        "rts",
+        watermark="2 hours",
+    )
+    out = run_to_table(spark, joined)
+    assert out.count() == events.count()
+
+
+def test_foreach_batch_sink(spark, event_stream, tmp_path):
+    seen: list[int] = []
+
+    def collect_counts(batch_df, batch_id: int):
+        seen.append(batch_df.count())
+
+    q = STR.foreach_batch_sink(
+        event_stream, collect_counts, checkpoint=str(tmp_path / "ckpt")
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert sum(seen) == 1000 and len(seen) >= 2  # several micro-batches
+
+
+def test_rate_source_shape(spark):
+    df = STR.rate_source(spark, rows_per_second=5, constant={"tag": "x"})
+    assert df.isStreaming and set(df.columns) == {"timestamp", "value", "tag"}

@@ -1,0 +1,117 @@
+"""Streaming stateful operators, joins and sinks."""
+
+from __future__ import annotations
+
+import uuid
+from collections.abc import Callable, Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def streaming_dedup(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """StreamingDeduplicationProcessor (StreamingDeduplicationProcessor.
+    scala:12-35). The reference keeps an UNBOUNDED in-memory seen-set; with
+    a watermark the state is bounded — strictly better at scale."""
+    if ts_col is not None:
+        return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+    return df.dropDuplicates(keys)
+
+
+def running_count_stateful(
+    df: DataFrame, key_cols: list[str], out_schema: str | None = None
+) -> DataFrame:
+    """RunningCountProcessor (BaseProcessors.scala:184-208) as a custom
+    stateful streaming operator: per-key monotonically increasing counter
+    via applyInPandasWithState (the reference holds the counter in the
+    actor; here it lives in the state store, fault-tolerant)."""
+    out_schema = out_schema or (
+        ", ".join(f"{k} string" for k in key_cols) + ", events bigint, total bigint"
+    )
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (total,) = state.get if state.exists else (0,)
+        events = 0
+        for pdf in pdfs:
+            events += len(pdf)
+        total += events
+        state.update((total,))
+        yield pd.DataFrame(
+            [{**dict(zip(key_cols, key)), "events": events, "total": total}]
+        )
+
+    return df.groupBy(*key_cols).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType="total bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def stream_static_join(
+    stream: DataFrame, static: DataFrame, on: list[str], how: str = "left"
+) -> DataFrame:
+    """Lookup join of a stream against a (broadcast) dimension table — the
+    SQLProcessor/MongoDBFind per-row lookup pattern (sql.scala:46-111)."""
+    return stream.join(F.broadcast(static), on, how)
+
+
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    watermark: str = "10 minutes",
+    how: str = "inner",
+) -> DataFrame:
+    """JoinGenerator (JoinGenerator.scala:29-151) equivalent: symmetric
+    stream-stream equi-join; watermarks on both sides bound the hash state
+    the reference kept unbounded."""
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    return lw.join(rw, on, how)
+
+
+def memory_sink(df: DataFrame, name: str | None = None, output_mode: str = "append"):
+    """Run-to-completion into an in-memory table (sync-flow endpoint /
+    test harness). Returns (query, table_name)."""
+    name = name or f"mem_{uuid.uuid4().hex[:8]}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    return q, name
+
+
+def foreach_batch_sink(
+    df: DataFrame,
+    fn: Callable[[DataFrame, int], Any],
+    checkpoint: str,
+    output_mode: str = "update",
+):
+    """SizeBuffer / BulkUpserter patterns (BufferProcessors.scala:94-109;
+    sql/BulkUpserter.scala): arbitrary per-micro-batch logic with
+    exactly-once bookkeeping via the checkpoint."""
+    return (
+        df.writeStream.foreachBatch(fn)
+        .option("checkpointLocation", checkpoint)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
