@@ -69,9 +69,26 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
-def shingle_table(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
+def hashed_shingles(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """(id, array<long>) of distinct shingle hashes — ONE scan does
+    tokenize + shingle + md5; every downstream consumer (signatures,
+    join table, set sizes) reuses this instead of re-parsing the text.
+    Shingles are carried as 60-bit ints, not strings, so joins shuffle
+    8-byte keys; Jaccard over hashes equals Jaccard over strings up to
+    md5-collision probability (~2^-60 per pair)."""
     return df.select(
-        F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("shingle")
+        F.col(id_col),
+        F.transform(word_shingles(F.col(text_col), n), lambda s: base_hash(s)).alias(
+            "shingles"
+        ),
+    )
+
+
+def shingle_table(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    return hashed_shingles(df, text_col, id_col, n).select(
+        F.col(id_col), F.explode("shingles").alias("shingle")
     )
 
 
@@ -87,8 +104,9 @@ def ngram_jaccard_pairs(
     All-pairs via shingle equi-join — exact, for modest corpora and for
     verifying LSH candidates; at 100 TB use minhash_lsh_candidates first.
     """
-    sh = shingle_table(df, text_col, id_col, n)
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    h = hashed_shingles(df, text_col, id_col, n).persist()
+    sizes = h.select(F.col(id_col), F.size("shingles").alias("n_sh"))
+    sh = h.select(F.col(id_col), F.explode("shingles").alias("shingle"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (
         a.join(b, (F.col(f"a.shingle") == F.col(f"b.shingle")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
@@ -115,23 +133,36 @@ def minhash_signatures(
     """Per-doc MinHash signature: sig[i] = min over shingles of
     (a_i*h + b_i) mod p. Computed entirely as array algebra on the shingle
     array — one narrow projection per doc, no explode, no shuffle."""
-    shingles = word_shingles(F.col(text_col), n)
-    hashes = F.transform(
-        shingles, lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+    return minhash_signatures_from_hashed(
+        hashed_shingles(df, text_col, id_col, n), id_col
     )
-    # closure factory, NOT `lambda h, i=i`: pyspark counts lambda params and
-    # would feed the element index into the default arg
-    def _minhash_of(i: int):
-        a, b = HASH_A[i], HASH_B[i]
-        return lambda h: (h % MERSENNE_P * a + b) % MERSENNE_P
 
-    sig = F.array(
+
+def minhash_signatures_from_hashed(h: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Signatures from a precomputed (id, array<long> shingles) frame."""
+    hashes = F.col("shingles")
+    # Single fold over the shingle-hash array updating all NUM_HASHES minima
+    # at once. One md5 per shingle. (The naive alternative — NUM_HASHES
+    # separate array_min(transform(...)) columns — inlines and re-evaluates
+    # the whole shingle+md5 pipeline per hash function: 64x the work and an
+    # expression tree codegen chokes on.)
+    ab = F.array(
         *[
-            F.array_min(F.transform(hashes, _minhash_of(i))).alias(f"h{i}")
+            F.struct(
+                F.lit(HASH_A[i]).cast("long").alias("a"),
+                F.lit(HASH_B[i]).cast("long").alias("b"),
+            )
             for i in range(NUM_HASHES)
         ]
     )
-    return df.select(F.col(id_col), sig.alias("signature"))
+    sig = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(MERSENNE_P).cast("long"), NUM_HASHES),
+        lambda acc, x: F.zip_with(
+            acc, ab, lambda m, c: F.least(m, (x % MERSENNE_P * c["a"] + c["b"]) % MERSENNE_P)
+        ),
+    )
+    return h.select(F.col(id_col), sig.alias("signature"))
 
 
 def minhash_lsh_candidates(
@@ -182,11 +213,14 @@ def minhash_dedup_pairs(
     threshold: float = 0.8,
 ) -> DataFrame:
     """MinHash+LSH near-dup pipeline: signatures -> banded candidates ->
-    exact Jaccard verification of candidates only."""
-    sigs = minhash_signatures(df, text_col, id_col, n)
+    exact Jaccard verification of candidates only. The hashed-shingle
+    array is computed once and shared by signatures, verification join
+    and set sizes."""
+    h = hashed_shingles(df, text_col, id_col, n).persist()
+    sigs = minhash_signatures_from_hashed(h, id_col)
     cands = minhash_lsh_candidates(sigs, id_col)
-    sh = shingle_table(df, text_col, id_col, n)
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    sh = h.select(F.col(id_col), F.explode("shingles").alias("shingle"))
+    sizes = h.select(F.col(id_col), F.size("shingles").alias("n_sh"))
     a = sh.select(F.col(id_col).alias("id_a"), F.col("shingle"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("shingle"))
     common = (
@@ -217,19 +251,31 @@ def simhash(text_col) -> "F.Column":
     hashes = F.transform(
         toks, lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
     )
-    def _vote(b: int):
-        return lambda acc, h: acc + F.when(
-            F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
-        ).otherwise(-1)
-
-    bit_cols = []
-    for b in range(SIMHASH_BITS):
-        votes = F.aggregate(hashes, F.lit(0).cast("long"), _vote(b))
-        bit_cols.append(F.when(votes > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long")))
-    out = bit_cols[0]
-    for c in bit_cols[1:]:
-        out = out + c
-    return out
+    # Single fold updating all SIMHASH_BITS vote counters per token hash —
+    # one md5 per token (vs. SIMHASH_BITS re-evaluations if each bit were
+    # its own F.aggregate over the inlined token pipeline). Bit tests use
+    # literal masks (h & (1<<b)) since shift amounts must be literals.
+    masks = F.array(
+        *[F.lit(1 << b).cast("long") for b in range(SIMHASH_BITS)]
+    )
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0).cast("long"), SIMHASH_BITS),
+        lambda acc, h: F.zip_with(
+            acc,
+            masks,
+            lambda v, m: v + F.when(h.bitwiseAND(m) != 0, 1).otherwise(-1),
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            votes,
+            masks,
+            lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
 
 
 def simhash_table(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
