@@ -47,6 +47,7 @@ _MODULES = (
     "llm_text",
     "llm_similarity",
     "flows",
+    "ml",
 )
 
 

@@ -1,0 +1,271 @@
+"""ML / NLP / time-series queries (SURVEY.md §2.12 coverage).
+
+Exact feature engineering, NLP aggregation and CUSUM changepoint are
+oracle-checked against DuckDB; pyspark.ml model fits (kmeans, logistic
+regression, FPGrowth, AR forecast) are rows-only checks — iterative
+fitting is not SQL-expressible (driver records the weaker check).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..exactness import davg_sql, dvar_pop_sql
+from ..ml import features as FE
+from ..ml import models as M
+from ..ml import nlp as NLP
+from ..ml import timeseries as TS
+from ..tables import load_table
+from . import query
+
+LANGS = ["de", "en", "es", "fr", "zh"]  # stable across all sf dirs
+
+# ---------------------------------------------------------------------------
+# Min-max normalization per event_type (reference normalization golden flow,
+# configs/flowtests/normalization.json).
+# ---------------------------------------------------------------------------
+
+_MINMAX_ORACLE = """
+WITH stats AS (
+  SELECT event_type, MIN(value) AS lo, MAX(value) AS hi
+  FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type,
+       (e.value - s.lo) / (s.hi - s.lo) AS value_norm
+FROM events e JOIN stats s USING (event_type)
+"""
+
+
+@query("ml_normalize_minmax", oracle=_MINMAX_ORACLE, tags=("ml",))
+def ml_normalize_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    out = FE.normalize_minmax(ev, ["value"], keys=["event_type"])
+    return out.select("event_id", "event_type", "value_norm")
+
+
+# ---------------------------------------------------------------------------
+# Z-score normalization (global) with exact decimal-sum mean/variance.
+# ---------------------------------------------------------------------------
+
+_ZSCORE_ORACLE = f"""
+WITH stats AS (
+  SELECT {davg_sql('value')} AS mu, SQRT({dvar_pop_sql('value')}) AS sd
+  FROM events
+)
+SELECT e.event_id, (e.value - s.mu) / s.sd AS value_z
+FROM events e CROSS JOIN stats s
+"""
+
+
+@query("ml_normalize_zscore", oracle=_ZSCORE_ORACLE, tags=("ml",))
+def ml_normalize_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return FE.normalize_zscore(ev, ["value"], suffix="_z").select(
+        "event_id", "value_z"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mean imputation: values < 1.0 treated as missing, refilled with the
+# per-type mean of the survivors (reference missing-value imputation).
+# ---------------------------------------------------------------------------
+
+_IMPUTE_ORACLE = f"""
+WITH holes AS (
+  SELECT event_id, event_type,
+         CASE WHEN value < 1.0 THEN NULL ELSE value END AS v
+  FROM events
+), stats AS (
+  SELECT event_type, {davg_sql('v')} AS mu FROM holes GROUP BY event_type
+)
+SELECT h.event_id, h.event_type, COALESCE(h.v, s.mu) AS value_filled
+FROM holes h JOIN stats s USING (event_type)
+"""
+
+
+@query("ml_impute_mean", oracle=_IMPUTE_ORACLE, tags=("ml",))
+def ml_impute_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.when(F.col("value") < 1.0, F.lit(None)).otherwise(F.col("value")).alias("v"),
+    )
+    out = FE.impute_mean(ev, ["v"], keys=["event_type"])
+    return out.select("event_id", "event_type", F.col("v").alias("value_filled"))
+
+
+# ---------------------------------------------------------------------------
+# Dummy variables over documents.lang (reference dummy-variable processor).
+# ---------------------------------------------------------------------------
+
+_DUMMY_ORACLE = "SELECT doc_id, " + ", ".join(
+    f"CASE WHEN lang = '{v}' THEN 1 ELSE 0 END AS lang_{v}" for v in LANGS
+) + " FROM documents"
+
+
+@query("ml_dummy_variables", oracle=_DUMMY_ORACLE, tags=("ml",))
+def ml_dummy_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    out = FE.dummy_variables(docs, "lang", categories=LANGS)
+    return out.select("doc_id", *[f"lang_{v}" for v in LANGS])
+
+
+# ---------------------------------------------------------------------------
+# NLP: tokenize + stopword removal + corpus top-terms.
+# ---------------------------------------------------------------------------
+
+_SW = "', '".join(NLP.DEFAULT_STOPWORDS)
+_TOPTERMS_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                            x -> x <> '' AND x NOT IN ('{_SW}'))) AS term
+  FROM documents
+)
+SELECT term, COUNT(*) AS n FROM toks GROUP BY term
+ORDER BY n DESC, term ASC LIMIT 50
+"""
+
+
+@query("nlp_top_terms", oracle=_TOPTERMS_ORACLE, tags=("ml", "nlp"))
+def nlp_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = NLP.remove_stopwords(NLP.tokenize(F.col("text")))
+    return (
+        docs.select(F.explode(toks).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("term").asc())
+        .limit(50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# NLP: exact TF-IDF (log-free rarity ratio — bit-portable), top 100.
+# ---------------------------------------------------------------------------
+
+_TFIDF_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                            x -> x <> '' AND x NOT IN ('{_SW}'))) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, COUNT(DISTINCT doc_id) AS df_t FROM tf GROUP BY term
+), n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents)
+SELECT tf.doc_id, tf.term, tf.tf, dfreq.df_t,
+       CAST(tf.tf AS DOUBLE) * CAST(n.n_docs AS DOUBLE) / CAST(dfreq.df_t AS DOUBLE) AS tfidf
+FROM tf JOIN dfreq USING (term) CROSS JOIN n
+ORDER BY tfidf DESC, term ASC, doc_id ASC LIMIT 100
+"""
+
+
+@query("nlp_tfidf_top", oracle=_TFIDF_ORACLE, tags=("ml", "nlp"), bench=True)
+def nlp_tfidf_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    out = NLP.tf_idf(docs, use_log=False)
+    return out.orderBy(
+        F.col("tfidf").desc(), F.col("term").asc(), F.col("doc_id").asc()
+    ).limit(100)
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint per event_type — exact window algebra.
+# ---------------------------------------------------------------------------
+
+_CUSUM_ORACLE = """
+WITH ordered AS (
+  SELECT event_type, event_id, CAST(value AS DECIMAL(38,6)) AS v,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY event_id) AS t,
+         SUM(CAST(value AS DECIMAL(38,6)))
+             OVER (PARTITION BY event_type ORDER BY event_id
+                   ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(CAST(value AS DECIMAL(38,6))) OVER (PARTITION BY event_type) AS total,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+), scored AS (
+  SELECT event_type, event_id, t,
+         ABS(n * cum - t * total) AS stat,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY ABS(n * cum - t * total) DESC, event_id ASC) AS rk
+  FROM ordered
+)
+SELECT event_type, event_id AS changepoint_at, t AS position,
+       CAST(stat AS DOUBLE) AS cusum_stat
+FROM scored WHERE rk = 1
+"""
+
+
+@query("ts_changepoint_cusum", oracle=_CUSUM_ORACLE, tags=("ml", "timeseries"))
+def ts_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return TS.changepoint_cusum(ev, ["event_type"], "event_id", "value")
+
+
+# ---------------------------------------------------------------------------
+# pyspark.ml fits — rows-only checks (not SQL-expressible).
+# ---------------------------------------------------------------------------
+
+
+@query("ml_kmeans_cluster_sizes", tags=("ml",))
+def ml_kmeans_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMeans k=8 over the embeddings table; cluster size histogram."""
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "f", F.col("embedding").cast("array<double>")
+    )
+    from pyspark.ml.functions import array_to_vector
+
+    vecs = emb.select("vec_id", array_to_vector("f").alias("features"))
+    model = M.train(vecs, "kmeans", k=8, seed=42)
+    scored = M.apply_model(vecs, model)
+    return scored.groupBy("prediction").agg(F.count(F.lit(1)).alias("n")).orderBy("prediction")
+
+
+@query("ml_logreg_accuracy", tags=("ml",))
+def ml_logreg_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial logistic regression on the embeddings labels;
+    train/apply accuracy as one row (train/apply trio end-to-end)."""
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "f", F.col("embedding").cast("array<double>")
+    )
+    from pyspark.ml.functions import array_to_vector
+
+    data = emb.select(
+        array_to_vector("f").alias("features"), F.col("label").cast("double")
+    )
+    model = M.train(data, "logistic_regression", label_col="label", maxIter=25, regParam=0.01)
+    scored = M.apply_model(data, model)
+    return scored.agg(
+        (F.sum((F.col("prediction") == F.col("label")).cast("long")) / F.count(F.lit(1))).alias("accuracy"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@query("ml_fpgrowth_itemsets", tags=("ml",))
+def ml_fpgrowth_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FPGrowth frequent event-type itemsets over per-user baskets
+    (reference association-rules processors)."""
+    ev = load_table(spark, sf_dir, "events")
+    baskets = ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_set("event_type")).alias("items")
+    )
+    model = M.train(baskets, "fpgrowth", itemsCol="items", minSupport=0.2, minConfidence=0.5)
+    freq = model.stages[-1].freqItemsets
+    return freq.select(
+        F.array_join(F.array_sort("items"), ",").alias("itemset"), "freq"
+    ).orderBy(F.col("freq").desc(), F.col("itemset").asc())
+
+
+@query("ts_ar_forecast", tags=("ml", "timeseries"))
+def ts_ar_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AR(3) forecast of hourly event counts per type, 5 steps ahead."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.count(F.lit(1)).cast("double").alias("n"))
+    return TS.ar_forecast(hourly, ["event_type"], "h", "n", p=3, horizon=5).orderBy(
+        "event_type", "step"
+    )
