@@ -19,6 +19,9 @@ from . import sort_sample  # noqa: E402,F401
 from . import joins  # noqa: E402,F401
 from . import sources  # noqa: E402,F401
 from . import sinks  # noqa: E402,F401
+from . import meta  # noqa: E402,F401
+from . import xmljson  # noqa: E402,F401
+from . import connectors  # noqa: E402,F401
 
 __all__ = [
     "OPERATORS",

@@ -1,0 +1,207 @@
+"""External-system connector wrappers (SURVEY.md §2.1/§2.2 remainder).
+
+Each reference connector generator/processor becomes a thin config->plan
+builder over the corresponding Spark connector format. The builders only
+CONSTRUCT the reader/writer (connection happens at action time), so they
+are unit-testable without brokers; integration against live systems is an
+ops concern, exactly as in the reference (whose connectors are thin
+client-library wrappers too).
+
+| reference | here |
+|---|---|
+| KafkaGenerator (nosql/generators/kafka.scala:18-79) | kafka / kafka_stream sources |
+| KafkaProcessor (nosql/processors/kafka.scala) | kafka_sink |
+| MongoDB generators/processors (nosql/{generators,processors}/mongodb*) | mongo source/sink (mongo-spark connector) |
+| CassandraGenerator/Processor (nosql/*/cassandra.scala) | cassandra source/sink |
+| ESProcessor (nosql/processors/elasticsearch.scala:22-94) | elasticsearch source/sink |
+| KinesisGenerator / S3Generator (aws/generators/*) | kinesis source; s3 paths work natively via s3a:// |
+| RESTGenerator (web/generators/RESTGenerator.scala:15-78) | rest source (driver-side fetch -> createDataFrame) |
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .registry import operator, source
+
+
+def _opts(reader, options: dict):
+    for k, v in (options or {}).items():
+        reader = reader.option(k, str(v))
+    return reader
+
+
+@source("kafka_stream")
+def kafka_stream(spark: SparkSession, config: dict) -> DataFrame:
+    """Streaming Kafka consumer (KafkaGenerator analogue). The reference
+    runs one thread per partition; Spark maps Kafka partitions to tasks."""
+    reader = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", config["servers"])
+        .option("subscribe", config["topic"])
+        .option("startingOffsets", config.get("starting_offsets", "earliest"))
+    )
+    return _opts(reader, config.get("options", {})).load()
+
+
+@source("kafka")
+def kafka_batch(spark: SparkSession, config: dict) -> DataFrame:
+    """Bounded Kafka read (backfill): same options, batch reader."""
+    reader = (
+        spark.read.format("kafka")
+        .option("kafka.bootstrap.servers", config["servers"])
+        .option("subscribe", config["topic"])
+    )
+    return _opts(reader, config.get("options", {})).load()
+
+
+@operator("kafka_sink")
+def kafka_sink(config: dict):
+    """KafkaProcessor: produce rows to a topic. Rows must provide a
+    ``value`` column (string/binary); ``key`` optional."""
+
+    def sink(df: DataFrame):
+        writer = (
+            df.write.format("kafka")
+            .option("kafka.bootstrap.servers", config["servers"])
+            .option("topic", config["topic"])
+        )
+        for k, v in config.get("options", {}).items():
+            writer = writer.option(k, str(v))
+        writer.save()
+        return df
+
+    return sink
+
+
+@source("mongo")
+def mongo_source(spark: SparkSession, config: dict) -> DataFrame:
+    """MongoDBFindGenerator / AggregateGenerator: mongo-spark connector
+    with an optional aggregation ``pipeline`` (find filters become $match
+    stages, which the connector pushes down to the server)."""
+    reader = (
+        spark.read.format("mongodb")
+        .option("connection.uri", config["uri"])
+        .option("database", config["database"])
+        .option("collection", config["collection"])
+    )
+    if config.get("pipeline"):
+        reader = reader.option("aggregation.pipeline", json.dumps(config["pipeline"]))
+    return _opts(reader, config.get("options", {})).load()
+
+
+@operator("mongo_sink")
+def mongo_sink(config: dict):
+    """MongoDBInsertProcessor -> connector write (bulk, per-partition)."""
+
+    def sink(df: DataFrame):
+        (
+            df.write.format("mongodb")
+            .mode(config.get("mode", "append"))
+            .option("connection.uri", config["uri"])
+            .option("database", config["database"])
+            .option("collection", config["collection"])
+            .save()
+        )
+        return df
+
+    return sink
+
+
+@source("cassandra")
+def cassandra_source(spark: SparkSession, config: dict) -> DataFrame:
+    """CassandraGenerator: spark-cassandra-connector table scan (predicate
+    pushdown to CQL where the connector supports it)."""
+    reader = (
+        spark.read.format("org.apache.spark.sql.cassandra")
+        .option("keyspace", config["keyspace"])
+        .option("table", config["table"])
+    )
+    return _opts(reader, config.get("options", {})).load()
+
+
+@operator("cassandra_sink")
+def cassandra_sink(config: dict):
+    def sink(df: DataFrame):
+        (
+            df.write.format("org.apache.spark.sql.cassandra")
+            .mode(config.get("mode", "append"))
+            .option("keyspace", config["keyspace"])
+            .option("table", config["table"])
+            .save()
+        )
+        return df
+
+    return sink
+
+
+@source("elasticsearch")
+def es_source(spark: SparkSession, config: dict) -> DataFrame:
+    """ESProcessor read path via elasticsearch-spark ("es" format)."""
+    reader = (
+        spark.read.format("es")
+        .option("es.nodes", config["nodes"])
+        .option("es.resource", config["index"])
+    )
+    if config.get("query"):
+        reader = reader.option("es.query", json.dumps(config["query"]))
+    return _opts(reader, config.get("options", {})).load()
+
+
+@operator("elasticsearch_sink")
+def es_sink(config: dict):
+    def sink(df: DataFrame):
+        (
+            df.write.format("es")
+            .mode(config.get("mode", "append"))
+            .option("es.nodes", config["nodes"])
+            .option("es.resource", config["index"])
+            .save()
+        )
+        return df
+
+    return sink
+
+
+@source("kinesis")
+def kinesis_source(spark: SparkSession, config: dict) -> DataFrame:
+    """KinesisGenerator (aws/generators): streaming read via the kinesis
+    connector format (available on AWS runtimes)."""
+    reader = (
+        spark.readStream.format("kinesis")
+        .option("streamName", config["stream"])
+        .option("region", config.get("region", "us-east-1"))
+        .option("initialPosition", config.get("initial_position", "latest"))
+    )
+    return _opts(reader, config.get("options", {})).load()
+
+
+@source("rest")
+def rest_source(spark: SparkSession, config: dict) -> DataFrame:
+    """RESTGenerator (web/generators/RESTGenerator.scala:15-78): one HTTP
+    request on the driver -> rows. Body parsed as json (list -> rows,
+    object -> one row) or kept as text. Driver-side by design: the
+    reference emits a single datum per request too; bulk HTTP ingestion
+    at scale should land in object storage first."""
+    import urllib.request
+
+    req = urllib.request.Request(
+        config["url"],
+        method=config.get("method", "GET"),
+        headers=config.get("headers", {}),
+        data=(config.get("body") or "").encode() or None,
+    )
+    with urllib.request.urlopen(req, timeout=config.get("timeout", 30)) as resp:
+        status = resp.status
+        text = resp.read().decode(config.get("encoding", "utf-8"))
+    rows_col = config.get("as", "body")
+    if config.get("parse", "json") == "json":
+        data = json.loads(text)
+        items = data if isinstance(data, list) else [data]
+        return spark.createDataFrame(
+            [(json.dumps(x, sort_keys=True), status) for x in items],
+            f"{rows_col} string, status int",
+        )
+    return spark.createDataFrame([(text, status)], f"{rows_col} string, status int")

@@ -58,3 +58,94 @@ _PRICING_FLOW = {
 def flow_filter_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = run_flow(spark, _PRICING_FLOW, params={"dir": sf_dir})
     return out["agg"]
+
+
+# ---------------------------------------------------------------------------
+# If-then-else routing (meta/IfThenElseProcessor.scala:27-205) as a flow:
+# big orders get a 10% discount label, small ones a surcharge label; the
+# oracle is the CASE-equivalent.
+# ---------------------------------------------------------------------------
+
+_ROUTE_ORACLE = """
+SELECT o_orderkey,
+       CASE WHEN o_totalprice >= 100000 THEN 'discount' ELSE 'surcharge' END AS route,
+       CASE WHEN o_totalprice >= 100000 THEN o_totalprice * 0.9
+            ELSE o_totalprice * 1.1 END AS adjusted
+FROM orders
+"""
+
+_ROUTE_FLOW = {
+    "generators": [
+        {
+            "id": "src",
+            "name": "parquet",
+            "config": {"path": "#{dir}/orders.parquet"},
+            "next": ["route"],
+        }
+    ],
+    "processors": [
+        {
+            "id": "route",
+            "name": "if_then_else",
+            "config": {
+                "condition": "${o_totalprice} >= 100000",
+                "then": [
+                    {"name": "add_constant", "config": {"field": "route", "value": "discount"}},
+                    {"name": "arithmetic", "config": {"expression": "${o_totalprice} * 0.9", "field": "adjusted"}},
+                ],
+                "else": [
+                    {"name": "add_constant", "config": {"field": "route", "value": "surcharge"}},
+                    {"name": "arithmetic", "config": {"expression": "${o_totalprice} * 1.1", "field": "adjusted"}},
+                ],
+            },
+            "next": ["proj"],
+        },
+        {
+            "id": "proj",
+            "name": "select",
+            "config": {"fields": ["o_orderkey", "route", "adjusted"]},
+            "next": [],
+        },
+    ],
+}
+
+
+@query("flow_if_then_else", oracle=_ROUTE_ORACLE, tags=("flow", "meta"))
+def flow_if_then_else(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_flow(spark, _ROUTE_FLOW, params={"dir": sf_dir})["proj"]
+
+
+# ---------------------------------------------------------------------------
+# NumberWithProbability (ProbabilityProcessors.scala:13-42) in deterministic
+# hash mode: the md5-derived uniform is reproducible in any engine, so the
+# discrete draw itself is oracle-checkable.
+# ---------------------------------------------------------------------------
+
+_PROB_ORACLE = """
+WITH u AS (
+  SELECT event_id,
+         CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15) AS BIGINT)
+           / CAST(1152921504606846976 AS DOUBLE) AS uni
+  FROM events
+)
+SELECT event_id,
+       CASE WHEN uni < 0.2 THEN 'rare' WHEN uni < 0.7 THEN 'common' ELSE 'frequent' END AS draw
+FROM u
+"""
+
+
+@query("flow_probability_draw", oracle=_PROB_ORACLE, tags=("flow", "meta"))
+def flow_probability_draw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import make_operator
+    from ..tables import load_table
+
+    op = make_operator(
+        "number_with_probability",
+        {
+            "outcomes": ["rare", "common", "frequent"],
+            "probabilities": [0.2, 0.5, 0.3],
+            "as": "draw",
+            "hash_key": "event_id",
+        },
+    )
+    return op(load_table(spark, sf_dir, "events")).select("event_id", "draw")
