@@ -1,0 +1,85 @@
+"""Iterative operator tests: BFS recursive lookup, connected components,
+concurrent repartition, sub-flow inclusion."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from tuktu_spark.operators import make_operator, make_source
+from tuktu_spark.operators.iterative import bfs_expand, connected_components
+
+
+def test_bfs_expand_chain(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "parent long, child long"
+    )
+    seed = spark.createDataFrame([(1,)], "id long")
+    out = bfs_expand(seed, edges, "id", "parent", "child", max_iterations=10)
+    got = {(r["node"]): r["depth"] for r in out.collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3}
+
+
+def test_bfs_handles_diamond_without_duplicates(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 4), (3, 4)], "parent long, child long"
+    )
+    seed = spark.createDataFrame([(1,)], "id long")
+    out = bfs_expand(seed, edges, "id", "parent", "child").collect()
+    nodes = [r["node"] for r in out]
+    assert sorted(nodes) == [1, 2, 3, 4]  # node 4 reached once, min depth
+
+
+def test_connected_components_two_clusters(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8), (9, 8)], "id_a long, id_b long"
+    )
+    out = connected_components(edges)
+    got = {r["id"]: r["component"] for r in out.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7, 9: 7}
+
+
+def test_connected_components_long_path_converges(spark):
+    n = 12
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id_a long, id_b long"
+    )
+    out = connected_components(edges)
+    assert set(r["component"] for r in out.collect()) == {0}
+
+
+def test_concurrent_repartitions_by_anchor(spark):
+    df = spark.range(100).withColumn("k", F.col("id") % 4)
+    op = make_operator("concurrent", {"anchor_fields": ["k"], "partitions": 4})
+    out = op(df)
+    assert out.rdd.getNumPartitions() == 4
+    assert out.count() == 100
+
+
+def test_include_flow_source(spark, tmp_path):
+    sub = {
+        "generators": [
+            {
+                "id": "g",
+                "name": "inline",
+                "config": {"rows": [[1], [2]], "columns": ["a"]},
+                "next": ["dbl"],
+            }
+        ],
+        "processors": [
+            {
+                "id": "dbl",
+                "name": "arithmetic",
+                "config": {"expression": "${a} * #{factor}", "field": "b"},
+                "next": [],
+            }
+        ],
+    }
+    p = tmp_path / "sub.json"
+    p.write_text(json.dumps(sub))
+    df = make_source(
+        spark, "flow", {"path": str(p), "node": "dbl", "params": {"factor": 10}}
+    )
+    assert sorted(r["b"] for r in df.collect()) == [10.0, 20.0]

@@ -124,21 +124,22 @@ def embedding_near_dup_pairs(
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b), bucketed by the
     sign quantizer first (near-identical vectors share the sign pattern)."""
-    v = vectors.select(
-        F.col(id_col), _as_double(F.col(vec_col)).alias("v")
-    ).withColumn("bucket", sign_bucket(F.col("v"), bits))
-    a, b = v.alias("a"), v.alias("b")
+    # Each side is projected independently from the source with its own
+    # column names: Spark's lambda-variable resolution (higher-order
+    # functions) breaks on alias-qualified self-joins over a shared
+    # intermediate projection (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND).
+    def _side(suffix: str) -> DataFrame:
+        vv = _as_double(F.col(vec_col))
+        return vectors.select(
+            F.col(id_col).alias(f"id_{suffix}"),
+            vv.alias(f"v{suffix}"),
+            sign_bucket(vv, bits).alias(f"b{suffix}"),
+        )
+
+    a, b = _side("a"), _side("b")
     return (
-        a.join(
-            b,
-            (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .withColumn("cosine", cosine(F.col("a.v"), F.col("b.v")))
+        a.join(b, (F.col("ba") == F.col("bb")) & (F.col("id_a") < F.col("id_b")))
+        .withColumn("cosine", cosine(F.col("va"), F.col("vb")))
         .filter(F.col("cosine") >= threshold)
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            "cosine",
-        )
+        .select("id_a", "id_b", "cosine")
     )

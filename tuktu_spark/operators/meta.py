@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..expressions import predicate_column
-from .registry import operator
+from .registry import operator, source
 
 
 def chain(specs: list[dict]):
@@ -158,6 +158,23 @@ def number_with_probability(config: dict):
         return df.withColumn(result, expr)
 
     return transform
+
+
+@source("flow", "include_flow")
+def include_flow(spark, config: dict):
+    """ParallelConfigProcessor / GeneratorConfigProcessor
+    (MetaProcessors.scala:26-60,433-531): compile another flow file with
+    ``#{}`` params and surface one of its nodes as this flow's source —
+    sub-flow spawning becomes plain DataFrame composition (SURVEY §7.3
+    hard part 3: compile-time inlining for static configs)."""
+    from ..flow.compiler import compile_flow
+
+    outputs = compile_flow(spark, config["path"], params=config.get("params", {}))
+    node = config.get("node")
+    if node is None:
+        leaves = [nid for nid in outputs]
+        node = leaves[-1]
+    return outputs[node]
 
 
 @operator("signal_barrier")

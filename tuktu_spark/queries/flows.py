@@ -149,3 +149,42 @@ def flow_probability_draw(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
     )
     return op(load_table(spark, sf_dir, "events")).select("event_id", "draw")
+
+
+# ---------------------------------------------------------------------------
+# Recursive lookup (nosql/processors/sql/RecursiveLookup.scala): descendant
+# traversal of the implicit binary user tree (parent = user_id // 2), seeded
+# at user 1 — oracled by a recursive CTE.
+# ---------------------------------------------------------------------------
+
+_RECURSIVE_ORACLE = """
+WITH RECURSIVE users AS (
+  SELECT DISTINCT user_id FROM events
+), edges AS (
+  SELECT CAST(user_id // 2 AS BIGINT) AS parent, user_id AS child
+  FROM users WHERE user_id > 1
+), walk(root, node, depth) AS (
+  SELECT CAST(1 AS BIGINT), CAST(1 AS BIGINT), 0
+  UNION ALL
+  SELECT w.root, e.child, w.depth + 1
+  FROM walk w JOIN edges e ON e.parent = w.node
+  WHERE w.depth < 12
+)
+SELECT root AS user_id, node, depth FROM walk
+"""
+
+
+@query("flow_recursive_lookup", oracle=_RECURSIVE_ORACLE, tags=("flow", "meta", "join"))
+def flow_recursive_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..operators.iterative import bfs_expand
+    from ..tables import load_table
+
+    users = load_table(spark, sf_dir, "events").select("user_id").distinct()
+    edges = users.filter(F.col("user_id") > 1).select(
+        (F.col("user_id") / 2).cast("long").alias("parent"),
+        F.col("user_id").alias("child"),
+    )
+    seed = users.filter(F.col("user_id") == 1)
+    return bfs_expand(seed, edges, "user_id", "parent", "child", max_iterations=12)

@@ -8,6 +8,7 @@ so threshold 0.8 finds real structure.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..llm import dedup as D
 from ..tables import load_table
@@ -129,4 +130,39 @@ def dedup_simhash_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_near_pairs(
         load_table(spark, sf_dir, "documents"), max_hamming=3
+    )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup canonicalization: minhash-LSH pairs -> connected components ->
+# (doc_id, canonical_id). The oracle recomputes components with a recursive
+# CTE over the same exact-Jaccard edge set — full pipeline parity.
+# ---------------------------------------------------------------------------
+
+_COMPONENTS_ORACLE = f"""
+WITH RECURSIVE pairs AS (
+  SELECT id_a, id_b FROM ({_JACCARD_ORACLE}) t
+), sym AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION ALL
+  SELECT id_b AS u, id_a AS v FROM pairs
+), reach(id, r) AS (
+  SELECT DISTINCT u, u FROM sym
+  UNION
+  SELECT s.u, reach.r FROM sym s JOIN reach ON s.v = reach.id
+)
+SELECT id AS doc_id, MIN(r) AS canonical_id FROM reach GROUP BY id
+"""
+
+
+@query("dedup_minhash_components", oracle=_COMPONENTS_ORACLE, tags=("llm", "dedup"))
+def dedup_minhash_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.iterative import connected_components
+
+    pairs = D.minhash_dedup_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.8
+    )
+    comp = connected_components(pairs, "id_a", "id_b")
+    return comp.select(
+        F.col("id").alias("doc_id"), F.col("component").alias("canonical_id")
     )

@@ -135,3 +135,26 @@ def similarity_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("n") / 64).cast("bigint").alias("n_vectors"),
         F.sum(((F.col("c") * F.col("c")).cast("decimal(38,12)"))).cast("double").alias("centroid_norm_sq"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-duplicate pairs (the fourth dedup modality of the
+# LLM-pipeline north star): sign-bucketed candidate join + exact cosine.
+# ---------------------------------------------------------------------------
+
+_NEARDUP_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, embedding, {_BUCKET_SQL.format(v='embedding')} AS bucket
+  FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       {_cosine_sql('a.embedding', 'b.embedding')} AS cosine
+FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE {_cosine_sql('a.embedding', 'b.embedding')} >= 0.3
+"""
+
+
+@query("dedup_embedding_cosine", oracle=_NEARDUP_ORACLE, tags=("llm", "dedup", "similarity"))
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.embedding_near_dup_pairs(emb, threshold=0.3)
