@@ -46,6 +46,7 @@ _MODULES = (
     "llm_dedup",
     "llm_text",
     "llm_similarity",
+    "llm_multimodal",
     "flows",
     "ml",
 )
