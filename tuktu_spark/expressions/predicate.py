@@ -61,7 +61,16 @@ class _PredParser:
                 self.ts.advance()
                 col = self.or_expr()
                 self.ts.expect("OP", ")")
-                return col
+                # '(1 + 2) < x': the group parsed as a bare boolean operand
+                # but a comparison operator follows — it was really a
+                # parenthesized arithmetic operand. Reparse as one.
+                nxt = self.ts.cur
+                if nxt.kind == "OP" and nxt.value in ("<", ">", "<=", ">=", "==", "!="):
+                    self.ts.i = save
+                elif nxt.kind == "IDENT" and nxt.value == "in":
+                    self.ts.i = save
+                else:
+                    return col
             except ExpressionError:
                 self.ts.i = save
         left, left_is_str = self.operand()

@@ -49,6 +49,7 @@ _MODULES = (
     "llm_multimodal",
     "flows",
     "ml",
+    "streaming",
 )
 
 
