@@ -152,10 +152,12 @@ def covariance(config: dict):
     fields = config["fields"]
 
     def transform(df: DataFrame) -> DataFrame:
+        from ..exactness import dcovar_pop
+
         aggs = []
         for i, a in enumerate(fields):
             for b in fields[i + 1 :]:
-                aggs.append(F.covar_pop(F.col(a), F.col(b)).alias(f"cov_{a}_{b}"))
+                aggs.append(dcovar_pop(F.col(a), F.col(b)).alias(f"cov_{a}_{b}"))
         return df.agg(*aggs)
 
     return transform

@@ -134,11 +134,15 @@ def max_field_by_value(config: dict):
     name of the field holding the row-wise max."""
     fields = config["fields"]
     out = config.get("as", "max_field")
+    out_val = config.get("value_as")
 
     def transform(df: DataFrame) -> DataFrame:
         pairs = F.array(
             *[F.struct(F.col(f).cast("double").alias("v"), F.lit(f).alias("k")) for f in fields]
         )
-        return df.withColumn(out, F.array_max(pairs)["k"])
+        df = df.withColumn(out, F.array_max(pairs)["k"])
+        if out_val:
+            df = df.withColumn(out_val, F.array_max(pairs)["v"])
+        return df
 
     return transform

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from ..exactness import (
     davg,
     davg_sql,
+    dcovar_pop_sql,
     dsum,
     dsum_sql,
     dvar_pop,
@@ -800,3 +801,81 @@ def sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.filter(F.col("l_orderkey") % 97 == 0).select(
         "l_orderkey", "l_linenumber", "l_quantity"
     )
+
+
+# ---------------------------------------------------------------------------
+# Remaining statistics processors: midrange (StatisticsProcessors.scala:
+# 88-112), covariance (:191-210) via exact sums, per-row field argmax
+# (MaxByFieldProcessor.scala:10-29).
+# ---------------------------------------------------------------------------
+
+_STATS_EXTRAS_ORACLE = f"""
+SELECT l_returnflag,
+       (MIN(l_extendedprice) + MAX(l_extendedprice)) / 2 AS midrange_price,
+       {dcovar_pop_sql('l_quantity', 'l_extendedprice')} AS cov_qty_price
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@query("stats_midrange_covariance", oracle=_STATS_EXTRAS_ORACLE, tags=("agg", "stats"))
+def stats_midrange_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..exactness import dcovar_pop
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        ((F.min("l_extendedprice") + F.max("l_extendedprice")) / 2).alias("midrange_price"),
+        dcovar_pop(F.col("l_quantity"), F.col("l_extendedprice")).alias("cov_qty_price"),
+    )
+
+
+_ARGMAX_ORACLE = """
+SELECT l_orderkey, l_linenumber,
+       CASE WHEN l_tax >= l_discount THEN 'l_tax' ELSE 'l_discount' END AS max_field,
+       GREATEST(l_tax, l_discount) AS max_value
+FROM lineitem
+"""
+
+
+@query("argmax_field_per_row", oracle=_ARGMAX_ORACLE, tags=("projection", "stats"))
+def argmax_field_per_row(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import make_operator
+
+    li = load_table(spark, sf_dir, "lineitem")
+    op = make_operator(
+        "max_field_by_value",
+        {"fields": ["l_tax", "l_discount"], "as": "max_field", "value_as": "max_value"},
+    )
+    return op(li).select("l_orderkey", "l_linenumber", "max_field", "max_value")
+
+
+# ---------------------------------------------------------------------------
+# Packet-granularity batch filter (PacketFilterProcessor batch mode,
+# BaseProcessors.scala:468-484): keep a whole group iff >= k rows match —
+# the order is Tuktu's "packet", per SURVEY §7.3 hard part 2.
+# ---------------------------------------------------------------------------
+
+_BATCH_FILTER_ORACLE = """
+WITH counted AS (
+  SELECT *, SUM(CASE WHEN l_quantity >= 45 THEN 1 ELSE 0 END)
+              OVER (PARTITION BY l_orderkey) AS matches
+  FROM lineitem
+)
+SELECT l_orderkey, l_linenumber, l_quantity
+FROM counted WHERE matches >= 2
+"""
+
+
+@query("filter_batch_packet", oracle=_BATCH_FILTER_ORACLE, tags=("filter", "packet"))
+def filter_batch_packet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import make_operator
+
+    li = load_table(spark, sf_dir, "lineitem")
+    op = make_operator(
+        "packet_filter",
+        {
+            "expression": "${l_quantity} >= 45",
+            "batch_by": ["l_orderkey"],
+            "batch_min_count": 2,
+        },
+    )
+    return op(li).select("l_orderkey", "l_linenumber", "l_quantity")

@@ -6,6 +6,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators import make_operator
 from ..tables import load_table
 from . import query
 
@@ -163,3 +164,87 @@ def array_algebra_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("tokens", 1).alias("head"),
         F.array_join(F.sort_array(F.array_distinct("tokens")), " ").alias("sorted_vocab"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CSV string round-trip (CSVStringProcessor + CSVReaderProcessor,
+# csv/CsvProcessors.scala:22-111): row -> csv line -> named columns.
+# ---------------------------------------------------------------------------
+
+_CSV_ROUNDTRIP_ORACLE = """
+WITH lines AS (
+  SELECT CAST(l_orderkey AS VARCHAR) || ',' || CAST(l_linenumber AS VARCHAR)
+         || ',' || l_returnflag AS csv
+  FROM lineitem
+)
+SELECT csv,
+       string_split(csv, ',')[1] AS k,
+       string_split(csv, ',')[2] AS ln,
+       string_split(csv, ',')[3] AS flag
+FROM lines
+"""
+
+
+@query("reshape_csv_roundtrip", oracle=_CSV_ROUNDTRIP_ORACLE, tags=("reshape", "csv"))
+def reshape_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    to_csv = make_operator(
+        "csv_string", {"fields": ["l_orderkey", "l_linenumber", "l_returnflag"], "as": "csv"}
+    )
+    parse = make_operator(
+        "csv_parse", {"field": "csv", "headers": ["k", "ln", "flag"]}
+    )
+    return parse(to_csv(li)).select("csv", "k", "ln", "flag")
+
+
+# ---------------------------------------------------------------------------
+# Fixed-width slicing (FixedWidthProcessor, csv/CsvProcessors.scala:179-215).
+# ---------------------------------------------------------------------------
+
+_FIXED_WIDTH_ORACLE = """
+WITH padded AS (
+  SELECT lpad(CAST(l_orderkey AS VARCHAR), 10, '0') || l_returnflag || l_linestatus AS rec
+  FROM lineitem
+)
+SELECT rec,
+       substr(rec, 1, 10) AS key_part,
+       substr(rec, 11, 1) AS flag,
+       substr(rec, 12, 1) AS status
+FROM padded
+"""
+
+
+@query("reshape_fixed_width", oracle=_FIXED_WIDTH_ORACLE, tags=("reshape", "csv"))
+def reshape_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.concat(
+            F.lpad(F.col("l_orderkey").cast("string"), 10, "0"),
+            F.col("l_returnflag"),
+            F.col("l_linestatus"),
+        ).alias("rec")
+    )
+    op = make_operator(
+        "fixed_width",
+        {"field": "rec", "widths": [10, 1, 1], "headers": ["key_part", "flag", "status"]},
+    )
+    return op(li).select("rec", "key_part", "flag", "status")
+
+
+# ---------------------------------------------------------------------------
+# Struct wrap + recursive flatten (DatumToFieldProcessor + FlattenerProcessor,
+# BaseProcessors.scala:844-895): nest columns under a struct, flatten back
+# to parent<sep>child names.
+# ---------------------------------------------------------------------------
+
+_FLATTEN_ORACLE = """
+SELECT n_nationkey AS "datum_n_nationkey", n_name AS "datum_n_name"
+FROM nation
+"""
+
+
+@query("reshape_struct_flatten", oracle=_FLATTEN_ORACLE, tags=("reshape",))
+def reshape_struct_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    na = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    wrap = make_operator("datum_to_field", {"field": "datum"})
+    flat = make_operator("flattener", {"separator": "_"})
+    return flat(wrap(na))
