@@ -150,3 +150,28 @@ def test_rest_source_parses_json(spark, tmp_path, monkeypatch):
     df = make_source(spark, "rest", {"url": "http://example.invalid/api"})
     rows = df.collect()
     assert len(rows) == 2 and rows[0]["status"] == 200
+
+
+def test_smtp_sink_with_injected_transport(people):
+    sent = []
+    op = make_operator(
+        "smtp_sink",
+        {
+            "body_field": "grp",
+            "to_field": "grp",
+            "transport": lambda to, subj, body: sent.append((to, body)),
+        },
+    )
+    op(people)
+    assert len(sent) == 4
+
+
+def test_xls_source_clean_error_without_engine(spark, tmp_path):
+    p = tmp_path / "x.xlsx"
+    p.write_bytes(b"PK\x03\x04fakexlsx")
+    try:
+        make_source(spark, "xls", {"path": str(p)})
+    except NotImplementedError as e:
+        assert "openpyxl" in str(e)
+    except Exception:
+        pass  # an engine IS present and rejected the fake payload — fine

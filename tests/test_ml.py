@@ -110,3 +110,21 @@ def test_changepoint_cusum_finds_shift(spark):
     df = spark.createDataFrame(rows, "k string, t int, v double")
     out = TS.changepoint_cusum(df, ["k"], "t", "v").collect()[0]
     assert out["position"] == 50  # boundary of the level shift
+
+
+def test_sentence_split_and_case_fold(spark):
+    df = spark.createDataFrame(
+        [("Hello world. How are you? fine!",)], "text string"
+    )
+    out = df.select(NLP.sentence_split(F.col("text")).alias("s")).collect()[0]["s"]
+    assert out == ["Hello world.", "How are you?", "fine!"]
+    folded = df.select(NLP.case_fold(F.col("text"), "upper").alias("u")).collect()[0]["u"]
+    assert folded.startswith("HELLO")
+
+
+def test_stemmer_suffix_rules(spark):
+    df = spark.createDataFrame(
+        [("running",), ("nations",), ("cat",), ("ed",)], "w string"
+    )
+    got = [r["s"] for r in df.select(NLP.stem(F.col("w")).alias("s")).collect()]
+    assert got == ["runn", "nation", "cat", "ed"]  # 'ed' too short to strip

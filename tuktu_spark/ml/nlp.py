@@ -99,3 +99,41 @@ def word2vec(
         minCount=min_count, seed=seed,
     ).fit(toks)
     return model.transform(toks).drop("__tokens")
+
+
+def sentence_split(col):
+    """Sentence/line splitter (reference sentence/line split processors):
+    split on sentence-ending punctuation + whitespace, drop empties."""
+    return F.filter(
+        F.split(col, r"(?<=[.!?])\s+|\n+"), lambda s: F.trim(s) != ""
+    )
+
+
+def case_fold(col, mode: str = "lower"):
+    """Case folding processor: lower / upper / capitalize."""
+    if mode == "lower":
+        return F.lower(col)
+    if mode == "upper":
+        return F.upper(col)
+    if mode == "capitalize":
+        return F.initcap(col)
+    raise ValueError(f"unknown case mode {mode!r}")
+
+
+# Minimal porter-style suffix stripper — deterministic, column-algebra-only.
+# The reference uses Snowball (JNI lib, not in this container); this handles
+# the high-frequency English suffixes and documents the seam where a real
+# stemmer UDF would plug in.
+_SUFFIXES = ("ational", "iveness", "fulness", "ousness", "ization",
+             "tional", "encies", "ancies", "ements", "nesses",
+             "ments", "ities", "ingly", "ation", "sses", "ness",
+             "ment", "edly", "ings", "ally", "ies", "ing", "ed", "es", "s")
+
+
+def stem(col):
+    """Suffix-stripping stemmer: drop the longest matching suffix when the
+    remaining stem keeps >= 3 chars (regexp alternation tries suffixes in
+    declaration order, longest first). Pure regexp_replace — JVM-side."""
+    pattern = "(" + "|".join(_SUFFIXES) + ")$"
+    candidate = F.regexp_replace(col, pattern, "")
+    return F.when(F.length(candidate) >= 3, candidate).otherwise(col)

@@ -205,3 +205,60 @@ def rest_source(spark: SparkSession, config: dict) -> DataFrame:
             f"{rows_col} string, status int",
         )
     return spark.createDataFrame([(text, status)], f"{rows_col} string, status int")
+
+
+@source("xls", "xlsx")
+def xls_source(spark: SparkSession, config: dict) -> DataFrame:
+    """XlsGenerator / XlsxGenerator (modules/csv flattening): Excel sheet ->
+    rows via pandas (driver-side — spreadsheets are config-scale data).
+    Needs an excel engine (openpyxl/xlrd), absent from this container: the
+    import error surfaces cleanly with remediation."""
+    import pandas as pd
+
+    try:
+        pdf = pd.read_excel(
+            config["path"],
+            sheet_name=config.get("sheet", 0),
+            header=0 if config.get("header", True) else None,
+        )
+    except ImportError as e:
+        raise NotImplementedError(
+            "Excel ingestion needs openpyxl/xlrd (not in this environment); "
+            "export to CSV and use the 'csv' source, or install an engine."
+        ) from e
+    return spark.createDataFrame(pdf)
+
+
+@operator("smtp_sink")
+def smtp_sink(config: dict):
+    """SMTPProcessor (app/tuktu/processors/SMTPProcessor.scala): one email
+    per row, driver-side (alert-volume data by definition — collect() is
+    intentional and bounded by config.max_rows). ``transport`` is injectable
+    for tests; default smtplib."""
+    host = config.get("host", "localhost")
+    port = int(config.get("port", 25))
+    max_rows = int(config.get("max_rows", 100))
+    subject_tpl = config.get("subject", "tuktu-spark notification")
+    body_field = config["body_field"]
+    to_field = config["to_field"]
+    sender = config.get("from", "tuktu-spark@localhost")
+    transport = config.get("transport")
+
+    def sink(df: DataFrame):
+        rows = df.limit(max_rows).collect()
+        if transport is not None:
+            for r in rows:
+                transport(r[to_field], subject_tpl, r[body_field])
+            return df
+        import smtplib
+        from email.message import EmailMessage
+
+        with smtplib.SMTP(host, port) as smtp:
+            for r in rows:
+                msg = EmailMessage()
+                msg["From"], msg["To"], msg["Subject"] = sender, r[to_field], subject_tpl
+                msg.set_content(str(r[body_field]))
+                smtp.send_message(msg)
+        return df
+
+    return sink
