@@ -1,0 +1,71 @@
+"""Physical-plan quality guards (SCALE.md claims as CI assertions).
+
+These tests pin the plan *shape* — pushdown reaching the scan, dimension
+joins broadcasting, no cartesian products in the dedup pipeline — so a
+refactor that silently de-optimizes a flagship query fails loudly. Plan
+shape is scale-portable: the same properties hold at 100 TB.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tuktu_spark.queries import load_all
+
+
+@pytest.fixture(scope="module")
+def registry():
+    return load_all()
+
+
+def plan_of(df) -> str:
+    jdf = df._jdf
+    mode = jdf.sparkSession().sparkContext()._jvm  # noqa: F841 (keep jvm alive)
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    return jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_predicate_filter_pushes_down(spark, sf_dir, registry):
+    plan = plan_of(registry["filter_predicate"].fn(spark, sf_dir))
+    assert "PushedFilters" in plan
+    assert "GreaterThanOrEqual(l_quantity,30.0)" in plan
+    # column pruning: untouched wide columns never reach the scan
+    assert "l_extendedprice" not in plan.split("ReadSchema")[1].splitlines()[0]
+
+
+def test_q5_broadcasts_all_dimensions(spark, sf_dir, registry):
+    plan = plan_of(registry["q5_local_supplier_volume"].fn(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # region filter must reach the region scan, not evaluate post-join
+    assert "EqualTo(r_name,ASIA)" in plan
+
+
+def test_projection_prunes_scan(spark, sf_dir, registry):
+    plan = plan_of(registry["select_project"].fn(spark, sf_dir))
+    read_schema = plan.split("ReadSchema: ")[1].splitlines()[0]
+    assert "l_comment" not in read_schema and "l_partkey" not in read_schema
+
+
+def test_minhash_pipeline_has_no_cartesian(spark, sf_dir, registry):
+    plan = plan_of(registry["dedup_minhash_lsh"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_brute_force_topk_broadcasts_queries_not_corpus(spark, sf_dir, registry):
+    plan = plan_of(registry["similarity_topk_bruteforce"].fn(spark, sf_dir))
+    # the query side (vec_id < N) broadcasts; corpus side streams
+    assert "BroadcastExchange" in plan
+
+
+def test_group_agg_is_partial_then_final(spark, sf_dir, registry):
+    plan = plan_of(registry["q1_pricing_summary"].fn(spark, sf_dir))
+    # two HashAggregate nodes around one Exchange = map-side combine
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange" in plan
