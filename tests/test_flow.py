@@ -143,3 +143,49 @@ def test_flow_from_file(spark, tmp_path, sf_dir):
     path.write_text(json.dumps(cfg))
     out = run_flow(spark, str(path))
     assert out["c"].count() == 5
+
+
+def test_streaming_flow_end_to_end(spark):
+    """Unbounded flow: rate_stream generator -> arithmetic -> filter,
+    run as a streaming query through the same compiler path."""
+    import time
+
+    from tuktu_spark.flow.compiler import run_stream_flow
+
+    flow = {
+        "generators": [
+            {
+                "id": "src",
+                "name": "rate_stream",
+                "config": {"rows_per_second": 50, "constant": {"tag": "t"}},
+                "next": ["calc"],
+            }
+        ],
+        "processors": [
+            {
+                "id": "calc",
+                "name": "arithmetic",
+                "config": {"expression": "${value} * 2", "field": "doubled"},
+                "next": ["keep"],
+            },
+            {
+                "id": "keep",
+                "name": "filter",
+                "config": {"expression": "${doubled} >= 0"},
+                "next": [],
+            },
+        ],
+    }
+    q, name = run_stream_flow(spark, flow, node="keep")
+    try:
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            q.processAllAvailable()
+            if spark.table(name).count() > 0:
+                break
+            time.sleep(0.5)
+        rows = spark.table(name).collect()
+        assert rows and all(r["doubled"] == 2 * r["value"] for r in rows)
+        assert all(r["tag"] == "t" for r in rows)
+    finally:
+        q.stop()

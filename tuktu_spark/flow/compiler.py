@@ -129,3 +129,31 @@ def run_flow(
         if node is not None and not node.get("next"):
             leaves[nid] = df
     return leaves or outputs
+
+
+def run_stream_flow(
+    spark: SparkSession,
+    flow: dict | str,
+    node: str,
+    params: dict[str, Any] | None = None,
+    output_mode: str = "append",
+    timeout_s: float | None = None,
+    available_now: bool = False,
+):
+    """Execute an UNBOUNDED flow (a generator like ``rate_stream`` /
+    ``kafka_stream``): compile the DAG exactly as in batch — operators are
+    DataFrame transforms either way — then start the chosen node as a
+    memory-sink streaming query (§3.1: unbounded flows run as
+    ``writeStream`` actions). Returns (StreamingQuery, results_table_name);
+    caller stops the query.
+    """
+    from ..streaming import memory_sink
+
+    outputs = compile_flow(spark, flow, params=params)
+    sdf = outputs[node]
+    if not sdf.isStreaming:
+        raise FlowError(f"node {node!r} is not a streaming DataFrame")
+    q, name = memory_sink(sdf, output_mode=output_mode, available_now=available_now)
+    if timeout_s is not None:
+        q.awaitTermination(timeout_s)
+    return q, name

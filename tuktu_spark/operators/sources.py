@@ -155,3 +155,18 @@ def sql_table(spark: SparkSession, config: dict) -> DataFrame:
 def view(spark: SparkSession, config: dict) -> DataFrame:
     """Read a registered temp view / catalog table."""
     return spark.table(config["name"])
+
+
+@source("rate_stream", "dummy_stream")
+def rate_stream(spark: SparkSession, config: dict) -> DataFrame:
+    """DummyGenerator unbounded form (DummyGenerator.scala:62-66): a
+    Structured Streaming rate source with optional constant fields — flows
+    built on it compile to streaming DataFrames and run via
+    flow.run_stream_flow."""
+    from ..streaming import rate_source
+
+    return rate_source(
+        spark,
+        rows_per_second=int(config.get("rows_per_second", 10)),
+        constant=config.get("constant"),
+    )

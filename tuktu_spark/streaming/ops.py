@@ -85,18 +85,24 @@ def stream_stream_join(
     return lw.join(rw, on, how)
 
 
-def memory_sink(df: DataFrame, name: str | None = None, output_mode: str = "append"):
-    """Run-to-completion into an in-memory table (sync-flow endpoint /
-    test harness). Returns (query, table_name)."""
+def memory_sink(
+    df: DataFrame,
+    name: str | None = None,
+    output_mode: str = "append",
+    available_now: bool = True,
+):
+    """Into an in-memory table (sync-flow endpoint / test harness).
+    Returns (query, table_name).
+
+    ``available_now=True`` (default) runs to completion over the data that
+    already exists — right for bounded replays. For LIVE sources (rate,
+    kafka) pass False: availableNow would see an empty source and finish
+    before the first tick ever fires."""
     name = name or f"mem_{uuid.uuid4().hex[:8]}"
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    return q, name
+    writer = df.writeStream.format("memory").queryName(name).outputMode(output_mode)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start(), name
 
 
 def foreach_batch_sink(
