@@ -175,3 +175,38 @@ def test_xls_source_clean_error_without_engine(spark, tmp_path):
         assert "openpyxl" in str(e)
     except Exception:
         pass  # an engine IS present and rejected the fake payload — fine
+
+
+def test_set_operation_mergers(spark):
+    a = spark.createDataFrame([(1,), (2,), (3,)], "x long")
+    b = spark.createDataFrame([(2,), (3,), (4,)], "x long")
+    inter = make_operator("intersect_merge", {})(a, b)
+    assert sorted(r["x"] for r in inter.collect()) == [2, 3]
+    diff = make_operator("except_merge", {})(a, b)
+    assert [r["x"] for r in diff.collect()] == [1]
+
+
+def test_list_json_fetch_paths_from_field(spark):
+    df = spark.createDataFrame(
+        [('{"a": 1, "b": {"c": 2}}', ["a", "b.c"])],
+        "js string, paths array<string>",
+    )
+    out = make_operator(
+        "list_json_fetch", {"json_field": "js", "paths_field": "paths", "as": "vals"}
+    )(df).collect()[0]
+    assert out["vals"] == ["1", "2"]
+
+
+def test_jsobject_and_tuple_implode(spark):
+    df = spark.createDataFrame(
+        [([{"name": "x", "v": 1}, {"name": "y", "v": 2}],)],
+        "items array<struct<name string, v int>>",
+    )
+    js = make_operator(
+        "jsobject_implode", {"field": "items", "subpath": "name", "separator": "-", "as": "names"}
+    )(df).collect()[0]
+    assert js["names"] == "x-y"
+    tp = make_operator(
+        "tuple_implode", {"field": "items", "inner_separator": ":", "outer_separator": ";", "as": "t"}
+    )(df).collect()[0]
+    assert tp["t"] == "x:1;y:2"

@@ -111,3 +111,32 @@ def lookup_join(config: dict):
         return left.join(F.broadcast(right), on, how)
 
     return transform
+
+
+@operator("intersect_merge")
+def intersect_merge(config: dict):
+    """Set intersection of branches — absent in the reference (SURVEY §2.6
+    note); Spark-native. ``all=True`` keeps duplicates (INTERSECT ALL)."""
+    keep_dups = bool(config.get("all", False))
+
+    def transform(*dfs: DataFrame) -> DataFrame:
+        out = dfs[0]
+        for nxt in dfs[1:]:
+            out = out.intersectAll(nxt) if keep_dups else out.intersect(nxt)
+        return out
+
+    return transform
+
+
+@operator("except_merge")
+def except_merge(config: dict):
+    """Set difference of branches (first minus the rest) — Spark-native."""
+    keep_dups = bool(config.get("all", False))
+
+    def transform(*dfs: DataFrame) -> DataFrame:
+        out = dfs[0]
+        for nxt in dfs[1:]:
+            out = out.exceptAll(nxt) if keep_dups else out.subtract(nxt)
+        return out
+
+    return transform

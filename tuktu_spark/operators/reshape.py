@@ -310,3 +310,94 @@ def fixed_width(config: dict):
         return df
 
     return transform
+
+
+@operator("list_json_fetch")
+def list_json_fetch(config: dict):
+    """ListJsonFetcherProcessor (BaseProcessors.scala:268-287): pull JSON
+    paths out of a string column where the PATH LIST itself comes from an
+    array field. config: {"json_field", "paths_field", "as"}.
+
+    Per-row dynamic paths rule out `get_json_object` (literal-path only),
+    so this is an Arrow-batched pandas UDF — the sanctioned Python seam."""
+    json_field = config["json_field"]
+    paths_field = config["paths_field"]
+    out = config.get("as", "fetched")
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<string>")
+    def fetch(js_col, paths_col):
+        import json as _json
+
+        import pandas as pd
+
+        def walk(obj, path):
+            for part in path.split("."):
+                if isinstance(obj, dict) and part in obj:
+                    obj = obj[part]
+                else:
+                    return None
+            return obj if isinstance(obj, str) else _json.dumps(obj)
+
+        def one(js, paths):
+            if js is None or paths is None:
+                return None
+            try:
+                obj = _json.loads(js)
+            except ValueError:
+                return None
+            return [walk(obj, p) for p in paths]
+
+        return pd.Series([one(j, p) for j, p in zip(js_col, paths_col)])
+
+    def transform(df: DataFrame) -> DataFrame:
+        return df.withColumn(out, fetch(F.col(json_field), F.col(paths_field)))
+
+    return transform
+
+
+@operator("jsobject_implode")
+def jsobject_implode(config: dict):
+    """JsObjectImploderProcessor (BaseProcessors.scala:807-839): project a
+    subpath out of an array-of-structs field and join with a separator."""
+    field = config["field"]
+    subpath = config["subpath"]
+    sep = config.get("separator", " ")
+    out = config.get("as", field)
+
+    def transform(df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            out, F.array_join(F.transform(F.col(field), lambda x: x[subpath]), sep)
+        )
+
+    return transform
+
+
+@operator("tuple_implode")
+def tuple_implode(config: dict):
+    """TupleListStringImploder (BaseProcessors.scala:701-755): join each
+    struct's values with an inner separator, then the list with an outer
+    one."""
+    field = config["field"]
+    inner = config.get("inner_separator", ",")
+    outer = config.get("outer_separator", " ")
+    out = config.get("as", field)
+
+    def transform(df: DataFrame) -> DataFrame:
+        elem = next(
+            s.dataType.elementType for s in df.schema.fields if s.name == field
+        )
+        names = [f.name for f in elem.fields]
+        return df.withColumn(
+            out,
+            F.array_join(
+                F.transform(
+                    F.col(field),
+                    lambda x: F.concat_ws(inner, *[x[n].cast("string") for n in names]),
+                ),
+                outer,
+            ),
+        )
+
+    return transform
