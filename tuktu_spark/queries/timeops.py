@@ -156,3 +156,41 @@ def calendar_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.month("o_orderdate").alias("m"),
         (F.weekday("o_orderdate") + 1).alias("dow"),
     ).agg(F.count(F.lit(1)).alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# Session windows (absent in the reference — SURVEY §2.7 notes no session
+# windows exist there; Spark's session_window is the superset we expose).
+# Oracle: classic gap-based sessionization via lag + running sum. A new
+# session starts when the gap is >= 30 minutes, matching session_window's
+# half-open [t, t+gap) extension semantics.
+# ---------------------------------------------------------------------------
+
+_SESSION_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS t,
+         CASE WHEN CAST(ts AS TIMESTAMP)
+                   - lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP))
+                   >= INTERVAL 30 MINUTE
+              OR lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), sessions AS (
+  SELECT user_id, t,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY t
+                                ROWS UNBOUNDED PRECEDING) AS sid
+  FROM ordered
+)
+SELECT user_id, MIN(t) AS session_start, COUNT(*) AS n_events
+FROM sessions GROUP BY user_id, sid
+"""
+
+
+@query("session_window_per_user", oracle=_SESSION_ORACLE, tags=("time", "window", "streaming"))
+def session_window_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n_events")
+    )
