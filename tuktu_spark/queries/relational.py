@@ -879,3 +879,55 @@ def filter_batch_packet(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
     )
     return op(li).select("l_orderkey", "l_linenumber", "l_quantity")
+
+
+# ---------------------------------------------------------------------------
+# Correlation MATRIX over 3 measures (CorrelationMatrixProcessor,
+# StatisticsProcessors.scala:215-252): all pairwise Pearson r from one pass
+# of exact sums — one aggregate job regardless of matrix size.
+# ---------------------------------------------------------------------------
+
+_CM_FIELDS = ["l_quantity", "l_extendedprice", "l_discount"]
+
+
+def _cm_sql() -> str:
+    sums = [f"CAST(COUNT(*) AS DOUBLE) AS n"]
+    for i, a in enumerate(_CM_FIELDS):
+        sums.append(f"{dsum_sql(a, 6)} AS s{i}")
+        for j, b in enumerate(_CM_FIELDS):
+            if i <= j:
+                sums.append(f"{dsum_sql(f'{a} * {b}', 6)} AS s{i}{j}")
+    outs = []
+    for i, a in enumerate(_CM_FIELDS):
+        for j, b in enumerate(_CM_FIELDS):
+            if i < j:
+                cov = f"(s{i}{j} / n - (s{i} / n) * (s{j} / n))"
+                va = f"(s{i}{i} / n - (s{i} / n) * (s{i} / n))"
+                vb = f"(s{j}{j} / n - (s{j} / n) * (s{j} / n))"
+                outs.append(f"{cov} / (sqrt({va}) * sqrt({vb})) AS r_{i}_{j}")
+    return (
+        "WITH s AS (SELECT " + ", ".join(sums) + " FROM lineitem)\n"
+        "SELECT " + ", ".join(outs) + " FROM s"
+    )
+
+
+@query("corr_matrix", oracle=_cm_sql(), tags=("agg", "stats"))
+def corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = [F.count(F.lit(1)).cast("double").alias("n")]
+    for i, a in enumerate(_CM_FIELDS):
+        aggs.append(dsum(F.col(a), 6).alias(f"s{i}"))
+        for j, b in enumerate(_CM_FIELDS):
+            if i <= j:
+                aggs.append(dsum(F.col(a) * F.col(b), 6).alias(f"s{i}{j}"))
+    s = li.agg(*aggs)
+    outs = []
+    n = F.col("n")
+    for i in range(len(_CM_FIELDS)):
+        for j in range(len(_CM_FIELDS)):
+            if i < j:
+                cov = F.col(f"s{i}{j}") / n - (F.col(f"s{i}") / n) * (F.col(f"s{j}") / n)
+                va = F.col(f"s{i}{i}") / n - (F.col(f"s{i}") / n) * (F.col(f"s{i}") / n)
+                vb = F.col(f"s{j}{j}") / n - (F.col(f"s{j}") / n) * (F.col(f"s{j}") / n)
+                outs.append((cov / (F.sqrt(va) * F.sqrt(vb))).alias(f"r_{i}_{j}"))
+    return s.select(*outs)

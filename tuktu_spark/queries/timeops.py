@@ -194,3 +194,30 @@ def session_window_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select("user_id", F.col("w.start").alias("session_start"), "n_events")
     )
+
+
+# ---------------------------------------------------------------------------
+# Sliding windows (2h length, 1h slide) — each event belongs to 2 windows;
+# the oracle materializes both membership rows per event.
+# ---------------------------------------------------------------------------
+
+_SLIDING_ORACLE = """
+WITH exploded AS (
+  SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+           - to_hours(i) AS wstart,
+         value
+  FROM events, unnest([0, 1]) AS t(i)
+)
+SELECT wstart, COUNT(*) AS n
+FROM exploded GROUP BY wstart
+"""
+
+
+@query("sliding_window_counts", oracle=_SLIDING_ORACLE, tags=("time", "window", "streaming"))
+def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("wstart"), "n")
+    )
