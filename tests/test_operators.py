@@ -400,3 +400,21 @@ class TestSources:
     def test_unknown_operator(self):
         with pytest.raises(UnknownOperatorError):
             make_operator("definitely_not_real")
+
+
+def test_approx_sketch_operators(spark):
+    from tuktu_spark.operators import make_operator
+    from pyspark.sql import functions as F
+
+    df = spark.range(20000).select(
+        (F.col("id") % 1000).alias("k"), (F.col("id") % 7).alias("g"),
+        F.col("id").cast("double").alias("v"),
+    )
+    ndv = make_operator("approx_distinct", {"fields": ["k"], "rsd": 0.02})(df).collect()[0]
+    assert abs(ndv["k_approx_ndv"] - 1000) / 1000 < 0.05
+    q = make_operator(
+        "approx_quantiles", {"field": "v", "probabilities": [0.5], "accuracy": 10000}
+    )(df).collect()[0]
+    assert abs(q["v_quantiles"][0] - 10000) < 200
+    fi = make_operator("freq_items", {"fields": ["g"], "support": 0.1})(df).collect()[0]
+    assert set(fi["g_freqItems"]) == set(range(7))

@@ -931,3 +931,33 @@ def corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                 vb = F.col(f"s{j}{j}") / n - (F.col(f"s{j}") / n) * (F.col(f"s{j}") / n)
                 outs.append((cov / (F.sqrt(va) * F.sqrt(vb))).alias(f"r_{i}_{j}"))
     return s.select(*outs)
+
+
+# ---------------------------------------------------------------------------
+# Sketch accuracy audit (approximate aggregates — absent in the reference,
+# the default tool at 100 TB). Self-certifying rows: exact value, sketch
+# estimate and relative error side by side; tests bound the error, the
+# driver row-checks the shape.
+# ---------------------------------------------------------------------------
+
+
+@query("approx_sketch_accuracy", tags=("agg", "approx"))
+def approx_sketch_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    exact = li.agg(
+        F.countDistinct("l_partkey").cast("double").alias("ndv_exact"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("p50_exact"),
+        F.expr("percentile(l_extendedprice, 0.95)").alias("p95_exact"),
+    )
+    approx = li.agg(
+        F.approx_count_distinct("l_partkey", 0.02).cast("double").alias("ndv_approx"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50_approx"),
+        F.percentile_approx("l_extendedprice", 0.95, 10000).alias("p95_approx"),
+    )
+    row = exact.crossJoin(approx)
+    rel = lambda a, e: (F.abs(F.col(a) - F.col(e)) / F.col(e)).alias(a.replace("_approx", "_rel_err"))
+    return row.select(
+        "ndv_exact", "ndv_approx", rel("ndv_approx", "ndv_exact"),
+        "p50_exact", "p50_approx", rel("p50_approx", "p50_exact"),
+        "p95_exact", "p95_approx", rel("p95_approx", "p95_exact"),
+    )
