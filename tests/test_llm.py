@@ -151,3 +151,35 @@ class TestMultimodal:
         media = M.attach_binary(df, "raw")
         frames = M.frame_sample_plan(media, every_n=2).collect()
         assert [r["frame_idx"] for r in frames] == [0, 2, 4]
+
+
+def test_ngram_jaccard_prefix_filter_matches_naive(spark):
+    """The PPJoin-style prefix+length filtering must be lossless: compare
+    against a Python-computed naive all-pairs truth."""
+    texts = [
+        (0, "a b c d e f g h"),
+        (1, "a b c d e f g x"),   # near-dup of 0
+        (2, "a b c d e f g h"),   # exact dup of 0
+        (3, "z y x w v u t s"),
+        (4, "completely different words here now ok fine yes"),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+
+    def shingles(t):
+        toks = t.split()
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    want = {}
+    for i, ta in texts:
+        for j, tb in texts:
+            if i < j:
+                A, B = shingles(ta), shingles(tb)
+                jac = len(A & B) / len(A | B)
+                if jac >= 0.5:
+                    want[(i, j)] = round(jac, 9)
+
+    got = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+        for r in D.ngram_jaccard_pairs(df, threshold=0.5).collect()
+    }
+    assert got == want and (0, 2) in got
