@@ -170,3 +170,55 @@ def group_by(config: dict):
     with their group (grouping itself is free in Spark)."""
     keys = config["keys"]
     return lambda df: df.repartition(*[F.col(k) for k in keys])
+
+
+@operator("rollup_agg")
+def rollup_agg(config: dict):
+    """GROUP BY ROLLUP — absent in the reference (SURVEY §2.5 note:
+    grouping sets/cube/rollup don't exist there; Spark gives them free and
+    we expose them). Same config as aggregate_by_value."""
+    group = config["group"]
+    aggs = arith_agg_columns(config["aggregations"])
+    return lambda df: df.rollup(*group).agg(*aggs)
+
+
+@operator("cube_agg")
+def cube_agg(config: dict):
+    """GROUP BY CUBE — see rollup_agg."""
+    group = config["group"]
+    aggs = arith_agg_columns(config["aggregations"])
+    return lambda df: df.cube(*group).agg(*aggs)
+
+
+@operator("pivot")
+def pivot(config: dict):
+    """Pivot a categorical column into per-value aggregate columns —
+    absent in the reference; declared values keep the plan single-pass
+    (no distinct-collect job). config: {"group": [...], "pivot": col,
+    "values": [...], "aggregations": {alias: expr}}."""
+    group = config["group"]
+    pivot_col = config["pivot"]
+    values = config.get("values")
+    aggs = arith_agg_columns(config["aggregations"])
+
+    def transform(df: DataFrame) -> DataFrame:
+        g = df.groupBy(*group)
+        p = g.pivot(pivot_col, values) if values else g.pivot(pivot_col)
+        return p.agg(*aggs)
+
+    return transform
+
+
+@operator("unpivot", "melt")
+def unpivot(config: dict):
+    """Unpivot/melt measure columns into (variable, value) rows.
+    config: {"ids": [...], "values": [...], "var_name", "value_name"}."""
+    ids = config["ids"]
+    values = config["values"]
+    var_name = config.get("var_name", "variable")
+    value_name = config.get("value_name", "value")
+
+    def transform(df: DataFrame) -> DataFrame:
+        return df.unpivot(ids, values, var_name, value_name)
+
+    return transform

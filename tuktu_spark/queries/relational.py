@@ -961,3 +961,104 @@ def approx_sketch_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p50_exact", "p50_approx", rel("p50_approx", "p50_exact"),
         "p95_exact", "p95_approx", rel("p95_approx", "p95_exact"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Grouping sets family — SURVEY §2.5 notes rollup/cube/pivot don't exist in
+# the reference; Spark gives them free and we expose them as operators.
+# ---------------------------------------------------------------------------
+
+_ROLLUP_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS n, SUM(l_quantity) AS total_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+@query("rollup_orders", oracle=_ROLLUP_ORACLE, tags=("agg", "rollup"))
+def rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import make_operator
+
+    li = load_table(spark, sf_dir, "lineitem")
+    # integer-valued doubles sum exactly in any order (< 2^53), so the
+    # operator's plain sum() is engine-portable here without the decimal path
+    op = make_operator(
+        "rollup_agg",
+        {
+            "group": ["l_returnflag", "l_linestatus"],
+            "aggregations": {"n": "count()", "total_qty": "sum(${l_quantity})"},
+        },
+    )
+    return op(li)
+
+
+_CUBE_ORACLE = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+@query("cube_orders", oracle=_CUBE_ORACLE, tags=("agg", "cube"))
+def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import make_operator
+
+    o = load_table(spark, sf_dir, "orders")
+    op = make_operator(
+        "cube_agg",
+        {"group": ["o_orderstatus", "o_orderpriority"], "aggregations": {"n": "count()"}},
+    )
+    return op(o)
+
+
+_PIVOT_ORACLE = """
+SELECT l_returnflag,
+       COUNT(*) FILTER (l_linestatus = 'F') AS F,
+       COUNT(*) FILTER (l_linestatus = 'O') AS O
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@query("pivot_linestatus", oracle=_PIVOT_ORACLE, tags=("agg", "pivot"))
+def pivot_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import make_operator
+
+    li = load_table(spark, sf_dir, "lineitem")
+    op = make_operator(
+        "pivot",
+        {
+            "group": ["l_returnflag"],
+            "pivot": "l_linestatus",
+            "values": ["F", "O"],
+            "aggregations": {"n": "count()"},
+        },
+    )
+    out = op(li)
+    return out.toDF("l_returnflag", "F", "O")
+
+
+_UNPIVOT_ORACLE = """
+SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS val FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+"""
+
+
+@query("unpivot_measures", oracle=_UNPIVOT_ORACLE, tags=("reshape", "unpivot"))
+def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import make_operator
+
+    li = load_table(spark, sf_dir, "lineitem")
+    op = make_operator(
+        "unpivot",
+        {
+            "ids": ["l_orderkey", "l_linenumber"],
+            "values": ["l_quantity", "l_tax", "l_discount"],
+            "var_name": "measure",
+            "value_name": "val",
+        },
+    )
+    return op(li)
