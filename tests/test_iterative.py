@@ -83,3 +83,34 @@ def test_include_flow_source(spark, tmp_path):
         spark, "flow", {"path": str(p), "node": "dbl", "params": {"factor": 10}}
     )
     assert sorted(r["b"] for r in df.collect()) == [10.0, 20.0]
+
+
+def test_asof_join_latest_preceding(spark):
+    from tuktu_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [("a", 5, "e1"), ("a", 10, "e2"), ("a", 2, "e0"), ("b", 7, "e3")],
+        "k string, ts long, ev string",
+    )
+    right = spark.createDataFrame(
+        [("a", 3, 30.0), ("a", 10, 100.0), ("b", 9, 90.0)],
+        "k string, rts long, px double",
+    )
+    out = asof_join(left, right, ["k"], "ts", "rts", ["px"])
+    got = {r["ev"]: (r["px"], r["matched_ts"]) for r in out.collect()}
+    assert got["e1"] == (30.0, 3)     # latest rts <= 5 is 3
+    assert got["e2"] == (100.0, 10)   # tie: equal ts matches
+    assert got["e0"] == (None, None)  # nothing precedes ts=2
+    assert got["e3"] == (None, None)  # right 'b' at 9 > 7
+
+
+def test_range_join_bands(spark):
+    from tuktu_spark.operators import make_operator
+
+    facts = spark.createDataFrame([(1, 5.0), (2, 15.0), (3, 25.0)], "id long, v double")
+    bands = spark.createDataFrame(
+        [(0.0, 10.0, "low"), (10.0, 20.0, "mid")], "lo double, hi double, band string"
+    )
+    op = make_operator("range_join", {"value": "v", "lo": "lo", "hi": "hi"})
+    got = {r["id"]: r["band"] for r in op(facts, bands).collect()}
+    assert got == {1: "low", 2: "mid"}  # 25.0 falls outside every band

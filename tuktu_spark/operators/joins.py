@@ -140,3 +140,94 @@ def except_merge(config: dict):
         return out
 
     return transform
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str] | None = None,
+) -> DataFrame:
+    """AS-OF join: for each left row, the latest right row with
+    right_ts <= left_ts within the key group (tie: equal timestamps match).
+
+    Absent in the reference AND in vanilla Spark SQL (SURVEY §2.4 note) —
+    implemented as the single-shuffle union trick: tag sides, sort by
+    (key, ts, side) with right-before-left at ties, and carry right values
+    forward with last(ignorenulls) over an unbounded-preceding window.
+    No range explosion, no per-row lookups; state is one row per column.
+    """
+    rcols = right_cols or [
+        c for c in right.columns if c not in keys and c != right_ts
+    ]
+    l_tag = left.select(
+        *keys,
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__is_left"),
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"__r_{c}") for c in rcols],
+        F.struct(*left.columns).alias("__row"),
+    )
+    r_tag = right.select(
+        *keys,
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__is_left"),
+        *[F.col(c).alias(f"__r_{c}") for c in rcols],
+        F.lit(None).cast(
+            "struct<" + ", ".join(f"{f.name}: {f.dataType.simpleString()}" for f in left.schema.fields) + ">"
+        ).alias("__row"),
+    )
+    u = l_tag.unionByName(r_tag)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__ts").asc(), F.col("__is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = u.select(
+        "*",
+        *[
+            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__m_{c}")
+            for c in rcols
+        ],
+        F.last(F.when(F.col("__is_left") == 0, F.col("__ts")), ignorenulls=True)
+        .over(w)
+        .alias("__m_ts"),
+    )
+    out = carried.filter(F.col("__is_left") == 1).select(
+        F.col("__row.*"),
+        *[F.col(f"__m_{c}").alias(c) for c in rcols],
+        F.col("__m_ts").alias("matched_ts"),
+    )
+    return out
+
+
+@operator("asof_join")
+def asof_join_op(config: dict):
+    keys = config["keys"]
+    lts, rts = config["left_ts"], config["right_ts"]
+    rcols = config.get("right_cols")
+
+    def transform(left: DataFrame, right: DataFrame) -> DataFrame:
+        return asof_join(left, right, keys, lts, rts, rcols)
+
+    return transform
+
+
+@operator("range_join")
+def range_join(config: dict):
+    """Range join: left value within [right.lo, right.hi). Absent in the
+    reference. The band side is a dimension by nature — broadcast it so
+    the fact side never shuffles; a band-per-bucket equi-join prefilter is
+    the fallback when the band table itself is huge."""
+    value = config["value"]
+    lo, hi = config["lo"], config["hi"]
+    extra_keys = config.get("keys", [])
+
+    def transform(left: DataFrame, right: DataFrame) -> DataFrame:
+        cond = (F.col(value) >= F.col(lo)) & (F.col(value) < F.col(hi))
+        for k in extra_keys:
+            cond = cond & (left[k] == right[k])
+        return left.join(F.broadcast(right), cond)
+
+    return transform

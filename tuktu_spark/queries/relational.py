@@ -1062,3 +1062,68 @@ def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
     )
     return op(li)
+
+
+# ---------------------------------------------------------------------------
+# AS-OF join: every event picks up the latest preceding high-value
+# "reference" event of its type. Oracle: DuckDB's native ASOF JOIN.
+# ---------------------------------------------------------------------------
+
+_ASOF_ORACLE = """
+WITH refs AS (
+  SELECT event_type, CAST(ts AS TIMESTAMP) AS rts, MAX(value) AS ref_value
+  FROM events WHERE value > 300 GROUP BY event_type, CAST(ts AS TIMESTAMP)
+), ev AS (
+  SELECT event_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
+)
+SELECT ev.event_id, ev.event_type, ev.ts, refs.ref_value, refs.rts AS matched_ts
+FROM ev ASOF JOIN refs
+  ON ev.event_type = refs.event_type AND ev.ts >= refs.rts
+"""
+
+
+@query("join_asof_latest_ref", oracle=_ASOF_ORACLE, tags=("join", "asof"))
+def join_asof_latest_ref(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.joins import asof_join
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "ts")
+    refs = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value") > 300)
+        .groupBy("event_type", F.col("ts").alias("rts"))
+        .agg(F.max("value").alias("ref_value"))
+    )
+    out = asof_join(ev, refs, ["event_type"], "ts", "rts", ["ref_value"])
+    # inner as-of: events before the first reference have no match; keep
+    # the output NULL-free (cross-engine NaT comparison is representation-
+    # sensitive in pandas when resolutions differ)
+    return out.filter(F.col("matched_ts").isNotNull())
+
+
+# ---------------------------------------------------------------------------
+# Range join: events banded into value ranges derived from the nation
+# dimension (25 bands of width 20). Band side broadcasts.
+# ---------------------------------------------------------------------------
+
+_RANGE_ORACLE = """
+WITH bands AS (
+  SELECT n_name AS band, n_nationkey * 20.0 AS lo, n_nationkey * 20.0 + 20.0 AS hi
+  FROM nation
+)
+SELECT e.event_id, b.band, e.value
+FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+"""
+
+
+@query("join_range_bands", oracle=_RANGE_ORACLE, tags=("join", "range"))
+def join_range_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import make_operator
+
+    ev = load_table(spark, sf_dir, "events")
+    bands = load_table(spark, sf_dir, "nation").select(
+        F.col("n_name").alias("band"),
+        (F.col("n_nationkey") * 20.0).alias("lo"),
+        (F.col("n_nationkey") * 20.0 + 20.0).alias("hi"),
+    )
+    op = make_operator("range_join", {"value": "value", "lo": "lo", "hi": "hi"})
+    return op(ev, bands).select("event_id", "band", "value")
