@@ -188,3 +188,56 @@ def flow_recursive_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     seed = users.filter(F.col("user_id") == 1)
     return bfs_expand(seed, edges, "user_id", "parent", "child", max_iterations=12)
+
+
+# ---------------------------------------------------------------------------
+# Kitchen-sink row-transform flow: chains the small §2.3/§2.8 processors
+# (copy, rename, iterated replace, fields->list, length, head, implode)
+# through the flow compiler in one oracle-checked pass — operator
+# composition evidence on the driver surface.
+# ---------------------------------------------------------------------------
+
+_SINK_FLOW = {
+    "generators": [
+        {
+            "id": "src",
+            "name": "parquet",
+            "config": {"path": "#{dir}/nation.parquet"},
+            "next": ["copy"],
+        }
+    ],
+    "processors": [
+        {"id": "copy", "name": "field_copy",
+         "config": {"copies": [{"path": "n_name", "as": "name2"}]}, "next": ["rep"]},
+        {"id": "rep", "name": "replace",
+         "config": {"field": "name2", "replacements": [["A", "@"], ["E", "3"]]},
+         "next": ["ren"]},
+        {"id": "ren", "name": "field_rename",
+         "config": {"renames": {"n_comment": "comment"}}, "next": ["lst"]},
+        {"id": "lst", "name": "fields_to_list",
+         "config": {"fields": ["n_name", "name2"], "field": "pair"}, "next": ["len"]},
+        {"id": "len", "name": "seq_length",
+         "config": {"field": "pair", "as": "pair_n"}, "next": ["head"]},
+        {"id": "head", "name": "head_of_list",
+         "config": {"field": "pair", "as": "first_name"}, "next": ["imp"]},
+        {"id": "imp", "name": "array_join",
+         "config": {"field": "pair", "separator": "-", "as": "joined"}, "next": ["proj"]},
+        {"id": "proj", "name": "select",
+         "config": {"fields": ["n_nationkey", "name2", "pair_n", "first_name", "joined"]},
+         "next": []},
+    ],
+}
+
+_SINK_ORACLE = """
+SELECT n_nationkey,
+       replace(replace(n_name, 'A', '@'), 'E', '3') AS name2,
+       2 AS pair_n,
+       n_name AS first_name,
+       n_name || '-' || replace(replace(n_name, 'A', '@'), 'E', '3') AS joined
+FROM nation
+"""
+
+
+@query("flow_row_transform_chain", oracle=_SINK_ORACLE, tags=("flow", "projection", "reshape"))
+def flow_row_transform_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_flow(spark, _SINK_FLOW, params={"dir": sf_dir})["proj"]
