@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 
 from ..llm import dedup as D
 from ..tables import load_table
-from . import query
+from . import REGISTRY, query
 
 # ---------------------------------------------------------------------------
 # Exact dedup by content hash.
@@ -166,3 +166,36 @@ def dedup_minhash_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comp.select(
         F.col("id").alias("doc_id"), F.col("component").alias("canonical_id")
     )
+
+
+# Upgrade: the banded SimHash near-pair search IS SQL-expressible (chunk
+# extraction = shifts+masks, candidate join, bit_count(xor) distance), so
+# the rows-only check becomes a full oracle match.
+
+
+def _simhash_pairs_oracle() -> str:
+    max_hamming = 3
+    chunks = max_hamming + 1
+    width = D.SIMHASH_BITS // chunks
+    mask = (1 << width) - 1
+    pieces = ", ".join(
+        f"(({c}, (simhash >> {c * width}) & {mask}))" for c in range(chunks)
+    )
+    return f"""
+WITH sh AS ({_simhash_oracle().strip()}),
+banded AS (
+  SELECT doc_id, simhash, t.piece[1] AS chunk, t.piece[2] AS val
+  FROM sh, unnest([{pieces}]) AS t(piece)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.simhash AS ha, b.simhash AS hb
+  FROM banded a JOIN banded b
+    ON a.chunk = b.chunk AND a.val = b.val AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(ha, hb)) <= {max_hamming}
+"""
+
+
+REGISTRY["dedup_simhash_near_pairs"].oracle = _simhash_pairs_oracle()
