@@ -244,10 +244,28 @@ def ml_logreg_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ml_fpgrowth_itemsets", tags=("ml",))
+_FPGROWTH_ORACLE = """
+WITH baskets AS (
+  SELECT user_id, list_sort(list_distinct(list(event_type))) AS items
+  FROM events GROUP BY user_id
+), n AS (SELECT COUNT(*) AS total FROM baskets),
+subsets(itemset) AS (VALUES ('click'), ('error'), ('purchase'), ('signup'), ('view'), ('click,error'), ('click,purchase'), ('click,signup'), ('click,view'), ('error,purchase'), ('error,signup'), ('error,view'), ('purchase,signup'), ('purchase,view'), ('signup,view'), ('click,error,purchase'), ('click,error,signup'), ('click,error,view'), ('click,purchase,signup'), ('click,purchase,view'), ('click,signup,view'), ('error,purchase,signup'), ('error,purchase,view'), ('error,signup,view'), ('purchase,signup,view'), ('click,error,purchase,signup'), ('click,error,purchase,view'), ('click,error,signup,view'), ('click,purchase,signup,view'), ('error,purchase,signup,view'), ('click,error,purchase,signup,view')),
+counts AS (
+  SELECT s.itemset,
+         (SELECT COUNT(*) FROM baskets b
+          WHERE list_has_all(b.items, string_split(s.itemset, ','))) AS freq
+  FROM subsets s
+)
+SELECT itemset, freq FROM counts, n WHERE freq >= 0.2 * n.total
+"""
+
+
+@query("ml_fpgrowth_itemsets", oracle=_FPGROWTH_ORACLE, tags=("ml",))
 def ml_fpgrowth_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FPGrowth frequent event-type itemsets over per-user baskets
-    (reference association-rules processors)."""
+    (reference association-rules processors). Oracle: the 5-type universe
+    is small enough to enumerate all 31 subsets and count support in SQL,
+    which equals FPGrowth's freqItemsets exactly."""
     ev = load_table(spark, sf_dir, "events")
     baskets = ev.groupBy("user_id").agg(
         F.array_sort(F.collect_set("event_type")).alias("items")
