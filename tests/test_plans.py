@@ -69,3 +69,30 @@ def test_group_agg_is_partial_then_final(spark, sf_dir, registry):
     # two HashAggregate nodes around one Exchange = map-side combine
     assert plan.count("HashAggregate") >= 2
     assert "Exchange" in plan
+
+
+def test_asof_join_is_single_shuffle(spark, sf_dir, registry):
+    plan = plan_of(registry["join_asof_latest_ref"].fn(spark, sf_dir))
+    # union trick: no join operator at all — one window over one exchange
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert plan.count("Window") >= 1
+    # two exchange NODES total: the refs-side aggregation and the window
+    # partitionBy — any more would mean the trick regressed to a join
+    import re
+
+    nodes = re.findall(r"^\(\d+\) Exchange", plan, flags=re.M)
+    assert len(nodes) <= 2
+
+
+def test_range_join_broadcasts_band_dimension(spark, sf_dir, registry):
+    plan = plan_of(registry["join_range_bands"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan  # non-equi + broadcast dim
+    assert "SortMergeJoin" not in plan
+    # fact side must not shuffle for a broadcast join
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_ngram_jaccard_prefix_filter_no_cartesian(spark, sf_dir, registry):
+    plan = plan_of(registry["dedup_ngram_jaccard"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
