@@ -134,7 +134,7 @@ def test_stream_stream_join(spark, events, tmp_path):
     assert out.count() == events.count()
 
 
-def test_foreach_batch_sink(spark, event_stream, tmp_path):
+def test_foreach_batch_sink(spark, events, event_stream, tmp_path):
     seen: list[int] = []
 
     def collect_counts(batch_df, batch_id: int):
@@ -145,7 +145,7 @@ def test_foreach_batch_sink(spark, event_stream, tmp_path):
     )
     q.processAllAvailable()
     q.stop()
-    assert sum(seen) == 1000 and len(seen) >= 2  # several micro-batches
+    assert sum(seen) == events.count() and len(seen) >= 2  # several micro-batches
 
 
 def test_rate_source_shape(spark):
