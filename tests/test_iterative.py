@@ -114,3 +114,25 @@ def test_range_join_bands(spark):
     op = make_operator("range_join", {"value": "v", "lo": "lo", "hi": "hi"})
     got = {r["id"]: r["band"] for r in op(facts, bands).collect()}
     assert got == {1: "low", 2: "mid"}  # 25.0 falls outside every band
+
+
+def test_salted_join_equals_plain_join(spark):
+    from pyspark.sql import functions as F
+
+    from tuktu_spark.operators import make_operator
+
+    # one hot key (90% of rows) + a long tail
+    left = spark.range(2000).select(
+        F.when(F.col("id") < 1800, F.lit(1)).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("v"),
+    )
+    right = spark.createDataFrame(
+        [(1, "hot"), (1900, "cold"), (1950, "cold2")], "k long, label string"
+    )
+    op = make_operator("salted_join", {"on": ["k"], "salt": 4})
+    salted = op(left, right)
+    plain = left.join(right, "k")
+    assert salted.count() == plain.count() == 1802
+    a = sorted((r["k"], r["v"], r["label"]) for r in salted.collect())
+    b = sorted((r["k"], r["v"], r["label"]) for r in plain.collect())
+    assert a == b

@@ -124,6 +124,9 @@ def cassandra_source(spark: SparkSession, config: dict) -> DataFrame:
 
 @operator("cassandra_sink")
 def cassandra_sink(config: dict):
+    """CassandraProcessor (nosql/processors/cassandra.scala) -> connector
+    table write."""
+
     def sink(df: DataFrame):
         (
             df.write.format("org.apache.spark.sql.cassandra")
@@ -152,6 +155,9 @@ def es_source(spark: SparkSession, config: dict) -> DataFrame:
 
 @operator("elasticsearch_sink")
 def es_sink(config: dict):
+    """ESProcessor write path (nosql/processors/elasticsearch.scala:22-94)
+    via the elasticsearch-spark connector."""
+
     def sink(df: DataFrame):
         (
             df.write.format("es")

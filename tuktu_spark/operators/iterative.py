@@ -117,6 +117,8 @@ def connected_components(
 
 @operator("connected_components")
 def connected_components_op(config: dict):
+    """Edges (src,dst) -> (node, component=min reachable id); see
+    connected_components. config: {"src", "dst", "max_iterations"}."""
     src = config.get("src", "id_a")
     dst = config.get("dst", "id_b")
     max_iter = int(config.get("max_iterations", 20))

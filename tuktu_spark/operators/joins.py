@@ -204,6 +204,8 @@ def asof_join(
 
 @operator("asof_join")
 def asof_join_op(config: dict):
+    """AS-OF join (see asof_join): latest right row with right_ts <= left_ts
+    per key. config: {"keys", "left_ts", "right_ts", "right_cols"}."""
     keys = config["keys"]
     lts, rts = config["left_ts"], config["right_ts"]
     rcols = config.get("right_cols")
@@ -229,5 +231,36 @@ def range_join(config: dict):
         for k in extra_keys:
             cond = cond & (left[k] == right[k])
         return left.join(F.broadcast(right), cond)
+
+    return transform
+
+
+@operator("salted_join")
+def salted_join(config: dict):
+    """Skew-resistant equi-join: the (skewed) left side gets a
+    deterministic salt in [0, salt); the right side is replicated once per
+    salt value, so one hot key spreads over ``salt`` tasks instead of one.
+
+    AQE's skew-join split handles sort-merge skew automatically; salting
+    is the manual fallback when a single key exceeds what one task can
+    hold even after splitting (SCALE.md). The salt is a hash of the whole
+    left row — deterministic across retries (rand() would break
+    exactly-once semantics under task retry).
+
+    config: {"on": [keys], "how": "inner"|"left", "salt": 8}
+    """
+    on = config["on"]
+    how = config.get("how", "inner")
+    salt = int(config.get("salt", 8))
+
+    def transform(left: DataFrame, right: DataFrame) -> DataFrame:
+        l_salted = left.withColumn(
+            "__salt",
+            F.pmod(F.xxhash64(F.struct(*[F.col(c) for c in left.columns])), F.lit(salt)).cast("int"),
+        )
+        r_salted = right.withColumn(
+            "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+        )
+        return l_salted.join(r_salted, [*on, "__salt"], how).drop("__salt")
 
     return transform

@@ -52,6 +52,7 @@ def csv_sink(config: dict):
 
 @operator("json_sink")
 def json_sink(config: dict):
+    """JSON-lines file sink (df.write.json)."""
     path = config["path"]
 
     def sink(df: DataFrame):

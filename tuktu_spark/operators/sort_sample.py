@@ -131,4 +131,5 @@ def sample(config: dict):
 
 @operator("distinct")
 def distinct(config: dict):
+    """SELECT DISTINCT over all columns (dedup over full rows)."""
     return lambda df: df.distinct()

@@ -12,6 +12,7 @@ from .registry import source
 
 @source("parquet")
 def parquet(spark: SparkSession, config: dict) -> DataFrame:
+    """Parquet file/directory source (predicate pushdown + column pruning)."""
     return spark.read.parquet(config["path"])
 
 
@@ -39,6 +40,7 @@ def csv(spark: SparkSession, config: dict) -> DataFrame:
 
 @source("json")
 def json(spark: SparkSession, config: dict) -> DataFrame:
+    """JSON-lines source with schema inference."""
     return spark.read.json(config["path"])
 
 
