@@ -189,3 +189,23 @@ def test_streaming_flow_end_to_end(spark):
         assert all(r["tag"] == "t" for r in rows)
     finally:
         q.stop()
+
+
+def test_example_flows_run(spark, sf_dir):
+    """The flows/examples corpus (the reference's configs/flowtests
+    analogue) must compile and run end-to-end."""
+    import os
+
+    from tuktu_spark.flow import run_flow
+
+    base = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "flows", "examples")
+    out = run_flow(spark, os.path.join(base, "pricing_summary.json"), params={"dir": sf_dir})
+    assert out["top"].count() >= 2
+
+    out = run_flow(spark, os.path.join(base, "dedup_documents.json"), params={"dir": sf_dir})
+    comp = out["groups"].collect()
+    assert comp and all(r["component"] <= r["id"] for r in comp)
+
+    out = run_flow(spark, os.path.join(base, "text_quality_audit.json"), params={"dir": sf_dir})
+    rows = {r["predicted_lang"]: r["docs"] for r in out["agg"].collect()}
+    assert sum(rows.values()) > 0

@@ -24,6 +24,7 @@ from . import xmljson  # noqa: E402,F401
 from . import connectors  # noqa: E402,F401
 from . import iterative  # noqa: E402,F401
 from . import approx  # noqa: E402,F401
+from . import llm_ops  # noqa: E402,F401
 
 __all__ = [
     "OPERATORS",

@@ -1,0 +1,58 @@
+"""LLM-pipeline operators: the tuktu_spark.llm library surfaced in the
+operator registry so flow specs can express training-data pipelines
+(dedup -> components -> text features) declaratively.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..llm import dedup as D
+from ..llm import text as T
+from .registry import operator
+
+
+@operator("exact_dedup")
+def exact_dedup(config: dict):
+    """Exact content-hash dedup: (content_md5, canonical_id, n_copies)."""
+    text_col = config.get("text_field", "text")
+    id_col = config.get("id_field", "doc_id")
+    return lambda df: D.exact_dedup(df, text_col, id_col)
+
+
+@operator("minhash_dedup")
+def minhash_dedup(config: dict):
+    """MinHash+LSH near-dup pairs (signatures -> banded candidates ->
+    exact verification). config: {text_field, id_field, threshold, n}."""
+    text_col = config.get("text_field", "text")
+    id_col = config.get("id_field", "doc_id")
+    threshold = float(config.get("threshold", 0.8))
+    n = int(config.get("n", 3))
+    return lambda df: D.minhash_dedup_pairs(df, text_col, id_col, n, threshold)
+
+
+@operator("jaccard_dedup")
+def jaccard_dedup(config: dict):
+    """Exact n-gram Jaccard pairs via prefix+length filtering."""
+    text_col = config.get("text_field", "text")
+    id_col = config.get("id_field", "doc_id")
+    threshold = float(config.get("threshold", 0.8))
+    n = int(config.get("n", 3))
+    return lambda df: D.ngram_jaccard_pairs(df, text_col, id_col, n, threshold)
+
+
+@operator("simhash_add")
+def simhash_add(config: dict):
+    """Add a SimHash fingerprint column. config: {text_field, as}."""
+    text_col = config.get("text_field", "text")
+    out = config.get("as", "simhash")
+    return lambda df: df.withColumn(out, D.simhash(F.col(text_col)))
+
+
+@operator("text_features")
+def text_features(config: dict):
+    """Language-ID + quality features + token counts + fingerprint in one
+    pass (llm/text.py with_text_features)."""
+    text_col = config.get("text_field", "text")
+    return lambda df: T.with_text_features(df, text_col)
