@@ -136,3 +136,38 @@ def test_salted_join_equals_plain_join(spark):
     a = sorted((r["k"], r["v"], r["label"]) for r in salted.collect())
     b = sorted((r["k"], r["v"], r["label"]) for r in plain.collect())
     assert a == b
+
+
+def test_star_components_equal_label_propagation(spark):
+    """large-star/small-star must produce the same components as
+    min-label propagation on adversarial shapes: long path, star,
+    clique, disjoint mix, random graphs."""
+    import random
+
+    from tuktu_spark.operators.iterative import connected_components_star
+
+    cases = [
+        [(i, i + 1) for i in range(15)],                       # long chain
+        [(0, i) for i in range(1, 8)],                         # star
+        [(i, j) for i in range(6) for j in range(i + 1, 6)],   # clique
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22)],        # disjoint
+    ]
+    rng = random.Random(7)
+    for _ in range(3):
+        n = 25
+        cases.append(
+            [(rng.randrange(n), rng.randrange(n)) for _ in range(30)]
+        )
+    for edges_py in cases:
+        edges_py = [(a, b) for a, b in edges_py if a != b]
+        if not edges_py:
+            continue
+        df = spark.createDataFrame(edges_py, "id_a long, id_b long")
+        want = {
+            r["id"]: r["component"] for r in connected_components(df).collect()
+        }
+        got = {
+            r["id"]: r["component"]
+            for r in connected_components_star(df).collect()
+        }
+        assert got == want, f"mismatch for edges {edges_py}"

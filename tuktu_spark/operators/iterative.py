@@ -117,11 +117,17 @@ def connected_components(
 
 @operator("connected_components")
 def connected_components_op(config: dict):
-    """Edges (src,dst) -> (node, component=min reachable id); see
-    connected_components. config: {"src", "dst", "max_iterations"}."""
+    """Edges (src,dst) -> (node, component=min reachable id).
+    config: {"src", "dst", "max_iterations", "algorithm": "label"|"star"} —
+    "label" (default) = min-label propagation (O(diameter) rounds, right
+    for shallow near-dup clusters); "star" = large-star/small-star
+    contraction (O(log n) rounds, right for long-chain components)."""
     src = config.get("src", "id_a")
     dst = config.get("dst", "id_b")
     max_iter = int(config.get("max_iterations", 20))
+    algo = config.get("algorithm", "label")
+    if algo == "star":
+        return lambda df: connected_components_star(df, src, dst, max_iter)
     return lambda df: connected_components(df, src, dst, max_iter)
 
 
@@ -145,3 +151,63 @@ def concurrent(config: dict):
         return df
 
     return transform
+
+
+def _canonical_edges(df: DataFrame) -> DataFrame:
+    return df.select(
+        F.greatest("u", "v").alias("hi"), F.least("u", "v").alias("lo")
+    ).filter(F.col("hi") != F.col("lo")).distinct()
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Alternating large-star/small-star contraction (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", public literature):
+    converges in O(log n) rounds vs. the label-propagation variant's
+    O(diameter) — the right choice when components can be long chains
+    (e.g. transitive near-dup clusters at web scale). Same output contract
+    as connected_components: (id, component=min reachable id).
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    e = _canonical_edges(e).localCheckpoint()
+    for _ in range(max_iterations):
+        # large-star: every neighbor v > u links to min(N(u) + {u})
+        sym = e.select(F.col("hi").alias("a"), F.col("lo").alias("b")).unionByName(
+            e.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
+        )
+        mins = sym.groupBy("a").agg(F.least(F.min("b"), F.first("a")).alias("m"))
+        large = (
+            sym.join(mins, "a")
+            .filter(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("u"), F.col("m").alias("v"))
+        )
+        e1 = _canonical_edges(large).localCheckpoint()
+        # small-star: group parent pointers by hi; all los + hi link to min
+        mins2 = e1.groupBy("hi").agg(F.min("lo").alias("m"))
+        with_m = e1.join(mins2, "hi")
+        small = with_m.select(F.col("lo").alias("u"), F.col("m").alias("v")).unionByName(
+            with_m.select(F.col("hi").alias("u"), F.col("m").alias("v"))
+        )
+        e2 = _canonical_edges(small).localCheckpoint()
+        # converged when a full large+small round leaves the edge set fixed
+        converged = (
+            e2.exceptAll(e).isEmpty() and e.exceptAll(e2).isEmpty()
+            if e.count() == e2.count()
+            else False
+        )
+        e = e2
+        if converged:
+            break
+    # star edges: (hi=node, lo=root); roots map to themselves
+    nodes = edges.select(F.col(src).alias("id")).unionByName(
+        edges.select(F.col(dst).alias("id"))
+    ).distinct()
+    comp = e.select(F.col("hi").alias("id"), F.col("lo").alias("component"))
+    return (
+        nodes.join(comp, "id", "left")
+        .select("id", F.coalesce("component", F.col("id")).alias("component"))
+    )
