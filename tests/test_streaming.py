@@ -151,3 +151,35 @@ def test_foreach_batch_sink(spark, events, event_stream, tmp_path):
 def test_rate_source_shape(spark):
     df = STR.rate_source(spark, rows_per_second=5, constant={"tag": "x"})
     assert df.isStreaming and set(df.columns) == {"timestamp", "value", "tag"}
+
+
+def test_streaming_minhash_candidates_equal_batch(spark, sf_dir, tmp_path):
+    """Incremental LSH over a 4-chunk replay must discover EXACTLY the
+    batch candidate pair set — banding is deterministic and
+    order-independent."""
+    from pyspark.sql import functions as F
+
+    from tuktu_spark.llm import dedup as D
+    from tuktu_spark.streaming.llm import streaming_minhash_candidates
+    from tuktu_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    stream = STR.replay_dataframe(docs, str(tmp_path / "replay"), chunks=4, order_col="doc_id")
+    q = streaming_minhash_candidates(
+        stream,
+        store_dir=str(tmp_path / "store"),
+        pairs_dir=str(tmp_path / "pairs"),
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in spark.read.parquet(str(tmp_path / "pairs")).collect()
+    }
+    sigs = D.minhash_signatures(docs)
+    want = {
+        (r["id_a"], r["id_b"])
+        for r in D.minhash_lsh_candidates(sigs).collect()
+    }
+    assert got == want and len(want) > 0

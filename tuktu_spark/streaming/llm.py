@@ -1,0 +1,101 @@
+"""Streaming LLM-pipeline operators: incremental near-duplicate detection
+over a continuously-arriving corpus.
+
+Batch dedup (llm/dedup.py) assumes the whole corpus is present; a training
+-data ingest pipeline sees documents arrive. ``streaming_minhash_candidates``
+runs the same MinHash+LSH banding incrementally via foreachBatch:
+
+- each micro-batch computes signatures (same deterministic hash family as
+  batch — a doc's signature is identical either way);
+- new docs band-join against BOTH the batch itself and the accumulated
+  signature store (parquet) — so pairs are found regardless of which
+  micro-batch each member arrived in;
+- new signatures append to the store, candidate pairs append to the
+  output directory. The store holds one row of NUM_HASHES ints per doc —
+  tiny relative to the corpus (the full text is never retained).
+
+The candidate set is EXACTLY the batch LSH candidate set over the same
+corpus (banding is deterministic and order-independent — pinned by test).
+Verification (exact Jaccard) stays a batch job over candidates, as in the
+batch pipeline; signatures alone cannot verify exactly.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..llm import dedup as D
+from .ops import foreach_batch_sink
+
+
+def _banded(sigs: DataFrame, id_col: str) -> DataFrame:
+    bands = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.slice("signature", b * D.ROWS_PER_BAND + 1, D.ROWS_PER_BAND).alias("bucket"),
+                )
+                for b in range(D.BANDS)
+            ]
+        )
+    )
+    return sigs.select(F.col(id_col), bands.alias("bb")).select(
+        id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+
+
+def streaming_minhash_candidates(
+    stream: DataFrame,
+    store_dir: str,
+    pairs_dir: str,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+):
+    """Start a streaming query emitting LSH candidate pairs incrementally.
+    Returns the StreamingQuery; results land in ``pairs_dir`` (parquet,
+    columns id_a/id_b), signatures accumulate in ``store_dir``."""
+    spark = stream.sparkSession
+    sig_store = os.path.join(store_dir, "signatures")
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sigs = D.minhash_signatures(batch_df, text_col, id_col, n).persist()
+        new_b = _banded(sigs, id_col)
+        # pairs inside this micro-batch
+        a = new_b.select(F.col(id_col).alias("id_a"), "band", "bucket")
+        b = new_b.select(F.col(id_col).alias("id_b"), "band", "bucket")
+        within = (
+            a.join(b, ["band", "bucket"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+        )
+        # pairs against everything seen before
+        try:
+            old = spark.read.parquet(sig_store)
+            old_b = _banded(old, id_col)
+            across = (
+                new_b.select(F.col(id_col).alias("id_a"), "band", "bucket")
+                .join(
+                    old_b.select(F.col(id_col).alias("id_b"), "band", "bucket"),
+                    ["band", "bucket"],
+                )
+                .select(
+                    F.least("id_a", "id_b").alias("id_a"),
+                    F.greatest("id_a", "id_b").alias("id_b"),
+                )
+            )
+            pairs = within.unionByName(across)
+        except Exception:
+            pairs = within
+        pairs.distinct().write.mode("append").parquet(pairs_dir)
+        sigs.write.mode("append").parquet(sig_store)
+        sigs.unpersist()
+
+    return foreach_batch_sink(stream, process, checkpoint=checkpoint)
