@@ -209,3 +209,45 @@ def test_example_flows_run(spark, sf_dir):
     out = run_flow(spark, os.path.join(base, "text_quality_audit.json"), params={"dir": sf_dir})
     rows = {r["predicted_lang"]: r["docs"] for r in out["agg"].collect()}
     assert sum(rows.values()) > 0
+
+
+def test_cycle_raises(spark):
+    flow = {
+        "generators": [
+            {"id": "g", "name": "inline", "config": {"rows": [[1]], "columns": ["a"]},
+             "next": ["p1"]}
+        ],
+        "processors": [
+            {"id": "p1", "name": "identity", "config": {}, "next": ["p2"]},
+            {"id": "p2", "name": "identity", "config": {}, "next": ["p1"]},
+        ],
+    }
+    with pytest.raises(FlowError, match="cycle"):
+        compile_flow(spark, flow)
+
+
+def test_unknown_operator_lists_known_names(spark):
+    from tuktu_spark.operators.registry import UnknownOperatorError
+
+    flow = {
+        "generators": [
+            {"id": "g", "name": "inline", "config": {"rows": [[1]], "columns": ["a"]},
+             "next": ["p"]}
+        ],
+        "processors": [{"id": "p", "name": "no_such_op", "config": {}, "next": []}],
+    }
+    with pytest.raises(UnknownOperatorError, match="no_such_op"):
+        compile_flow(spark, flow)
+
+
+def test_wrong_input_arity_reports_node(spark):
+    flow = {
+        "generators": [
+            {"id": "g", "name": "inline", "config": {"rows": [[1]], "columns": ["a"]},
+             "next": ["j"]}
+        ],
+        # join needs two inputs but only one parent feeds it
+        "processors": [{"id": "j", "name": "join", "config": {"on": ["a"]}, "next": []}],
+    }
+    with pytest.raises(Exception, match="join"):
+        compile_flow(spark, flow)
