@@ -140,12 +140,18 @@ class _ArithParser:
             raise ExpressionError(
                 f"aggregate {name}() not allowed in per-row arithmetic expression"
             )
+        # count()/distinct() are cardinalities: keep them integral (bigint)
+        # so results hash-match integer-typed oracles. The reference parser
+        # is double-typed throughout (Parsing.scala:114-166) but arithmetic
+        # over bigint promotes to double exactly, so composed expressions
+        # like count()/2 are unchanged.
+        out_type = "bigint" if name in ("count", "distinct") else "double"
         if self.mode == "window":
             w = Window.partitionBy()
             if name == "distinct":  # COUNT(DISTINCT) unsupported over windows
-                return F.size(F.collect_set(arg).over(w)).cast("double")
-            return _AGG_FNS[name](arg).over(w).cast("double")
-        return _AGG_FNS[name](arg).cast("double")
+                return F.size(F.collect_set(arg).over(w)).cast(out_type)
+            return _AGG_FNS[name](arg).over(w).cast(out_type)
+        return _AGG_FNS[name](arg).cast(out_type)
 
 
 def arith_column(text: str, mode: str = "scalar") -> Column:

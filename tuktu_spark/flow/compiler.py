@@ -71,8 +71,15 @@ def compile_flow(
         gid = g.get("id", f"__gen{generators.index(g)}__")
         for nxt in g.get("next", []):
             preds[nxt].append(gid)
-    for nid in reachable:
-        for nxt in processors[nid].get("next", []):
+    # Deterministic fan-in order (FLOWSPEC.md: parents are positional):
+    # generator parents first in declaration order (loop above), then
+    # processor parents in DECLARATION order — never set-iteration order,
+    # which varies with PYTHONHASHSEED and would silently swap join sides.
+    for p in spec.get("processors", []):
+        nid = p["id"]
+        if nid not in reachable:
+            continue
+        for nxt in p.get("next", []):
             preds[nxt].append(nid)
 
     outputs: dict[str, DataFrame] = {}

@@ -40,6 +40,29 @@ def _coeffs(n: int, seed: int) -> list[int]:
 HASH_A = _coeffs(NUM_HASHES, 7)
 HASH_B = _coeffs(NUM_HASHES, 13)
 
+# Scoped persist: pipelines persist the shared shingle scan so signatures /
+# candidate join / sizes reuse it, but DataFrame persist() is never GC'd by
+# Spark's ContextCleaner — in a long session each run would leak one cache
+# entry. Each pipeline releases the previous run's entries on entry, keeping
+# the outstanding cache count bounded at one pipeline's worth; callers can
+# also call release_persisted() explicitly after materializing results.
+_PERSISTED: list[DataFrame] = []
+
+
+def _persist_scoped(df: DataFrame) -> DataFrame:
+    df = df.persist()
+    _PERSISTED.append(df)
+    return df
+
+
+def release_persisted() -> None:
+    """Unpersist every cache entry from prior dedup pipeline runs."""
+    while _PERSISTED:
+        try:
+            _PERSISTED.pop().unpersist()
+        except Exception:
+            pass  # session already stopped
+
 
 def base_hash(col):
     """md5-prefix 60-bit integer hash of a string column (engine-portable:
@@ -48,13 +71,20 @@ def base_hash(col):
 
 
 def word_shingles(text_col, n: int = 3):
-    """Distinct word n-gram shingles of a text column (array)."""
+    """Distinct word n-gram shingles of a text column (array).
+
+    Docs with fewer than n tokens yield an EMPTY array: sequence(1, 0)
+    would produce the descending [1, 0] and slice(toks, 0, n) throws, so
+    the short-doc case is guarded explicitly (real corpora always contain
+    short/empty documents)."""
     toks = F.filter(F.split(text_col, r"\s+"), lambda x: x != "")
-    count = F.greatest(F.size(toks) - (n - 1), F.lit(0))
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), count),
-            lambda i: F.array_join(F.slice(toks, i, n), " "),
+    count = F.size(toks) - (n - 1)
+    return F.when(count < 1, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(count, F.lit(1))),
+                lambda i: F.array_join(F.slice(toks, i, n), " "),
+            )
         )
     )
 
@@ -119,12 +149,15 @@ def ngram_jaccard_pairs(
     join (checked in tests). Still quadratic in the worst case; at 100 TB
     use minhash_lsh_candidates first and verify candidates only.
     """
+    release_persisted()
     h = hashed_shingles(df, text_col, id_col, n)
-    s = h.select(
-        F.col(id_col),
-        F.array_sort("shingles").alias("sh"),
-        F.size("shingles").alias("n_sh"),
-    ).persist()
+    s = _persist_scoped(
+        h.select(
+            F.col(id_col),
+            F.array_sort("shingles").alias("sh"),
+            F.size("shingles").alias("n_sh"),
+        )
+    )
     plen = (F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1).cast("int")
     pref = s.select(F.col(id_col), F.col("n_sh"), F.explode(F.slice("sh", 1, plen)).alias("p"))
     a = pref.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"), "p")
@@ -235,7 +268,8 @@ def minhash_dedup_pairs(
     exact Jaccard verification of candidates only. The hashed-shingle
     array is computed once and shared by signatures, verification join
     and set sizes."""
-    h = hashed_shingles(df, text_col, id_col, n).persist()
+    release_persisted()
+    h = _persist_scoped(hashed_shingles(df, text_col, id_col, n))
     sigs = minhash_signatures_from_hashed(h, id_col)
     cands = minhash_lsh_candidates(sigs, id_col)
     sh = h.select(F.col(id_col), F.explode("shingles").alias("shingle"))
@@ -251,9 +285,13 @@ def minhash_dedup_pairs(
     jac = F.col("common").cast("double") / (
         F.col("n_a") + F.col("n_b") - F.col("common")
     ).cast("double")
+    # NOTE: no broadcast hint on `sizes` — it is O(num_docs) rows, and at
+    # the billions-of-docs scale this module targets a forced broadcast
+    # would OOM. Catalyst/AQE broadcasts it automatically when it fits
+    # under autoBroadcastJoinThreshold (always true at bench scale).
     return (
-        common.join(F.broadcast(sizes.withColumnsRenamed({id_col: "id_a", "n_sh": "n_a"})), "id_a")
-        .join(F.broadcast(sizes.withColumnsRenamed({id_col: "id_b", "n_sh": "n_b"})), "id_b")
+        common.join(sizes.withColumnsRenamed({id_col: "id_a", "n_sh": "n_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({id_col: "id_b", "n_sh": "n_b"}), "id_b")
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")

@@ -87,15 +87,28 @@ def dummy_variables(
     col: str,
     categories: list[str] | None = None,
     prefix: str | None = None,
+    max_categories: int = 10_000,
 ) -> DataFrame:
     """One-hot 0/1 columns per category value — the reference's dummy
     variable processor. Pass ``categories`` for a fully lazy plan; when
     omitted the distinct values are collected once (metadata-scale action)
-    and sorted for a deterministic column order."""
+    and sorted for a deterministic column order.
+
+    The implicit collect is capped at ``max_categories``: an unbounded-
+    cardinality column (user ids, free text) would otherwise pull the
+    whole domain to the driver AND emit one plan column per value — fail
+    fast with a clear message instead."""
     if categories is None:
-        categories = sorted(
-            r[0] for r in df.select(col).distinct().collect() if r[0] is not None
+        rows = (
+            df.select(col).distinct().limit(max_categories + 1).collect()
         )
+        if len(rows) > max_categories:
+            raise ValueError(
+                f"dummy_variables({col!r}): more than {max_categories} distinct "
+                "values — one-hot over an unbounded domain is a driver/plan "
+                "bomb. Pass categories= explicitly or raise max_categories."
+            )
+        categories = sorted(r[0] for r in rows if r[0] is not None)
     p = prefix if prefix is not None else col
     out = df
     for v in categories:

@@ -73,8 +73,15 @@ def union_merge(config: dict):
 @operator("zip_merge", "simple_merge")
 def zip_merge(config: dict):
     """SimpleMerger (merge/BaseMergers.scala:14-21): positional zip-union of
-    branch rows, later branches overwrite shared fields. Distributed via
-    row_number equi-join over an explicit per-branch order.
+    branch rows, later branches overwrite shared fields, via row_number
+    equi-join over an explicit per-branch order.
+
+    SCALE NOTE: positional zip requires a GLOBAL row order, so the
+    row_number window (Window.orderBy without partitionBy) collapses each
+    branch to a single partition — inherent to the semantics, not an
+    implementation shortcut. Use only on branch sizes that fit one
+    executor (the reference's SimpleMerger is likewise a single-actor
+    zip). For large aligned merges prefer a keyed join on a real key.
 
     config.order_by: {branch_index(str): [cols]} or a single list for all.
     """

@@ -8,11 +8,14 @@ names. ``__spark_entry__`` re-exports this registry.
 
 from __future__ import annotations
 
+import functools
 import importlib
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
+
+from tuktu_spark.tables import ensure_session_confs
 
 
 @dataclass
@@ -33,7 +36,13 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = (), benc
     lineitem events documents embeddings)."""
 
     def deco(fn):
-        REGISTRY[name] = QueryDef(name=name, fn=fn, oracle=oracle, tags=tags, bench=bench)
+        @functools.wraps(fn)
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # the driver supplies its OWN session; normalize it first
+            ensure_session_confs(spark)
+            return fn(spark, sf_dir)
+
+        REGISTRY[name] = QueryDef(name=name, fn=wrapped, oracle=oracle, tags=tags, bench=bench)
         return fn
 
     return deco

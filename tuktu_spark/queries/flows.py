@@ -11,7 +11,7 @@ from . import query
 
 _FLOW_ORACLE = """
 SELECT l_returnflag, l_linestatus,
-       CAST(COUNT(*) AS DOUBLE) AS n,
+       COUNT(*) AS n,
        CAST(SUM(l_quantity) AS DOUBLE) AS qty,
        CAST(MAX(l_quantity) AS DOUBLE) AS max_qty
 FROM lineitem

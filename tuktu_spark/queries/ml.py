@@ -287,3 +287,73 @@ def ts_ar_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TS.ar_forecast(hourly, ["event_type"], "h", "n", p=3, horizon=5).orderBy(
         "event_type", "step"
     )
+
+
+# ---------------------------------------------------------------------------
+# HMM Viterbi decode (models/hmm/ViterbiAlgorithm.scala via ml/hmm.py).
+# The decoding model has UNIFORM Pi and A, which makes the Viterbi path
+# decouple per timestep — argmax_i B(i, o_t) — so the exact path is
+# SQL-expressible and the applyInPandas machinery is oracle-checked
+# end-to-end. Full coupled-path Viterbi is pinned by unit test against a
+# hand-computed non-uniform fixture (tests/test_hmm.py).
+# ---------------------------------------------------------------------------
+
+# symbol order: click, error, purchase, signup, view (alphabetical)
+_HMM_B = [
+    [0.35, 0.05, 0.05, 0.15, 0.40],  # state 0: "browsing"
+    [0.10, 0.15, 0.45, 0.20, 0.10],  # state 1: "buying"
+]
+
+_HMM_ORACLE = """
+SELECT user_id, event_id,
+       CASE WHEN event_type IN ('click', 'view') THEN 0 ELSE 1 END AS state
+FROM events
+"""
+
+
+@query("ml_hmm_decode", oracle=_HMM_ORACLE, tags=("ml", "hmm"))
+def ml_hmm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from ..ml.hmm import HmmModel, hmm_viterbi
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "event_type")
+    symbols = ["click", "error", "purchase", "signup", "view"]
+    mapping = F.create_map(
+        *[x for i, s in enumerate(symbols) for x in (F.lit(s), F.lit(i))]
+    )
+    obs = ev.withColumn("obs", mapping[F.col("event_type")])
+    model = HmmModel(
+        pi=np.array([0.5, 0.5]),
+        a=np.array([[0.5, 0.5], [0.5, 0.5]]),
+        b=np.array(_HMM_B),
+    )
+    return hmm_viterbi(obs, ["user_id"], "event_id", "obs", model).select(
+        "user_id", "event_id", F.col("state").cast("int").alias("state")
+    )
+
+
+@query("ml_hmm_train_loglik", tags=("ml", "hmm"))
+def ml_hmm_train_loglik(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Baum-Welch on per-user event-type sequences: 2 hidden
+    states, 5 symbols, 5 EM iterations. Output: one row with the final
+    model's log-likelihood and state count — iterative EM is not
+    SQL-expressible (rows-only check); monotone likelihood ascent is
+    pinned in tests/test_hmm.py."""
+    import numpy as np
+
+    from ..ml.hmm import hmm_baum_welch
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "event_type")
+    symbols = ["click", "error", "purchase", "signup", "view"]
+    mapping = F.create_map(
+        *[x for i, s in enumerate(symbols) for x in (F.lit(s), F.lit(i))]
+    )
+    obs = ev.withColumn("obs", mapping[F.col("event_type")])
+    model, hist = hmm_baum_welch(
+        obs, ["user_id"], "event_id", "obs", n_states=2, n_obs=5, iterations=5
+    )
+    return spark.createDataFrame(
+        [(len(hist), float(hist[-1]), float(np.sum(model.pi)))],
+        "iterations int, final_loglik double, pi_sum double",
+    )

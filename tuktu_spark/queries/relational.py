@@ -729,12 +729,12 @@ def stratified_sample_first_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _AGG_EXPR_ORACLE = """
 SELECT l_returnflag AS flag,
-       CAST(COUNT(*) AS DOUBLE) AS n,
+       COUNT(*) AS n,
        CAST(SUM(l_quantity) AS DOUBLE) AS qty_sum,
        CAST(SUM(l_quantity) AS DOUBLE) / COUNT(l_quantity) AS qty_avg,
        CAST(MIN(l_quantity) AS DOUBLE) AS qty_min,
        CAST(MAX(l_quantity) AS DOUBLE) AS qty_max,
-       CAST(COUNT(DISTINCT l_quantity) AS DOUBLE) AS qty_distinct,
+       COUNT(DISTINCT l_quantity) AS qty_distinct,
        CAST(SUM(l_quantity) AS DOUBLE) / COUNT(*) * 2 + 1 AS derived
 FROM lineitem GROUP BY l_returnflag
 """

@@ -10,9 +10,12 @@ runs the same MinHash+LSH banding incrementally via foreachBatch:
 - new docs band-join against BOTH the batch itself and the accumulated
   signature store (parquet) — so pairs are found regardless of which
   micro-batch each member arrived in;
-- new signatures append to the store, candidate pairs append to the
-  output directory. The store holds one row of NUM_HASHES ints per doc —
-  tiny relative to the corpus (the full text is never retained).
+- new signatures and candidate pairs land in batch_id-partitioned parquet
+  with dynamic partition overwrite: a foreachBatch REPLAY rewrites its own
+  partition instead of appending duplicates, and signatures commit last so
+  a stored batch_id proves the whole batch committed (replays skip). The
+  store holds one row of NUM_HASHES ints per doc — tiny relative to the
+  corpus (the full text is never retained).
 
 The candidate set is EXACTLY the batch LSH candidate set over the same
 corpus (banding is deterministic and order-independent — pinned by test).
@@ -60,12 +63,47 @@ def streaming_minhash_candidates(
     """Start a streaming query emitting LSH candidate pairs incrementally.
     Returns the StreamingQuery; results land in ``pairs_dir`` (parquet,
     columns id_a/id_b), signatures accumulate in ``store_dir``."""
-    spark = stream.sparkSession
+    process = make_minhash_batch_processor(
+        stream.sparkSession, store_dir, pairs_dir, text_col, id_col, n
+    )
+    return foreach_batch_sink(stream, process, checkpoint=checkpoint)
+
+
+def make_minhash_batch_processor(
+    spark,
+    store_dir: str,
+    pairs_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+):
+    """The foreachBatch body, exposed for direct testing (idempotency under
+    batch replay is part of the contract)."""
     sig_store = os.path.join(store_dir, "signatures")
+
+    def _read_store() -> DataFrame | None:
+        """Signature store, or None if it doesn't exist yet (first batch).
+        Only AnalysisException (path-not-found / empty dir) means 'no store';
+        any other failure — permissions, corrupt file, transient FS error —
+        must PROPAGATE so the engine retries the batch instead of silently
+        dropping every cross-batch candidate pair."""
+        from pyspark.errors.exceptions.captured import AnalysisException
+
+        try:
+            return spark.read.parquet(sig_store)
+        except AnalysisException:
+            return None
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        old = _read_store()
+        if old is not None and "batch_id" in old.columns:
+            # Idempotence: signatures are written LAST, so a stored batch_id
+            # proves both writes committed — a foreachBatch replay skips.
+            if old.filter(F.col("batch_id") == batch_id).limit(1).count() > 0:
+                return
+            old = old.drop("batch_id")
         sigs = D.minhash_signatures(batch_df, text_col, id_col, n).persist()
         new_b = _banded(sigs, id_col)
         # pairs inside this micro-batch
@@ -76,9 +114,9 @@ def streaming_minhash_candidates(
             .filter(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b")
         )
-        # pairs against everything seen before
-        try:
-            old = spark.read.parquet(sig_store)
+        if old is not None:
+            # pairs against everything seen before; id_a != id_b guards
+            # self-pairs if a doc id ever recurs across batches
             old_b = _banded(old, id_col)
             across = (
                 new_b.select(F.col(id_col).alias("id_a"), "band", "bucket")
@@ -86,16 +124,34 @@ def streaming_minhash_candidates(
                     old_b.select(F.col(id_col).alias("id_b"), "band", "bucket"),
                     ["band", "bucket"],
                 )
+                .filter(F.col("id_a") != F.col("id_b"))
                 .select(
                     F.least("id_a", "id_b").alias("id_a"),
                     F.greatest("id_a", "id_b").alias("id_b"),
                 )
             )
             pairs = within.unionByName(across)
-        except Exception:
+        else:
             pairs = within
-        pairs.distinct().write.mode("append").parquet(pairs_dir)
-        sigs.write.mode("append").parquet(sig_store)
+        # Partition both outputs by batch_id with dynamic overwrite: a
+        # replayed batch rewrites ITS OWN partition instead of appending
+        # duplicates — exactly-once output without a transactional sink.
+        dyn = {"partitionOverwriteMode": "dynamic"}
+        (
+            pairs.distinct()
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .options(**dyn)
+            .partitionBy("batch_id")
+            .parquet(pairs_dir)
+        )
+        (
+            sigs.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .options(**dyn)
+            .partitionBy("batch_id")
+            .parquet(sig_store)
+        )
         sigs.unpersist()
 
-    return foreach_batch_sink(stream, process, checkpoint=checkpoint)
+    return process

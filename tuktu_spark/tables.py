@@ -10,6 +10,33 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+# Confs the query layer depends on, applied to ANY session (the driver
+# passes its own SparkSession, not ours — see session.py for the rationale
+# behind each). All three are runtime-settable.
+_SESSION_CONFS = {
+    # events.ts is parquet TIMESTAMP(NANOS); Spark has no native type for it
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # engine-portable timestamp semantics (oracle side is naive/UTC)
+    "spark.sql.session.timeZone": "UTC",
+    # Arrow transfer for the pandas-UDF seams
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def ensure_session_confs(spark: SparkSession) -> None:
+    """Make an externally-supplied session able to run every query.
+
+    Idempotent and cheap; called from ``load_table`` and the query registry
+    so the driver's vanilla session behaves like ``session.get_spark()``'s.
+    """
+    for k, v in _SESSION_CONFS.items():
+        try:
+            if spark.conf.get(k, None) != v:
+                spark.conf.set(k, v)
+        except Exception:
+            spark.conf.set(k, v)
+
+
 TABLES = (
     "region",
     "nation",
@@ -29,6 +56,7 @@ def table_path(sf_dir: str, name: str) -> str:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    ensure_session_confs(spark)
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # TIMESTAMP(NANOS) read via nanosAsLong -> microsecond timestamp,
