@@ -6,7 +6,10 @@ on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
 Each query is forced with the `noop` sink (full execution, no driver
-collect) — the honest way to measure a distributed plan.
+collect) — the honest way to measure a distributed plan. Each query runs
+$SPARK_GRAFT_BENCH_RUNS times (default 3) and reports the per-query
+MEDIAN, so round-over-round deltas clear the ~±10% single-run machine
+noise documented in SCALE.md.
 """
 
 from __future__ import annotations
@@ -14,6 +17,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
 
@@ -37,11 +41,15 @@ def main() -> None:
     first = next(iter(bench_queries.values()))
     first.fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
 
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     timings: dict[str, float] = {}
     for name, qd in bench_queries.items():
-        t0 = time.perf_counter()
-        qd.fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        samples = []
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            qd.fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(samples), 4)
 
     total = round(sum(timings.values()), 4)
     print(

@@ -20,7 +20,7 @@ mode), mirroring ArithmeticProcessor vs AggregateByValueProcessor.
 
 from .arithmetic import arith_column, arith_agg_columns
 from .predicate import predicate_column
-from .templates import template_column, substitute_config
+from .templates import template_column, substitute_config, substitute_meta
 
 __all__ = [
     "arith_column",
@@ -28,4 +28,5 @@ __all__ = [
     "predicate_column",
     "template_column",
     "substitute_config",
+    "substitute_meta",
 ]

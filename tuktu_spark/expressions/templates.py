@@ -7,6 +7,13 @@ SQL (SQL-literal escaping), SplitGet, GetOrNull.
 ``#{param}`` is CONFIG-time substitution (utils.scala:150-162) — plain
 Python string replacement performed by the flow compiler before any Spark
 code runs (prepareTuktuJsValue, utils.scala:280-333).
+
+``%{var}`` is META substitution (utils.scala:157-162 "Meta strings") —
+the same grammar with a third special char, evaluated against the
+DISPATCH-level variable map (the reference evaluates these when a flow is
+instantiated by another flow, e.g. GeneratorConfigStream): our flow
+compiler applies it after ``#{}`` using the ``meta`` map passed by the
+caller or the including flow.
 """
 
 from __future__ import annotations
@@ -110,29 +117,43 @@ def template_column(template: str, null_on_missing: bool = False) -> Column:
     return F.concat(*pieces)
 
 
+_META_RE = re.compile(r"%\{([^}]*)\}")
+
+
+def _substitute(obj, params: dict[str, object], regex: re.Pattern, kind: str):
+    if isinstance(obj, str):
+        whole = regex.fullmatch(obj)
+        if whole:
+            key = whole.group(1).strip()
+            if key not in params:
+                raise ExpressionError(f"missing {kind} parameter {key!r}")
+            return params[key]
+
+        def repl(m: re.Match) -> str:
+            key = m.group(1).strip()
+            if key not in params:
+                raise ExpressionError(f"missing {kind} parameter {key!r}")
+            return str(params[key])
+
+        return regex.sub(repl, obj)
+    if isinstance(obj, dict):
+        return {k: _substitute(v, params, regex, kind) for k, v in obj.items()}
+    if isinstance(obj, list):
+        return [_substitute(v, params, regex, kind) for v in obj]
+    return obj
+
+
 def substitute_config(obj, params: dict[str, object]):
     """Config-time ``#{param}`` substitution over a JSON-ish tree.
 
     A string that is exactly one ``#{p}`` keeps the parameter's native type
     (number/bool/list), mirroring prepareTuktuJsValue.
     """
-    if isinstance(obj, str):
-        whole = _CONFIG_RE.fullmatch(obj)
-        if whole:
-            key = whole.group(1).strip()
-            if key not in params:
-                raise ExpressionError(f"missing config parameter {key!r}")
-            return params[key]
+    return _substitute(obj, params, _CONFIG_RE, "config")
 
-        def repl(m: re.Match) -> str:
-            key = m.group(1).strip()
-            if key not in params:
-                raise ExpressionError(f"missing config parameter {key!r}")
-            return str(params[key])
 
-        return _CONFIG_RE.sub(repl, obj)
-    if isinstance(obj, dict):
-        return {k: substitute_config(v, params) for k, v in obj.items()}
-    if isinstance(obj, list):
-        return [substitute_config(v, params) for v in obj]
-    return obj
+def substitute_meta(obj, meta_vars: dict[str, object]):
+    """Dispatch-time ``%{var}`` substitution — identical grammar and typing
+    rules to ``#{}``, evaluated against the meta variable map of the
+    including/invoking flow (utils.scala metaString grammar)."""
+    return _substitute(obj, meta_vars, _META_RE, "meta")

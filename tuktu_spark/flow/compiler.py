@@ -25,7 +25,7 @@ from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..expressions import substitute_config
+from ..expressions import substitute_config, substitute_meta
 from ..operators import make_operator, make_source
 
 
@@ -44,10 +44,14 @@ def compile_flow(
     spark: SparkSession,
     flow: dict | str,
     params: dict[str, Any] | None = None,
+    meta: dict[str, Any] | None = None,
 ) -> dict[str, DataFrame]:
     """Compile a flow spec; returns {node_id: DataFrame} for every compiled
-    node (sinks excluded — use run_flow to execute them)."""
-    spec = substitute_config(_load(flow), params or {})
+    node (sinks excluded — use run_flow to execute them).
+
+    ``params`` fills ``#{}`` (config-time); ``meta`` fills ``%{}``
+    (dispatch-time — supplied by an including flow or the caller)."""
+    spec = substitute_meta(substitute_config(_load(flow), params or {}), meta or {})
     generators = spec.get("generators", [])
     processors = {p["id"]: p for p in spec.get("processors", [])}
     if not generators:
@@ -124,10 +128,11 @@ def run_flow(
     spark: SparkSession,
     flow: dict | str,
     params: dict[str, Any] | None = None,
+    meta: dict[str, Any] | None = None,
 ) -> dict[str, DataFrame]:
     """Compile and return the flow's terminal outputs ({leaf_id: DataFrame}).
     Sink operators (parquet_sink, console, ...) execute as they compile."""
-    spec = substitute_config(_load(flow), params or {})
+    spec = substitute_meta(substitute_config(_load(flow), params or {}), meta or {})
     outputs = compile_flow(spark, spec, params=None)
     leaves = {}
     procs = {p["id"]: p for p in spec.get("processors", [])}

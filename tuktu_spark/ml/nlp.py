@@ -8,7 +8,7 @@ oracle-checkable quality signal for LLM data pipelines.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # Minimal English stopword list — enough to exercise the operator; swap in
@@ -142,3 +142,72 @@ def stem(col):
     pattern = "(" + "|".join(_SUFFIXES) + ")$"
     candidate = F.regexp_replace(col, pattern, "")
     return F.when(F.length(candidate) >= 3, candidate).otherwise(col)
+
+
+def summarize(
+    df: DataFrame,
+    text_col: str,
+    score_map_col: str,
+    num_lines: int = 3,
+    optimal_length: int = 11,
+    base: float = 2.0,
+    preserve_order: bool = True,
+    as_text: bool = True,
+    out_col: str = "summary",
+    min_token_chars: int = 3,
+) -> DataFrame:
+    """Extractive summarization by term-score sentence ranking
+    (nlp/processors/Summarize.scala:14-77): split text on [.?!], score each
+    sentence by the mean score of its tokens (from the ``score_map_col``
+    map<string,double>, e.g. TF or TF-IDF scores) damped by
+    base^(-|len - optimal_length|), keep the top ``num_lines``.
+
+    Pure column algebra — sentences explode, the fold over tokens is one
+    ``aggregate``, ranking is one window. Choosing base=2.0 (default here;
+    reference default 1.1) keeps pow() values exact powers of two so
+    scores are bit-identical across engines for integer score maps.
+    Tokens shorter than ``min_token_chars`` are ignored (reference filters
+    token.size > 2)."""
+    sentences = F.filter(
+        F.transform(F.split(F.col(text_col), r"[.?!]"), lambda s: F.trim(s)),
+        lambda s: s != "",
+    )
+    # __rid: group/partition key — grouping by a surrogate id beats shuffling
+    # the full text column at scale
+    base_df = df.withColumn("__rid", F.monotonically_increasing_id()).select(
+        "*", F.posexplode_outer(sentences).alias("__pos", "__sentence")
+    )
+    toks = F.filter(
+        F.split(F.col("__sentence"), r"\s+"),
+        lambda t: F.length(t) >= min_token_chars,
+    )
+    tok_sum = F.aggregate(
+        toks,
+        F.lit(0.0),
+        lambda acc, t: acc
+        + F.coalesce(F.element_at(F.col(score_map_col), t), F.lit(0.0)),
+    )
+    n_toks = F.size(toks)
+    mean_score = F.when(n_toks > 0, tok_sum / n_toks).otherwise(F.lit(0.0))
+    damp = F.pow(F.lit(float(base)), -F.abs(n_toks - F.lit(int(optimal_length))))
+    scored = base_df.withColumn("__score", mean_score * damp)
+    w = Window.partitionBy("__rid").orderBy(
+        F.col("__score").desc(), F.col("__pos").asc()
+    )
+    top = scored.withColumn("__rk", F.row_number().over(w)).filter(
+        F.col("__rk") <= num_lines
+    )
+    order_key = F.col("__pos") if preserve_order else F.col("__rk")
+    group_cols = ["__rid", *df.columns]
+    picked = top.groupBy(*group_cols).agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(order_key.alias("k"), F.col("__sentence").alias("s")))
+            ),
+            lambda x: x["s"],
+        ).alias("__lines")
+    )
+    out = (
+        F.array_join(F.col("__lines"), ". ") if as_text else F.col("__lines")
+    )
+    return picked.select(*df.columns, out.alias(out_col))

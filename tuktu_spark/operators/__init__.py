@@ -25,6 +25,7 @@ from . import connectors  # noqa: E402,F401
 from . import iterative  # noqa: E402,F401
 from . import approx  # noqa: E402,F401
 from . import llm_ops  # noqa: E402,F401
+from . import mlops  # noqa: E402,F401
 
 __all__ = [
     "OPERATORS",

@@ -268,3 +268,30 @@ def smtp_sink(config: dict):
         return df
 
     return sink
+
+
+@source("mongo_collections")
+def mongo_collections(spark: SparkSession, config: dict) -> DataFrame:
+    """MongoDBCollectionsGenerator (nosql/generators/mongodb.scala:167-210):
+    one row per collection name in a database. Listing collections is a
+    metadata call, not a scan — driver-side by design. ``lister`` is an
+    injectable callable (db_name -> list[str]) for tests; the default uses
+    pymongo when present, else fails with a clear message (the mongo-spark
+    connector has no listCollections surface)."""
+    db = config["database"]
+    lister = config.get("lister")
+    if lister is None:
+        try:
+            from pymongo import MongoClient
+        except ImportError as e:
+            raise NotImplementedError(
+                "mongo_collections needs pymongo (not in this environment) "
+                "or an injected config['lister'] callable"
+            ) from e
+
+        def lister(database: str) -> list[str]:
+            with MongoClient(config["uri"]) as client:
+                return sorted(client[database].list_collection_names())
+
+    names = lister(db)
+    return spark.createDataFrame([(n,) for n in names], ["collection"])

@@ -193,12 +193,19 @@ def connected_components_star(
             with_m.select(F.col("hi").alias("u"), F.col("m").alias("v"))
         )
         e2 = _canonical_edges(small).localCheckpoint()
-        # converged when a full large+small round leaves the edge set fixed
-        converged = (
-            e2.exceptAll(e).isEmpty() and e.exceptAll(e2).isEmpty()
-            if e.count() == e2.count()
-            else False
+        # converged when a full large+small round leaves the edge set fixed.
+        # ONE action: both sets are distinct, so an edge present in only one
+        # of them shows up as a (hi, lo) group with a single tag — isEmpty
+        # short-circuits on the first such group (the previous
+        # count + 2x exceptAll version cost up to 4 driver round-trips).
+        changed = (
+            e.withColumn("__t", F.lit(1))
+            .unionByName(e2.withColumn("__t", F.lit(2)))
+            .groupBy("hi", "lo")
+            .agg(F.count_distinct("__t").alias("__nt"))
+            .filter(F.col("__nt") < 2)
         )
+        converged = changed.isEmpty()
         e = e2
         if converged:
             break

@@ -164,12 +164,19 @@ def number_with_probability(config: dict):
 def include_flow(spark, config: dict):
     """ParallelConfigProcessor / GeneratorConfigProcessor
     (MetaProcessors.scala:26-60,433-531): compile another flow file with
-    ``#{}`` params and surface one of its nodes as this flow's source —
-    sub-flow spawning becomes plain DataFrame composition (SURVEY §7.3
-    hard part 3: compile-time inlining for static configs)."""
+    ``#{}`` params and ``%{}`` meta vars (utils.scala metaString: the
+    including flow supplies the dispatch-level variable map) and surface
+    one of its nodes as this flow's source — sub-flow spawning becomes
+    plain DataFrame composition (SURVEY §7.3 hard part 3: compile-time
+    inlining for static configs)."""
     from ..flow.compiler import compile_flow
 
-    outputs = compile_flow(spark, config["path"], params=config.get("params", {}))
+    outputs = compile_flow(
+        spark,
+        config["path"],
+        params=config.get("params", {}),
+        meta=config.get("meta", {}),
+    )
     node = config.get("node")
     if node is None:
         leaves = [nid for nid in outputs]

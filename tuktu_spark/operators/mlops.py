@@ -1,0 +1,147 @@
+"""ML / NLP / time-series flow operators — registry wrappers over
+tuktu_spark.ml so flows can use the model layer by name, mirroring the
+reference's ML processor surface (ml/processors/*, nlp/processors/*).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from .registry import operator
+
+
+@operator("hmm_viterbi")
+def hmm_viterbi_op(config: dict):
+    """HMM Viterbi decode (processors/hmm/HMM.scala apply path). config:
+    {keys: [cols], order_by: col, obs_field: col, model: {pi, a, b}}."""
+    from ..ml.hmm import HmmModel, hmm_viterbi
+
+    model = HmmModel.from_dict(config["model"])
+    keys = list(config["keys"])
+    order_col = config["order_by"]
+    obs = config.get("obs_field", "obs")
+    return lambda df: hmm_viterbi(df, keys, order_col, obs, model)
+
+
+@operator("hmm_train")
+def hmm_train_op(config: dict):
+    """HMM Baum-Welch train (processors/hmm/HMM.scala train path): trains
+    on the piped sequences and SAVES the model to config.path (the
+    reference's train/serialize trio); passes the input through unchanged
+    so flows can chain a decode stage."""
+    from ..ml.hmm import hmm_baum_welch
+
+    def transform(df: DataFrame) -> DataFrame:
+        model, _ = hmm_baum_welch(
+            df,
+            list(config["keys"]),
+            config["order_by"],
+            config.get("obs_field", "obs"),
+            n_states=int(config["n_states"]),
+            n_obs=int(config["n_obs"]),
+            iterations=int(config.get("iterations", 10)),
+        )
+        model.save(config["path"])
+        return df
+
+    return transform
+
+
+@operator("ar_forecast")
+def ar_forecast_op(config: dict):
+    """Per-series AR(p) forecast (ARIMA.scala pure-AR path)."""
+    from ..ml.timeseries import ar_forecast
+
+    return lambda df: ar_forecast(
+        df,
+        list(config["keys"]),
+        config["order_by"],
+        config["value_field"],
+        p=int(config.get("p", 3)),
+        horizon=int(config.get("horizon", 5)),
+    )
+
+
+@operator("arima_forecast")
+def arima_forecast_op(config: dict):
+    """Per-series ARIMA(p, d, q) fit + forecast (ARIMA.scala:36-78,404)."""
+    from ..ml.timeseries import arima_forecast
+
+    return lambda df: arima_forecast(
+        df,
+        list(config["keys"]),
+        config["order_by"],
+        config["value_field"],
+        p=int(config.get("p", 2)),
+        d=int(config.get("d", 1)),
+        q=int(config.get("q", 1)),
+        horizon=int(config.get("horizon", 5)),
+    )
+
+
+@operator("changepoint")
+def changepoint_op(config: dict):
+    """CUSUM change-point per series (timeseries/ChangePointDetection.scala)."""
+    from ..ml.timeseries import changepoint_cusum
+
+    return lambda df: changepoint_cusum(
+        df,
+        list(config["keys"]),
+        config["order_by"],
+        config["value_field"],
+    )
+
+
+@operator("nbsvm")
+def nbsvm_op(config: dict):
+    """NBSVM train-and-apply (NBSVMProcessor.scala trio collapsed into one
+    flow stage): trains on the piped labeled corpus, scores it, optionally
+    saves the model to config.path. config: {tokens_field, label_field,
+    vocab_size, beta, path}."""
+    from ..ml.nbsvm import nbsvm_predict, nbsvm_train
+
+    def transform(df: DataFrame) -> DataFrame:
+        model = nbsvm_train(
+            df,
+            tokens_col=config.get("tokens_field", "tokens"),
+            label_col=config.get("label_field", "label"),
+            vocab_size=int(config.get("vocab_size", 20_000)),
+            beta=float(config.get("beta", 0.25)),
+        )
+        if config.get("path"):
+            model.save(config["path"])
+        return nbsvm_predict(df, model, tokens_col=config.get("tokens_field", "tokens"))
+
+    return transform
+
+
+@operator("nbsvm_apply")
+def nbsvm_apply_op(config: dict):
+    """NBSVM apply from a saved model (NBSVMDeserializeProcessor +
+    NBSVMApplyProcessor). config: {path, tokens_field}."""
+    from ..ml.nbsvm import NbsvmModel, nbsvm_predict
+
+    model = NbsvmModel.load(config["path"])
+    return lambda df: nbsvm_predict(
+        df, model, tokens_col=config.get("tokens_field", "tokens")
+    )
+
+
+@operator("summarize")
+def summarize_op(config: dict):
+    """Extractive summarization (nlp/processors/Summarize.scala). config:
+    {text_field, score_map_field, num_lines, optimal_sentence_length, base,
+    preserve_order, return_plain_text, result}."""
+    from ..ml.nlp import summarize
+
+    return lambda df: summarize(
+        df,
+        text_col=config["text_field"],
+        score_map_col=config["score_map_field"],
+        num_lines=int(config.get("num_lines", 3)),
+        optimal_length=int(config.get("optimal_sentence_length", 11)),
+        base=float(config.get("base", 2.0)),
+        preserve_order=bool(config.get("preserve_order", True)),
+        as_text=bool(config.get("return_plain_text", True)),
+        out_col=config.get("result", "summary"),
+    )

@@ -357,3 +357,177 @@ def ml_hmm_train_loglik(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(len(hist), float(hist[-1]), float(np.sum(model.pi)))],
         "iterations int, final_loglik double, pi_sum double",
     )
+
+
+@query("ts_arima_forecast", tags=("ml", "timeseries"))
+def ts_arima_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full ARIMA(2,1,1) forecast of hourly event counts per type
+    (ARIMA.scala:36-78,404 — Hannan-Rissanen init + CSS refinement +
+    differencing/inverse-differencing). Iterative fit: rows-only check;
+    coefficient recovery and the differencing algebra are pinned in
+    tests/test_arima.py."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.count(F.lit(1)).cast("double").alias("n"))
+    return TS.arima_forecast(
+        hourly, ["event_type"], "h", "n", p=2, d=1, q=1, horizon=5
+    ).orderBy("event_type", "step")
+
+
+# ---------------------------------------------------------------------------
+# NBSVM (NBSVMProcessor.scala:13; Wang & Manning 2012). The log-count-ratio
+# table — the corpus-scale part — is oracled exactly via the log-free odds
+# form (multiplication/division are IEEE-exact across engines, ln is not).
+# The SVM fit is iterative -> rows-only; accuracy floor pinned in pytest.
+# ---------------------------------------------------------------------------
+
+_NBSVM_RATIO_ORACLE = """
+WITH lab AS (
+  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y, text FROM documents
+),
+tok AS (
+  SELECT DISTINCT y, rowid, unnest(string_split(text, ' ')) AS token
+  FROM (SELECT y, text, row_number() OVER () AS rowid FROM lab)
+),
+counts AS (
+  SELECT token,
+         CAST(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0
+  FROM tok GROUP BY token
+),
+tot AS (
+  SELECT CAST(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS t1,
+         CAST(SUM(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS t0,
+         COUNT(DISTINCT token) AS v
+  FROM tok
+)
+SELECT token,
+       ((n1 + 1.0) / (t1 + 1.0 * v)) / ((n0 + 1.0) / (t0 + 1.0 * v)) AS odds
+FROM counts, tot
+"""
+
+
+@query("nlp_nbsvm_ratios", oracle=_NBSVM_RATIO_ORACLE, tags=("ml", "nlp"))
+def nlp_nbsvm_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ml.nbsvm import nb_log_count_ratios
+
+    d = load_table(spark, sf_dir, "documents").select(
+        F.split("text", " ").alias("tokens"),
+        (F.col("lang") == "en").cast("int").alias("label"),
+    )
+    return nb_log_count_ratios(d, "tokens", "label", log=False).select(
+        "token", F.col("r").alias("odds")
+    )
+
+
+@query("nlp_nbsvm_accuracy", tags=("ml", "nlp"))
+def nlp_nbsvm_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train NBSVM on documents (en vs rest), score the same corpus —
+    iterative SVM fit is rows-only for the driver; a >=0.95 accuracy floor
+    on a separable synthetic corpus is pinned in tests/test_nbsvm.py."""
+    from ..ml.nbsvm import nbsvm_predict, nbsvm_train
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.split("text", " ").alias("tokens"),
+        (F.col("lang") == "en").cast("int").alias("label"),
+    )
+    model = nbsvm_train(d, "tokens", "label", vocab_size=5000, max_iter=20)
+    scored = nbsvm_predict(d, model, "tokens")
+    return scored.agg(
+        (F.sum((F.col("prediction") == F.col("label")).cast("long"))
+         / F.count(F.lit(1))).alias("accuracy"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Summarize (nlp/processors/Summarize.scala:14-77): documents have no
+# sentence punctuation, so both engines first re-chunk each doc into
+# 7-token "sentences", score sentences by mean doc-TF of tokens (len >= 3)
+# damped by 2^-|len-5|, and keep the top 2 in document order. base=2 keeps
+# every score an exact dyadic rational -> bit-identical ranking.
+# ---------------------------------------------------------------------------
+
+_SUMMARIZE_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, text, string_split(text, ' ') AS tk FROM documents
+),
+sent AS (
+  SELECT doc_id, i AS pos,
+         array_to_string(tk[(i * 7 + 1):(i * 7 + 7)], ' ') AS sentence
+  FROM toks,
+       UNNEST(generate_series(0, CAST(ceil(len(tk) / 7.0) AS INT) - 1)) AS g(i)
+),
+tf AS (
+  SELECT doc_id, tok, COUNT(*) AS c
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+  GROUP BY doc_id, tok
+),
+stok AS (
+  SELECT s.doc_id, s.pos, s.sentence, u.tok
+  FROM sent s, UNNEST(string_split(s.sentence, ' ')) AS u(tok)
+  WHERE len(u.tok) >= 3
+),
+scored AS (
+  SELECT s.doc_id, s.pos, s.sentence,
+         COALESCE(agg.score, 0.0) AS score
+  FROM sent s
+  LEFT JOIN (
+    SELECT st.doc_id, st.pos,
+           SUM(tf.c) * 1.0 / COUNT(*)
+             * power(2.0, -abs(COUNT(*) - 5)) AS score
+    FROM stok st JOIN tf ON st.doc_id = tf.doc_id AND st.tok = tf.tok
+    GROUP BY st.doc_id, st.pos
+  ) agg ON s.doc_id = agg.doc_id AND s.pos = agg.pos
+)
+SELECT doc_id, string_agg(sentence, '. ' ORDER BY pos) AS summary
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY score DESC, pos ASC
+  ) AS rk
+  FROM scored
+)
+WHERE rk <= 2
+GROUP BY doc_id
+"""
+
+
+@query("nlp_summarize_top_sentences", oracle=_SUMMARIZE_ORACLE, tags=("ml", "nlp"))
+def nlp_summarize_top_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ml.nlp import summarize
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tk = F.split("text", " ")
+    n_chunks = F.ceil(F.size(tk) / F.lit(7.0)).cast("int")
+    sentencized = F.concat_ws(
+        ". ",
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.array_join(F.slice(tk, i * 7 + 1, 7), " "),
+        ),
+    )
+    tfmap = F.map_from_entries(
+        F.transform(
+            F.array_distinct(tk),
+            lambda t: F.struct(
+                t.alias("k"),
+                F.size(F.filter(tk, lambda x: x == t)).cast("double").alias("v"),
+            ),
+        )
+    )
+    prepared = d.select(
+        "doc_id", sentencized.alias("stext"), tfmap.alias("tf")
+    )
+    out = summarize(
+        prepared,
+        text_col="stext",
+        score_map_col="tf",
+        num_lines=2,
+        optimal_length=5,
+        base=2.0,
+        preserve_order=True,
+        as_text=True,
+    )
+    return out.select("doc_id", F.col("summary"))
