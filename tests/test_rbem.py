@@ -1,0 +1,137 @@
+"""POS tagger + RBEM polarity tests: rule semantics hand-checked, negation
+flips, SQL-oracle generator parity with the Column chain."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tuktu_spark.ml.rbem import (
+    pos_tag_case_sql,
+    pos_tags,
+    rbem_emissions,
+    rbem_polarity,
+)
+
+
+def _tag(spark, tokens):
+    df = spark.createDataFrame([(tokens,)], "toks array<string>")
+    return df.select(pos_tags(F.col("toks")).alias("t")).first()["t"]
+
+
+class TestPosTagger:
+    def test_lexicon_and_suffix_rules(self, spark):
+        got = _tag(
+            spark,
+            ["The", "quick", "runner", "quickly", "jumped", "over", "13", "walls"],
+        )
+        assert got == ["DT", "NN", "JJR", "RB", "VBD", "IN", "CD", "NNS"]
+
+    def test_capitalized_is_nnp(self, spark):
+        assert _tag(spark, ["London", "london"]) == ["NNP", "NN"]
+
+    def test_lexicon_beats_suffix(self, spark):
+        # "this" ends in 's' but is a lexicon DT; "is" too short for -s rule
+        assert _tag(spark, ["this", "is"]) == ["DT", "VB"]
+
+    def test_suffix_needs_margin(self, spark):
+        # suffix applies only when token is >= suffix+3 chars
+        assert _tag(spark, ["red", "boxes"]) == ["NN", "NNS"]
+
+    def test_sql_case_matches_column_chain(self, spark, duck):
+        words = [
+            "The", "cat", "cats", "running", "walked", "slowly", "bigger",
+            "biggest", "useful", "famous", "active", "breakable", "42",
+            "3.14", "London", "and", "must", "who", "it", "ed", "ly", "x",
+        ]
+        spark_tags = _tag(spark, words)
+        arr = "[" + ", ".join(f"'{w}'" for w in words) + "]"
+        sql = f"""
+        SELECT list_transform({arr}, tok -> {pos_tag_case_sql('tok')}) AS t
+        """
+        # DuckDB list_transform lambda: single-arg
+        duck_tags = duck.execute(sql).fetchone()[0]
+        assert spark_tags == duck_tags
+
+
+class TestRbem:
+    def _emissions(self, spark, tokens, **kw):
+        df = spark.createDataFrame([(tokens,)], "toks array<string>")
+        return df.select(
+            rbem_emissions(F.col("toks"), **kw).alias("e")
+        ).first()["e"]
+
+    def test_single_seed_decay(self, spark):
+        e = self._emissions(
+            spark,
+            ["a", "good", "b", "c"],
+            seeds=["good"], left_flips=[], right_flips=[],
+        )
+        # seed at index 1: 2^-1, 2^0, 2^-1, 2^-2
+        assert e == [0.5, 1.0, 0.5, 0.25]
+
+    def test_two_seeds_sum(self, spark):
+        e = self._emissions(
+            spark,
+            ["good", "x", "good"],
+            seeds=["good"], left_flips=[], right_flips=[],
+        )
+        assert e == [1.25, 1.0, 1.25]
+
+    def test_right_flip_negates_suffix(self, spark):
+        e = self._emissions(
+            spark,
+            ["good", "not", "x"],
+            seeds=["good"], left_flips=[], right_flips=["not"],
+        )
+        # flip at 1 negates positions >= 1
+        assert e == [1.0, -0.5, -0.25]
+
+    def test_left_flip_negates_prefix(self, spark):
+        e = self._emissions(
+            spark,
+            ["x", "not", "good"],
+            seeds=["good"], left_flips=["not"], right_flips=[],
+        )
+        # left flip at 1 negates positions <= 1
+        assert e == [-0.25, -0.5, 1.0]
+
+    def test_double_flip_cancels(self, spark):
+        e = self._emissions(
+            spark,
+            ["not", "not", "good"],
+            seeds=["good"], left_flips=[], right_flips=["not"],
+        )
+        # flip@0 negates [0..2], flip@1 negates [1..2]: position 0 flipped
+        # once, positions 1-2 twice (cancel)
+        assert e == [-0.25, 0.5, 1.0]
+
+    def test_polarity_score(self, spark):
+        df = spark.createDataFrame(
+            [(1, ["good", "x"]), (2, ["bad", "x"]), (3, ["not", "good"]), (4, ["x"])],
+            "id int, tokens array<string>",
+        )
+        out = {r["id"]: r["polarity"] for r in rbem_polarity(df).collect()}
+        assert out[1] == 1.5  # good: 1 + 0.5
+        assert out[2] == -1.5
+        assert out[3] == -1.5  # flip at 0 negates everything
+        assert out[4] == 0.0
+
+    def test_discretize(self, spark):
+        df = spark.createDataFrame(
+            [(1, ["good"]), (2, ["bad"]), (3, ["x"])], "id int, tokens array<string>"
+        )
+        out = {
+            r["id"]: r["polarity"]
+            for r in rbem_polarity(df, discretize=True).collect()
+        }
+        assert out == {1: 1.0, 2: -1.0, 3: 0.0}
+
+    def test_empty_tokens(self, spark):
+        df = spark.createDataFrame([(1, [])], "id int, tokens array<string>")
+        assert rbem_polarity(df).first()["polarity"] == 0.0
+
+    def test_case_insensitive_matching(self, spark):
+        df = spark.createDataFrame([(1, ["GOOD", "Bad"])], "id int, tokens array<string>")
+        # good at 0 (+), bad at 1 (-): (1 - 0.5) + (0.5 - 1) = 0
+        assert rbem_polarity(df).first()["polarity"] == 0.0

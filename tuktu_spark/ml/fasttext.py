@@ -1,0 +1,105 @@
+"""FastText-style word/document vectors.
+
+Reference: nlp/processors/FastTextProcessor.scala:20 (JFastText wrapper
+loading a trained .bin model) and URBEM's vector matcher. The trained-model
+path needs the fasttext lib + a model binary, neither in this container —
+``load_fasttext_model`` documents that seam and fails with a clear message.
+
+The WORKING fallback is the deterministic half of fastText itself
+(Bojanowski et al., "Enriching Word Vectors with Subword Information" —
+public literature): a word is represented by its char n-grams (with < >
+boundary markers) hashed into a fixed number of buckets. Without learned
+weights the bucket-count vector (L2-normalized) is a degenerate-but-useful
+embedding: near-identical spellings map to near-identical vectors, which is
+exactly what the URBEM seed matcher and near-dup pipelines need from a
+fallback. Everything is column algebra (explode + md5-hash + groupBy) —
+JVM-side, linear, shuffle only on (doc, bucket).
+
+md5-prefix bucketing (not xxhash64) keeps bucket ids engine-portable:
+counts are integers, the L2 norm is sqrt(exact int) and IEEE sqrt/div are
+correctly rounded, so normalized weights are bit-identical across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def load_fasttext_model(path: str):
+    """Load a trained fastText model — the real-model seam
+    (FastTextProcessor.scala:20). Requires the `fasttext` python lib."""
+    try:
+        import fasttext  # type: ignore
+    except ImportError as e:
+        raise NotImplementedError(
+            "trained fastText models need the fasttext lib (not in this "
+            "environment); use the deterministic subword-hash fallback "
+            "(subword_ngrams / doc_bucket_vectors) or install fasttext"
+        ) from e
+    return fasttext.load_model(path)
+
+
+def subword_ngrams(token_col, n: int = 3):
+    """Char n-grams of '<token>' (boundary-marked, fastText-style)."""
+    marked = F.concat(F.lit("<"), token_col, F.lit(">"))
+    count = F.length(marked) - (n - 1)
+    return F.when(count < 1, F.array(marked)).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(count, F.lit(1))),
+            lambda i: F.substr(marked, i, F.lit(n)),
+        )
+    )
+
+
+def doc_bucket_vectors(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    dim: int = 64,
+    n: int = 3,
+) -> DataFrame:
+    """(id, bucket, weight) sparse document embedding: counts of subword
+    n-gram hash buckets, L2-normalized per document. Rows exist only for
+    non-zero buckets."""
+    grams = df.select(
+        F.col(id_col),
+        F.explode(F.col(tokens_col)).alias("tok"),
+    ).select(
+        id_col,
+        F.explode(subword_ngrams(F.col("tok"), n)).alias("gram"),
+    )
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("gram")), 1, 15), 16, 10).cast("long"),
+        F.lit(int(dim)),
+    )
+    counts = grams.select(F.col(id_col), bucket.alias("bucket")).groupBy(
+        id_col, "bucket"
+    ).agg(F.count(F.lit(1)).alias("c"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col)
+    norm = F.sqrt(F.sum(F.col("c") * F.col("c")).over(w).cast("double"))
+    return counts.select(
+        F.col(id_col),
+        F.col("bucket").cast("int").alias("bucket"),
+        (F.col("c").cast("double") / norm).alias("weight"),
+    )
+
+
+def doc_cosine_pairs(
+    vec: DataFrame, id_col: str = "doc_id", min_cosine: float = 0.5
+) -> DataFrame:
+    """Similar-doc pairs by sparse cosine over bucket vectors: an equi-join
+    on bucket (never all-pairs), sum of weight products = cosine (vectors
+    are pre-normalized). The fallback's answer to fastText nearest-neighbor
+    lookups."""
+    a = vec.select(F.col(id_col).alias("id_a"), "bucket", F.col("weight").alias("wa"))
+    b = vec.select(F.col(id_col).alias("id_b"), "bucket", F.col("weight").alias("wb"))
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("cosine"))
+        .filter(F.col("cosine") >= min_cosine)
+    )

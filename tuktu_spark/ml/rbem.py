@@ -1,0 +1,211 @@
+"""Rule-based NLP: heuristic POS tagging + RBEM-style polarity scoring.
+
+Reference: nlp/processors/POSTagging.scala:17-64 (OpenNLP tagger per
+language), Sentiment.scala:20-133 (RBEMPolarity/RBEMEmotion over a binary
+model jar) and the open URBEM implementation (nlp/models/URBEM.scala:43-128)
+whose emission/negation algebra is fully public:
+
+- each matched seed word at position s emits decay^(-|i - s|) to every
+  position i of the sentence for its label;
+- a right-flip at position f negates all emissions at i >= f; a left-flip
+  negates i <= f (URBEM.scala:104-118 reads rightFlips in the left loop —
+  an evident copy-paste slip; the intended left/right semantics are
+  implemented here);
+- a label's score is the sum of its emissions.
+
+The reference matches seeds by fastText cosine >= cutoff (jar + model
+binary, neither in this container). The DETERMINISTIC FALLBACK here is
+exact lowercase token match against the seed lexicons — the documented
+seam for a vector matcher is the `match_expr` hook. decay defaults to 2.0
+(reference: e): dyadic decay makes scores exact binary fractions, so the
+driver oracle can check them bit-for-bit across engines.
+
+Everything is per-row array algebra (transform/aggregate/filter) — zero
+Python in the scan path, embarrassingly parallel at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Closed-class lexicon for the heuristic tagger (Penn-style tags).
+POS_LEXICON: dict[str, str] = {
+    **{w: "DT" for w in ("the", "a", "an", "this", "that", "these", "those")},
+    **{w: "PRP" for w in ("i", "you", "he", "she", "it", "we", "they", "me", "him", "her", "us", "them")},
+    **{w: "IN" for w in ("in", "on", "at", "of", "for", "with", "by", "from", "to", "into", "over", "under")},
+    **{w: "CC" for w in ("and", "or", "but", "nor", "so", "yet")},
+    **{w: "VB" for w in ("is", "am", "are", "was", "were", "be", "been", "being", "do", "does", "did", "has", "have", "had")},
+    **{w: "MD" for w in ("can", "could", "will", "would", "shall", "should", "may", "might", "must")},
+    **{w: "RB" for w in ("not", "very", "never", "always", "often", "here", "there")},
+    **{w: "WP" for w in ("who", "what", "which", "whom", "whose")},
+}
+
+
+# Suffix rules in PRECEDENCE order (first match wins); a suffix only
+# applies when the token is at least 3 chars longer than it.
+POS_SUFFIX_RULES: list[tuple[str, str]] = [
+    ("s", "NNS"), ("er", "JJR"), ("est", "JJS"), ("able", "JJ"),
+    ("ive", "JJ"), ("ful", "JJ"), ("ous", "JJ"), ("ed", "VBD"),
+    ("ing", "VBG"), ("ly", "RB"),
+]
+
+_NNP_RE = "^[A-Z].*"
+_CD_RE = "^[0-9]+([.,][0-9]+)?$"
+
+
+def _pos_tag_one(tok: Column) -> Column:
+    """Tag one token: lexicon, then shape, then suffix rules, default NN.
+    Deterministic string algebra only — ``pos_tag_case_sql`` emits the
+    exact same decision chain as an ANSI CASE for the DuckDB oracle."""
+    low = F.lower(tok)
+    expr = F.lit("NN")
+    # applied in reverse so earlier rules end up outermost (= win)
+    for suffix, tag in POS_SUFFIX_RULES[::-1]:
+        expr = F.when(
+            low.endswith(suffix) & (F.length(low) > len(suffix) + 2), F.lit(tag)
+        ).otherwise(expr)
+    # shape rules beat suffixes
+    expr = F.when(tok.rlike(_CD_RE), F.lit("CD")).otherwise(expr)
+    expr = F.when(tok.rlike(_NNP_RE) & (low != tok), F.lit("NNP")).otherwise(expr)
+    # lexicon beats everything
+    for word, tag in POS_LEXICON.items():
+        expr = F.when(low == word, F.lit(tag)).otherwise(expr)
+    return expr
+
+
+def pos_tag_case_sql(tok: str = "tok") -> str:
+    """The tagger's decision chain as a DuckDB CASE expression — generated
+    from the SAME rule tables as the Column version, so the oracle cannot
+    drift from the implementation."""
+    by_tag: dict[str, list[str]] = {}
+    for w, t in POS_LEXICON.items():
+        by_tag.setdefault(t, []).append(w)
+    lines = ["CASE"]
+    for tag, words in by_tag.items():
+        in_list = ", ".join(f"'{w}'" for w in sorted(words))
+        lines.append(f"  WHEN lower({tok}) IN ({in_list}) THEN '{tag}'")
+    lines.append(
+        f"  WHEN regexp_matches({tok}, '{_NNP_RE}') AND lower({tok}) <> {tok} THEN 'NNP'"
+    )
+    lines.append(f"  WHEN regexp_matches({tok}, '{_CD_RE}') THEN 'CD'")
+    for suffix, tag in POS_SUFFIX_RULES:
+        lines.append(
+            f"  WHEN ends_with(lower({tok}), '{suffix}') "
+            f"AND len({tok}) > {len(suffix) + 2} THEN '{tag}'"
+        )
+    lines.append("  ELSE 'NN' END")
+    return "\n".join(lines)
+
+
+def pos_tags(tokens_col) -> Column:
+    """array<string> of heuristic POS tags, aligned with the token array
+    (POSTaggerProcessor contract: tags parallel to tokens). Swap point for
+    a real model: a pandas_udf with the same (array<string>) ->
+    (array<string>) signature."""
+    return F.transform(tokens_col, _pos_tag_one)
+
+
+def with_pos_tags(df: DataFrame, tokens_col: str = "tokens", out_col: str = "pos") -> DataFrame:
+    return df.withColumn(out_col, pos_tags(F.col(tokens_col)))
+
+
+def rbem_emissions(
+    tokens_col,
+    seeds: list[str],
+    left_flips: list[str],
+    right_flips: list[str],
+    decay: float = 2.0,
+    max_distance: int = 20,
+) -> Column:
+    """Per-position emission array for ONE label (URBEM.scala:52-118 with
+    exact-match seeds): emission(i) = sum over matched seed positions s of
+    decay^(-min(|i-s|, max_distance)), sign-flipped by negators.
+
+    The distance clamp (reference: unbounded, but e^-20 < 1e-8 anyway)
+    keeps every emission a multiple of decay^-max_distance — with decay=2
+    all partial sums are exactly representable doubles, so scores are
+    bit-identical regardless of summation order (engine-portable)."""
+    toks = F.transform(tokens_col, lambda t: F.lower(t))
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)))
+
+    def positions_of(words: list[str]) -> Column:
+        arr = F.array(*[F.lit(w) for w in words]) if words else F.array().cast("array<string>")
+        return F.filter(
+            F.zip_with(toks, idx, lambda t, i: F.when(F.array_contains(arr, t), i)),
+            lambda x: x.isNotNull(),
+        )
+
+    seed_pos = positions_of(seeds)
+    lf_pos = positions_of(left_flips)
+    rf_pos = positions_of(right_flips)
+    base = F.lit(float(decay))
+
+    def emission_at(i: Column) -> Column:
+        raw = F.aggregate(
+            seed_pos,
+            F.lit(0.0),
+            lambda acc, s: acc
+            + F.pow(
+                base,
+                -F.least(F.abs(i - s), F.lit(int(max_distance))).cast("double"),
+            ),
+        )
+        # (-1)^(#right flips at pos <= i) * (-1)^(#left flips at pos >= i)
+        n_right = F.size(F.filter(rf_pos, lambda f: f <= i))
+        n_left = F.size(F.filter(lf_pos, lambda f: f >= i))
+        sign = F.when(F.pmod(n_right + n_left, F.lit(2)) == 1, F.lit(-1.0)).otherwise(
+            F.lit(1.0)
+        )
+        return raw * sign
+
+    return F.when(n == 0, F.array().cast("array<double>")).otherwise(
+        F.transform(idx, emission_at)
+    )
+
+
+def rbem_polarity(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    positive: list[str] | None = None,
+    negative: list[str] | None = None,
+    left_flips: list[str] | None = None,
+    right_flips: list[str] | None = None,
+    decay: float = 2.0,
+    max_distance: int = 20,
+    discretize: bool = False,
+    out_col: str = "polarity",
+) -> DataFrame:
+    """RBEMPolarityProcessor (Sentiment.scala:20-75): polarity score =
+    sum(positive emissions) - sum(negative emissions); ``discretize``
+    maps to the sign, matching the reference's option (:123-127)."""
+    positive = positive if positive is not None else DEFAULT_POSITIVE
+    negative = negative if negative is not None else DEFAULT_NEGATIVE
+    left_flips = left_flips if left_flips is not None else []
+    right_flips = right_flips if right_flips is not None else DEFAULT_NEGATORS
+
+    def total(words: list[str]) -> Column:
+        return F.aggregate(
+            rbem_emissions(
+                F.col(tokens_col), words, left_flips, right_flips, decay, max_distance
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    score = total(positive) - total(negative)
+    if discretize:
+        score = F.signum(score)
+    return df.withColumn(out_col, score)
+
+
+DEFAULT_POSITIVE = [
+    "good", "great", "excellent", "amazing", "love", "wonderful", "best",
+    "happy", "nice", "fantastic", "awesome", "perfect", "fine", "super",
+]
+DEFAULT_NEGATIVE = [
+    "bad", "terrible", "awful", "hate", "horrible", "worst", "poor",
+    "sad", "wrong", "broken", "disappointing", "useless",
+]
+DEFAULT_NEGATORS = ["not", "no", "never", "hardly", "barely"]

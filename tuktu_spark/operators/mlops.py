@@ -145,3 +145,80 @@ def summarize_op(config: dict):
         as_text=bool(config.get("return_plain_text", True)),
         out_col=config.get("result", "summary"),
     )
+
+
+@operator("pos_tags")
+def pos_tags_op(config: dict):
+    """Heuristic POS tagging (POSTagging.scala:17-64; deterministic
+    lexicon+suffix fallback — a real per-language model plugs into the
+    same array<string> -> array<string> seam). config: {tokens_field,
+    result}."""
+    from ..ml.rbem import pos_tags
+
+    from pyspark.sql import functions as F
+
+    tokens = config.get("tokens_field", "tokens")
+    out = config.get("result", "pos")
+    return lambda df: df.withColumn(out, pos_tags(F.col(tokens)))
+
+
+@operator("rbem_polarity")
+def rbem_polarity_op(config: dict):
+    """RBEM polarity (Sentiment.scala:20-75 / URBEM.scala emission
+    algebra) with exact-match seed lexicons. config: {tokens_field,
+    positive, negative, left_flips, right_flips, decay, discretize,
+    result}."""
+    from ..ml.rbem import rbem_polarity
+
+    return lambda df: rbem_polarity(
+        df,
+        tokens_col=config.get("tokens_field", "tokens"),
+        positive=config.get("positive"),
+        negative=config.get("negative"),
+        left_flips=config.get("left_flips"),
+        right_flips=config.get("right_flips"),
+        decay=float(config.get("decay", 2.0)),
+        max_distance=int(config.get("max_distance", 20)),
+        discretize=bool(config.get("discretize", False)),
+        out_col=config.get("result", "polarity"),
+    )
+
+
+@operator("fasttext_buckets")
+def fasttext_buckets_op(config: dict):
+    """Subword-hash document vectors (FastTextProcessor.scala:20 fallback;
+    trained-model seam = ml.fasttext.load_fasttext_model). config:
+    {tokens_field, id_field, dim, n}."""
+    from ..ml.fasttext import doc_bucket_vectors
+
+    return lambda df: doc_bucket_vectors(
+        df,
+        tokens_col=config.get("tokens_field", "tokens"),
+        id_col=config.get("id_field", "doc_id"),
+        dim=int(config.get("dim", 64)),
+        n=int(config.get("n", 3)),
+    )
+
+
+@operator("fasttext_similar")
+def fasttext_similar_op(config: dict):
+    """Similar-doc pairs by sparse cosine over subword-hash vectors
+    (bucket equi-join, never all-pairs). config: {tokens_field, id_field,
+    dim, n, min_cosine}."""
+    from ..ml.fasttext import doc_bucket_vectors, doc_cosine_pairs
+
+    def transform(df: DataFrame) -> DataFrame:
+        vec = doc_bucket_vectors(
+            df,
+            tokens_col=config.get("tokens_field", "tokens"),
+            id_col=config.get("id_field", "doc_id"),
+            dim=int(config.get("dim", 64)),
+            n=int(config.get("n", 3)),
+        )
+        return doc_cosine_pairs(
+            vec,
+            id_col=config.get("id_field", "doc_id"),
+            min_cosine=float(config.get("min_cosine", 0.5)),
+        )
+
+    return transform

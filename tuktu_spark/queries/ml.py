@@ -531,3 +531,148 @@ def nlp_summarize_top_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
         as_text=True,
     )
     return out.select("doc_id", F.col("summary"))
+
+
+# ---------------------------------------------------------------------------
+# POS tagging + RBEM polarity (POSTagging.scala:17-64, Sentiment.scala:20-75,
+# URBEM.scala:43-128). Deterministic fallbacks: lexicon+suffix tagger (the
+# SQL CASE oracle is GENERATED from the same rule tables) and exact-match
+# seed lexicons with dyadic decay (base 2, clamped distance) so emission
+# sums are bit-identical across engines in any summation order.
+# ---------------------------------------------------------------------------
+
+
+def _pos_oracle() -> str:
+    from ..ml.rbem import pos_tag_case_sql
+
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS tok,
+         generate_subscripts(string_split(text, ' '), 1) AS i
+  FROM documents
+)
+SELECT doc_id,
+       string_agg({pos_tag_case_sql('tok')}, ' ' ORDER BY i) AS tags
+FROM toks GROUP BY doc_id
+"""
+
+
+@query("nlp_pos_tags", oracle=_pos_oracle(), tags=("ml", "nlp"))
+def nlp_pos_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ml.rbem import pos_tags
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.select(
+        "doc_id",
+        F.array_join(pos_tags(F.split("text", " ")), " ").alias("tags"),
+    )
+
+
+# seeds drawn from the corpus vocabulary so emissions are non-trivial:
+# 'fast' emits positive, 'slow' negative, 'the' stands in as a right-flip
+# negator (synthetic corpus has no sentiment negators).
+_RBEM_ORACLE = """
+WITH docs AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents
+),
+pos AS (
+  SELECT doc_id, unnest(tk) AS tok, generate_subscripts(tk, 1) - 1 AS i
+  FROM docs
+),
+signed AS (
+  SELECT doc_id, tok, i,
+         CASE WHEN SUM(CASE WHEN tok = 'the' THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY i) % 2 = 1
+              THEN -1.0 ELSE 1.0 END AS sign
+  FROM pos
+),
+emit AS (
+  SELECT p.doc_id, p.i,
+         SUM(CASE WHEN s.tok = 'fast'
+                  THEN power(2.0, -least(abs(p.i - s.i), 20)) ELSE 0 END) AS ep,
+         SUM(CASE WHEN s.tok = 'slow'
+                  THEN power(2.0, -least(abs(p.i - s.i), 20)) ELSE 0 END) AS en
+  FROM pos p
+  JOIN pos s ON p.doc_id = s.doc_id AND s.tok IN ('fast', 'slow')
+  GROUP BY p.doc_id, p.i
+)
+SELECT g.doc_id,
+       COALESCE(SUM((e.ep - e.en) * g.sign), 0.0) AS polarity
+FROM signed g
+LEFT JOIN emit e ON g.doc_id = e.doc_id AND g.i = e.i
+GROUP BY g.doc_id
+"""
+
+
+@query("nlp_rbem_polarity", oracle=_RBEM_ORACLE, tags=("ml", "nlp"))
+def nlp_rbem_polarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ml.rbem import rbem_polarity
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("tokens")
+    )
+    out = rbem_polarity(
+        d,
+        tokens_col="tokens",
+        positive=["fast"],
+        negative=["slow"],
+        left_flips=[],
+        right_flips=["the"],
+        decay=2.0,
+        max_distance=20,
+    )
+    return out.select("doc_id", "polarity")
+
+
+# ---------------------------------------------------------------------------
+# FastText fallback: subword n-gram hash vectors (FastTextProcessor.scala:20;
+# Bojanowski et al. subword hashing without learned weights). Bucket weights
+# are exactly portable: integer counts, IEEE sqrt/div correctly rounded.
+# ---------------------------------------------------------------------------
+
+_FASTTEXT_ORACLE = """
+WITH grams AS (
+  SELECT doc_id, '<' || tok || '>' AS m
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+),
+ng AS (
+  SELECT doc_id, substr(m, CAST(g.i AS INT), 3) AS gram
+  FROM grams,
+       UNNEST(generate_series(1, greatest(len(m) - 2, 1))) AS g(i)
+),
+counts AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(gram), 1, 15) AS BIGINT) % 64 AS bucket,
+         COUNT(*) AS c
+  FROM ng GROUP BY 1, 2
+)
+SELECT doc_id, CAST(bucket AS INT) AS bucket,
+       CAST(c AS DOUBLE)
+         / sqrt(CAST(SUM(c * c) OVER (PARTITION BY doc_id) AS DOUBLE)) AS weight
+FROM counts
+"""
+
+
+@query("nlp_fasttext_buckets", oracle=_FASTTEXT_ORACLE, tags=("ml", "nlp"))
+def nlp_fasttext_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ml.fasttext import doc_bucket_vectors
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("tokens")
+    )
+    return doc_bucket_vectors(d, "tokens", "doc_id", dim=64, n=3)
+
+
+@query("nlp_fasttext_similar_pairs", tags=("ml", "nlp"))
+def nlp_fasttext_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc pairs with subword-vector cosine >= 0.9 — rows-only (cosine sums
+    over a join have engine-dependent float summation order; boundary
+    behavior pinned in tests/test_fasttext.py instead)."""
+    from ..ml.fasttext import doc_bucket_vectors, doc_cosine_pairs
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("tokens")
+    )
+    vec = doc_bucket_vectors(d, "tokens", "doc_id", dim=64, n=3)
+    return doc_cosine_pairs(vec, "doc_id", min_cosine=0.9).orderBy("id_a", "id_b")
