@@ -96,3 +96,55 @@ def test_ngram_jaccard_prefix_filter_no_cartesian(spark, sf_dir, registry):
     plan = plan_of(registry["dedup_ngram_jaccard"].fn(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_nbsvm_scoring_broadcasts_weights(spark, sf_dir, registry):
+    """nbsvm_predict joins the vocab-sized weight table: must broadcast
+    (never shuffle the corpus side) and never go nested-loop."""
+    from pyspark.sql import functions as F
+
+    from tuktu_spark.ml.nbsvm import NbsvmModel, nbsvm_predict
+    from tuktu_spark.tables import load_table
+
+    model = NbsvmModel(
+        vocab={"fast": 0, "slow": 1}, ratios=[1.0, -1.0],
+        weights=[0.5, 0.5], intercept=0.0, beta=0.25,
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("tokens")
+    )
+    plan = plan_of(nbsvm_predict(docs, model))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_fasttext_pairs_no_cartesian(spark, sf_dir, registry):
+    plan = plan_of(registry["nlp_fasttext_similar_pairs"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_rbem_is_shuffle_free(spark, sf_dir, registry):
+    """RBEM polarity is pure per-row algebra: the plan must contain no
+    Exchange at all (embarrassingly parallel at any scale)."""
+    plan = plan_of(registry["nlp_rbem_polarity"].fn(spark, sf_dir))
+    assert "Exchange" not in plan
+
+
+def test_pos_tags_is_shuffle_free(spark, sf_dir, registry):
+    plan = plan_of(registry["nlp_pos_tags"].fn(spark, sf_dir))
+    assert "Exchange" not in plan
+
+
+def test_hmm_viterbi_single_shuffle(spark, sf_dir, registry):
+    """Viterbi decode: exactly the one groupBy(sequence-key) shuffle."""
+    plan = plan_of(registry["ml_hmm_decode"].fn(spark, sf_dir))
+    assert plan.count("+- Exchange") == 1
+
+
+def test_summarize_no_join(spark, sf_dir, registry):
+    """Sentence scoring stays within the row (map lookup, no TF join)."""
+    plan = plan_of(registry["nlp_summarize_top_sentences"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan

@@ -193,11 +193,12 @@ class TestScopedPersist:
         baseline = jvm_sc.getPersistentRDDs().size()
         for _ in range(3):
             D.minhash_dedup_pairs(docs).count()
-        # each run released the previous run's persist: at most ONE extra
-        assert jvm_sc.getPersistentRDDs().size() <= baseline + 1
+        # each run released the previous run's persists: at most one run's
+        # worth outstanding (minhash persists shingles + signatures)
+        assert jvm_sc.getPersistentRDDs().size() <= baseline + 2
         for _ in range(3):
             D.ngram_jaccard_pairs(docs).count()
-        assert jvm_sc.getPersistentRDDs().size() <= baseline + 1
+        assert jvm_sc.getPersistentRDDs().size() <= baseline + 2
         D.release_persisted()
         assert jvm_sc.getPersistentRDDs().size() <= baseline
 

@@ -70,14 +70,20 @@ def base_hash(col):
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
-def word_shingles(text_col, n: int = 3):
-    """Distinct word n-gram shingles of a text column (array).
+def _tokens(text_col):
+    return F.filter(F.split(text_col, r"\s+"), lambda x: x != "")
+
+
+def _shingles_from_tokens(toks, n: int):
+    """Shingles from an ALREADY-MATERIALIZED token array column.
 
     Docs with fewer than n tokens yield an EMPTY array: sequence(1, 0)
     would produce the descending [1, 0] and slice(toks, 0, n) throws, so
     the short-doc case is guarded explicitly (real corpora always contain
-    short/empty documents)."""
-    toks = F.filter(F.split(text_col, r"\s+"), lambda x: x != "")
+    short/empty documents). The guard references `toks` three times —
+    pass a projected column, not the raw split expression: Catalyst does
+    not CSE across lambda boundaries, so an inline split+filter would be
+    re-tokenized per reference (measured ~1.7x on the shingle pass)."""
     count = F.size(toks) - (n - 1)
     return F.when(count < 1, F.array().cast("array<string>")).otherwise(
         F.array_distinct(
@@ -87,6 +93,13 @@ def word_shingles(text_col, n: int = 3):
             )
         )
     )
+
+
+def word_shingles(text_col, n: int = 3):
+    """Distinct word n-gram shingles of a text column (array). For hot
+    paths prefer ``hashed_shingles`` which tokenizes in its own projection
+    (see _shingles_from_tokens on why)."""
+    return _shingles_from_tokens(_tokens(text_col), n)
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -111,12 +124,11 @@ def hashed_shingles(
     of the shingle-pass cost). The hash never surfaces in results — the
     Jaccard oracle recomputes from raw strings — so engine portability
     doesn't apply; equality holds up to 64-bit collision probability."""
-    return df.select(
-        F.col(id_col),
-        F.transform(word_shingles(F.col(text_col), n), lambda s: F.xxhash64(s)).alias(
-            "shingles"
-        ),
+    tokd = df.select(F.col(id_col), _tokens(F.col(text_col)).alias("__toks"))
+    sh = F.transform(
+        _shingles_from_tokens(F.col("__toks"), n), lambda s: F.xxhash64(s)
     )
+    return tokd.select(F.col(id_col), sh.alias("shingles"))
 
 
 def shingle_table(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
@@ -270,7 +282,10 @@ def minhash_dedup_pairs(
     and set sizes."""
     release_persisted()
     h = _persist_scoped(hashed_shingles(df, text_col, id_col, n))
-    sigs = minhash_signatures_from_hashed(h, id_col)
+    # signatures are docs x NUM_HASHES longs (tiny vs the corpus); without
+    # the persist both sides of the banded self-join re-run the signature
+    # fold (measured ~1.4 s/side at sf0.1)
+    sigs = _persist_scoped(minhash_signatures_from_hashed(h, id_col))
     cands = minhash_lsh_candidates(sigs, id_col)
     sh = h.select(F.col(id_col), F.explode("shingles").alias("shingle"))
     sizes = h.select(F.col(id_col), F.size("shingles").alias("n_sh"))

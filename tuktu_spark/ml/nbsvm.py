@@ -171,6 +171,9 @@ def nbsvm_train(
             Vectors.sparse(n_features, [i for i, _ in pairs], [v for _, v in pairs]),
         )
 
+    # RDD map is the one sanctioned seam for building sparse-VectorUDT
+    # rows (Arrow/pandas UDFs cannot emit VectorUDT); it touches only the
+    # TRAINING corpus — scoring (nbsvm_predict) never leaves column algebra.
     train_df = spark.createDataFrame(
         feats.rdd.map(to_vec), ["label", "features"]
     )
