@@ -1,0 +1,119 @@
+"""Tests for the formerly-partial operators: datum_merge, count_eof,
+delay, view_delete, binary_files_sink."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from tuktu_spark.operators import make_operator
+
+
+class TestDatumMerge:
+    def test_last_non_null_wins(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "a", None, 10),
+                (2, None, "x", 20),
+                (3, "c", None, None),
+            ],
+            "ord int, s string, t string, v int",
+        )
+        op = make_operator("datum_merge", {"order_by": "ord"})
+        row = op(df).collect()[0]
+        assert row["s"] == "c" and row["t"] == "x" and row["v"] == 20
+
+    def test_grouped_merge(self, spark):
+        df = spark.createDataFrame(
+            [("g1", 1, "a"), ("g1", 2, "b"), ("g2", 1, "z")],
+            "g string, ord int, s string",
+        )
+        op = make_operator("datum_merge", {"group": ["g"], "order_by": "ord"})
+        out = {r["g"]: r["s"] for r in op(df).collect()}
+        assert out == {"g1": "b", "g2": "z"}
+
+    def test_deep_map_merge(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, {"a": "1", "b": "1"}),
+                (2, {"b": "2", "c": "2"}),
+            ],
+            "ord int, m map<string,string>",
+        )
+        op = make_operator("datum_merge", {"order_by": "ord", "deep": True})
+        row = op(df).collect()[0]
+        assert row["m"] == {"a": "1", "b": "2", "c": "2"}  # later keys win
+
+    def test_requires_order(self, spark):
+        df = spark.createDataFrame([(1,)], "x int")
+        with pytest.raises(ValueError, match="order_by"):
+            make_operator("datum_merge", {})(df)
+
+
+class TestCountEofDelay:
+    def test_count_eof_passthrough(self, spark, capsys):
+        df = spark.createDataFrame([(1,), (2,)], "x int")
+        out = make_operator("count_eof", {"label": "probe"})(df)
+        assert out.count() == 2
+        assert "probe: 2 rows" in capsys.readouterr().out
+
+    def test_delay_batch_sleeps_and_passes_through(self, spark):
+        import time
+
+        df = spark.createDataFrame([(1,)], "x int")
+        t0 = time.perf_counter()
+        out = make_operator("delay", {"delay": 150})(df)
+        assert time.perf_counter() - t0 >= 0.15
+        assert out.count() == 1
+
+
+class TestViewDelete:
+    def test_keyed_delete(self, spark):
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "k int, v string"
+        ).createOrReplaceTempView("vd_store")
+        df = spark.createDataFrame([(0,)], "x int")
+        out = make_operator(
+            "view_delete", {"view": "vd_store", "key_field": "k", "values": [1, 3]}
+        )(df)
+        assert out.count() == 1  # passthrough
+        left = sorted(r["k"] for r in spark.table("vd_store").collect())
+        assert left == [2]
+
+    def test_predicate_delete(self, spark):
+        spark.createDataFrame(
+            [(1, 5.0), (2, 50.0)], "k int, v double"
+        ).createOrReplaceTempView("vd_store2")
+        df = spark.createDataFrame([(0,)], "x int")
+        make_operator("view_delete", {"view": "vd_store2", "where": "${v} > 10"})(df)
+        assert [r["k"] for r in spark.table("vd_store2").collect()] == [1]
+
+
+class TestBinaryFilesSink:
+    def test_writes_one_file_per_row(self, spark, tmp_path):
+        df = spark.createDataFrame(
+            [("img1", bytearray(b"\x00\x01")), ("img2", bytearray(b"\xff"))],
+            "name string, payload binary",
+        )
+        out_dir = str(tmp_path / "media")
+        out = make_operator(
+            "binary_files_sink",
+            {"dir": out_dir, "field": "payload", "name_field": "name"},
+        )(df)
+        assert out.count() == 2
+        assert sorted(os.listdir(out_dir)) == ["img1.bin", "img2.bin"]
+        with open(os.path.join(out_dir, "img1.bin"), "rb") as f:
+            assert f.read() == b"\x00\x01"
+
+    def test_null_payload_skipped(self, spark, tmp_path):
+        df = spark.createDataFrame(
+            [("a", bytearray(b"x")), ("b", None)], "name string, payload binary"
+        )
+        out_dir = str(tmp_path / "media2")
+        make_operator(
+            "binary_files_sink",
+            {"dir": out_dir, "field": "payload", "name_field": "name"},
+        )(df)
+        assert os.listdir(out_dir) == ["a.bin"]

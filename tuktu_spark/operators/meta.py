@@ -197,3 +197,39 @@ def signal_barrier(config: dict):
         return df
 
     return transform
+
+
+@operator("count_eof")
+def count_eof(config: dict):
+    """CountEOFProcessor (BaseProcessors.scala:74-90): log row/packet
+    counts when the flow drains. Spark's EOF is the action boundary, so
+    this op counts HERE (one extra job over the — usually cached —
+    lineage) and logs, then passes the frame through. config: {label}."""
+    label = config.get("label", "count_eof")
+
+    def transform(df: DataFrame) -> DataFrame:
+        n = df.count()
+        parts = df.rdd.getNumPartitions()
+        print(f"{label}: {n} rows in {parts} partitions at EOF")
+        return df
+
+    return transform
+
+
+@operator("delay")
+def delay(config: dict):
+    """DelayProcessor (BaseProcessors.scala:32-68): throttle packet flow.
+    Batch mapping: one driver-side sleep per compile (a packet ~ a batch);
+    streaming mapping: the micro-batch trigger interval IS the throttle —
+    run the sink with trigger(processingTime=delay) (streaming/ops.py
+    sinks accept ``trigger``). config: {delay: ms}."""
+    delay_ms = int(config.get("delay", 0))
+
+    def transform(df: DataFrame) -> DataFrame:
+        if not df.isStreaming and delay_ms > 0:
+            import time
+
+            time.sleep(delay_ms / 1000.0)
+        return df
+
+    return transform

@@ -401,3 +401,76 @@ def tuple_implode(config: dict):
         )
 
     return transform
+
+
+@operator("datum_merge")
+def datum_merge(config: dict):
+    """DatumMergeProcessor (processors/DatumMergeProcessor.scala:14-18):
+    fold all rows of a packet into ONE row, later rows winning scalars.
+
+    Spark mapping: the packet boundary is a group key (``group``, empty =
+    whole frame). Flat fast path: last non-null value per column — one
+    hash aggregate, fully JVM-side. ``deep: true`` additionally
+    deep-merges map<string,*> columns key-by-key (utils.mergeMap
+    semantics) via map_concat-style last-wins of collected maps.
+
+    config: {group: [cols], order_by: col (required for a deterministic
+    'last'), deep: bool}."""
+    group = list(config.get("group", []))
+    order_by = config.get("order_by")
+    deep = bool(config.get("deep", False))
+
+    def transform(df: DataFrame) -> DataFrame:
+        if order_by is None:
+            raise ValueError(
+                "datum_merge needs order_by: 'last row wins' requires an "
+                "explicit order in a distributed frame"
+            )
+        value_cols = [c for c in df.columns if c not in group and c != order_by]
+        dtypes = dict(df.dtypes)
+        aggs = []
+        for c in value_cols:
+            if deep and dtypes[c].startswith("map<"):
+                # deep merge: fold the order-sorted maps, later keys win
+                # (utils.mergeMap). collect_list order is partition-
+                # dependent, so carry the order key and sort_array first.
+                collected = F.collect_list(
+                    F.when(
+                        F.col(c).isNotNull(),
+                        F.struct(F.col(order_by).alias("o"), F.col(c).alias("m")),
+                    )
+                )
+                # sort_array can't order structs containing maps; a
+                # comparator on just the order key can
+                sorted_maps = F.transform(
+                    F.array_sort(
+                        collected,
+                        lambda x, y: F.when(x["o"] < y["o"], -1)
+                        .when(x["o"] > y["o"], 1)
+                        .otherwise(0),
+                    ),
+                    lambda x: x["m"],
+                )
+                aggs.append(
+                    F.aggregate(
+                        sorted_maps,
+                        F.expr(f"cast(map() as {dtypes[c]})"),
+                        lambda acc, m: F.map_concat(
+                            F.map_filter(acc, lambda k, v: ~F.map_contains_key(m, k)), m
+                        ),
+                    ).alias(c)
+                )
+            else:
+                # value at the LAST order position where c is non-null;
+                # max_by skips rows whose ordering expression is null, so
+                # this is shuffle-order-independent (never last()/first())
+                aggs.append(
+                    F.expr(
+                        f"max_by(`{c}`, CASE WHEN `{c}` IS NOT NULL "
+                        f"THEN `{order_by}` END)"
+                    ).alias(c)
+                )
+        g = df.groupBy(*group) if group else df.groupBy()
+        return g.agg(*aggs)
+
+    return transform

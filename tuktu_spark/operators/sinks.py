@@ -8,6 +8,7 @@ A sink factory returns ``DataFrame -> None`` (side effect) except
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from .registry import operator
 
@@ -122,3 +123,61 @@ def cache(config: dict):
         return df.cache()
 
     return transform
+
+
+@operator("view_delete")
+def view_delete(config: dict):
+    """TuktuDB keyed delete (modules/dfs or TuktuDBDeleteProcessor): remove
+    matching rows from a registered temp view — the Spark analogue of
+    deleting keys from the in-memory store. config: {view, where} or
+    {view, key_field, values}. Passes the piped frame through unchanged."""
+    view = config["view"]
+
+    def transform(df: DataFrame) -> DataFrame:
+        spark = df.sparkSession
+        tbl = spark.table(view)
+        if "where" in config:
+            from ..expressions.predicate import predicate_column
+
+            keep = ~predicate_column(config["where"])
+        else:
+            keep = ~F.col(config["key_field"]).isin(list(config["values"]))
+        spark.catalog.dropTempView(view)
+        tbl.filter(keep).createOrReplaceTempView(view)
+        return df
+
+    return transform
+
+
+@operator("binary_files_sink")
+def binary_files_sink(config: dict):
+    """BinaryFileStream writer (file/BinaryFileStreamProcessor): one file
+    per row from a binary column, named by an id column — the standard
+    shape for media pipelines (each executor writes its partition's rows;
+    no driver collect). Local/NFS paths; for object stores mount or use
+    parquet+binary columns instead. config: {dir, field, name_field,
+    suffix}."""
+    out_dir = config["dir"]
+    field = config["field"]
+    name_field = config["name_field"]
+    suffix = config.get("suffix", ".bin")
+
+    def sink(df: DataFrame):
+        import os
+
+        os.makedirs(out_dir, exist_ok=True)
+
+        def write_partition(rows):
+            for r in rows:
+                payload = r[field]
+                if payload is None:
+                    continue
+                with open(
+                    os.path.join(out_dir, f"{r[name_field]}{suffix}"), "wb"
+                ) as f:
+                    f.write(bytes(payload))
+
+        df.select(name_field, field).foreachPartition(write_partition)
+        return df
+
+    return sink

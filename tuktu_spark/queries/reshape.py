@@ -248,3 +248,27 @@ def reshape_struct_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
     wrap = make_operator("datum_to_field", {"field": "datum"})
     flat = make_operator("flattener", {"separator": "_"})
     return flat(wrap(na))
+
+
+_DATUM_MERGE_ORACLE = """
+SELECT o_orderstatus,
+       arg_max(o_orderpriority, o_orderkey) AS o_orderpriority,
+       arg_max(o_totalprice, o_orderkey) AS o_totalprice
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+@query("reshape_datum_merge", oracle=_DATUM_MERGE_ORACLE, tags=("reshape", "merge"))
+def reshape_datum_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DatumMergeProcessor (DatumMergeProcessor.scala:14-18): fold each
+    packet (= o_orderstatus group) into one row, later rows (by orderkey)
+    winning — the oracle is arg_max since orders columns are non-null."""
+    from ..operators import make_operator
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    op = make_operator(
+        "datum_merge", {"group": ["o_orderstatus"], "order_by": "o_orderkey"}
+    )
+    return op(o)
