@@ -183,3 +183,110 @@ def test_ngram_jaccard_prefix_filter_matches_naive(spark):
         for r in D.ngram_jaccard_pairs(df, threshold=0.5).collect()
     }
     assert got == want and (0, 2) in got
+
+
+class TestDecontamination:
+    def _corpus(self, spark):
+        base = "w%d " * 20
+        rows = [
+            (1, " ".join(f"a{i}" for i in range(20))),          # clean
+            (2, " ".join(f"b{i}" for i in range(20))),          # = eval example
+            (3, " ".join(f"b{i}" for i in range(14)) + " tail1 tail2"),  # shares 13-gram prefix
+            (4, "short doc only"),                               # < n tokens
+        ]
+        return spark.createDataFrame(rows, "doc_id int, text string")
+
+    def test_report_flags_overlapping_docs(self, spark):
+        from tuktu_spark.llm.decontaminate import contamination_report
+
+        corpus = self._corpus(spark)
+        eval_set = spark.createDataFrame(
+            [(" ".join(f"b{i}" for i in range(20)),)], "text string"
+        )
+        got = {
+            r["doc_id"]: r["n_matched_grams"]
+            for r in contamination_report(corpus, eval_set, n=13).collect()
+        }
+        assert set(got) == {2, 3}
+        assert got[2] == 8  # 20 tokens -> 8 distinct 13-grams, all matched
+        assert got[3] == 2  # b0..b13 window: grams at offsets 0 and 1
+
+    def test_decontaminate_removes_flagged(self, spark):
+        from tuktu_spark.llm.decontaminate import decontaminate
+
+        corpus = self._corpus(spark)
+        eval_set = spark.createDataFrame(
+            [(" ".join(f"b{i}" for i in range(20)),)], "text string"
+        )
+        kept = sorted(r["doc_id"] for r in decontaminate(corpus, eval_set, n=13).collect())
+        assert kept == [1, 4]
+
+    def test_eval_grams_broadcast(self, spark):
+        from tuktu_spark.llm.decontaminate import contamination_report
+
+        corpus = self._corpus(spark)
+        eval_set = spark.createDataFrame([("x y z",)], "text string")
+        plan = (
+            contamination_report(corpus, eval_set, n=2)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+
+
+class TestQuantization:
+    def test_round_trip_error_bounded(self, spark, sf_dir):
+        from tuktu_spark.llm.similarity import (
+            dequantize_embedding,
+            quantize_embedding,
+        )
+        from tuktu_spark.tables import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        q = emb.select(
+            "vec_id",
+            F.col("embedding").alias("orig"),
+            quantize_embedding(F.col("embedding")).alias("q"),
+        )
+        err = q.select(
+            F.aggregate(
+                F.zip_with(
+                    dequantize_embedding(F.col("q")),
+                    F.transform("orig", lambda x: x.cast("double")),
+                    lambda a, b: F.abs(a - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: F.greatest(acc, x),
+            ).alias("max_err"),
+            F.col("q.scale").alias("scale"),
+        )
+        # symmetric rounding: per-element error <= scale/2
+        bad = err.filter(F.col("max_err") > F.col("scale") * 0.5 + 1e-12)
+        assert bad.count() == 0
+
+    def test_quantized_cosine_close_to_exact(self, spark, sf_dir):
+        from tuktu_spark.llm.similarity import cosine, quantize_embedding, quantized_cosine
+        from tuktu_spark.tables import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding").limit(40)
+        a = emb.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("ea"))
+        b = emb.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("eb"))
+        pairs = a.join(b, F.col("ia") < F.col("ib"))
+        both = pairs.select(
+            "ia", "ib",
+            cosine(F.col("ea"), F.col("eb")).alias("exact"),
+            quantized_cosine(
+                quantize_embedding(F.col("ea")), quantize_embedding(F.col("eb"))
+            ).alias("approx"),
+        )
+        worst = both.agg(F.max(F.abs(F.col("exact") - F.col("approx")))).first()[0]
+        assert worst < 0.02  # int8 cosine stays within 2 points
+
+    def test_zero_vector_safe(self, spark):
+        from tuktu_spark.llm.similarity import quantize_embedding
+
+        df = spark.createDataFrame([(1, [0.0] * 4)], "id int, v array<float>")
+        row = df.select(quantize_embedding(F.col("v")).alias("q")).first()["q"]
+        assert row["codes"] == [0, 0, 0, 0] and row["scale"] == 1.0

@@ -143,3 +143,53 @@ def embedding_near_dup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def quantize_embedding(vec, bits: int = 8):
+    """Per-vector symmetric scalar quantization to signed ints: codes =
+    round(x / scale) with scale = max|x| / (2^(bits-1) - 1). Returns a
+    struct(codes array<int>, scale double) — at 100 TB this is the 4x
+    storage/shuffle reduction that makes embedding joins tractable, and
+    symmetric (zero-point-free) quantization keeps dot products a plain
+    integer accumulate * scale_a * scale_b.
+
+    Engine-portable: max is exact, division/round are IEEE-deterministic,
+    so codes are bit-identical across engines (oracled in the driver)."""
+    v = F.transform(vec, lambda x: x.cast("double"))
+    qmax = float((1 << (bits - 1)) - 1)
+    absmax = F.aggregate(
+        v, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x))
+    )
+    scale = F.when(absmax == 0.0, F.lit(1.0)).otherwise(absmax / F.lit(qmax))
+    codes = F.transform(v, lambda x: F.round(x / scale).cast("int"))
+    return F.struct(codes.alias("codes"), scale.alias("scale"))
+
+
+def dequantize_embedding(q):
+    """Inverse of quantize_embedding (lossy)."""
+    return F.transform(q["codes"], lambda c: c.cast("double") * q["scale"])
+
+
+def quantized_cosine(qa, qb):
+    """Cosine from quantized codes: integer dot / sqrt(int norms) — the
+    scales cancel. Integer accumulates are exact; one sqrt+div at the end."""
+    d = F.zip_with(qa["codes"], qb["codes"], lambda a, b: (a * b).cast("long"))
+    dot_i = F.aggregate(d, F.lit(0).cast("long"), lambda acc, x: acc + x)
+    na = F.aggregate(
+        F.transform(qa["codes"], lambda a: (a * a).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    nb = F.aggregate(
+        F.transform(qb["codes"], lambda b: (b * b).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return dot_i.cast("double") / F.sqrt(na.cast("double") * nb.cast("double"))
+
+
+def quantize_table(
+    df: DataFrame, vec_col: str = "embedding", bits: int = 8
+) -> DataFrame:
+    """Replace ``vec_col`` with its quantized form (codes + scale)."""
+    return df.withColumn(vec_col, quantize_embedding(F.col(vec_col), bits))

@@ -56,3 +56,38 @@ def text_features(config: dict):
     pass (llm/text.py with_text_features)."""
     text_col = config.get("text_field", "text")
     return lambda df: T.with_text_features(df, text_col)
+
+
+@operator("decontaminate")
+def decontaminate_op(config: dict):
+    """Benchmark decontamination (merger takes (corpus, eval_set) inputs
+    in flows): drop corpus docs sharing any word n-gram with the eval
+    set. config: {n, text_field, id_field, eval_text_field, report}."""
+    from ..llm import decontaminate as DC
+
+    def transform(corpus: DataFrame, eval_set: DataFrame | None = None) -> DataFrame:
+        if eval_set is None:
+            raise ValueError("decontaminate needs (corpus, eval_set) inputs")
+        fn = DC.contamination_report if config.get("report") else DC.decontaminate
+        return fn(
+            corpus,
+            eval_set,
+            corpus_text=config.get("text_field", "text"),
+            corpus_id=config.get("id_field", "doc_id"),
+            eval_text=config.get("eval_text_field", config.get("text_field", "text")),
+            n=int(config.get("n", 13)),
+        )
+
+    return transform
+
+
+@operator("quantize_embeddings")
+def quantize_embeddings_op(config: dict):
+    """Symmetric int8 scalar quantization of an embedding column (codes +
+    per-vector scale): the 4x storage/shuffle reduction for 100 TB vector
+    corpora. config: {field, bits}."""
+    from ..llm.similarity import quantize_table
+
+    return lambda df: quantize_table(
+        df, vec_col=config.get("field", "embedding"), bits=int(config.get("bits", 8))
+    )

@@ -199,3 +199,35 @@ FROM cand WHERE bit_count(xor(ha, hb)) <= {max_hamming}
 
 
 REGISTRY["dedup_simhash_near_pairs"].oracle = _simhash_pairs_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (GPT-3/PaLM recipe, public literature): flag
+# training docs sharing any 13-gram with an eval set. Eval set here = every
+# 17th document, so contamination is real (the eval docs themselves) plus
+# any cross-doc n-gram repeats the synthetic corpus happens to contain.
+# Oracle recomputes grams from raw strings (hashes never surface).
+# ---------------------------------------------------------------------------
+
+_DECON_ORACLE = """
+WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+corpus_grams AS (
+  SELECT DISTINCT doc_id, array_to_string(list_slice(t, CAST(g.i AS INT), CAST(g.i AS INT) + 12), ' ') AS gram
+  FROM tk, UNNEST(generate_series(1, len(t) - 12)) AS g(i)
+),
+eval_grams AS (
+  SELECT DISTINCT gram FROM corpus_grams WHERE doc_id % 17 = 0
+)
+SELECT c.doc_id, COUNT(DISTINCT c.gram) AS n_matched_grams
+FROM corpus_grams c JOIN eval_grams e USING (gram)
+GROUP BY c.doc_id
+"""
+
+
+@query("dedup_decontaminate_report", oracle=_DECON_ORACLE, tags=("llm", "dedup"))
+def dedup_decontaminate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.decontaminate import contamination_report
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    eval_set = docs.filter(F.col("doc_id") % 17 == 0).select("text")
+    return contamination_report(docs, eval_set, n=13)

@@ -158,3 +158,45 @@ WHERE {_cosine_sql('a.embedding', 'b.embedding')} >= 0.3
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return S.embedding_near_dup_pairs(emb, threshold=0.3)
+
+
+# ---------------------------------------------------------------------------
+# Embedding quantization (no reference analogue; standard vector-store
+# practice): symmetric int8 codes, per-vector scale. Codes are exactly
+# engine-portable (max/div/round are IEEE-deterministic), so the oracle
+# checks them bit-for-bit; output exploded to scalar columns.
+# ---------------------------------------------------------------------------
+
+_QUANT_ORACLE = """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+s AS (
+  SELECT vec_id, e,
+         CASE WHEN list_aggregate(list_transform(e, x -> abs(x)), 'max') = 0
+              THEN 1.0
+              ELSE list_aggregate(list_transform(e, x -> abs(x)), 'max') / 127.0
+         END AS scale
+  FROM v
+)
+SELECT vec_id, CAST(g.i AS INT) AS i,
+       CAST(round(e[CAST(g.i AS INT)] / scale) AS INT) AS code,
+       scale
+FROM s, UNNEST(generate_series(1, len(e))) AS g(i)
+"""
+
+
+@query("similarity_quantize_codes", oracle=_QUANT_ORACLE, tags=("llm", "similarity"))
+def similarity_quantize_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.similarity import quantize_embedding
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = emb.select("vec_id", quantize_embedding(F.col("embedding")).alias("q"))
+    return q.select(
+        "vec_id",
+        F.posexplode(F.col("q.codes")).alias("i0", "code"),
+        F.col("q.scale").alias("scale"),
+    ).select(
+        "vec_id", (F.col("i0") + 1).alias("i"), "code", "scale"
+    )
