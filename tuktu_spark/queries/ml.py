@@ -676,3 +676,75 @@ def nlp_fasttext_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vec = doc_bucket_vectors(d, "tokens", "doc_id", dim=64, n=3)
     return doc_cosine_pairs(vec, "doc_id", min_cosine=0.9).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# Token cleanup family (cleanup/Cleanup.scala) + PMI (PMI.scala:6-56).
+# Cleanup is pure per-token algebra; the PMI oracle uses the log-free
+# ratio (two IEEE divisions — exact across engines; log is monotone so
+# ranking semantics are unchanged).
+# ---------------------------------------------------------------------------
+
+_CLEANUP_ORACLE = """
+SELECT doc_id,
+       array_to_string(
+         list_transform(
+           list_filter(string_split(text, ' '),
+                       t -> len(t) > 2 AND NOT regexp_matches(t, '^[[:punct:]]+$')),
+           t -> upper(t)),
+         ' ') AS cleaned
+FROM documents
+"""
+
+
+@query("nlp_cleanup_tokens", oracle=_CLEANUP_ORACLE, tags=("ml", "nlp"))
+def nlp_cleanup_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ml.nlp import remove_punctuation, remove_short_tokens
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split("text", " ")
+    cleaned = F.transform(
+        remove_short_tokens(remove_punctuation(toks), 2), lambda t: F.upper(t)
+    )
+    return d.select("doc_id", F.array_join(cleaned, " ").alias("cleaned"))
+
+
+_PMI_ORACLE = """
+WITH docs AS (
+  SELECT lang, row_number() OVER () AS did,
+         list_distinct(string_split(text, ' ')) AS toks
+  FROM documents
+),
+words AS (
+  SELECT lang, did, unnest(toks) AS word FROM docs
+),
+word_counts AS (
+  SELECT lang, word, COUNT(*) AS cnt_v FROM words GROUP BY lang, word
+),
+seed_docs AS (
+  SELECT lang, did, word AS seed FROM words WHERE word IN ('fast', 'slow')
+),
+n_w AS (
+  SELECT lang, seed, COUNT(*) AS n_w FROM seed_docs GROUP BY lang, seed
+),
+cooc AS (
+  SELECT s.lang, s.seed, w.word, COUNT(*) AS cnt_vw
+  FROM seed_docs s JOIN words w ON s.lang = w.lang AND s.did = w.did
+  GROUP BY s.lang, s.seed, w.word
+)
+SELECT c.lang, c.seed, c.word,
+       (CAST(c.cnt_vw AS DOUBLE) / n.n_w) / wc.cnt_v AS pmi
+FROM cooc c
+JOIN n_w n ON c.lang = n.lang AND c.seed = n.seed
+JOIN word_counts wc ON c.lang = wc.lang AND c.word = wc.word
+"""
+
+
+@query("nlp_pmi_cooccurrence", oracle=_PMI_ORACLE, tags=("ml", "nlp"))
+def nlp_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ml.nlp import pmi_cooccurrence
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "lang", F.split("text", " ").alias("tokens")
+    )
+    return pmi_cooccurrence(d, "tokens", ["fast", "slow"], "lang", log=False)
