@@ -183,3 +183,48 @@ def test_streaming_minhash_candidates_equal_batch(spark, sf_dir, tmp_path):
         for r in D.minhash_lsh_candidates(sigs).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_streaming_exact_dedup_equals_batch(spark, sf_dir, tmp_path):
+    """First-seen contents across a 4-chunk replay == batch exact dedup
+    canonical set; replays are no-ops."""
+    from pyspark.sql import functions as F
+
+    from tuktu_spark.llm.dedup import exact_dedup
+    from tuktu_spark.streaming.llm import (
+        make_exact_dedup_batch_processor,
+        streaming_exact_dedup,
+    )
+    from tuktu_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # plant cross-chunk duplicates: clone 10 docs with shifted ids
+    clones = docs.limit(10).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    corpus = docs.unionByName(clones)
+    stream = STR.replay_dataframe(
+        corpus, str(tmp_path / "replay"), chunks=4, order_col="doc_id"
+    )
+    q = streaming_exact_dedup(
+        stream,
+        store_dir=str(tmp_path / "store"),
+        out_dir=str(tmp_path / "out"),
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        r["doc_id"] for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    want = {
+        r["canonical_id"] for r in exact_dedup(corpus).collect()
+    }
+    assert got == want
+    # replay idempotency: re-running batch 0 changes nothing
+    n_before = spark.read.parquet(str(tmp_path / "out")).count()
+    proc = make_exact_dedup_batch_processor(
+        spark, str(tmp_path / "store"), str(tmp_path / "out")
+    )
+    proc(corpus.limit(5), 0)
+    assert spark.read.parquet(str(tmp_path / "out")).count() == n_before

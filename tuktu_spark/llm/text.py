@@ -119,3 +119,79 @@ def with_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("bpe_token_count", regex_token_count(text_col))
         .withColumn("fingerprint", fingerprint(text_col))
     )
+
+
+def gopher_rules(
+    col: Column | str,
+    min_tokens: int = 50,
+    max_tokens: int = 100_000,
+    min_mean_token_len: float = 3.0,
+    max_mean_token_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_token_ratio: float = 0.8,
+    max_repeated_top_token_ratio: float = 0.2,
+) -> dict[str, Column]:
+    """Gopher-style document quality rules (Rae et al., "Scaling Language
+    Models" appendix quality heuristics — public literature): per-document
+    boolean verdicts plus the underlying stats. Pure column algebra — a
+    100 TB scan evaluates these in the same pass as the read.
+
+    Rules: token-count bounds, mean-token-length bounds, symbol(#/...)
+    to-token ratio, fraction of tokens with an alphabetic char, and
+    top-token domination (most frequent token's share)."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = tokens(c)
+    n_tok = F.size(toks)
+    mean_len = F.when(
+        n_tok > 0,
+        F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x)).cast("double")
+        / n_tok,
+    ).otherwise(F.lit(0.0))
+    n_symbols = F.size(F.filter(toks, lambda t: t.rlike(r"^(#+|\.{3,})$")))
+    alpha_toks = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+    # top-token share via sort + longest-equal-run fold: O(n log n) per
+    # row (a distinct-list x count scan would be quadratic and blow up on
+    # max_tokens-sized docs)
+    run = F.aggregate(
+        F.array_sort(toks),
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            (F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    top_count = F.when(n_tok > 0, run).otherwise(F.lit(0))
+    safe_n = F.greatest(n_tok, F.lit(1))
+    stats = {
+        "g_n_tokens": n_tok.cast("bigint"),
+        "g_mean_token_len": mean_len,
+        "g_symbol_ratio": n_symbols.cast("double") / safe_n,
+        "g_alpha_token_ratio": alpha_toks.cast("double") / safe_n,
+        "g_top_token_ratio": F.coalesce(
+            top_count.cast("double") / safe_n, F.lit(0.0)
+        ),
+    }
+    verdict = (
+        (n_tok >= min_tokens)
+        & (n_tok <= max_tokens)
+        & (stats["g_mean_token_len"] >= min_mean_token_len)
+        & (stats["g_mean_token_len"] <= max_mean_token_len)
+        & (stats["g_symbol_ratio"] <= max_symbol_ratio)
+        & (stats["g_alpha_token_ratio"] >= min_alpha_token_ratio)
+        & (stats["g_top_token_ratio"] <= max_repeated_top_token_ratio)
+    )
+    return {**stats, "g_pass": verdict}
+
+
+def with_gopher_rules(df: DataFrame, text_col: str = "text", **kw) -> DataFrame:
+    feats = gopher_rules(text_col, **kw)
+    return df.withColumns(feats)

@@ -154,3 +154,59 @@ def text_corpus_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_chars").alias("min_chars"),
         F.max("n_chars").alias("max_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style quality rules (Rae et al. quality heuristics, public
+# literature): per-doc stats + boolean verdict, all exact (integer counts,
+# IEEE-exact divisions) so the oracle checks bit-for-bit.
+# ---------------------------------------------------------------------------
+
+_GOPHER_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS tk
+  FROM documents
+),
+base AS (
+  SELECT doc_id, tk, len(tk) AS n,
+         list_aggregate(list_transform(tk, x -> len(x)), 'sum') AS sum_len,
+         len(list_filter(tk, x -> regexp_matches(x, '^(#+|\.{3,})$'))) AS n_sym,
+         len(list_filter(tk, x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha
+  FROM t
+),
+top AS (
+  SELECT doc_id, MAX(c) AS top_c
+  FROM (
+    SELECT doc_id, tok, COUNT(*) AS c
+    FROM (SELECT doc_id, unnest(tk) AS tok FROM t)
+    GROUP BY doc_id, tok
+  )
+  GROUP BY doc_id
+)
+SELECT b.doc_id,
+       CAST(b.n AS BIGINT) AS g_n_tokens,
+       CAST(b.sum_len AS DOUBLE) / b.n AS g_mean_token_len,
+       CAST(b.n_sym AS DOUBLE) / greatest(b.n, 1) AS g_symbol_ratio,
+       CAST(b.n_alpha AS DOUBLE) / greatest(b.n, 1) AS g_alpha_token_ratio,
+       CAST(tp.top_c AS DOUBLE) / greatest(b.n, 1) AS g_top_token_ratio,
+       (b.n >= 50 AND b.n <= 100000
+        AND CAST(b.sum_len AS DOUBLE) / b.n >= 3.0
+        AND CAST(b.sum_len AS DOUBLE) / b.n <= 10.0
+        AND CAST(b.n_sym AS DOUBLE) / greatest(b.n, 1) <= 0.1
+        AND CAST(b.n_alpha AS DOUBLE) / greatest(b.n, 1) >= 0.8
+        AND CAST(tp.top_c AS DOUBLE) / greatest(b.n, 1) <= 0.2) AS g_pass
+FROM base b JOIN top tp USING (doc_id)
+"""
+
+
+@query("text_gopher_rules", oracle=_GOPHER_ORACLE, tags=("llm", "text"))
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.text import with_gopher_rules
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = with_gopher_rules(d)
+    return out.select(
+        "doc_id", "g_n_tokens", "g_mean_token_len", "g_symbol_ratio",
+        "g_alpha_token_ratio", "g_top_token_ratio", "g_pass",
+    )

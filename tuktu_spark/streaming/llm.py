@@ -155,3 +155,82 @@ def make_minhash_batch_processor(
         sigs.unpersist()
 
     return process
+
+
+def streaming_exact_dedup(
+    stream: DataFrame,
+    store_dir: str,
+    out_dir: str,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Incremental EXACT dedup at ingest: only first-seen document contents
+    (by md5) survive to ``out_dir``. Complements streaming MinHash (near
+    dups) the way exact_dedup complements minhash_dedup_pairs in batch.
+
+    The accumulated state is one md5 per distinct content — far smaller
+    than the corpus and unbounded-watermark-free by design (content
+    equality has no event-time horizon). Same idempotency contract as the
+    MinHash store: batch_id-partitioned dynamic overwrite, hash store
+    commits last, replays skip."""
+    process = make_exact_dedup_batch_processor(
+        stream.sparkSession, store_dir, out_dir, text_col, id_col
+    )
+    return foreach_batch_sink(stream, process, checkpoint=checkpoint)
+
+
+def make_exact_dedup_batch_processor(
+    spark,
+    store_dir: str,
+    out_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    hash_store = os.path.join(store_dir, "content_md5")
+
+    def _read_store() -> DataFrame | None:
+        from pyspark.errors.exceptions.captured import AnalysisException
+
+        try:
+            return spark.read.parquet(hash_store)
+        except AnalysisException:
+            return None
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        old = _read_store()
+        if old is not None and "batch_id" in old.columns:
+            if old.filter(F.col("batch_id") == batch_id).limit(1).count() > 0:
+                return
+            old = old.drop("batch_id")
+        hashed = batch_df.withColumn("__md5", F.md5(F.col(text_col)))
+        # batch-internal canonical pick: min id per content
+        w_min = hashed.groupBy("__md5").agg(F.min(id_col).alias("__keep"))
+        firsts = hashed.join(w_min, "__md5").filter(
+            F.col(id_col) == F.col("__keep")
+        ).drop("__keep")
+        if old is not None:
+            firsts = firsts.join(
+                old.select(F.col("content_md5").alias("__md5")), "__md5", "left_anti"
+            )
+        dyn = {"partitionOverwriteMode": "dynamic"}
+        (
+            firsts.drop("__md5")
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .options(**dyn)
+            .partitionBy("batch_id")
+            .parquet(out_dir)
+        )
+        (
+            firsts.select(F.col("__md5").alias("content_md5"))
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .options(**dyn)
+            .partitionBy("batch_id")
+            .parquet(hash_store)
+        )
+
+    return process
