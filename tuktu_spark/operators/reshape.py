@@ -474,3 +474,38 @@ def datum_merge(config: dict):
         return g.agg(*aggs)
 
     return transform
+
+
+@operator("document_build")
+def document_build(config: dict):
+    """DocumentProcessor (nlp/processors/DocumentProcessor.scala:14-40):
+    merge a packet's lines/sentences into ONE document string. Spark
+    mapping: group (config.group, empty = whole frame) + ordered
+    string_agg; ``order_by`` is required — packet order must be explicit
+    in a distributed frame. config: {field, group, order_by, separator,
+    remove_empty_lines, result}."""
+    field = config["field"]
+    group = list(config.get("group", []))
+    order_by = config.get("order_by")
+    sep = config.get("separator", " ")
+    drop_empty = bool(config.get("remove_empty_lines", True))
+    result = config.get("result", "document")
+
+    def transform(df: DataFrame) -> DataFrame:
+        if order_by is None:
+            raise ValueError("document_build needs order_by for a stable line order")
+        src = df
+        if drop_empty:
+            src = src.filter((F.col(field).isNotNull()) & (F.col(field) != ""))
+        collected = F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col(order_by).alias("o"), F.col(field).alias("s"))
+                )
+            ),
+            lambda x: x["s"],
+        )
+        g = src.groupBy(*group) if group else src.groupBy()
+        return g.agg(F.array_join(collected, sep).alias(result))
+
+    return transform

@@ -272,3 +272,30 @@ def reshape_datum_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "datum_merge", {"group": ["o_orderstatus"], "order_by": "o_orderkey"}
     )
     return op(o)
+
+
+_DOCBUILD_ORACLE = """
+SELECT lang,
+       string_agg(text, ' | ' ORDER BY doc_id) AS document
+FROM documents
+GROUP BY lang
+"""
+
+
+@query("reshape_document_build", oracle=_DOCBUILD_ORACLE, tags=("reshape", "nlp"))
+def reshape_document_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DocumentProcessor (nlp/processors/DocumentProcessor.scala:14-40):
+    merge each language's document texts into one document, ordered by id."""
+    from ..operators import make_operator
+
+    d = load_table(spark, sf_dir, "documents").select("lang", "doc_id", "text")
+    op = make_operator(
+        "document_build",
+        {
+            "field": "text",
+            "group": ["lang"],
+            "order_by": "doc_id",
+            "separator": " | ",
+        },
+    )
+    return op(d)
