@@ -117,3 +117,44 @@ class TestBinaryFilesSink:
             {"dir": out_dir, "field": "payload", "name_field": "name"},
         )(df)
         assert os.listdir(out_dir) == ["a.bin"]
+
+
+class TestMongoExtras:
+    def test_mongo_collections_with_injected_lister(self, spark):
+        from tuktu_spark.operators import make_source
+
+        df = make_source(
+            spark,
+            "mongo_collections",
+            {"database": "db1", "lister": lambda db: ["a_coll", "b_coll"]},
+        )
+        assert [r["collection"] for r in df.collect()] == ["a_coll", "b_coll"]
+
+    def test_mongo_command_with_injected_runner(self, spark):
+        from tuktu_spark.operators import make_source
+
+        df = make_source(
+            spark,
+            "mongo_command",
+            {
+                "database": "db1",
+                "command": {"ping": 1},
+                "runner": lambda db, cmd: [{"ok": 1.0, "db": db}],
+            },
+        )
+        assert '"ok": 1.0' in df.first()["reply"]
+
+    def test_mongo_count_with_injected_counter(self, spark):
+        from tuktu_spark.operators import make_operator
+
+        df = spark.createDataFrame([(1,), (2,)], "x int")
+        out = make_operator(
+            "mongo_count",
+            {
+                "database": "db1",
+                "collection": "c",
+                "counter": lambda db, coll, f: 42,
+            },
+        )(df)
+        rows = out.collect()
+        assert len(rows) == 2 and all(r["mongo_count"] == 42 for r in rows)

@@ -23,6 +23,7 @@ from __future__ import annotations
 import json
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .registry import operator, source
 
@@ -295,3 +296,67 @@ def mongo_collections(spark: SparkSession, config: dict) -> DataFrame:
 
     names = lister(db)
     return spark.createDataFrame([(n,) for n in names], ["collection"])
+
+
+@source("mongo_command")
+def mongo_command(spark: SparkSession, config: dict) -> DataFrame:
+    """MongoDBCommandGenerator / RawCommandProcessor (nosql/generators/
+    mongodb.scala; processors): run a raw database command and surface the
+    reply as rows. Metadata-scale driver call by design. ``runner`` is an
+    injectable callable (db, command_dict) -> list[dict] for tests; the
+    default uses pymongo when present."""
+    db = config["database"]
+    command = config["command"]
+    runner = config.get("runner")
+    if runner is None:
+        try:
+            from pymongo import MongoClient
+        except ImportError as e:
+            raise NotImplementedError(
+                "mongo_command needs pymongo (not in this environment) "
+                "or an injected config['runner'] callable"
+            ) from e
+
+        def runner(database: str, cmd) -> list[dict]:
+            with MongoClient(config["uri"]) as client:
+                out = client[database].command(cmd)
+                return out if isinstance(out, list) else [out]
+
+    import json as _json
+
+    rows = runner(db, command)
+    return spark.createDataFrame(
+        [(_json.dumps(r, sort_keys=True, default=str),) for r in rows], ["reply"]
+    )
+
+
+@operator("mongo_count")
+def mongo_count(config: dict):
+    """MongoDBCountProcessor: attach the server-side count of documents
+    matching a filter. ``counter`` is an injectable callable
+    (db, collection, filter) -> int; default pymongo."""
+    db = config["database"]
+    coll = config["collection"]
+    filt = config.get("filter", {})
+    counter = config.get("counter")
+    result = config.get("result", "mongo_count")
+
+    def transform(df: DataFrame) -> DataFrame:
+        fn = counter
+        if fn is None:
+            try:
+                from pymongo import MongoClient
+            except ImportError as e:
+                raise NotImplementedError(
+                    "mongo_count needs pymongo (not in this environment) "
+                    "or an injected config['counter'] callable"
+                ) from e
+
+            def fn(database: str, collection: str, f) -> int:
+                with MongoClient(config["uri"]) as client:
+                    return client[database][collection].count_documents(f)
+
+        n = int(fn(db, coll, filt))
+        return df.withColumn(result, F.lit(n).cast("long"))
+
+    return transform
