@@ -290,3 +290,65 @@ class TestQuantization:
         df = spark.createDataFrame([(1, [0.0] * 4)], "id int, v array<float>")
         row = df.select(quantize_embedding(F.col("v")).alias("q")).first()["q"]
         assert row["codes"] == [0, 0, 0, 0] and row["scale"] == 1.0
+
+
+class TestDegenerateDocSkew:
+    """Short/empty docs must not explode the LSH candidate join: they all
+    share one sentinel MinHash signature (and simhash 0), which at corpus
+    scale is a quadratic hot bucket. VERDICT r2 'What's wrong #1'."""
+
+    @pytest.fixture(scope="class")
+    def polluted(self, spark, docs):
+        # 10k degenerate docs: empty, whitespace-only, and 1-2 token texts
+        # (all below the 3-token shingle minimum).
+        junk = spark.range(1_000_000, 1_010_000).select(
+            F.col("id").alias("doc_id"),
+            F.element_at(
+                F.array(F.lit(""), F.lit("   "), F.lit("one"), F.lit("two tokens")),
+                (F.col("id") % 4 + 1).cast("int"),
+            ).alias("text"),
+        )
+        return docs.select("doc_id", "text").unionByName(junk)
+
+    def test_minhash_pairs_unchanged_by_degenerate_docs(self, docs, polluted):
+        clean = {(r["id_a"], r["id_b"]) for r in D.minhash_dedup_pairs(docs).collect()}
+        dirty = {(r["id_a"], r["id_b"]) for r in D.minhash_dedup_pairs(polluted).collect()}
+        assert clean == dirty
+
+    def test_no_degenerate_candidate_blowup(self, spark, polluted):
+        """The banded self-join must produce ZERO candidate pairs among the
+        10k degenerate docs (pre-fix it produced ~10k^2/2 through one hot
+        bucket per band)."""
+        sigs = D.minhash_signatures(polluted)
+        cands = D.minhash_lsh_candidates(sigs)
+        degenerate_pairs = cands.filter(
+            (F.col("id_a") >= 1_000_000) | (F.col("id_b") >= 1_000_000)
+        )
+        assert degenerate_pairs.limit(1).count() == 0
+
+    def test_simhash_pairs_unchanged_by_tokenless_docs(self, spark, docs):
+        """Simhash excludes only ZERO-token docs (matching the SQL oracle,
+        where token-less docs vanish at the unnest): they all share simhash
+        0 and would hot-bucket every chunk. Non-empty identical short docs
+        are genuine Hamming-0 pairs — exact-dedup territory, not excluded."""
+        junk = spark.range(1_000_000, 1_010_000).select(
+            F.col("id").alias("doc_id"),
+            F.element_at(
+                F.array(F.lit(""), F.lit("   "), F.lit(" \t "), F.lit("\n")),
+                (F.col("id") % 4 + 1).cast("int"),
+            ).alias("text"),
+        )
+        polluted = docs.select("doc_id", "text").unionByName(junk)
+        clean = {
+            (r["id_a"], r["id_b"])
+            for r in D.simhash_near_pairs(docs, max_hamming=3).collect()
+        }
+        dirty = {
+            (r["id_a"], r["id_b"])
+            for r in D.simhash_near_pairs(polluted, max_hamming=3).collect()
+        }
+        assert clean == dirty
+
+    def test_empty_shingle_docs_reports_dropped(self, polluted):
+        n = D.empty_shingle_docs(polluted).count()
+        assert n == 10_000

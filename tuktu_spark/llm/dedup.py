@@ -102,6 +102,21 @@ def word_shingles(text_col, n: int = 3):
     return _shingles_from_tokens(_tokens(text_col), n)
 
 
+def empty_shingle_docs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """Ids of docs with fewer than ``n`` tokens (empty shingle set). These
+    are EXCLUDED from the LSH pipelines — an empty set can never reach
+    Jaccard >= t for any t > 0, and keeping them is a scale hazard: every
+    such doc shares the identical sentinel signature, so all of them land
+    in the same bucket of every band and the banded self-join goes
+    quadratic on that one hot key (millions of near-empty docs on a real
+    crawl corpus). Use this helper to count/report the dropped docs."""
+    return df.select(F.col(id_col), _tokens(F.col(text_col)).alias("__t")).filter(
+        F.size("__t") < n
+    ).select(id_col)
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact dedup by content hash: canonical (min id) doc per md5(text).
     The md5 groupBy shuffles only (hash, id) pairs, never the text."""
@@ -242,7 +257,15 @@ def minhash_lsh_candidates(
     candidate pairs. The join key is (band, raw slice array) — Spark
     hash-partitions array keys natively, so hashing the slice to a scalar
     first (md5/xxhash) is pure overhead (measured 2x slower); the shuffle
-    carries ~docs*BANDS rows of 4 longs either way."""
+    carries ~docs*BANDS rows of 4 longs either way.
+
+    Docs whose shingle set was EMPTY carry the untouched sentinel
+    signature (every entry == MERSENNE_P — real minima are always < p, so
+    the first entry identifies them exactly). They are filtered out here:
+    they can never verify at any positive threshold, and at corpus scale
+    the shared sentinel is a quadratic hot bucket in every band (K
+    short/empty docs -> K^2 candidate pairs through one task)."""
+    sigs = sigs.filter(F.col("signature")[0] != MERSENNE_P)
     bands = F.explode(
         F.array(
             *[
@@ -279,9 +302,17 @@ def minhash_dedup_pairs(
     """MinHash+LSH near-dup pipeline: signatures -> banded candidates ->
     exact Jaccard verification of candidates only. The hashed-shingle
     array is computed once and shared by signatures, verification join
-    and set sizes."""
+    and set sizes.
+
+    Docs with an empty shingle set (< n tokens) are dropped up front —
+    they cannot appear in any qualifying pair (Jaccard against an empty
+    set is 0) and their shared sentinel signature would otherwise be a
+    quadratic hot bucket in the banded self-join (see
+    minhash_lsh_candidates / empty_shingle_docs, which reports them)."""
     release_persisted()
-    h = _persist_scoped(hashed_shingles(df, text_col, id_col, n))
+    h = _persist_scoped(
+        hashed_shingles(df, text_col, id_col, n).filter(F.size("shingles") > 0)
+    )
     # signatures are docs x NUM_HASHES longs (tiny vs the corpus); without
     # the persist both sides of the banded self-join re-run the signature
     # fold (measured ~1.4 s/side at sf0.1)
@@ -318,8 +349,17 @@ SIMHASH_BITS = 48  # of the 60-bit base hash; stays clear of int64 sign
 
 def simhash(text_col) -> "F.Column":
     """SimHash over whitespace tokens: per-bit majority vote of token
-    hashes, packed into SIMHASH_BITS. Pure array algebra per row."""
-    toks = F.filter(F.split(text_col, r"\s+"), lambda x: x != "")
+    hashes, packed into SIMHASH_BITS. Pure array algebra per row. A doc
+    with NO tokens gets simhash 0 (no votes) — per-doc value semantics
+    keep every row, but the pair search (simhash_near_pairs) excludes
+    token-less docs so they don't all collide on the zero signature."""
+    return _simhash_from_tokens(_tokens(text_col))
+
+
+def _simhash_from_tokens(toks) -> "F.Column":
+    """SimHash from an already-materialized token array column (projected
+    once by callers that also need the token count — Catalyst does not CSE
+    the split across lambda boundaries)."""
     hashes = F.transform(
         toks, lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
     )
@@ -360,10 +400,20 @@ def simhash_near_pairs(
     """Near-dup pairs by SimHash Hamming distance, banded: split the
     signature into max_hamming+1 chunks — any pair within distance k shares
     at least one exact chunk (pigeonhole), so candidates come from an
-    equi-join on (chunk_idx, chunk_value), never all-pairs."""
+    equi-join on (chunk_idx, chunk_value), never all-pairs.
+
+    Docs with zero tokens are excluded BEFORE banding: they all share
+    simhash 0 (no votes), which at corpus scale is a quadratic hot bucket
+    in every chunk — and a pair of empty docs is exact-dedup territory
+    (md5), not a near-dup signal. Matches the SQL oracle, where token-less
+    docs vanish at the unnest. empty_shingle_docs(df, n=1) reports them."""
     chunks = max_hamming + 1
     width = SIMHASH_BITS // chunks
-    sh = simhash_table(df, text_col, id_col)
+    sh = (
+        df.select(F.col(id_col), _tokens(F.col(text_col)).alias("__toks"))
+        .filter(F.size("__toks") > 0)
+        .select(F.col(id_col), _simhash_from_tokens(F.col("__toks")).alias("simhash"))
+    )
     pieces = F.explode(
         F.array(
             *[

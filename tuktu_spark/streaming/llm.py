@@ -35,6 +35,10 @@ from .ops import foreach_batch_sink
 
 
 def _banded(sigs: DataFrame, id_col: str) -> DataFrame:
+    # Same degenerate-signature guard as batch (llm/dedup.py
+    # minhash_lsh_candidates): docs with an empty shingle set carry the
+    # untouched sentinel signature and would hot-bucket every band.
+    sigs = sigs.filter(F.col("signature")[0] != D.MERSENNE_P)
     bands = F.explode(
         F.array(
             *[
@@ -62,7 +66,11 @@ def streaming_minhash_candidates(
 ):
     """Start a streaming query emitting LSH candidate pairs incrementally.
     Returns the StreamingQuery; results land in ``pairs_dir`` (parquet,
-    columns id_a/id_b), signatures accumulate in ``store_dir``."""
+    columns id_a/id_b plus a ``batch_id`` partition column recording which
+    micro-batch emitted the pair), signatures accumulate in ``store_dir``
+    (signature columns plus the same ``batch_id`` partition column).
+    Consumers reading either directory should ignore/drop ``batch_id``;
+    it exists for idempotent replay (dynamic partition overwrite)."""
     process = make_minhash_batch_processor(
         stream.sparkSession, store_dir, pairs_dir, text_col, id_col, n
     )

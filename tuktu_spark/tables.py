@@ -14,7 +14,10 @@ from pyspark.sql import functions as F
 # passes its own SparkSession, not ours — see session.py for the rationale
 # behind each). All three are runtime-settable.
 _SESSION_CONFS = {
-    # events.ts is parquet TIMESTAMP(NANOS); Spark has no native type for it
+    # events.ts is parquet TIMESTAMP(NANOS). Older Sparks need this legacy
+    # conf to read it (as bigint nanos); Spark >= 4.1 ignores it and reads
+    # nanos natively as timestamp_ntz truncated to micros. load_table
+    # normalizes BOTH shapes to a plain (UTC) timestamp column.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     # engine-portable timestamp semantics (oracle side is naive/UTC)
     "spark.sql.session.timeZone": "UTC",
@@ -58,10 +61,17 @@ def table_path(sf_dir: str, name: str) -> str:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_session_confs(spark)
     df = spark.read.parquet(table_path(sf_dir, name))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # TIMESTAMP(NANOS) read via nanosAsLong -> microsecond timestamp,
-        # matching DuckDB's CAST(ts AS TIMESTAMP) truncation.
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # TIMESTAMP(NANOS) read via nanosAsLong -> microsecond
+            # timestamp, matching DuckDB's CAST(ts AS TIMESTAMP) truncation.
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+        elif ts_type == "timestamp_ntz":
+            # Spark >= 4.1 reads TIMESTAMP(NANOS) natively as timestamp_ntz
+            # (already micros-truncated, byte-identical to DuckDB). Session
+            # TZ is pinned to UTC, so the cast reinterprets the same instant.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
