@@ -125,10 +125,16 @@ def case_fold(col, mode: str = "lower"):
     raise ValueError(f"unknown case mode {mode!r}")
 
 
-# Minimal porter-style suffix stripper — deterministic, column-algebra-only.
-# The reference uses Snowball (JNI lib, not in this container); this handles
-# the high-frequency English suffixes and documents the seam where a real
-# stemmer UDF would plug in.
+# Real Porter2 (Snowball english) stemming lives in ml/porter2.py — a
+# from-spec implementation exposed as Arrow-batched pandas UDFs. Re-exported
+# here so callers find both stemmers in one place. The regexp `stem` below
+# is the LIGHT column-algebra variant: zero Python in the plan, useful when
+# an approximate stem is enough to key an aggregation.
+from .porter2 import (  # noqa: E402,F401
+    porter2_stem,
+    stem_token_array as stem_porter2_tokens,
+    stem_words as stem_porter2,
+)
 _SUFFIXES = ("ational", "iveness", "fulness", "ousness", "ization",
              "tional", "encies", "ancies", "ements", "nesses",
              "ments", "ities", "ingly", "ation", "sses", "ness",
@@ -138,7 +144,10 @@ _SUFFIXES = ("ational", "iveness", "fulness", "ousness", "ization",
 def stem(col):
     """Suffix-stripping stemmer: drop the longest matching suffix when the
     remaining stem keeps >= 3 chars (regexp alternation tries suffixes in
-    declaration order, longest first). Pure regexp_replace — JVM-side."""
+    declaration order, longest first). Pure regexp_replace — JVM-side.
+    For faithful Snowball semantics (reference
+    modules/nlp/app/tuktu/nlp/processors/Snowball.scala) use
+    ``stem_porter2`` / ``stem_porter2_tokens`` from ml/porter2.py."""
     pattern = "(" + "|".join(_SUFFIXES) + ")$"
     candidate = F.regexp_replace(col, pattern, "")
     return F.when(F.length(candidate) >= 3, candidate).otherwise(col)

@@ -254,6 +254,38 @@ def clean_tokens_op(config: dict):
     return transform
 
 
+@operator("stem")
+def stem_op(config: dict):
+    """Snowball stemming (nlp/processors/Snowball.scala — the reference
+    wraps the Tartarus JNI lib). algorithm 'porter2' (default) runs the
+    from-spec Porter2 implementation as an Arrow-batched pandas UDF;
+    'light' is the pure column-algebra suffix stripper (no Python in the
+    plan). Works on string or array<string> columns. config: {field,
+    result, algorithm}."""
+    from pyspark.sql import functions as F
+
+    from ..ml import nlp as N
+
+    field = config.get("field", "tokens")
+    result = config.get("result", field)
+    algorithm = config.get("algorithm", "porter2")
+
+    def transform(df: DataFrame) -> DataFrame:
+        is_array = dict(df.dtypes).get(field, "").startswith("array")
+        col = F.col(field)
+        if algorithm == "light":
+            stemmed = (
+                F.transform(col, lambda t: N.stem(t)) if is_array else N.stem(col)
+            )
+        elif algorithm == "porter2":
+            stemmed = N.stem_porter2_tokens(col) if is_array else N.stem_porter2(col)
+        else:
+            raise ValueError(f"unknown stem algorithm {algorithm!r}")
+        return df.withColumn(result, stemmed)
+
+    return transform
+
+
 @operator("pmi")
 def pmi_op(config: dict):
     """Seed-word co-occurrence PMI (PMIProcessor.scala + PMI.scala:6-56).

@@ -748,3 +748,78 @@ def nlp_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang", F.split("text", " ").alias("tokens")
     )
     return pmi_cooccurrence(d, "tokens", ["fast", "slow"], "lang", log=False)
+
+
+# ---------------------------------------------------------------------------
+# Porter2 (Snowball english) stemming (nlp/processors/Snowball.scala — the
+# reference wraps the Tartarus JNI lib; ml/porter2.py is a from-spec
+# implementation). The query stems the corpus vocabulary PLUS deterministic
+# inflected variants (vocab x suffix grid) so every Porter2 step fires; the
+# DuckDB oracle joins the same word grid against a VALUES mapping GENERATED
+# at registration by the same porter2_stem over the (fixed, generator-pinned)
+# 31-token corpus vocabulary. Algorithm-level independence comes from
+# tests/test_porter2.py's hand-checked vectors; this query verifies the
+# distributed UDF plumbing end-to-end. A LEFT join keeps unseen vocabulary
+# honest: a changed generator wordlist yields NULL oracle stems -> mismatch.
+# ---------------------------------------------------------------------------
+
+_STEM_VOCAB = (
+    "a", "agg", "batch", "big", "column", "customer", "data", "dup", "fast",
+    "filter", "group", "hash", "join", "key", "line", "merge", "order",
+    "part", "query", "row", "scan", "slow", "small", "sort", "spark",
+    "stream", "table", "the", "value", "vector", "window",
+)
+
+# Suffix grid chosen to exercise steps 0-5: plurals/ies (1a), ed/ing/eed +
+# at/bl/iz/double/short-word repair (1b), y->i (1c), the long derivational
+# suffixes (2/3), R2 deletions (4) and e/l cleanup (5).
+_STEM_SUFFIXES = (
+    "", "s", "es", "ies", "ied", "ed", "eed", "eedly", "ing", "ingly",
+    "edly", "y", "ation", "ization", "ational", "fulness", "ousness",
+    "iveness", "ness", "ment", "ements", "ance", "ence", "er", "li", "ally",
+    "ic", "ical", "ative", "izer", "ion", "iti", "alism", "biliti", "ogi",
+)
+
+
+def _stem_oracle() -> str:
+    from ..ml.porter2 import porter2_stem
+
+    words = sorted({v + s for v in _STEM_VOCAB for s in _STEM_SUFFIXES})
+    mapping = ",\n    ".join(f"('{w}', '{porter2_stem(w)}')" for w in words)
+    sufs = ", ".join(f"('{s}')" for s in _STEM_SUFFIXES)
+    return f"""
+WITH vocab AS (
+  SELECT DISTINCT tok FROM (
+    SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents)
+  WHERE tok <> ''
+),
+words AS (
+  SELECT DISTINCT v.tok || s.suf AS word
+  FROM vocab v CROSS JOIN (VALUES {sufs}) AS s(suf)
+),
+map AS (
+  SELECT * FROM (VALUES
+    {mapping}) AS m(word, stem)
+)
+SELECT w.word AS word, m.stem AS stem
+FROM words w LEFT JOIN map m ON w.word = m.word
+"""
+
+
+@query("nlp_stem", oracle=_stem_oracle(), tags=("ml", "nlp"))
+def nlp_stem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ml.porter2 import stem_words
+
+    d = load_table(spark, sf_dir, "documents")
+    vocab = (
+        d.select(F.explode(F.split(F.lower("text"), " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .distinct()
+    )
+    sufs = F.array(*[F.lit(s) for s in _STEM_SUFFIXES])
+    words = (
+        vocab.select("tok", F.explode(sufs).alias("suf"))
+        .select(F.concat("tok", "suf").alias("word"))
+        .distinct()
+    )
+    return words.select("word", stem_words(F.col("word")).alias("stem"))
