@@ -34,11 +34,17 @@ def remove_stopwords(tokens, stopwords: list[str] | None = None):
 
 
 def ngrams(tokens, n: int = 2, sep: str = " "):
-    """Word n-grams of a token array (reference NGramProcessor)."""
-    count = F.greatest(F.size(tokens) - (n - 1), F.lit(0))
-    return F.transform(
-        F.sequence(F.lit(1), count), lambda i: F.array_join(F.slice(tokens, i, n), sep)
-    )
+    """Word n-grams of a token array (reference NGramProcessor). Arrays
+    shorter than ``n`` yield an EMPTY array — F.sequence(1, 0) would
+    otherwise produce a descending [1, 0] and slice(start=0) errors."""
+    count = F.size(tokens) - (n - 1)
+    return F.when(
+        count >= 1,
+        F.transform(
+            F.sequence(F.lit(1), count),
+            lambda i: F.array_join(F.slice(tokens, i, n), sep),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def term_frequencies(

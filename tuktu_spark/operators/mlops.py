@@ -127,6 +127,49 @@ def nbsvm_apply_op(config: dict):
     )
 
 
+@operator("shorttext")
+def shorttext_op(config: dict):
+    """ShortTextClassifier train-and-apply (ShortTextClassifierProcessor
+    train/apply pair collapsed into one flow stage): trains the seed-word/
+    negation-flip n-gram SVM on the piped labeled corpus, scores it,
+    optionally saves the model to config.path. config: {tokens_field,
+    label_field, seed_words, right_flips, left_flips, min_count,
+    vocab_size, default_class, path}."""
+    from ..ml.shorttext import shorttext_predict, shorttext_train
+
+    tokens_field = config.get("tokens_field", "tokens")
+
+    def transform(df: DataFrame) -> DataFrame:
+        model = shorttext_train(
+            df,
+            tokens_col=tokens_field,
+            label_col=config.get("label_field", "label"),
+            seed_words=dict(config.get("seed_words", {})),
+            right_flips=list(config.get("right_flips", [])),
+            left_flips=list(config.get("left_flips", [])),
+            min_count=int(config.get("min_count", 2)),
+            vocab_size=int(config.get("vocab_size", 50_000)),
+            default_class=float(config.get("default_class", -1.0)),
+        )
+        if config.get("path"):
+            model.save(config["path"])
+        return shorttext_predict(df, model, tokens_col=tokens_field)
+
+    return transform
+
+
+@operator("shorttext_apply")
+def shorttext_apply_op(config: dict):
+    """ShortTextClassifier apply from a saved model
+    (ShortTextClassifierDeserialize/Apply). config: {path, tokens_field}."""
+    from ..ml.shorttext import ShortTextModel, shorttext_predict
+
+    model = ShortTextModel.load(config["path"])
+    return lambda df: shorttext_predict(
+        df, model, tokens_col=config.get("tokens_field", "tokens")
+    )
+
+
 @operator("summarize")
 def summarize_op(config: dict):
     """Extractive summarization (nlp/processors/Summarize.scala). config:

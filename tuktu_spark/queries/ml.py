@@ -823,3 +823,170 @@ def nlp_stem(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return words.select("word", stem_words(F.col("word")).alias("stem"))
+
+
+# ---------------------------------------------------------------------------
+# ShortTextClassifier (modules/nlp/app/tuktu/nlp/models/
+# ShortTextClassifier.scala:14-220, processors/ShortTextClassifierProcessor
+# .scala). The feature construction — the corpus-scaled part — is oracled
+# exactly: the ten static style ratios and the seed/flip-processed n-gram
+# vocabulary. The OneVsRest LinearSVC fit is iterative -> rows-only;
+# accuracy floor pinned in tests/test_shorttext.py.
+# ---------------------------------------------------------------------------
+
+_SHORTTEXT_STATICS_ORACLE = r"""
+WITH docs AS (
+  SELECT doc_id, text, string_split(text, ' ') AS tk FROM documents
+),
+tokstats AS (
+  SELECT doc_id,
+         COUNT(*) AS ntok,
+         COUNT(*) FILTER (WHERE regexp_matches(tok, '^[[:upper:]]')) AS capw,
+         COUNT(*) FILTER (
+           WHERE len(tok) > 2 AND regexp_matches(tok, '^[[:upper:]][[:upper:]]')
+         ) AS slow
+  FROM (SELECT doc_id, unnest(tk) AS tok FROM docs) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CASE WHEN len(d.text) > 0 THEN
+         (len(d.text) - len(regexp_replace(d.text,
+            '[!.,?:;''"\[\]{}()\-+=&%$€]', '', 'g'))) * 1.0 / len(d.text)
+       ELSE 0.0 END AS punct_ratio,
+       CASE WHEN len(d.text) > 0 THEN
+         (len(d.text) - len(regexp_replace(d.text, '[[:upper:]]', '', 'g')))
+            * 1.0 / len(d.text)
+       ELSE 0.0 END AS caps_ratio,
+       CASE WHEN len(d.text) > 0 THEN
+         (len(d.text) - len(regexp_replace(d.text,
+            '[aeoiuyäáàâãëéèêöóòôõïíìîüúùûÿý]', '', 'g'))) * 1.0 / len(d.text)
+       ELSE 0.0 END AS vowel_ratio,
+       CASE WHEN t.ntok > 0 THEN t.capw * 1.0 / t.ntok ELSE 0.0 END AS cap_words,
+       CASE WHEN t.ntok > 0 THEN t.slow * 1.0 / t.ntok ELSE 0.0 END AS slow_release,
+       CASE WHEN regexp_matches(substr(d.text, 1, 1), '^[[:upper:]]')
+            THEN 1.0 ELSE 0.0 END AS first_cap,
+       CASE WHEN len(d.text) <= 10 THEN 1.0 ELSE 0.0 END AS len_short,
+       CASE WHEN len(d.text) > 10 AND len(d.text) <= 80 THEN 1.0 ELSE 0.0 END AS len_mid,
+       CASE WHEN len(d.text) > 80 THEN 1.0 ELSE 0.0 END AS len_long
+FROM docs d JOIN tokstats t USING (doc_id)
+"""
+
+
+@query("nlp_shorttext_statics", oracle=_SHORTTEXT_STATICS_ORACLE, tags=("ml", "nlp"))
+def nlp_shorttext_statics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ten static style features per document (getStaticFeatures),
+    minus the emoji count (the synthetic corpus has none and DuckDB's RE2
+    vs Java regex disagree on surrogate-range classes)."""
+    from ..ml.shorttext import static_features
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("tokens")
+    )
+    s = static_features(F.col("tokens"))
+    names = [
+        "punct_ratio", "caps_ratio", "vowel_ratio", "cap_words",
+        "slow_release", "first_cap", "emojis", "len_short", "len_mid",
+        "len_long",
+    ]
+    cols = [s[i].alias(n) for i, n in enumerate(names) if n != "emojis"]
+    return d.select("doc_id", *cols)
+
+
+def _shorttext_vocab_oracle(min_count: int = 5) -> str:
+    return f"""
+WITH docs AS (
+  SELECT doc_id, text, string_split(text, ' ') AS tk FROM documents
+),
+pos AS (
+  SELECT doc_id, tok, i FROM (
+    SELECT doc_id, unnest(tk) AS tok, generate_subscripts(tk, 1) AS i
+    FROM docs)
+),
+proc AS (
+  SELECT doc_id, i,
+    CASE
+      WHEN tok IN ('fast', 'slow') AND (
+        (CASE WHEN lag(tok, 1) OVER w = 'the' THEN 1 ELSE 0 END +
+         CASE WHEN lag(tok, 2) OVER w = 'the' THEN 1 ELSE 0 END) % 2 = 1)
+      THEN (CASE WHEN tok = 'fast' THEN 'pos' ELSE 'neg' END) || '_NEG'
+      WHEN tok = 'fast' THEN 'pos'
+      WHEN tok = 'slow' THEN 'neg'
+      ELSE tok
+    END AS ptok
+  FROM pos
+  WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+),
+plists AS (
+  SELECT doc_id, list(ptok ORDER BY i) AS pl FROM proc GROUP BY doc_id
+),
+word_grams AS (
+  SELECT array_to_string(pl[j:j + n - 1], '') AS ngram
+  FROM (
+    SELECT pl, n.n AS n,
+           unnest(generate_series(1, len(pl) - n.n + 1)) AS j
+    FROM plists, (VALUES (1), (2), (3)) AS n(n)
+  )
+),
+char_grams AS (
+  SELECT substr(text, CAST(j AS INT), CAST(n AS INT)) AS ngram
+  FROM (
+    SELECT text, n.n AS n,
+           unnest(generate_series(1, len(text) - n.n + 1)) AS j
+    FROM docs, (VALUES (3), (4), (5)) AS n(n)
+  )
+),
+counts AS (
+  SELECT ngram, COUNT(*) AS count
+  FROM (SELECT ngram FROM word_grams UNION ALL SELECT ngram FROM char_grams)
+  GROUP BY ngram
+)
+SELECT ngram, count FROM counts WHERE count >= {min_count}
+"""
+
+
+@query("nlp_shorttext_vocab", oracle=_shorttext_vocab_oracle(), tags=("ml", "nlp"))
+def nlp_shorttext_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pruned feature-n-gram vocabulary (trainClassifier's featureMap
+    with min_count retention): word 1-3-grams over seed/flip-processed
+    tokens (seeds fast->pos / slow->neg, right-flip 'the') plus char
+    3-5-grams, counted over the whole corpus."""
+    from ..ml.shorttext import ngram_vocabulary
+
+    d = load_table(spark, sf_dir, "documents").select(
+        F.split("text", " ").alias("tokens")
+    )
+    return ngram_vocabulary(
+        d, "tokens",
+        seed_words={"pos": ["fast"], "neg": ["slow"]},
+        right_flips=["the"],
+        min_count=5,
+    )
+
+
+@query("nlp_shorttext_accuracy", tags=("ml", "nlp"))
+def nlp_shorttext_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the 5-class (lang) ShortTextClassifier on documents and score
+    the same corpus — iterative SVM fit is rows-only for the driver; a
+    >=0.9 accuracy floor on the separable synthetic corpus is pinned in
+    tests/test_shorttext.py."""
+    from ..ml.shorttext import shorttext_predict, shorttext_train
+
+    lang_code = F.array_position(
+        F.array(*[F.lit(lg) for lg in LANGS]), F.col("lang")
+    ).cast("double")
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.split("text", " ").alias("tokens"),
+        lang_code.alias("label"),
+    )
+    model = shorttext_train(
+        d, "tokens", "label",
+        seed_words={"pos": ["fast"], "neg": ["slow"]},
+        right_flips=["the"],
+        min_count=5, vocab_size=10_000, max_iter=15,
+    )
+    scored = shorttext_predict(d, model, "tokens")
+    return scored.agg(
+        (F.sum((F.col("prediction") == F.col("label")).cast("long"))
+         / F.count(F.lit(1))).alias("accuracy"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
