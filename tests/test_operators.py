@@ -367,6 +367,28 @@ class TestJoinsMerge:
         got = sorted(tuple(r) for r in out.select("v").collect())
         assert got == [("b1",), ("b2",)]  # later branch overwrites shared field
 
+    def test_js_merge_key_precedence(self, spark):
+        # JSMerger: the js column's item lists concatenate, later branches
+        # lose keys already claimed by earlier ones; other fields zip-merge
+        a = spark.createDataFrame(
+            [(1, "x", [{"k1": "v1"}, {"k2": "v2"}])],
+            "pos int, other string, tuktu_js_field array<map<string,string>>",
+        )
+        b = spark.createDataFrame(
+            [(1, "y", [{"k2": "CLOBBER", "k3": "v3"}])],
+            "pos int, name string, tuktu_js_field array<map<string,string>>",
+        )
+        out = make_operator("js_merge", {"order_by": ["pos"]})(a, b)
+        r = out.first()
+        assert r["tuktu_js_field"] == [{"k1": "v1"}, {"k2": "v2"}, {"k3": "v3"}]
+        assert r["other"] == "x" and r["name"] == "y"
+
+    def test_js_merge_without_js_column_degrades_to_zip(self, spark):
+        a = spark.createDataFrame([(1, "a1")], ["pos", "v"])
+        b = spark.createDataFrame([(1, "b1")], ["pos", "v"])
+        out = make_operator("js_merge", {"order_by": ["pos"]})(a, b)
+        assert [r["v"] for r in out.collect()] == ["b1"]
+
 
 class TestSources:
     def test_inline_rows(self, spark):

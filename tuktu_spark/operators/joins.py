@@ -104,6 +104,70 @@ def zip_merge(config: dict):
     return transform
 
 
+@operator("js_merge")
+def js_merge(config: dict):
+    """JSMerger (merge/BaseMergers.scala:26-56): SimpleMerger's positional
+    zip-union, except one designated column — an ORDERED array of
+    string->string maps holding JS element snippets (WebJsOrderedObject)
+    — is merged by concatenation with first-branch key precedence: any
+    key already present in an earlier branch's items is dropped from
+    later branches' maps. The JS evaluation itself is client-side
+    rendering in the reference's web module; the merge semantics are the
+    data contract, and they are pure column algebra here
+    (flatten/map_keys to collect seen keys, map_filter to drop them).
+
+    config: {order_by (as zip_merge), js_field (default 'tuktu_js_field'),
+    padding}. Shares zip_merge's single-partition scale caveat."""
+    js_field = config.get("js_field", "tuktu_js_field")
+    base = zip_merge({k: v for k, v in config.items() if k != "js_field"})
+
+    def merge_js(a, b):
+        seen = F.flatten(F.transform(a, lambda m: F.map_keys(m)))
+        return F.concat(
+            a,
+            F.transform(
+                b,
+                lambda m: F.map_filter(
+                    m, lambda k, _v: ~F.array_contains(seen, k)
+                ),
+            ),
+        )
+
+    def transform(*dfs: DataFrame) -> DataFrame:
+        have = [df for df in dfs if js_field in df.columns]
+        if len(have) < 2:
+            return base(*dfs)
+        # zip-merge everything but the js column, then fold the js columns
+        # positionally with the key-precedence concat
+        order_by = config["order_by"]
+        padding = bool(config.get("padding", False))
+        numbered = []
+        for i, df in enumerate(dfs):
+            ob = order_by[str(i)] if isinstance(order_by, dict) else order_by
+            w = Window.orderBy(*ob)
+            numbered.append(
+                df.withColumn("__rn__", F.row_number().over(w)).withColumnRenamed(
+                    js_field, f"__js{i}__"
+                )
+                if js_field in df.columns
+                else df.withColumn("__rn__", F.row_number().over(w))
+            )
+        how = "full" if padding else "inner"
+        out = numbered[0]
+        for nxt in numbered[1:]:
+            dup = [
+                c
+                for c in nxt.columns
+                if c in out.columns and c != "__rn__" and not c.startswith("__js")
+            ]
+            out = out.drop(*dup).join(nxt, "__rn__", how)
+        js_cols = [f"__js{i}__" for i in range(len(dfs)) if f"__js{i}__" in out.columns]
+        merged = reduce(merge_js, [F.col(c) for c in js_cols[1:]], F.col(js_cols[0]))
+        return out.withColumn(js_field, merged).drop("__rn__", *js_cols)
+
+    return transform
+
+
 @operator("lookup_join")
 def lookup_join(config: dict):
     """SQLProcessor append-mode / MongoDBFindProcessor (sql.scala:46-111) —
