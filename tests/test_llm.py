@@ -153,6 +153,69 @@ class TestMultimodal:
         assert [r["frame_idx"] for r in frames] == [0, 2, 4]
 
 
+class TestMediaHeaders:
+    """Real, dependency-free container parsing (probe_media): spec-valid
+    bytes in, true metadata out."""
+
+    def test_png_roundtrip(self):
+        info = M.probe_media(M.make_png(640, 480))
+        assert info == {"format": "png", "width": 640, "height": 480}
+
+    def test_wav_roundtrip(self):
+        info = M.probe_media(M.make_wav(44100, 2, 44100, bits=16))
+        assert info["format"] == "wav"
+        assert info["channels"] == 2 and info["sample_rate"] == 44100
+        assert info["bits"] == 16 and info["duration_ms"] == 1000
+
+    def test_jpeg_sof_header(self):
+        # minimal marker stream: SOI, APP0 (JFIF), SOF0 with 123x456
+        import struct
+
+        # APP0 length 16 counts the 2 length bytes: 14 payload bytes follow
+        app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+        sof0 = (
+            b"\xff\xc0"
+            + struct.pack(">H", 11)
+            + b"\x08"
+            + struct.pack(">HH", 456, 123)
+            + b"\x01\x11\x00"
+        )
+        data = b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+        assert M.probe_media(data) == {
+            "format": "jpeg", "width": 123, "height": 456,
+        }
+
+    def test_gif_and_bmp(self):
+        import struct
+
+        gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00" * 4
+        assert M.probe_media(gif) == {"format": "gif", "width": 320, "height": 200}
+        bmp = b"BM" + b"\x00" * 16 + struct.pack("<ii", 800, -600) + b"\x00" * 10
+        assert M.probe_media(bmp) == {"format": "bmp", "width": 800, "height": 600}
+
+    def test_unknown_and_empty(self):
+        assert M.probe_media(b"plain text")["format"] == "unknown"
+        assert M.probe_media(b"")["format"] == "empty"
+
+    def test_decode_features_uses_real_dimensions(self, spark):
+        png = M.make_png(31, 17)
+        df = spark.createDataFrame([(bytearray(png),)], "raw binary")
+        media = M.attach_binary(df, "raw", media_type="image/png")
+        row = M.decode_features(media).first()
+        assert (row["width"], row["height"]) == (31, 17)
+
+    def test_probe_table_distributed(self, spark):
+        rows = [(bytearray(M.make_png(10 + i, 20)),) for i in range(5)] + [
+            (bytearray(M.make_wav(8000, 1, 400)),)
+        ]
+        df = spark.createDataFrame(rows, "raw binary")
+        probed = M.probe_table(M.attach_binary(df, "raw")).collect()
+        fmts = sorted(r["format"] for r in probed)
+        assert fmts == ["png"] * 5 + ["wav"]
+        wav = next(r for r in probed if r["format"] == "wav")
+        assert wav["sample_rate"] == 8000 and wav["duration_ms"] == 50
+
+
 def test_ngram_jaccard_prefix_filter_matches_naive(spark):
     """The PPJoin-style prefix+length filtering must be lossless: compare
     against a Python-computed naive all-pairs truth."""

@@ -1,10 +1,12 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed via Arrow-batched mapInPandas.
 
-The Spark-side contract is real and tested — schemas, partition sizing,
-UDF signatures, batch iteration. The actual media decode is STUBBED
-(``decode_stub``) because media libraries aren't in this container; swap
-``_decode_image_bytes`` for a PIL/ffmpeg call and nothing else changes.
+Container/header parsing is REAL and dependency-free: PNG IHDR, JPEG SOF
+markers, GIF, BMP and WAV/RIFF headers are public formats parsed with
+struct/bytes alone (``probe_media``), so true dimensions / sample rates
+flow through the Spark plumbing. Only PIXEL decode (and anything needing
+a codec) remains a seam: swap ``_decode_image_bytes``'s feature step for
+a PIL/ffmpeg call and nothing else changes.
 
 Scale notes: binary payloads ride in Arrow record batches; keep
 ``spark.sql.files.maxPartitionBytes`` at default 128 MB so a partition of
@@ -14,6 +16,7 @@ heavy decode so AQE can balance skewed media sizes.
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -42,16 +45,124 @@ def attach_binary(df: DataFrame, src_col: str, media_type: str = "application/oc
     )
 
 
-def _decode_image_bytes(data: bytes) -> tuple[int, int, list[float]]:
-    """STUB decode. Real pipelines: PIL.Image.open(io.BytesIO(data)).
+# --- real, dependency-free container/header parsers (public formats) -----
 
-    Deterministic fake: 'dimensions' and a tiny 'feature vector' derived
-    from the byte content, so tests exercise real data flow end-to-end.
+_JPEG_SOF_MARKERS = frozenset(
+    range(0xC0, 0xC4)
+) | frozenset(range(0xC5, 0xC8)) | frozenset(range(0xC9, 0xCC)) | frozenset(
+    range(0xCD, 0xD0)
+)
+
+
+def _parse_png(data: bytes) -> dict | None:
+    """PNG: 8-byte signature, then the IHDR chunk carries width/height as
+    big-endian uint32 (https://www.w3.org/TR/png-3/#11IHDR)."""
+    if len(data) < 24 or data[:8] != b"\x89PNG\r\n\x1a\n" or data[12:16] != b"IHDR":
+        return None
+    w, h = struct.unpack(">II", data[16:24])
+    return {"format": "png", "width": w, "height": h}
+
+
+def _parse_jpeg(data: bytes) -> dict | None:
+    """JPEG: walk the marker segments from SOI to the first SOFn frame
+    header, which carries precision(1) height(2) width(2) big-endian."""
+    if len(data) < 4 or data[:2] != b"\xff\xd8":
+        return None
+    pos = 2
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            return None  # corrupt stream
+        marker = data[pos + 1]
+        if marker == 0xFF:  # fill byte
+            pos += 1
+            continue
+        if marker in (0x01, *range(0xD0, 0xD9)):  # standalone, no length
+            pos += 2
+            continue
+        if pos + 4 > len(data):
+            return None
+        seg_len = struct.unpack(">H", data[pos + 2 : pos + 4])[0]
+        if marker in _JPEG_SOF_MARKERS:
+            if pos + 9 > len(data):
+                return None
+            h, w = struct.unpack(">HH", data[pos + 5 : pos + 9])
+            return {"format": "jpeg", "width": w, "height": h}
+        pos += 2 + seg_len
+    return None
+
+
+def _parse_gif(data: bytes) -> dict | None:
+    """GIF87a/89a: logical screen width/height as little-endian uint16."""
+    if len(data) < 10 or data[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    w, h = struct.unpack("<HH", data[6:10])
+    return {"format": "gif", "width": w, "height": h}
+
+
+def _parse_bmp(data: bytes) -> dict | None:
+    """BMP: BITMAPINFOHEADER width/height as little-endian int32 at 18/22
+    (height may be negative for top-down rows)."""
+    if len(data) < 26 or data[:2] != b"BM":
+        return None
+    w, h = struct.unpack("<ii", data[18:26])
+    return {"format": "bmp", "width": w, "height": abs(h)}
+
+
+def _parse_wav(data: bytes) -> dict | None:
+    """WAV: RIFF/WAVE chunk walk; 'fmt ' carries channels/sample_rate/
+    bits_per_sample, 'data' size + byte rate give the duration."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        return None
+    out: dict = {"format": "wav"}
+    pos, byte_rate, data_size = 12, None, None
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        size = struct.unpack("<I", data[pos + 4 : pos + 8])[0]
+        if cid == b"fmt " and pos + 24 <= len(data):
+            (_fmt, channels, rate, brate, _align, bits) = struct.unpack(
+                "<HHIIHH", data[pos + 8 : pos + 24]
+            )
+            out.update(
+                {"channels": channels, "sample_rate": rate, "bits": bits}
+            )
+            byte_rate = brate
+        elif cid == b"data":
+            data_size = size
+        pos += 8 + size + (size % 2)  # chunks are word-aligned
+    if "sample_rate" not in out:
+        return None
+    if byte_rate and data_size is not None:
+        out["duration_ms"] = int(data_size * 1000 // byte_rate)
+    return out
+
+
+def probe_media(data: bytes) -> dict:
+    """Sniff + parse real container headers (PNG/JPEG/GIF/BMP/WAV). Returns
+    at least {'format': ...}; 'unknown' when no signature matches. Pure
+    stdlib — runs inside Arrow batches with no native deps."""
+    if not data:
+        return {"format": "empty"}
+    for parser in (_parse_png, _parse_jpeg, _parse_gif, _parse_bmp, _parse_wav):
+        got = parser(data)
+        if got is not None:
+            return got
+    return {"format": "unknown"}
+
+
+def _decode_image_bytes(data: bytes) -> tuple[int, int, list[float]]:
+    """Decode dimensions + a feature vector. Dimensions are REAL for the
+    header-parsable formats (probe_media); the pixel-level feature vector
+    is the documented seam — PIL/ffmpeg plug in here; until then it is a
+    deterministic byte-sample so the data flow stays testable end-to-end.
     """
     if not data:
         raise NotImplementedError("empty media payload; no decoder available")
-    width = 1 + data[0] % 64
-    height = 1 + data[-1] % 64
+    info = probe_media(data)
+    if "width" in info:
+        width, height = int(info["width"]), int(info["height"])
+    else:  # unknown container: deterministic fake dimensions
+        width = 1 + data[0] % 64
+        height = 1 + data[-1] % 64
     step = max(1, len(data) // 8)
     feature = [float(b) / 255.0 for b in data[::step][:8]]
     feature += [0.0] * (8 - len(feature))
@@ -83,6 +194,79 @@ def decode_features(df: DataFrame, batch_hint: int = 1024) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return df.mapInPandas(decode, schema=FEATURE_SCHEMA)
+
+
+PROBE_SCHEMA = (
+    "checksum string, byte_len bigint, format string, width int, height int,"
+    " channels int, sample_rate int, duration_ms bigint"
+)
+
+
+def probe_table(df: DataFrame) -> DataFrame:
+    """mapInPandas header probe: typed media column -> real container
+    metadata (format, dimensions, audio params). Arrow-batched; pure
+    stdlib parsing per row, no codec needed."""
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                data = bytes(row["media"]) if row["media"] is not None else b""
+                info = probe_media(data)
+                rows.append(
+                    {
+                        "checksum": row["checksum"],
+                        "byte_len": int(row["byte_len"]),
+                        "format": info.get("format"),
+                        "width": info.get("width"),
+                        "height": info.get("height"),
+                        "channels": info.get("channels"),
+                        "sample_rate": info.get("sample_rate"),
+                        "duration_ms": info.get("duration_ms"),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(probe, schema=PROBE_SCHEMA)
+
+
+# --- real-file synthesis (tests + oracle round-trips; stdlib only) --------
+
+
+def make_png(width: int, height: int, shade: int = 128) -> bytes:
+    """A real, spec-valid grayscale PNG (zlib-compressed scanlines with
+    filter byte 0, CRC-correct chunks)."""
+    import zlib
+
+    def chunk(ctype: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload))
+            + ctype
+            + payload
+            + struct.pack(">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = b"".join(b"\x00" + bytes([shade]) * width for _ in range(height))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def make_wav(
+    sample_rate: int = 8000, channels: int = 1, n_samples: int = 800, bits: int = 16
+) -> bytes:
+    """A real RIFF/WAVE file: canonical fmt + silent PCM data chunk."""
+    block_align = channels * bits // 8
+    byte_rate = sample_rate * block_align
+    data = b"\x00" * (n_samples * block_align)
+    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate, byte_rate, block_align, bits)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
 def frame_sample_plan(df: DataFrame, every_n: int = 10) -> DataFrame:
