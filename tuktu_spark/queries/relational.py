@@ -935,13 +935,24 @@ def corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Sketch accuracy audit (approximate aggregates — absent in the reference,
-# the default tool at 100 TB). Self-certifying rows: exact value, sketch
-# estimate and relative error side by side; tests bound the error, the
-# driver row-checks the shape.
+# the default tool at 100 TB). ORACLED: the output carries the exact
+# values (hash-matchable against DuckDB) plus booleans asserting the
+# sketch estimates landed inside their error bounds; the oracle asserts
+# the bounds hold (TRUE literals), so a degraded sketch breaks the match.
+# The raw estimates stay out of the hashed output — sketches are not
+# bit-portable across engines by nature.
 # ---------------------------------------------------------------------------
 
+_SKETCH_ORACLE = """
+SELECT CAST(COUNT(DISTINCT l_partkey) AS DOUBLE) AS ndv_exact,
+       quantile_cont(l_extendedprice, 0.5) AS p50_exact,
+       quantile_cont(l_extendedprice, 0.95) AS p95_exact,
+       TRUE AS ndv_ok, TRUE AS p50_ok, TRUE AS p95_ok
+FROM lineitem
+"""
 
-@query("approx_sketch_accuracy", tags=("agg", "approx"))
+
+@query("approx_sketch_accuracy", oracle=_SKETCH_ORACLE, tags=("agg", "approx"))
 def approx_sketch_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     exact = li.agg(
@@ -955,11 +966,14 @@ def approx_sketch_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("l_extendedprice", 0.95, 10000).alias("p95_approx"),
     )
     row = exact.crossJoin(approx)
-    rel = lambda a, e: (F.abs(F.col(a) - F.col(e)) / F.col(e)).alias(a.replace("_approx", "_rel_err"))
+    ok = lambda a, e, bound: (
+        F.abs(F.col(a) - F.col(e)) / F.col(e) <= bound
+    ).alias(a.replace("_approx", "_ok"))
     return row.select(
-        "ndv_exact", "ndv_approx", rel("ndv_approx", "ndv_exact"),
-        "p50_exact", "p50_approx", rel("p50_approx", "p50_exact"),
-        "p95_exact", "p95_approx", rel("p95_approx", "p95_exact"),
+        "ndv_exact", "p50_exact", "p95_exact",
+        ok("ndv_approx", "ndv_exact", 0.05),
+        ok("p50_approx", "p50_exact", 0.01),
+        ok("p95_approx", "p95_exact", 0.01),
     )
 
 
