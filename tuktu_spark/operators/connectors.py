@@ -330,6 +330,125 @@ def mongo_command(spark: SparkSession, config: dict) -> DataFrame:
     )
 
 
+def _render_mongo_template(spec, row: dict):
+    """Per-datum ``#{field}`` template evaluation for mongo query/update
+    specs (the reference's evaluateTuktuString / prepareTuktuJsValue): a
+    string that is EXACTLY one placeholder takes the row value with its
+    type preserved; embedded placeholders interpolate as text; dicts and
+    lists render recursively."""
+    import re
+
+    if isinstance(spec, dict):
+        return {k: _render_mongo_template(v, row) for k, v in spec.items()}
+    if isinstance(spec, list):
+        return [_render_mongo_template(v, row) for v in spec]
+    if isinstance(spec, str):
+        m = re.fullmatch(r"#\{(\w+)\}", spec)
+        if m:
+            return row.get(m.group(1))
+        return re.sub(
+            r"#\{(\w+)\}", lambda mm: str(row.get(mm.group(1), "")), spec
+        )
+    return spec
+
+
+@operator("mongo_update")
+def mongo_update(config: dict):
+    """MongoDBUpdateProcessor (nosql/processors/mongodb/
+    MongoDBUpdateProcessor.scala:22-100): per-datum keyed update — query
+    and update documents are ``#{field}`` templates rendered from each
+    row, applied as UpdateOne/UpdateMany (+upsert). Executor-side
+    foreachPartition with ONE bulk_write per partition (ordered=False),
+    so the corpus never collects to the driver. ``writer`` is an
+    injectable callable (database, collection, ops: list[dict]) -> None
+    for tests; the default uses pymongo. config: {uri, database,
+    collection, query, update, upsert, multi, writer}."""
+    query_t = config["query"]
+    update_t = config["update"]
+    upsert = bool(config.get("upsert", False))
+    multi = bool(config.get("multi", False))
+    writer = config.get("writer")
+    db, coll, uri = config["database"], config["collection"], config.get("uri")
+
+    def transform(df: DataFrame) -> DataFrame:
+        def run(partition):
+            ops = [
+                {
+                    "query": _render_mongo_template(query_t, row.asDict(recursive=True)),
+                    "update": _render_mongo_template(update_t, row.asDict(recursive=True)),
+                    "upsert": upsert,
+                    "multi": multi,
+                }
+                for row in partition
+            ]
+            if not ops:
+                return
+            if writer is not None:
+                writer(db, coll, ops)
+                return
+            try:
+                from pymongo import MongoClient, UpdateMany, UpdateOne
+            except ImportError as e:
+                raise NotImplementedError(
+                    "mongo_update needs pymongo (not in this environment) "
+                    "or an injected config['writer'] callable"
+                ) from e
+            make = UpdateMany if multi else UpdateOne
+            reqs = [make(o["query"], o["update"], upsert=o["upsert"]) for o in ops]
+            with MongoClient(uri) as client:
+                client[db][coll].bulk_write(reqs, ordered=False)
+
+        df.foreachPartition(run)
+        return df
+
+    return transform
+
+
+@operator("mongo_remove")
+def mongo_remove(config: dict):
+    """MongoDBRemoveProcessor (nosql/processors/mongodb/
+    MongoDBRemoveProcessor.scala:24-90): per-datum keyed delete — the
+    query document is a ``#{field}`` template rendered from each row,
+    applied as DeleteOne (just_one) or DeleteMany. Same executor-side
+    bulk shape and injectable ``writer`` as mongo_update. config: {uri,
+    database, collection, query, just_one, writer}."""
+    query_t = config["query"]
+    just_one = bool(config.get("just_one", False))
+    writer = config.get("writer")
+    db, coll, uri = config["database"], config["collection"], config.get("uri")
+
+    def transform(df: DataFrame) -> DataFrame:
+        def run(partition):
+            ops = [
+                {
+                    "query": _render_mongo_template(query_t, row.asDict(recursive=True)),
+                    "just_one": just_one,
+                }
+                for row in partition
+            ]
+            if not ops:
+                return
+            if writer is not None:
+                writer(db, coll, ops)
+                return
+            try:
+                from pymongo import DeleteMany, DeleteOne, MongoClient
+            except ImportError as e:
+                raise NotImplementedError(
+                    "mongo_remove needs pymongo (not in this environment) "
+                    "or an injected config['writer'] callable"
+                ) from e
+            make = DeleteOne if just_one else DeleteMany
+            reqs = [make(o["query"]) for o in ops]
+            with MongoClient(uri) as client:
+                client[db][coll].bulk_write(reqs, ordered=False)
+
+        df.foreachPartition(run)
+        return df
+
+    return transform
+
+
 @operator("mongo_count")
 def mongo_count(config: dict):
     """MongoDBCountProcessor: attach the server-side count of documents

@@ -154,9 +154,13 @@ def binary_files_sink(config: dict):
     """BinaryFileStream writer (file/BinaryFileStreamProcessor): one file
     per row from a binary column, named by an id column — the standard
     shape for media pipelines (each executor writes its partition's rows;
-    no driver collect). Local/NFS paths; for object stores mount or use
-    parquet+binary columns instead. config: {dir, field, name_field,
-    suffix}."""
+    no driver collect). Each file is written to a unique temp name and
+    os.rename()d into place, so a task retry or speculative duplicate can
+    never leave a truncated or interleaved file — the rename is atomic on
+    POSIX filesystems and last-writer-wins with identical content.
+    Local/NFS paths; for object stores mount or use parquet+binary columns
+    instead (and disable speculative execution if the store's rename is
+    not atomic). config: {dir, field, name_field, suffix}."""
     out_dir = config["dir"]
     field = config["field"]
     name_field = config["name_field"]
@@ -168,14 +172,19 @@ def binary_files_sink(config: dict):
         os.makedirs(out_dir, exist_ok=True)
 
         def write_partition(rows):
+            import uuid
+
             for r in rows:
                 payload = r[field]
                 if payload is None:
                     continue
-                with open(
-                    os.path.join(out_dir, f"{r[name_field]}{suffix}"), "wb"
-                ) as f:
+                final = os.path.join(out_dir, f"{r[name_field]}{suffix}")
+                tmp = os.path.join(
+                    out_dir, f".{r[name_field]}.{uuid.uuid4().hex}.tmp"
+                )
+                with open(tmp, "wb") as f:
                     f.write(bytes(payload))
+                os.rename(tmp, final)
 
         df.select(name_field, field).foreachPartition(write_partition)
         return df
