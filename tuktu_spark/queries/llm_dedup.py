@@ -126,7 +126,7 @@ def dedup_simhash_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query("dedup_simhash_near_pairs", tags=("llm", "dedup"))
+@query("dedup_simhash_near_pairs", tags=("llm", "dedup"), bench=True)
 def dedup_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_near_pairs(
         load_table(spark, sf_dir, "documents"), max_hamming=3

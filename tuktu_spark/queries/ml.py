@@ -311,7 +311,7 @@ FROM events
 """
 
 
-@query("ml_hmm_decode", oracle=_HMM_ORACLE, tags=("ml", "hmm"))
+@query("ml_hmm_decode", oracle=_HMM_ORACLE, tags=("ml", "hmm"), bench=True)
 def ml_hmm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
@@ -558,7 +558,7 @@ FROM toks GROUP BY doc_id
 """
 
 
-@query("nlp_pos_tags", oracle=_pos_oracle(), tags=("ml", "nlp"))
+@query("nlp_pos_tags", oracle=_pos_oracle(), tags=("ml", "nlp"), bench=True)
 def nlp_pos_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ml.rbem import pos_tags
 
@@ -605,7 +605,7 @@ GROUP BY g.doc_id
 """
 
 
-@query("nlp_rbem_polarity", oracle=_RBEM_ORACLE, tags=("ml", "nlp"))
+@query("nlp_rbem_polarity", oracle=_RBEM_ORACLE, tags=("ml", "nlp"), bench=True)
 def nlp_rbem_polarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ml.rbem import rbem_polarity
 
@@ -654,7 +654,7 @@ FROM counts
 """
 
 
-@query("nlp_fasttext_buckets", oracle=_FASTTEXT_ORACLE, tags=("ml", "nlp"))
+@query("nlp_fasttext_buckets", oracle=_FASTTEXT_ORACLE, tags=("ml", "nlp"), bench=True)
 def nlp_fasttext_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ml.fasttext import doc_bucket_vectors
 
