@@ -422,7 +422,14 @@ def simhash_near_pairs(
     # make Catalyst inline the tokenization into both the filter and the
     # simhash projection (no CSE across them; measured +14% on this query
     # at sf0.1).
-    sh = simhash_table(df.filter(F.col(text_col).rlike(r"\S")), text_col, id_col)
+    # Persist the simhash table: both sides of the banded self-join read
+    # it, and without the persist each side re-runs tokenize+simhash over
+    # the corpus (measured ~1.1 s/side at sf0.1 — same shape as the
+    # persisted MinHash signature table).
+    release_persisted()
+    sh = _persist_scoped(
+        simhash_table(df.filter(F.col(text_col).rlike(r"\S")), text_col, id_col)
+    )
     pieces = F.explode(
         F.array(
             *[
@@ -452,6 +459,10 @@ def simhash_near_pairs(
             F.col(f"b.{id_col}").alias("id_b"),
             F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
         )
+        # hamming filter BEFORE the distinct: the filter is per-row and
+        # drops most candidates, so the dedup shuffle carries only
+        # qualifying pairs (a pair can match in several chunks)
+        .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
-    return pairs.filter(F.col("hamming") <= max_hamming)
+    return pairs
