@@ -151,29 +151,50 @@ def hmm_viterbi(
 ) -> DataFrame:
     """Per-sequence Viterbi decode: one row per input row with the decoded
     hidden ``state``. Sequences are grouped by ``key_cols`` and ordered by
-    ``order_col`` — the groupBy shuffle distributes millions of sequences
-    across executors; each Arrow batch decodes locally in numpy."""
+    ``order_col``; the groupBy shuffle distributes millions of sequences
+    across executors.
+
+    Shape: collect each sequence to a sorted array (JVM-side groupBy +
+    sort_array), decode an ARROW BATCH of sequences per Python call (a
+    scalar pandas UDF over the array column), then explode back to rows.
+    applyInPandas would instead invoke Python once per GROUP — for
+    millions of short sequences the per-group pandas overhead dominates
+    (measured 2.5x slower at sf0.1). Per-sequence memory is one user's
+    events, the same bound applyInPandas has."""
+    from pyspark.sql.functions import pandas_udf
+
     keys = list(key_cols)
-    fields = {f.name: f.dataType.simpleString() for f in df.schema.fields}
-    schema = ", ".join(
-        [f"`{k}` {fields[k]}" for k in keys]
-        + [f"`{order_col}` {fields[order_col]}", "`state` int"]
-    )
     d = model.to_dict()
 
-    def _decode(pdf: pd.DataFrame) -> pd.DataFrame:
+    def _decode_batch(seqs):
         m = HmmModel.from_dict(d)
-        pdf = pdf.sort_values(order_col)
-        path = viterbi_path(pdf[obs_col].to_numpy(dtype="int64"), m)
-        return pd.DataFrame(
-            {
-                **{k: pdf[k].to_numpy() for k in keys},
-                order_col: pdf[order_col].to_numpy(),
-                "state": path.astype("int32"),
-            }
+        return seqs.map(
+            lambda obs: viterbi_path(
+                np.asarray(obs, dtype="int64"), m
+            ).astype("int32").tolist()
         )
 
-    return df.select(*keys, order_col, obs_col).groupBy(*keys).applyInPandas(_decode, schema)
+    _decode_batch.__annotations__ = {"seqs": pd.Series, "return": pd.Series}
+    decode_udf = pandas_udf("array<int>")(_decode_batch)
+
+    grouped = (
+        df.select(*keys, order_col, obs_col)
+        .groupBy(*keys)
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col(order_col), F.col(obs_col)))
+            ).alias("__seq")
+        )
+    )
+    dec = grouped.withColumn(
+        "__states", decode_udf(F.transform("__seq", lambda s: s[obs_col]))
+    )
+    z = F.explode(F.arrays_zip(F.col("__seq"), F.col("__states"))).alias("__z")
+    return dec.select(*keys, z).select(
+        *keys,
+        F.col(f"__z.__seq.{order_col}").alias(order_col),
+        F.col("__z.__states").alias("state"),
+    )
 
 
 def hmm_estep_stats(
