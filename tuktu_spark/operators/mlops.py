@@ -395,6 +395,53 @@ def word2vec_nearest_op(config: dict):
     return transform
 
 
+@operator("image_classify")
+def image_classify_op(config: dict):
+    """InceptionClassifier / VGG16Classifier (deeplearn/processors/image/
+    *.scala): per-row image -> top-n (label, score) pairs, optional
+    flatten-to-top-1 and label->category coarsening. The CNN itself is
+    the ``embedder`` seam (no TF/Torch in this container): model
+    'inceptionv3'/'vgg16' requires an injected config['embedder']
+    callable (bytes -> list[float]) wrapping the real forward pass;
+    model 'stub' (default) uses the deterministic byte-sample feature so
+    the distributed scoring head stays testable. config: {field,
+    centroids: {label: vec}, model, top_n, flatten, categories,
+    embedder, result}."""
+    from pyspark.sql import functions as F
+
+    from ..ml.deeplearn import classify_images
+
+    model = config.get("model", "stub")
+    embedder = config.get("embedder")
+    if model in ("inceptionv3", "vgg16") and embedder is None:
+        raise NotImplementedError(
+            f"model {model!r} needs pretrained weights (TF/Torch not in "
+            "this environment); inject config['embedder'] wrapping the "
+            "real forward pass, or use model='stub'"
+        )
+    if model not in ("stub", "inceptionv3", "vgg16"):
+        raise ValueError(f"unknown image model {model!r}")
+    result = config.get("result", "labels")
+
+    def transform(df: DataFrame) -> DataFrame:
+        out = classify_images(
+            df,
+            media_col=config.get("field", "media"),
+            centroids=dict(config["centroids"]),
+            top_n=int(config.get("top_n", 3)),
+            embedder=embedder,
+            categories=config.get("categories"),
+            out_col=result,
+        )
+        if config.get("flatten"):
+            # F.get, not [0]: an empty labels array (null media) must
+            # yield NULL, not an ANSI array-index error
+            out = out.withColumn(result, F.get(result, 0)["label"])
+        return out
+
+    return transform
+
+
 @operator("url_parse")
 def url_parse_op(config: dict):
     """URLParserProcessor (web analytics module): decompose a URL column
