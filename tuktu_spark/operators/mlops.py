@@ -395,6 +395,109 @@ def word2vec_nearest_op(config: dict):
     return transform
 
 
+def _rhetorics_resources(config: dict):
+    from ..ml.rhetorics_model import Resources
+
+    kw = {}
+    for key in ("conjunction_tags", "conjunction_words", "determiner_tags"):
+        if key in config:
+            kw[key] = list(config[key])
+    return Resources(**kw)
+
+
+@operator("rhetorics")
+def rhetorics_op(config: dict):
+    """RhetoricsProcessor (nlp/processors/RhetoricsProcessor.scala +
+    models/Rhetorics.scala): per-row counts of the ten rhetorical figures
+    from tokens + POS tags, as map<string,int>. Branchy per-message list
+    logic -> Arrow pandas UDF; language resources override via
+    conjunction_tags/conjunction_words/determiner_tags. config:
+    {tokens_field, pos_field, result, ...resources}."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    from ..ml.rhetorics_model import rhetorics_find
+
+    res = _rhetorics_resources(config)
+    tokens_field = config.get("tokens_field", "tokens")
+    pos_field = config.get("pos_field", "tags")
+    result = config.get("result", "rhetorics")
+
+    def _find(toks, tags):
+        return pd.Series(
+            [
+                rhetorics_find(
+                    list(t) if t is not None else [],
+                    list(g) if g is not None else [],
+                    res,
+                )
+                for t, g in zip(toks, tags)
+            ]
+        )
+
+    _find.__annotations__ = {
+        "toks": pd.Series, "tags": pd.Series, "return": pd.Series,
+    }
+    udf = pandas_udf("map<string,int>")(_find)
+
+    def transform(df: DataFrame) -> DataFrame:
+        return df.withColumn(result, udf(F.col(tokens_field), F.col(pos_field)))
+
+    return transform
+
+
+@operator("persuasion")
+def persuasion_op(config: dict):
+    """PersuasionProcessor (nlp/processors/PersuasionProcessor.scala):
+    per-row persuasion score — the reference's published linear model
+    over clamped emotion axes + rhetoric counts, summed over engagement
+    types. ``emotions_field`` may hold a map<string,double> of the four
+    axes (RBEM shape) or a single emotion string (fastText shape).
+    config: {tokens_field, pos_field, emotions_field, type_weights,
+    result, ...resources}."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    from ..ml.rhetorics_model import persuasion_score
+
+    res = _rhetorics_resources(config)
+    tokens_field = config.get("tokens_field", "tokens")
+    pos_field = config.get("pos_field", "tags")
+    emotions_field = config.get("emotions_field", "emotions")
+    type_weights = config.get("type_weights")
+    result = config.get("result", "persuasion")
+
+    def _score(toks, tags, emos):
+        return pd.Series(
+            [
+                persuasion_score(
+                    list(t) if t is not None else [],
+                    list(g) if g is not None else [],
+                    e if e is not None else {},
+                    type_weights,
+                    res,
+                )
+                for t, g, e in zip(toks, tags, emos)
+            ]
+        )
+
+    _score.__annotations__ = {
+        "toks": pd.Series, "tags": pd.Series, "emos": pd.Series,
+        "return": pd.Series,
+    }
+    udf = pandas_udf("double")(_score)
+
+    def transform(df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            result,
+            udf(F.col(tokens_field), F.col(pos_field), F.col(emotions_field)),
+        )
+
+    return transform
+
+
 @operator("image_classify")
 def image_classify_op(config: dict):
     """InceptionClassifier / VGG16Classifier (deeplearn/processors/image/
@@ -438,6 +541,45 @@ def image_classify_op(config: dict):
             # yield NULL, not an ANSI array-index error
             out = out.withColumn(result, F.get(result, 0)["label"])
         return out
+
+    return transform
+
+
+@operator("location_detect")
+def location_detect_op(config: dict):
+    """LocationDetectionProcessor (nlp/processors/
+    LocationDetectionProcessor.scala:22-180): token-window gazetteer
+    matching -> array<struct<name,lat,lon>> per row. Gazetteers load from
+    the geonames cities TSV (``city_file``) and/or countries.json
+    (``country_file``), union'd and broadcast; optional ``centers``
+    [[lat, lon, radius], ...] restricts matches. config: {field,
+    city_file, country_file, max_window, centers, result}."""
+    from ..ml.location import (
+        detect_locations,
+        load_city_gazetteer,
+        load_country_gazetteer,
+    )
+
+    def transform(df: DataFrame) -> DataFrame:
+        spark = df.sparkSession
+        parts = []
+        if config.get("city_file"):
+            parts.append(load_city_gazetteer(spark, config["city_file"]))
+        if config.get("country_file"):
+            parts.append(load_country_gazetteer(spark, config["country_file"]))
+        if not parts:
+            raise ValueError("location_detect needs city_file and/or country_file")
+        gaz = parts[0]
+        for p in parts[1:]:
+            gaz = gaz.unionByName(p)
+        return detect_locations(
+            df,
+            tokens_col=config.get("field", "tokens"),
+            gazetteer=gaz,
+            max_window=int(config.get("max_window", 3)),
+            centers=[tuple(c) for c in config.get("centers", [])] or None,
+            out_col=config.get("result", "locations"),
+        )
 
     return transform
 
