@@ -233,3 +233,61 @@ class TestMongoExtras:
             ops += [_json.loads(line) for line in open(p)]
         assert sorted(o["query"]["key"] for o in ops) == ["k1", "k2"]
         assert all(o["query"]["status"] == "stale" and o["just_one"] for o in ops)
+
+
+class TestXlsxReader:
+    @pytest.fixture(scope="class")
+    def xlsx_file(self, tmp_path_factory):
+        # hand-written SpreadsheetML zip: independent of the reader code
+        import zipfile
+
+        d = tmp_path_factory.mktemp("xlsx")
+        path = d / "book.xlsx"
+        m = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+        shared = (
+            f'<?xml version="1.0"?><sst xmlns="{m}" count="3" uniqueCount="3">'
+            "<si><t>name</t></si><si><t>score</t></si><si><t>alice</t></si></sst>"
+        )
+        sheet = (
+            f'<?xml version="1.0"?><worksheet xmlns="{m}"><sheetData>'
+            '<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c></row>'
+            '<row r="2"><c r="A2" t="s"><v>2</v></c><c r="B2"><v>9.5</v></c></row>'
+            # row with a gap (no A3) and an inline string + boolean
+            '<row r="3"><c r="B3" t="inlineStr"><is><t>bob</t></is></c>'
+            '<c r="C3" t="b"><v>1</v></c></row>'
+            "</sheetData></worksheet>"
+        )
+        ct = (
+            '<?xml version="1.0"?><Types '
+            'xmlns="http://schemas.openxmlformats.org/package/2006/content-types"/>'
+        )
+        with zipfile.ZipFile(path, "w") as zf:
+            zf.writestr("[Content_Types].xml", ct)
+            zf.writestr("xl/sharedStrings.xml", shared)
+            zf.writestr("xl/worksheets/sheet1.xml", sheet)
+        return str(path)
+
+    def test_read_rows(self, xlsx_file):
+        from tuktu_spark.operators.connectors import read_xlsx_rows
+
+        rows = read_xlsx_rows(xlsx_file)
+        assert rows[0] == ["name", "score", None]
+        assert rows[1] == ["alice", 9.5, None]
+        assert rows[2] == [None, "bob", True]
+
+    def test_source_with_header(self, spark, xlsx_file):
+        from tuktu_spark.operators import make_source
+
+        df = make_source(spark, "xlsx", {"path": xlsx_file})
+        assert df.columns[:2] == ["name", "score"]
+        got = [tuple(r) for r in df.collect()]
+        assert ("alice", "9.5", None) in got
+        assert (None, "bob", "True") in got
+
+    def test_legacy_xls_still_gated(self, spark, tmp_path):
+        from tuktu_spark.operators import make_source
+
+        p = tmp_path / "old.xls"
+        p.write_bytes(b"\xd0\xcf\x11\xe0junk")
+        with pytest.raises(Exception):
+            make_source(spark, "xls", {"path": str(p)})

@@ -214,24 +214,98 @@ def rest_source(spark: SparkSession, config: dict) -> DataFrame:
     return spark.createDataFrame([(text, status)], f"{rows_col} string, status int")
 
 
+def _col_index(cell_ref: str) -> int:
+    """'A1' -> 0, 'AB3' -> 27 (0-based column from an A1-style ref)."""
+    n = 0
+    for ch in cell_ref:
+        if not ch.isalpha():
+            break
+        n = n * 26 + (ord(ch.upper()) - ord("A") + 1)
+    return n - 1
+
+
+def read_xlsx_rows(path: str, sheet: int = 1) -> list[list]:
+    """Dependency-free XLSX reader: the format is a ZIP of XML (ECMA-376,
+    SpreadsheetML), so zipfile + ElementTree suffice — shared strings,
+    A1-style cell anchors with gap filling, number/boolean/inline/shared
+    cell types, and cached formula values. Legacy binary .xls is NOT
+    covered (that needs xlrd)."""
+    import xml.etree.ElementTree as ET
+    import zipfile
+
+    ns = {"m": "http://schemas.openxmlformats.org/spreadsheetml/2006/main"}
+    with zipfile.ZipFile(path) as zf:
+        shared: list[str] = []
+        if "xl/sharedStrings.xml" in zf.namelist():
+            root = ET.fromstring(zf.read("xl/sharedStrings.xml"))
+            for si in root.findall("m:si", ns):
+                shared.append("".join(t.text or "" for t in si.iter() if t.tag.endswith("}t")))
+        sheet_name = f"xl/worksheets/sheet{sheet}.xml"
+        root = ET.fromstring(zf.read(sheet_name))
+        rows: list[list] = []
+        for row in root.iter("{http://schemas.openxmlformats.org/spreadsheetml/2006/main}row"):
+            out: list = []
+            for cell in row:
+                ref = cell.get("r", "")
+                idx = _col_index(ref) if ref else len(out)
+                while len(out) < idx:
+                    out.append(None)
+                ctype = cell.get("t", "n")
+                v = cell.find("m:v", ns)
+                if ctype == "inlineStr":
+                    is_el = cell.find("m:is", ns)
+                    val = "".join(
+                        t.text or "" for t in (is_el.iter() if is_el is not None else ()) if t.tag.endswith("}t")
+                    )
+                elif v is None or v.text is None:
+                    val = None
+                elif ctype == "s":
+                    val = shared[int(v.text)]
+                elif ctype == "b":
+                    val = v.text == "1"
+                elif ctype == "str":  # cached formula result
+                    val = v.text
+                else:
+                    num = float(v.text)
+                    val = int(num) if num.is_integer() else num
+                out.append(val)
+            rows.append(out)
+        width = max((len(r) for r in rows), default=0)
+        return [r + [None] * (width - len(r)) for r in rows]
+
+
 @source("xls", "xlsx")
 def xls_source(spark: SparkSession, config: dict) -> DataFrame:
     """XlsGenerator / XlsxGenerator (modules/csv flattening): Excel sheet ->
-    rows via pandas (driver-side — spreadsheets are config-scale data).
-    Needs an excel engine (openpyxl/xlrd), absent from this container: the
-    import error surfaces cleanly with remediation."""
+    rows, driver-side (spreadsheets are config-scale data). .xlsx parses
+    with the dependency-free stdlib reader above; legacy binary .xls
+    falls back to pandas and needs xlrd (absent here — the error surfaces
+    cleanly with remediation). config: {path, sheet (1-based for xlsx),
+    header}."""
+    path = config["path"]
+    if str(path).lower().endswith((".xlsx", ".xlsm")):
+        rows = read_xlsx_rows(path, sheet=int(config.get("sheet", 1)))
+        header = config.get("header", True)
+        if header and rows:
+            cols = [str(c) if c is not None else f"_c{i}" for i, c in enumerate(rows[0])]
+            data = rows[1:]
+        else:
+            cols = [f"_c{i}" for i in range(len(rows[0]) if rows else 0)]
+            data = rows
+        cells = [[None if c is None else str(c) for c in r] for r in data]
+        return spark.createDataFrame(cells, ", ".join(f"`{c}` string" for c in cols))
     import pandas as pd
 
     try:
         pdf = pd.read_excel(
-            config["path"],
+            path,
             sheet_name=config.get("sheet", 0),
             header=0 if config.get("header", True) else None,
         )
     except ImportError as e:
         raise NotImplementedError(
-            "Excel ingestion needs openpyxl/xlrd (not in this environment); "
-            "export to CSV and use the 'csv' source, or install an engine."
+            "legacy .xls needs xlrd (not in this environment); convert to "
+            ".xlsx (parsed natively) or CSV."
         ) from e
     return spark.createDataFrame(pdf)
 
