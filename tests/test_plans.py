@@ -148,3 +148,41 @@ def test_summarize_no_join(spark, sf_dir, registry):
     plan = plan_of(registry["nlp_summarize_top_sentences"].fn(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_simhash_pairs_no_cartesian(spark, sf_dir, registry):
+    """Banded chunk equi-join, never all-pairs."""
+    plan = plan_of(registry["dedup_simhash_near_pairs"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the persisted simhash table feeds both self-join sides
+    assert "InMemoryTableScan" in plan
+
+
+def test_shorttext_vocab_single_explode_groupby(spark, sf_dir, registry):
+    """Feature n-gram vocabulary: explode + one partial/final count — no
+    joins at all in the corpus-scaled stage."""
+    plan = plan_of(registry["nlp_shorttext_vocab"].fn(spark, sf_dir))
+    assert "Join" not in plan
+    assert "partial_count" in plan and "HashAggregate" in plan
+
+
+def test_fasttext_buckets_broadcasts_token_table(spark, sf_dir, registry):
+    """Per-distinct-token gram hashing joins back via broadcast; the
+    corpus side must not sort-merge."""
+    plan = plan_of(registry["nlp_fasttext_buckets"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_location_detect_broadcasts_gazetteer(spark):
+    from tuktu_spark.ml.location import detect_locations
+
+    gaz = spark.createDataFrame(
+        [("amsterdam", 52.37, 4.89, 800000)],
+        "name string, lat double, lon double, pop bigint",
+    )
+    df = spark.createDataFrame([(["amsterdam"],)], "tokens array<string>")
+    plan = plan_of(detect_locations(df, "tokens", gaz))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
