@@ -990,3 +990,96 @@ def nlp_shorttext_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
          / F.count(F.lit(1))).alias("accuracy"),
         F.count(F.lit(1)).alias("n_docs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Location detection (nlp/processors/LocationDetectionProcessor.scala:22-180)
+# over an inline gazetteer drawn from the corpus vocabulary: token windows
+# (1-3 grams) equi-join the broadcast gazetteer, per-doc subsumption drops
+# matches contained in a longer match ('fast table' beats 'table'). The
+# oracle replicates windows, matching and subsumption in SQL.
+# ---------------------------------------------------------------------------
+
+_LOC_GAZ = (
+    ("spark", 10.0, 20.0),
+    ("window", 30.0, 40.0),
+    ("table", 50.0, 60.0),
+    ("fast table", 70.0, 80.0),
+)
+
+
+def _location_oracle() -> str:
+    gaz = ", ".join(f"('{n}', {lat}, {lon})" for n, lat, lon in _LOC_GAZ)
+    return f"""
+WITH docs AS (
+  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+),
+wins AS (
+  SELECT doc_id, unnest(tk) AS w FROM docs
+  UNION ALL
+  SELECT doc_id, tk[i] || ' ' || tk[i + 1] AS w
+  FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 1)) AS i
+        FROM docs)
+  UNION ALL
+  SELECT doc_id, tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2] AS w
+  FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 2)) AS i
+        FROM docs)
+),
+gaz(name, lat, lon) AS (VALUES {gaz}),
+matches AS (
+  SELECT DISTINCT doc_id, name, lat, lon
+  FROM wins JOIN gaz ON wins.w = gaz.name
+),
+kept AS (
+  SELECT * FROM matches m
+  WHERE NOT EXISTS (
+    SELECT 1 FROM matches n
+    WHERE n.doc_id = m.doc_id AND n.name <> m.name
+      AND contains(n.name, m.name)
+  )
+)
+SELECT name, lat, lon, COUNT(*) AS n_docs
+FROM kept GROUP BY name, lat, lon
+"""
+
+
+@query("nlp_location_detect", oracle=_location_oracle(), tags=("ml", "nlp"))
+def nlp_location_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ml.location import GAZETTEER_SCHEMA, detect_locations
+
+    gaz = spark.createDataFrame(
+        [(n, lat, lon, 0) for n, lat, lon in _LOC_GAZ], GAZETTEER_SCHEMA
+    )
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("tokens")
+    )
+    detected = detect_locations(d, "tokens", gaz, max_window=3)
+    return (
+        detected.select("doc_id", F.explode("locations").alias("loc"))
+        .groupBy(
+            F.col("loc.name").alias("name"),
+            F.col("loc.lat").alias("lat"),
+            F.col("loc.lon").alias("lon"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@query("nlp_rhetorics_counts", tags=("ml", "nlp"))
+def nlp_rhetorics_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus totals of the ten rhetorical figures (models/Rhetorics.scala
+    find) over documents tagged by the heuristic POS tagger — rows-only
+    (the figure finders are branchy per-message list logic, not
+    SQL-expressible); per-figure fixtures pin the semantics in
+    tests/test_rhetorics_location.py."""
+    from ..ml.rbem import pos_tags
+    from ..ml.rhetorics_model import FIGURES
+    from ..operators import make_operator
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("tokens")
+    ).withColumn("tags", pos_tags(F.col("tokens")))
+    counted = make_operator("rhetorics", {})(d)
+    return counted.select(
+        [F.sum(F.col("rhetorics")[f]).alias(f) for f in FIGURES]
+    )
