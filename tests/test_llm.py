@@ -415,3 +415,49 @@ class TestDegenerateDocSkew:
     def test_empty_shingle_docs_reports_dropped(self, polluted):
         n = D.empty_shingle_docs(polluted).count()
         assert n == 10_000
+
+
+class TestLanguageIdNgram:
+    """Cavnar-Trenkle rank-profile language ID (llm/text.py): trained
+    per-lang n-gram profiles + out-of-place distance. The full pipeline
+    is also oracle-checked end-to-end (text_language_id_ngram)."""
+
+    def test_char_and_word_grams(self, spark):
+        from tuktu_spark.llm.text import char_ngrams
+
+        df = spark.createDataFrame([("ab cd",)], "t string")
+        chars = df.select(char_ngrams("t", (2,)).alias("g")).first()["g"]
+        assert chars == ["ab", "b ", " c", "cd"]
+        words = df.select(char_ngrams("t", (1, 2), unit="word").alias("g")).first()["g"]
+        assert words == ["ab", "cd", "ab cd"]
+        empty = spark.createDataFrame([("",)], "t string")
+        assert empty.select(char_ngrams("t", (2,), unit="word").alias("g")).first()["g"] == []
+
+    def test_profiles_ranked_and_capped(self, spark):
+        from tuktu_spark.llm.text import language_ngram_profiles
+
+        df = spark.createDataFrame(
+            [("en", "aa aa bb"), ("fr", "cc cc dd")], "lang string, text string"
+        )
+        prof = language_ngram_profiles(df, top_k=2, n_set=(1,), unit="word")
+        got = {(r["lang"], r["gram"]): r["rank"] for r in prof.collect()}
+        assert got[("en", "aa")] == 1 and got[("en", "bb")] == 2
+        assert got[("fr", "cc")] == 1 and got[("fr", "dd")] == 2
+
+    def test_self_trained_accuracy_floor(self, spark, sf_dir):
+        from tuktu_spark.llm.text import (
+            classify_language_ngram,
+            language_ngram_profiles,
+        )
+        from tuktu_spark.tables import load_table
+        from pyspark.sql import functions as F
+
+        d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+        prof = language_ngram_profiles(d, top_k=300, unit="word")
+        pred = classify_language_ngram(d, prof, id_col="doc_id", top_k=300, unit="word")
+        acc = (
+            pred.join(d.select("doc_id", "lang"), "doc_id")
+            .agg(F.avg((F.col("predicted_lang") == F.col("lang")).cast("double")))
+            .first()[0]
+        )
+        assert acc >= 0.6  # 5 classes, 0.2 chance; word profiles reach ~0.76

@@ -195,3 +195,145 @@ def gopher_rules(
 def with_gopher_rules(df: DataFrame, text_col: str = "text", **kw) -> DataFrame:
     feats = gopher_rules(text_col, **kw)
     return df.withColumns(feats)
+
+
+# ---------------------------------------------------------------------------
+# Trained language ID: Cavnar-Trenkle character-n-gram rank profiles
+# ("N-Gram-Based Text Categorization", 1994 — public literature). Upgrades
+# the stopword-list fallback above to a model TRAINED from labeled data:
+# per-language top-K n-gram rank profiles, classification by out-of-place
+# rank distance. Both phases are pure DataFrame algebra (explode + count +
+# row_number + broadcast join), so the whole train->classify pipeline is
+# SQL-oracle-able and scales as two groupBys over corpus char-grams.
+# ---------------------------------------------------------------------------
+
+
+def char_ngrams(
+    col: Column | str,
+    n_set: tuple[int, ...] = (1, 2, 3),
+    unit: str = "char",
+) -> Column:
+    """All n-grams (lengths in n_set) of the lowercased text, duplicates
+    kept. ``unit='char'`` is the classic Cavnar-Trenkle alphabet;
+    ``unit='word'`` ranks token n-grams instead — the right signal when
+    languages share an alphabet but differ in word frequency. Guarded
+    against short texts (sequence(1, 0) is a DESCENDING [1, 0], not
+    empty)."""
+    c = F.lower(F.col(col) if isinstance(col, str) else col)
+    if unit == "word":
+        toks = F.filter(F.split(c, r"\s+"), lambda x: x != "")
+
+        def grams_of(n):
+            cnt = F.size(toks) - (n - 1)
+            return F.when(
+                cnt >= 1,
+                F.transform(
+                    F.sequence(F.lit(1), cnt),
+                    lambda i: F.array_join(F.slice(toks, i, n), " "),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+
+    else:
+
+        def grams_of(n):
+            cnt = F.length(c) - (n - 1)
+            return F.when(
+                cnt >= 1,
+                F.transform(
+                    F.sequence(F.lit(1), cnt), lambda i: c.substr(i, F.lit(n))
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+
+    return F.concat(*[grams_of(n) for n in n_set])
+
+
+def language_ngram_profiles(
+    df: DataFrame,
+    text_col: str = "text",
+    lang_col: str = "lang",
+    top_k: int = 300,
+    n_set: tuple[int, ...] = (1, 2, 3),
+    unit: str = "char",
+) -> DataFrame:
+    """(lang, gram, rank): each language's top_k most frequent char
+    n-grams ranked 1..top_k (count desc, gram asc — a deterministic,
+    engine-portable total order). Profile size is languages x top_k —
+    tiny, broadcastable regardless of corpus size."""
+    from pyspark.sql import Window
+
+    grams = df.select(
+        F.col(lang_col).alias("lang"),
+        F.explode(char_ngrams(text_col, n_set, unit)).alias("gram"),
+    )
+    counts = grams.groupBy("lang", "gram").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("lang").orderBy(F.col("c").desc(), F.col("gram").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select("lang", "gram", "rank")
+    )
+
+
+def classify_language_ngram(
+    df: DataFrame,
+    profiles: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 300,
+    n_set: tuple[int, ...] = (1, 2, 3),
+    unit: str = "char",
+) -> DataFrame:
+    """(id, predicted_lang, distance): Cavnar-Trenkle out-of-place
+    classification. Each document's own top_k rank profile joins the
+    broadcast language profiles on gram; distance(lang) = sum over doc
+    grams of |doc_rank - lang_rank|, with an out-of-place penalty of
+    top_k for grams absent from the language profile; argmin language
+    (alphabetical tiebreak). Shuffles: doc-gram groupBy + the final
+    per-doc argmin groupBy — both keyed by id, corpus-linear."""
+    from pyspark.sql import Window
+
+    doc_grams = df.select(
+        F.col(id_col), F.explode(char_ngrams(text_col, n_set, unit)).alias("gram")
+    )
+    doc_counts = doc_grams.groupBy(id_col, "gram").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("c").desc(), F.col("gram").asc())
+    doc_prof = (
+        doc_counts.withColumn("drank", F.row_number().over(w))
+        .filter(F.col("drank") <= top_k)
+        .select(id_col, "gram", "drank")
+    )
+    n_langs = profiles.select("lang").distinct()
+    n_doc = doc_prof.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
+    matched = (
+        doc_prof.join(F.broadcast(profiles), "gram")
+        .groupBy(id_col, "lang")
+        .agg(
+            F.sum(F.abs(F.col("drank") - F.col("rank"))).alias("in_place"),
+            F.count(F.lit(1)).alias("n_matched"),
+        )
+    )
+    # every (doc, lang) pair exists via the cross with the (tiny) lang
+    # list, so languages matching NO grams still score (all out-of-place)
+    scored = (
+        n_doc.crossJoin(F.broadcast(n_langs))
+        .join(matched, [id_col, "lang"], "left")
+        .select(
+            F.col(id_col),
+            "lang",
+            (
+                F.coalesce(F.col("in_place"), F.lit(0))
+                + (F.col("n_grams") - F.coalesce(F.col("n_matched"), F.lit(0)))
+                * F.lit(top_k)
+            ).alias("distance"),
+        )
+    )
+    best = Window.partitionBy(id_col).orderBy(
+        F.col("distance").asc(), F.col("lang").asc()
+    )
+    return (
+        scored.withColumn("__rk", F.row_number().over(best))
+        .filter(F.col("__rk") == 1)
+        .select(F.col(id_col), F.col("lang").alias("predicted_lang"), "distance")
+    )

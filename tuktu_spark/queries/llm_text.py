@@ -210,3 +210,101 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "g_n_tokens", "g_mean_token_len", "g_symbol_ratio",
         "g_alpha_token_ratio", "g_top_token_ratio", "g_pass",
     )
+
+
+# ---------------------------------------------------------------------------
+# Trained language ID (Cavnar-Trenkle 1994 rank-profile classification):
+# train per-lang char-n-gram profiles from the corpus, classify every doc
+# by out-of-place distance. The whole train->classify pipeline is exact
+# DataFrame algebra, replicated by the oracle (integer counts + ranks; the
+# (count desc, gram asc) ordering is a deterministic total order in both
+# engines).
+# ---------------------------------------------------------------------------
+
+_LANGID_TOPK = 300
+
+_LANGID_ORACLE = f"""
+WITH docs AS (
+  SELECT doc_id, lang,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS tk
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, lang, tk[j] AS gram FROM (
+    SELECT doc_id, lang, tk, unnest(generate_series(1, len(tk))) AS j
+    FROM docs)
+  UNION ALL
+  SELECT doc_id, lang, tk[j] || ' ' || tk[j + 1] AS gram FROM (
+    SELECT doc_id, lang, tk, unnest(generate_series(1, len(tk) - 1)) AS j
+    FROM docs)
+  UNION ALL
+  SELECT doc_id, lang,
+         tk[j] || ' ' || tk[j + 1] || ' ' || tk[j + 2] AS gram FROM (
+    SELECT doc_id, lang, tk, unnest(generate_series(1, len(tk) - 2)) AS j
+    FROM docs)
+),
+lang_counts AS (
+  SELECT lang, gram, COUNT(*) AS c FROM grams GROUP BY lang, gram
+),
+lang_prof AS (
+  SELECT lang, gram, rank FROM (
+    SELECT lang, gram,
+           ROW_NUMBER() OVER (PARTITION BY lang
+                              ORDER BY c DESC, gram ASC) AS rank
+    FROM lang_counts
+  ) WHERE rank <= {_LANGID_TOPK}
+),
+doc_counts AS (
+  SELECT doc_id, gram, COUNT(*) AS c FROM grams GROUP BY doc_id, gram
+),
+doc_prof AS (
+  SELECT doc_id, gram, drank FROM (
+    SELECT doc_id, gram,
+           ROW_NUMBER() OVER (PARTITION BY doc_id
+                              ORDER BY c DESC, gram ASC) AS drank
+    FROM doc_counts
+  ) WHERE drank <= {_LANGID_TOPK}
+),
+n_doc AS (
+  SELECT doc_id, COUNT(*) AS n_grams FROM doc_prof GROUP BY doc_id
+),
+matched AS (
+  SELECT d.doc_id, p.lang,
+         SUM(ABS(d.drank - p.rank)) AS in_place,
+         COUNT(*) AS n_matched
+  FROM doc_prof d JOIN lang_prof p USING (gram)
+  GROUP BY d.doc_id, p.lang
+),
+scored AS (
+  SELECT n.doc_id, l.lang,
+         COALESCE(m.in_place, 0)
+           + (n.n_grams - COALESCE(m.n_matched, 0)) * {_LANGID_TOPK}
+           AS distance
+  FROM n_doc n
+  CROSS JOIN (SELECT DISTINCT lang FROM documents) l
+  LEFT JOIN matched m ON m.doc_id = n.doc_id AND m.lang = l.lang
+)
+SELECT doc_id, lang AS predicted_lang, CAST(distance AS BIGINT) AS distance
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY distance ASC, lang ASC) AS rk
+  FROM scored
+) WHERE rk = 1
+"""
+
+
+@query("text_language_id_ngram", oracle=_LANGID_ORACLE, tags=("llm", "text"))
+def text_language_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.text import classify_language_ngram, language_ngram_profiles
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    profiles = language_ngram_profiles(
+        d, top_k=_LANGID_TOPK, unit="word"
+    )
+    return classify_language_ngram(
+        d, profiles, id_col="doc_id", top_k=_LANGID_TOPK, unit="word"
+    ).select(
+        "doc_id",
+        "predicted_lang",
+        F.col("distance").cast("bigint").alias("distance"),
+    )
