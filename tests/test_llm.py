@@ -461,3 +461,69 @@ class TestLanguageIdNgram:
             .first()[0]
         )
         assert acc >= 0.6  # 5 classes, 0.2 chance; word profiles reach ~0.76
+
+
+class TestAnnIvf:
+    """k-means IVF + multi-probe sign-LSH ANN (llm/similarity.py):
+    recall economics against the exact brute-force scan."""
+
+    @pytest.fixture(scope="class")
+    def emb(self, spark, sf_dir):
+        return load_table(spark, sf_dir, "embeddings").cache()
+
+    @pytest.fixture(scope="class")
+    def truth(self, emb):
+        q = emb.filter(F.col("vec_id") < 20)
+        return {
+            (r["query_id"], r["neighbor_id"])
+            for r in S.brute_force_topk(emb, q, k=5).collect()
+        }
+
+    def recall(self, pairs, truth):
+        return len(pairs & truth) / len(truth)
+
+    def test_kmeans_ivf_recall_rises_with_probes(self, emb, truth):
+        q = emb.filter(F.col("vec_id") < 20)
+        cents = S.train_ivf_centroids(emb, nlist=16)
+        recalls = []
+        for n_probe in (1, 4, 8):
+            got = {
+                (r["query_id"], r["neighbor_id"])
+                for r in S.ivf_kmeans_topk(emb, q, cents, k=5, n_probe=n_probe).collect()
+            }
+            recalls.append(self.recall(got, truth))
+        assert recalls == sorted(recalls)  # monotone in n_probe
+        assert recalls[-1] >= 0.7  # half the lists -> high recall
+
+    def test_kmeans_ivf_full_probe_is_exact(self, emb, truth):
+        q = emb.filter(F.col("vec_id") < 20)
+        cents = S.train_ivf_centroids(emb, nlist=8)
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in S.ivf_kmeans_topk(emb, q, cents, k=5, n_probe=8).collect()
+        }
+        assert got == truth  # probing every list == brute force
+
+    def test_multiprobe_beats_single_probe(self, emb, truth):
+        q = emb.filter(F.col("vec_id") < 20)
+        single = {
+            (r["query_id"], r["neighbor_id"])
+            for r in S.ivf_bucketed_topk(emb, q, k=5, bits=8).collect()
+        }
+        multi = {
+            (r["query_id"], r["neighbor_id"])
+            for r in S.ivf_multiprobe_topk(emb, q, k=5, bits=8, n_probe=8).collect()
+        }
+        assert self.recall(multi, truth) >= self.recall(single, truth)
+
+    def test_ann_operator(self, spark, emb):
+        from tuktu_spark.operators.registry import make_operator
+
+        out = make_operator(
+            "ann_topk",
+            {"k": 3, "method": "kmeans_ivf", "nlist": 8, "n_probe": 2,
+             "query_filter": "vec_id < 5"},
+        )(emb)
+        rows = out.collect()
+        assert {r["query_id"] for r in rows} == {0, 1, 2, 3, 4}
+        assert all(1 <= r["rank"] <= 3 for r in rows)

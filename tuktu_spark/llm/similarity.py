@@ -115,6 +115,159 @@ def ivf_bucketed_topk(
     )
 
 
+def probe_buckets(vec, bits: int = 8, n_probe: int = 4):
+    """Multi-probe bucket list (Lv et al. 2007 multi-probe LSH, public
+    literature): the home sign-bucket plus single-bit flips of the
+    n_probe-1 LOWEST-|margin| dimensions — the planes the vector sits
+    closest to, hence the buckets its near neighbors most likely landed
+    in. Deterministic: ties in |margin| break toward the lower dim."""
+    home = sign_bucket(vec, bits)
+    order = F.array_sort(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(bits)),
+            lambda i: F.struct(
+                F.abs(F.element_at(vec, i)).alias("a"), i.alias("i")
+            ),
+        )
+    )
+    masks = F.array(*[F.lit(1 << (bits - i)) for i in range(1, bits + 1)])
+    flips = F.transform(
+        F.slice(order, 1, n_probe - 1),
+        lambda s: home.bitwiseXOR(F.element_at(masks, s["i"])),
+    )
+    return F.concat(F.array(home), flips)
+
+
+def ivf_multiprobe_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    bits: int = 8,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k with multi-probe: each query fans out to
+    ``n_probe`` buckets (home + lowest-margin bit flips) while the vector
+    table keeps ONE bucket per vector — recall approaches brute force as
+    n_probe grows, at n_probe x the candidate cost and zero extra cost on
+    the (large) corpus side. A neighbor can match at most one probe (a
+    vector lives in exactly one bucket), so no candidate dedup is
+    needed."""
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("nv"),
+    ).withColumn("bucket", sign_bucket(F.col("nv"), bits))
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            _as_double(F.col(vec_col)).alias("qv"),
+        )
+        .withColumn("bucket", F.explode(probe_buckets(F.col("qv"), bits, n_probe)))
+    )
+    scored = (
+        v.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", cosine(F.col("qv"), F.col("nv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def train_ivf_centroids(
+    vectors: DataFrame,
+    nlist: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 7,
+    max_iter: int = 10,
+) -> list[list[float]]:
+    """Coarse quantizer for k-means IVF (the FAISS IVF-flat layout, public
+    literature): nlist centroids trained with pyspark.ml KMeans. The
+    centroid table is nlist x dim floats — kilobytes; train on a sample
+    at 100 TB scale, the index quality barely depends on sample size."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = vectors.select(
+        array_to_vector(_as_double(F.col(vec_col))).alias("features")
+    )
+    model = KMeans(k=nlist, seed=seed, maxIter=max_iter).fit(feats)
+    return [[float(x) for x in c] for c in model.clusterCenters()]
+
+
+def _nearest_centroids(vec, centroids: list[list[float]], n_probe: int):
+    """Indices (1-based) of the n_probe nearest centroids by squared L2 —
+    pure column algebra over a literal centroid array."""
+    cents = F.array(
+        *[F.array(*[F.lit(x) for x in c]) for c in centroids]
+    )
+    dists = F.transform(
+        F.sequence(F.lit(1), F.lit(len(centroids))),
+        lambda i: F.struct(
+            F.aggregate(
+                F.zip_with(
+                    vec, F.element_at(cents, i), lambda a, b: (a - b) * (a - b)
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("d"),
+            i.alias("i"),
+        ),
+    )
+    return F.transform(
+        F.slice(F.array_sort(dists), 1, n_probe), lambda s: s["i"]
+    )
+
+
+def ivf_kmeans_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """k-means IVF top-k: vectors are assigned to their nearest centroid's
+    inverted list (one narrow map over the corpus), queries probe their
+    ``n_probe`` nearest lists. The join is an equi-join on list id with
+    the query side broadcast — the corpus shuffles once by list at index
+    build time and never again. Recall rises with n_probe (n_probe =
+    nlist is exact brute force)."""
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("nv"),
+    ).withColumn(
+        "list_id", F.element_at(_nearest_centroids(F.col("nv"), centroids, 1), 1)
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        _as_double(F.col(vec_col)).alias("qv"),
+    ).withColumn(
+        "list_id",
+        F.explode(_nearest_centroids(F.col("qv"), centroids, n_probe)),
+    )
+    scored = (
+        v.join(F.broadcast(q), "list_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", cosine(F.col("qv"), F.col("nv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
 def embedding_near_dup_pairs(
     vectors: DataFrame,
     threshold: float = 0.95,

@@ -91,3 +91,49 @@ def quantize_embeddings_op(config: dict):
     return lambda df: quantize_table(
         df, vec_col=config.get("field", "embedding"), bits=int(config.get("bits", 8))
     )
+
+
+@operator("ann_topk")
+def ann_topk_op(config: dict):
+    """Approximate nearest-neighbor top-k over an embedding column.
+    method 'kmeans_ivf' (default) trains/uses nlist coarse centroids and
+    probes the n_probe nearest inverted lists (FAISS IVF-flat layout);
+    'sign_lsh' uses the sign-bucket quantizer with optional multi-probe;
+    'brute' is the exact scan. Queries = rows where config.query_filter
+    SQL holds. config: {field, id_field, k, method, nlist, n_probe,
+    bits, query_filter}."""
+    from pyspark.sql import functions as F
+
+    from ..llm import similarity as S
+
+    method = config.get("method", "kmeans_ivf")
+    k = int(config.get("k", 5))
+    id_col = config.get("id_field", "vec_id")
+    vec_col = config.get("field", "embedding")
+    n_probe = int(config.get("n_probe", 4))
+
+    def transform(df):
+        queries = df.filter(config.get("query_filter", "true"))
+        if method == "brute":
+            return S.brute_force_topk(df, queries, k=k, id_col=id_col, vec_col=vec_col)
+        if method == "sign_lsh":
+            bits = int(config.get("bits", 8))
+            if n_probe > 1:
+                return S.ivf_multiprobe_topk(
+                    df, queries, k=k, bits=bits, n_probe=n_probe,
+                    id_col=id_col, vec_col=vec_col,
+                )
+            return S.ivf_bucketed_topk(
+                df, queries, k=k, bits=bits, id_col=id_col, vec_col=vec_col
+            )
+        if method == "kmeans_ivf":
+            cents = config.get("centroids") or S.train_ivf_centroids(
+                df, nlist=int(config.get("nlist", 16)), vec_col=vec_col
+            )
+            return S.ivf_kmeans_topk(
+                df, queries, cents, k=k, n_probe=n_probe,
+                id_col=id_col, vec_col=vec_col,
+            )
+        raise ValueError(f"unknown ann method {method!r}")
+
+    return transform

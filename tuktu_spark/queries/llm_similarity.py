@@ -200,3 +200,15 @@ def similarity_quantize_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "vec_id", (F.col("i0") + 1).alias("i"), "code", "scale"
     )
+
+
+@query("similarity_topk_ivf_kmeans", tags=("llm", "similarity"))
+def similarity_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-means IVF ANN (FAISS IVF-flat layout): 16 trained coarse
+    centroids, queries probe their 8 nearest inverted lists — rows-only
+    (KMeans training is iterative, not SQL-expressible); recall vs brute
+    force (~0.9 probing half the lists) is pinned in tests/test_llm.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    cents = S.train_ivf_centroids(emb, nlist=16)
+    return S.ivf_kmeans_topk(emb, queries, cents, k=_K, n_probe=8)
