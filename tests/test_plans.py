@@ -186,3 +186,36 @@ def test_location_detect_broadcasts_gazetteer(spark):
     plan = plan_of(detect_locations(df, "tokens", gaz))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path_factory):
+    """Two tables bucketed+sorted on the join key with the same bucket
+    count must sort-merge-join with ZERO Exchange operators — the
+    co-located repeated-join pattern SCALE.md prescribes for 100 TB."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from tuktu_spark.operators import make_operator
+
+    suffix = uuid.uuid4().hex[:8]
+    ta, tb = f"bk_a_{suffix}", f"bk_b_{suffix}"
+    a = spark.range(0, 10_000).select(
+        F.col("id").alias("k"), (F.col("id") % 97).alias("va")
+    )
+    b = spark.range(0, 10_000).select(
+        F.col("id").alias("k"), (F.col("id") % 31).alias("vb")
+    )
+    make_operator("bucketed_write", {"table": ta, "buckets": 8, "by": ["k"]})(a)
+    make_operator("bucketed_write", {"table": tb, "buckets": 8, "by": ["k"]})(b)
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table(ta).join(spark.table(tb), "k")
+        plan = plan_of(joined)
+        assert "Exchange" not in plan
+        assert "SortMergeJoin" in plan
+        assert joined.count() == 10_000
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql(f"DROP TABLE IF EXISTS {ta}")
+        spark.sql(f"DROP TABLE IF EXISTS {tb}")

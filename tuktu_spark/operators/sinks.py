@@ -31,6 +31,31 @@ def parquet_sink(config: dict):
     return sink
 
 
+@operator("bucketed_write")
+def bucketed_write(config: dict):
+    """Bucketed managed-table write — the co-located-join pattern for
+    repeated large-table joins at 100 TB: both sides bucketed (and
+    sorted) by the join key into the same bucket count join WITHOUT a
+    shuffle (no Exchange in the plan; asserted in tests/test_plans.py).
+    Write once, join many. config: {table, buckets, by: [cols],
+    sort_by: [cols], mode}."""
+    table = config["table"]
+    buckets = int(config["buckets"])
+    by = list(config["by"])
+    sort_by = list(config.get("sort_by", by))
+
+    def sink(df: DataFrame):
+        (
+            df.write.mode(config.get("mode", "overwrite"))
+            .bucketBy(buckets, *by)
+            .sortBy(*sort_by)
+            .saveAsTable(table)
+        )
+        return df
+
+    return sink
+
+
 @operator("csv_sink")
 def csv_sink(config: dict):
     """CSVWriterProcessor (csv/CsvProcessors.scala:116-174) /
