@@ -383,6 +383,24 @@ class TestJoinsMerge:
         assert r["tuktu_js_field"] == [{"k1": "v1"}, {"k2": "v2"}, {"k3": "v3"}]
         assert r["other"] == "x" and r["name"] == "y"
 
+    def test_js_merge_null_padding_keeps_surviving_side(self, spark):
+        # padded full join leaves the shorter branch's js column NULL for
+        # the extra rows; the reference zipAll-pads with empty lists, so
+        # the longer branch's items must survive (concat(NULL, x) must not
+        # wipe them)
+        a = spark.createDataFrame(
+            [(1, [{"k1": "v1"}]), (2, [{"k2": "v2"}])],
+            "pos int, tuktu_js_field array<map<string,string>>",
+        )
+        b = spark.createDataFrame(
+            [(1, [{"k3": "v3"}])],
+            "pos int, tuktu_js_field array<map<string,string>>",
+        )
+        out = make_operator("js_merge", {"order_by": ["pos"], "padding": True})(a, b)
+        got = {r["pos"]: r["tuktu_js_field"] for r in out.collect()}
+        assert got[1] == [{"k1": "v1"}, {"k3": "v3"}]
+        assert got[2] == [{"k2": "v2"}]  # not NULL
+
     def test_js_merge_without_js_column_degrades_to_zip(self, spark):
         a = spark.createDataFrame([(1, "a1")], ["pos", "v"])
         b = spark.createDataFrame([(1, "b1")], ["pos", "v"])

@@ -280,9 +280,33 @@ class TestXlsxReader:
 
         df = make_source(spark, "xlsx", {"path": xlsx_file})
         assert df.columns[:2] == ["name", "score"]
+        # mixed float/string "score" column stays string; the all-boolean
+        # third column is typed boolean (parity with the pandas .xls path)
+        assert dict(df.dtypes)["_c2"] == "boolean"
         got = [tuple(r) for r in df.collect()]
         assert ("alice", "9.5", None) in got
-        assert (None, "bob", "True") in got
+        assert (None, "bob", True) in got
+
+    def test_source_typed_numeric_columns(self, spark, tmp_path):
+        import zipfile
+
+        from tuktu_spark.operators import make_source
+
+        m = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+        sheet = (
+            f'<?xml version="1.0"?><worksheet xmlns="{m}"><sheetData>'
+            '<row r="1"><c r="A1" t="inlineStr"><is><t>n</t></is></c>'
+            '<c r="B1" t="inlineStr"><is><t>x</t></is></c></row>'
+            '<row r="2"><c r="A2"><v>3</v></c><c r="B2"><v>9.5</v></c></row>'
+            '<row r="3"><c r="A3"><v>4</v></c><c r="B3"><v>2</v></c></row>'
+            "</sheetData></worksheet>"
+        )
+        path = tmp_path / "typed.xlsx"
+        with zipfile.ZipFile(path, "w") as zf:
+            zf.writestr("xl/worksheets/sheet1.xml", sheet)
+        df = make_source(spark, "xlsx", {"path": str(path)})
+        assert dict(df.dtypes) == {"n": "bigint", "x": "double"}
+        assert sorted(tuple(r) for r in df.collect()) == [(3, 9.5), (4, 2.0)]
 
     def test_legacy_xls_still_gated(self, spark, tmp_path):
         from tuktu_spark.operators import make_source

@@ -195,6 +195,34 @@ class TestLocationDetection:
         locs = out.first()["locations"]
         assert [loc["name"] for loc in locs] == ["amsterdam"]
 
+    def test_subsumption_runs_before_centers_filter(self, spark, tmp_path):
+        # reference order: subsume first, THEN filter by centers — so a
+        # short match ("york", in-center) subsumed by a longer match
+        # ("new york", out-of-center) is dropped, not resurrected
+        def city_row(name, lat, lon, pop):
+            cols = [""] * 19
+            cols[1] = cols[2] = name
+            cols[4], cols[5], cols[14] = str(lat), str(lon), str(pop)
+            return "\t".join(cols)
+
+        city_file = tmp_path / "cities.tsv"
+        city_file.write_text(
+            "\n".join(
+                [
+                    city_row("York", 52.0, 5.0, 200000),  # inside center
+                    city_row("New York", 40.71, -74.0, 8000000),  # outside
+                ]
+            )
+        )
+        df = spark.createDataFrame(
+            [(1, ["new", "york"])], "id int, tokens array<string>"
+        )
+        out = make_operator(
+            "location_detect",
+            {"city_file": str(city_file), "centers": [[52.0, 5.0, 3.0]]},
+        )(df)
+        assert out.first()["locations"] == []
+
     def test_short_alt_city_names_dropped(self, spark, gazetteer_files):
         city_file, _ = gazetteer_files
         df = spark.createDataFrame([(1, ["ams"])], "id int, tokens array<string>")

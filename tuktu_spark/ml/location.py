@@ -109,7 +109,11 @@ def detect_locations(
     broadcast gazetteer; matches subsumed by a longer match in the same
     document are dropped; ``centers`` (lat, lon, radius) keeps only
     matches within euclidean-degree radius of some center (the
-    reference's filter)."""
+    reference's filter). As in the reference
+    (LocationDetectionProcessor: getLocations subsumes, the processor
+    then filters by centers), subsumption runs BEFORE the centers
+    filter — so a short match subsumed by a longer out-of-center match
+    is dropped, not resurrected."""
     base = df.withColumn("__rid", F.monotonically_increasing_id())
     toks = F.transform(F.col(tokens_col), lambda t: F.lower(t))
 
@@ -126,18 +130,6 @@ def detect_locations(
     all_windows = F.concat(*[windows_of(n) for n in range(1, max_window + 1)])
     exploded = base.select("__rid", F.explode(all_windows).alias("name"))
     matched = exploded.join(F.broadcast(gazetteer), "name")
-    if centers:
-        cond = None
-        for lat, lon, radius in centers:
-            c = (
-                F.sqrt(
-                    F.pow(F.col("lat") - F.lit(float(lat)), 2)
-                    + F.pow(F.col("lon") - F.lit(float(lon)), 2)
-                )
-                <= float(radius)
-            )
-            cond = c if cond is None else (cond | c)
-        matched = matched.filter(cond)
     per_doc = matched.groupBy("__rid").agg(
         F.array_distinct(
             F.collect_list(F.struct("name", "lat", "lon"))
@@ -154,6 +146,21 @@ def detect_locations(
             & F.contains(n["name"], m["name"]),
         ),
     )
+    if centers:
+        def near_some_center(m):
+            cond = None
+            for lat, lon, radius in centers:
+                c = (
+                    F.sqrt(
+                        F.pow(m["lat"] - F.lit(float(lat)), 2)
+                        + F.pow(m["lon"] - F.lit(float(lon)), 2)
+                    )
+                    <= float(radius)
+                )
+                cond = c if cond is None else (cond | c)
+            return cond
+
+        keep = F.filter(keep, near_some_center)
     out = base.join(per_doc, "__rid", "left").withColumn(
         out_col,
         F.coalesce(keep, F.array().cast("array<struct<name:string,lat:double,lon:double>>")),

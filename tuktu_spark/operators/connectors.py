@@ -292,8 +292,41 @@ def xls_source(spark: SparkSession, config: dict) -> DataFrame:
         else:
             cols = [f"_c{i}" for i in range(len(rows[0]) if rows else 0)]
             data = rows
-        cells = [[None if c is None else str(c) for c in r] for r in data]
-        return spark.createDataFrame(cells, ", ".join(f"`{c}` string" for c in cols))
+        # Infer per-column types from the parsed cell values so the .xlsx
+        # path returns the same typed DataFrame the pandas .xls path does
+        # (all-bool -> boolean, all-int -> long, numeric -> double,
+        # otherwise string).
+        def col_type(i: int) -> str:
+            vals = [r[i] for r in data if i < len(r) and r[i] is not None]
+            if not vals:
+                return "string"
+            if all(isinstance(v, bool) for v in vals):
+                return "boolean"
+            if all(isinstance(v, int) and not isinstance(v, bool) for v in vals):
+                return "bigint"
+            if all(isinstance(v, (int, float)) and not isinstance(v, bool) for v in vals):
+                return "double"
+            return "string"
+
+        types = [col_type(i) for i in range(len(cols))]
+
+        def cast_cell(v, t):
+            if v is None:
+                return None
+            if t == "boolean":
+                return bool(v)
+            if t == "bigint":
+                return int(v)
+            if t == "double":
+                return float(v)
+            return str(v)
+
+        cells = [
+            [cast_cell(r[i] if i < len(r) else None, types[i]) for i in range(len(cols))]
+            for r in data
+        ]
+        schema = ", ".join(f"`{c}` {t}" for c, t in zip(cols, types))
+        return spark.createDataFrame(cells, schema)
     import pandas as pd
 
     try:

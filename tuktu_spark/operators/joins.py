@@ -98,7 +98,22 @@ def zip_merge(config: dict):
         out = numbered[0]
         for nxt in numbered[1:]:
             dup = [c for c in nxt.columns if c in out.columns and c != "__rn__"]
-            out = out.drop(*dup).join(nxt, "__rn__", how)
+            if padding:
+                # zipAll pads the shorter branch with an EMPTY row map, so
+                # on padded rows the surviving branch's fields must win:
+                # keep the earlier value where the later branch has no row.
+                renames = {c: f"__prev_{c}__" for c in dup}
+                prev = out
+                for c, r in renames.items():
+                    prev = prev.withColumnRenamed(c, r)
+                joined = prev.join(nxt, "__rn__", how)
+                for c, r in renames.items():
+                    joined = joined.withColumn(
+                        c, F.coalesce(F.col(c), F.col(r))
+                    ).drop(r)
+                out = joined
+            else:
+                out = out.drop(*dup).join(nxt, "__rn__", how)
         return out.drop("__rn__")
 
     return transform
@@ -160,9 +175,27 @@ def js_merge(config: dict):
                 for c in nxt.columns
                 if c in out.columns and c != "__rn__" and not c.startswith("__js")
             ]
-            out = out.drop(*dup).join(nxt, "__rn__", how)
+            if padding:
+                renames = {c: f"__prev_{c}__" for c in dup}
+                prev = out
+                for c, r in renames.items():
+                    prev = prev.withColumnRenamed(c, r)
+                joined = prev.join(nxt, "__rn__", how)
+                for c, r in renames.items():
+                    joined = joined.withColumn(
+                        c, F.coalesce(F.col(c), F.col(r))
+                    ).drop(r)
+                out = joined
+            else:
+                out = out.drop(*dup).join(nxt, "__rn__", how)
         js_cols = [f"__js{i}__" for i in range(len(dfs)) if f"__js{i}__" in out.columns]
-        merged = reduce(merge_js, [F.col(c) for c in js_cols[1:]], F.col(js_cols[0]))
+        # A padded full join (or a plain NULL cell) leaves NULL js columns;
+        # the reference zipAll-pads with empty lists, keeping the surviving
+        # side's items — so coalesce each branch to the empty array before
+        # the fold (concat(NULL, x) would otherwise wipe the whole row).
+        empty = F.array().cast("array<map<string,string>>")
+        js_vals = [F.coalesce(F.col(c), empty) for c in js_cols]
+        merged = reduce(merge_js, js_vals[1:], js_vals[0])
         return out.withColumn(js_field, merged).drop("__rn__", *js_cols)
 
     return transform
