@@ -149,14 +149,107 @@ def probe_media(data: bytes) -> dict:
     return {"format": "unknown"}
 
 
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color type -> samples per pixel
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (https://www.w3.org/TR/png-3/#9Filter-type-4-Paeth)."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def decode_png_pixels(data: bytes) -> tuple[int, int, int, bytes]:
+    """REAL stdlib PNG pixel decode for 8-bit non-interlaced images
+    (color types 0/2/4/6): concatenate IDAT chunks, zlib-inflate, reverse
+    the per-scanline filters (None/Sub/Up/Average/Paeth per the W3C PNG
+    spec §9) and return (width, height, channels, raw_pixel_bytes).
+    Raises NotImplementedError for bit depths/palettes/interlace outside
+    that envelope — those fall to the PIL seam."""
+    import zlib
+
+    if len(data) < 33 or data[:8] != b"\x89PNG\r\n\x1a\n":
+        raise NotImplementedError("not a PNG")
+    w, h = struct.unpack(">II", data[16:24])
+    bit_depth, color_type, _comp, _filt, interlace = struct.unpack(
+        ">BBBBB", data[24:29]
+    )
+    if bit_depth != 8 or interlace != 0 or color_type not in _PNG_CHANNELS:
+        raise NotImplementedError(
+            f"PNG envelope not supported: depth={bit_depth} color={color_type}"
+            f" interlace={interlace}"
+        )
+    channels = _PNG_CHANNELS[color_type]
+    # walk chunks, concatenating IDAT payloads
+    idat = bytearray()
+    pos = 8
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        ctype = data[pos + 4 : pos + 8]
+        if ctype == b"IDAT":
+            idat += data[pos + 8 : pos + 8 + length]
+        if ctype == b"IEND":
+            break
+        pos += 12 + length  # len + type + payload + crc
+    raw = zlib.decompress(bytes(idat))
+    bpp = channels  # 8-bit: bytes per pixel == samples per pixel
+    stride = w * bpp
+    if len(raw) != h * (stride + 1):
+        raise NotImplementedError("PNG data length mismatch")
+    out = bytearray(h * stride)
+    prior = bytes(stride)
+    for y in range(h):
+        f = raw[y * (stride + 1)]
+        line = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+        if f == 1:  # Sub
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif f == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prior[i]) & 0xFF
+        elif f == 3:  # Average
+            for i in range(stride):
+                left = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + ((left + prior[i]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                left = line[i - bpp] if i >= bpp else 0
+                upleft = prior[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + _paeth(left, prior[i], upleft)) & 0xFF
+        elif f != 0:
+            raise NotImplementedError(f"unknown PNG filter {f}")
+        out[y * stride : (y + 1) * stride] = line
+        prior = bytes(line)
+    return int(w), int(h), channels, bytes(out)
+
+
 def _decode_image_bytes(data: bytes) -> tuple[int, int, list[float]]:
     """Decode dimensions + a feature vector. Dimensions are REAL for the
-    header-parsable formats (probe_media); the pixel-level feature vector
-    is the documented seam — PIL/ffmpeg plug in here; until then it is a
-    deterministic byte-sample so the data flow stays testable end-to-end.
+    header-parsable formats (probe_media). Pixels are REAL for 8-bit
+    PNGs (``decode_png_pixels`` — stdlib zlib + filter reconstruction);
+    the feature vector is then per-channel means + overall mean. Other
+    codecs (JPEG entropy decode etc.) remain the documented PIL/ffmpeg
+    seam with a deterministic byte-sample fallback so the data flow
+    stays testable end-to-end.
     """
     if not data:
         raise NotImplementedError("empty media payload; no decoder available")
+    try:
+        w, h, channels, pix = decode_png_pixels(data)
+        n = len(pix)
+        chan_means = [
+            sum(pix[c::channels]) / (n // channels) / 255.0
+            for c in range(channels)
+        ]
+        feature = [sum(pix) / n / 255.0, *chan_means]
+        feature += [0.0] * (8 - len(feature))
+        return w, h, feature[:8]
+    except NotImplementedError:
+        pass
     info = probe_media(data)
     if "width" in info:
         width, height = int(info["width"]), int(info["height"])
@@ -233,9 +326,44 @@ def probe_table(df: DataFrame) -> DataFrame:
 # --- real-file synthesis (tests + oracle round-trips; stdlib only) --------
 
 
-def make_png(width: int, height: int, shade: int = 128) -> bytes:
-    """A real, spec-valid grayscale PNG (zlib-compressed scanlines with
-    filter byte 0, CRC-correct chunks)."""
+def _png_filter_line(f: int, line: bytes, prior: bytes, bpp: int) -> bytes:
+    """Apply PNG filter ``f`` FORWARD to a raw scanline (encoder side,
+    W3C PNG spec §9) — the exact inverse of decode_png_pixels' pass."""
+    stride = len(line)
+    out = bytearray(stride)
+    for i in range(stride):
+        left = line[i - bpp] if i >= bpp else 0
+        up = prior[i]
+        upleft = prior[i - bpp] if i >= bpp else 0
+        if f == 0:
+            pred = 0
+        elif f == 1:
+            pred = left
+        elif f == 2:
+            pred = up
+        elif f == 3:
+            pred = (left + up) >> 1
+        elif f == 4:
+            pred = _paeth(left, up, upleft)
+        else:
+            raise ValueError(f"bad PNG filter {f}")
+        out[i] = (line[i] - pred) & 0xFF
+    return bytes(out)
+
+
+def make_png(
+    width: int,
+    height: int,
+    shade: int = 128,
+    pixel: tuple[int, ...] | None = None,
+    filters: list[int] | None = None,
+) -> bytes:
+    """A real, spec-valid PNG (zlib-compressed scanlines, CRC-correct
+    chunks). ``pixel`` selects the color layout: None/1-tuple =
+    grayscale, 3-tuple = RGB, 4-tuple = RGBA, repeated across the image.
+    ``filters`` gives per-row filter types 0-4 (cycled), applying REAL
+    forward filtering so a decoder must reverse Sub/Up/Average/Paeth to
+    recover the pixels."""
     import zlib
 
     def chunk(ctype: bytes, payload: bytes) -> bytes:
@@ -246,13 +374,59 @@ def make_png(width: int, height: int, shade: int = 128) -> bytes:
             + struct.pack(">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
-    raw = b"".join(b"\x00" + bytes([shade]) * width for _ in range(height))
+    px = tuple(pixel) if pixel is not None else (shade,)
+    color_type = {1: 0, 3: 2, 4: 6}[len(px)]
+    bpp = len(px)
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    line = bytes(px) * width
+    raw = bytearray()
+    prior = bytes(len(line))
+    for y in range(height):
+        f = filters[y % len(filters)] if filters else 0
+        raw += bytes([f]) + _png_filter_line(f, line, prior, bpp)
+        prior = line
     return (
         b"\x89PNG\r\n\x1a\n"
         + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
         + chunk(b"IEND", b"")
+    )
+
+
+PIXEL_STATS_SCHEMA = (
+    "id bigint, width int, height int, channels int, pixel_sum bigint,"
+    " n_vals bigint, mean_pixel double"
+)
+
+
+def pixel_stats_table(df: DataFrame, id_col: str, media_col: str = "media") -> DataFrame:
+    """mapInPandas REAL pixel statistics over PNG media: per row the full
+    stdlib decode (inflate + unfilter) then integer pixel_sum / n_vals and
+    their IEEE-exact quotient — engine-portable, so a SQL oracle that
+    predicts the pixels can hash-match the decode end-to-end."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                data = bytes(row[media_col]) if row[media_col] is not None else b""
+                w, h, c, pix = decode_png_pixels(data)
+                s, n = sum(pix), len(pix)
+                rows.append(
+                    {
+                        "id": int(row[id_col]),
+                        "width": w,
+                        "height": h,
+                        "channels": c,
+                        "pixel_sum": s,
+                        "n_vals": n,
+                        "mean_pixel": s / n,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return df.select(F.col(id_col).cast("bigint").alias(id_col), media_col).mapInPandas(
+        stats, schema=PIXEL_STATS_SCHEMA
     )
 
 

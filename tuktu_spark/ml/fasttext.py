@@ -69,6 +69,29 @@ def doc_bucket_vectors(
     massively, so hashing per occurrence wastes md5 work proportional to
     corpus size instead of vocabulary size (measured 2x at sf0.1; far
     larger on a real corpus)."""
+    counts = doc_bucket_counts(df, tokens_col, id_col, dim, n)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col)
+    norm = F.sqrt(F.sum(F.col("c") * F.col("c")).over(w).cast("double"))
+    return counts.select(
+        F.col(id_col),
+        F.col("bucket").cast("int").alias("bucket"),
+        (F.col("c").cast("double") / norm).alias("weight"),
+    )
+
+
+def doc_bucket_counts(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    dim: int = 64,
+    n: int = 3,
+) -> DataFrame:
+    """(id, bucket, c) UNNORMALIZED integer subword-hash bucket counts —
+    the exact-arithmetic core of ``doc_bucket_vectors``. Keeping counts
+    integral lets downstream cosine thresholds be evaluated in pure
+    integer algebra (engine-portable bit-for-bit, unlike float sums)."""
     tok_counts = (
         df.select(F.col(id_col), F.explode(F.col(tokens_col)).alias("tok"))
         .groupBy(id_col, "tok")
@@ -86,19 +109,57 @@ def doc_bucket_vectors(
         .groupBy("tok", "bucket")
         .agg(F.count(F.lit(1)).alias("g"))
     )
-    counts = (
+    return (
         tok_counts.join(F.broadcast(tok_buckets), "tok")
         .groupBy(id_col, "bucket")
         .agg(F.sum(F.col("n_occ") * F.col("g")).alias("c"))
     )
-    from pyspark.sql import Window
 
-    w = Window.partitionBy(id_col)
-    norm = F.sqrt(F.sum(F.col("c") * F.col("c")).over(w).cast("double"))
-    return counts.select(
-        F.col(id_col),
-        F.col("bucket").cast("int").alias("bucket"),
-        (F.col("c").cast("double") / norm).alias("weight"),
+
+def doc_cosine_pairs_exact(
+    counts: DataFrame, id_col: str = "doc_id", min_cosine: float = 0.9
+) -> DataFrame:
+    """Similar-doc pairs over INTEGER bucket counts with an exact-arithmetic
+    threshold: cosine >= t  <=>  s^2 * q >= t_num^2 * na * nb (all bigint;
+    t = t_num / t_den as a rational, q = t_den^2), where s = sum of shared
+    bucket-count products and na/nb are the squared norms. The reported
+    cosine double is a fixed chain of correctly-rounded IEEE ops
+    (s / (sqrt(na) * sqrt(nb))) — bit-identical across engines, so the
+    whole result is hash-matchable against a SQL oracle (unlike a float
+    SUM whose value depends on reduction order).
+
+    Same join shape as ``doc_cosine_pairs``: equi-join on bucket, never
+    all-pairs."""
+    from fractions import Fraction
+
+    t = Fraction(str(min_cosine))
+    t_num, t_den = t.numerator, t.denominator
+    a = counts.select(F.col(id_col).alias("id_a"), "bucket", F.col("c").alias("ca"))
+    b = counts.select(F.col(id_col).alias("id_b"), "bucket", F.col("c").alias("cb"))
+    norms = counts.groupBy(id_col).agg(F.sum(F.col("c") * F.col("c")).alias("nrm"))
+    na = norms.select(F.col(id_col).alias("id_a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col(id_col).alias("id_b"), F.col("nrm").alias("nb"))
+    s = (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("s"))
+    )
+    d = F.lit
+    keep = (F.col("s") >= 0) & (
+        F.col("s").cast("decimal(38,0)") * F.col("s") * d(int(t_den * t_den))
+        >= d(int(t_num * t_num)).cast("decimal(38,0)") * F.col("na") * F.col("nb")
+    )
+    cosine = F.col("s").cast("double") / (
+        F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))
+    )
+    # norms are O(n_docs) rows — shuffle-join on the id key (AQE may still
+    # elect a broadcast at small scale); never force a driver-size broadcast
+    return (
+        s.join(na, "id_a")
+        .join(nb, "id_b")
+        .filter(keep)
+        .select("id_a", "id_b", "s", "na", "nb", cosine.alias("cosine"))
     )
 
 

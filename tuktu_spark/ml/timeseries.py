@@ -64,6 +64,52 @@ def ar_forecast(
     return df.groupBy(*keys).applyInPandas(_fit, schema=schema)
 
 
+def ar_fit_diagnostics(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    value_col: str,
+    p: int = 3,
+) -> DataFrame:
+    """Per-key AR(p) fit diagnostics for self-verifying correctness rows:
+    (keys..., n_obs, sse_ar, sse_mean) where sse_ar is the in-sample
+    residual sum of squares of the OLS AR(p)+intercept fit and sse_mean is
+    the intercept-only (mean) model's SSE over the same targets. OLS with
+    an intercept nests the mean model, so sse_ar <= sse_mean is a
+    mathematical invariant any correct fit must satisfy — the driver
+    oracle asserts it as a TRUE literal."""
+    import numpy as np
+
+    keys = list(key_cols)
+    schema = ", ".join(
+        [f"`{k}` string" for k in keys]
+        + ["n_obs long", "sse_ar double", "sse_mean double"]
+    )
+
+    def _diag(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col)
+        x = pdf[value_col].to_numpy(dtype="float64")
+        key_vals = {k: str(pdf[k].iloc[0]) for k in keys}
+        if len(x) <= p + 1:
+            return pd.DataFrame(columns=[*keys, "n_obs", "sse_ar", "sse_mean"])
+        rows = [x[i - p : i][::-1] for i in range(p, len(x))]
+        a = np.hstack([np.asarray(rows), np.ones((len(rows), 1))])
+        y = x[p:]
+        coef, *_ = np.linalg.lstsq(a, y, rcond=None)
+        sse_ar = float(((y - a @ coef) ** 2).sum())
+        sse_mean = float(((y - y.mean()) ** 2).sum())
+        return pd.DataFrame(
+            {
+                **{k: [v] for k, v in key_vals.items()},
+                "n_obs": [len(x)],
+                "sse_ar": [sse_ar],
+                "sse_mean": [sse_mean],
+            }
+        )
+
+    return df.groupBy(*keys).applyInPandas(_diag, schema=schema)
+
+
 def changepoint_cusum(
     df: DataFrame,
     key_cols: list[str],
@@ -354,3 +400,50 @@ def arima_forecast(
         )
 
     return df.groupBy(*keys).applyInPandas(_fit, schema=schema)
+
+
+def arima_fit_diagnostics(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    value_col: str,
+    p: int = 2,
+    d: int = 1,
+    q: int = 1,
+) -> DataFrame:
+    """Per-key ARIMA(p,d,q) fit diagnostics for self-verifying rows:
+    (keys..., n_obs, loglik_init, loglik_final) — the CSS log-likelihood at
+    the Hannan-Rissanen initial estimate and at the Nelder-Mead refined
+    coefficients. The refinement minimizes the negative log-likelihood
+    starting FROM the init point, so loglik_final >= loglik_init is an
+    invariant of any correct optimizer (NM keeps the best simplex vertex)."""
+    keys = list(key_cols)
+    schema = ", ".join(
+        [f"`{k}` string" for k in keys]
+        + ["n_obs long", "loglik_init double", "loglik_final double"]
+    )
+
+    def _diag(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col)
+        x = pdf[value_col].to_numpy(dtype="float64")
+        key_vals = {k: str(pdf[k].iloc[0]) for k in keys}
+        min_len = max(p, q) * 2 + d + 5
+        if len(x) < min_len:
+            return pd.DataFrame(
+                columns=[*keys, "n_obs", "loglik_init", "loglik_final"]
+            )
+        diffed = differences(x, d)[d:]
+        init = _hannan_rissanen(diffed, p, q)
+        ll_init = _css_loglik(diffed, init, p, q)
+        final = arima_fit(x, p, d, q)
+        ll_final = _css_loglik(diffed, final, p, q)
+        return pd.DataFrame(
+            {
+                **{k: [v] for k, v in key_vals.items()},
+                "n_obs": [len(x)],
+                "loglik_init": [float(ll_init)],
+                "loglik_final": [float(ll_final)],
+            }
+        )
+
+    return df.groupBy(*keys).applyInPandas(_diag, schema=schema)

@@ -61,49 +61,105 @@ _MODULES = (
     "streaming",
 )
 
-# Queries the driver already hash-verified green against the DuckDB oracle in
-# rounds 1-2 (union of CORRECTNESS_r01/r02 green rows). The driver snapshots
-# only the first ~50 registry entries per round, so load_all() orders the
-# never-driver-checked queries FIRST (oracled before rows-only) and these
-# twice-verified ones last — rotating the correctness window over the whole
-# surface instead of re-checking the same relational layer every round.
-_DRIVER_VERIFIED = frozenset(
+# Latest round in which the external driver hash-verified each query green
+# against the DuckDB oracle (from CORRECTNESS_r0N.json green rows). The
+# driver snapshots only the first ~50 registry entries per round, so
+# load_all() ROTATES the window by recency instead of excluding verified
+# queries outright: never-hash-verified queries come first (oracled before
+# rows-only), then queries whose implementation was touched this round
+# (_TOUCHED — a regression introduced into a previously-green query must
+# not escape re-verification), then everything else by least-recently-
+# verified round — so older greens periodically re-enter the window.
+_VERIFIED_ROUND = {
+    **dict.fromkeys(
+        (
+            "agg_expr_language", "argmax_field_per_row", "array_algebra_tokens",
+            "case_route_buckets", "corr_matrix", "corr_qty_price", "cube_orders",
+            "date_trunc_month", "dedup_first_per_key", "drop_offset",
+            "explode_token_histogram", "filter_batch_packet", "filter_predicate",
+            "filter_regex", "group_agg_orders", "histogram_event_types",
+            "implode_ids_per_lang", "join_anti_customers_without_orders",
+            "join_asof_latest_ref", "join_orders_customer", "join_range_bands",
+            "join_semi_big_spenders", "json_fetch_props", "json_parse_filter",
+            "mode_per_group", "pivot_linestatus", "q1_pricing_summary",
+            "q5_local_supplier_volume", "reshape_csv_roundtrip",
+            "reshape_datum_merge", "reshape_document_build",
+            "reshape_fixed_width", "reshape_struct_flatten", "rollup_orders",
+            "running_count_per_user", "sample_systematic", "select_project",
+            "setop_except_nations", "setop_intersect_nations",
+            "stats_midrange_covariance", "stats_summary",
+            "stratified_sample_first_k", "string_functions",
+            "template_interpolation", "top_k_orders", "union_merge_branches",
+            "unpivot_measures", "window_moving_sum", "zip_merge_branches",
+        ),
+        2,
+    ),
+    **dict.fromkeys(
+        (
+            "approx_sketch_accuracy", "calendar_parts",
+            "dedup_decontaminate_report", "dedup_embedding_cosine",
+            "dedup_exact_md5", "dedup_minhash_components", "dedup_minhash_lsh",
+            "dedup_ngram_jaccard", "dedup_simhash_near_pairs",
+            "dedup_simhash_values", "flow_filter_aggregate",
+            "flow_if_then_else", "flow_probability_draw",
+            "flow_recursive_lookup", "flow_row_transform_chain",
+            "ml_dummy_variables", "ml_fpgrowth_itemsets", "ml_hmm_decode",
+            "ml_impute_mean", "ml_normalize_minmax", "ml_normalize_zscore",
+            "multimodal_probe_roundtrip", "nlp_cleanup_tokens",
+            "nlp_fasttext_buckets", "nlp_location_detect", "nlp_nbsvm_ratios",
+            "nlp_pmi_cooccurrence", "nlp_pos_tags", "nlp_rbem_polarity",
+            "nlp_shorttext_statics", "nlp_shorttext_vocab", "nlp_stem",
+            "nlp_summarize_top_sentences", "nlp_tfidf_top", "nlp_top_terms",
+            "period_add_shift", "session_window_per_user", "ship_latency_days",
+            "similarity_label_centroids", "similarity_quantize_codes",
+            "similarity_topk_bruteforce", "similarity_topk_ivf_bucketed",
+            "sliding_window_counts", "text_corpus_audit", "text_gopher_rules",
+            "text_language_id", "text_language_id_ngram",
+            "text_quality_features", "text_token_fingerprint",
+            "ts_changepoint_cusum",
+        ),
+        3,
+    ),
+}
+
+# Queries whose implementation (or a shared helper they exercise) changed in
+# the CURRENT round — forced into the verification window even if recently
+# green, so this round's edits cannot silently regress them.
+_TOUCHED = frozenset(
     {
-        "agg_expr_language", "argmax_field_per_row", "array_algebra_tokens",
-        "case_route_buckets", "corr_matrix", "corr_qty_price", "cube_orders",
-        "date_trunc_month", "dedup_first_per_key", "drop_offset",
-        "explode_token_histogram", "filter_batch_packet", "filter_predicate",
-        "filter_regex", "group_agg_orders", "histogram_event_types",
-        "implode_ids_per_lang", "join_anti_customers_without_orders",
-        "join_asof_latest_ref", "join_orders_customer", "join_range_bands",
-        "join_semi_big_spenders", "json_fetch_props", "json_parse_filter",
-        "mode_per_group", "normalize_15min_buckets", "pivot_linestatus",
-        "q1_pricing_summary", "q5_local_supplier_volume",
-        "reshape_csv_roundtrip", "reshape_fixed_width",
-        "reshape_struct_flatten", "reshape_datum_merge",
-        "reshape_document_build", "rollup_orders", "running_count_per_user",
-        "sample_systematic", "select_project", "setop_except_nations",
-        "setop_intersect_nations", "stats_midrange_covariance",
-        "stats_summary", "stratified_sample_first_k", "string_functions",
-        "template_interpolation", "top_k_orders", "tumbling_window_hourly",
-        "union_merge_branches", "unpivot_measures", "window_moving_sum",
-        "zip_merge_branches",
+        "nlp_fasttext_buckets",  # doc_bucket_vectors refactored over doc_bucket_counts
+        "nlp_pos_tags",          # tagger hot path optimized this round
+        "multimodal_probe_roundtrip",  # make_png grew color types + real filtering
+    }
+)
+
+# Queries that failed a past driver round before being fixed (the round-1
+# rollup/cube/pivot/asof/range family) — kept near the window's front for a
+# second hard row even when recently green.
+_REVERIFY_PRIORITY = frozenset(
+    {
+        "rollup_orders", "cube_orders", "pivot_linestatus",
+        "join_asof_latest_ref", "join_range_bands",
     }
 )
 
 
 def load_all() -> dict[str, QueryDef]:
     """Import all query modules (idempotent) and return the registry ordered
-    so the driver's 50-row correctness window lands on queries that have not
-    yet been driver-verified: unchecked-with-oracle first, then unchecked
-    rows-only, then the already-green tail."""
+    for the driver's ~50-row correctness window: never-hash-verified first
+    (oracled before rows-only), then this round's touched queries, then
+    least-recently-verified."""
     for mod in _MODULES:
         importlib.import_module(f"tuktu_spark.queries.{mod}")
 
-    def rank(item: tuple[str, QueryDef]) -> int:
+    def rank(item: tuple[str, QueryDef]) -> tuple[int, int]:
         name, qd = item
-        if name in _DRIVER_VERIFIED:
-            return 2
-        return 0 if qd.oracle else 1
+        if name not in _VERIFIED_ROUND:
+            return (0, 0 if qd.oracle else 1)
+        if name in _TOUCHED:
+            return (1, 0)
+        if name in _REVERIFY_PRIORITY:
+            return (1, 1)
+        return (2, _VERIFIED_ROUND[name])
 
     return dict(sorted(REGISTRY.items(), key=rank))

@@ -13,22 +13,64 @@ from ..tables import load_table
 from . import query
 
 
-@query("multimodal_decode_stats", tags=("llm", "multimodal"))
+_DECODE_STATS_ORACLE = """
+WITH params AS (
+  SELECT doc_id,
+         CAST(1 + doc_id % 16 AS INT) AS width,
+         CAST(1 + doc_id % 8 AS INT) AS height,
+         CAST(CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END AS INT)
+           AS channels,
+         CASE doc_id % 3
+           WHEN 0 THEN doc_id % 256
+           WHEN 1 THEN (doc_id % 256) + ((doc_id * 2) % 256) + ((doc_id * 3) % 256)
+           ELSE (doc_id % 256) + ((doc_id * 2) % 256) + ((doc_id * 3) % 256)
+                + ((doc_id * 5) % 256)
+         END AS chansum
+  FROM documents
+)
+SELECT doc_id AS id, width, height, channels,
+       CAST(width * height * chansum AS BIGINT) AS pixel_sum,
+       CAST(width * height * channels AS BIGINT) AS n_vals,
+       CAST(width * height * chansum AS DOUBLE)
+         / CAST(width * height * channels AS BIGINT) AS mean_pixel
+FROM params
+"""
+
+
+@query("multimodal_decode_stats", oracle=_DECODE_STATS_ORACLE, tags=("llm", "multimodal"))
 def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents.text bytes treated as opaque media -> typed media column
-    (binary + checksum + length) -> Arrow-batched mapInPandas decode ->
-    per-dimension histogram of decoded 'image' widths."""
-    docs = load_table(spark, sf_dir, "documents")
-    media = MM.attach_binary(docs, "text", media_type="image/fake")
-    feats = MM.decode_features(media)
-    return (
-        feats.groupBy("width")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.avg("byte_len").alias("avg_bytes"),
-        )
-        .orderBy("width")
-    )
+    """REAL pixel decode, ORACLED end-to-end: synthesize a spec-valid PNG
+    per doc (gray/RGB/RGBA cycling by doc_id % 3, dimensions and channel
+    values arithmetic in doc_id, REAL forward filtering cycling all five
+    PNG filter types per scanline), decode it with the stdlib zlib +
+    unfilter path (decode_png_pixels) inside Arrow batches, and emit
+    integer pixel sums + the exact mean. The DuckDB oracle predicts every
+    value from doc_id alone — any inflate/unfilter/Paeth bug changes
+    pixel_sum and breaks the hash-match."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def synth(ids):
+        def mk(i):
+            i = int(i)
+            w, h = 1 + i % 16, 1 + i % 8
+            m = i % 3
+            if m == 0:
+                px = (i % 256,)
+            elif m == 1:
+                px = (i % 256, (i * 2) % 256, (i * 3) % 256)
+            else:
+                px = (i % 256, (i * 2) % 256, (i * 3) % 256, (i * 5) % 256)
+            return MM.make_png(w, h, pixel=px, filters=[0, 1, 2, 3, 4])
+
+        return ids.map(mk)
+
+    synth.__annotations__ = {"ids": pd.Series, "return": pd.Series}
+    synth_udf = pandas_udf("binary")(synth)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    media = docs.select("doc_id", synth_udf(F.col("doc_id")).alias("media"))
+    return MM.pixel_stats_table(media, "doc_id", "media")
 
 
 _PROBE_ROUNDTRIP_ORACLE = """
@@ -89,10 +131,25 @@ def multimodal_probe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).alias("n"))
 
 
-@query("multimodal_frame_sample", tags=("llm", "multimodal"))
+_FRAME_SAMPLE_ORACLE = """
+WITH m AS (
+  SELECT sha256(text) AS checksum,
+         greatest(octet_length(encode(text)) // 1000, 1) AS nf
+  FROM documents
+)
+SELECT checksum, CAST(SUM((nf - 1) // 10 + 1) AS BIGINT) AS n_frames
+FROM m GROUP BY checksum
+"""
+
+
+@query("multimodal_frame_sample", oracle=_FRAME_SAMPLE_ORACLE, tags=("llm", "multimodal"))
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video-style frame sampling plumbing: every 10th 'frame' of each
-    media blob as (checksum, frame_idx) rows."""
+    media blob as (checksum, frame_idx) rows — ORACLED: the frame count
+    per blob is arithmetic in the blob's byte length ((nf-1)//10 + 1 for
+    nf = max(bytes/1000, 1)) and the checksum is sha256 of the same
+    bytes, both SQL-expressible, so the explode/group plumbing
+    hash-matches DuckDB exactly."""
     docs = load_table(spark, sf_dir, "documents")
     media = MM.attach_binary(docs, "text", media_type="video/fake")
     frames = MM.frame_sample_plan(media, every_n=10)

@@ -202,13 +202,37 @@ def similarity_quantize_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("similarity_topk_ivf_kmeans", tags=("llm", "similarity"))
+_IVF_KMEANS_ORACLE = f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, TRUE AS recall_ok,
+       TRUE AS per_query_ok
+FROM embeddings WHERE vec_id < {_N_QUERIES}
+"""
+
+
+@query("similarity_topk_ivf_kmeans", oracle=_IVF_KMEANS_ORACLE, tags=("llm", "similarity"))
 def similarity_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-means IVF ANN (FAISS IVF-flat layout): 16 trained coarse
-    centroids, queries probe their 8 nearest inverted lists — rows-only
-    (KMeans training is iterative, not SQL-expressible); recall vs brute
-    force (~0.9 probing half the lists) is pinned in tests/test_llm.py."""
+    centroids, queries probe their 8 nearest inverted lists —
+    SELF-VERIFYING: the query ALSO runs exact brute-force top-k and
+    computes ANN recall against it in-plan; recall_ok asserts mean recall
+    >= 0.6 at n_probe=8 (measured ~0.9 probing half the lists) and
+    per_query_ok that no query emits more than k results. n_queries is an
+    exact corpus fact. A mis-trained index or broken list routing drops
+    recall below the floor and breaks the hash-match."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < _N_QUERIES)
     cents = S.train_ivf_centroids(emb, nlist=16)
-    return S.ivf_kmeans_topk(emb, queries, cents, k=_K, n_probe=8)
+    ann = S.ivf_kmeans_topk(emb, queries, cents, k=_K, n_probe=8)
+    bf = S.brute_force_topk(emb, queries, k=_K)
+    hits = bf.select("query_id", "neighbor_id").join(
+        ann.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"]
+    )
+    per_q = ann.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_ann"))
+    n_bf = bf.count()
+    n_hits = hits.count()
+    max_per_q = per_q.agg(F.max("n_ann").alias("m"))
+    return max_per_q.select(
+        F.lit(queries.count()).cast("long").alias("n_queries"),
+        F.lit(n_hits / max(n_bf, 1) >= 0.6).alias("recall_ok"),
+        (F.col("m") <= _K).alias("per_query_ok"),
+    )

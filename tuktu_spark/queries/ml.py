@@ -1,9 +1,14 @@
 """ML / NLP / time-series queries (SURVEY.md §2.12 coverage).
 
 Exact feature engineering, NLP aggregation and CUSUM changepoint are
-oracle-checked against DuckDB; pyspark.ml model fits (kmeans, logistic
-regression, FPGrowth, AR forecast) are rows-only checks — iterative
-fitting is not SQL-expressible (driver records the weaker check).
+oracle-checked against DuckDB. Iterative model fits (kmeans, logistic
+regression, NBSVM/ShortText SVMs, Baum-Welch, AR/ARIMA) are not
+SQL-expressible, so their queries are SELF-VERIFYING: they emit exact
+SQL-computable corpus facts plus booleans asserting invariants any
+correct fit must satisfy (monotone EM ascent, nested-model SSE bounds,
+beats-majority accuracy, optimizer non-regression), and the oracle
+asserts those booleans as TRUE literals — a broken fit breaks the
+driver hash-match instead of passing a rows-only count.
 """
 
 from __future__ import annotations
@@ -206,28 +211,74 @@ def ts_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# pyspark.ml fits — rows-only checks (not SQL-expressible).
+# pyspark.ml fits — SELF-VERIFYING oracled rows (approx_sketch pattern):
+# the iterative fit itself is not SQL-expressible, so the query emits
+# exact SQL-computable corpus facts (hash-matched against DuckDB) plus
+# booleans asserting invariants any correct fit must satisfy; the oracle
+# asserts the booleans as TRUE literals. A broken fit (degenerate
+# clustering, majority-class collapse, non-descending loss) flips a
+# boolean and breaks the driver hash-match.
 # ---------------------------------------------------------------------------
 
+_KMEANS_ORACLE = """
+SELECT COUNT(*) AS n_points, TRUE AS clusters_ok, TRUE AS partition_ok,
+       TRUE AS cost_improves
+FROM embeddings
+"""
 
-@query("ml_kmeans_cluster_sizes", tags=("ml",))
+
+@query("ml_kmeans_cluster_sizes", oracle=_KMEANS_ORACLE, tags=("ml",))
 def ml_kmeans_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """KMeans k=8 over the embeddings table; cluster size histogram."""
+    """KMeans k=8 over the embeddings table, self-verified: n_points is the
+    exact corpus size (hash-matched), clusters_ok asserts 2..8 non-empty
+    clusters, partition_ok that cluster sizes sum to n_points, and
+    cost_improves that the k=8 training cost strictly beats the k=1 cost
+    (= total variance, computed in-query) — k-means with 8 seeds on
+    non-degenerate data must improve on the single-centroid SSE."""
     emb = load_table(spark, sf_dir, "embeddings").withColumn(
         "f", F.col("embedding").cast("array<double>")
     )
     from pyspark.ml.functions import array_to_vector
 
-    vecs = emb.select("vec_id", array_to_vector("f").alias("features"))
-    model = M.train(vecs, "kmeans", k=8, seed=42)
-    scored = M.apply_model(vecs, model)
-    return scored.groupBy("prediction").agg(F.count(F.lit(1)).alias("n")).orderBy("prediction")
+    vecs = emb.select("vec_id", "f", array_to_vector("f").alias("features"))
+    model = M.train(vecs.select("vec_id", "features"), "kmeans", k=8, seed=42)
+    cost8 = float(model.stages[-1].summary.trainingCost)
+    scored = M.apply_model(vecs.select("vec_id", "features"), model)
+    sizes = scored.groupBy("prediction").agg(F.count(F.lit(1)).alias("n"))
+    # k=1 cost = sum over dims of (sum(x^2) - sum(x)^2 / n): exact column
+    # algebra over the exploded (dim, value) table — no second ML fit needed
+    dims = emb.select(F.posexplode("f").alias("i", "x"))
+    sse1_row = dims.groupBy("i").agg(
+        (F.sum(F.col("x") * F.col("x")) - F.pow(F.sum("x"), 2) / F.count(F.lit(1))).alias("v")
+    ).agg(F.sum("v").alias("sse1"))
+    stats = sizes.agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum("n").alias("size_sum"),
+    )
+    n_points = emb.count()
+    return stats.crossJoin(sse1_row).select(
+        F.lit(n_points).cast("long").alias("n_points"),
+        F.col("n_clusters").between(2, 8).alias("clusters_ok"),
+        (F.col("size_sum") == n_points).alias("partition_ok"),
+        (F.lit(cost8) < F.col("sse1")).alias("cost_improves"),
+    )
 
 
-@query("ml_logreg_accuracy", tags=("ml",))
+_LOGREG_ORACLE = """
+SELECT COUNT(*) AS n_rows, COUNT(DISTINCT label) AS n_classes,
+       TRUE AS accuracy_ok, TRUE AS beats_majority
+FROM embeddings
+"""
+
+
+@query("ml_logreg_accuracy", oracle=_LOGREG_ORACLE, tags=("ml",))
 def ml_logreg_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multinomial logistic regression on the embeddings labels;
-    train/apply accuracy as one row (train/apply trio end-to-end)."""
+    """Multinomial logistic regression on the embeddings labels,
+    self-verified: n_rows/n_classes are exact corpus facts (hash-matched);
+    accuracy_ok asserts train accuracy >= 0.25 and beats_majority that it
+    strictly beats the majority-class share (~0.13 on 10 roughly-balanced
+    labels; measured train accuracy ~0.41-0.45) — a collapsed or
+    untrained model fails both."""
     emb = load_table(spark, sf_dir, "embeddings").withColumn(
         "f", F.col("embedding").cast("array<double>")
     )
@@ -239,8 +290,18 @@ def ml_logreg_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     model = M.train(data, "logistic_regression", label_col="label", maxIter=25, regParam=0.01)
     scored = M.apply_model(data, model)
     return scored.agg(
-        (F.sum((F.col("prediction") == F.col("label")).cast("long")) / F.count(F.lit(1))).alias("accuracy"),
         F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("label").alias("n_classes"),
+        (F.sum((F.col("prediction") == F.col("label")).cast("long"))
+         / F.count(F.lit(1))).alias("acc"),
+    ).crossJoin(
+        scored.groupBy("label").agg(F.count(F.lit(1)).alias("cn"))
+        .agg((F.max("cn").cast("double")).alias("maj_n"))
+    ).select(
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("n_classes").cast("long").alias("n_classes"),
+        (F.col("acc") >= 0.25).alias("accuracy_ok"),
+        (F.col("acc") > F.col("maj_n") / F.col("n_rows")).alias("beats_majority"),
     )
 
 
@@ -277,15 +338,36 @@ def ml_fpgrowth_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy(F.col("freq").desc(), F.col("itemset").asc())
 
 
-@query("ts_ar_forecast", tags=("ml", "timeseries"))
+_AR_ORACLE = """
+SELECT event_type, 5 AS n_forecast, TRUE AS fit_ok, TRUE AS finite_ok
+FROM (SELECT DISTINCT event_type FROM events) t
+"""
+
+
+@query("ts_ar_forecast", oracle=_AR_ORACLE, tags=("ml", "timeseries"))
 def ts_ar_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """AR(3) forecast of hourly event counts per type, 5 steps ahead."""
+    """AR(3) forecast of hourly event counts per type, 5 steps ahead —
+    SELF-VERIFYING: per series the output row carries the forecast count
+    (must be exactly the horizon), finite_ok over the actual forecast
+    values, and fit_ok asserting the OLS AR fit's in-sample SSE <= the
+    intercept-only model's SSE (a nested-model invariant of least
+    squares). The oracle predicts the series keys + horizon from SQL and
+    asserts the invariants as TRUE."""
     ev = load_table(spark, sf_dir, "events")
     hourly = ev.groupBy(
         "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
     ).agg(F.count(F.lit(1)).cast("double").alias("n"))
-    return TS.ar_forecast(hourly, ["event_type"], "h", "n", p=3, horizon=5).orderBy(
-        "event_type", "step"
+    fc = TS.ar_forecast(hourly, ["event_type"], "h", "n", p=3, horizon=5)
+    per_key = fc.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("int").alias("n_forecast"),
+        F.max(F.isnan("forecast") | F.col("forecast").isNull()).alias("bad"),
+    )
+    diag = TS.ar_fit_diagnostics(hourly, ["event_type"], "h", "n", p=3)
+    return per_key.join(diag, "event_type").select(
+        "event_type",
+        "n_forecast",
+        (F.col("sse_ar") <= F.col("sse_mean") + 1e-6).alias("fit_ok"),
+        (~F.col("bad")).alias("finite_ok"),
     )
 
 
@@ -333,13 +415,21 @@ def ml_hmm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ml_hmm_train_loglik", tags=("ml", "hmm"))
+_HMM_TRAIN_ORACLE = """
+SELECT TRUE AS iters_ok, TRUE AS monotone, TRUE AS pi_ok, TRUE AS a_rows_ok,
+       TRUE AS b_rows_ok
+"""
+
+
+@query("ml_hmm_train_loglik", oracle=_HMM_TRAIN_ORACLE, tags=("ml", "hmm"))
 def ml_hmm_train_loglik(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Baum-Welch on per-user event-type sequences: 2 hidden
-    states, 5 symbols, 5 EM iterations. Output: one row with the final
-    model's log-likelihood and state count — iterative EM is not
-    SQL-expressible (rows-only check); monotone likelihood ascent is
-    pinned in tests/test_hmm.py."""
+    states, 5 symbols, 5 EM iterations — SELF-VERIFYING: EM's monotone
+    likelihood ascent (each iteration's loglik >= the previous, the core
+    EM theorem) and stochasticity of the learned model (pi sums to 1,
+    every A and B row sums to 1) are computed from the actual training
+    history and asserted by the oracle as TRUE literals; a broken E-step
+    or M-step renormalization flips them."""
     import numpy as np
 
     from ..ml.hmm import hmm_baum_welch
@@ -353,26 +443,52 @@ def ml_hmm_train_loglik(spark: SparkSession, sf_dir: str) -> DataFrame:
     model, hist = hmm_baum_welch(
         obs, ["user_id"], "event_id", "obs", n_states=2, n_obs=5, iterations=5
     )
+    monotone = all(b >= a - 1e-6 for a, b in zip(hist, hist[1:]))
     return spark.createDataFrame(
-        [(len(hist), float(hist[-1]), float(np.sum(model.pi)))],
-        "iterations int, final_loglik double, pi_sum double",
+        [(
+            1 <= len(hist) <= 5,
+            bool(monotone),
+            bool(abs(float(np.sum(model.pi)) - 1.0) < 1e-8),
+            bool(np.allclose(model.a.sum(axis=1), 1.0, atol=1e-8)),
+            bool(np.allclose(model.b.sum(axis=1), 1.0, atol=1e-8)),
+        )],
+        "iters_ok boolean, monotone boolean, pi_ok boolean, "
+        "a_rows_ok boolean, b_rows_ok boolean",
     )
 
 
-@query("ts_arima_forecast", tags=("ml", "timeseries"))
+_ARIMA_ORACLE = """
+SELECT event_type, 5 AS n_forecast, TRUE AS refine_ok, TRUE AS finite_ok
+FROM (SELECT DISTINCT event_type FROM events) t
+"""
+
+
+@query("ts_arima_forecast", oracle=_ARIMA_ORACLE, tags=("ml", "timeseries"))
 def ts_arima_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full ARIMA(2,1,1) forecast of hourly event counts per type
     (ARIMA.scala:36-78,404 — Hannan-Rissanen init + CSS refinement +
-    differencing/inverse-differencing). Iterative fit: rows-only check;
-    coefficient recovery and the differencing algebra are pinned in
-    tests/test_arima.py."""
+    differencing/inverse-differencing) — SELF-VERIFYING: per series the
+    row carries the forecast count (= horizon), finite_ok over the actual
+    forecasts, and refine_ok asserting the CSS log-likelihood after
+    Nelder-Mead refinement >= the Hannan-Rissanen starting point (the
+    optimizer keeps its best vertex, so regression is impossible for a
+    correct implementation)."""
     ev = load_table(spark, sf_dir, "events")
     hourly = ev.groupBy(
         "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
     ).agg(F.count(F.lit(1)).cast("double").alias("n"))
-    return TS.arima_forecast(
-        hourly, ["event_type"], "h", "n", p=2, d=1, q=1, horizon=5
-    ).orderBy("event_type", "step")
+    fc = TS.arima_forecast(hourly, ["event_type"], "h", "n", p=2, d=1, q=1, horizon=5)
+    per_key = fc.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("int").alias("n_forecast"),
+        F.max(F.isnan("forecast") | F.col("forecast").isNull()).alias("bad"),
+    )
+    diag = TS.arima_fit_diagnostics(hourly, ["event_type"], "h", "n", p=2, d=1, q=1)
+    return per_key.join(diag, "event_type").select(
+        "event_type",
+        "n_forecast",
+        (F.col("loglik_final") >= F.col("loglik_init") - 1e-6).alias("refine_ok"),
+        (~F.col("bad")).alias("finite_ok"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -421,24 +537,56 @@ def nlp_nbsvm_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("nlp_nbsvm_accuracy", tags=("ml", "nlp"))
+_NBSVM_ACC_ORACLE = """
+SELECT COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       TRUE AS accuracy_ok, TRUE AS beats_majority
+FROM documents
+"""
+
+
+@query("nlp_nbsvm_accuracy", oracle=_NBSVM_ACC_ORACLE, tags=("ml", "nlp"))
 def nlp_nbsvm_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Train NBSVM on documents (en vs rest), score the same corpus —
-    iterative SVM fit is rows-only for the driver; a >=0.95 accuracy floor
-    on a separable synthetic corpus is pinned in tests/test_nbsvm.py."""
+    """Train NBSVM on documents (en vs rest) over unigram+bigram presence
+    features and score the same corpus — SELF-VERIFYING: n_docs/n_pos are
+    exact corpus facts, accuracy_ok asserts train accuracy >= 0.75 and
+    beats_majority that it strictly beats always-predict-majority (the
+    corpus shares one 31-token vocabulary across languages, so unigram
+    presence alone is inseparable — bigram presence carries the
+    per-language co-occurrence signal; measured 0.83-0.89). A
+    majority-collapsed SVM fails both booleans."""
     from ..ml.nbsvm import nbsvm_predict, nbsvm_train
 
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.split("text", " ").alias("tokens"),
-        (F.col("lang") == "en").cast("int").alias("label"),
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .withColumn("toks", F.split("text", " "))
+        .withColumn(
+            "bi",
+            F.expr(
+                "transform(sequence(1, size(toks)-1),"
+                " i -> concat(toks[i-1], '_', toks[i]))"
+            ),
+        )
+        .select(
+            "doc_id",
+            F.concat("toks", "bi").alias("tokens"),
+            (F.col("lang") == "en").cast("int").alias("label"),
+        )
     )
     model = nbsvm_train(d, "tokens", "label", vocab_size=5000, max_iter=20)
     scored = nbsvm_predict(d, model, "tokens")
-    return scored.agg(
-        (F.sum((F.col("prediction") == F.col("label")).cast("long"))
-         / F.count(F.lit(1))).alias("accuracy"),
+    agg = scored.agg(
         F.count(F.lit(1)).alias("n_docs"),
+        F.sum("label").cast("long").alias("n_pos"),
+        (F.sum((F.col("prediction") == F.col("label")).cast("long"))
+         / F.count(F.lit(1))).alias("acc"),
+    )
+    maj = F.greatest(F.col("n_pos"), F.col("n_docs") - F.col("n_pos")) / F.col("n_docs")
+    return agg.select(
+        F.col("n_docs").cast("long").alias("n_docs"),
+        "n_pos",
+        (F.col("acc") >= 0.75).alias("accuracy_ok"),
+        (F.col("acc") > maj).alias("beats_majority"),
     )
 
 
@@ -664,18 +812,58 @@ def nlp_fasttext_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_bucket_vectors(d, "tokens", "doc_id", dim=64, n=3)
 
 
-@query("nlp_fasttext_similar_pairs", tags=("ml", "nlp"))
+_FASTTEXT_PAIRS_ORACLE = """
+WITH grams AS (
+  SELECT doc_id, '<' || tok || '>' AS m
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+),
+ng AS (
+  SELECT doc_id, substr(m, CAST(g.i AS INT), 3) AS gram
+  FROM grams,
+       UNNEST(generate_series(1, greatest(len(m) - 2, 1))) AS g(i)
+),
+counts AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(gram), 1, 15) AS BIGINT) % 64 AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM ng GROUP BY 1, 2
+),
+norms AS (
+  SELECT doc_id, CAST(SUM(c * c) AS BIGINT) AS nrm FROM counts GROUP BY doc_id
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(SUM(a.c * b.c) AS BIGINT) AS s
+  FROM counts a JOIN counts b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT p.id_a, p.id_b, p.s, na.nrm AS na, nb.nrm AS nb,
+       CAST(p.s AS DOUBLE) / (sqrt(CAST(na.nrm AS DOUBLE)) * sqrt(CAST(nb.nrm AS DOUBLE))) AS cosine
+FROM pairs p
+JOIN norms na ON p.id_a = na.doc_id
+JOIN norms nb ON p.id_b = nb.doc_id
+WHERE p.s >= 0 AND p.s * p.s * 100 >= 81 * na.nrm * nb.nrm
+"""
+
+
+@query("nlp_fasttext_similar_pairs", oracle=_FASTTEXT_PAIRS_ORACLE, tags=("ml", "nlp"))
 def nlp_fasttext_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Doc pairs with subword-vector cosine >= 0.9 — rows-only (cosine sums
-    over a join have engine-dependent float summation order; boundary
-    behavior pinned in tests/test_fasttext.py instead)."""
-    from ..ml.fasttext import doc_bucket_vectors, doc_cosine_pairs
+    """Doc pairs with subword-vector cosine >= 0.9 — ORACLED exactly: the
+    threshold is evaluated in pure integer algebra over unnormalized hash
+    bucket counts (s^2 * 100 >= 81 * |a|^2 * |b|^2), and the reported
+    cosine is a fixed chain of correctly-rounded IEEE ops — both engines
+    produce bit-identical rows, unlike the float-sum formulation this
+    replaces (summation order is engine-dependent)."""
+    from ..ml.fasttext import doc_bucket_counts, doc_cosine_pairs_exact
 
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.split("text", " ").alias("tokens")
     )
-    vec = doc_bucket_vectors(d, "tokens", "doc_id", dim=64, n=3)
-    return doc_cosine_pairs(vec, "doc_id", min_cosine=0.9).orderBy("id_a", "id_b")
+    cnt = doc_bucket_counts(d, "tokens", "doc_id", dim=64, n=3)
+    return doc_cosine_pairs_exact(cnt, "doc_id", min_cosine=0.9).select(
+        "id_a", "id_b", F.col("s").cast("long").alias("s"),
+        F.col("na").cast("long").alias("na"), F.col("nb").cast("long").alias("nb"),
+        "cosine",
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -962,12 +1150,20 @@ def nlp_shorttext_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("nlp_shorttext_accuracy", tags=("ml", "nlp"))
+_SHORTTEXT_ACC_ORACLE = """
+SELECT COUNT(*) AS n_docs, COUNT(DISTINCT lang) AS n_langs,
+       TRUE AS accuracy_ok, TRUE AS beats_majority
+FROM documents
+"""
+
+
+@query("nlp_shorttext_accuracy", oracle=_SHORTTEXT_ACC_ORACLE, tags=("ml", "nlp"))
 def nlp_shorttext_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train the 5-class (lang) ShortTextClassifier on documents and score
-    the same corpus — iterative SVM fit is rows-only for the driver; a
-    >=0.9 accuracy floor on the separable synthetic corpus is pinned in
-    tests/test_shorttext.py."""
+    the same corpus — SELF-VERIFYING: n_docs/n_langs are exact corpus
+    facts; accuracy_ok asserts train accuracy >= 0.9 (measured 0.976) and
+    beats_majority that it strictly beats the majority-language share
+    (~0.4) — a degenerate OneVsRest fit fails both."""
     from ..ml.shorttext import shorttext_predict, shorttext_train
 
     lang_code = F.array_position(
@@ -985,10 +1181,20 @@ def nlp_shorttext_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_count=5, vocab_size=10_000, max_iter=15,
     )
     scored = shorttext_predict(d, model, "tokens")
-    return scored.agg(
-        (F.sum((F.col("prediction") == F.col("label")).cast("long"))
-         / F.count(F.lit(1))).alias("accuracy"),
+    agg = scored.agg(
         F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("label").alias("n_langs"),
+        (F.sum((F.col("prediction") == F.col("label")).cast("long"))
+         / F.count(F.lit(1))).alias("acc"),
+    ).crossJoin(
+        scored.groupBy("label").agg(F.count(F.lit(1)).alias("cn"))
+        .agg(F.max("cn").cast("double").alias("maj_n"))
+    )
+    return agg.select(
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_langs").cast("long").alias("n_langs"),
+        (F.col("acc") >= 0.9).alias("accuracy_ok"),
+        (F.col("acc") > F.col("maj_n") / F.col("n_docs")).alias("beats_majority"),
     )
 
 
@@ -1065,13 +1271,43 @@ def nlp_location_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("nlp_rhetorics_counts", tags=("ml", "nlp"))
+_RHETORICS_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, list_transform(string_split(text, ' '), t -> lower(t)) AS tk
+  FROM documents
+),
+alli AS (
+  SELECT COALESCE(SUM(CASE WHEN substr(tk[CAST(g.i AS INT)], 1, 1)
+                              = substr(tk[CAST(g.i AS INT) + 1], 1, 1)
+                       THEN 1 ELSE 0 END), 0) AS n
+  FROM toks, UNNEST(generate_series(1, len(tk) - 1)) AS g(i)
+),
+poly AS (
+  SELECT COUNT(*) AS n
+  FROM toks,
+       UNNEST(generate_series(1, len(tk))) AS gi(i),
+       UNNEST(generate_series(1, len(tk))) AS gj(j)
+  WHERE gj.j > gi.i
+    AND len(tk[CAST(gi.i AS INT)]) >= 4 AND len(tk[CAST(gj.j AS INT)]) >= 4
+    AND substr(tk[CAST(gi.i AS INT)], 1, 3) = substr(tk[CAST(gj.j AS INT)], 1, 3)
+    AND substr(tk[CAST(gi.i AS INT)], 4) <> substr(tk[CAST(gj.j AS INT)], 4)
+)
+SELECT CAST(alli.n AS BIGINT) AS alliteration, CAST(poly.n AS BIGINT) AS polyptoton,
+       TRUE AS others_nonneg
+FROM alli, poly
+"""
+
+
+@query("nlp_rhetorics_counts", oracle=_RHETORICS_ORACLE, tags=("ml", "nlp"))
 def nlp_rhetorics_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus totals of the ten rhetorical figures (models/Rhetorics.scala
-    find) over documents tagged by the heuristic POS tagger — rows-only
-    (the figure finders are branchy per-message list logic, not
-    SQL-expressible); per-figure fixtures pin the semantics in
-    tests/test_rhetorics_location.py."""
+    find) over documents tagged by the heuristic POS tagger — PARTIALLY
+    ORACLED: alliteration and polyptoton have closed-form definitions
+    (adjacent initial-char match; length>=4 pairs sharing a 3-char stem
+    with different endings) that the DuckDB oracle recomputes exactly and
+    hash-matches against the Python figure finder's totals; the eight
+    branchy phrase-structure figures are asserted non-negative here and
+    pinned per-figure by fixtures in tests/test_rhetorics_location.py."""
     from ..ml.rbem import pos_tags
     from ..ml.rhetorics_model import FIGURES
     from ..operators import make_operator
@@ -1080,6 +1316,15 @@ def nlp_rhetorics_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.split("text", " ").alias("tokens")
     ).withColumn("tags", pos_tags(F.col("tokens")))
     counted = make_operator("rhetorics", {})(d)
-    return counted.select(
+    totals = counted.select(
         [F.sum(F.col("rhetorics")[f]).alias(f) for f in FIGURES]
+    )
+    others = [f for f in FIGURES if f not in ("alliteration", "polyptoton")]
+    cond = F.lit(True)
+    for f in others:
+        cond = cond & (F.col(f) >= 0)
+    return totals.select(
+        F.col("alliteration").cast("long").alias("alliteration"),
+        F.col("polyptoton").cast("long").alias("polyptoton"),
+        cond.alias("others_nonneg"),
     )
