@@ -43,3 +43,119 @@ def streaming_tumbling_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("window_start")
         .agg(F.max("n").alias("n"))
     )
+
+
+# Same gap-sessionization truth as the batch session_window_per_user query
+# (timeops._SESSION_ORACLE): the streaming engine must converge to it.
+_SESSION_REPLAY_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS t,
+         CASE WHEN CAST(ts AS TIMESTAMP)
+                   - lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP))
+                   >= INTERVAL 30 MINUTE
+              OR lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), sessions AS (
+  SELECT user_id, t,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY t
+                                ROWS UNBOUNDED PRECEDING) AS sid
+  FROM ordered
+)
+SELECT user_id, MIN(t) AS session_start, COUNT(*) AS n_events
+FROM sessions GROUP BY user_id, sid
+"""
+
+
+@query("streaming_session_replay", oracle=_SESSION_REPLAY_ORACLE, tags=("streaming",))
+def streaming_session_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user 30-minute session windows computed BY THE STREAMING ENGINE:
+    ordered replay -> withWatermark -> session_window groupBy in APPEND
+    mode (the only mode Spark supports for streaming session windows) ->
+    memory sink. Append emits a session only once the watermark passes its
+    close, so the replay adds one far-future SENTINEL event (user_id -1,
+    max ts + 7 days) in a final chunk to flush every real session; the
+    sentinel's own never-emitted session is filtered out. The sink then
+    holds exactly the batch gap-sessionization truth."""
+    events = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    max_ts = events.agg(F.max("ts")).first()[0]
+    sentinel = events.sparkSession.createDataFrame(
+        [(-1, max_ts)], "user_id bigint, ts timestamp"
+    ).withColumn("ts", F.col("ts") + F.expr("INTERVAL 7 DAYS"))
+    stage = tempfile.mkdtemp(prefix="tuktu_stream_session_")
+    stream = STR.replay_dataframe(
+        events.select(F.col("user_id").cast("bigint"), "ts").unionByName(sentinel),
+        stage,
+        chunks=5,
+        order_col="ts",
+    )
+    sessioned = STR.session_window_agg(
+        stream,
+        "ts",
+        "30 minutes",
+        {"n_events": F.count(F.lit(1))},
+        keys=["user_id"],
+        watermark="1 hour",
+    )
+    q, name = STR.memory_sink(sessioned, output_mode="append")
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name).filter(F.col("user_id") >= 0).select(
+        "user_id",
+        F.col("window_start").alias("session_start"),
+        "n_events",
+    )
+
+
+_JOIN_REPLAY_ORACLE = """
+SELECT p.user_id, COUNT(*) AS n_pairs
+FROM events p JOIN events c
+  ON p.user_id = c.user_id
+ AND p.event_type = 'purchase' AND c.event_type = 'click'
+ AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
+ AND CAST(c.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP) - INTERVAL 30 MINUTE
+GROUP BY p.user_id
+"""
+
+
+@query("streaming_join_replay", oracle=_JOIN_REPLAY_ORACLE, tags=("streaming",))
+def streaming_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked STREAM-STREAM interval join executed by the streaming
+    engine: purchases join clicks by the same user within the preceding 30
+    minutes (state-bounded form — watermark + event-time range give the
+    engine an eviction horizon). Both sides replay the same ordered chunk
+    files through independent file-stream sources; every qualifying pair
+    is appended exactly once, so the per-user pair counts over the sink
+    equal the batch self-join truth."""
+    events = load_table(spark, sf_dir, "events")
+    stage = tempfile.mkdtemp(prefix="tuktu_stream_join_")
+    purchases = STR.replay_dataframe(events, stage, chunks=4, order_col="ts").filter(
+        F.col("event_type") == "purchase"
+    )
+    import os
+
+    clicks = STR.file_stream_source(
+        spark,
+        os.path.join(stage, "replay"),
+        "parquet",
+        schema=events.schema,
+        max_files_per_trigger=1,
+    ).filter(F.col("event_type") == "click")
+    joined = STR.stream_stream_interval_join(
+        purchases.select("user_id", "ts"),
+        clicks.select("user_id", F.col("ts").alias("c_ts")),
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="c_ts",
+        lower="30 minutes",
+        upper="0 seconds",
+        watermark="1 hour",
+    )
+    q, name = STR.memory_sink(
+        joined.select(F.col("l.user_id").alias("user_id")), output_mode="append"
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name).groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )

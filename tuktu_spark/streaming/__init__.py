@@ -25,6 +25,7 @@ from .ops import (
     memory_sink,
     running_count_stateful,
     stream_static_join,
+    stream_stream_interval_join,
     stream_stream_join,
     streaming_dedup,
 )
@@ -40,6 +41,7 @@ __all__ = [
     "running_count_stateful",
     "stream_static_join",
     "stream_stream_join",
+    "stream_stream_interval_join",
     "memory_sink",
     "foreach_batch_sink",
 ]

@@ -85,6 +85,37 @@ def stream_stream_join(
     return lw.join(rw, on, how)
 
 
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    lower: str,
+    upper: str,
+    watermark: str = "10 minutes",
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream join with an EVENT-TIME RANGE condition
+    (right_ts in [left_ts - lower, left_ts + upper]): the form whose join
+    state Spark can actually evict — watermark + time bound give the
+    engine a provable horizon per side, so state is O(watermark window)
+    regardless of stream length. Prefer this over ``stream_stream_join``
+    for unbounded runs; a bare equi-join must retain every row forever.
+    """
+    lw = left.withWatermark(left_ts, watermark).alias("l")
+    rw = right.withWatermark(right_ts, watermark).alias("r")
+    cond = F.lit(True)
+    for c in on:
+        cond = cond & (F.col(f"l.{c}") == F.col(f"r.{c}"))
+    cond = (
+        cond
+        & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}") - F.expr(f"INTERVAL {lower}"))
+        & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {upper}"))
+    )
+    return lw.join(rw, cond, how)
+
+
 def memory_sink(
     df: DataFrame,
     name: str | None = None,
