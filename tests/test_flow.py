@@ -210,6 +210,17 @@ def test_example_flows_run(spark, sf_dir):
     rows = {r["predicted_lang"]: r["docs"] for r in out["agg"].collect()}
     assert sum(rows.values()) > 0
 
+    try:
+        out = run_flow(
+            spark,
+            os.path.join(base, "dedup_documents_bucketed.json"),
+            params={"dir": sf_dir},
+        )
+        comp = out["groups"].collect()
+        assert comp and all(r["component"] <= r["id"] for r in comp)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS doc_shingle_index")
+
 
 def test_cycle_raises(spark):
     flow = {

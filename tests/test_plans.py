@@ -219,3 +219,38 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path_factory):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql(f"DROP TABLE IF EXISTS {ta}")
         spark.sql(f"DROP TABLE IF EXISTS {tb}")
+
+
+def test_shingle_index_dedup_equivalence_and_plan(spark, sf_dir):
+    """Write-once/dedup-many: minhash over the bucketed shingle index must
+    (a) produce the SAME pairs as the direct pipeline, (b) never re-scan
+    or re-hash the raw text (no xxhash64 in the plan — shingles come from
+    the index), and (c) start id-keyed joins from bucket-aligned
+    partitioning: a self-join of the index on the id has ZERO Exchange."""
+    import uuid
+
+    from tuktu_spark.llm import dedup as D
+
+    table = f"shingle_idx_{uuid.uuid4().hex[:8]}"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    D.write_shingle_index(docs, table, buckets=4)
+    try:
+        direct = D.minhash_dedup_pairs(docs, threshold=0.8)
+        indexed = D.minhash_dedup_pairs_from_index(spark, table, threshold=0.8)
+        a = {(r.id_a, r.id_b, round(r.jaccard, 12)) for r in direct.collect()}
+        b = {(r.id_a, r.id_b, round(r.jaccard, 12)) for r in indexed.collect()}
+        assert a == b and len(a) > 0
+        plan = plan_of(D.minhash_dedup_pairs_from_index(spark, table, threshold=0.8))
+        assert "xxhash64" not in plan  # no text re-scan, index only
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            idx = spark.table(table)
+            self_joined = idx.join(
+                idx.withColumnRenamed("shingles", "shingles_b"), "doc_id"
+            )
+            jplan = plan_of(self_joined)
+            assert "Exchange" not in jplan
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")

@@ -318,6 +318,13 @@ def minhash_dedup_pairs(
     # persisted table the size check is a cheap scan of materialized
     # arrays.
     h_all = _persist_scoped(hashed_shingles(df, text_col, id_col, n))
+    return _minhash_pairs_from_hashed(h_all, id_col, threshold)
+
+
+def _minhash_pairs_from_hashed(
+    h_all: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """Shared LSH tail: (id, shingles array) -> verified near-dup pairs."""
     h = h_all.filter(F.size("shingles") > 0)
     # signatures are docs x NUM_HASHES longs (tiny vs the corpus); without
     # the persist both sides of the banded self-join re-run the signature
@@ -348,6 +355,43 @@ def minhash_dedup_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def write_shingle_index(
+    df: DataFrame,
+    table: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    buckets: int = 32,
+    mode: str = "overwrite",
+) -> None:
+    """Materialize the per-doc hashed-shingle index as a BUCKETED managed
+    table keyed on the id — write once, dedup many. Every later dedup
+    round over the same corpus (different threshold, band config, or an
+    incremental batch joined against the corpus) reads this table instead
+    of re-running tokenize+shingle+xxhash over the raw text, and joins
+    keyed on the id (Jaccard verify, size lookup, incremental
+    corpus-vs-batch checks) start from bucket-aligned partitioning — the
+    corpus side needs no Exchange (proved in tests/test_plans.py)."""
+    (
+        hashed_shingles(df, text_col, id_col, n)
+        .write.mode(mode)
+        .bucketBy(buckets, id_col)
+        .sortBy(id_col)
+        .saveAsTable(table)
+    )
+
+
+def minhash_dedup_pairs_from_index(
+    spark, table: str, id_col: str = "doc_id", threshold: float = 0.8
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs reading a bucketed shingle index written
+    by ``write_shingle_index`` — identical output to
+    ``minhash_dedup_pairs`` (pinned in tests) with zero text re-scans:
+    the plan contains no tokenize/xxhash at all."""
+    release_persisted()
+    return _minhash_pairs_from_hashed(spark.table(table), id_col, threshold)
 
 
 SIMHASH_BITS = 48  # of the 60-bit base hash; stays clear of int64 sign

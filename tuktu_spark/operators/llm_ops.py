@@ -32,6 +32,39 @@ def minhash_dedup(config: dict):
     return lambda df: D.minhash_dedup_pairs(df, text_col, id_col, n, threshold)
 
 
+@operator("shingle_index_write")
+def shingle_index_write(config: dict):
+    """Materialize the corpus' hashed-shingle index as a bucketed managed
+    table (write once, dedup many — llm/dedup.py write_shingle_index).
+    config: {table, text_field, id_field, n, buckets, mode}. Passes the
+    input through unchanged so flows can chain further processors."""
+    table = config["table"]
+    text_col = config.get("text_field", "text")
+    id_col = config.get("id_field", "doc_id")
+    n = int(config.get("n", 3))
+    buckets = int(config.get("buckets", 32))
+    mode = config.get("mode", "overwrite")
+
+    def sink(df: DataFrame) -> DataFrame:
+        D.write_shingle_index(df, table, text_col, id_col, n, buckets, mode)
+        return df
+
+    return sink
+
+
+@operator("minhash_dedup_from_index")
+def minhash_dedup_from_index(config: dict):
+    """MinHash+LSH near-dup pairs read from a bucketed shingle index
+    (shingle_index_write) — skips the raw-text scan entirely; identical
+    output to minhash_dedup. config: {table, id_field, threshold}."""
+    table = config["table"]
+    id_col = config.get("id_field", "doc_id")
+    threshold = float(config.get("threshold", 0.8))
+    return lambda df: D.minhash_dedup_pairs_from_index(
+        df.sparkSession, table, id_col, threshold
+    )
+
+
 @operator("jaccard_dedup")
 def jaccard_dedup(config: dict):
     """Exact n-gram Jaccard pairs via prefix+length filtering."""

@@ -84,6 +84,32 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("dedup_minhash_lsh_skew", oracle=_JACCARD_ORACLE, tags=("llm", "dedup"), bench=True)
+def dedup_minhash_lsh_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SKEW GUARD for the round-2 scale-killer: the same MinHash+LSH run
+    with 10,000 degenerate documents (empty / whitespace / one-char)
+    injected into the corpus. The empty-shingle filter must drop them all
+    BEFORE banding, so (a) the result is IDENTICAL to the clean corpus —
+    same oracle hash-matches — and (b) the bench wall-time stays within
+    noise of dedup_minhash_lsh; a regression that lets sentinel
+    signatures back into a hot bucket shows up as a timing blowout in
+    BENCH_r{N}.json, not just a pytest failure."""
+    docs = load_table(spark, sf_dir, "documents")
+    junk = (
+        docs.sparkSession.range(10_000)
+        .select(
+            (F.col("id") + 10_000_000).alias("doc_id"),
+            F.when(F.col("id") % 3 == 0, F.lit(""))
+            .when(F.col("id") % 3 == 1, F.lit("   "))
+            .otherwise(F.lit("x"))
+            .alias("text"),
+            F.lit("xx").alias("lang"),
+        )
+    )
+    skewed = docs.select("doc_id", "text", "lang").unionByName(junk)
+    return D.minhash_dedup_pairs(skewed, threshold=0.8)
+
+
 # ---------------------------------------------------------------------------
 # SimHash values per document — deterministic md5-derived bit votes; the
 # oracle recomputes all 48 bit majorities in SQL.
