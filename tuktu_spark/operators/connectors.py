@@ -274,73 +274,66 @@ def read_xlsx_rows(path: str, sheet: int = 1) -> list[list]:
         return [r + [None] * (width - len(r)) for r in rows]
 
 
+def _sheet_rows_to_df(spark: SparkSession, rows: list[list], header: bool) -> DataFrame:
+    """Shared .xlsx/.xls tail: parsed cell rows -> typed DataFrame.
+    Per-column types inferred from the values (all-bool -> boolean,
+    all-int -> bigint, numeric -> double, otherwise string)."""
+    if header and rows:
+        cols = [str(c) if c is not None else f"_c{i}" for i, c in enumerate(rows[0])]
+        data = rows[1:]
+    else:
+        cols = [f"_c{i}" for i in range(len(rows[0]) if rows else 0)]
+        data = rows
+
+    def col_type(i: int) -> str:
+        vals = [r[i] for r in data if i < len(r) and r[i] is not None]
+        if not vals:
+            return "string"
+        if all(isinstance(v, bool) for v in vals):
+            return "boolean"
+        if all(isinstance(v, int) and not isinstance(v, bool) for v in vals):
+            return "bigint"
+        if all(isinstance(v, (int, float)) and not isinstance(v, bool) for v in vals):
+            return "double"
+        return "string"
+
+    types = [col_type(i) for i in range(len(cols))]
+
+    def cast_cell(v, t):
+        if v is None:
+            return None
+        if t == "boolean":
+            return bool(v)
+        if t == "bigint":
+            return int(v)
+        if t == "double":
+            return float(v)
+        return str(v)
+
+    cells = [
+        [cast_cell(r[i] if i < len(r) else None, types[i]) for i in range(len(cols))]
+        for r in data
+    ]
+    schema = ", ".join(f"`{c}` {t}" for c, t in zip(cols, types))
+    return spark.createDataFrame(cells, schema)
+
+
 @source("xls", "xlsx")
 def xls_source(spark: SparkSession, config: dict) -> DataFrame:
     """XlsGenerator / XlsxGenerator (modules/csv flattening): Excel sheet ->
-    rows, driver-side (spreadsheets are config-scale data). .xlsx parses
-    with the dependency-free stdlib reader above; legacy binary .xls
-    falls back to pandas and needs xlrd (absent here — the error surfaces
-    cleanly with remediation). config: {path, sheet (1-based for xlsx),
-    header}."""
+    rows, driver-side (spreadsheets are config-scale data). BOTH formats
+    parse with dependency-free stdlib readers: .xlsx via zip+XML
+    (read_xlsx_rows above), legacy binary .xls via the native CFB+BIFF8
+    reader (xls_biff.read_xls_rows) — no xlrd/POI needed. config: {path,
+    sheet (1-based), header}."""
     path = config["path"]
     if str(path).lower().endswith((".xlsx", ".xlsm")):
         rows = read_xlsx_rows(path, sheet=int(config.get("sheet", 1)))
-        header = config.get("header", True)
-        if header and rows:
-            cols = [str(c) if c is not None else f"_c{i}" for i, c in enumerate(rows[0])]
-            data = rows[1:]
-        else:
-            cols = [f"_c{i}" for i in range(len(rows[0]) if rows else 0)]
-            data = rows
-        # Infer per-column types from the parsed cell values so the .xlsx
-        # path returns the same typed DataFrame the pandas .xls path does
-        # (all-bool -> boolean, all-int -> long, numeric -> double,
-        # otherwise string).
-        def col_type(i: int) -> str:
-            vals = [r[i] for r in data if i < len(r) and r[i] is not None]
-            if not vals:
-                return "string"
-            if all(isinstance(v, bool) for v in vals):
-                return "boolean"
-            if all(isinstance(v, int) and not isinstance(v, bool) for v in vals):
-                return "bigint"
-            if all(isinstance(v, (int, float)) and not isinstance(v, bool) for v in vals):
-                return "double"
-            return "string"
+    else:
+        from .xls_biff import read_xls_rows
 
-        types = [col_type(i) for i in range(len(cols))]
-
-        def cast_cell(v, t):
-            if v is None:
-                return None
-            if t == "boolean":
-                return bool(v)
-            if t == "bigint":
-                return int(v)
-            if t == "double":
-                return float(v)
-            return str(v)
-
-        cells = [
-            [cast_cell(r[i] if i < len(r) else None, types[i]) for i in range(len(cols))]
-            for r in data
-        ]
-        schema = ", ".join(f"`{c}` {t}" for c, t in zip(cols, types))
-        return spark.createDataFrame(cells, schema)
-    import pandas as pd
-
-    try:
-        pdf = pd.read_excel(
-            path,
-            sheet_name=config.get("sheet", 0),
-            header=0 if config.get("header", True) else None,
-        )
-    except ImportError as e:
-        raise NotImplementedError(
-            "legacy .xls needs xlrd (not in this environment); convert to "
-            ".xlsx (parsed natively) or CSV."
-        ) from e
-    return spark.createDataFrame(pdf)
+        rows = read_xls_rows(path, sheet=int(config.get("sheet", 1)))
+    return _sheet_rows_to_df(spark, rows, bool(config.get("header", True)))
 
 
 @operator("smtp_sink")
