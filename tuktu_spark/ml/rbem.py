@@ -32,8 +32,8 @@ from pyspark.sql import functions as F
 # Closed-class lexicon for the heuristic tagger (Penn-style tags).
 POS_LEXICON: dict[str, str] = {
     **{w: "DT" for w in ("the", "a", "an", "this", "that", "these", "those")},
-    **{w: "PRP" for w in ("i", "you", "he", "she", "it", "we", "they", "me", "him", "her", "us", "them")},
-    **{w: "IN" for w in ("in", "on", "at", "of", "for", "with", "by", "from", "to", "into", "over", "under")},
+    **{w: "PRP" for w in ("i", "you", "he", "she", "it", "we", "they", "me", "him", "her", "us", "them", "my", "your", "his", "its", "our", "their")},
+    **{w: "IN" for w in ("in", "on", "at", "of", "for", "with", "by", "from", "to", "into", "over", "under", "than", "as", "like")},
     **{w: "CC" for w in ("and", "or", "but", "nor", "so", "yet")},
     **{w: "VB" for w in ("is", "am", "are", "was", "were", "be", "been", "being", "do", "does", "did", "has", "have", "had")},
     **{w: "MD" for w in ("can", "could", "will", "would", "shall", "should", "may", "might", "must")},
