@@ -1,0 +1,119 @@
+"""BPE tokenizer (llm/bpe.py) + PII scrubbing + repetition metrics."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tuktu_spark.llm.bpe import (
+    BpeModel,
+    _encode_word,
+    bpe_decode,
+    bpe_encode,
+    learn_bpe_merges,
+    train_bpe,
+)
+
+
+class TestBpeLearning:
+    def test_classic_sennrich_example(self):
+        # the canonical low/lower/newest/widest corpus
+        wf = [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)]
+        model = learn_bpe_merges(wf, n_merges=10)
+        assert len(model.merges) == 10
+        # 'est▁' becomes a single symbol early (freq 9)
+        merged = {a + b for a, b in model.merges}
+        assert "es" in merged or "st" in merged
+        enc = _encode_word("newest", model.ranks())
+        assert "".join(enc) == "newest▁"
+
+    def test_deterministic_tie_break(self):
+        wf = [("ab", 2), ("cd", 2)]
+        m1 = learn_bpe_merges(wf, 1)
+        m2 = learn_bpe_merges(list(reversed(wf)), 1)
+        assert m1.merges == m2.merges == [("a", "b")]
+
+    def test_freq_below_two_stops(self):
+        model = learn_bpe_merges([("xy", 1)], 10)
+        assert model.merges == []
+
+    def test_json_roundtrip(self):
+        model = learn_bpe_merges([("hello", 4), ("help", 3)], 5)
+        again = BpeModel.from_json(model.to_json())
+        assert again.merges == model.merges
+
+    def test_encode_applies_merges_in_rank_order(self):
+        model = BpeModel(merges=[("a", "b"), ("ab", "c")])
+        assert _encode_word("abc", model.ranks()) == ["abc", "▁"]
+        # unknown chars stay atomic
+        assert _encode_word("xyz", model.ranks()) == ["x", "y", "z", "▁"]
+
+
+class TestBpeSpark:
+    def test_roundtrip_on_dataframe(self, spark):
+        df = spark.createDataFrame(
+            [(1, "the quick brown fox"), (2, "THE QUICK  fox")],
+            "id long, text string",
+        )
+        model = train_bpe(df, "text", n_merges=20)
+        enc = bpe_encode(df, model, "text", "bpe")
+        out = enc.select(
+            "id",
+            (bpe_decode(F.col("bpe"))
+             == F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))).alias("ok"),
+        )
+        assert all(r["ok"] for r in out.collect())
+
+    def test_compression_happens(self, spark):
+        df = spark.createDataFrame(
+            [(i, "repeat repeat repeat token") for i in range(20)],
+            "id long, text string",
+        )
+        model = train_bpe(df, "text", n_merges=30)
+        enc = bpe_encode(df, model, "text", "bpe")
+        n_bpe = enc.agg(F.sum(F.size("bpe"))).first()[0]
+        n_chars = enc.agg(
+            F.sum(F.length(F.regexp_replace(F.lower("text"), r"\s+", "")) + 4)
+        ).first()[0]
+        assert n_bpe < n_chars  # merges actually fired
+
+
+class TestPiiScrub:
+    def test_all_kinds_redacted_and_counted(self, spark):
+        from tuktu_spark.llm.text import with_pii_scrubbed
+
+        df = spark.createDataFrame(
+            [(1, "mail a.b+c@x-y.org and 192.168.0.1 or +31 555 1234567 end"),
+             (2, "nothing here")],
+            "id long, t string",
+        )
+        out = {r["id"]: r for r in with_pii_scrubbed(df, "t").collect()}
+        assert out[1]["n_email"] == 1 and out[1]["n_ipv4"] == 1 and out[1]["n_phone"] == 1
+        assert out[1]["scrubbed"] == "mail [EMAIL] and [IPV4] or [PHONE] end"
+        assert out[2]["scrubbed"] == "nothing here"
+        assert out[2]["n_email"] == out[2]["n_ipv4"] == out[2]["n_phone"] == 0
+
+    def test_multiple_occurrences(self, spark):
+        from tuktu_spark.llm.text import with_pii_scrubbed
+
+        df = spark.createDataFrame([(1, "a@b.co c@d.io 1.2.3.4 5.6.7.8")], "id long, t string")
+        r = with_pii_scrubbed(df, "t").first()
+        assert r["n_email"] == 2 and r["n_ipv4"] == 2
+        assert r["scrubbed"] == "[EMAIL] [EMAIL] [IPV4] [IPV4]"
+
+
+class TestRepetitionStats:
+    def test_fully_repetitive_doc(self, spark):
+        from tuktu_spark.llm.text import with_repetition_stats
+
+        text = " ".join(["tok"] * 30)  # every 10-gram identical
+        df = spark.createDataFrame([(1, text)], "id long, text string")
+        r = with_repetition_stats(df, "text").first()
+        assert r["n_grams"] == 21 and r["n_dup_grams"] == 20
+        assert abs(r["dup_fraction"] - 20 / 21) < 1e-12
+
+    def test_short_doc_zero(self, spark):
+        from tuktu_spark.llm.text import with_repetition_stats
+
+        df = spark.createDataFrame([(1, "a b c")], "id long, text string")
+        r = with_repetition_stats(df, "text").first()
+        assert r["n_grams"] == 0 and r["dup_fraction"] == 0.0

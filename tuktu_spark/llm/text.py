@@ -337,3 +337,73 @@ def classify_language_ngram(
         .filter(F.col("__rk") == 1)
         .select(F.col(id_col), F.col("lang").alias("predicted_lang"), "distance")
     )
+
+
+# --- repetition metrics (RefinedWeb / Gopher "repetition removal") ---------
+
+
+def dup_ngram_stats(col, n: int = 10):
+    """(n_grams, n_dup_grams, dup_fraction) over whitespace-token n-grams —
+    the Gopher/RefinedWeb duplicated-n-gram repetition signal. A doc whose
+    top n-grams repeat heavily (boilerplate, SEO spam, template churn) has
+    a high dup_fraction. Pure per-row array algebra: windows via
+    transform(sequence), counted with aggregate over a sorted array — no
+    shuffle, engine-portable integers."""
+    toks = tokens(col)
+    size = F.size(toks)
+    grams = F.when(size < n, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(size - n, F.lit(0))),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        )
+    )
+    n_grams = F.size(grams)
+    n_distinct = F.size(F.array_distinct(grams))
+    n_dup = n_grams - n_distinct
+    frac = F.when(n_grams > 0, n_dup.cast("double") / n_grams.cast("double")).otherwise(
+        F.lit(0.0)
+    )
+    return n_grams, n_dup, frac
+
+
+def with_repetition_stats(df: DataFrame, text_col: str = "text", n: int = 10) -> DataFrame:
+    g, d, f = dup_ngram_stats(F.col(text_col), n)
+    return df.withColumns(
+        {"n_grams": g.cast("int"), "n_dup_grams": d.cast("int"), "dup_fraction": f}
+    )
+
+
+# --- PII scrubbing (training-data hygiene; public regex patterns only) -----
+
+# Patterns restricted to the Java-regex ∩ RE2 common subset so the DuckDB
+# oracle can run the SAME pattern strings.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b",
+    "phone": r"\+[0-9]{1,3}[ -][0-9]{3}[ -][0-9]{4,10}",
+}
+
+
+def scrub_pii(col, kinds: list[str] | None = None):
+    """(scrubbed_text, {kind: count}) — redact public-pattern PII (emails,
+    IPv4 addresses, international phone numbers) with [KIND] placeholders
+    and count the redactions per kind. Row-local regexp_replace /
+    regexp_count — JVM-side, shuffle-free, linear scan at any corpus
+    size."""
+    kinds = list(kinds or PII_PATTERNS)
+    scrubbed = col
+    counts = {}
+    for k in kinds:
+        pat = PII_PATTERNS[k]
+        counts[k] = F.regexp_count(scrubbed, F.lit(pat)).cast("int")
+        scrubbed = F.regexp_replace(scrubbed, pat, f"[{k.upper()}]")
+    return scrubbed, counts
+
+
+def with_pii_scrubbed(
+    df: DataFrame, text_col: str = "text", kinds: list[str] | None = None
+) -> DataFrame:
+    scrubbed, counts = scrub_pii(F.col(text_col), kinds)
+    return df.withColumns(
+        {"scrubbed": scrubbed, **{f"n_{k}": c for k, c in counts.items()}}
+    )

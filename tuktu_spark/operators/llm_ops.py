@@ -170,3 +170,49 @@ def ann_topk_op(config: dict):
         raise ValueError(f"unknown ann method {method!r}")
 
     return transform
+
+
+@operator("repetition_stats")
+def repetition_stats(config: dict):
+    """Duplicated-n-gram repetition metrics (RefinedWeb/Gopher repetition
+    removal signal). config: {text_field, n}."""
+    text_col = config.get("text_field", "text")
+    n = int(config.get("n", 10))
+    return lambda df: T.with_repetition_stats(df, text_col, n)
+
+
+@operator("pii_scrub")
+def pii_scrub(config: dict):
+    """Redact emails / IPv4 / phone numbers with [KIND] placeholders and
+    count redactions per kind (training-data hygiene). config:
+    {text_field, kinds}."""
+    text_col = config.get("text_field", "text")
+    kinds = config.get("kinds")
+    return lambda df: T.with_pii_scrubbed(df, text_col, kinds)
+
+
+@operator("bpe_tokenize")
+def bpe_tokenize(config: dict):
+    """Train BPE merges on the input corpus (or load a saved model) and
+    encode each row's text to subword tokens. config: {text_field, as,
+    n_merges, model_path (load instead of train), save_path}."""
+    from ..llm import bpe as B
+
+    text_col = config.get("text_field", "text")
+    out = config.get("as", "bpe_tokens")
+    n_merges = int(config.get("n_merges", 100))
+    model_path = config.get("model_path")
+    save_path = config.get("save_path")
+
+    def run(df: DataFrame) -> DataFrame:
+        if model_path:
+            with open(model_path) as f:
+                model = B.BpeModel.from_json(f.read())
+        else:
+            model = B.train_bpe(df, text_col, n_merges)
+        if save_path:
+            with open(save_path, "w") as f:
+                f.write(model.to_json())
+        return B.bpe_encode(df, model, text_col, out)
+
+    return run

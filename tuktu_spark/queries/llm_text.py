@@ -308,3 +308,132 @@ def text_language_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "predicted_lang",
         F.col("distance").cast("bigint").alias("distance"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Repetition metrics (RefinedWeb/Gopher duplicated-n-gram signal) — exact
+# SQL oracle: the same token 10-gram windows and distinct counts in DuckDB.
+# ---------------------------------------------------------------------------
+
+_REPETITION_ORACLE = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tk
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         CASE WHEN len(tk) < 10 THEN []
+              ELSE list_transform(generate_series(1, len(tk) - 9),
+                                  i -> array_to_string(tk[i:i+9], ' '))
+         END AS g
+  FROM toks
+)
+SELECT doc_id,
+       CAST(len(g) AS INT) AS n_grams,
+       CAST(len(g) - len(list_distinct(g)) AS INT) AS n_dup_grams,
+       CASE WHEN len(g) > 0
+            THEN CAST(len(g) - len(list_distinct(g)) AS DOUBLE) / len(g)
+            ELSE 0.0 END AS dup_fraction
+FROM grams
+"""
+
+
+@query("text_repetition_stats", oracle=_REPETITION_ORACLE, tags=("llm", "text"))
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return T.with_repetition_stats(d, "text", n=10).select(
+        "doc_id", "n_grams", "n_dup_grams", "dup_fraction"
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing — the corpus is synthetically clean, so each doc gets
+# deterministic doc_id-derived PII APPENDED in BOTH engines; the oracle
+# then runs the SAME regex pipeline (patterns live in the Java-regex ∩ RE2
+# common subset) and the fully-scrubbed text hash-matches.
+# ---------------------------------------------------------------------------
+
+_PII_SUFFIX_SQL = (
+    "' contact user' || doc_id || '@mail.example.com from 10.1.' || "
+    "(doc_id % 256) || '.7 call +31 555 ' || (1000000 + doc_id)"
+)
+
+_PII_ORACLE = f"""
+WITH aug AS (
+  SELECT doc_id, text || {_PII_SUFFIX_SQL} AS t FROM documents
+),
+s1 AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(t, '{T.PII_PATTERNS["email"]}')) AS INT) AS n_email,
+         regexp_replace(t, '{T.PII_PATTERNS["email"]}', '[EMAIL]', 'g') AS t
+  FROM aug
+),
+s2 AS (
+  SELECT doc_id, n_email,
+         CAST(len(regexp_extract_all(t, '{T.PII_PATTERNS["ipv4"]}')) AS INT) AS n_ipv4,
+         regexp_replace(t, '{T.PII_PATTERNS["ipv4"]}', '[IPV4]', 'g') AS t
+  FROM s1
+)
+SELECT doc_id, n_email, n_ipv4,
+       CAST(len(regexp_extract_all(t, '{T.PII_PATTERNS["phone"]}')) AS INT) AS n_phone,
+       regexp_replace(t, '{T.PII_PATTERNS["phone"]}', '[PHONE]', 'g') AS scrubbed
+FROM s2
+"""
+
+
+@query("text_pii_scrub", oracle=_PII_ORACLE, tags=("llm", "text"))
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    suffix = F.concat(
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com from 10.1."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 call +31 555 "), (F.col("doc_id") + 1000000).cast("string"),
+    )
+    aug = d.select("doc_id", F.concat("text", suffix).alias("t"))
+    out = T.with_pii_scrubbed(aug, "t")
+    return out.select("doc_id", "n_email", "n_ipv4", "n_phone", "scrubbed")
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer — train on the corpus, encode, decode; SELF-VERIFYING:
+# decode(encode(x)) must equal the normalized input for EVERY doc (an
+# exact per-doc boolean), merges actually fire (compression strictly
+# beats character-level), and the corpus facts are exact SQL.
+# ---------------------------------------------------------------------------
+
+_BPE_ORACLE = """
+SELECT COUNT(*) AS n_docs,
+       CAST(SUM(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')))
+            AS BIGINT) AS n_words,
+       TRUE AS roundtrip_all, TRUE AS compresses, TRUE AS merges_learned
+FROM documents
+"""
+
+
+@query("text_bpe_roundtrip", oracle=_BPE_ORACLE, tags=("llm", "text"))
+def text_bpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm import bpe as B
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    model = B.train_bpe(d, "text", n_merges=60)
+    enc = B.bpe_encode(d, model, "text", "bpe")
+    norm = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    checked = enc.select(
+        F.col("bpe"),
+        (B.bpe_decode(F.col("bpe")) == norm).alias("rt_ok"),
+        F.size("bpe").alias("n_bpe"),
+        F.size(F.filter(F.split(norm, " "), lambda w: w != "")).alias("n_words"),
+        (F.length(F.regexp_replace(norm, " ", "")) + F.size(F.split(norm, " "))).alias("n_chars_eow"),
+    )
+    agg = checked.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").cast("long").alias("n_words"),
+        F.min("rt_ok").alias("roundtrip_all"),
+        (F.sum("n_bpe") < F.sum("n_chars_eow")).alias("compresses"),
+    )
+    return agg.select(
+        "n_docs", "n_words", "roundtrip_all", "compresses",
+        F.lit(len(model.merges) > 0).alias("merges_learned"),
+    )
