@@ -527,3 +527,27 @@ class TestAnnIvf:
         rows = out.collect()
         assert {r["query_id"] for r in rows} == {0, 1, 2, 3, 4}
         assert all(1 <= r["rank"] <= 3 for r in rows)
+
+
+class TestSignatureEngines:
+    def test_arrow_and_sql_signatures_identical(self, spark, sf_dir):
+        from tuktu_spark.llm import dedup as D
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(100)
+        h = D.hashed_shingles(docs, "text", "doc_id", 3)
+        arrow = {r["doc_id"]: r["signature"]
+                 for r in D.minhash_signatures_from_hashed(h, "doc_id", "arrow").collect()}
+        sql = {r["doc_id"]: r["signature"]
+               for r in D.minhash_signatures_from_hashed(h, "doc_id", "sql").collect()}
+        assert arrow == sql and len(arrow) == 100
+
+    def test_empty_shingles_sentinel_both_engines(self, spark):
+        from tuktu_spark.llm import dedup as D
+
+        df = spark.createDataFrame([(1, "x"), (2, "a b c d")], "doc_id long, text string")
+        h = D.hashed_shingles(df, "text", "doc_id", 3)
+        for engine in ("arrow", "sql"):
+            sigs = {r["doc_id"]: r["signature"]
+                    for r in D.minhash_signatures_from_hashed(h, "doc_id", engine).collect()}
+            assert sigs[1][0] == D.MERSENNE_P  # sentinel for the short doc
+            assert sigs[2][0] < D.MERSENNE_P
