@@ -551,3 +551,18 @@ class TestSignatureEngines:
                     for r in D.minhash_signatures_from_hashed(h, "doc_id", engine).collect()}
             assert sigs[1][0] == D.MERSENNE_P  # sentinel for the short doc
             assert sigs[2][0] < D.MERSENNE_P
+
+    def test_simhash_engines_identical(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from tuktu_spark.llm import dedup as D
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(100)
+        extra = spark.createDataFrame([(9001, ""), (9002, "  "), (9003, "one")],
+                                      "doc_id long, text string")
+        alld = docs.select("doc_id", "text").unionByName(extra)
+        a = {r["doc_id"]: r["s"] for r in
+             alld.select("doc_id", D.simhash(F.col("text"), "arrow").alias("s")).collect()}
+        b = {r["doc_id"]: r["s"] for r in
+             alld.select("doc_id", D.simhash(F.col("text"), "sql").alias("s")).collect()}
+        assert a == b and a[9001] == 0 and a[9002] == 0
