@@ -245,8 +245,17 @@ def _decode_image_bytes(data: bytes) -> tuple[int, int, list[float]]:
             sum(pix[c::channels]) / (n // channels) / 255.0
             for c in range(channels)
         ]
-        feature = [sum(pix) / n / 255.0, *chan_means]
-        feature += [0.0] * (8 - len(feature))
+        chan_means += [0.0] * (4 - len(chan_means))
+        # aspect components + a constant bias term: without the bias,
+        # flat (constant-shade) images of different brightness embed to
+        # PARALLEL vectors and cosine scoring cannot tell them apart
+        feature = [
+            sum(pix) / n / 255.0,
+            *chan_means,
+            w / (w + h),
+            h / (w + h),
+            1.0,
+        ]
         return w, h, feature[:8]
     except NotImplementedError:
         pass
