@@ -429,6 +429,76 @@ def minhash_dedup_pairs_from_index(
     return _minhash_pairs_from_hashed(spark.table(table), id_col, threshold)
 
 
+def minhash_batch_vs_corpus_pairs(
+    batch: DataFrame,
+    corpus_hashed: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """INCREMENTAL dedup: near-dup pairs between a NEW batch and an
+    existing corpus (batch id = id_a, corpus id = id_b) — the daily-crawl
+    shape at 100 TB. The corpus side is a precomputed (id, shingles)
+    frame (pass ``spark.table(index)`` from write_shingle_index to skip
+    the corpus text entirely); only the BATCH is tokenized. Banding joins
+    batch signatures against corpus signatures (never corpus x corpus),
+    so work scales with |batch| x collision rate, not corpus^2; the
+    Jaccard verify touches only candidate corpus rows."""
+    release_persisted()
+    hb_all = _persist_scoped(hashed_shingles(batch, text_col, id_col, n))
+    hb = hb_all.filter(F.size("shingles") > 0)
+    hc = corpus_hashed.filter(F.size("shingles") > 0)
+    sig_b = _persist_scoped(minhash_signatures_from_hashed(hb, id_col))
+    sig_c = minhash_signatures_from_hashed(hc, id_col)
+
+    def banded(sigs: DataFrame, out_id: str) -> DataFrame:
+        sigs = sigs.filter(F.col("signature")[0] != MERSENNE_P)
+        bands = F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.slice(
+                            "signature", b * ROWS_PER_BAND + 1, ROWS_PER_BAND
+                        ).alias("bucket"),
+                    )
+                    for b in range(BANDS)
+                ]
+            )
+        )
+        return sigs.select(F.col(id_col).alias(out_id), bands.alias("bb")).select(
+            out_id, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+        )
+
+    cands = (
+        banded(sig_b, "id_a")
+        .join(banded(sig_c, "id_b"), ["band", "bucket"])
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sh_b = hb.select(F.col(id_col).alias("id_a"), F.explode("shingles").alias("shingle"))
+    sh_c = hc.select(F.col(id_col).alias("id_b"), F.explode("shingles").alias("shingle"))
+    sizes_b = hb.select(F.col(id_col).alias("id_a"), F.size("shingles").alias("n_a"))
+    sizes_c = hc.select(F.col(id_col).alias("id_b"), F.size("shingles").alias("n_b"))
+    common = (
+        cands.join(sh_b, "id_a")
+        .join(sh_c, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    jac = F.col("common").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("common")
+    ).cast("double")
+    return (
+        common.join(sizes_b, "id_a")
+        .join(sizes_c, "id_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 SIMHASH_BITS = 48  # of the 60-bit base hash; stays clear of int64 sign
 
 

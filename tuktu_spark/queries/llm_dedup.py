@@ -257,3 +257,48 @@ def dedup_decontaminate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     eval_set = docs.filter(F.col("doc_id") % 17 == 0).select("text")
     return contamination_report(docs, eval_set, n=13)
+
+
+# ---------------------------------------------------------------------------
+# INCREMENTAL dedup: a "new batch" (every 10th doc, re-identified) against
+# the full corpus — the daily-crawl shape. Oracle: exact cross Jaccard
+# batch x corpus at the same threshold (banding recall 1 at the corpus'
+# planted similarity levels, same argument as dedup_minhash_lsh).
+# ---------------------------------------------------------------------------
+
+_INCREMENTAL_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+  FROM toks
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id + 1000000 AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle
+  WHERE a.doc_id % 10 = 0
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       CAST(common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - common AS DOUBLE) AS jaccard
+FROM pairs
+JOIN sizes sa ON id_a - 1000000 = sa.doc_id
+JOIN sizes sb ON id_b = sb.doc_id
+WHERE CAST(common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - common AS DOUBLE) >= 0.8
+"""
+
+
+@query("dedup_incremental_batch", oracle=_INCREMENTAL_ORACLE, tags=("llm", "dedup"))
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    corpus_hashed = D.hashed_shingles(docs, "text", "doc_id", 3)
+    return D.minhash_batch_vs_corpus_pairs(
+        batch, corpus_hashed, threshold=0.8
+    )

@@ -299,3 +299,72 @@ def reshape_document_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
     )
     return op(d)
+
+
+# ---------------------------------------------------------------------------
+# Spreadsheet source round-trips (XlsGenerator / XlsxGenerator): 50 docs'
+# facts written to a REAL .xls (native BIFF8 writer) / .xlsx (SpreadsheetML
+# writer) and read back through the registered source — driver-level
+# evidence for both spreadsheet readers. The oracle recomputes the same
+# facts from the documents table directly; every cell type (string, RK
+# int, NUMBER double, BOOLERR bool) crosses the file format.
+# ---------------------------------------------------------------------------
+
+_SHEET_ORACLE = """
+SELECT doc_id, lang,
+       CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+            AS BIGINT) AS n_toks,
+       octet_length(encode(text)) * 0.25 + 0.125 AS qlen,
+       doc_id % 2 = 0 AS even
+FROM documents WHERE doc_id < 50
+"""
+
+
+def _sheet_rows(spark: SparkSession, sf_dir: str) -> list[list]:
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 50)
+        .select(
+            "doc_id",
+            "lang",
+            F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_toks"),
+            (F.octet_length("text") * 0.25 + 0.125).alias("qlen"),
+            (F.col("doc_id") % 2 == 0).alias("even"),
+        )
+        .orderBy("doc_id")
+    )
+    rows = [["doc_id", "lang", "n_toks", "qlen", "even"]]
+    for r in d.collect():  # 50 rows — config-scale by construction
+        rows.append([int(r["doc_id"]), r["lang"], int(r["n_toks"]), float(r["qlen"]), bool(r["even"])])
+    return rows
+
+
+def _sheet_source_query(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
+    import tempfile
+
+    from ..operators import make_source
+    from ..operators.xls_biff import make_xls, make_xlsx
+
+    rows = _sheet_rows(spark, sf_dir)
+    data = make_xls(rows) if fmt == "xls" else make_xlsx(rows)
+    path = tempfile.mktemp(suffix=f".{fmt}", prefix="tuktu_sheet_")
+    with open(path, "wb") as f:
+        f.write(data)
+    df = make_source(spark, "xls", {"path": path, "header": True})
+    return df.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "lang",
+        F.col("n_toks").cast("long").alias("n_toks"),
+        F.col("qlen").cast("double").alias("qlen"),
+        "even",
+    )
+
+
+@query("source_xls_roundtrip", oracle=_SHEET_ORACLE, tags=("source", "xls"))
+def source_xls_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sheet_source_query(spark, sf_dir, "xls")
+
+
+@query("source_xlsx_roundtrip", oracle=_SHEET_ORACLE, tags=("source", "xlsx"))
+def source_xlsx_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sheet_source_query(spark, sf_dir, "xlsx")
