@@ -128,8 +128,12 @@ _VERIFIED_ROUND = {
 _TOUCHED = frozenset(
     {
         "nlp_fasttext_buckets",  # doc_bucket_vectors refactored over doc_bucket_counts
-        "nlp_pos_tags",          # tagger hot path optimized this round
+        "nlp_pos_tags",          # tagger hot path + lexicon extended this round
         "multimodal_probe_roundtrip",  # make_png grew color types + real filtering
+        "dedup_minhash_lsh",     # Arrow-vectorized signature engine
+        "dedup_minhash_components",
+        "dedup_simhash_values",  # Arrow-vectorized simhash engine
+        "dedup_simhash_near_pairs",
     }
 )
 
