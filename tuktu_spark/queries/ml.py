@@ -1328,3 +1328,52 @@ def nlp_rhetorics_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("polyptoton").cast("long").alias("polyptoton"),
         cond.alias("others_nonneg"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Word2Vec nearest words (Word2VecNearestWordsProcessor) — the fit is
+# iterative/seeded; SELF-VERIFYING oracle: probe words are drawn from the
+# corpus vocabulary (exact SQL facts), each probe returns exactly k
+# neighbors with similarities in [-1, 1], sorted descending, never
+# containing the probe itself.
+# ---------------------------------------------------------------------------
+
+_W2V_ORACLE = """
+SELECT 3 AS n_probes, TRUE AS k_each, TRUE AS sims_bounded,
+       TRUE AS sorted_desc, TRUE AS no_self
+"""
+
+
+@query("nlp_word2vec_nearest", oracle=_W2V_ORACLE, tags=("ml", "nlp"))
+def nlp_word2vec_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import make_operator
+
+    d = load_table(spark, sf_dir, "documents").select("text")
+    op = make_operator(
+        "word2vec_nearest",
+        {"text_field": "text", "words": ["spark", "window", "table"], "k": 5,
+         "vector_size": 16, "min_count": 2, "seed": 42},
+    )
+    out = op(d)
+    per_probe = out.groupBy("probe").agg(
+        F.count(F.lit(1)).alias("k_got"),
+        F.min("similarity").alias("lo"),
+        F.max("similarity").alias("hi"),
+        F.max((F.col("word") == F.col("probe")).cast("int")).alias("self_hit"),
+        (F.collect_list(F.struct(F.col("similarity").alias("s")))).alias("ss"),
+    )
+    sorted_ok = F.expr(
+        "aggregate(sequence(1, size(ss)-1), true,"
+        " (acc, i) -> acc AND ss[i-1].s >= ss[i].s - 1e-12)"
+    )
+    agg = per_probe.agg(
+        F.count(F.lit(1)).alias("n_probes"),
+        F.min(F.col("k_got") == 5).alias("k_each"),
+        F.min((F.col("lo") >= -1.0001) & (F.col("hi") <= 1.0001)).alias("sims_bounded"),
+        F.min(sorted_ok).alias("sorted_desc"),
+        F.min(F.col("self_hit") == 0).alias("no_self"),
+    )
+    return agg.select(
+        F.col("n_probes").cast("int").alias("n_probes"),
+        "k_each", "sims_bounded", "sorted_desc", "no_self",
+    )
