@@ -227,19 +227,34 @@ def decode_png_pixels(data: bytes) -> tuple[int, int, int, bytes]:
     return int(w), int(h), channels, bytes(out)
 
 
+def decode_pixels(data: bytes) -> tuple[int, int, int, bytes]:
+    """Unified REAL pixel decode: 8-bit PNGs (zlib + unfilter) and
+    baseline JPEGs (full T.81 entropy decode + IDCT, llm/jpeg.py) ->
+    (width, height, channels, interleaved uint8 bytes). Other formats
+    raise NotImplementedError (the PIL/ffmpeg seam)."""
+    try:
+        return decode_png_pixels(data)
+    except NotImplementedError:
+        pass
+    from .jpeg import decode_jpeg_pixels
+
+    return decode_jpeg_pixels(data)
+
+
 def _decode_image_bytes(data: bytes) -> tuple[int, int, list[float]]:
     """Decode dimensions + a feature vector. Dimensions are REAL for the
     header-parsable formats (probe_media). Pixels are REAL for 8-bit
-    PNGs (``decode_png_pixels`` — stdlib zlib + filter reconstruction);
-    the feature vector is then per-channel means + overall mean. Other
-    codecs (JPEG entropy decode etc.) remain the documented PIL/ffmpeg
-    seam with a deterministic byte-sample fallback so the data flow
-    stays testable end-to-end.
+    PNGs (``decode_png_pixels`` — stdlib zlib + filter reconstruction)
+    AND baseline JPEGs (``llm/jpeg.decode_jpeg_pixels`` — full T.81
+    entropy decode + IDCT); the feature vector is then per-channel means
+    + aspect + bias. Remaining codecs (progressive JPEG, video) are the
+    documented PIL/ffmpeg seam with a deterministic byte-sample fallback
+    so the data flow stays testable end-to-end.
     """
     if not data:
         raise NotImplementedError("empty media payload; no decoder available")
     try:
-        w, h, channels, pix = decode_png_pixels(data)
+        w, h, channels, pix = decode_pixels(data)
         n = len(pix)
         chan_means = [
             sum(pix[c::channels]) / (n // channels) / 255.0
@@ -409,17 +424,17 @@ PIXEL_STATS_SCHEMA = (
 
 
 def pixel_stats_table(df: DataFrame, id_col: str, media_col: str = "media") -> DataFrame:
-    """mapInPandas REAL pixel statistics over PNG media: per row the full
-    stdlib decode (inflate + unfilter) then integer pixel_sum / n_vals and
-    their IEEE-exact quotient — engine-portable, so a SQL oracle that
-    predicts the pixels can hash-match the decode end-to-end."""
+    """mapInPandas REAL pixel statistics over PNG/baseline-JPEG media: per
+    row the full stdlib decode then integer pixel_sum / n_vals and their
+    IEEE-exact quotient — engine-portable, so a SQL oracle that predicts
+    the pixels can hash-match the decode end-to-end."""
 
     def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for _, row in pdf.iterrows():
                 data = bytes(row[media_col]) if row[media_col] is not None else b""
-                w, h, c, pix = decode_png_pixels(data)
+                w, h, c, pix = decode_pixels(data)
                 s, n = sum(pix), len(pix)
                 rows.append(
                     {
