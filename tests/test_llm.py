@@ -566,3 +566,37 @@ class TestSignatureEngines:
         b = {r["doc_id"]: r["s"] for r in
              alld.select("doc_id", D.simhash(F.col("text"), "sql").alias("s")).collect()}
         assert a == b and a[9001] == 0 and a[9002] == 0
+
+
+class TestMediaCodecsExtra:
+    def test_wav_square_roundtrip(self):
+        from tuktu_spark.llm.multimodal import decode_wav_samples, make_wav
+
+        data = make_wav(16000, 2, n_samples=10, square=(500, 4))
+        rate, ch, samples = decode_wav_samples(data)
+        assert (rate, ch) == (16000, 2)
+        # frames: + + - -  + + - -  + +   (each duplicated per channel)
+        per_frame = [500, 500, -500, -500, 500, 500, -500, -500, 500, 500]
+        expected = [v for v in per_frame for _ in range(2)]
+        assert samples == expected
+
+    def test_wav_nonpcm_bits_rejected(self):
+        import pytest as _pytest
+
+        from tuktu_spark.llm.multimodal import decode_wav_samples, make_wav
+
+        with _pytest.raises(NotImplementedError):
+            decode_wav_samples(make_wav(8000, 1, 10, bits=8))
+
+    def test_mp4_probe_fields(self):
+        from tuktu_spark.llm.multimodal import make_mp4, probe_media
+
+        info = probe_media(make_mp4(320, 240, 42000))
+        assert info == {
+            "format": "mp4", "duration_ms": 42000, "width": 320, "height": 240,
+        }
+
+    def test_mp4_not_matched_for_other_formats(self):
+        from tuktu_spark.llm.multimodal import _parse_mp4, make_png
+
+        assert _parse_mp4(make_png(4, 4)) is None

@@ -136,13 +136,94 @@ def _parse_wav(data: bytes) -> dict | None:
     return out
 
 
+def _parse_mp4(data: bytes) -> dict | None:
+    """ISO base media file format (MP4/MOV): walk the box tree; mvhd
+    carries timescale/duration, tkhd the 16.16 fixed-point track
+    dimensions (ISO/IEC 14496-12, public spec)."""
+    if len(data) < 12 or data[4:8] != b"ftyp":
+        return None
+    out: dict = {"format": "mp4"}
+
+    def walk(lo: int, hi: int, depth: int = 0):
+        pos = lo
+        while pos + 8 <= hi and depth < 8:
+            size = struct.unpack(">I", data[pos : pos + 4])[0]
+            btype = data[pos + 4 : pos + 8]
+            body = pos + 8
+            if size == 1:  # 64-bit largesize
+                if pos + 16 > hi:
+                    return
+                size = struct.unpack(">Q", data[pos + 8 : pos + 16])[0]
+                body = pos + 16
+            if size == 0:
+                size = hi - pos
+            if btype == b"mvhd" and body + 20 <= hi:
+                version = data[body]
+                if version == 1:
+                    ts, dur = struct.unpack(">IQ", data[body + 20 : body + 32])
+                else:
+                    ts, dur = struct.unpack(">II", data[body + 12 : body + 20])
+                if ts:
+                    out["duration_ms"] = int(dur * 1000 // ts)
+            elif btype == b"tkhd" and pos + size <= hi:
+                # width/height: last 8 bytes of the box, 16.16 fixed
+                w_fx, h_fx = struct.unpack(">II", data[pos + size - 8 : pos + size])
+                if w_fx or h_fx:
+                    out["width"] = w_fx >> 16
+                    out["height"] = h_fx >> 16
+            elif btype in (b"moov", b"trak", b"mdia"):
+                walk(body, min(pos + size, hi), depth + 1)
+            pos += max(size, 8)
+
+    walk(0, len(data))
+    return out
+
+
+def make_mp4(
+    width: int, height: int, duration_ms: int, timescale: int = 1000
+) -> bytes:
+    """A minimal spec-valid ISO-BMFF file: ftyp + moov(mvhd + trak(tkhd))
+    + empty mdat. Header-only (no samples) — enough to round-trip the
+    probe path, mirroring make_png/make_wav."""
+
+    def box(btype: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+    duration = duration_ms * timescale // 1000
+    mvhd = (
+        b"\x00\x00\x00\x00"  # version+flags
+        + b"\x00" * 8  # ctime/mtime
+        + struct.pack(">II", timescale, duration)
+        + struct.pack(">I", 0x00010000)  # rate 1.0
+        + struct.pack(">H", 0x0100)  # volume
+        + b"\x00" * 10
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24
+        + struct.pack(">I", 2)  # next track id
+    )
+    tkhd = (
+        b"\x00\x00\x00\x07"  # version 0, flags: enabled|in-movie|in-preview
+        + b"\x00" * 8
+        + struct.pack(">I", 1)  # track id
+        + b"\x00" * 4
+        + struct.pack(">I", duration)
+        + b"\x00" * 8
+        + struct.pack(">hhhh", 0, 0, 0, 0)  # layer/group/volume/reserved
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + struct.pack(">II", width << 16, height << 16)
+    )
+    moov = box(b"moov", box(b"mvhd", mvhd) + box(b"trak", box(b"tkhd", tkhd)))
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+    return ftyp + moov + box(b"mdat", b"")
+
+
 def probe_media(data: bytes) -> dict:
-    """Sniff + parse real container headers (PNG/JPEG/GIF/BMP/WAV). Returns
-    at least {'format': ...}; 'unknown' when no signature matches. Pure
-    stdlib — runs inside Arrow batches with no native deps."""
+    """Sniff + parse real container headers (PNG/JPEG/GIF/BMP/WAV/MP4).
+    Returns at least {'format': ...}; 'unknown' when no signature matches.
+    Pure stdlib — runs inside Arrow batches with no native deps."""
     if not data:
         return {"format": "empty"}
-    for parser in (_parse_png, _parse_jpeg, _parse_gif, _parse_bmp, _parse_wav):
+    for parser in (_parse_png, _parse_jpeg, _parse_gif, _parse_bmp, _parse_wav, _parse_mp4):
         got = parser(data)
         if got is not None:
             return got
@@ -455,16 +536,93 @@ def pixel_stats_table(df: DataFrame, id_col: str, media_col: str = "media") -> D
 
 
 def make_wav(
-    sample_rate: int = 8000, channels: int = 1, n_samples: int = 800, bits: int = 16
+    sample_rate: int = 8000,
+    channels: int = 1,
+    n_samples: int = 800,
+    bits: int = 16,
+    square: tuple[int, int] | None = None,
 ) -> bytes:
-    """A real RIFF/WAVE file: canonical fmt + silent PCM data chunk."""
+    """A real RIFF/WAVE file: canonical fmt + PCM data chunk. Silence by
+    default; ``square=(amplitude, period)`` writes a square wave
+    (+amp for the first half-period, -amp for the second) whose sample
+    sum/RMS are exact integer arithmetic — oracle-able."""
     block_align = channels * bits // 8
     byte_rate = sample_rate * block_align
-    data = b"\x00" * (n_samples * block_align)
+    if square is None:
+        data = b"\x00" * (n_samples * block_align)
+    else:
+        amp, period = square
+        half = period // 2
+        frame = bytearray()
+        for i in range(n_samples):
+            v = amp if (i % period) < half else -amp
+            frame += struct.pack("<h", v) * channels
+        data = bytes(frame)
     fmt = struct.pack("<HHIIHH", 1, channels, sample_rate, byte_rate, block_align, bits)
     body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
     body += b"data" + struct.pack("<I", len(data)) + data
     return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav_samples(data: bytes) -> tuple[int, int, "list[int]"]:
+    """REAL PCM decode of a 16-bit RIFF/WAVE file: (sample_rate,
+    channels, interleaved int16 samples). Raises NotImplementedError for
+    non-PCM or non-16-bit encodings (the ffmpeg seam)."""
+    info = _parse_wav(data)
+    if info is None:
+        raise NotImplementedError("not a RIFF/WAVE file")
+    if info.get("bits") != 16:
+        raise NotImplementedError("only 16-bit PCM supported")
+    # locate the data chunk payload
+    pos = 12
+    payload = None
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        size = struct.unpack("<I", data[pos + 4 : pos + 8])[0]
+        if cid == b"data":
+            payload = data[pos + 8 : pos + 8 + size]
+            break
+        pos += 8 + size + (size % 2)
+    if payload is None:
+        raise NotImplementedError("no data chunk")
+    n = len(payload) // 2
+    samples = list(struct.unpack(f"<{n}h", payload[: n * 2]))
+    return int(info["sample_rate"]), int(info["channels"]), samples
+
+
+AUDIO_STATS_SCHEMA = (
+    "id bigint, sample_rate int, channels int, n_samples bigint,"
+    " sample_sum bigint, abs_sum bigint, sq_sum bigint"
+)
+
+
+def audio_stats_table(df: DataFrame, id_col: str, media_col: str = "media") -> DataFrame:
+    """mapInPandas REAL PCM statistics over WAV media: integer sample
+    sums (signed, absolute, squared) — pure integer arithmetic, so a SQL
+    oracle that predicts the waveform can hash-match the decode."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                data = bytes(row[media_col]) if row[media_col] is not None else b""
+                rate, channels, samples = decode_wav_samples(data)
+                rows.append(
+                    {
+                        "id": int(row[id_col]),
+                        "sample_rate": rate,
+                        "channels": channels,
+                        "n_samples": len(samples) // max(channels, 1),
+                        "sample_sum": sum(samples),
+                        "abs_sum": sum(abs(s) for s in samples),
+                        "sq_sum": sum(s * s for s in samples),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return df.select(F.col(id_col).cast("bigint").alias(id_col), media_col).mapInPandas(
+        stats, schema=AUDIO_STATS_SCHEMA
+    )
 
 
 def frame_sample_plan(df: DataFrame, every_n: int = 10) -> DataFrame:

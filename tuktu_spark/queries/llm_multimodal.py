@@ -202,3 +202,112 @@ def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     media = docs.select("doc_id", synth_udf(F.col("doc_id")).alias("media"))
     return MM.pixel_stats_table(media, "doc_id", "media")
+
+
+_AUDIO_STATS_ORACLE = """
+WITH p AS (
+  SELECT doc_id,
+         CAST(8000 * (1 + doc_id % 3) AS INT) AS rate,
+         CAST(1 + doc_id % 2 AS INT) AS ch,
+         (doc_id % 100) * 10 AS amp,
+         37 * (1 + doc_id % 8) + doc_id % 4 AS nf
+  FROM documents
+)
+SELECT doc_id AS id, rate AS sample_rate, ch AS channels,
+       CAST(nf AS BIGINT) AS n_samples,
+       CAST(ch * amp * (CASE nf % 4 WHEN 0 THEN 0 WHEN 1 THEN 1
+                                    WHEN 2 THEN 2 ELSE 1 END) AS BIGINT)
+         AS sample_sum,
+       CAST(ch * nf * amp AS BIGINT) AS abs_sum,
+       CAST(ch * nf * amp * amp AS BIGINT) AS sq_sum
+FROM p
+"""
+
+
+@query("multimodal_audio_stats", oracle=_AUDIO_STATS_ORACLE, tags=("llm", "multimodal"))
+def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PCM decode, ORACLED end-to-end: synthesize a RIFF/WAVE square
+    wave per doc (rate/channels/amplitude/length arithmetic in doc_id),
+    decode the int16 samples back (decode_wav_samples) inside Arrow
+    batches and emit integer sample sums — signed sum exercises the wave
+    phase (partial trailing period), absolute and squared sums the
+    amplitude. The oracle predicts all three from doc_id alone."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def synth(ids):
+        return ids.map(
+            lambda i: MM.make_wav(
+                sample_rate=8000 * (1 + int(i) % 3),
+                channels=1 + int(i) % 2,
+                n_samples=37 * (1 + int(i) % 8) + int(i) % 4,
+                square=((int(i) % 100) * 10, 4),
+            )
+        )
+
+    synth.__annotations__ = {"ids": pd.Series, "return": pd.Series}
+    synth_udf = pandas_udf("binary")(synth)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    media = docs.select("doc_id", synth_udf(F.col("doc_id")).alias("media"))
+    return MM.audio_stats_table(media, "doc_id", "media")
+
+
+_MP4_PROBE_ORACLE = """
+SELECT doc_id AS id, 'mp4' AS format,
+       CAST(16 * (1 + doc_id % 120) AS INT) AS width,
+       CAST(9 * (1 + doc_id % 120) AS INT) AS height,
+       CAST((1 + doc_id % 600) * 1000 + doc_id % 7 AS BIGINT) AS duration_ms
+FROM documents
+"""
+
+
+@query("multimodal_mp4_probe", oracle=_MP4_PROBE_ORACLE, tags=("llm", "multimodal"))
+def multimodal_mp4_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL ISO-BMFF (MP4) container parsing, ORACLED: synthesize a
+    spec-valid ftyp+moov(mvhd+trak(tkhd))+mdat file per doc with
+    dimensions / duration arithmetic in doc_id, walk the box tree back
+    with probe_media inside Arrow batches. Any box-layout, fixed-point or
+    timescale bug breaks the hash-match. (Sample/codec payloads are out
+    of stdlib scope — the ffmpeg seam — but container metadata, the part
+    a 100 TB video-corpus partitioning strategy needs, is real.)"""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def synth(ids):
+        return ids.map(
+            lambda i: MM.make_mp4(
+                16 * (1 + int(i) % 120),
+                9 * (1 + int(i) % 120),
+                (1 + int(i) % 600) * 1000 + int(i) % 7,
+            )
+        )
+
+    synth.__annotations__ = {"ids": pd.Series, "return": pd.Series}
+    synth_udf = pandas_udf("binary")(synth)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    media = docs.select(
+        "doc_id",
+        synth_udf(F.col("doc_id")).alias("media"),
+        F.lit("video/mp4").alias("media_type"),
+    ).select(
+        "doc_id",
+        "media",
+        "media_type",
+        F.length("media").cast("bigint").alias("byte_len"),
+        F.sha2("media", 256).alias("checksum"),
+    )
+    probed = MM.probe_table(media.select("media", "media_type", "byte_len", "checksum"))
+    # parameters cycle with doc_id, so identical media (same checksum) can
+    # recur at larger corpora — keep one probe row per distinct checksum
+    joined = media.select("doc_id", "checksum").join(
+        probed.dropDuplicates(["checksum"]), "checksum"
+    )
+    return joined.select(
+        F.col("doc_id").alias("id"),
+        "format",
+        "width",
+        "height",
+        F.col("duration_ms").cast("bigint").alias("duration_ms"),
+    )
