@@ -2,11 +2,14 @@
 with typed metadata, processed via Arrow-batched mapInPandas.
 
 Container/header parsing is REAL and dependency-free: PNG IHDR, JPEG SOF
-markers, GIF, BMP and WAV/RIFF headers are public formats parsed with
-struct/bytes alone (``probe_media``), so true dimensions / sample rates
-flow through the Spark plumbing. Only PIXEL decode (and anything needing
-a codec) remains a seam: swap ``_decode_image_bytes``'s feature step for
-a PIL/ffmpeg call and nothing else changes.
+markers, GIF, BMP, WAV/RIFF and ISO-BMFF/MP4 box trees are public
+formats parsed with struct/bytes alone (``probe_media``). Pixel/sample
+DECODE is also real for the stdlib envelope: 8-bit PNGs
+(``decode_png_pixels`` — zlib + full unfilter), baseline JPEGs
+(``llm/jpeg.py`` — T.81 Huffman + IDCT) and 16-bit PCM WAV
+(``decode_wav_samples``). Codecs outside that envelope (progressive
+JPEG, video sample data) raise NotImplementedError — the PIL/ffmpeg
+seam: swap the decode step and nothing else changes.
 
 Scale notes: binary payloads ride in Arrow record batches; keep
 ``spark.sql.files.maxPartitionBytes`` at default 128 MB so a partition of
@@ -632,3 +635,24 @@ def frame_sample_plan(df: DataFrame, every_n: int = 10) -> DataFrame:
     n_frames = F.greatest((F.col("byte_len") / 1000).cast("int"), F.lit(1))
     idx = F.sequence(F.lit(0), n_frames - 1, F.lit(every_n))
     return df.select("checksum", F.explode(idx).alias("frame_idx"))
+
+
+def frame_timestamps_plan(
+    df: DataFrame, interval_ms: int = 1000, id_col: str = "checksum"
+) -> DataFrame:
+    """REAL frame-sampling schedule from container metadata: probe each
+    blob's duration (probe_table — mp4/wav) and emit one (id, ts_ms) row
+    per ``interval_ms`` of media time. This is the plan a frame-extract
+    stage consumes: the explode spreads (blob, timestamp) work units
+    across executors; the actual pixel grab at each timestamp is the
+    ffmpeg seam. Blobs without a parsable duration yield no rows."""
+    probed = probe_table(df)
+    ts = F.sequence(
+        F.lit(0).cast("bigint"),
+        F.col("duration_ms").cast("bigint"),
+        F.lit(int(interval_ms)).cast("bigint"),
+    )
+    return (
+        probed.filter(F.col("duration_ms").isNotNull())
+        .select(id_col, F.explode(ts).alias("ts_ms"))
+    )

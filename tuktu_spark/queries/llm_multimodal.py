@@ -311,3 +311,65 @@ def multimodal_mp4_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "height",
         F.col("duration_ms").cast("bigint").alias("duration_ms"),
     )
+
+
+_FRAME_TS_ORACLE = """
+WITH p AS (
+  SELECT doc_id,
+         CAST((1 + doc_id % 600) * 1000 + doc_id % 7 AS BIGINT) AS dur
+  FROM documents
+)
+SELECT doc_id AS id, CAST(dur // 1000 + 1 AS BIGINT) AS n_frames,
+       CAST((dur // 1000) * 1000 AS BIGINT) AS last_ts
+FROM p
+"""
+
+
+@query("multimodal_frame_timestamps", oracle=_FRAME_TS_ORACLE, tags=("llm", "multimodal"))
+def multimodal_frame_timestamps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling schedule from REAL container metadata: synthesize
+    an MP4 per doc, probe its mvhd duration, emit one sample timestamp
+    per second (frame_timestamps_plan) and aggregate. The oracle predicts
+    frame counts and last timestamps from the same doc_id arithmetic that
+    parameterized the containers."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def synth(ids):
+        return ids.map(
+            lambda i: MM.make_mp4(
+                16 * (1 + int(i) % 120),
+                9 * (1 + int(i) % 120),
+                (1 + int(i) % 600) * 1000 + int(i) % 7,
+            )
+        )
+
+    synth.__annotations__ = {"ids": pd.Series, "return": pd.Series}
+    synth_udf = pandas_udf("binary")(synth)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    media = docs.select(
+        "doc_id",
+        synth_udf(F.col("doc_id")).alias("media"),
+        F.lit("video/mp4").alias("media_type"),
+    ).select(
+        "doc_id", "media", "media_type",
+        F.length("media").cast("bigint").alias("byte_len"),
+        F.sha2("media", 256).alias("checksum"),
+    )
+    frames = MM.frame_timestamps_plan(
+        media.select("media", "media_type", "byte_len", "checksum"),
+        interval_ms=1000,
+    )
+    # countDistinct: duplicate media (parameter cycles at large corpora)
+    # probe to duplicate rows; distinct timestamps give per-blob truth
+    per_blob = frames.groupBy("checksum").agg(
+        F.countDistinct("ts_ms").alias("n_frames"),
+        F.max("ts_ms").alias("last_ts"),
+    )
+    joined = media.select("doc_id", "checksum").join(per_blob, "checksum")
+    return joined.select(
+        F.col("doc_id").alias("id"),
+        F.col("n_frames").cast("long").alias("n_frames"),
+        F.col("last_ts").cast("long").alias("last_ts"),
+    )
