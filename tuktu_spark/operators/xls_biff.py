@@ -200,8 +200,6 @@ class _SstCursor:
                 avail -= 1
                 if avail == 0:
                     continue
-            elif not out and self.pos == 0 and len(out) == 0 and remaining != n_chars:
-                pass
             width = 2 if high else 1
             take = min(remaining, avail // width)
             if take == 0:
