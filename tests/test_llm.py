@@ -600,3 +600,62 @@ class TestMediaCodecsExtra:
         from tuktu_spark.llm.multimodal import _parse_mp4, make_png
 
         assert _parse_mp4(make_png(4, 4)) is None
+
+
+class TestProductQuantization:
+    def _normalized(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        norm = F.sqrt(
+            F.aggregate(
+                F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+        )
+        return emb.select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double") / norm).alias("embedding"),
+        )
+
+    def test_codebook_shapes_and_determinism(self, spark, sf_dir):
+        from tuktu_spark.llm import similarity as S
+
+        embn = self._normalized(spark, sf_dir)
+        b1 = S.train_pq_codebooks(embn, m=8, k=16)
+        b2 = S.train_pq_codebooks(embn, m=8, k=16)
+        assert len(b1) == 8 and all(len(cb) == 16 and len(cb[0]) == 8 for cb in b1)
+        assert b1 == b2  # seeded KMeans, same data -> identical codebooks
+
+    def test_codes_in_range_and_compression(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from tuktu_spark.llm import similarity as S
+
+        embn = self._normalized(spark, sf_dir)
+        books = S.train_pq_codebooks(embn, m=16, k=16)
+        enc = S.pq_encode(embn, books)
+        stats = enc.agg(
+            F.min(F.array_min("pq_codes")), F.max(F.array_max("pq_codes")),
+            F.min(F.size("pq_codes")), F.max(F.size("pq_codes")),
+        ).first()
+        assert stats[0] >= 0 and stats[1] <= 15 and stats[2] == stats[3] == 16
+
+    def test_rerank_recall_floor(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from tuktu_spark.llm import similarity as S
+
+        embn = self._normalized(spark, sf_dir)
+        queries = embn.filter(F.col("vec_id") < 10)
+        books = S.train_pq_codebooks(embn, m=16, k=16)
+        enc = S.pq_encode(embn, books)
+        ann = S.pq_rerank_topk(enc, queries, books, k=5, shortlist=50)
+        bf = S.brute_force_topk(embn, queries, k=5)
+        hits = bf.select("query_id", "neighbor_id").join(
+            ann.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"]
+        ).count()
+        assert hits / bf.count() >= 0.6
+        per_q = ann.groupBy("query_id").count()
+        assert per_q.agg(F.max("count")).first()[0] <= 5

@@ -167,6 +167,19 @@ def ann_topk_op(config: dict):
                 df, queries, cents, k=k, n_probe=n_probe,
                 id_col=id_col, vec_col=vec_col,
             )
+        if method == "pq":
+            books = config.get("codebooks") or S.train_pq_codebooks(
+                df,
+                m=int(config.get("m", 8)),
+                k=int(config.get("k_centroids", 16)),
+                vec_col=vec_col,
+            )
+            enc = S.pq_encode(df, books, vec_col=vec_col)
+            return S.pq_rerank_topk(
+                enc, queries, books, k=k,
+                shortlist=int(config.get("shortlist", 50)),
+                id_col=id_col, vec_col=vec_col,
+            )
         raise ValueError(f"unknown ann method {method!r}")
 
     return transform
