@@ -254,3 +254,30 @@ def test_shingle_index_dedup_equivalence_and_plan(spark, sf_dir):
             spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path_factory):
+    """parquet_sink with partition_by must yield a layout where a filter
+    on the partition column prunes at PLANNING time: the scan's
+    PartitionFilters carries the predicate and the data filter list does
+    NOT re-check it (no row-level work for pruned dates) — the
+    date-partitioned ingest pattern every 100 TB event table uses."""
+    from pyspark.sql import functions as F
+
+    from tuktu_spark.operators import make_operator
+
+    out = str(tmp_path_factory.mktemp("part")) + "/events_by_date"
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    make_operator("parquet_sink", {"path": out, "partition_by": ["event_date"]})(ev)
+
+    dates = [r["event_date"] for r in
+             spark.read.parquet(out).select("event_date").distinct().collect()]
+    target = sorted(dates)[0]
+    back = spark.read.parquet(out).filter(F.col("event_date") == F.lit(target))
+    plan = plan_of(back)
+    assert "PartitionFilters" in plan
+    assert "event_date" in plan.split("PartitionFilters")[1].splitlines()[0]
+    n_selected = back.count()
+    assert 0 < n_selected < spark.read.parquet(out).count()
