@@ -117,3 +117,42 @@ class TestRepetitionStats:
         df = spark.createDataFrame([(1, "a b c")], "id long, text string")
         r = with_repetition_stats(df, "text").first()
         assert r["n_grams"] == 0 and r["dup_fraction"] == 0.0
+
+
+class TestMixing:
+    def test_weighted_sample_deterministic_and_rate(self, spark):
+        from tuktu_spark.llm.mixing import weighted_sample
+
+        df = spark.range(10_000).select(F.col("id").alias("doc_id"),
+                                        F.lit("en").alias("lang"))
+        kept1 = sorted(r["doc_id"] for r in
+                       weighted_sample(df, {"en": 0.5}).select("doc_id").collect())
+        kept2 = sorted(r["doc_id"] for r in
+                       weighted_sample(df.repartition(13), {"en": 0.5})
+                       .select("doc_id").collect())
+        assert kept1 == kept2                       # parallelism-invariant
+        assert abs(len(kept1) / 10_000 - 0.5) < 0.02  # hash-uniform rate
+        # unknown domains use default_rate
+        other = df.withColumn("lang", F.lit("xx"))
+        assert weighted_sample(other, {"en": 0.5}).count() == 0
+
+    def test_pack_sequences_budget_semantics(self, spark):
+        from tuktu_spark.llm.mixing import pack_sequences
+
+        rows = [(i, 100) for i in range(10)]  # 10 docs x 100 tokens
+        df = spark.createDataFrame(rows, "doc_id long, n long")
+        out = {r["doc_id"]: r["chunk_id"] for r in
+               pack_sequences(df, 250, "n").collect()}
+        # cumsum: 100,200,300,... -> chunks 0,0,1,1,1(500?),...
+        # chunk = floor((cum-1)/250): 0,0,1,1,1,2,2,3,3,3
+        assert [out[i] for i in range(10)] == [0, 0, 1, 1, 1, 2, 2, 3, 3, 3]
+
+    def test_pack_sequences_streams_independent(self, spark):
+        from tuktu_spark.llm.mixing import pack_sequences
+
+        rows = [(1, "a", 300), (2, "a", 300), (1, "b", 300), (2, "b", 300)]
+        df = spark.createDataFrame(rows, "doc_id long, s string, n long")
+        out = pack_sequences(df, 512, "n", stream_cols=["s"]).collect()
+        by = {(r["s"], r["doc_id"]): r["chunk_id"] for r in out}
+        assert by[("a", 1)] == 0 and by[("a", 2)] == 1
+        assert by[("b", 1)] == 0 and by[("b", 2)] == 1

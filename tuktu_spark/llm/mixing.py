@@ -1,0 +1,71 @@
+"""Training-mixture construction: deterministic weighted sampling and
+token-budget sequence packing.
+
+No reference analogue (the reference samples with java.util.Random —
+nondeterministic under re-partitioning); both operators here are
+DETERMINISTIC functions of the data, so runs are reproducible at any
+parallelism and exactly verifiable against a SQL oracle:
+
+- ``weighted_sample``: per-domain Bernoulli keep with rate w_d, decided
+  by a content hash (md5(id) mod M < w_d * M) — the standard
+  hash-bucket sampling that keeps the SAME rows at 1 or 1000 executors,
+  lets a re-run reproduce the mixture bit-for-bit, and needs no shuffle.
+- ``pack_sequences``: greedy sequential packing of documents into
+  fixed-token-budget training chunks (chunk = floor(cumulative_tokens /
+  budget) over a defined order) — one window scan; at scale partition by
+  a stream key (e.g. domain) so each stream packs independently.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+HASH_MOD = 1_000_000
+
+
+def weighted_sample(
+    df: DataFrame,
+    weights: dict[str, float],
+    domain_col: str = "lang",
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Keep each row iff md5(id) mod 1e6 < rate(domain) * 1e6. Shuffle-free
+    scan; the kept set is a pure function of (id, weights)."""
+    rate = F.lit(float(default_rate))
+    for dom, w in sorted(weights.items()):
+        rate = F.when(F.col(domain_col) == dom, F.lit(float(w))).otherwise(rate)
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10).cast(
+            "long"
+        ),
+        F.lit(HASH_MOD),
+    )
+    return df.filter(bucket < (rate * HASH_MOD).cast("long"))
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    token_count_col: str,
+    order_col: str = "doc_id",
+    stream_cols: list[str] | None = None,
+    out_col: str = "chunk_id",
+) -> DataFrame:
+    """Assign each document to a training chunk: chunk = floor((cumsum of
+    token counts up to and including this doc, in ``order_col`` order) - 1
+    / budget). Documents stay whole; a chunk may overflow the budget by at
+    most one document (the standard greedy sequential packing). One
+    window scan; ``stream_cols`` partitions the packing into independent
+    streams (per-domain packing at scale — the window shuffle is by
+    stream key, never global)."""
+    w = Window.orderBy(order_col) if not stream_cols else Window.partitionBy(
+        *stream_cols
+    ).orderBy(order_col)
+    cum = F.sum(F.col(token_count_col)).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn(
+        out_col, F.floor((cum - 1) / F.lit(int(budget))).cast("bigint")
+    )

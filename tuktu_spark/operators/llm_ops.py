@@ -229,3 +229,36 @@ def bpe_tokenize(config: dict):
         return B.bpe_encode(df, model, text_col, out)
 
     return run
+
+
+@operator("weighted_sample")
+def weighted_sample_op(config: dict):
+    """Deterministic domain-mixture sampling by content hash (identical
+    kept-set at any parallelism). config: {weights: {domain: rate},
+    domain_field, id_field, default_rate}."""
+    from ..llm.mixing import weighted_sample
+
+    return lambda df: weighted_sample(
+        df,
+        dict(config["weights"]),
+        config.get("domain_field", "lang"),
+        config.get("id_field", "doc_id"),
+        float(config.get("default_rate", 0.0)),
+    )
+
+
+@operator("pack_sequences")
+def pack_sequences_op(config: dict):
+    """Token-budget training-chunk assignment (greedy sequential packing
+    per stream). config: {budget, token_count_field, order_field,
+    stream_fields, as}."""
+    from ..llm.mixing import pack_sequences
+
+    return lambda df: pack_sequences(
+        df,
+        int(config["budget"]),
+        config["token_count_field"],
+        config.get("order_field", "doc_id"),
+        list(config.get("stream_fields", [])) or None,
+        config.get("as", "chunk_id"),
+    )

@@ -437,3 +437,79 @@ def text_bpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs", "n_words", "roundtrip_all", "compresses",
         F.lit(len(model.merges) > 0).alias("merges_learned"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-mixture construction (llm/mixing.py) — both deterministic and
+# exactly SQL-oracle-able: hash-bucket weighted sampling reproduces the
+# identical kept-set in DuckDB; sequence packing is one window cumsum.
+# ---------------------------------------------------------------------------
+
+_MIX_WEIGHTS = {"en": 0.9, "de": 0.5, "fr": 0.5, "es": 0.3, "zh": 0.3}
+
+_WEIGHTED_SAMPLE_ORACLE = f"""
+WITH r AS (
+  SELECT doc_id, lang,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+           % 1000000 AS bucket,
+         CASE lang WHEN 'en' THEN 0.9 WHEN 'de' THEN 0.5 WHEN 'fr' THEN 0.5
+                   WHEN 'es' THEN 0.3 WHEN 'zh' THEN 0.3 ELSE 0.0 END AS rate
+  FROM documents
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS kept
+FROM r WHERE bucket < CAST(rate * 1000000 AS BIGINT)
+GROUP BY lang
+"""
+
+
+@query("mix_weighted_sample", oracle=_WEIGHTED_SAMPLE_ORACLE, tags=("llm", "mixing"))
+def mix_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic domain-mixture sampling: per-language keep rates
+    decided by a content hash, so the kept set is identical at any
+    parallelism and in any engine — the oracle reproduces the EXACT same
+    rows in DuckDB (same md5 bucketing), not just the expected counts."""
+    from ..llm.mixing import weighted_sample
+
+    d = load_table(spark, sf_dir, "documents")
+    kept = weighted_sample(d, _MIX_WEIGHTS, "lang", "doc_id")
+    return kept.groupBy("lang").agg(F.count(F.lit(1)).alias("kept"))
+
+
+_PACK_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, lang,
+         len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS n_toks
+  FROM documents
+),
+packed AS (
+  SELECT doc_id, lang, n_toks,
+         CAST(FLOOR((SUM(n_toks) OVER (PARTITION BY lang ORDER BY doc_id
+                                       ROWS UNBOUNDED PRECEDING) - 1)
+                    / 512.0) AS BIGINT) AS chunk_id
+  FROM toks
+)
+SELECT lang, chunk_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_toks) AS BIGINT) AS chunk_tokens
+FROM packed GROUP BY lang, chunk_id
+"""
+
+
+@query("mix_pack_sequences", oracle=_PACK_ORACLE, tags=("llm", "mixing"))
+def mix_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing: per-language streams, 512-token
+    chunks, greedy sequential assignment by one window cumsum — chunk
+    memberships and token totals hash-match the SQL truth exactly."""
+    from ..llm.mixing import pack_sequences
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang",
+        F.size(F.split(F.trim("text"), r"\s+")).alias("n_toks"),
+    )
+    packed = pack_sequences(
+        d, budget=512, token_count_col="n_toks",
+        order_col="doc_id", stream_cols=["lang"],
+    )
+    return packed.groupBy("lang", "chunk_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").cast("long").alias("chunk_tokens"),
+    )
