@@ -135,3 +135,29 @@ class TestRbem:
         df = spark.createDataFrame([(1, ["GOOD", "Bad"])], "id int, tokens array<string>")
         # good at 0 (+), bad at 1 (-): (1 - 0.5) + (0.5 - 1) = 0
         assert rbem_polarity(df).first()["polarity"] == 0.0
+
+
+class TestRbemEngines:
+    def test_arrow_and_sql_identical_with_both_flip_directions(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from tuktu_spark.ml.rbem import rbem_polarity
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", F.split("text", " ").alias("tokens")
+        ).limit(150)
+        extra = spark.createDataFrame(
+            [(9001, ["fast", "the", "slow", "not", "fast"]),
+             (9002, []), (9003, ["the"])],
+            "doc_id long, tokens array<string>",
+        )
+        alld = docs.unionByName(extra)
+        kw = dict(positive=["fast"], negative=["slow"], left_flips=["not"],
+                  right_flips=["the"], decay=2.0, max_distance=20)
+        a = {r["doc_id"]: r["polarity"] for r in
+             rbem_polarity(alld, "tokens", engine="arrow", **kw)
+             .select("doc_id", "polarity").collect()}
+        b = {r["doc_id"]: r["polarity"] for r in
+             rbem_polarity(alld, "tokens", engine="sql", **kw)
+             .select("doc_id", "polarity").collect()}
+        assert a == b and a[9002] == 0.0
