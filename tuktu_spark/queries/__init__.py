@@ -134,6 +134,7 @@ _TOUCHED = frozenset(
         "dedup_minhash_components",
         "dedup_simhash_values",  # Arrow-vectorized simhash engine
         "dedup_simhash_near_pairs",
+        "nlp_rbem_polarity",     # Arrow-vectorized emission engine
     }
 )
 
