@@ -233,6 +233,10 @@ def from_json(config: dict):
     def transform(df: DataFrame) -> DataFrame:
         sch = schema
         if sch is None:
+            # schema inference probe: limit(1) bounds the driver action to
+            # ONE row regardless of corpus size (config-scale by
+            # construction, not a distributed collect) — declare `schema`
+            # explicitly to skip the extra job entirely
             sample = df.select(field).na.drop().limit(1).collect()
             sch = (
                 F.schema_of_json(F.lit(sample[0][0]))
