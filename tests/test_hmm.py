@@ -163,3 +163,26 @@ class TestSerialization:
 def _rand_dist(rng, *shape):
     m = rng.uniform(0.05, 1.0, size=shape if len(shape) > 1 else (1, shape[0]))
     return m / m.sum(axis=-1, keepdims=True)
+
+
+class TestBatchViterbi:
+    def test_batch_equals_per_sequence(self):
+        import numpy as np
+
+        from tuktu_spark.ml.hmm import HmmModel, viterbi_path, viterbi_paths_batch
+
+        rng = np.random.RandomState(11)
+        model = HmmModel(
+            pi=np.array([0.6, 0.4]),
+            a=np.array([[0.7, 0.3], [0.2, 0.8]]),
+            b=np.array([[0.5, 0.4, 0.1], [0.1, 0.3, 0.6]]),
+        )
+        seqs = [rng.randint(0, 3, rng.randint(1, 40)).tolist() for _ in range(100)]
+        seqs += [[0], [2, 2, 2], []]
+        batch = viterbi_paths_batch(seqs, model)
+        for s, got in zip(seqs, batch):
+            if not s:
+                assert got == []
+                continue
+            exact = viterbi_path(np.asarray(s, dtype="int64"), model).tolist()
+            assert got == exact
