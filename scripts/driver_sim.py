@@ -71,6 +71,14 @@ def main() -> int:
             ka == kb or {ka, kb} <= {"i", "u"} or {ka, kb} <= {"M", "m"}
             for ka, kb in zip(kinds_a, kinds_b)
         )
+        # tz-aware vs naive timestamps hash differently even though both are
+        # kind "M" — the r4 normalize_15min_buckets blind spot. Fail loudly.
+        tz_a = [getattr(d, "tz", None) for d in a.dtypes]
+        tz_b = [getattr(d, "tz", None) for d in b.dtypes]
+        if tz_a != tz_b:
+            print(name, "TZ-MISMATCH", list(zip(a.columns, tz_a, tz_b)))
+            bad.append(name)
+            continue
         try:
             pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
             if kind_ok:

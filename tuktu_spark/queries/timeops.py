@@ -41,7 +41,7 @@ def date_trunc_month(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _BUCKET_ORACLE = """
-SELECT to_timestamp((epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 900) * 900) AS bucket,
+SELECT CAST(to_timestamp((epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 900) * 900) AS TIMESTAMP) AS bucket,
        COUNT(*) AS n
 FROM events GROUP BY 1
 """
