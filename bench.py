@@ -7,9 +7,11 @@ on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 
 Each query is forced with the `noop` sink (full execution, no driver
 collect) — the honest way to measure a distributed plan. Each query runs
-$SPARK_GRAFT_BENCH_RUNS times (default 3) and reports the per-query
-MEDIAN, so round-over-round deltas clear the ~±10% single-run machine
-noise documented in SCALE.md.
+$SPARK_GRAFT_BENCH_RUNS times (default 5) and reports the per-query
+MEDIAN plus a {min,max,runs} spread, so round-over-round deltas are
+separable from the ~±10% single-run machine noise documented in SCALE.md:
+a regression whose MIN also moved is real; one visible only in median/max
+is noise.
 """
 
 from __future__ import annotations
@@ -41,8 +43,9 @@ def main() -> None:
     first = next(iter(bench_queries.values()))
     first.fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
 
-    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5")))
     timings: dict[str, float] = {}
+    spread: dict[str, dict[str, float]] = {}
     for name, qd in bench_queries.items():
         samples = []
         for _ in range(runs):
@@ -50,6 +53,13 @@ def main() -> None:
             qd.fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
             samples.append(time.perf_counter() - t0)
         timings[name] = round(statistics.median(samples), 4)
+        # dispersion so noise vs regression is decidable from the artifact
+        # alone (r4 verdict #3): a reading whose MIN also moved is real
+        spread[name] = {
+            "min": round(min(samples), 4),
+            "max": round(max(samples), 4),
+            "runs": runs,
+        }
 
     total = round(sum(timings.values()), 4)
     print(
@@ -59,6 +69,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread": spread,
                 "sf": sf,
             }
         )

@@ -156,3 +156,39 @@ class TestMixing:
         by = {(r["s"], r["doc_id"]): r["chunk_id"] for r in out}
         assert by[("a", 1)] == 0 and by[("a", 2)] == 1
         assert by[("b", 1)] == 0 and by[("b", 2)] == 1
+
+
+class TestBpeVocabCap:
+    """Round-4 verdict #4: the train_bpe collect must be bounded."""
+
+    def test_hapax_tail_pruned_before_collect(self, spark):
+        # heavy-tail corpus: 2 real words + 200 unique hapax "URLs"
+        rows = [(i, f"common words http://x.test/{i:04d}ab") for i in range(200)]
+        df = spark.createDataFrame(rows, "id long, text string")
+        from tuktu_spark.llm.bpe import word_frequencies
+
+        full = word_frequencies(df, "text", min_freq=1).count()
+        capped = word_frequencies(df, "text", min_freq=2).count()
+        assert full == 202 and capped == 2  # tail never reaches the driver
+
+    def test_max_vocab_limit_deterministic(self, spark):
+        rows = [(i, "alpha beta beta gamma gamma gamma") for i in range(3)]
+        df = spark.createDataFrame(rows, "id long, text string")
+        from tuktu_spark.llm.bpe import word_frequencies
+
+        top = word_frequencies(df, "text", max_vocab=2).collect()
+        assert sorted(r["word"] for r in top) == ["beta", "gamma"]
+
+    def test_default_cap_keeps_roundtrip_exact(self, spark):
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            [(i, "the quick brown fox jumps " + f"hapax{i}") for i in range(30)],
+            "id long, text string",
+        )
+        model = train_bpe(df, "text", n_merges=25)  # default min_freq=2
+        enc = bpe_encode(df, model, "text", "bpe")
+        norm = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+        ok = enc.select((bpe_decode(F.col("bpe")) == norm).alias("ok"))
+        assert all(r["ok"] for r in ok.collect())
+        assert len(model.merges) > 0  # merges still learned from the head

@@ -236,3 +236,67 @@ class TestStreamingIdempotence:
         # no self pairs, normalized order
         bad = spark.read.parquet(pairs_dir).filter(F.col("id_a") >= F.col("id_b"))
         assert bad.count() == 0
+
+
+class TestRound4AdviceFixes:
+    """Regression tests for the round-4 advisor's low-severity findings."""
+
+    def test_corrupt_body_falls_back_not_crashes(self):
+        # valid PNG signature + garbage body -> NotImplementedError from
+        # decode_pixels (not zlib.error), and _decode_image_bytes falls back
+        # to the probe seam instead of failing the Spark task
+        import pytest
+
+        from tuktu_spark.llm import multimodal as M
+
+        corrupt_png = M.make_png(4, 4)[:40] + b"\xde\xad\xbe\xef" * 10
+        with pytest.raises(NotImplementedError):
+            M.decode_pixels(corrupt_png)
+        w, h, feat = M._decode_image_bytes(corrupt_png)
+        assert w > 0 and h > 0 and len(feat) == 8
+
+        corrupt_jpeg = M.make_jpeg(8, 8)[:30] + b"\x00" * 16 if hasattr(M, "make_jpeg") else None
+        if corrupt_jpeg:
+            M._decode_image_bytes(corrupt_jpeg)  # must not raise
+
+    def test_truncated_v1_mvhd_probe_contract(self):
+        # a version-1 mvhd box cut short must not raise struct.error
+        import struct
+
+        from tuktu_spark.llm import multimodal as M
+
+        mvhd_body = b"\x01\x00\x00\x00" + b"\x00" * 20  # v1, truncated
+        mvhd = struct.pack(">I", 8 + len(mvhd_body)) + b"mvhd" + mvhd_body
+        moov = struct.pack(">I", 8 + len(mvhd)) + b"moov" + mvhd
+        ftyp = struct.pack(">I", 16) + b"ftyp" + b"isom" + b"\x00" * 4
+        info = M.probe_media(ftyp + moov)
+        assert info["format"] == "mp4"
+        assert "duration_ms" not in info
+
+    def test_viterbi_batch_many_states_no_int8_wrap(self):
+        # >127 states: int8 backtrack pointers would wrap; argmax ties are
+        # broken toward higher indices via the biased emission row
+        import numpy as np
+
+        from tuktu_spark.ml.hmm import HmmModel, viterbi_path, viterbi_paths_batch
+
+        n = 150
+        rng = np.random.default_rng(7)
+        pi = rng.dirichlet(np.ones(n))
+        a = rng.dirichlet(np.ones(n), size=n)
+        b = rng.dirichlet(np.ones(5), size=n)
+        model = HmmModel(pi=pi, a=a, b=b)
+        obs = [[0, 3, 1, 4, 2, 2, 0], [1, 1, 4]]
+        got = viterbi_paths_batch([np.array(o) for o in obs], model)
+        want = [list(viterbi_path(np.array(o), model)) for o in obs]
+        assert [list(p) for p in got] == want
+
+    def test_sheet_temp_path_reused_and_cleaned(self):
+        from tuktu_spark.queries import reshape as R
+
+        p1 = R._sheet_path("xls")
+        p2 = R._sheet_path("xls")
+        assert p1 == p2  # one file per process, no per-call leak
+        import os
+
+        assert os.path.exists(p1)

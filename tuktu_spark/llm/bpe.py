@@ -48,14 +48,32 @@ class BpeModel:
 
 
 def word_frequencies(
-    df: DataFrame, text_col: str = "text", lowercase: bool = True
+    df: DataFrame,
+    text_col: str = "text",
+    lowercase: bool = True,
+    min_freq: int = 1,
+    max_vocab: int | None = None,
 ) -> DataFrame:
-    """(word, freq) over whitespace tokens — the one corpus-scale pass."""
+    """(word, freq) over whitespace tokens — the one corpus-scale pass.
+
+    ``min_freq``/``max_vocab`` bound the DRIVER-side collect in train_bpe:
+    a web-scale corpus has 10^9+ distinct "words" (URLs, hex hashes,
+    typos), nearly all hapaxes that cannot influence a merge anyway (a
+    pair needs freq >= 2 to be chosen). Pruning happens INSIDE the
+    aggregation job — the filter runs post-groupBy on the cluster, and
+    the top-N is a distributed orderBy+limit — so the driver only ever
+    sees the bounded table."""
     tok = F.explode(F.split(F.col(text_col), r"\s+")).alias("word")
     words = df.select(tok).filter(F.col("word") != "")
     if lowercase:
         words = words.select(F.lower("word").alias("word"))
-    return words.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+    wf = words.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+    if min_freq > 1:
+        wf = wf.filter(F.col("freq") >= min_freq)
+    if max_vocab is not None:
+        # deterministic: freq desc, then word asc as the tie-break
+        wf = wf.orderBy(F.col("freq").desc(), F.col("word")).limit(max_vocab)
+    return wf
 
 
 def learn_bpe_merges(word_freq: list[tuple[str, int]], n_merges: int) -> BpeModel:
@@ -99,11 +117,23 @@ def learn_bpe_merges(word_freq: list[tuple[str, int]], n_merges: int) -> BpeMode
 
 
 def train_bpe(
-    df: DataFrame, text_col: str = "text", n_merges: int = 100, lowercase: bool = True
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 100,
+    lowercase: bool = True,
+    min_freq: int = 2,
+    max_vocab: int | None = 5_000_000,
 ) -> BpeModel:
     """Distributed word-frequency pass + driver-side exact merge learning
-    (see module docstring for why this topology is right at scale)."""
-    rows = word_frequencies(df, text_col, lowercase).collect()
+    (see module docstring for why this topology is right at scale).
+
+    The collect is bounded by ``min_freq`` (default 2 — hapax words can
+    never push a pair to the freq>=2 merge threshold on their own, and
+    they dominate web-scale distinct-word counts) and ``max_vocab``
+    (default 5M rows ≈ a few hundred MB — ample for any natural-language
+    vocabulary). Pass ``min_freq=1, max_vocab=None`` for exact tiny-corpus
+    replication."""
+    rows = word_frequencies(df, text_col, lowercase, min_freq, max_vocab).collect()
     return learn_bpe_merges([(r["word"], r["freq"]) for r in rows], n_merges)
 
 

@@ -162,10 +162,15 @@ def _parse_mp4(data: bytes) -> dict | None:
                 size = hi - pos
             if btype == b"mvhd" and body + 20 <= hi:
                 version = data[body]
-                if version == 1:
+                # version 1 reads 12 more bytes than version 0 — bound check
+                # must match, else a truncated v1 box breaks probe_media's
+                # always-returns-a-dict contract.
+                if version == 1 and body + 32 <= hi:
                     ts, dur = struct.unpack(">IQ", data[body + 20 : body + 32])
-                else:
+                elif version == 0:
                     ts, dur = struct.unpack(">II", data[body + 12 : body + 20])
+                else:
+                    ts, dur = 0, 0
                 if ts:
                     out["duration_ms"] = int(dur * 1000 // ts)
             elif btype == b"tkhd" and pos + size <= hi:
@@ -315,14 +320,24 @@ def decode_pixels(data: bytes) -> tuple[int, int, int, bytes]:
     """Unified REAL pixel decode: 8-bit PNGs (zlib + unfilter) and
     baseline JPEGs (full T.81 entropy decode + IDCT, llm/jpeg.py) ->
     (width, height, channels, interleaved uint8 bytes). Other formats
-    raise NotImplementedError (the PIL/ffmpeg seam)."""
+    raise NotImplementedError (the PIL/ffmpeg seam). A blob with a valid
+    signature but corrupt body (zlib.error / ValueError / struct.error
+    from the decoders) is mapped to NotImplementedError too, so callers
+    fall back to the probe seam instead of failing the whole Spark task."""
+    import zlib
+
     try:
         return decode_png_pixels(data)
     except NotImplementedError:
         pass
+    except (zlib.error, ValueError, struct.error) as ex:
+        raise NotImplementedError(f"corrupt PNG body: {ex}") from ex
     from .jpeg import decode_jpeg_pixels
 
-    return decode_jpeg_pixels(data)
+    try:
+        return decode_jpeg_pixels(data)
+    except (zlib.error, ValueError, struct.error, IndexError) as ex:
+        raise NotImplementedError(f"corrupt JPEG body: {ex}") from ex
 
 
 def _decode_image_bytes(data: bytes) -> tuple[int, int, list[float]]:

@@ -134,7 +134,9 @@ def viterbi_paths_batch(obs_list: list, model: HmmModel) -> list:
         log_a = np.log(model.a)
         log_b = np.log(model.b)
     delta = log_pi[None, :] + log_b[:, O[:, 0]].T  # (S, n)
-    psi = np.zeros((S, t_max, n), dtype=np.int8)
+    # backtrack-pointer dtype sized from n_states: int8 silently wraps for
+    # n > 127, so pick the smallest dtype that can hold state index n-1
+    psi = np.zeros((S, t_max, n), dtype=np.min_scalar_type(max(n - 1, 1)))
     for t in range(1, t_max):
         active = lengths > t
         scores = delta[:, :, None] + log_a[None, :, :]  # (S, j, i)

@@ -339,15 +339,31 @@ def _sheet_rows(spark: SparkSession, sf_dir: str) -> list[list]:
     return rows
 
 
-def _sheet_source_query(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
-    import tempfile
+_SHEET_PATHS: dict[str, str] = {}
 
+
+def _sheet_path(fmt: str) -> str:
+    # One mkstemp-created file per (process, fmt), reused across invocations
+    # and removed at exit — no mktemp race, no per-call temp-file leak.
+    if fmt not in _SHEET_PATHS:
+        import atexit
+        import os
+        import tempfile
+
+        fd, path = tempfile.mkstemp(suffix=f".{fmt}", prefix="tuktu_sheet_")
+        os.close(fd)
+        atexit.register(lambda p=path: os.path.exists(p) and os.unlink(p))
+        _SHEET_PATHS[fmt] = path
+    return _SHEET_PATHS[fmt]
+
+
+def _sheet_source_query(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
     from ..operators import make_source
     from ..operators.xls_biff import make_xls, make_xlsx
 
     rows = _sheet_rows(spark, sf_dir)
     data = make_xls(rows) if fmt == "xls" else make_xlsx(rows)
-    path = tempfile.mktemp(suffix=f".{fmt}", prefix="tuktu_sheet_")
+    path = _sheet_path(fmt)
     with open(path, "wb") as f:
         f.write(data)
     df = make_source(spark, "xls", {"path": path, "header": True})
