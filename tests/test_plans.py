@@ -281,3 +281,27 @@ def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path_factory):
     assert "event_date" in plan.split("PartitionFilters")[1].splitlines()[0]
     n_selected = back.count()
     assert 0 < n_selected < spark.read.parquet(out).count()
+
+
+def test_pack_sequences_streamed_has_no_global_window(spark, sf_dir, registry):
+    """Round-4 verdict #5: the stream_cols form must partition the window
+    shuffle by the stream key — no SinglePartition exchange anywhere —
+    and the global default must warn."""
+    import warnings
+
+    plan = plan_of(registry["mix_pack_sequences"].fn(spark, sf_dir))
+    assert "SinglePartition" not in plan
+    assert "hashpartitioning(lang" in plan
+
+    from tuktu_spark.llm.mixing import pack_sequences
+
+    df = spark.createDataFrame([(1, 10), (2, 20)], "doc_id long, n long")
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        pack_sequences(df, 16, "n")  # global form
+    assert any("GLOBAL window" in str(w.message) for w in caught)
+
+    with pytest.raises(ValueError, match="max_global_rows"):
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            pack_sequences(df, 16, "n", max_global_rows=1)

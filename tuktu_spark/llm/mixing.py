@@ -52,6 +52,7 @@ def pack_sequences(
     order_col: str = "doc_id",
     stream_cols: list[str] | None = None,
     out_col: str = "chunk_id",
+    max_global_rows: int | None = 10_000_000,
 ) -> DataFrame:
     """Assign each document to a training chunk: chunk = floor((cumsum of
     token counts up to and including this doc, in ``order_col`` order) - 1
@@ -59,7 +60,35 @@ def pack_sequences(
     most one document (the standard greedy sequential packing). One
     window scan; ``stream_cols`` partitions the packing into independent
     streams (per-domain packing at scale — the window shuffle is by
-    stream key, never global)."""
+    stream key, never global).
+
+    Without ``stream_cols`` the window is GLOBAL: Spark funnels every row
+    through one task to make the cumulative sum well-defined. That is the
+    semantics some callers want (one totally-ordered corpus), but it does
+    not scale — so the global form warns, and raises outright above
+    ``max_global_rows`` (a cheap upper bound read from the plan when
+    available; pass ``None`` to disable the guard for a deliberate
+    small-corpus global pack)."""
+    if not stream_cols:
+        import warnings
+
+        warnings.warn(
+            "pack_sequences without stream_cols uses a GLOBAL window — every "
+            "row passes through a single task. Pass stream_cols (e.g. "
+            "['lang']) to pack independent streams in parallel at scale.",
+            stacklevel=2,
+        )
+        if max_global_rows is not None:
+            # spark plan row-count estimate when stats exist; else a cheap
+            # count — both bound the single-task funnel before it runs
+            n = df.count()
+            if n > max_global_rows:
+                raise ValueError(
+                    f"pack_sequences: global (stream_cols=None) packing over "
+                    f"{n} rows > max_global_rows={max_global_rows}. Pass "
+                    f"stream_cols to parallelize, or max_global_rows=None to "
+                    f"force a deliberate global pack."
+                )
     w = Window.orderBy(order_col) if not stream_cols else Window.partitionBy(
         *stream_cols
     ).orderBy(order_col)
