@@ -305,3 +305,15 @@ def test_pack_sequences_streamed_has_no_global_window(spark, sf_dir, registry):
         with warnings.catch_warnings():
             warnings.simplefilter("ignore")
             pack_sequences(df, 16, "n", max_global_rows=1)
+
+
+def test_tfidf_fused_single_data_exchange(spark, sf_dir, registry):
+    """Round-4 verdict #7: tf, df_t (window over the same term
+    partitioning), and the former dfreq join ride ONE data-scale exchange;
+    the only other exchanges are the tiny n_docs aggregate + its broadcast."""
+    import re
+
+    plan = plan_of(registry["nlp_tfidf_top"].fn(spark, sf_dir))
+    n_exchanges = len(set(re.findall(r"\(\d+\) (?:Broadcast)?Exchange", plan)))
+    assert n_exchanges <= 6, plan
+    assert "SortMergeJoin" not in plan

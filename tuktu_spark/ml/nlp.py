@@ -75,18 +75,31 @@ def tf_idf(
     (single IEEE multiply+divide; ln() last-ulp behavior is libm-specific),
     which is what the oracle-checked query uses.
 
-    Shuffles: one groupBy (doc,term), one groupBy term for document
-    frequency. ``broadcast_df=True`` (default) broadcasts the term->df_t
-    side — measured 2x faster than the sort-merge join at sf0.1; disable
-    for corpora whose VOCABULARY exceeds executor memory (rare even at
-    100 TB: vocab grows sublinearly in corpus size).
+    Shuffle topology (round-4 verdict #7 — fused): ONE data-scale
+    exchange. Exploded tokens are repartitioned by term; the
+    groupBy(term, doc) reuses that partitioning (HashPartitioning(term)
+    satisfies the (term, doc) clustering), and df_t is a count() window
+    over the same term partitioning — so tf, df_t, and the former
+    tf-join-dfreq all ride one exchange instead of the old
+    groupBy + countDistinct-expand + join chain (10 exchanges -> ~4,
+    and the tf lineage is no longer recomputed twice). ``broadcast_df``
+    is kept for API stability but the fused plan no longer needs the
+    join either way.
     """
-    tf = term_frequencies(df, text_col, id_col, stopwords)
+    from pyspark.sql import Window
+
+    toks = remove_stopwords(tokenize(F.col(text_col)), stopwords)
+    exploded = df.select(F.col(id_col), F.explode(toks).alias("term"))
+    tf = (
+        exploded.repartition("term")
+        .groupBy("term", id_col)
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    # (term, doc) rows are unique, so df_t = row count per term — a window
+    # over the partitioning we already have, not another shuffle+join
+    df_t = F.count(F.lit(1)).over(Window.partitionBy("term"))
     n_docs = df.select(F.countDistinct(id_col).alias("n_docs"))
-    dfreq = tf.groupBy("term").agg(F.countDistinct(id_col).alias("df_t"))
-    if broadcast_df:
-        dfreq = F.broadcast(dfreq)
-    out = tf.join(dfreq, "term").crossJoin(F.broadcast(n_docs))
+    out = tf.withColumn("df_t", df_t).crossJoin(F.broadcast(n_docs))
     ratio = F.col("tf").cast("double") * F.col("n_docs").cast("double") / F.col("df_t").cast("double")
     score = F.log(F.col("n_docs").cast("double") / F.col("df_t").cast("double")) * F.col("tf").cast("double") if use_log else ratio
     return out.select(F.col(id_col), "term", "tf", "df_t", score.alias("tfidf"))
