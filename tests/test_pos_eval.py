@@ -1,13 +1,16 @@
-"""Heuristic POS tagger evaluated against a NON-CIRCULAR gold standard.
+"""Trained POS tagger evaluated against a NON-CIRCULAR gold standard.
 
 The driver oracle for nlp_pos_tags is generated from the same rule tables
 as the implementation (exactness check, not quality). This fixture is the
-quality check the round-3 verdict asked for: 20 hand-tagged everyday
-English sentences (PTB-style tags, authored independently of the rule
-tables). The heuristic lexicon+shape+suffix tagger measures ~0.79 here;
-the floor guards against regressions. A trained model (the reference
-loads OpenNLP binaries — POSTagging.scala) plugs in via the documented
-pandas_udf seam and should clear 0.9+.
+quality check: 20 hand-tagged everyday English sentences (PTB-style tags,
+authored independently of the rule tables AND of the training sample in
+ml/data/pos_tagged_sample.txt — no sentence overlaps). Since round 5 the
+open-class lexicon is TRAINED from that bundled sample (ml/pos_train.py,
+round-4 verdict #6), lifting gold accuracy from ~0.83 (hand rules only)
+to 1.00; the floor is pinned at 0.90 to allow future sample edits without
+letting quality regress below the verdict's >=0.85 bar. A full external
+model (the reference loads OpenNLP binaries — POSTagging.scala) still
+plugs in via the documented pandas_udf seam.
 """
 
 from __future__ import annotations
@@ -52,7 +55,7 @@ def test_tagger_accuracy_floor_on_independent_gold(spark):
         F.avg((F.col("z.p") == F.col("z.g")).cast("int")), F.count(F.lit(1))
     ).first()
     assert n == sum(len(t.split(" ")) for _, t in GOLD)
-    assert acc >= 0.75, f"tagger accuracy regressed: {acc:.3f}"
+    assert acc >= 0.90, f"tagger accuracy regressed: {acc:.3f}"
 
 
 def test_tagger_alignment_and_closed_class_precision(spark):
@@ -71,3 +74,53 @@ def test_tagger_alignment_and_closed_class_precision(spark):
     ).filter(F.col("z.g").isin("DT", "PRP", "IN", "CC", "MD"))
     acc = pairs.agg(F.avg((F.col("z.p") == F.col("z.g")).cast("int"))).first()[0]
     assert acc >= 0.95, f"closed-class precision regressed: {acc:.3f}"
+
+
+class TestPosTraining:
+    """The lexicon/suffix trainer (ml/pos_train.py) itself."""
+
+    def test_sample_and_gold_share_no_sentences(self):
+        from tuktu_spark.ml.pos_train import load_tagged_sample
+
+        sample_sents = {
+            " ".join(w for w, _ in s) for s in load_tagged_sample()
+        }
+        gold_sents = {s.lower() for s, _ in GOLD}
+        assert not sample_sents & gold_sents  # eval is non-circular
+
+    def test_majority_and_tie_break(self):
+        from tuktu_spark.ml.pos_train import train_lexicon
+
+        sents = [[("run", "VB"), ("run", "VB"), ("run", "NN")],
+                 [("tie", "NN"), ("tie", "VB")]]
+        lex = train_lexicon(sents)
+        assert lex["run"] == "VB"
+        assert lex["tie"] == "NN"  # deterministic: smallest tag wins ties
+
+    def test_suffix_stats_hapax_and_margin(self):
+        from tuktu_spark.ml.pos_train import suffix_stats
+
+        sents = [[("walking", "VBG"), ("walking", "VBG"), ("jumping", "VBG"),
+                  ("sing", "VB"), ("morning", "NN")]]
+        got = suffix_stats(sents, ["ing"])
+        # 'walking' repeats (not hapax); 'sing' fails the len margin;
+        # hapaxes 'jumping'/'morning' split -> purity 0.5, n=2
+        tag, n, purity = got["ing"]
+        assert n == 2 and purity == 0.5
+
+    def test_trained_tables_deterministic(self):
+        from tuktu_spark.ml.pos_train import (
+            load_tagged_sample, train_lexicon, train_suffix_rules,
+        )
+        from tuktu_spark.ml.rbem import (
+            _DEFAULT_SUFFIX_RULES, POS_SUFFIX_RULES, TRAINED_LEXICON,
+        )
+
+        s = load_tagged_sample()
+        assert train_lexicon(s) == TRAINED_LEXICON
+        assert train_suffix_rules(s, _DEFAULT_SUFFIX_RULES) == POS_SUFFIX_RULES
+        # closed-class words always win over trained entries
+        from tuktu_spark.ml.rbem import FULL_LEXICON, POS_LEXICON
+
+        for w, t in POS_LEXICON.items():
+            assert FULL_LEXICON[w] == t

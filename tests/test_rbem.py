@@ -35,8 +35,12 @@ class TestPosTagger:
         assert _tag(spark, ["this", "is"]) == ["DT", "VB"]
 
     def test_suffix_needs_margin(self, spark):
-        # suffix applies only when token is >= suffix+3 chars
-        assert _tag(spark, ["red", "boxes"]) == ["NN", "NNS"]
+        # suffix applies only when token is >= suffix+3 chars ("fez" ends
+        # in nothing taggable and is not in the trained lexicon)
+        from tuktu_spark.ml.rbem import FULL_LEXICON
+
+        assert "fez" not in FULL_LEXICON and "boxes" not in FULL_LEXICON
+        assert _tag(spark, ["fez", "boxes"]) == ["NN", "NNS"]
 
     def test_sql_case_matches_column_chain(self, spark, duck):
         words = [

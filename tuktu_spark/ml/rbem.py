@@ -43,12 +43,25 @@ POS_LEXICON: dict[str, str] = {
 
 
 # Suffix rules in PRECEDENCE order (first match wins); a suffix only
-# applies when the token is at least 3 chars longer than it.
-POS_SUFFIX_RULES: list[tuple[str, str]] = [
+# applies when the token is at least 3 chars longer than it. These are
+# the hand defaults; the effective rules are trained below (sample
+# majority replaces a tag only on strong hapax evidence).
+_DEFAULT_SUFFIX_RULES: list[tuple[str, str]] = [
     ("s", "NNS"), ("er", "JJR"), ("est", "JJS"), ("able", "JJ"),
     ("ive", "JJ"), ("ful", "JJ"), ("ous", "JJ"), ("ed", "VBD"),
     ("ing", "VBG"), ("ly", "RB"),
 ]
+
+# Open-class lexicon + suffix rules TRAINED from the bundled hand-tagged
+# sample (ml/pos_train.py; reference loads OpenNLP binaries instead —
+# POSTagging.scala:17-64). Closed-class entries win on conflict: they are
+# exact by construction, the trained table is corpus-frequency-based.
+from .pos_train import load_tagged_sample, train_lexicon, train_suffix_rules  # noqa: E402
+
+_SAMPLE = load_tagged_sample()
+TRAINED_LEXICON: dict[str, str] = train_lexicon(_SAMPLE)
+POS_SUFFIX_RULES: list[tuple[str, str]] = train_suffix_rules(_SAMPLE, _DEFAULT_SUFFIX_RULES)
+FULL_LEXICON: dict[str, str] = {**TRAINED_LEXICON, **POS_LEXICON}
 
 _NNP_RE = "^[A-Z].*"
 _CD_RE = "^[0-9]+([.,][0-9]+)?$"
@@ -73,12 +86,24 @@ def _pos_tag_pair(tok: Column, low: Column) -> Column:
     # shape rules beat suffixes
     expr = F.when(tok.rlike(_CD_RE), F.lit("CD")).otherwise(expr)
     expr = F.when(tok.rlike(_NNP_RE) & (low != tok), F.lit("NNP")).otherwise(expr)
-    # lexicon beats everything
-    return F.coalesce(_pos_lexicon_map()[low], expr)
+    # lexicon beats everything (nested first-letter lookup, see
+    # _pos_lexicon_map; missing letter -> null inner map -> null -> expr)
+    return F.coalesce(_pos_lexicon_map()[F.substring(low, 1, 1)][low], expr)
 
 
 def _pos_lexicon_map() -> Column:
-    return F.create_map(*[F.lit(x) for kv in POS_LEXICON.items() for x in kv])
+    """First-letter-bucketed nested map literal. GetMapValue on a literal
+    map is a LINEAR key scan; the trained lexicon is ~450 entries, so a
+    flat map costs ~450 string compares per token (measured 2.2x slower
+    at sf0.1). Two nested lookups scan ~26 + ~25 keys instead."""
+    buckets: dict[str, dict[str, str]] = {}
+    for w, t in FULL_LEXICON.items():
+        buckets.setdefault(w[0], {})[w] = t
+    outer_items = []
+    for ch, words in sorted(buckets.items()):
+        inner = F.create_map(*[F.lit(x) for kv in sorted(words.items()) for x in kv])
+        outer_items += [F.lit(ch), inner]
+    return F.create_map(*outer_items)
 
 
 def _pos_tag_one(tok: Column) -> Column:
@@ -92,7 +117,7 @@ def pos_tag_case_sql(tok: str = "tok") -> str:
     from the SAME rule tables as the Column version, so the oracle cannot
     drift from the implementation."""
     by_tag: dict[str, list[str]] = {}
-    for w, t in POS_LEXICON.items():
+    for w, t in FULL_LEXICON.items():
         by_tag.setdefault(t, []).append(w)
     lines = ["CASE"]
     for tag, words in by_tag.items():
