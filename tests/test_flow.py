@@ -357,3 +357,24 @@ def test_llm_pipeline_dedup_join_reads_bucketed_index_shuffle_free(spark, sf_dir
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_video_frame_extract_flow(spark, sf_dir):
+    """The video probe->schedule flow example: MP4 headers are synthesized
+    deterministically, the probe reads real container metadata, and the
+    schedule emits one work unit per second of probed duration."""
+    from pyspark.sql import functions as F
+
+    out = run_flow(
+        spark, "flows/examples/video_frame_extract.json", params={"dir": sf_dir}
+    )
+    assert set(out) == {"probe", "schedule"}
+    probed = out["probe"]
+    assert probed.filter(F.col("format") != "mp4").count() == 0
+    assert probed.filter(F.col("width") != 640).count() == 0
+    n_units = out["schedule"].count()
+    # durations are (doc_id % 30 + 1) seconds; schedule = duration+1 rows
+    want = probed.agg(
+        F.sum((F.col("duration_ms") / 1000).cast("long") + 1)
+    ).first()[0]
+    assert n_units == want and n_units > 0
