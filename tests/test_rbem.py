@@ -165,3 +165,65 @@ class TestRbemEngines:
              rbem_polarity(alld, "tokens", engine="sql", **kw)
              .select("doc_id", "polarity").collect()}
         assert a == b and a[9002] == 0.0
+
+
+class TestRbemPerLanguage:
+    """Per-language RBEM models (round-5: reference ships one model per
+    language — Sentiment.scala:20-133)."""
+
+    def test_bundled_models_load_and_validate(self):
+        from tuktu_spark.ml.rbem import load_rbem_models
+
+        models = load_rbem_models()
+        assert {"en", "nl", "de", "fr", "es"} <= set(models)
+        for lang, m in models.items():
+            assert m["positive"] and m["negative"], lang
+            assert not m["left_flips"]  # oracle generator's contract
+
+    def test_language_dispatch(self, spark):
+        from tuktu_spark.ml.rbem import rbem_polarity_by_lang
+
+        models = {
+            "en": {"positive": ["good"], "negative": ["bad"],
+                   "left_flips": [], "right_flips": ["not"]},
+            "de": {"positive": ["gut"], "negative": ["schlecht"],
+                   "left_flips": [], "right_flips": ["nicht"]},
+        }
+        df = spark.createDataFrame(
+            [(1, "en", ["good"]), (2, "en", ["not", "good"]),
+             (3, "de", ["gut"]), (4, "de", ["good"]),  # en word, de model
+             (5, "xx", ["good"])],                     # unknown language
+            "id long, lang string, tokens array<string>",
+        )
+        got = {r["id"]: r["polarity"]
+               for r in rbem_polarity_by_lang(df, models=models).collect()}
+        assert got[1] > 0 and got[3] > 0
+        assert got[2] < 0          # negator flips the english match
+        assert got[4] == 0.0       # wrong-language seeds don't fire
+        assert got[5] == 0.0       # unknown language -> empty model
+
+    def test_matches_single_model_when_language_constant(self, spark):
+        from tuktu_spark.ml.rbem import rbem_polarity, rbem_polarity_by_lang
+
+        rows = [(i, "en", f"alpha good beta bad not good gamma w{i}".split())
+                for i in range(30)]
+        df = spark.createDataFrame(rows, "id long, lang string, tokens array<string>")
+        m = {"positive": ["good"], "negative": ["bad"],
+             "left_flips": [], "right_flips": ["not"]}
+        by_lang = rbem_polarity_by_lang(df, models={"en": m})
+        single = rbem_polarity(df, positive=m["positive"], negative=m["negative"],
+                               left_flips=[], right_flips=m["right_flips"])
+        a = {r["id"]: r["polarity"] for r in by_lang.collect()}
+        b = {r["id"]: r["polarity"] for r in single.collect()}
+        assert a == b  # bit-identical (dyadic decay)
+
+    def test_operator_by_language(self, spark):
+        from tuktu_spark.operators import make_operator
+
+        df = spark.createDataFrame(
+            [(1, "en", ["good"]), (2, "de", ["schlecht"])],
+            "id long, lang string, tokens array<string>",
+        )
+        out = make_operator("rbem_polarity", {"by_language": True})(df)
+        got = {r["id"]: r["polarity"] for r in out.collect()}
+        assert got[1] > 0 and got[2] < 0

@@ -312,6 +312,42 @@ def rbem_polarity(
     )
 
 
+def _score_doc(arr, pos, neg, lf, rf, base, maxd) -> float:
+    """Score one token array: the numpy |positions| x |seeds| decay matrix
+    shared by the single-model and per-language Arrow paths. Dyadic decay
+    keeps the result bit-identical to the Catalyst fold."""
+    import numpy as np
+
+    if arr is None or len(arr) == 0:
+        return 0.0
+    low = [t.lower() for t in arr]
+    n = len(low)
+    idx = np.arange(n)
+    sp = np.array([i for i, t in enumerate(low) if t in pos], dtype=np.int64)
+    sn = np.array([i for i, t in enumerate(low) if t in neg], dtype=np.int64)
+    rfp = np.array([i for i, t in enumerate(low) if t in rf], dtype=np.int64)
+    lfp = np.array([i for i, t in enumerate(low) if t in lf], dtype=np.int64)
+    n_right = (
+        np.searchsorted(rfp, idx, side="right")
+        if len(rfp)
+        else np.zeros(n, dtype=np.int64)
+    )
+    n_left = (
+        len(lfp) - np.searchsorted(lfp, idx, side="left")
+        if len(lfp)
+        else np.zeros(n, dtype=np.int64)
+    )
+    sign = np.where(((n_right + n_left) % 2) == 1, -1.0, 1.0)
+
+    def emis(seeds):
+        if len(seeds) == 0:
+            return np.zeros(n)
+        d = np.minimum(np.abs(idx[:, None] - seeds[None, :]), maxd)
+        return (base ** (-d.astype(np.float64))).sum(axis=1)
+
+    return float(((emis(sp) - emis(sn)) * sign).sum())
+
+
 def _rbem_polarity_arrow(
     df: DataFrame,
     tokens_col: str,
@@ -324,7 +360,6 @@ def _rbem_polarity_arrow(
     discretize: bool,
     out_col: str,
 ) -> DataFrame:
-    import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
@@ -334,37 +369,7 @@ def _rbem_polarity_arrow(
     maxd = int(max_distance)
 
     def score(toks: pd.Series) -> pd.Series:
-        def one(arr):
-            if arr is None or len(arr) == 0:
-                return 0.0
-            low = [t.lower() for t in arr]
-            n = len(low)
-            idx = np.arange(n)
-            sp = np.array([i for i, t in enumerate(low) if t in pos], dtype=np.int64)
-            sn = np.array([i for i, t in enumerate(low) if t in neg], dtype=np.int64)
-            rfp = np.array([i for i, t in enumerate(low) if t in rf], dtype=np.int64)
-            lfp = np.array([i for i, t in enumerate(low) if t in lf], dtype=np.int64)
-            n_right = (
-                np.searchsorted(rfp, idx, side="right")
-                if len(rfp)
-                else np.zeros(n, dtype=np.int64)
-            )
-            n_left = (
-                len(lfp) - np.searchsorted(lfp, idx, side="left")
-                if len(lfp)
-                else np.zeros(n, dtype=np.int64)
-            )
-            sign = np.where(((n_right + n_left) % 2) == 1, -1.0, 1.0)
-
-            def emis(seeds):
-                if len(seeds) == 0:
-                    return np.zeros(n)
-                d = np.minimum(np.abs(idx[:, None] - seeds[None, :]), maxd)
-                return (base ** (-d.astype(np.float64))).sum(axis=1)
-
-            return float(((emis(sp) - emis(sn)) * sign).sum())
-
-        return toks.map(one)
+        return toks.map(lambda arr: _score_doc(arr, pos, neg, lf, rf, base, maxd))
 
     score.__annotations__ = {"toks": pd.Series, "return": pd.Series}
     u = pandas_udf("double")(score)
@@ -383,3 +388,146 @@ DEFAULT_NEGATIVE = [
     "sad", "wrong", "broken", "disappointing", "useless",
 ]
 DEFAULT_NEGATORS = ["not", "no", "never", "hardly", "barely"]
+
+
+# --- per-language RBEM models (reference ships binary per-language RBEM
+# models, Sentiment.scala:20-133; here: bundled seed tables + a
+# language-dispatching Arrow scorer) --------------------------------------
+
+_RBEM_SEEDS_PATH = None
+
+
+def load_rbem_models(path: str | None = None) -> dict[str, dict[str, list[str]]]:
+    """Bundled per-language seed lexicons (ml/data/rbem_seeds.json):
+    {lang: {positive, negative, left_flips, right_flips}}."""
+    import json
+    import os
+
+    p = path or os.path.join(
+        os.path.dirname(__file__), "data", "rbem_seeds.json"
+    )
+    with open(p, encoding="utf-8") as f:
+        raw = json.load(f)
+    return {k: v for k, v in raw.items() if not k.startswith("_")}
+
+
+def rbem_polarity_by_lang(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    lang_col: str = "lang",
+    models: dict[str, dict[str, list[str]]] | None = None,
+    decay: float = 2.0,
+    max_distance: int = 20,
+    discretize: bool = False,
+    out_col: str = "polarity",
+) -> DataFrame:
+    """Language-dispatching RBEM polarity: each row is scored with the
+    seed model for its ``lang_col`` value (unknown language -> empty
+    model -> 0.0). One Arrow pandas_udf over (tokens, lang); the model
+    map is a closure constant broadcast with the task — per-language
+    models like the reference's, without per-language passes over the
+    data. Dyadic decay (default 2.0) keeps scores exact doubles, so a
+    SQL oracle generated from the same tables hash-matches."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    models = models if models is not None else load_rbem_models()
+    frozen = {
+        lang: (
+            frozenset(m.get("positive", ())),
+            frozenset(m.get("negative", ())),
+            frozenset(m.get("left_flips", ())),
+            frozenset(m.get("right_flips", ())),
+        )
+        for lang, m in models.items()
+    }
+    empty = (frozenset(), frozenset(), frozenset(), frozenset())
+    base, maxd = float(decay), int(max_distance)
+
+    def score(toks: pd.Series, langs: pd.Series) -> pd.Series:
+        out = []
+        for arr, lang in zip(toks, langs):
+            pos, neg, lf, rf = frozen.get(lang, empty)
+            out.append(_score_doc(arr, pos, neg, lf, rf, base, maxd))
+        return pd.Series(out, dtype="float64")
+
+    score.__annotations__ = {
+        "toks": pd.Series, "langs": pd.Series, "return": pd.Series
+    }
+    u = pandas_udf("double")(score)
+    out = df.withColumn(out_col, u(F.col(tokens_col), F.col(lang_col)))
+    if discretize:
+        out = out.withColumn(out_col, F.signum(F.col(out_col)))
+    return out
+
+
+def rbem_multilang_oracle_sql(
+    models: dict[str, dict[str, list[str]]],
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    max_distance: int = 20,
+) -> str:
+    """ANSI-SQL equivalent of ``rbem_polarity_by_lang`` GENERATED from the
+    same model tables (the pos_tag_case_sql pattern: the oracle cannot
+    drift from the implementation). Supports right_flips only in the sign
+    CTE (left_flips empty in every bundled model); decay fixed at 2.0 so
+    power() is exact."""
+    langs = sorted(models)
+    for lang in langs:
+        if models[lang].get("left_flips"):
+            raise ValueError("oracle generator supports right_flips only")
+
+    def in_list(words):
+        return ", ".join(f"'{w}'" for w in sorted(words)) or "''"
+
+    all_seeds = sorted(
+        {w for m in models.values() for w in m.get("positive", ())}
+        | {w for m in models.values() for w in m.get("negative", ())}
+    )
+    flip_branches = " ".join(
+        f"WHEN lang = '{lang}' AND tok IN ({in_list(models[lang].get('right_flips', ()))}) THEN 1"
+        for lang in langs
+    )
+    ep_branches = " ".join(
+        f"WHEN p.lang = '{lang}' AND s.tok IN ({in_list(models[lang].get('positive', ()))}) "
+        f"THEN power(2.0, -least(abs(p.i - s.i), {int(max_distance)}))"
+        for lang in langs
+    )
+    en_branches = " ".join(
+        f"WHEN p.lang = '{lang}' AND s.tok IN ({in_list(models[lang].get('negative', ()))}) "
+        f"THEN power(2.0, -least(abs(p.i - s.i), {int(max_distance)}))"
+        for lang in langs
+    )
+    return f"""
+WITH docs AS (
+  SELECT {id_col}, {lang_col} AS lang,
+         string_split(lower({text_col}), ' ') AS tk FROM {table}
+),
+pos AS (
+  SELECT {id_col}, lang, unnest(tk) AS tok,
+         generate_subscripts(tk, 1) - 1 AS i
+  FROM docs
+),
+signed AS (
+  SELECT {id_col}, lang, tok, i,
+         CASE WHEN SUM(CASE {flip_branches} ELSE 0 END)
+                   OVER (PARTITION BY {id_col} ORDER BY i) % 2 = 1
+              THEN -1.0 ELSE 1.0 END AS sign
+  FROM pos
+),
+emit AS (
+  SELECT p.{id_col}, p.i,
+         SUM(CASE {ep_branches} ELSE 0 END) AS ep,
+         SUM(CASE {en_branches} ELSE 0 END) AS en
+  FROM pos p
+  JOIN pos s ON p.{id_col} = s.{id_col} AND s.tok IN ({in_list(all_seeds)})
+  GROUP BY p.{id_col}, p.i
+)
+SELECT g.{id_col},
+       COALESCE(SUM((e.ep - e.en) * g.sign), 0.0) AS polarity
+FROM signed g
+LEFT JOIN emit e ON g.{id_col} = e.{id_col} AND g.i = e.i
+GROUP BY g.{id_col}
+"""

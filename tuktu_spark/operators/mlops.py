@@ -210,9 +210,23 @@ def rbem_polarity_op(config: dict):
     """RBEM polarity (Sentiment.scala:20-75 / URBEM.scala emission
     algebra) with exact-match seed lexicons. config: {tokens_field,
     positive, negative, left_flips, right_flips, decay, discretize,
-    result}."""
-    from ..ml.rbem import rbem_polarity
+    result}. With {"by_language": true, "language_field": "lang"} each
+    row is scored by the bundled per-language model for its language
+    (the reference's one-model-per-language shape; models override via
+    "models")."""
+    from ..ml.rbem import rbem_polarity, rbem_polarity_by_lang
 
+    if config.get("by_language"):
+        return lambda df: rbem_polarity_by_lang(
+            df,
+            tokens_col=config.get("tokens_field", "tokens"),
+            lang_col=config.get("language_field", "lang"),
+            models=config.get("models"),
+            decay=float(config.get("decay", 2.0)),
+            max_distance=int(config.get("max_distance", 20)),
+            discretize=bool(config.get("discretize", False)),
+            out_col=config.get("result", "polarity"),
+        )
     return lambda df: rbem_polarity(
         df,
         tokens_col=config.get("tokens_field", "tokens"),

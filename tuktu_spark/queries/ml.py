@@ -774,6 +774,41 @@ def nlp_rbem_polarity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Per-language RBEM models (Sentiment.scala loads one binary model per
+# language): each document is scored with the model for its `lang`. The
+# model map below uses corpus vocabulary so matches actually occur; the
+# oracle SQL is GENERATED from the same map (pos_tag_case_sql pattern).
+# ---------------------------------------------------------------------------
+
+_RBEM_MULTILANG_MODELS: dict[str, dict[str, list[str]]] = {
+    "en": {"positive": ["fast"], "negative": ["slow"], "left_flips": [], "right_flips": ["the"]},
+    "de": {"positive": ["big"], "negative": ["small"], "left_flips": [], "right_flips": ["the"]},
+    "es": {"positive": ["merge"], "negative": ["scan"], "left_flips": [], "right_flips": ["a"]},
+    "fr": {"positive": ["join"], "negative": ["filter"], "left_flips": [], "right_flips": ["a"]},
+    "zh": {"positive": ["vector"], "negative": ["batch"], "left_flips": [], "right_flips": ["the"]},
+}
+
+
+def _rbem_multilang_oracle() -> str:
+    from ..ml.rbem import rbem_multilang_oracle_sql
+
+    return rbem_multilang_oracle_sql(_RBEM_MULTILANG_MODELS)
+
+
+@query("nlp_rbem_multilang", oracle=_rbem_multilang_oracle(), tags=("ml", "nlp"))
+def nlp_rbem_multilang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ml.rbem import rbem_polarity_by_lang
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.split("text", " ").alias("tokens")
+    )
+    out = rbem_polarity_by_lang(
+        d, tokens_col="tokens", lang_col="lang", models=_RBEM_MULTILANG_MODELS
+    )
+    return out.select("doc_id", "polarity")
+
+
+# ---------------------------------------------------------------------------
 # FastText fallback: subword n-gram hash vectors (FastTextProcessor.scala:20;
 # Bojanowski et al. subword hashing without learned weights). Bucket weights
 # are exactly portable: integer counts, IEEE sqrt/div correctly rounded.
