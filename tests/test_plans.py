@@ -317,3 +317,15 @@ def test_tfidf_fused_single_data_exchange(spark, sf_dir, registry):
     n_exchanges = len(set(re.findall(r"\(\d+\) (?:Broadcast)?Exchange", plan)))
     assert n_exchanges <= 6, plan
     assert "SortMergeJoin" not in plan
+
+
+def test_fasttext_buckets_fused_single_data_exchange(spark, sf_dir, registry):
+    """Round-5 chain fusion (same move as tf_idf): the corpus-scale data
+    crosses the wire once (repartition by doc id, reused by both groupBys
+    and the normalization window); remaining exchanges are vocab-sized."""
+    import re
+
+    plan = plan_of(registry["nlp_fasttext_buckets"].fn(spark, sf_dir))
+    n_exchanges = len(set(re.findall(r"\(\d+\) (?:Broadcast)?Exchange", plan)))
+    assert n_exchanges <= 4, plan
+    assert "SinglePartition" not in plan

@@ -91,18 +91,29 @@ def doc_bucket_counts(
     """(id, bucket, c) UNNORMALIZED integer subword-hash bucket counts —
     the exact-arithmetic core of ``doc_bucket_vectors``. Keeping counts
     integral lets downstream cosine thresholds be evaluated in pure
-    integer algebra (engine-portable bit-for-bit, unlike float sums)."""
-    tok_counts = (
-        df.select(F.col(id_col), F.explode(F.col(tokens_col)).alias("tok"))
-        .groupBy(id_col, "tok")
-        .agg(F.count(F.lit(1)).alias("n_occ"))
+    integer algebra (engine-portable bit-for-bit, unlike float sums).
+
+    Shuffle topology (round-5 chain fusion, same move as tf_idf): the
+    exploded tokens are repartitioned by doc id ONCE; groupBy(id, tok),
+    the post-join groupBy(id, bucket), and doc_bucket_vectors' window
+    over id all reuse that partitioning (HashPartitioning(id) satisfies
+    their clustering), so the corpus crosses the wire once. The only
+    other shuffles are VOCABULARY-sized: the distinct-token table and its
+    gram/bucket aggregation, which then broadcast back."""
+    exploded = df.select(
+        F.col(id_col), F.explode(F.col(tokens_col)).alias("tok")
+    ).repartition(id_col)
+    tok_counts = exploded.groupBy(id_col, "tok").agg(
+        F.count(F.lit(1)).alias("n_occ")
     )
     bucket = F.pmod(
         F.conv(F.substring(F.md5(F.col("gram")), 1, 15), 16, 10).cast("long"),
         F.lit(int(dim)),
     )
+    # vocabulary from the raw table (prunes id, no dependence on the
+    # repartitioned lineage — Catalyst reads only the tokens column)
     tok_buckets = (
-        tok_counts.select("tok")
+        df.select(F.explode(F.col(tokens_col)).alias("tok"))
         .distinct()
         .select("tok", F.explode(subword_ngrams(F.col("tok"), n)).alias("gram"))
         .select("tok", bucket.alias("bucket"))
