@@ -659,3 +659,53 @@ class TestProductQuantization:
         assert hits / bf.count() >= 0.6
         per_q = ann.groupBy("query_id").count()
         assert per_q.agg(F.max("count")).first()[0] <= 5
+
+
+class TestParagraphDedup:
+    """CCNet/Dolma paragraph-level dedup (round 5)."""
+
+    def _df(self, spark):
+        return spark.createDataFrame(
+            [(1, "alpha beta\n\nshared block\n\ngamma"),
+             (2, "shared block\n\ndelta"),
+             (3, "delta\n\nshared block\n\n\n\nepsilon"),
+             (4, "")],
+            "doc_id long, text string",
+        )
+
+    def test_first_occurrence_survives(self, spark):
+        from tuktu_spark.llm.dedup import paragraph_dedup
+
+        out = paragraph_dedup(self._df(spark)).collect()
+        kept = {(r["doc_id"], r["para"]) for r in out if r["keep"]}
+        dropped = {(r["doc_id"], r["para"]) for r in out if not r["keep"]}
+        assert (1, "shared block") in kept          # first occurrence: doc 1
+        assert (2, "shared block") in dropped
+        assert (3, "shared block") in dropped
+        assert (2, "delta") in kept                 # doc 2 precedes doc 3
+        assert (3, "delta") in dropped
+        assert not any(r["doc_id"] == 4 for r in out)  # empty doc -> no rows
+
+    def test_rebuild_preserves_order_and_joiner(self, spark):
+        from tuktu_spark.llm.dedup import paragraph_dedup_rebuild
+
+        got = {r["doc_id"]: r["text"]
+               for r in paragraph_dedup_rebuild(self._df(spark)).collect()}
+        assert got[1] == "alpha beta\n\nshared block\n\ngamma"
+        assert got[2] == "delta"
+        assert got[3] == "epsilon"
+
+    def test_operator_registered(self, spark):
+        from tuktu_spark.operators import make_operator
+
+        out = make_operator("paragraph_dedup", {"rebuild": True})(self._df(spark))
+        assert out.count() == 3
+
+    def test_dedup_window_is_hash_partitioned_not_global(self, spark):
+        from tuktu_spark.llm.dedup import paragraph_dedup
+
+        plan = paragraph_dedup(self._df(spark))._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+        assert "SinglePartition" not in plan
+        assert "hashpartitioning(md5" in plan or "hashpartitioning(_w" in plan, plan

@@ -656,3 +656,74 @@ def simhash_near_pairs(
         .distinct()
     )
     return pairs
+
+
+def paragraph_table(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep_regex: str = r"\n{2,}",
+) -> DataFrame:
+    """(id, para_idx, para): documents split into paragraphs, order
+    preserved. Pure per-row array algebra — no shuffle."""
+    paras = F.filter(
+        F.transform(F.split(F.col(text_col), sep_regex), lambda p: F.trim(p)),
+        lambda p: p != "",
+    )
+    return df.select(F.col(id_col), F.posexplode(paras).alias("para_idx", "para"))
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep_regex: str = r"\n{2,}",
+    keep_col: str = "keep",
+) -> DataFrame:
+    """CCNet/Dolma-style paragraph-level exact dedup: a paragraph survives
+    only at its FIRST corpus occurrence (ordered by (id, para_idx));
+    later repeats — boilerplate headers, license blocks, navigation — are
+    marked keep=false. Returns (id, para_idx, para, keep).
+
+    Scale shape: the only shuffle clusters by md5(paragraph), so the
+    window state per key is the tiny duplicate set of ONE paragraph —
+    hash-distributed, no global ordering anywhere. Reconstruction
+    (``paragraph_dedup_rebuild``) then groups by doc id. The paragraph
+    TEXT rides the shuffle once; at 100 TB swap the window key to the md5
+    only and re-join text from the paragraph table if shuffle volume
+    dominates (same plan shape, one extra bucketable join)."""
+    from pyspark.sql import Window
+
+    paras = paragraph_table(df, text_col, id_col, sep_regex)
+    w = Window.partitionBy(F.md5("para")).orderBy(id_col, "para_idx")
+    return paras.withColumn(
+        keep_col, F.row_number().over(w) == 1
+    )
+
+
+def paragraph_dedup_rebuild(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep_regex: str = r"\n{2,}",
+    joiner: str = "\n\n",
+) -> DataFrame:
+    """Rewrite each document keeping only first-occurrence paragraphs
+    (documents whose every paragraph was seen before come back EMPTY —
+    callers typically filter those). Order within a doc is preserved."""
+    marked = paragraph_dedup(df, text_col, id_col, sep_regex)
+    kept = marked.filter(F.col("keep"))
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("para_idx", "para"))
+                    ),
+                    lambda s: s["para"],
+                ),
+                joiner,
+            ).alias(text_col)
+        )
+    )

@@ -328,3 +328,17 @@ def media_frame_timestamps(config: dict):
         int(config.get("interval_ms", 1000)),
         config.get("id_field", "checksum"),
     )
+
+
+@operator("paragraph_dedup")
+def paragraph_dedup_op(config: dict):
+    """CCNet/Dolma paragraph-level exact dedup: mark (rebuild=false,
+    default) or rewrite (rebuild=true) documents so each paragraph
+    survives only at its first corpus occurrence. config: {text_field,
+    id_field, sep_regex, rebuild}."""
+    text_col = config.get("text_field", "text")
+    id_col = config.get("id_field", "doc_id")
+    sep = config.get("sep_regex", r"\n{2,}")
+    if config.get("rebuild"):
+        return lambda df: D.paragraph_dedup_rebuild(df, text_col, id_col, sep)
+    return lambda df: D.paragraph_dedup(df, text_col, id_col, sep)

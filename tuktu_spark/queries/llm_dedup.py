@@ -302,3 +302,56 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_batch_vs_corpus_pairs(
         batch, corpus_hashed, threshold=0.8
     )
+
+
+# ---------------------------------------------------------------------------
+# Paragraph-level exact dedup (CCNet/Dolma pipeline stage: boilerplate and
+# repeated blocks survive only at their first corpus occurrence). The
+# documents table has no newlines, so the query first materializes 8-token
+# pseudo-paragraphs joined with '\n\n' and then runs the REAL operator
+# (split on the separator, first-occurrence window over md5(paragraph)).
+# ---------------------------------------------------------------------------
+
+_PARA_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, t.tok, t.i
+  FROM (
+    SELECT doc_id,
+           list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS tk
+    FROM documents
+  ), LATERAL (
+    SELECT unnest(tk) AS tok, generate_subscripts(tk, 1) AS i
+  ) AS t
+),
+para AS (
+  SELECT doc_id, CAST((i - 1) // 8 AS INT) AS para_idx,
+         string_agg(tok, ' ' ORDER BY i) AS para
+  FROM tok GROUP BY doc_id, (i - 1) // 8
+)
+SELECT doc_id, para_idx, md5(para) AS para_hash,
+       ROW_NUMBER() OVER (PARTITION BY md5(para) ORDER BY doc_id, para_idx) = 1
+         AS keep
+FROM para
+"""
+
+
+@query("dedup_paragraphs", oracle=_PARA_ORACLE, tags=("llm", "dedup"))
+def dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.trim("text"), r"\s+"), lambda x: x != "")
+    n_chunks = F.greatest(F.ceil(F.size(toks) / F.lit(8)).cast("int"), F.lit(1))
+    para_text = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.array_join(F.slice(toks, i * 8 + 1, 8), " "),
+        ),
+        "\n\n",
+    )
+    staged = docs.select("doc_id", para_text.alias("text"))
+    marked = D.paragraph_dedup(staged, "text", "doc_id")
+    return marked.select(
+        "doc_id",
+        F.col("para_idx").cast("int").alias("para_idx"),
+        F.md5("para").alias("para_hash"),
+        "keep",
+    )
