@@ -709,3 +709,40 @@ class TestParagraphDedup:
         )
         assert "SinglePartition" not in plan
         assert "hashpartitioning(md5" in plan or "hashpartitioning(_w" in plan, plan
+
+
+class TestDuplicateNgramSpans:
+    def test_flags_repeated_windows_only(self, spark):
+        from tuktu_spark.llm.dedup import duplicate_ngram_spans
+
+        df = spark.createDataFrame(
+            [(1, "a b c d e unique1 tail1"),
+             (2, "x a b c d e unique2"),
+             (3, "totally different words here now six")],
+            "doc_id long, text string",
+        )
+        out = duplicate_ngram_spans(df, n=5, min_count=2).collect()
+        spans = {(r["doc_id"], r["start_idx"]) for r in out}
+        # 'a b c d e' occurs at doc1 pos0 and doc2 pos1; nothing else repeats
+        assert spans == {(1, 0), (2, 1)}
+        assert all(r["n_dups"] == 2 for r in out)
+
+    def test_short_docs_yield_no_spans(self, spark):
+        from tuktu_spark.llm.dedup import duplicate_ngram_spans
+
+        df = spark.createDataFrame(
+            [(1, "a b"), (2, "a b")], "doc_id long, text string"
+        )
+        assert duplicate_ngram_spans(df, n=5).count() == 0
+
+    def test_single_exchange_plan(self, spark):
+        from tuktu_spark.llm.dedup import duplicate_ngram_spans
+
+        df = spark.createDataFrame([(1, "a b c d e f")], "doc_id long, text string")
+        plan = duplicate_ngram_spans(df, n=3)._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+        import re
+
+        assert len(set(re.findall(r"\(\d+\) (?:Broadcast)?Exchange", plan))) == 1
+        assert "SinglePartition" not in plan

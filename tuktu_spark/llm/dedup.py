@@ -727,3 +727,45 @@ def paragraph_dedup_rebuild(
             ).alias(text_col)
         )
     )
+
+
+def duplicate_ngram_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 50,
+    min_count: int = 2,
+) -> DataFrame:
+    """Substring-level duplication signal (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better" — public paper): every
+    position where an n-token window's text occurs >= min_count times in
+    the corpus. Returns (id, start_idx, gram_hash, n_dups) for flagged
+    spans; callers mask/cut those spans or drop documents dominated by
+    them.
+
+    Spark-first topology instead of the paper's suffix array: hashed
+    sliding windows (per-row array algebra, no shuffle) and ONE shuffle
+    clustering by gram hash, with the count as a window function over
+    that same partitioning — no join, no second exchange. Linear in
+    corpus tokens and hash-distributed, so it scales to 100 TB where a
+    global suffix array cannot."""
+    from pyspark.sql import Window
+
+    toks = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: x != "")
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.md5(F.array_join(F.slice(toks, i + 1, n), " ")),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    hashed = df.select(
+        F.col(id_col), F.posexplode(grams).alias("start_idx", "gram_hash")
+    )
+    w = Window.partitionBy("gram_hash")
+    return (
+        hashed.withColumn("n_dups", F.count(F.lit(1)).over(w))
+        .filter(F.col("n_dups") >= int(min_count))
+        .select(id_col, F.col("start_idx").cast("int"), "gram_hash",
+                F.col("n_dups").cast("bigint"))
+    )

@@ -342,3 +342,17 @@ def paragraph_dedup_op(config: dict):
     if config.get("rebuild"):
         return lambda df: D.paragraph_dedup_rebuild(df, text_col, id_col, sep)
     return lambda df: D.paragraph_dedup(df, text_col, id_col, sep)
+
+
+@operator("duplicate_ngram_spans")
+def duplicate_ngram_spans_op(config: dict):
+    """Flag every n-token window occurring >= min_count times corpus-wide
+    (substring-dedup signal; Lee et al. 2022). config: {text_field,
+    id_field, n, min_count}."""
+    return lambda df: D.duplicate_ngram_spans(
+        df,
+        config.get("text_field", "text"),
+        config.get("id_field", "doc_id"),
+        int(config.get("n", 50)),
+        int(config.get("min_count", 2)),
+    )

@@ -355,3 +355,34 @@ def dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("para").alias("para_hash"),
         "keep",
     )
+
+
+# ---------------------------------------------------------------------------
+# Duplicated n-gram spans (Lee et al. 2022 substring dedup, hashed-window
+# form): every position whose 10-token window repeats corpus-wide.
+# ---------------------------------------------------------------------------
+
+_NGRAM_SPANS_ORACLE = """
+WITH d AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS tk
+  FROM documents
+),
+g AS (
+  SELECT doc_id, CAST(r.i - 1 AS INT) AS start_idx,
+         md5(array_to_string(list_slice(tk, r.i, r.i + 9), ' ')) AS gram_hash
+  FROM d, LATERAL (
+    SELECT unnest(range(1, greatest(len(tk) - 9, 0) + 1)) AS i
+  ) AS r
+)
+SELECT doc_id, start_idx, gram_hash,
+       CAST(COUNT(*) OVER (PARTITION BY gram_hash) AS BIGINT) AS n_dups
+FROM g
+QUALIFY COUNT(*) OVER (PARTITION BY gram_hash) >= 2
+"""
+
+
+@query("dedup_ngram_spans", oracle=_NGRAM_SPANS_ORACLE, tags=("llm", "dedup"))
+def dedup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.duplicate_ngram_spans(docs, "text", "doc_id", n=10, min_count=2)
