@@ -746,3 +746,15 @@ class TestDuplicateNgramSpans:
 
         assert len(set(re.findall(r"\(\d+\) (?:Broadcast)?Exchange", plan))) == 1
         assert "SinglePartition" not in plan
+
+
+def test_ngram_spans_engines_identical(spark, sf_dir):
+    """Arrow (hashlib.md5) and Catalyst (SQL md5) window hashing are
+    bit-identical — pins the 3.5x Arrow fast path to the oracle semantics."""
+    from tuktu_spark.llm.dedup import duplicate_ngram_spans
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(120)
+    key = lambda r: (r["doc_id"], r["start_idx"], r["gram_hash"], r["n_dups"])
+    a = sorted(map(key, duplicate_ngram_spans(docs, n=10, engine="arrow").collect()))
+    b = sorted(map(key, duplicate_ngram_spans(docs, n=10, engine="sql").collect()))
+    assert a == b and len(a) > 0

@@ -335,7 +335,7 @@ FROM para
 """
 
 
-@query("dedup_paragraphs", oracle=_PARA_ORACLE, tags=("llm", "dedup"))
+@query("dedup_paragraphs", oracle=_PARA_ORACLE, tags=("llm", "dedup"), bench=True)
 def dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = F.filter(F.split(F.trim("text"), r"\s+"), lambda x: x != "")
@@ -382,7 +382,7 @@ QUALIFY COUNT(*) OVER (PARTITION BY gram_hash) >= 2
 """
 
 
-@query("dedup_ngram_spans", oracle=_NGRAM_SPANS_ORACLE, tags=("llm", "dedup"))
+@query("dedup_ngram_spans", oracle=_NGRAM_SPANS_ORACLE, tags=("llm", "dedup"), bench=True)
 def dedup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return D.duplicate_ngram_spans(docs, "text", "doc_id", n=10, min_count=2)
