@@ -1,0 +1,110 @@
+"""Property-based tests for the round-5 training-data operators: the
+operators' invariants hold on arbitrary corpora, not just fixtures.
+Python reference models are deliberately naive (brute force) — Spark must
+match them exactly."""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+WORD = st.text(alphabet="abcdef", min_size=1, max_size=3)
+PARA = st.lists(WORD, min_size=1, max_size=4).map(" ".join)
+DOC = st.lists(PARA, min_size=0, max_size=4).map("\n\n".join)
+CORPUS = st.lists(DOC, min_size=1, max_size=6)
+
+
+def _paras(text: str) -> list[str]:
+    return [p.strip() for p in re.split(r"\n{2,}", text) if p.strip()]
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(corpus=CORPUS)
+def test_paragraph_dedup_matches_naive_model(spark, corpus):
+    from tuktu_spark.llm.dedup import paragraph_dedup
+
+    rows = [(i, t) for i, t in enumerate(corpus)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["doc_id"], r["para_idx"]): r["keep"]
+           for r in paragraph_dedup(df).collect()}
+
+    seen: set[str] = set()
+    want = {}
+    for i, t in rows:
+        for j, p in enumerate(_paras(t)):
+            want[(i, j)] = p not in seen
+            seen.add(p)
+    assert got == want
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(corpus=CORPUS)
+def test_paragraph_rebuild_is_project_of_kept(spark, corpus):
+    from tuktu_spark.llm.dedup import paragraph_dedup_rebuild
+
+    rows = [(i, t) for i, t in enumerate(corpus)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["text"]
+           for r in paragraph_dedup_rebuild(df).collect()}
+    seen: set[str] = set()
+    for i, t in rows:
+        kept = []
+        for p in _paras(t):
+            if p not in seen:
+                kept.append(p)
+                seen.add(p)
+        if kept:
+            assert got[i] == "\n\n".join(kept)
+        else:
+            # fully-duplicate (or empty) docs are absent from the rebuild
+            assert i not in got
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    corpus=st.lists(st.lists(WORD, min_size=0, max_size=8).map(" ".join),
+                    min_size=1, max_size=5),
+    n=st.integers(min_value=2, max_value=4),
+)
+def test_duplicate_ngram_spans_matches_naive_model(spark, corpus, n):
+    from tuktu_spark.llm.dedup import duplicate_ngram_spans
+
+    rows = [(i, t) for i, t in enumerate(corpus)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["doc_id"], r["start_idx"]): r["n_dups"]
+           for r in duplicate_ngram_spans(df, n=n, min_count=2).collect()}
+
+    grams: Counter = Counter()
+    positions = []
+    for i, t in rows:
+        toks = [x for x in re.split(r"\s+", t.strip()) if x]
+        for j in range(len(toks) - n + 1):
+            g = " ".join(toks[j : j + n])
+            grams[g] += 1
+            positions.append((i, j, g))
+    want = {(i, j): grams[g] for i, j, g in positions if grams[g] >= 2}
+    assert got == want
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    counts=st.lists(st.integers(min_value=1, max_value=50), min_size=1, max_size=20),
+    budget=st.integers(min_value=1, max_value=60),
+)
+def test_pack_sequences_matches_greedy_model(spark, counts, budget):
+    import warnings
+
+    from tuktu_spark.llm.mixing import pack_sequences
+
+    rows = [(i, c) for i, c in enumerate(counts)]
+    df = spark.createDataFrame(rows, "doc_id long, n long")
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        got = {r["doc_id"]: r["chunk_id"]
+               for r in pack_sequences(df, budget, "n").collect()}
+    cum = 0
+    for i, c in rows:
+        cum += c
+        assert got[i] == (cum - 1) // budget

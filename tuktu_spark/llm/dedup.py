@@ -708,9 +708,10 @@ def paragraph_dedup_rebuild(
     sep_regex: str = r"\n{2,}",
     joiner: str = "\n\n",
 ) -> DataFrame:
-    """Rewrite each document keeping only first-occurrence paragraphs
-    (documents whose every paragraph was seen before come back EMPTY —
-    callers typically filter those). Order within a doc is preserved."""
+    """Rewrite each document keeping only first-occurrence paragraphs.
+    Documents whose every paragraph was seen before are ABSENT from the
+    output (they have nothing left — the usual pipeline wants them
+    dropped anyway). Order within a doc is preserved."""
     marked = paragraph_dedup(df, text_col, id_col, sep_regex)
     kept = marked.filter(F.col("keep"))
     return (
