@@ -227,3 +227,36 @@ class TestRbemPerLanguage:
         out = make_operator("rbem_polarity", {"by_language": True})(df)
         got = {r["id"]: r["polarity"] for r in out.collect()}
         assert got[1] > 0 and got[2] < 0
+
+
+class TestPosEngines:
+    def test_arrow_and_sql_identical(self, spark, sf_dir):
+        from tuktu_spark.ml.rbem import pos_tags
+
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", F.split("text", " ").alias("toks")
+        ).limit(200)
+        extra = spark.createDataFrame(
+            [(99999, ["The", "CAT", "42", "3.14", "London", "running",
+                      "fez", "Dogs", "a1B", ""]), (99998, [])],
+            "doc_id long, toks array<string>",
+        )
+        d = d.unionByName(extra)
+        a = {r["doc_id"]: r["t"] for r in
+             d.select("doc_id", pos_tags(F.col("toks"), engine="arrow").alias("t")).collect()}
+        b = {r["doc_id"]: r["t"] for r in
+             d.select("doc_id", pos_tags(F.col("toks"), engine="sql").alias("t")).collect()}
+        assert a == b
+
+    def test_python_mirror_matches_case_sql(self, duck):
+        from tuktu_spark.ml.rbem import pos_tag_case_sql, pos_tag_python
+
+        words = ["The", "cat", "cats", "running", "walked", "slowly",
+                 "bigger", "biggest", "useful", "famous", "active", "42",
+                 "3.14", "London", "and", "must", "who", "it", "ed", "x",
+                 "fez", "Dogs", "sat", "painting"]
+        arr = "[" + ", ".join(f"'{w}'" for w in words) + "]"
+        duck_tags = duck.execute(
+            f"SELECT list_transform({arr}, tok -> {pos_tag_case_sql('tok')})"
+        ).fetchone()[0]
+        assert [pos_tag_python(w) for w in words] == duck_tags

@@ -136,15 +136,70 @@ def pos_tag_case_sql(tok: str = "tok") -> str:
     return "\n".join(lines)
 
 
-def pos_tags(tokens_col) -> Column:
+def pos_tag_python(tok: str) -> str:
+    """Pure-Python mirror of the Column decision chain — the SAME tables,
+    the SAME precedence (lexicon > NNP shape > CD > suffix > NN). Used by
+    the Arrow engine and by tests as the reference model."""
+    import re
+
+    low = tok.lower()
+    hit = FULL_LEXICON.get(low)
+    if hit is not None:
+        return hit
+    if low != tok and re.match("[A-Z]", tok):
+        return "NNP"
+    if re.fullmatch("[0-9]+([.,][0-9]+)?", tok):
+        return "CD"
+    for suffix, tag in POS_SUFFIX_RULES:
+        if low.endswith(suffix) and len(low) > len(suffix) + 2:
+            return tag
+    return "NN"
+
+
+def pos_tags_arrow(tokens_col) -> Column:
+    """Arrow engine for ``pos_tags``: per-batch distinct-token memo + dict
+    lexicon lookup (O(1) vs the nested map literal's ~50 string compares
+    per token; corpora repeat tokens massively so most tokens are one
+    memo hit). Bit-identical to the Column chain (pinned in tests)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def tag_all(arrs):
+        memo: dict[str, str] = {}
+
+        def one(arr):
+            if arr is None:
+                return []
+            out = []
+            for t in arr:
+                got = memo.get(t)
+                if got is None:
+                    got = memo[t] = pos_tag_python(t)
+                out.append(got)
+            return out
+
+        return arrs.map(one)
+
+    tag_all.__annotations__ = {"arrs": pd.Series, "return": pd.Series}
+    return pandas_udf("array<string>")(tag_all)(tokens_col)
+
+
+def pos_tags(tokens_col, engine: str = "arrow") -> Column:
     """array<string> of heuristic POS tags, aligned with the token array
     (POSTaggerProcessor contract: tags parallel to tokens). Swap point for
     a real model: a pandas_udf with the same (array<string>) ->
     (array<string>) signature.
 
-    lower(t) is materialized ONCE per token via a staged struct: Catalyst
+    engine='arrow' (default): per-batch memoized dict lookup — with the
+    round-5 trained lexicon (~450 entries) this beats the interpreted
+    Column chain ~2x at sf0.1. engine='sql': pure-JVM Column algebra;
+    lower(t) is materialized ONCE per token via a staged struct (Catalyst
     interprets HOF lambda bodies without CSE, so inlining it would
-    recompute the lowering for every rule branch."""
+    recompute the lowering for every rule branch). Both engines are
+    pinned identical; the DuckDB oracle CASE is generated from the same
+    tables either way."""
+    if engine == "arrow":
+        return pos_tags_arrow(tokens_col)
     staged = F.transform(
         tokens_col, lambda t: F.struct(t.alias("t"), F.lower(t).alias("l"))
     )
