@@ -120,6 +120,28 @@ _VERIFIED_ROUND = {
         ),
         3,
     ),
+    **dict.fromkeys(
+        (
+            "cube_orders", "dedup_incremental_batch", "dedup_minhash_components",
+            "dedup_minhash_lsh", "dedup_minhash_lsh_skew", "dedup_simhash_near_pairs",
+            "dedup_simhash_values", "filter_predicate", "filter_regex",
+            "join_asof_latest_ref", "join_range_bands", "mix_pack_sequences",
+            "mix_weighted_sample", "ml_hmm_train_loglik", "ml_kmeans_cluster_sizes",
+            "ml_logreg_accuracy", "multimodal_audio_stats", "multimodal_decode_stats",
+            "multimodal_frame_sample", "multimodal_frame_timestamps", "multimodal_jpeg_decode",
+            "multimodal_mp4_probe", "multimodal_probe_roundtrip", "nlp_fasttext_buckets",
+            "nlp_fasttext_similar_pairs", "nlp_nbsvm_accuracy", "nlp_pos_tags",
+            "nlp_rbem_polarity", "nlp_rhetorics_counts", "nlp_shorttext_accuracy",
+            "nlp_word2vec_nearest", "pivot_linestatus", "q1_pricing_summary",
+            "rollup_orders", "select_project", "similarity_topk_ivf_kmeans",
+            "similarity_topk_pq", "source_xls_roundtrip", "source_xlsx_roundtrip",
+            "streaming_join_replay", "streaming_session_replay", "streaming_tumbling_replay",
+            "text_bpe_roundtrip", "text_pii_scrub", "text_repetition_stats",
+            "top_k_orders", "ts_ar_forecast", "ts_arima_forecast",
+            "tumbling_window_hourly",
+        ),
+        4,
+    ),
 }
 
 # Queries whose implementation (or a shared helper they exercise) changed in
@@ -127,14 +149,21 @@ _VERIFIED_ROUND = {
 # green, so this round's edits cannot silently regress them.
 _TOUCHED = frozenset(
     {
-        "nlp_fasttext_buckets",  # doc_bucket_vectors refactored over doc_bucket_counts
-        "nlp_pos_tags",          # tagger hot path + lexicon extended this round
-        "multimodal_probe_roundtrip",  # make_png grew color types + real filtering
-        "dedup_minhash_lsh",     # Arrow-vectorized signature engine
-        "dedup_minhash_components",
-        "dedup_simhash_values",  # Arrow-vectorized simhash engine
-        "dedup_simhash_near_pairs",
-        "nlp_rbem_polarity",     # Arrow-vectorized emission engine
+        "normalize_15min_buckets",   # oracle CAST fix (the 4-round red row)
+        "nlp_pos_tags",              # trained lexicon + Arrow engine
+        "nlp_rbem_polarity",         # scorer refactored into _score_doc
+        "nlp_tfidf_top",             # shuffle-chain fusion
+        "nlp_fasttext_buckets",      # shuffle-chain fusion
+        "nlp_fasttext_similar_pairs",  # shares doc_bucket_counts
+        "text_bpe_roundtrip",        # train_bpe min_freq/max_vocab defaults
+        "mix_pack_sequences",        # global-window guard
+        "source_xls_roundtrip",      # mkstemp temp-path change
+        "source_xlsx_roundtrip",
+        "ml_hmm_decode",             # psi dtype widened
+        "multimodal_decode_stats",   # corrupt-body fallback mapping
+        "multimodal_jpeg_decode",
+        "multimodal_mp4_probe",      # v1 mvhd bound fix
+        "multimodal_frame_timestamps",
     }
 )
 
