@@ -300,3 +300,43 @@ class TestRound4AdviceFixes:
         import os
 
         assert os.path.exists(p1)
+
+
+class TestZipMergeDistributed:
+    """engine='distributed' removes the single-partition funnel while
+    assigning the same positional indices (round-4 perf_weak #1)."""
+
+    def test_identical_to_window_engine(self, spark):
+        from tuktu_spark.operators import make_operator
+
+        a = spark.range(0, 500).selectExpr("id AS k", "id * 2 AS va")
+        b = spark.range(0, 500).selectExpr("id AS k2", "id * 3 AS vb")
+        cfg = {"order_by": {"0": ["k"], "1": ["k2"]}}
+        w = make_operator("zip_merge", cfg)(a, b)
+        d = make_operator("zip_merge", {**cfg, "engine": "distributed"})(a, b)
+        key = lambda r: (r["k"], r["va"], r["k2"], r["vb"])
+        assert sorted(map(key, w.collect())) == sorted(map(key, d.collect()))
+
+    def test_padding_engine_equivalence(self, spark):
+        from tuktu_spark.operators import make_operator
+
+        a = spark.range(0, 300).selectExpr("id AS k", "id AS va")
+        b = spark.range(0, 120).selectExpr("id AS k", "id * 7 AS vb")
+        cfg = {"order_by": ["k"], "padding": True}
+        w = make_operator("zip_merge", cfg)(a, b)
+        d = make_operator("zip_merge", {**cfg, "engine": "distributed"})(a, b)
+        key = lambda r: (r["k"], r["va"], r["vb"])
+        assert sorted(map(key, w.collect()), key=str) == sorted(map(key, d.collect()), key=str)
+
+    def test_distributed_numbering_is_parallel(self, spark):
+        from tuktu_spark.operators.joins import _global_row_number
+
+        df = spark.range(0, 10_000).selectExpr("id AS k", "id % 7 AS v")
+        out = _global_row_number(df, ["k"], "rn")
+        plan = out._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+        # the data-carrying window is clustered by partition id, parallel
+        assert "hashpartitioning(__pid__" in plan
+        rows = out.orderBy("k").collect()
+        assert [r["rn"] for r in rows] == list(range(1, 10_001))

@@ -70,28 +70,66 @@ def union_merge(config: dict):
     return transform
 
 
+def _global_row_number(df: DataFrame, ob: list, out_col: str) -> DataFrame:
+    """Distributed 1-based global row number in ``ob`` order WITHOUT a
+    single-partition window: range-partitioned sort, per-partition
+    row_number (hash-clustered by partition id — fully parallel), plus
+    broadcast cumulative partition offsets (a partition-count-sized
+    table; its own cumsum window is over that tiny table, not the data).
+    Same index assignment as `row_number() OVER (ORDER BY ob)` for any
+    total order; ties may number differently (row_number tie order is
+    unspecified in both forms)."""
+    from ..llm.dedup import _persist_scoped
+
+    sorted_df = df.orderBy(*ob).withColumn("__pid__", F.spark_partition_id())
+    # pin the partition assignment so offsets and the window agree; scoped
+    # persist (llm/dedup registry) keeps long sessions leak-free
+    sorted_df = _persist_scoped(sorted_df)
+    tiny = Window.orderBy("__pid__").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        sorted_df.groupBy("__pid__")
+        .agg(F.count(F.lit(1)).alias("__cnt__"))
+        .withColumn("__off__", F.coalesce(F.sum("__cnt__").over(tiny), F.lit(0)))
+        .select("__pid__", "__off__")
+    )
+    local = Window.partitionBy("__pid__").orderBy(*ob)
+    return (
+        sorted_df.withColumn("__lrn__", F.row_number().over(local))
+        .join(F.broadcast(offsets), "__pid__")
+        .withColumn(out_col, (F.col("__off__") + F.col("__lrn__")).cast("int"))
+        .drop("__pid__", "__lrn__", "__off__")
+    )
+
+
 @operator("zip_merge", "simple_merge")
 def zip_merge(config: dict):
     """SimpleMerger (merge/BaseMergers.scala:14-21): positional zip-union of
     branch rows, later branches overwrite shared fields, via row_number
     equi-join over an explicit per-branch order.
 
-    SCALE NOTE: positional zip requires a GLOBAL row order, so the
-    row_number window (Window.orderBy without partitionBy) collapses each
-    branch to a single partition — inherent to the semantics, not an
-    implementation shortcut. Use only on branch sizes that fit one
-    executor (the reference's SimpleMerger is likewise a single-actor
-    zip). For large aligned merges prefer a keyed join on a real key.
+    SCALE NOTE: positional zip requires a GLOBAL row order. The default
+    ``engine='window'`` numbers rows with a global window — each branch
+    collapses to a single partition (the reference's SimpleMerger is
+    likewise a single-actor zip); fine for branch sizes that fit one
+    executor. ``engine='distributed'`` removes the funnel: a
+    range-partitioned sort + per-partition row_number + broadcast
+    cumulative partition offsets assigns the same indices with every
+    stage parallel (see _global_row_number) — use it for large aligned
+    merges; for truly huge data prefer a keyed join on a real key.
 
     config.order_by: {branch_index(str): [cols]} or a single list for all.
     """
     order_by = config["order_by"]
     padding = bool(config.get("padding", False))  # PaddingMerger: keep longer side
+    engine = config.get("engine", "window")
 
     def transform(*dfs: DataFrame) -> DataFrame:
         numbered = []
         for i, df in enumerate(dfs):
             ob = order_by[str(i)] if isinstance(order_by, dict) else order_by
+            if engine == "distributed":
+                numbered.append(_global_row_number(df, ob, "__rn__"))
+                continue
             w = Window.orderBy(*ob)
             numbered.append(df.withColumn("__rn__", F.row_number().over(w)))
         how = "full" if padding else "inner"
