@@ -284,27 +284,33 @@ def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path_factory):
 
 
 def test_pack_sequences_streamed_has_no_global_window(spark, sf_dir, registry):
-    """Round-4 verdict #5: the stream_cols form must partition the window
-    shuffle by the stream key — no SinglePartition exchange anywhere —
-    and the global default must warn."""
-    import warnings
-
+    """Round-4 verdict #5 (superseded in round 5 by a real fix): the
+    stream_cols form partitions the window shuffle by the stream key (no
+    SinglePartition exchange anywhere), and the GLOBAL form now computes a
+    distributed prefix sum — the data-carrying window is clustered by
+    partition id, never a single task; the only SinglePartition piece is
+    the partition-count-sized offsets table."""
     plan = plan_of(registry["mix_pack_sequences"].fn(spark, sf_dir))
     assert "SinglePartition" not in plan
     assert "hashpartitioning(lang" in plan
 
     from tuktu_spark.llm.mixing import pack_sequences
 
-    df = spark.createDataFrame([(1, 10), (2, 20)], "doc_id long, n long")
-    with warnings.catch_warnings(record=True) as caught:
-        warnings.simplefilter("always")
-        pack_sequences(df, 16, "n")  # global form
-    assert any("GLOBAL window" in str(w.message) for w in caught)
+    df = spark.range(0, 5000).selectExpr("id AS doc_id", "id % 37 + 1 AS n")
+    gplan = plan_of(pack_sequences(df, 512, "n"))
+    assert "hashpartitioning(__pid__" in gplan  # parallel cumsum window
 
-    with pytest.raises(ValueError, match="max_global_rows"):
-        with warnings.catch_warnings():
-            warnings.simplefilter("ignore")
-            pack_sequences(df, 16, "n", max_global_rows=1)
+    # identical chunk ids to the naive single-window semantics
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    cum = F.sum("n").over(
+        W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    want = {r["doc_id"]: r["c"] for r in
+            df.withColumn("c", F.floor((cum - 1) / 512).cast("bigint")).collect()}
+    got = {r["doc_id"]: r["chunk_id"] for r in pack_sequences(df, 512, "n").collect()}
+    assert got == want
 
 
 def test_tfidf_fused_single_data_exchange(spark, sf_dir, registry):

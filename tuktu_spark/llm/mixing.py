@@ -57,41 +57,28 @@ def pack_sequences(
     """Assign each document to a training chunk: chunk = floor((cumsum of
     token counts up to and including this doc, in ``order_col`` order) - 1
     / budget). Documents stay whole; a chunk may overflow the budget by at
-    most one document (the standard greedy sequential packing). One
-    window scan; ``stream_cols`` partitions the packing into independent
-    streams (per-domain packing at scale — the window shuffle is by
-    stream key, never global).
+    most one document (the standard greedy sequential packing).
+    ``stream_cols`` partitions the packing into independent streams
+    (per-domain packing — the window shuffle is by stream key).
 
-    Without ``stream_cols`` the window is GLOBAL: Spark funnels every row
-    through one task to make the cumulative sum well-defined. That is the
-    semantics some callers want (one totally-ordered corpus), but it does
-    not scale — so the global form warns, and raises outright above
-    ``max_global_rows`` (a cheap upper bound read from the plan when
-    available; pass ``None`` to disable the guard for a deliberate
-    small-corpus global pack)."""
+    Without ``stream_cols`` the cumulative sum is GLOBAL. A naive global
+    window would funnel every row through one task; instead the global
+    form computes a DISTRIBUTED prefix sum — range-partitioned sort,
+    per-partition cumsum (hash-clustered by partition id, fully
+    parallel), plus broadcast per-partition token-total offsets (a
+    partition-count-sized table). Exact integer arithmetic, identical
+    chunk ids to the single-window form (pinned in tests), scales to the
+    full corpus. ``max_global_rows`` is retained for API compatibility
+    and ignored (the funnel it guarded is gone)."""
     if not stream_cols:
-        import warnings
+        from ..operators.joins import _global_prefix_sum
 
-        warnings.warn(
-            "pack_sequences without stream_cols uses a GLOBAL window — every "
-            "row passes through a single task. Pass stream_cols (e.g. "
-            "['lang']) to pack independent streams in parallel at scale.",
-            stacklevel=2,
-        )
-        if max_global_rows is not None:
-            # spark plan row-count estimate when stats exist; else a cheap
-            # count — both bound the single-task funnel before it runs
-            n = df.count()
-            if n > max_global_rows:
-                raise ValueError(
-                    f"pack_sequences: global (stream_cols=None) packing over "
-                    f"{n} rows > max_global_rows={max_global_rows}. Pass "
-                    f"stream_cols to parallelize, or max_global_rows=None to "
-                    f"force a deliberate global pack."
-                )
-    w = Window.orderBy(order_col) if not stream_cols else Window.partitionBy(
-        *stream_cols
-    ).orderBy(order_col)
+        cum_df = _global_prefix_sum(df, [order_col], token_count_col, "__cum__")
+        return cum_df.withColumn(
+            out_col,
+            F.floor((F.col("__cum__") - 1) / F.lit(int(budget))).cast("bigint"),
+        ).drop("__cum__")
+    w = Window.partitionBy(*stream_cols).orderBy(order_col)
     cum = F.sum(F.col(token_count_col)).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )

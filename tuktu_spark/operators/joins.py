@@ -101,6 +101,37 @@ def _global_row_number(df: DataFrame, ob: list, out_col: str) -> DataFrame:
     )
 
 
+def _global_prefix_sum(
+    df: DataFrame, ob: list, value_col: str, out_col: str
+) -> DataFrame:
+    """Distributed inclusive prefix sum of ``value_col`` in ``ob`` order —
+    same offsets technique as _global_row_number (range-partitioned sort,
+    per-partition cumsum clustered by partition id, broadcast cumulative
+    partition totals). Exact for integer/decimal values; identical to
+    `SUM(v) OVER (ORDER BY ob ROWS UNBOUNDED PRECEDING)` without the
+    single-partition funnel."""
+    from ..llm.dedup import _persist_scoped
+
+    sorted_df = df.orderBy(*ob).withColumn("__pid__", F.spark_partition_id())
+    sorted_df = _persist_scoped(sorted_df)
+    tiny = Window.orderBy("__pid__").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        sorted_df.groupBy("__pid__")
+        .agg(F.sum(value_col).alias("__tot__"))
+        .withColumn("__off__", F.coalesce(F.sum("__tot__").over(tiny), F.lit(0)))
+        .select("__pid__", "__off__")
+    )
+    local = Window.partitionBy("__pid__").orderBy(*ob).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        sorted_df.withColumn("__lcum__", F.sum(value_col).over(local))
+        .join(F.broadcast(offsets), "__pid__")
+        .withColumn(out_col, F.col("__off__") + F.col("__lcum__"))
+        .drop("__pid__", "__lcum__", "__off__")
+    )
+
+
 @operator("zip_merge", "simple_merge")
 def zip_merge(config: dict):
     """SimpleMerger (merge/BaseMergers.scala:14-21): positional zip-union of
