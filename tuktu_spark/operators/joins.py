@@ -225,16 +225,20 @@ def js_merge(config: dict):
         # positionally with the key-precedence concat
         order_by = config["order_by"]
         padding = bool(config.get("padding", False))
+        engine = config.get("engine", "window")
         numbered = []
         for i, df in enumerate(dfs):
             ob = order_by[str(i)] if isinstance(order_by, dict) else order_by
-            w = Window.orderBy(*ob)
-            numbered.append(
-                df.withColumn("__rn__", F.row_number().over(w)).withColumnRenamed(
-                    js_field, f"__js{i}__"
+            if engine == "distributed":
+                num = _global_row_number(df, ob, "__rn__")
+            else:
+                num = df.withColumn(
+                    "__rn__", F.row_number().over(Window.orderBy(*ob))
                 )
+            numbered.append(
+                num.withColumnRenamed(js_field, f"__js{i}__")
                 if js_field in df.columns
-                else df.withColumn("__rn__", F.row_number().over(w))
+                else num
             )
         how = "full" if padding else "inner"
         out = numbered[0]

@@ -108,11 +108,15 @@ def running_count(config: dict):
     name = config.get("field", "count")
 
     def transform(df: DataFrame) -> DataFrame:
-        w = (
-            Window.partitionBy(*partition).orderBy(*order_by)
-            if partition
-            else Window.orderBy(*order_by)
-        )
+        if not partition:
+            # global counter without the single-partition window funnel
+            from .joins import _global_row_number
+
+            out = _global_row_number(df, list(order_by), "__grn__")
+            return out.withColumn(
+                name, (F.col("__grn__") - 1) * step + start
+            ).drop("__grn__")
+        w = Window.partitionBy(*partition).orderBy(*order_by)
         return df.withColumn(name, (F.row_number().over(w) - 1) * step + start)
 
     return transform

@@ -44,9 +44,10 @@ def drop_first(config: dict):
     by = config["by"]
 
     def transform(df: DataFrame) -> DataFrame:
-        w = Window.orderBy(*_order_cols(by))
+        from .joins import _global_row_number
+
         return (
-            df.withColumn("__rn__", F.row_number().over(w))
+            _global_row_number(df, _order_cols(by), "__rn__")
             .filter(F.col("__rn__") > n)
             .drop("__rn__")
         )

@@ -52,10 +52,14 @@ def line(spark: SparkSession, config: dict) -> DataFrame:
     start = config.get("start_line")
     end = config.get("end_line")
     if start is not None or end is not None:
-        from pyspark.sql import Window
+        # file order = partition order of the text scan; materialize the
+        # monotonic id, then number it DISTRIBUTED (joins._global_row_number
+        # — no single-partition window even for huge files)
+        from .joins import _global_row_number
 
-        w = Window.orderBy(F.monotonically_increasing_id())
-        df = df.withColumn("__line__", F.row_number().over(w) - 1)
+        df = df.withColumn("__mid__", F.monotonically_increasing_id())
+        df = _global_row_number(df, ["__mid__"], "__rn__")
+        df = df.withColumn("__line__", F.col("__rn__") - 1).drop("__mid__", "__rn__")
         if start is not None:
             df = df.filter(F.col("__line__") >= int(start))
         if end is not None:

@@ -164,6 +164,9 @@ _TOUCHED = frozenset(
         "multimodal_jpeg_decode",
         "multimodal_mp4_probe",      # v1 mvhd bound fix
         "multimodal_frame_timestamps",
+        "running_count_per_user",    # global form -> distributed numbering
+        "drop_offset",
+        "zip_merge_branches",
     }
 )
 
