@@ -70,6 +70,31 @@ def union_merge(config: dict):
     return transform
 
 
+
+# Scoped persist registry for the distributed positional helpers (same
+# pattern as llm/dedup, but PRIVATE: a dedup pipeline's release must not
+# unpersist a zip_merge plan mid-flight). The persist pins the range-sort
+# partition assignment so the offsets table and the data window agree;
+# within one action the broadcast job materializes the cache and the main
+# job reuses it (MEMORY_AND_DISK — eviction spills, never recomputes).
+_POSITIONAL_PERSISTED: list[DataFrame] = []
+
+
+def release_positional_persisted() -> None:
+    """Unpersist cache entries from prior positional-numbering calls."""
+    while _POSITIONAL_PERSISTED:
+        try:
+            _POSITIONAL_PERSISTED.pop().unpersist()
+        except Exception:
+            pass  # session already stopped
+
+
+def _persist_positional(df: DataFrame) -> DataFrame:
+    df = df.persist()
+    _POSITIONAL_PERSISTED.append(df)
+    return df
+
+
 def _global_row_number(df: DataFrame, ob: list, out_col: str) -> DataFrame:
     """Distributed 1-based global row number in ``ob`` order WITHOUT a
     single-partition window: range-partitioned sort, per-partition
@@ -79,12 +104,9 @@ def _global_row_number(df: DataFrame, ob: list, out_col: str) -> DataFrame:
     Same index assignment as `row_number() OVER (ORDER BY ob)` for any
     total order; ties may number differently (row_number tie order is
     unspecified in both forms)."""
-    from ..llm.dedup import _persist_scoped
-
     sorted_df = df.orderBy(*ob).withColumn("__pid__", F.spark_partition_id())
-    # pin the partition assignment so offsets and the window agree; scoped
-    # persist (llm/dedup registry) keeps long sessions leak-free
-    sorted_df = _persist_scoped(sorted_df)
+    # pin the partition assignment so offsets and the window agree
+    sorted_df = _persist_positional(sorted_df)
     tiny = Window.orderBy("__pid__").rowsBetween(Window.unboundedPreceding, -1)
     offsets = (
         sorted_df.groupBy("__pid__")
@@ -110,10 +132,8 @@ def _global_prefix_sum(
     partition totals). Exact for integer/decimal values; identical to
     `SUM(v) OVER (ORDER BY ob ROWS UNBOUNDED PRECEDING)` without the
     single-partition funnel."""
-    from ..llm.dedup import _persist_scoped
-
     sorted_df = df.orderBy(*ob).withColumn("__pid__", F.spark_partition_id())
-    sorted_df = _persist_scoped(sorted_df)
+    sorted_df = _persist_positional(sorted_df)
     tiny = Window.orderBy("__pid__").rowsBetween(Window.unboundedPreceding, -1)
     offsets = (
         sorted_df.groupBy("__pid__")
