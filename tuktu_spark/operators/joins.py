@@ -103,7 +103,15 @@ def _global_row_number(df: DataFrame, ob: list, out_col: str) -> DataFrame:
     table; its own cumsum window is over that tiny table, not the data).
     Same index assignment as `row_number() OVER (ORDER BY ob)` for any
     total order; ties may number differently (row_number tie order is
-    unspecified in both forms)."""
+    unspecified in both forms).
+
+    The persist pins one materialization of the sort so the offsets table
+    and the data window see the SAME partition assignment (range-boundary
+    sampling is not guaranteed stable across recomputes). At corpus scale
+    where persisting the sorted data is too costly, precompute range
+    boundaries once (approx quantiles of the order key) and bucket by
+    those literals instead — the bucket id becomes a pure function of the
+    data and the persist can be dropped; same plan shape otherwise."""
     sorted_df = df.orderBy(*ob).withColumn("__pid__", F.spark_partition_id())
     # pin the partition assignment so offsets and the window agree
     sorted_df = _persist_positional(sorted_df)
