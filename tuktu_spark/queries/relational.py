@@ -180,11 +180,18 @@ SELECT o_orderkey, o_totalprice FROM (
 
 @query("drop_offset", oracle=_OFFSET_ORACLE, tags=("sort", "offset"))
 def drop_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OFFSET 10 LIMIT 20 — Spark-first: the rank bound is known, so take
+    the top 30 with a distributed partial top-k (TakeOrderedAndProject —
+    every partition keeps 30 rows, the driver merges) and rank only those
+    30 rows; the full table never passes through a global window."""
     o = load_table(spark, sf_dir, "orders")
+    top = o.select("o_orderkey", "o_totalprice").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    ).limit(30)
     w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
     return (
-        o.withColumn("rn", F.row_number().over(w))
-        .filter((F.col("rn") > 10) & (F.col("rn") <= 30))
+        top.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") > 10)
         .select("o_orderkey", "o_totalprice")
     )
 
@@ -671,22 +678,24 @@ FROM a JOIN b ON a.rn = b.rn
 
 @query("zip_merge_branches", oracle=_ZIP_ORACLE, tags=("merge", "join"))
 def zip_merge_branches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional zip of two branches — round 5: both sides number rows
+    with the DISTRIBUTED positional kernel (operators/joins.
+    _global_row_number) instead of a single-partition window; the sort
+    keys are total orders (unique tiebreak), so indices are identical."""
+    from ..operators.joins import _global_row_number
+
     c = load_table(spark, sf_dir, "customer")
     s = load_table(spark, sf_dir, "supplier")
-    a = c.select(
-        "c_custkey",
-        "c_name",
-        F.row_number()
-        .over(Window.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey")))
-        .alias("rn"),
-    )
-    b = s.select(
-        "s_suppkey",
-        "s_name",
-        F.row_number()
-        .over(Window.orderBy(F.col("s_acctbal").desc(), F.col("s_suppkey")))
-        .alias("rn"),
-    )
+    a = _global_row_number(
+        c.select("c_custkey", "c_name", "c_acctbal"),
+        [F.col("c_acctbal").desc(), F.col("c_custkey")],
+        "rn",
+    ).drop("c_acctbal")
+    b = _global_row_number(
+        s.select("s_suppkey", "s_name", "s_acctbal"),
+        [F.col("s_acctbal").desc(), F.col("s_suppkey")],
+        "rn",
+    ).drop("s_acctbal")
     return a.join(b, "rn").select(
         F.col("rn").alias("pos"), "c_custkey", "c_name", "s_suppkey", "s_name"
     )
