@@ -29,6 +29,15 @@ def dsum(col: Column | str, scale: int = 6) -> Column:
     """Exact, engine-portable SUM of a double expression -> DOUBLE.
 
     SQL oracle equivalent: CAST(SUM(CAST(x AS DECIMAL(38,s))) AS DOUBLE)
+
+    REJECTED round-5 optimization (kept as a warning to future editors):
+    summing `round(x * 10^s)` as BIGINT is ~2x faster (long codegen vs
+    the Int128 decimal path) and bit-identical where it fits — but it
+    does NOT fit: squared terms (variance/correlation sums of x*y at
+    scale 6) overflow int64 at sf0.01 already, and even q1's plain price
+    sums overflow around 10^12 rows. DECIMAL(38,s) is the only
+    accumulator that is exact, overflow-safe at 100 TB, and still
+    map-side combinable; see SCALE.md round-5 table.
     """
     c = F.col(col) if isinstance(col, str) else col
     return F.sum(c.cast(f"decimal(38,{scale})")).cast("double")
