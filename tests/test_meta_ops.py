@@ -210,3 +210,28 @@ def test_jsobject_and_tuple_implode(spark):
         "tuple_implode", {"field": "items", "inner_separator": ":", "outer_separator": ";", "as": "t"}
     )(df).collect()[0]
     assert tp["t"] == "x:1;y:2"
+
+
+class TestPythonTransform:
+    def test_dispatches_importable_callable(self, spark):
+        from tuktu_spark.operators import make_operator
+
+        df = spark.createDataFrame([(1, "x"), (2, "y")], "id long, v string")
+        out = make_operator(
+            "python_transform",
+            {"module": "tuktu_spark.llm.text", "function": "with_text_features",
+             "kwargs": {"text_col": "v"}},
+        )(df)
+        assert "n_tokens" in out.columns and out.count() == 2
+
+    def test_non_dataframe_return_raises(self, spark):
+        from tuktu_spark.operators import make_operator
+
+        df = spark.createDataFrame([(1,)], "id long")
+        op = make_operator(
+            "python_transform", {"module": "math", "function": "sqrt"}
+        )
+        import pytest
+
+        with pytest.raises(TypeError):
+            op(df)

@@ -233,3 +233,36 @@ def delay(config: dict):
         return df
 
     return transform
+
+
+@operator("python_transform")
+def python_transform(config: dict):
+    """Whole-DataFrame plugin dispatch — the reference's custom-processor
+    seam (users subclass BaseProcessor and reference the class by name in
+    the flow config; Dispatcher.scala instantiates it reflectively). Here
+    the flow config names a Python callable resolved by import path:
+
+    config: {"module": "my_pkg.transforms", "function": "my_transform",
+             "kwargs": {...}}
+
+    The callable must be DataFrame -> DataFrame (extra config via
+    ``kwargs``). Configs are trusted code, exactly as in the reference;
+    the callable runs driver-side to BUILD lineage, so it composes with
+    Catalyst like any built-in operator (prefer pandas_udf/mapInPandas
+    inside it for row-level Python)."""
+    import importlib
+
+    module = config["module"]
+    function = config["function"]
+    kwargs = dict(config.get("kwargs", {}))
+
+    def transform(df: DataFrame) -> DataFrame:
+        fn = getattr(importlib.import_module(module), function)
+        out = fn(df, **kwargs)
+        if not isinstance(out, DataFrame):
+            raise TypeError(
+                f"{module}.{function} must return a DataFrame, got {type(out)}"
+            )
+        return out
+
+    return transform
