@@ -758,3 +758,38 @@ def test_ngram_spans_engines_identical(spark, sf_dir):
     a = sorted(map(key, duplicate_ngram_spans(docs, n=10, engine="arrow").collect()))
     b = sorted(map(key, duplicate_ngram_spans(docs, n=10, engine="sql").collect()))
     assert a == b and len(a) > 0
+
+
+class TestIvfIndex:
+    """Write-once/query-many IVF: bucketed inverted lists + bucket-pruned
+    probes (round 5 — mirrors the shingle-index pattern)."""
+
+    def test_index_results_identical_to_direct(self, spark, sf_dir):
+        import uuid
+
+        from tuktu_spark.llm import similarity as S
+
+        table = f"ivf_idx_{uuid.uuid4().hex[:8]}"
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        queries = emb.filter(F.col("vec_id") < 8)
+        cents = S.train_ivf_centroids(emb, nlist=8)
+        S.write_ivf_index(emb, table, cents, buckets=8)
+        try:
+            direct = S.ivf_kmeans_topk(emb, queries, cents, k=5, n_probe=4)
+            indexed = S.ivf_topk_from_index(
+                spark, table, queries, cents, k=5, n_probe=4
+            )
+            key = lambda r: (r["query_id"], r["rank"], r["neighbor_id"],
+                             round(r["cosine"], 12))
+            assert sorted(map(key, direct.collect())) == sorted(
+                map(key, indexed.collect())
+            )
+            # the scan is bucket-pruned to the probed lists
+            plan = indexed._jdf.queryExecution().explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                    "formatted"
+                )
+            )
+            assert "SelectedBucketsCount" in plan, plan
+        finally:
+            spark.sql(f"DROP TABLE IF EXISTS {table}")

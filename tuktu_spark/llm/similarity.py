@@ -533,3 +533,74 @@ def pq_rerank_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"), "cosine")
     )
+
+
+def write_ivf_index(
+    vectors: DataFrame,
+    table: str,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    buckets: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Materialize the IVF inverted lists as a managed table BUCKETED by
+    list_id — the write-once/query-many half of the FAISS IVF layout
+    (mirrors dedup.write_shingle_index). Index build is the only corpus
+    pass: one narrow centroid-assignment map + the bucketed write."""
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("nv"),
+    ).withColumn(
+        "list_id", F.element_at(_nearest_centroids(F.col("nv"), centroids, 1), 1)
+    )
+    (
+        v.write.mode(mode)
+        .bucketBy(buckets, "list_id")
+        .sortBy("list_id")
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
+def ivf_topk_from_index(
+    spark,
+    table: str,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """k-means IVF top-k over a prebuilt bucketed index
+    (``write_ivf_index``): queries probe their n_probe nearest lists and
+    the scan reads ONLY those lists' buckets (Spark bucket pruning on the
+    ``list_id IN (...)`` filter — the probe set is collected from the
+    query side, which is driver-small by definition). No centroid
+    re-assignment, no raw-corpus re-scan; identical output to
+    ``ivf_kmeans_topk`` (pinned in tests)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        _as_double(F.col(vec_col)).alias("qv"),
+    ).withColumn(
+        "list_id",
+        F.explode(_nearest_centroids(F.col("qv"), centroids, n_probe)),
+    )
+    probe_lists = sorted(
+        {r["list_id"] for r in q.select("list_id").distinct().collect()}
+    )
+    v = spark.table(table).where(F.col("list_id").isin(probe_lists))
+    scored = (
+        v.join(F.broadcast(q), "list_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", cosine(F.col("qv"), F.col("nv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )

@@ -356,3 +356,56 @@ def duplicate_ngram_spans_op(config: dict):
         int(config.get("n", 50)),
         int(config.get("min_count", 2)),
     )
+
+
+@operator("ivf_index_write")
+def ivf_index_write(config: dict):
+    """Materialize k-means IVF inverted lists as a bucketed managed table
+    (write once, ANN-query many — llm/similarity.write_ivf_index).
+    config: {table, nlist, buckets, id_field, vec_field, mode}. Passes
+    the input through so flows can chain the query stage."""
+    from ..llm import similarity as S
+
+    table = config["table"]
+    nlist = int(config.get("nlist", 16))
+    buckets = int(config.get("buckets", 16))
+    id_col = config.get("id_field", "vec_id")
+    vec_col = config.get("vec_field", "embedding")
+    mode = config.get("mode", "overwrite")
+
+    def sink(df: DataFrame) -> DataFrame:
+        cents = S.train_ivf_centroids(df, nlist=nlist, vec_col=vec_col)
+        S.write_ivf_index(df, table, cents, id_col, vec_col, buckets, mode)
+        # persist centroids next to the table for the query stage
+        df.sparkSession.createDataFrame(
+            [(i, c) for i, c in enumerate(cents)], "centroid_id int, centroid array<double>"
+        ).write.mode(mode).saveAsTable(f"{table}_centroids")
+        return df
+
+    return sink
+
+
+@operator("ann_topk_from_index")
+def ann_topk_from_index(config: dict):
+    """ANN top-k over a prebuilt IVF index (ivf_index_write): the piped
+    DataFrame is the QUERY set; probes read only the probed lists'
+    buckets. config: {table, k, n_probe, id_field, vec_field}."""
+    from ..llm import similarity as S
+
+    table = config["table"]
+    k = int(config.get("k", 5))
+    n_probe = int(config.get("n_probe", 4))
+    id_col = config.get("id_field", "vec_id")
+    vec_col = config.get("vec_field", "embedding")
+
+    def transform(queries: DataFrame) -> DataFrame:
+        spark = queries.sparkSession
+        cents = [
+            [float(x) for x in r["centroid"]]
+            for r in spark.table(f"{table}_centroids").orderBy("centroid_id").collect()
+        ]
+        return S.ivf_topk_from_index(
+            spark, table, queries, cents, k, n_probe, id_col, vec_col
+        )
+
+    return transform

@@ -282,3 +282,53 @@ def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(n_hits / max(n_bf, 1) >= 0.6).alias("recall_ok"),
         (F.col("m") <= _K).alias("per_query_ok"),
     )
+
+
+_IVF_INDEX_ORACLE = f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, TRUE AS index_matches_direct,
+       TRUE AS bucket_pruned
+FROM embeddings WHERE vec_id < {_N_QUERIES}
+"""
+
+
+@query("similarity_topk_ivf_index", oracle=_IVF_INDEX_ORACLE, tags=("llm", "similarity"))
+def similarity_topk_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-once/ANN-query-many (round 5): the IVF inverted lists are
+    materialized as a list_id-bucketed managed table; queries probe their
+    n_probe nearest lists and the scan reads ONLY those buckets (Spark
+    bucket pruning on the probe-set IN filter). SELF-VERIFYING:
+    index_matches_direct asserts the indexed top-k equals the direct
+    ivf_kmeans_topk result row-for-row, bucket_pruned asserts the
+    physical scan carries SelectedBucketsCount; n_queries is an exact
+    corpus fact."""
+    import uuid
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    cents = S.train_ivf_centroids(emb, nlist=16)
+    table = f"ivf_idx_q_{uuid.uuid4().hex[:8]}"
+    S.write_ivf_index(emb, table, cents, buckets=16)
+    try:
+        direct = S.ivf_kmeans_topk(emb, queries, cents, k=_K, n_probe=8)
+        indexed = S.ivf_topk_from_index(
+            spark, table, queries, cents, k=_K, n_probe=8
+        )
+        plan = indexed._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        a = direct.select("query_id", "rank", "neighbor_id")
+        b = indexed.select("query_id", "rank", "neighbor_id")
+        n_direct = a.count()
+        n_same = a.join(b, ["query_id", "rank", "neighbor_id"]).count()
+        n_indexed = b.count()
+        return spark.range(1).select(
+            F.lit(queries.count()).cast("long").alias("n_queries"),
+            F.lit(n_direct == n_same and n_indexed == n_direct).alias(
+                "index_matches_direct"
+            ),
+            F.lit("SelectedBucketsCount" in plan).alias("bucket_pruned"),
+        )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
