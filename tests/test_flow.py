@@ -378,3 +378,22 @@ def test_video_frame_extract_flow(spark, sf_dir):
         F.sum((F.col("duration_ms") / 1000).cast("long") + 1)
     ).first()[0]
     assert n_units == want and n_units > 0
+
+
+def test_ann_index_pipeline_flow(spark, sf_dir):
+    """Write-once IVF index + bucket-pruned ANN query as one flow spec."""
+    import uuid
+
+    table = f"ivf_flow_{uuid.uuid4().hex[:8]}"
+    try:
+        out = run_flow(
+            spark, "flows/examples/ann_index_pipeline.json",
+            params={"dir": sf_dir, "index_table": table},
+        )
+        topk = out["topk"]
+        rows = topk.collect()
+        assert rows and all(r["rank"] <= 5 for r in rows)
+        assert len({r["query_id"] for r in rows}) > 1
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        spark.sql(f"DROP TABLE IF EXISTS {table}_centroids")
