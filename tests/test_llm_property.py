@@ -108,3 +108,37 @@ def test_pack_sequences_matches_greedy_model(spark, counts, budget):
     for i, c in rows:
         cum += c
         assert got[i] == (cum - 1) // budget
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    vals=st.lists(st.integers(min_value=-1000, max_value=1000),
+                  min_size=1, max_size=200, unique=True),
+    parts=st.integers(min_value=1, max_value=7),
+)
+def test_global_row_number_matches_enumerate(spark, vals, parts):
+    from tuktu_spark.operators.joins import _global_row_number
+
+    df = spark.createDataFrame([(v,) for v in vals], "k long").repartition(parts)
+    got = {r["k"]: r["rn"] for r in _global_row_number(df, ["k"], "rn").collect()}
+    want = {v: i + 1 for i, v in enumerate(sorted(vals))}
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(st.tuples(st.integers(min_value=0, max_value=10**6),
+                            st.integers(min_value=-50, max_value=50)),
+                  min_size=1, max_size=150, unique_by=lambda t: t[0]),
+    parts=st.integers(min_value=1, max_value=6),
+)
+def test_global_prefix_sum_matches_running_total(spark, rows, parts):
+    from tuktu_spark.operators.joins import _global_prefix_sum
+
+    df = spark.createDataFrame(rows, "k long, v long").repartition(parts)
+    got = {r["k"]: r["c"] for r in _global_prefix_sum(df, ["k"], "v", "c").collect()}
+    cum, want = 0, {}
+    for k, v in sorted(rows):
+        cum += v
+        want[k] = cum
+    assert got == want
