@@ -260,3 +260,70 @@ class TestPosEngines:
             f"SELECT list_transform({arr}, tok -> {pos_tag_case_sql('tok')})"
         ).fetchone()[0]
         assert [pos_tag_python(w) for w in words] == duck_tags
+
+
+class TestScoreBatchKernel:
+    """The batch-vectorized Arrow kernel must be row-identical to the
+    per-doc reference scorer (round-6 re-vectorization after the r5
+    per-row map regressed the bench 2.1x)."""
+
+    def test_batch_matches_doc_reference(self):
+        import random
+
+        from tuktu_spark.ml.rbem import _score_batch, _score_doc
+
+        rng = random.Random(61)
+        vocab = ["fast", "slow", "the", "not", "Word", "x", "YES", "data", ""]
+        pos, neg = frozenset(["fast", "yes"]), frozenset(["slow"])
+        lf, rf = frozenset(["not"]), frozenset(["the"])
+        arrs = [None, [], ["fast"], ["the", "fast"]] + [
+            [rng.choice(vocab) for _ in range(rng.randrange(0, 40))]
+            for _ in range(200)
+        ]
+        got = _score_batch(arrs, pos, neg, lf, rf, 2.0, 20)
+        for i, arr in enumerate(arrs):
+            want = _score_doc(arr, pos, neg, lf, rf, 2.0, 20)
+            assert got[i] == want, (i, arr, got[i], want)
+
+    def test_batch_empty_models(self):
+        from tuktu_spark.ml.rbem import _score_batch
+
+        e = frozenset()
+        got = _score_batch([["a", "b"], None, []], e, e, e, e, 2.0, 20)
+        assert list(got) == [0.0, 0.0, 0.0]
+
+    def test_lazy_training_no_import_io(self):
+        # ADVICE r5: training must not run at import. Re-import the module
+        # fresh and assert the cache is unpopulated until first use.
+        import importlib
+        import sys
+
+        saved = sys.modules.pop("tuktu_spark.ml.rbem")
+        try:
+            import tuktu_spark.ml.rbem as fresh
+
+            fresh = importlib.reload(fresh)
+            assert fresh._TRAINED_CACHE is None
+            lex = fresh.FULL_LEXICON  # triggers training via __getattr__
+            assert fresh._TRAINED_CACHE is not None and len(lex) > 100
+        finally:
+            sys.modules["tuktu_spark.ml.rbem"] = saved
+
+    def test_chunked_expansion_identical(self, monkeypatch):
+        # force many tiny chunks through the ragged pair expansion
+        import random
+
+        import tuktu_spark.ml.rbem as R
+
+        rng = random.Random(99)
+        vocab = ["fast", "slow", "the", "not", "x"]
+        arrs = [
+            [rng.choice(vocab) for _ in range(rng.randrange(0, 30))]
+            for _ in range(80)
+        ]
+        pos, neg = frozenset(["fast"]), frozenset(["slow"])
+        lf, rf = frozenset(["not"]), frozenset(["the"])
+        whole = R._score_batch(arrs, pos, neg, lf, rf, 2.0, 20)
+        monkeypatch.setattr(R, "_PAIR_CHUNK", 7)
+        chunked = R._score_batch(arrs, pos, neg, lf, rf, 2.0, 20)
+        assert list(whole) == list(chunked)

@@ -56,12 +56,36 @@ _DEFAULT_SUFFIX_RULES: list[tuple[str, str]] = [
 # sample (ml/pos_train.py; reference loads OpenNLP binaries instead —
 # POSTagging.scala:17-64). Closed-class entries win on conflict: they are
 # exact by construction, the trained table is corpus-frequency-based.
-from .pos_train import load_tagged_sample, train_lexicon, train_suffix_rules  # noqa: E402
+# Training is LAZY (first use, cached): module import does no file I/O, so
+# a missing/malformed sample file surfaces at tagging time with a clear
+# error instead of breaking every import of the ml package.
+_TRAINED_CACHE: tuple[dict[str, str], list[tuple[str, str]], dict[str, str]] | None = None
 
-_SAMPLE = load_tagged_sample()
-TRAINED_LEXICON: dict[str, str] = train_lexicon(_SAMPLE)
-POS_SUFFIX_RULES: list[tuple[str, str]] = train_suffix_rules(_SAMPLE, _DEFAULT_SUFFIX_RULES)
-FULL_LEXICON: dict[str, str] = {**TRAINED_LEXICON, **POS_LEXICON}
+
+def _trained() -> tuple[dict[str, str], list[tuple[str, str]], dict[str, str]]:
+    """(TRAINED_LEXICON, POS_SUFFIX_RULES, FULL_LEXICON), built on first
+    use from the bundled sample and cached for the process lifetime."""
+    global _TRAINED_CACHE
+    if _TRAINED_CACHE is None:
+        from .pos_train import load_tagged_sample, train_lexicon, train_suffix_rules
+
+        sample = load_tagged_sample()
+        lex = train_lexicon(sample)
+        rules = train_suffix_rules(sample, _DEFAULT_SUFFIX_RULES)
+        _TRAINED_CACHE = (lex, rules, {**lex, **POS_LEXICON})
+    return _TRAINED_CACHE
+
+
+def __getattr__(name: str):
+    # PEP 562 lazy module attributes: keep `from ...rbem import FULL_LEXICON`
+    # working without paying training cost at import.
+    if name == "TRAINED_LEXICON":
+        return _trained()[0]
+    if name == "POS_SUFFIX_RULES":
+        return _trained()[1]
+    if name == "FULL_LEXICON":
+        return _trained()[2]
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
 
 _NNP_RE = "^[A-Z].*"
 _CD_RE = "^[0-9]+([.,][0-9]+)?$"
@@ -79,7 +103,7 @@ def _pos_tag_pair(tok: Column, low: Column) -> Column:
     5.7x slower at sf0.1)."""
     expr = F.lit("NN")
     # applied in reverse so earlier rules end up outermost (= win)
-    for suffix, tag in POS_SUFFIX_RULES[::-1]:
+    for suffix, tag in _trained()[1][::-1]:
         expr = F.when(
             low.endswith(suffix) & (F.length(low) > len(suffix) + 2), F.lit(tag)
         ).otherwise(expr)
@@ -97,7 +121,7 @@ def _pos_lexicon_map() -> Column:
     flat map costs ~450 string compares per token (measured 2.2x slower
     at sf0.1). Two nested lookups scan ~26 + ~25 keys instead."""
     buckets: dict[str, dict[str, str]] = {}
-    for w, t in FULL_LEXICON.items():
+    for w, t in _trained()[2].items():
         buckets.setdefault(w[0], {})[w] = t
     outer_items = []
     for ch, words in sorted(buckets.items()):
@@ -117,7 +141,7 @@ def pos_tag_case_sql(tok: str = "tok") -> str:
     from the SAME rule tables as the Column version, so the oracle cannot
     drift from the implementation."""
     by_tag: dict[str, list[str]] = {}
-    for w, t in FULL_LEXICON.items():
+    for w, t in _trained()[2].items():
         by_tag.setdefault(t, []).append(w)
     lines = ["CASE"]
     for tag, words in by_tag.items():
@@ -127,7 +151,7 @@ def pos_tag_case_sql(tok: str = "tok") -> str:
         f"  WHEN regexp_matches({tok}, '{_NNP_RE}') AND lower({tok}) <> {tok} THEN 'NNP'"
     )
     lines.append(f"  WHEN regexp_matches({tok}, '{_CD_RE}') THEN 'CD'")
-    for suffix, tag in POS_SUFFIX_RULES:
+    for suffix, tag in _trained()[1]:
         lines.append(
             f"  WHEN ends_with(lower({tok}), '{suffix}') "
             f"AND len({tok}) > {len(suffix) + 2} THEN '{tag}'"
@@ -142,15 +166,16 @@ def pos_tag_python(tok: str) -> str:
     the Arrow engine and by tests as the reference model."""
     import re
 
+    lexicon, suffix_rules, full = _trained()
     low = tok.lower()
-    hit = FULL_LEXICON.get(low)
+    hit = full.get(low)
     if hit is not None:
         return hit
     if low != tok and re.match("[A-Z]", tok):
         return "NNP"
     if re.fullmatch("[0-9]+([.,][0-9]+)?", tok):
         return "CD"
-    for suffix, tag in POS_SUFFIX_RULES:
+    for suffix, tag in suffix_rules:
         if low.endswith(suffix) and len(low) > len(suffix) + 2:
             return tag
     return "NN"
@@ -368,9 +393,11 @@ def rbem_polarity(
 
 
 def _score_doc(arr, pos, neg, lf, rf, base, maxd) -> float:
-    """Score one token array: the numpy |positions| x |seeds| decay matrix
-    shared by the single-model and per-language Arrow paths. Dyadic decay
-    keeps the result bit-identical to the Catalyst fold."""
+    """Score ONE token array — the per-doc REFERENCE implementation. The
+    production Arrow paths use ``_score_batch`` (same arithmetic,
+    batch-vectorized lowering/membership); tests pin the two equal row by
+    row. Dyadic decay keeps the result bit-identical to the Catalyst
+    fold."""
     import numpy as np
 
     if arr is None or len(arr) == 0:
@@ -403,6 +430,104 @@ def _score_doc(arr, pos, neg, lf, rf, base, maxd) -> float:
     return float(((emis(sp) - emis(sn)) * sign).sum())
 
 
+# Max (position x seed-hit) pairs materialized at once by _score_batch —
+# bounds the kernel's peak memory on seed-dense batches (~5 int64/f64
+# arrays of this length ≈ 160 MB); patchable in tests.
+_PAIR_CHUNK = 4_000_000
+
+
+def _score_batch(arrs, pos, neg, lf, rf, base: float, maxd: int):
+    """Fully-flat batch scorer: NO per-document Python or numpy loop. The
+    per-doc score expands to a sum over (position i, seed hit s) pairs of
+    ``sign(i) * w(s) * base^-min(|i-s|, maxd)`` with w = +1 for positive
+    seeds, -1 for negative (0 if a token is in both sets — matching the
+    reference's exact cancellation); the whole Arrow batch is scored as
+
+    1. one flat ``pd.Series.str.lower`` + four hash-based ``isin`` passes
+       (replacing five Python-level per-token passes per doc),
+    2. segmented cumsums for the flip signs (value-identical to the
+       searchsorted form: rf positions are sorted, so ``#rf <= i`` is the
+       inclusive mask cumsum and ``#lf >= i`` is total - cumsum + mask),
+    3. a ragged (seed-hit x doc-positions) pair expansion scored in one
+       vectorized expression and reduced per doc with ``bincount``.
+
+    With dyadic decay (default 2.0) every pair term is an exact multiple
+    of 2^-maxd, so the reordered summation is bit-identical to
+    ``_score_doc`` and the Catalyst fold (pinned in tests); for
+    non-dyadic decay the result may differ from the fold by float
+    rounding, as any reduction-order change would.
+
+    Pair expansion is chunked (~4M pairs) so worst-case seed-dense docs
+    cannot blow batch memory. Returns float64 aligned with ``arrs``."""
+    import numpy as np
+    import pandas as pd
+
+    n_docs = len(arrs)
+    out = np.zeros(n_docs, dtype=np.float64)
+    lens = np.fromiter(
+        (0 if a is None else len(a) for a in arrs), dtype=np.int64, count=n_docs
+    )
+    total = int(lens.sum())
+    if total == 0:
+        return out
+    flat = np.empty(total, dtype=object)
+    off = 0
+    for a, ln in zip(arrs, lens):
+        if ln:
+            flat[off : off + ln] = a
+            off += int(ln)
+    low = pd.Series(flat, dtype=object).str.lower()
+    zeros = np.zeros(total, dtype=bool)
+    pos_m = low.isin(pos).to_numpy() if pos else zeros
+    neg_m = low.isin(neg).to_numpy() if neg else zeros
+    lf_m = low.isin(lf).to_numpy() if lf else zeros
+    rf_m = low.isin(rf).to_numpy() if rf else zeros
+
+    sg = np.flatnonzero(pos_m | neg_m)  # global flat idx of seed hits
+    if len(sg) == 0:
+        return out
+
+    starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
+    doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
+    local_i = np.arange(total, dtype=np.int64) - np.repeat(starts, lens)
+
+    def seg_incl_cumsum(mask):
+        g = np.cumsum(mask.astype(np.int64))
+        head = g[starts] - mask[starts]  # exclusive prefix at each doc start
+        return g - np.repeat(head, lens)
+
+    n_right = seg_incl_cumsum(rf_m)
+    cl = seg_incl_cumsum(lf_m)
+    tot_lf = np.bincount(doc_of, weights=lf_m, minlength=n_docs).astype(np.int64)
+    n_left = np.repeat(tot_lf, lens) - cl + lf_m
+    sign = np.where(((n_right + n_left) % 2) == 1, -1.0, 1.0)
+
+    w = pos_m[sg].astype(np.float64) - neg_m[sg].astype(np.float64)
+    seed_doc = doc_of[sg]
+    seed_local = local_i[sg]
+    reps = lens[seed_doc]  # pairs contributed by each seed hit
+
+    # chunk the ragged expansion so sum(reps) per chunk stays bounded
+    creps = np.cumsum(reps)
+    chunk_pairs = _PAIR_CHUNK
+    lo = 0
+    while lo < len(sg):
+        done_pairs = int(creps[lo - 1]) if lo > 0 else 0
+        hi = min(int(np.searchsorted(creps, done_pairs + chunk_pairs)) + 1, len(sg))
+        r = reps[lo:hi]
+        n_pairs = int(r.sum())
+        pair_start = np.repeat(starts[seed_doc[lo:hi]], r)
+        within = np.arange(n_pairs, dtype=np.int64) - np.repeat(np.cumsum(r) - r, r)
+        pair_i = pair_start + within
+        d = np.minimum(np.abs(within - np.repeat(seed_local[lo:hi], r)), maxd)
+        contrib = (base ** (-d.astype(np.float64))) * np.repeat(w[lo:hi], r) * sign[pair_i]
+        out += np.bincount(
+            np.repeat(seed_doc[lo:hi], r), weights=contrib, minlength=n_docs
+        )
+        lo = hi
+    return out
+
+
 def _rbem_polarity_arrow(
     df: DataFrame,
     tokens_col: str,
@@ -424,7 +549,10 @@ def _rbem_polarity_arrow(
     maxd = int(max_distance)
 
     def score(toks: pd.Series) -> pd.Series:
-        return toks.map(lambda arr: _score_doc(arr, pos, neg, lf, rf, base, maxd))
+        return pd.Series(
+            _score_batch(toks.to_numpy(), pos, neg, lf, rf, base, maxd),
+            index=toks.index,
+        )
 
     score.__annotations__ = {"toks": pd.Series, "return": pd.Series}
     u = pandas_udf("double")(score)
@@ -496,15 +624,25 @@ def rbem_polarity_by_lang(
         )
         for lang, m in models.items()
     }
-    empty = (frozenset(), frozenset(), frozenset(), frozenset())
     base, maxd = float(decay), int(max_distance)
 
     def score(toks: pd.Series, langs: pd.Series) -> pd.Series:
-        out = []
-        for arr, lang in zip(toks, langs):
-            pos, neg, lf, rf = frozen.get(lang, empty)
-            out.append(_score_doc(arr, pos, neg, lf, rf, base, maxd))
-        return pd.Series(out, dtype="float64")
+        # Group the batch by language and run the batch-vectorized kernel
+        # once per language group (unknown/null lang -> empty model -> 0.0,
+        # which is the array's initial value, so those rows need no pass).
+        import numpy as np
+
+        tv = toks.to_numpy()
+        lv = langs.to_numpy()
+        out = np.zeros(len(tv), dtype=np.float64)
+        for lang in pd.unique(lv):
+            model = frozen.get(lang)
+            if model is None:
+                continue
+            pos, neg, lf, rf = model
+            sel = np.flatnonzero(lv == lang)
+            out[sel] = _score_batch(tv[sel], pos, neg, lf, rf, base, maxd)
+        return pd.Series(out, index=toks.index, dtype="float64")
 
     score.__annotations__ = {
         "toks": pd.Series, "langs": pd.Series, "return": pd.Series
