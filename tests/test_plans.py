@@ -335,3 +335,38 @@ def test_fasttext_buckets_fused_single_data_exchange(spark, sf_dir, registry):
     n_exchanges = len(set(re.findall(r"\(\d+\) (?:Broadcast)?Exchange", plan)))
     assert n_exchanges <= 4, plan
     assert "SinglePartition" not in plan
+
+
+def test_zip_merge_default_engine_is_distributed(spark):
+    """Round-5 verdict #2: zip_merge/js_merge must not default to the
+    single-partition global window. The default plan numbers both branches
+    with the distributed positional kernel (pid-clustered windows +
+    broadcast offsets) — no SinglePartition exchange on the data path;
+    engine='window' remains an explicit small-data opt-in."""
+    from tuktu_spark.operators.registry import make_operator
+
+    a = spark.range(0, 2000).selectExpr("id AS pos", "id * 2 AS x")
+    b = spark.range(0, 2000).selectExpr("id AS pos", "id * 3 AS y")
+    out = make_operator("zip_merge", {"order_by": ["pos"]})(a, b)
+    plan = plan_of(out)
+    # the only SinglePartition pieces allowed are the partition-count-sized
+    # offsets tables; the data-carrying windows must be pid-clustered
+    assert "hashpartitioning(__pid__" in plan
+    data_windows = [
+        ln for ln in plan.splitlines()
+        if "Window" in ln and "row_number" in ln and "__pid__" not in ln
+    ]
+    assert not data_windows, data_windows
+
+    # window engine still selectable and identical
+    w = make_operator("zip_merge", {"order_by": ["pos"], "engine": "window"})(a, b)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, w.collect()))
+
+    from pyspark.sql import functions as F
+
+    j = make_operator("js_merge", {"order_by": ["pos"]})(
+        a.withColumn("tuktu_js_field", F.array(F.create_map(F.lit("k"), F.lit("v")))),
+        b.withColumn("tuktu_js_field", F.array(F.create_map(F.lit("k"), F.lit("w")))),
+    )
+    jplan = plan_of(j)
+    assert "hashpartitioning(__pid__" in jplan

@@ -138,7 +138,14 @@ def run_flow(
     meta: dict[str, Any] | None = None,
 ) -> dict[str, DataFrame]:
     """Compile and return the flow's terminal outputs ({leaf_id: DataFrame}).
-    Sink operators (parquet_sink, console, ...) execute as they compile."""
+    Sink operators (parquet_sink, console, ...) execute as they compile.
+
+    Positional-kernel persists from PREVIOUS flow runs are released on
+    entry (ADVICE r5: repeated flow runs must not accumulate cached sorted
+    copies); this run's persists stay pinned for its returned DataFrames."""
+    from ..operators.joins import release_positional_persisted
+
+    release_positional_persisted()
     spec = substitute_meta(substitute_config(_load(flow), params or {}), meta or {})
     outputs = compile_flow(spark, spec, _substituted=True)
     leaves = {}

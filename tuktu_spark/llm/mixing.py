@@ -52,7 +52,7 @@ def pack_sequences(
     order_col: str = "doc_id",
     stream_cols: list[str] | None = None,
     out_col: str = "chunk_id",
-    max_global_rows: int | None = 10_000_000,
+    max_global_rows: int | None = None,
 ) -> DataFrame:
     """Assign each document to a training chunk: chunk = floor((cumsum of
     token counts up to and including this doc, in ``order_col`` order) - 1
@@ -68,8 +68,19 @@ def pack_sequences(
     parallel), plus broadcast per-partition token-total offsets (a
     partition-count-sized table). Exact integer arithmetic, identical
     chunk ids to the single-window form (pinned in tests), scales to the
-    full corpus. ``max_global_rows`` is retained for API compatibility
-    and ignored (the funnel it guarded is gone)."""
+    full corpus. ``max_global_rows`` is DEPRECATED and ignored (the
+    r4-era single-partition funnel it guarded is gone); passing a value
+    warns so callers relying on the old warn/raise guard get a signal."""
+    if max_global_rows is not None:
+        import warnings
+
+        warnings.warn(
+            "pack_sequences(max_global_rows=...) is deprecated and ignored: "
+            "the global form is a distributed prefix sum with no "
+            "single-partition funnel to guard",
+            DeprecationWarning,
+            stacklevel=2,
+        )
     if not stream_cols:
         from ..operators.joins import _global_prefix_sum
 

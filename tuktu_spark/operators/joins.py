@@ -126,7 +126,7 @@ def _global_row_number(df: DataFrame, ob: list, out_col: str) -> DataFrame:
     return (
         sorted_df.withColumn("__lrn__", F.row_number().over(local))
         .join(F.broadcast(offsets), "__pid__")
-        .withColumn(out_col, (F.col("__off__") + F.col("__lrn__")).cast("int"))
+        .withColumn(out_col, (F.col("__off__") + F.col("__lrn__")).cast("bigint"))
         .drop("__pid__", "__lrn__", "__off__")
     )
 
@@ -167,20 +167,22 @@ def zip_merge(config: dict):
     equi-join over an explicit per-branch order.
 
     SCALE NOTE: positional zip requires a GLOBAL row order. The default
-    ``engine='window'`` numbers rows with a global window — each branch
-    collapses to a single partition (the reference's SimpleMerger is
-    likewise a single-actor zip); fine for branch sizes that fit one
-    executor. ``engine='distributed'`` removes the funnel: a
-    range-partitioned sort + per-partition row_number + broadcast
-    cumulative partition offsets assigns the same indices with every
-    stage parallel (see _global_row_number) — use it for large aligned
-    merges; for truly huge data prefer a keyed join on a real key.
+    ``engine='distributed'`` (round 6 — previously 'window') numbers each
+    branch with the distributed positional kernel: a range-partitioned
+    sort + per-partition row_number + broadcast cumulative partition
+    offsets assigns the same indices with every stage parallel (see
+    _global_row_number) — no branch ever collapses to one task.
+    ``engine='window'`` remains the explicit small-data opt-in: a global
+    window (single-partition, like the reference's single-actor
+    SimpleMerger) with one fewer exchange — fine only for branch sizes
+    that fit one executor. For truly huge data prefer a keyed join on a
+    real key.
 
     config.order_by: {branch_index(str): [cols]} or a single list for all.
     """
     order_by = config["order_by"]
     padding = bool(config.get("padding", False))  # PaddingMerger: keep longer side
-    engine = config.get("engine", "window")
+    engine = config.get("engine", "distributed")
 
     def transform(*dfs: DataFrame) -> DataFrame:
         numbered = []
@@ -229,7 +231,8 @@ def js_merge(config: dict):
     (flatten/map_keys to collect seen keys, map_filter to drop them).
 
     config: {order_by (as zip_merge), js_field (default 'tuktu_js_field'),
-    padding}. Shares zip_merge's single-partition scale caveat."""
+    padding}. Shares zip_merge's engine choice (default 'distributed';
+    'window' is the explicit small-data opt-in)."""
     js_field = config.get("js_field", "tuktu_js_field")
     base = zip_merge({k: v for k, v in config.items() if k != "js_field"})
 
@@ -253,7 +256,7 @@ def js_merge(config: dict):
         # positionally with the key-precedence concat
         order_by = config["order_by"]
         padding = bool(config.get("padding", False))
-        engine = config.get("engine", "window")
+        engine = config.get("engine", "distributed")
         numbered = []
         for i, df in enumerate(dfs):
             ob = order_by[str(i)] if isinstance(order_by, dict) else order_by

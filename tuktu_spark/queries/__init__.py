@@ -40,6 +40,18 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = (), benc
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
             # the driver supplies its OWN session; normalize it first
             ensure_session_confs(spark)
+            # Release positional-kernel persists pinned by PREVIOUS query
+            # builds (ADVICE r5: without this, every positional query in a
+            # long driver/bench session accumulates a cached sorted copy of
+            # its input for the session lifetime). Safe at query BUILD
+            # time: the prior query's action has completed in the
+            # build-run-build-run driver/bench loop; a caller that batches
+            # builds before collecting recomputes from lineage instead
+            # (deterministic for deterministic upstreams — see
+            # _global_row_number's docstring for the nondeterministic case).
+            from tuktu_spark.operators.joins import release_positional_persisted
+
+            release_positional_persisted()
             return fn(spark, sf_dir)
 
         REGISTRY[name] = QueryDef(name=name, fn=wrapped, oracle=oracle, tags=tags, bench=bench)
@@ -142,6 +154,24 @@ _VERIFIED_ROUND = {
         ),
         4,
     ),
+    **dict.fromkeys(
+        (
+            "agg_expr_language", "argmax_field_per_row", "case_route_buckets", "corr_matrix",
+            "corr_qty_price", "cube_orders", "dedup_first_per_key", "dedup_ngram_spans",
+            "dedup_paragraphs", "drop_offset", "filter_batch_packet", "group_agg_orders",
+            "histogram_event_types", "join_anti_customers_without_orders", "join_asof_latest_ref", "join_orders_customer",
+            "join_range_bands", "join_semi_big_spenders", "mix_pack_sequences", "ml_hmm_decode",
+            "mode_per_group", "multimodal_decode_stats", "multimodal_frame_timestamps", "multimodal_jpeg_decode",
+            "multimodal_mp4_probe", "nlp_fasttext_buckets", "nlp_fasttext_similar_pairs", "nlp_pos_tags",
+            "nlp_rbem_multilang", "nlp_rbem_polarity", "nlp_tfidf_top", "normalize_15min_buckets",
+            "pivot_linestatus", "q5_local_supplier_volume", "rollup_orders", "running_count_per_user",
+            "sample_systematic", "setop_except_nations", "setop_intersect_nations", "similarity_topk_ivf_index",
+            "source_xls_roundtrip", "source_xlsx_roundtrip", "stats_midrange_covariance", "stats_summary",
+            "stratified_sample_first_k", "template_interpolation", "text_bpe_roundtrip", "union_merge_branches",
+            "window_moving_sum", "zip_merge_branches",
+        ),
+        5,
+    ),
 }
 
 # Queries whose implementation (or a shared helper they exercise) changed in
@@ -149,24 +179,16 @@ _VERIFIED_ROUND = {
 # green, so this round's edits cannot silently regress them.
 _TOUCHED = frozenset(
     {
-        "normalize_15min_buckets",   # oracle CAST fix (the 4-round red row)
-        "nlp_pos_tags",              # trained lexicon + Arrow engine
-        "nlp_rbem_polarity",         # scorer refactored into _score_doc
-        "nlp_tfidf_top",             # shuffle-chain fusion
-        "nlp_fasttext_buckets",      # shuffle-chain fusion
-        "nlp_fasttext_similar_pairs",  # shares doc_bucket_counts
-        "text_bpe_roundtrip",        # train_bpe min_freq/max_vocab defaults
-        "mix_pack_sequences",        # global-window guard
-        "source_xls_roundtrip",      # mkstemp temp-path change
-        "source_xlsx_roundtrip",
-        "ml_hmm_decode",             # psi dtype widened
-        "multimodal_decode_stats",   # corrupt-body fallback mapping
-        "multimodal_jpeg_decode",
-        "multimodal_mp4_probe",      # v1 mvhd bound fix
-        "multimodal_frame_timestamps",
-        "running_count_per_user",    # global form -> distributed numbering
-        "drop_offset",
-        "zip_merge_branches",
+        # round 6 edits
+        "nlp_rbem_polarity",         # flat batch-vectorized Arrow scorer
+        "nlp_rbem_multilang",        # per-language batch dispatch over it
+        "nlp_pos_tags",              # lazy lexicon training (PEP 562)
+        "zip_merge_branches",        # positional index now bigint
+        "running_count_per_user",    # shares _global_row_number
+        "drop_offset",               # shares _global_row_number
+        "mix_pack_sequences",        # shares _global_prefix_sum; param deprecation
+        "dedup_paragraphs",          # engine= parameter threaded through
+        "similarity_topk_ivf_index",  # shares write_ivf_index with append path
     }
 )
 
