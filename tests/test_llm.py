@@ -711,6 +711,48 @@ class TestParagraphDedup:
         assert "hashpartitioning(md5" in plan or "hashpartitioning(_w" in plan, plan
 
 
+    def test_slim_engine_identical(self, spark, sf_dir):
+        """Round-6 verdict #6: engine='slim' (md5-only window shuffle +
+        id-clustered text re-join) is pinned identical to engine='full'
+        on both the hand fixture and the corpus sample."""
+        from tuktu_spark.llm.dedup import paragraph_dedup, paragraph_dedup_rebuild
+
+        key = lambda r: (r["doc_id"], r["para_idx"], r["para"], r["keep"])
+        a = sorted(map(key, paragraph_dedup(self._df(spark)).collect()))
+        b = sorted(map(key, paragraph_dedup(self._df(spark), engine="slim").collect()))
+        assert a == b
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(300)
+        fa = sorted(map(key, paragraph_dedup(docs).collect()))
+        fb = sorted(map(key, paragraph_dedup(docs, engine="slim").collect()))
+        assert fa == fb and len(fa) > 0
+
+        ra = {r["doc_id"]: r["text"]
+              for r in paragraph_dedup_rebuild(self._df(spark)).collect()}
+        rb = {r["doc_id"]: r["text"]
+              for r in paragraph_dedup_rebuild(self._df(spark), engine="slim").collect()}
+        assert ra == rb
+
+    def test_slim_rebuild_reuses_id_partitioning(self, spark, sf_dir):
+        """The slim rebuild's groupBy(id) must ride the dedup join's id
+        repartition — no extra text-scale exchange between join and agg."""
+        from tuktu_spark.llm.dedup import paragraph_dedup_rebuild
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        plan = paragraph_dedup_rebuild(docs, engine="slim")._jdf.queryExecution(
+        ).explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        import re as _re
+
+        # exchanges: md5-window (slim), two id repartitions (slim + text),
+        # and nothing else — the final agg reuses hashpartitioning(doc_id)
+        n_exchanges = len(set(_re.findall(r"\(\d+\) Exchange", plan)))
+        assert n_exchanges <= 3, plan
+
+
 class TestDuplicateNgramSpans:
     def test_flags_repeated_windows_only(self, spark):
         from tuktu_spark.llm.dedup import duplicate_ngram_spans
@@ -793,3 +835,53 @@ class TestIvfIndex:
             assert "SelectedBucketsCount" in plan, plan
         finally:
             spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+    def test_append_assigns_to_existing_centroids(self, spark, sf_dir):
+        """Round-6 verdict #4: mode='append' must be exactly incremental —
+        (write A, append B) probes identical to a full rewrite of A∪B
+        with the SAME centroids, and the appended index still prunes."""
+        import uuid
+
+        from tuktu_spark.llm import similarity as S
+        from tuktu_spark.operators.registry import make_operator
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        a_half = emb.filter(F.col("vec_id") % 2 == 0)
+        b_half = emb.filter(F.col("vec_id") % 2 == 1)
+        queries = emb.filter(F.col("vec_id") < 8)
+        t = f"ivf_app_{uuid.uuid4().hex[:8]}"
+        try:
+            make_operator(
+                "ivf_index_write", {"table": t, "nlist": 8, "buckets": 8}
+            )(a_half)
+            make_operator("ivf_index_write", {"table": t, "mode": "append",
+                                              "buckets": 8})(b_half)
+            cents = S.load_ivf_centroids(spark, t)
+            S.write_ivf_index(emb, f"{t}_full", cents, buckets=8)
+            inc = S.ivf_topk_from_index(spark, t, queries, cents, k=5, n_probe=4)
+            full = S.ivf_topk_from_index(
+                spark, f"{t}_full", queries, cents, k=5, n_probe=4
+            )
+            key = lambda r: (r["query_id"], r["rank"], r["neighbor_id"])
+            assert sorted(map(key, inc.collect())) == sorted(map(key, full.collect()))
+            plan = inc._jdf.queryExecution().explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                    "formatted"
+                )
+            )
+            assert "SelectedBucketsCount" in plan
+        finally:
+            for tbl in (t, f"{t}_centroids", f"{t}_full"):
+                spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+    def test_append_without_index_errors(self, spark, sf_dir):
+        import pytest as _pytest
+
+        from tuktu_spark.operators.registry import make_operator
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        with _pytest.raises(ValueError, match="append"):
+            make_operator(
+                "ivf_index_write",
+                {"table": "ivf_missing_idx_zz", "mode": "append"},
+            )(emb)

@@ -679,22 +679,46 @@ def paragraph_dedup(
     id_col: str = "doc_id",
     sep_regex: str = r"\n{2,}",
     keep_col: str = "keep",
+    engine: str = "full",
 ) -> DataFrame:
     """CCNet/Dolma-style paragraph-level exact dedup: a paragraph survives
     only at its FIRST corpus occurrence (ordered by (id, para_idx));
     later repeats — boilerplate headers, license blocks, navigation — are
     marked keep=false. Returns (id, para_idx, para, keep).
 
-    Scale shape: the only shuffle clusters by md5(paragraph), so the
-    window state per key is the tiny duplicate set of ONE paragraph —
-    hash-distributed, no global ordering anywhere. Reconstruction
-    (``paragraph_dedup_rebuild``) then groups by doc id. The paragraph
-    TEXT rides the shuffle once; at 100 TB swap the window key to the md5
-    only and re-join text from the paragraph table if shuffle volume
-    dominates (same plan shape, one extra bucketable join)."""
+    Scale shape: the only data-scale shuffle clusters by md5(paragraph),
+    so the window state per key is the tiny duplicate set of ONE
+    paragraph — hash-distributed, no global ordering anywhere.
+
+    engine='full' (default): the paragraph TEXT rides the md5 shuffle
+    once — fewest stages, right when paragraphs are small relative to
+    row overhead. engine='slim' (round 6): only (id, para_idx, md5)
+    rides the md5-window shuffle; text is re-joined from the paragraph
+    table over an id-repartition — the join clusters by id, which
+    ``paragraph_dedup_rebuild``'s groupBy(id) then REUSES, so at corpus
+    scale text crosses the wire ONCE (the id repartition) instead of
+    twice (md5 window + rebuild groupBy). Choose 'slim' when paragraph
+    text volume dominates the shuffle (SCALE.md has measured
+    shuffle-bytes at 1x/2x/4x). Output pinned identical across engines."""
     from pyspark.sql import Window
 
     paras = paragraph_table(df, text_col, id_col, sep_regex)
+    if engine == "slim":
+        slim = paras.select(
+            F.col(id_col), "para_idx", F.md5("para").alias("__pmd5")
+        )
+        w = Window.partitionBy("__pmd5").orderBy(id_col, "para_idx")
+        marked = slim.withColumn(
+            keep_col, F.row_number().over(w) == 1
+        ).select(id_col, "para_idx", keep_col)
+        # id-clustered join: hashpartitioning(id) satisfies the join's
+        # (id, para_idx) clustering, so no further exchange here or in a
+        # downstream groupBy(id) — text crosses the wire exactly once
+        p = paras.repartition(F.col(id_col))
+        m = marked.repartition(F.col(id_col))
+        return p.join(m, [id_col, "para_idx"]).select(
+            id_col, "para_idx", "para", keep_col
+        )
     w = Window.partitionBy(F.md5("para")).orderBy(id_col, "para_idx")
     return paras.withColumn(
         keep_col, F.row_number().over(w) == 1
@@ -707,12 +731,15 @@ def paragraph_dedup_rebuild(
     id_col: str = "doc_id",
     sep_regex: str = r"\n{2,}",
     joiner: str = "\n\n",
+    engine: str = "full",
 ) -> DataFrame:
     """Rewrite each document keeping only first-occurrence paragraphs.
     Documents whose every paragraph was seen before are ABSENT from the
     output (they have nothing left — the usual pipeline wants them
-    dropped anyway). Order within a doc is preserved."""
-    marked = paragraph_dedup(df, text_col, id_col, sep_regex)
+    dropped anyway). Order within a doc is preserved. With
+    engine='slim' the groupBy(id) below reuses the dedup join's id
+    partitioning — text shuffles once end to end."""
+    marked = paragraph_dedup(df, text_col, id_col, sep_regex, engine=engine)
     kept = marked.filter(F.col("keep"))
     return (
         kept.groupBy(id_col)

@@ -563,6 +563,47 @@ def write_ivf_index(
     )
 
 
+def load_ivf_centroids(spark, table: str) -> list[list[float]]:
+    """Load the centroid table persisted next to an IVF index
+    (``{table}_centroids``), in centroid_id order."""
+    return [
+        [float(x) for x in r["centroid"]]
+        for r in spark.table(f"{table}_centroids").orderBy("centroid_id").collect()
+    ]
+
+
+def append_ivf_index(
+    vectors: DataFrame,
+    table: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    buckets: int = 16,
+) -> None:
+    """Incrementally add a batch to an EXISTING IVF index: new vectors are
+    assigned to the index's persisted centroids (no retraining, no
+    rewrite of prior lists) and appended into the same list_id-bucketed
+    layout — the batch-vs-corpus shape of dedup_incremental_batch applied
+    to ANN. The only corpus-side work is the append itself; probes keep
+    bucket pruning because the bucket spec is unchanged. Equivalent by
+    construction to rewriting the full index with the SAME centroids
+    (pinned in the driver query)."""
+    spark = vectors.sparkSession
+    centroids = load_ivf_centroids(spark, table)
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("nv"),
+    ).withColumn(
+        "list_id", F.element_at(_nearest_centroids(F.col("nv"), centroids, 1), 1)
+    )
+    (
+        v.write.mode("append")
+        .bucketBy(buckets, "list_id")
+        .sortBy("list_id")
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
 def ivf_topk_from_index(
     spark,
     table: str,

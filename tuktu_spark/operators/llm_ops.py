@@ -335,13 +335,18 @@ def paragraph_dedup_op(config: dict):
     """CCNet/Dolma paragraph-level exact dedup: mark (rebuild=false,
     default) or rewrite (rebuild=true) documents so each paragraph
     survives only at its first corpus occurrence. config: {text_field,
-    id_field, sep_regex, rebuild}."""
+    id_field, sep_regex, rebuild, engine} — engine='slim' shuffles only
+    (id, para_idx, md5) through the dedup window and re-joins text over
+    an id-repartition (see llm/dedup.paragraph_dedup)."""
     text_col = config.get("text_field", "text")
     id_col = config.get("id_field", "doc_id")
     sep = config.get("sep_regex", r"\n{2,}")
+    engine = config.get("engine", "full")
     if config.get("rebuild"):
-        return lambda df: D.paragraph_dedup_rebuild(df, text_col, id_col, sep)
-    return lambda df: D.paragraph_dedup(df, text_col, id_col, sep)
+        return lambda df: D.paragraph_dedup_rebuild(
+            df, text_col, id_col, sep, engine=engine
+        )
+    return lambda df: D.paragraph_dedup(df, text_col, id_col, sep, engine=engine)
 
 
 @operator("duplicate_ngram_spans")
@@ -363,7 +368,13 @@ def ivf_index_write(config: dict):
     """Materialize k-means IVF inverted lists as a bucketed managed table
     (write once, ANN-query many — llm/similarity.write_ivf_index).
     config: {table, nlist, buckets, id_field, vec_field, mode}. Passes
-    the input through so flows can chain the query stage."""
+    the input through so flows can chain the query stage.
+
+    mode='overwrite' (default) trains centroids from the input and
+    (re)writes index + centroid table. mode='append' (round 6, verdict
+    #4) assigns the batch to the EXISTING persisted centroids and appends
+    into the same bucketed layout — no retraining, prior lists untouched,
+    bucket pruning preserved; errors if the index does not exist yet."""
     from ..llm import similarity as S
 
     table = config["table"]
@@ -374,6 +385,15 @@ def ivf_index_write(config: dict):
     mode = config.get("mode", "overwrite")
 
     def sink(df: DataFrame) -> DataFrame:
+        if mode == "append":
+            if not df.sparkSession.catalog.tableExists(f"{table}_centroids"):
+                raise ValueError(
+                    f"ivf_index_write mode='append' needs an existing index "
+                    f"(missing {table}_centroids); write with "
+                    f"mode='overwrite' first"
+                )
+            S.append_ivf_index(df, table, id_col, vec_col, buckets)
+            return df
         cents = S.train_ivf_centroids(df, nlist=nlist, vec_col=vec_col)
         S.write_ivf_index(df, table, cents, id_col, vec_col, buckets, mode)
         # persist centroids next to the table for the query stage

@@ -332,3 +332,64 @@ def similarity_topk_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+_IVF_APPEND_ORACLE = f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, TRUE AS append_matches_rebuild,
+       TRUE AS bucket_pruned
+FROM embeddings WHERE vec_id < {_N_QUERIES}
+"""
+
+
+@query("similarity_ivf_index_append", oracle=_IVF_APPEND_ORACLE, tags=("llm", "similarity"))
+def similarity_ivf_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF index append (round 6, verdict #4): centroids are
+    trained on the FIRST batch only; the second batch is appended by
+    assigning to those existing centroids (llm/similarity.
+    append_ivf_index — batch-vs-corpus, never a retrain). SELF-VERIFYING:
+    append_matches_rebuild asserts the probe over (write A, append B)
+    equals row-for-row the probe over a full rewrite of A∪B with the SAME
+    centroids — i.e. appending is exactly incremental; bucket_pruned
+    asserts the appended index still prunes buckets
+    (SelectedBucketsCount in the physical probe scan)."""
+    import uuid
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    batch_a = emb.filter(F.col("vec_id") % 2 == 0)
+    batch_b = emb.filter(F.col("vec_id") % 2 == 1)
+    cents = S.train_ivf_centroids(batch_a, nlist=16)
+    t_inc = f"ivf_app_q_{uuid.uuid4().hex[:8]}"
+    t_full = f"{t_inc}_full"
+    spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)],
+        "centroid_id int, centroid array<double>",
+    ).write.mode("overwrite").saveAsTable(f"{t_inc}_centroids")
+    S.write_ivf_index(batch_a, t_inc, cents, buckets=16)
+    S.append_ivf_index(batch_b, t_inc, buckets=16)
+    S.write_ivf_index(emb, t_full, cents, buckets=16)
+    try:
+        inc = S.ivf_topk_from_index(spark, t_inc, queries, cents, k=_K, n_probe=8)
+        full = S.ivf_topk_from_index(spark, t_full, queries, cents, k=_K, n_probe=8)
+        plan = inc._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        a = inc.select("query_id", "rank", "neighbor_id")
+        b = full.select("query_id", "rank", "neighbor_id")
+        n_full = b.count()
+        n_same = a.join(b, ["query_id", "rank", "neighbor_id"]).count()
+        n_inc = a.count()
+        return spark.range(1).select(
+            F.lit(queries.count()).cast("long").alias("n_queries"),
+            F.lit(n_inc == n_full and n_same == n_full).alias(
+                "append_matches_rebuild"
+            ),
+            F.lit("SelectedBucketsCount" in plan).alias("bucket_pruned"),
+        )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {t_inc}")
+        spark.sql(f"DROP TABLE IF EXISTS {t_inc}_centroids")
+        spark.sql(f"DROP TABLE IF EXISTS {t_full}")
+        spark.sql(f"DROP TABLE IF EXISTS {t_full}_centroids")
