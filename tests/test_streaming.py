@@ -228,3 +228,49 @@ def test_streaming_exact_dedup_equals_batch(spark, sf_dir, tmp_path):
     )
     proc(corpus.limit(5), 0)
     assert spark.read.parquet(str(tmp_path / "out")).count() == n_before
+
+
+def test_streaming_paragraph_dedup_equals_batch(spark, tmp_path):
+    """Round-6 verdict #7: an id-ordered replay paragraph-dedupes exactly
+    like the batch rebuild, and replays are no-ops."""
+    from pyspark.sql import functions as F
+
+    from tuktu_spark.llm.dedup import paragraph_dedup_rebuild
+    from tuktu_spark.streaming.llm import (
+        make_paragraph_dedup_batch_processor,
+        streaming_paragraph_dedup,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta\n\nshared block\n\ngamma"),
+         (2, "shared block\n\ndelta"),
+         (3, "delta\n\nshared block\n\nepsilon"),
+         (4, "zeta\n\nalpha beta"),
+         (5, "shared block"),
+         (6, "eta\n\ntheta\n\neta")],
+        "doc_id long, text string",
+    )
+    stream = STR.replay_dataframe(
+        corpus, str(tmp_path / "replay"), chunks=3, order_col="doc_id"
+    )
+    q = streaming_paragraph_dedup(
+        stream,
+        store_dir=str(tmp_path / "store"),
+        out_dir=str(tmp_path / "out"),
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {(r["doc_id"], r["text"])
+           for r in spark.read.parquet(str(tmp_path / "out")).collect()}
+    want = {(r["doc_id"], r["text"])
+            for r in paragraph_dedup_rebuild(corpus).collect()}
+    assert got == want and len(want) > 0
+
+    # idempotent replay: re-running batch 0 changes nothing
+    n_before = spark.read.parquet(str(tmp_path / "out")).count()
+    proc = make_paragraph_dedup_batch_processor(
+        spark, str(tmp_path / "store"), str(tmp_path / "out")
+    )
+    proc(corpus.limit(2), 0)
+    assert spark.read.parquet(str(tmp_path / "out")).count() == n_before

@@ -18,7 +18,11 @@ state, exactly-once sinks via checkpointing:
 """
 
 from .sources import file_stream_source, rate_source, replay_dataframe
-from .llm import streaming_minhash_candidates
+from .llm import (
+    streaming_exact_dedup,
+    streaming_minhash_candidates,
+    streaming_paragraph_dedup,
+)
 from .windows import session_window_agg, sliding_window_agg, tumbling_window_agg
 from .ops import (
     foreach_batch_sink,

@@ -242,3 +242,101 @@ def make_exact_dedup_batch_processor(
         )
 
     return process
+
+
+def streaming_paragraph_dedup(
+    stream: DataFrame,
+    store_dir: str,
+    out_dir: str,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep_regex: str = r"\n{2,}",
+    joiner: str = "\n\n",
+):
+    """Incremental PARAGRAPH-level dedup at ingest (round 6, verdict #7):
+    each arriving document is rewritten keeping only paragraphs never
+    seen before — within the batch, first (id, para_idx) occurrence wins
+    (same order rule as batch ``paragraph_dedup``); across batches, the
+    accumulated paragraph-md5 store decides. Docs left with zero novel
+    paragraphs are dropped, matching the batch rebuild.
+
+    State is one md5 per distinct paragraph — boilerplate-heavy corpora
+    keep it far below corpus size, and content identity has no event-time
+    horizon so no watermark applies. Same idempotency contract as the
+    exact/minhash stores: batch_id-partitioned dynamic overwrite, the
+    hash store commits LAST so a stored batch_id proves the whole batch
+    committed, and replays skip. For an id-ordered replay of a static
+    corpus the output is pinned equal to batch
+    ``paragraph_dedup_rebuild`` (tests)."""
+    process = make_paragraph_dedup_batch_processor(
+        stream.sparkSession, store_dir, out_dir, text_col, id_col, sep_regex, joiner
+    )
+    return foreach_batch_sink(stream, process, checkpoint=checkpoint)
+
+
+def make_paragraph_dedup_batch_processor(
+    spark,
+    store_dir: str,
+    out_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep_regex: str = r"\n{2,}",
+    joiner: str = "\n\n",
+):
+    hash_store = os.path.join(store_dir, "paragraph_md5")
+
+    def _read_store() -> DataFrame | None:
+        from pyspark.errors.exceptions.captured import AnalysisException
+
+        try:
+            return spark.read.parquet(hash_store)
+        except AnalysisException:
+            return None
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        old = _read_store()
+        if old is not None and "batch_id" in old.columns:
+            if old.filter(F.col("batch_id") == batch_id).limit(1).count() > 0:
+                return
+            old = old.drop("batch_id")
+        # within-batch first occurrence by (id, para_idx) — the batch rule
+        marked = D.paragraph_dedup(batch_df, text_col, id_col, sep_regex)
+        kept = marked.filter(F.col("keep")).withColumn("__pmd5", F.md5("para"))
+        if old is not None:
+            kept = kept.join(
+                old.select(F.col("paragraph_md5").alias("__pmd5")),
+                "__pmd5",
+                "left_anti",
+            )
+        rebuilt = kept.groupBy(id_col).agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("para_idx", "para"))),
+                    lambda s: s["para"],
+                ),
+                joiner,
+            ).alias(text_col)
+        )
+        dyn = {"partitionOverwriteMode": "dynamic"}
+        (
+            rebuilt.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .options(**dyn)
+            .partitionBy("batch_id")
+            .parquet(out_dir)
+        )
+        # kept paragraphs are distinct by construction (first occurrence
+        # within batch, anti-joined against the store) — commit LAST
+        (
+            kept.select(F.col("__pmd5").alias("paragraph_md5"))
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .options(**dyn)
+            .partitionBy("batch_id")
+            .parquet(hash_store)
+        )
+
+    return process
