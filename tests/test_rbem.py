@@ -21,11 +21,14 @@ def _tag(spark, tokens):
 
 class TestPosTagger:
     def test_lexicon_and_suffix_rules(self, spark):
+        # round 6: -er defaults to NN (agentive nouns dominate OOV;
+        # "runner" was previously mis-pinned JJR); -ier covers comparatives
         got = _tag(
             spark,
-            ["The", "quick", "runner", "quickly", "jumped", "over", "13", "walls"],
+            ["The", "quick", "runner", "happier", "quickly", "jumped",
+             "over", "13", "walls"],
         )
-        assert got == ["DT", "NN", "JJR", "RB", "VBD", "IN", "CD", "NNS"]
+        assert got == ["DT", "NN", "NN", "JJR", "RB", "VBD", "IN", "CD", "NNS"]
 
     def test_capitalized_is_nnp(self, spark):
         assert _tag(spark, ["London", "london"]) == ["NNP", "NN"]

@@ -105,8 +105,10 @@ def train_suffix_rules(
     min_count: int = 3,
     min_purity: float = 0.7,
 ) -> list[tuple[str, str]]:
-    """Keep the default rule ORDER (precedence is a linguistic choice);
-    replace a rule's TAG with the sample majority only on strong evidence."""
+    """Emit rules in LONGEST-SUFFIX-FIRST precedence (most specific wins;
+    stable within a length by defaults order — round 6: list order alone
+    let "s" shadow -ous/-less/-us forever); replace a rule's TAG with the
+    sample majority only on strong hapax evidence."""
     stats = suffix_stats(sentences, [s for s, _ in defaults])
     rules: list[tuple[str, str]] = []
     for sfx, default_tag in defaults:
@@ -115,4 +117,4 @@ def train_suffix_rules(
             rules.append((sfx, got[0]))
         else:
             rules.append((sfx, default_tag))
-    return rules
+    return sorted(rules, key=lambda r: -len(r[0]))

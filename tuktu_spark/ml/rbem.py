@@ -33,7 +33,16 @@ from pyspark.sql import functions as F
 POS_LEXICON: dict[str, str] = {
     **{w: "DT" for w in ("the", "a", "an", "this", "that", "these", "those")},
     **{w: "PRP" for w in ("i", "you", "he", "she", "it", "we", "they", "me", "him", "her", "us", "them", "my", "your", "his", "its", "our", "their")},
-    **{w: "IN" for w in ("in", "on", "at", "of", "for", "with", "by", "from", "to", "into", "over", "under", "than", "as", "like")},
+    **{w: "IN" for w in (
+        "in", "on", "at", "of", "for", "with", "by", "from", "to", "into",
+        "over", "under", "than", "as", "like",
+        # prepositions are a closed class — enumerate them (round 6; the
+        # suffix fallback mis-shapes e.g. during->VBG, against->NN)
+        "during", "against", "between", "without", "within", "among",
+        "upon", "toward", "towards", "beside", "behind", "above", "below",
+        "across", "through", "despite", "until", "since", "about",
+        "around", "along", "beyond", "beneath", "except", "via",
+    )},
     **{w: "CC" for w in ("and", "or", "but", "nor", "so", "yet")},
     **{w: "VB" for w in ("is", "am", "are", "was", "were", "be", "been", "being", "do", "does", "did", "has", "have", "had")},
     **{w: "MD" for w in ("can", "could", "will", "would", "shall", "should", "may", "might", "must")},
@@ -42,14 +51,21 @@ POS_LEXICON: dict[str, str] = {
 }
 
 
-# Suffix rules in PRECEDENCE order (first match wins); a suffix only
-# applies when the token is at least 3 chars longer than it. These are
-# the hand defaults; the effective rules are trained below (sample
-# majority replaces a tag only on strong hapax evidence).
+# Suffix rules; effective PRECEDENCE is longest-suffix-first (most
+# specific wins — round 6: the old first-match-in-list order made "s"
+# shadow every longer s-ending suffix, so -ous/-less/-us could never
+# fire). Within a length, list order breaks ties. A suffix only applies
+# when the token is at least 3 chars longer than it. These are the hand
+# defaults; the effective rules are trained below (sample majority
+# replaces a tag only on strong hapax evidence). -er defaults to NN:
+# across OOV text agentive/instrumental nouns (worker, boiler) dominate
+# comparatives, which -ier and the lexicon largely intercept.
 _DEFAULT_SUFFIX_RULES: list[tuple[str, str]] = [
-    ("s", "NNS"), ("er", "JJR"), ("est", "JJS"), ("able", "JJ"),
-    ("ive", "JJ"), ("ful", "JJ"), ("ous", "JJ"), ("ed", "VBD"),
-    ("ing", "VBG"), ("ly", "RB"),
+    ("ness", "NN"), ("tion", "NN"), ("ment", "NN"), ("less", "JJ"),
+    ("able", "JJ"), ("ful", "JJ"), ("ous", "JJ"), ("ive", "JJ"),
+    ("ish", "JJ"), ("ity", "NN"), ("ize", "VB"), ("ier", "JJR"),
+    ("est", "JJS"), ("ing", "VBG"), ("ed", "VBD"), ("ly", "RB"),
+    ("us", "NN"), ("er", "NN"), ("s", "NNS"),
 ]
 
 # Open-class lexicon + suffix rules TRAINED from the bundled hand-tagged
