@@ -370,3 +370,67 @@ def test_zip_merge_default_engine_is_distributed(spark):
     )
     jplan = plan_of(j)
     assert "hashpartitioning(__pid__" in jplan
+
+
+def test_bounded_positional_kernel(spark):
+    """Round-6 (r5 ADVICE): the bounded kernel assigns the same indices
+    as a global window, uses NO cache pin (recompute-safe by
+    construction), and is deterministic across separate plan builds."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from tuktu_spark.operators.joins import (
+        _global_row_number_bounded,
+        release_positional_persisted,
+    )
+
+    # skewed + tied keys across many partitions
+    df = (
+        spark.range(0, 20000, 1, 16)
+        .selectExpr("id % 977 AS k", "id AS payload")
+    )
+    got = _global_row_number_bounded(df, ["k", "payload"], "rn")
+    want = df.withColumn("rn", F.row_number().over(W.orderBy("k", "payload")))
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+    # ties: index SET per key must match (tie order is unspecified)
+    tied = spark.range(0, 5000, 1, 8).selectExpr("id % 13 AS k")
+    g = _global_row_number_bounded(tied, ["k"], "rn").groupBy("k").agg(
+        F.sort_array(F.collect_list("rn")).alias("rns")
+    )
+    w = tied.withColumn("rn", F.row_number().over(W.orderBy("k"))).groupBy(
+        "k"
+    ).agg(F.sort_array(F.collect_list("rn")).alias("rns"))
+    assert {tuple(r["rns"]) for r in g.collect()} == {
+        tuple(r["rns"]) for r in w.collect()
+    }
+
+    # no persist registered, no InMemoryRelation in the plan
+    release_positional_persisted()
+    from tuktu_spark.operators import joins as J
+
+    before = len(J._POSITIONAL_PERSISTED)
+    out = _global_row_number_bounded(df, ["k", "payload"], "rn")
+    out.count()
+    assert len(J._POSITIONAL_PERSISTED) == before
+    assert "InMemoryRelation" not in plan_of(out)
+
+    # two independent builds agree exactly (value-determined boundaries)
+    a = _global_row_number_bounded(df, ["k", "payload"], "rn").collect()
+    b = _global_row_number_bounded(df, ["k", "payload"], "rn").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+    # expression orders are rejected
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="column names"):
+        _global_row_number_bounded(df, [F.col("k").desc()], "rn")
+
+    # zip_merge exposes it
+    from tuktu_spark.operators.registry import make_operator
+
+    x = spark.range(0, 300).selectExpr("id AS pos", "id * 2 AS a")
+    y = spark.range(0, 300).selectExpr("id AS pos", "id * 3 AS b")
+    zb = make_operator("zip_merge", {"order_by": ["pos"], "engine": "bounded"})(x, y)
+    zw = make_operator("zip_merge", {"order_by": ["pos"], "engine": "window"})(x, y)
+    assert sorted(map(tuple, zb.collect())) == sorted(map(tuple, zw.collect()))

@@ -95,6 +95,84 @@ def _persist_positional(df: DataFrame) -> DataFrame:
     return df
 
 
+def _order_boundaries(df: DataFrame, ob: list[str], buckets: int) -> list[tuple]:
+    """Deterministic range boundaries for ``ob`` (ascending simple
+    columns): a VALUE-BASED sample (xxhash64 of the key tuple mod P — a
+    pure function of the data, unlike seeded row sampling whose draw
+    depends on partition layout), collected bounded, sorted, and cut into
+    up to ``buckets - 1`` distinct quantile boundary tuples. Identical
+    under any recompute of a deterministic input."""
+    key = F.struct(*[F.col(c) for c in ob])
+    sample = (
+        df.select(*ob)
+        .where(F.pmod(F.xxhash64(key), F.lit(97)) == 0)
+        .limit(100_000)
+        .collect()
+    )
+    if not sample:  # tiny input: hash sieve may keep nothing
+        sample = df.select(*ob).limit(10_000).collect()
+    keys = sorted(tuple(r[c] for c in ob) for r in sample)
+    n = len(keys)
+    cuts: list[tuple] = []
+    for i in range(1, buckets):
+        if n == 0:
+            break
+        k = keys[min(i * n // buckets, n - 1)]
+        if not cuts or k != cuts[-1]:
+            cuts.append(k)
+    return cuts
+
+
+def _global_row_number_bounded(
+    df: DataFrame, ob: list[str], out_col: str, buckets: int | None = None
+) -> DataFrame:
+    """Fault-tolerant variant of ``_global_row_number`` (r5 ADVICE): the
+    bucket id is a PURE FUNCTION of the row (comparison against literal
+    boundary tuples), so NO persist pin is needed — under executor loss
+    and lineage recompute the offsets table and the data window provably
+    agree, because (1) bucket assignment is value-determined and (2) the
+    offsets are per-bucket COUNTS, which tie order cannot change. Same
+    index semantics as `row_number() OVER (ORDER BY ob)` (ties
+    unspecified, as ever); boundary quality only affects balance, never
+    correctness — equal keys always land in one bucket. Requires ``ob``
+    to be ascending plain column names (the production positional paths:
+    doc ids, line numbers); desc / expression orders use the persist
+    kernel. One bounded driver collect (the boundary sample) per plan
+    build; no cache residency at all."""
+    if not all(isinstance(c, str) for c in ob):
+        raise ValueError("bounded kernel needs plain ascending column names")
+    spark = df.sparkSession
+    if buckets is None:
+        buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    cuts = _order_boundaries(df, ob, int(buckets))
+    key = F.struct(*[F.col(c) for c in ob])
+    if cuts:
+        barr = F.array(
+            *[
+                F.struct(*[F.lit(v).alias(c) for v, c in zip(t, ob)])
+                for t in cuts
+            ]
+        )
+        bucket = F.size(F.filter(barr, lambda b: key > b))
+    else:
+        bucket = F.lit(0)
+    bucketed = df.withColumn("__bkt__", bucket)
+    tiny = Window.orderBy("__bkt__").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        bucketed.groupBy("__bkt__")
+        .agg(F.count(F.lit(1)).alias("__cnt__"))
+        .withColumn("__off__", F.coalesce(F.sum("__cnt__").over(tiny), F.lit(0)))
+        .select("__bkt__", "__off__")
+    )
+    local = Window.partitionBy("__bkt__").orderBy(*ob)
+    return (
+        bucketed.withColumn("__lrn__", F.row_number().over(local))
+        .join(F.broadcast(offsets), "__bkt__")
+        .withColumn(out_col, (F.col("__off__") + F.col("__lrn__")).cast("bigint"))
+        .drop("__bkt__", "__lrn__", "__off__")
+    )
+
+
 def _global_row_number(df: DataFrame, ob: list, out_col: str) -> DataFrame:
     """Distributed 1-based global row number in ``ob`` order WITHOUT a
     single-partition window: range-partitioned sort, per-partition
@@ -107,11 +185,11 @@ def _global_row_number(df: DataFrame, ob: list, out_col: str) -> DataFrame:
 
     The persist pins one materialization of the sort so the offsets table
     and the data window see the SAME partition assignment (range-boundary
-    sampling is not guaranteed stable across recomputes). At corpus scale
-    where persisting the sorted data is too costly, precompute range
-    boundaries once (approx quantiles of the order key) and bucket by
-    those literals instead — the bucket id becomes a pure function of the
-    data and the persist can be dropped; same plan shape otherwise."""
+    sampling is not guaranteed stable across recomputes). Where the order
+    keys are ascending plain columns, ``_global_row_number_bounded``
+    (round 6) is the fault-tolerant/persist-free form: literal boundary
+    tuples make the bucket id a pure function of the data, so lineage
+    recompute cannot desynchronize offsets from the window."""
     sorted_df = df.orderBy(*ob).withColumn("__pid__", F.spark_partition_id())
     # pin the partition assignment so offsets and the window agree
     sorted_df = _persist_positional(sorted_df)
@@ -175,8 +253,11 @@ def zip_merge(config: dict):
     ``engine='window'`` remains the explicit small-data opt-in: a global
     window (single-partition, like the reference's single-actor
     SimpleMerger) with one fewer exchange — fine only for branch sizes
-    that fit one executor. For truly huge data prefer a keyed join on a
-    real key.
+    that fit one executor. ``engine='bounded'`` (ascending plain-column
+    orders only) is the fault-tolerant persist-free kernel: literal range
+    boundaries make the bucket id a pure function of the data
+    (_global_row_number_bounded). For truly huge data prefer a keyed
+    join on a real key.
 
     config.order_by: {branch_index(str): [cols]} or a single list for all.
     """
@@ -190,6 +271,9 @@ def zip_merge(config: dict):
             ob = order_by[str(i)] if isinstance(order_by, dict) else order_by
             if engine == "distributed":
                 numbered.append(_global_row_number(df, ob, "__rn__"))
+                continue
+            if engine == "bounded":
+                numbered.append(_global_row_number_bounded(df, ob, "__rn__"))
                 continue
             w = Window.orderBy(*ob)
             numbered.append(df.withColumn("__rn__", F.row_number().over(w)))
