@@ -434,3 +434,23 @@ def test_bounded_positional_kernel(spark):
     zb = make_operator("zip_merge", {"order_by": ["pos"], "engine": "bounded"})(x, y)
     zw = make_operator("zip_merge", {"order_by": ["pos"], "engine": "window"})(x, y)
     assert sorted(map(tuple, zb.collect())) == sorted(map(tuple, zw.collect()))
+
+
+def test_js_merge_bounded_engine(spark):
+    from pyspark.sql import functions as F
+
+    from tuktu_spark.operators.registry import make_operator
+
+    a = spark.range(0, 200).selectExpr("id AS pos", "id*2 AS x").withColumn(
+        "tuktu_js_field", F.array(F.create_map(F.lit("k"), F.lit("v")))
+    )
+    b = spark.range(0, 200).selectExpr("id AS pos", "id*3 AS y").withColumn(
+        "tuktu_js_field",
+        F.array(F.create_map(F.lit("k"), F.lit("w")),
+                F.create_map(F.lit("m"), F.lit("z"))),
+    )
+    key = lambda r: (r["pos"], r["x"], r["y"],
+                     tuple(tuple(sorted(m.items())) for m in r["tuktu_js_field"]))
+    jb = make_operator("js_merge", {"order_by": ["pos"], "engine": "bounded"})(a, b)
+    jw = make_operator("js_merge", {"order_by": ["pos"], "engine": "window"})(a, b)
+    assert sorted(map(key, jb.collect())) == sorted(map(key, jw.collect()))

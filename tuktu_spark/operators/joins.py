@@ -346,6 +346,8 @@ def js_merge(config: dict):
             ob = order_by[str(i)] if isinstance(order_by, dict) else order_by
             if engine == "distributed":
                 num = _global_row_number(df, ob, "__rn__")
+            elif engine == "bounded":
+                num = _global_row_number_bounded(df, ob, "__rn__")
             else:
                 num = df.withColumn(
                     "__rn__", F.row_number().over(Window.orderBy(*ob))
