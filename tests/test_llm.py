@@ -885,3 +885,35 @@ class TestIvfIndex:
                 "ivf_index_write",
                 {"table": "ivf_missing_idx_zz", "mode": "append"},
             )(emb)
+
+
+class TestSampleExactK:
+    """Exact-k deterministic sampling (round 6)."""
+
+    def test_exact_size_and_parallelism_invariance(self, spark, sf_dir):
+        from tuktu_spark.llm.mixing import sample_exact_k
+
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        a = {r["doc_id"] for r in sample_exact_k(d, 25).select("doc_id").collect()}
+        b = {r["doc_id"]
+             for r in sample_exact_k(d.repartition(17), 25).select("doc_id").collect()}
+        assert a == b and len(a) == 25
+
+    def test_stratified_exact_k_per_group(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from tuktu_spark.llm.mixing import sample_exact_k
+
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        out = sample_exact_k(d, 7, stratify_col="lang")
+        per = out.groupBy("lang").count().collect()
+        assert all(r["count"] == 7 for r in per) and len(per) > 1
+
+    def test_operator_and_subset_of_corpus(self, spark, sf_dir):
+        from tuktu_spark.operators.registry import make_operator
+
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        out = make_operator("sample_exact_k", {"k": 10})(d)
+        ids = {r["doc_id"] for r in out.select("doc_id").collect()}
+        all_ids = {r["doc_id"] for r in d.select("doc_id").collect()}
+        assert len(ids) == 10 and ids <= all_ids

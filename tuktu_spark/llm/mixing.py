@@ -96,3 +96,35 @@ def pack_sequences(
     return df.withColumn(
         out_col, F.floor((cum - 1) / F.lit(int(budget))).cast("bigint")
     )
+
+
+def sample_exact_k(
+    df: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    stratify_col: str | None = None,
+) -> DataFrame:
+    """EXACT-k deterministic sample without replacement: the k rows with
+    the smallest md5-derived key of ``id_col`` (optionally k PER STRATUM
+    with ``stratify_col``). Complements ``weighted_sample`` (rate-based,
+    size only in expectation) when a corpus subset must hit a hard size
+    target — eval carve-outs, fixed-budget ablations.
+
+    Scale shape: the unstratified form compiles to TakeOrderedAndProject
+    — a per-partition partial top-k reduced on the driver-sized k, no
+    global sort, no single-partition window. The stratified form is one
+    window over hashpartitioning(stratum). Deterministic at any
+    parallelism (the key is a pure function of the id), so the kept set
+    is exactly reproducible and exactly SQL-oracle-checkable (same
+    md5-prefix arithmetic in DuckDB)."""
+    key = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    if stratify_col is None:
+        return df.orderBy(key.asc(), F.col(id_col).asc()).limit(int(k))
+    w = Window.partitionBy(stratify_col).orderBy(key.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("__srank__", F.row_number().over(w))
+        .filter(F.col("__srank__") <= int(k))
+        .drop("__srank__")
+    )

@@ -247,6 +247,21 @@ def weighted_sample_op(config: dict):
     )
 
 
+@operator("sample_exact_k")
+def sample_exact_k_op(config: dict):
+    """Exact-k deterministic sample without replacement (smallest md5
+    key; partial top-k, no global sort). config: {k, id_field,
+    stratify_field}."""
+    from ..llm.mixing import sample_exact_k
+
+    return lambda df: sample_exact_k(
+        df,
+        int(config["k"]),
+        config.get("id_field", "doc_id"),
+        config.get("stratify_field"),
+    )
+
+
 @operator("pack_sequences")
 def pack_sequences_op(config: dict):
     """Token-budget training-chunk assignment (greedy sequential packing

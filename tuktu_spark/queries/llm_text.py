@@ -513,3 +513,35 @@ def mix_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_toks").cast("long").alias("chunk_tokens"),
     )
+
+
+_EXACT_K_ORACLE = """
+WITH keyed AS (
+  SELECT doc_id, lang,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+           AS skey
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY skey, doc_id) AS rk
+  FROM keyed
+)
+SELECT doc_id, lang FROM ranked WHERE rk <= 40
+"""
+
+
+@query("mix_sample_exact_k", oracle=_EXACT_K_ORACLE, tags=("llm", "mixing"))
+def mix_sample_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k deterministic sampling (round 6): exactly 40 docs per
+    language, chosen by smallest md5-derived key — a hard-size carve-out
+    (eval slices, fixed-budget ablations) that is a pure function of the
+    ids, reproducible at any parallelism, and exactly reproduced by the
+    DuckDB oracle (same md5-prefix arithmetic). The stratified form is
+    one window over hashpartitioning(lang); the unstratified form
+    compiles to a partial top-k (TakeOrderedAndProject), never a global
+    sort."""
+    from ..llm.mixing import sample_exact_k
+
+    d = load_table(spark, sf_dir, "documents")
+    return sample_exact_k(d, 40, "doc_id", "lang").select("doc_id", "lang")
