@@ -917,3 +917,82 @@ class TestSampleExactK:
         ids = {r["doc_id"] for r in out.select("doc_id").collect()}
         all_ids = {r["doc_id"] for r in d.select("doc_id").collect()}
         assert len(ids) == 10 and ids <= all_ids
+
+
+class TestDuplicateSpanRemoval:
+    """Maximal span merging + substring removal (round 6 — the Lee et al.
+    removal stage on top of the window signal)."""
+
+    def _df(self, spark):
+        boiler = "one two three four five six seven eight nine ten"
+        return spark.createDataFrame(
+            [(1, f"alpha {boiler} omega"),
+             (2, f"beta {boiler} gamma"),
+             (3, "unique text entirely different words here today"),
+             (4, f"{boiler} {boiler}")],
+            "doc_id long, text string",
+        )
+
+    def test_maximal_intervals(self, spark):
+        from tuktu_spark.llm.dedup import duplicate_span_intervals
+
+        got = {(r["doc_id"], r["span_start"], r["span_end"], r["span_len"])
+               for r in duplicate_span_intervals(self._df(spark), n=5,
+                                                 min_count=2).collect()}
+        # the 10-token boiler flags starts 1..6 in docs 1/2 -> [1, 11);
+        # doc 4 is the boiler twice: every window duplicated -> [0, 20)
+        assert got == {(1, 1, 11, 10), (2, 1, 11, 10), (4, 0, 20, 20)}
+
+    def test_removal_rewrite_and_full_drop(self, spark):
+        from tuktu_spark.llm.dedup import remove_duplicate_spans
+
+        got = {r["doc_id"]: r["text"]
+               for r in remove_duplicate_spans(self._df(spark), n=5,
+                                               min_count=2).collect()}
+        assert got == {
+            1: "alpha omega",
+            2: "beta gamma",
+            3: "unique text entirely different words here today",
+        }  # doc 4 fully duplicated -> dropped
+
+    def test_engines_identical_on_corpus(self, spark, sf_dir):
+        from tuktu_spark.llm.dedup import duplicate_span_intervals
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(150)
+        key = lambda r: (r["doc_id"], r["span_start"], r["span_end"])
+        a = sorted(map(key, duplicate_span_intervals(docs, n=10,
+                                                     engine="arrow").collect()))
+        b = sorted(map(key, duplicate_span_intervals(docs, n=10,
+                                                     engine="sql").collect()))
+        assert a == b and len(a) > 0
+
+    def test_operators_registered(self, spark):
+        from tuktu_spark.operators.registry import make_operator
+
+        out = make_operator("remove_duplicate_spans", {"n": 5})(self._df(spark))
+        assert set(out.columns) == {"doc_id", "text"}
+        iv = make_operator("duplicate_span_intervals", {"n": 5})(self._df(spark))
+        assert {"span_start", "span_end", "span_len"} <= set(iv.columns)
+
+    def test_plan_shapes(self, spark, sf_dir):
+        """intervals: gram clustering + ONE doc clustering shared by the
+        lag window, island cumsum and groupBy (prefix rule) = 2
+        exchanges; removal adds only the corpus re-join = 3. Never a
+        single-partition stage."""
+        import re as _re
+
+        from tuktu_spark.llm.dedup import (
+            duplicate_span_intervals,
+            remove_duplicate_spans,
+        )
+
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        for fn, cap in ((duplicate_span_intervals, 2), (remove_duplicate_spans, 3)):
+            plan = fn(d, n=10)._jdf.queryExecution().explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                    "formatted"
+                )
+            )
+            ex = len(set(_re.findall(r"\(\d+\) (?:Broadcast)?Exchange", plan)))
+            assert ex <= cap, (fn.__name__, ex)
+            assert "SinglePartition" not in plan

@@ -829,3 +829,112 @@ def duplicate_ngram_spans(
         .select(id_col, F.col("start_idx").cast("int"), "gram_hash",
                 F.col("n_dups").cast("bigint"))
     )
+
+
+def duplicate_span_intervals(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 50,
+    min_count: int = 2,
+    engine: str = "arrow",
+) -> DataFrame:
+    """MAXIMAL duplicated spans (round 6): merge the flagged n-token
+    windows of ``duplicate_ngram_spans`` into per-document maximal
+    intervals — the removal unit of Lee et al. 2022 (a duplicated
+    passage longer than n tokens flags n' - n + 1 overlapping windows;
+    the merged interval recovers the passage). Window [s, s+n) merges
+    with the next start s' iff s' - s <= n (overlap or adjacency), the
+    classic gaps-and-islands fold. Returns (id, span_start, span_end,
+    span_len) with span_end exclusive.
+
+    Scale shape: one additional exchange beyond the gram clustering —
+    the lag window, the island cumsum, and the island groupBy all ride
+    the same hashpartitioning(id) (prefix rule)."""
+    from pyspark.sql import Window
+
+    spans = duplicate_ngram_spans(
+        df, text_col, id_col, n, min_count, engine
+    ).select(id_col, "start_idx")
+    byid = Window.partitionBy(id_col).orderBy("start_idx")
+    brk = F.when(
+        F.col("start_idx") - F.lag("start_idx").over(byid) > int(n), 1
+    ).otherwise(0)
+    isl = spans.withColumn(
+        "__isl",
+        F.sum(brk).over(byid.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    return (
+        isl.groupBy(id_col, "__isl")
+        .agg(
+            F.min("start_idx").cast("int").alias("span_start"),
+            (F.max("start_idx") + int(n)).cast("int").alias("span_end"),
+        )
+        .select(
+            id_col,
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start")).cast("int").alias("span_len"),
+        )
+    )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 50,
+    min_count: int = 2,
+    engine: str = "arrow",
+) -> DataFrame:
+    """Rewrite each document DROPPING the tokens inside its maximal
+    duplicated spans (the Lee et al. substring-removal stage;
+    complements document-level MinHash and paragraph dedup). Documents
+    whose every token sits in a duplicated span are ABSENT from the
+    output (nothing left), matching paragraph_dedup_rebuild's contract;
+    span-free documents pass through with whitespace normalized (single
+    spaces — the same tokenization the span detector used). All non-text
+    columns are preserved (pipeline stages downstream keep their
+    metadata; recompute token counts after removal if they must reflect
+    the rewritten text).
+
+    The interval table is span-rows-sized (far below corpus scale); it
+    re-joins the corpus on id and the token filter is per-row array
+    algebra — one corpus-scale shuffle for the join beyond the interval
+    build."""
+    iv = duplicate_span_intervals(df, text_col, id_col, n, min_count, engine)
+    ivs = iv.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("__ivs")
+    )
+    toks = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: x != "")
+    empty_iv = F.array().cast("array<struct<span_start:int,span_end:int>>")
+    staged = (
+        df.join(ivs, id_col, "left")
+        .withColumn("__ivs", F.coalesce(F.col("__ivs"), empty_iv))
+        .withColumn("__toks", toks)
+    )
+    idxed = F.zip_with(
+        F.col("__toks"),
+        F.sequence(F.lit(0), F.greatest(F.size("__toks") - 1, F.lit(0))),
+        lambda t, i: F.struct(t.alias("t"), i.alias("i")),
+    )
+    kept = F.when(
+        F.size("__toks") == 0, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.filter(
+                idxed,
+                lambda s: ~F.exists(
+                    F.col("__ivs"),
+                    lambda v: (s["i"] >= v["span_start"]) & (s["i"] < v["span_end"]),
+                ),
+            ),
+            lambda s: s["t"],
+        )
+    )
+    keep_cols = [c for c in df.columns if c != text_col]
+    return (
+        staged.withColumn("__kept", kept)
+        .filter(F.size("__kept") > 0)
+        .select(*keep_cols, F.array_join("__kept", " ").alias(text_col))
+    )

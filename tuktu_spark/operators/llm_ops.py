@@ -345,6 +345,36 @@ def media_frame_timestamps(config: dict):
     )
 
 
+@operator("duplicate_span_intervals")
+def duplicate_span_intervals_op(config: dict):
+    """Maximal duplicated-span intervals (merged n-gram windows — the
+    Lee et al. removal unit). config: {text_field, id_field, n,
+    min_count, engine}."""
+    return lambda df: D.duplicate_span_intervals(
+        df,
+        config.get("text_field", "text"),
+        config.get("id_field", "doc_id"),
+        int(config.get("n", 50)),
+        int(config.get("min_count", 2)),
+        config.get("engine", "arrow"),
+    )
+
+
+@operator("remove_duplicate_spans")
+def remove_duplicate_spans_op(config: dict):
+    """Substring-removal stage: rewrite documents dropping tokens inside
+    maximal duplicated spans; fully-duplicated docs are dropped.
+    config: {text_field, id_field, n, min_count, engine}."""
+    return lambda df: D.remove_duplicate_spans(
+        df,
+        config.get("text_field", "text"),
+        config.get("id_field", "doc_id"),
+        int(config.get("n", 50)),
+        int(config.get("min_count", 2)),
+        config.get("engine", "arrow"),
+    )
+
+
 @operator("paragraph_dedup")
 def paragraph_dedup_op(config: dict):
     """CCNet/Dolma paragraph-level exact dedup: mark (rebuild=false,

@@ -386,3 +386,113 @@ QUALIFY COUNT(*) OVER (PARTITION BY gram_hash) >= 2
 def dedup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return D.duplicate_ngram_spans(docs, "text", "doc_id", n=10, min_count=2)
+
+
+_SPAN_INTERVALS_ORACLE = """
+WITH d AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS tk
+  FROM documents
+),
+g AS (
+  SELECT doc_id, CAST(r.i - 1 AS INT) AS start_idx,
+         md5(array_to_string(list_slice(tk, r.i, r.i + 9), ' ')) AS gram_hash
+  FROM d, LATERAL (
+    SELECT unnest(range(1, greatest(len(tk) - 9, 0) + 1)) AS i
+  ) AS r
+),
+flagged AS (
+  SELECT doc_id, start_idx FROM g
+  QUALIFY COUNT(*) OVER (PARTITION BY gram_hash) >= 2
+),
+brk AS (
+  SELECT doc_id, start_idx,
+         CASE WHEN start_idx
+                   - LAG(start_idx) OVER (PARTITION BY doc_id ORDER BY start_idx)
+                   > 10 THEN 1 ELSE 0 END AS b
+  FROM flagged
+),
+isl AS (
+  SELECT doc_id, start_idx,
+         SUM(b) OVER (PARTITION BY doc_id ORDER BY start_idx) AS island
+  FROM brk
+)
+SELECT doc_id,
+       CAST(MIN(start_idx) AS INT) AS span_start,
+       CAST(MAX(start_idx) + 10 AS INT) AS span_end,
+       CAST(MAX(start_idx) + 10 - MIN(start_idx) AS INT) AS span_len
+FROM isl GROUP BY doc_id, island
+"""
+
+
+@query("dedup_span_intervals", oracle=_SPAN_INTERVALS_ORACLE, tags=("llm", "dedup"))
+def dedup_span_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal duplicated spans (round 6): the flagged 10-token windows
+    merged per document into maximal intervals (gaps-and-islands over
+    the same doc clustering — window [s, s+10) merges with s' iff
+    s' - s <= 10). The Lee et al. removal unit; the DuckDB oracle runs
+    the identical islands fold."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.duplicate_span_intervals(docs, "text", "doc_id", n=10, min_count=2)
+
+
+_SPAN_REMOVAL_ORACLE = """
+WITH d AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS tk
+  FROM documents
+),
+g AS (
+  SELECT doc_id, CAST(r.i - 1 AS INT) AS start_idx,
+         md5(array_to_string(list_slice(tk, r.i, r.i + 9), ' ')) AS gram_hash
+  FROM d, LATERAL (
+    SELECT unnest(range(1, greatest(len(tk) - 9, 0) + 1)) AS i
+  ) AS r
+),
+flagged AS (
+  SELECT doc_id, start_idx FROM g
+  QUALIFY COUNT(*) OVER (PARTITION BY gram_hash) >= 2
+),
+brk AS (
+  SELECT doc_id, start_idx,
+         CASE WHEN start_idx
+                   - LAG(start_idx) OVER (PARTITION BY doc_id ORDER BY start_idx)
+                   > 10 THEN 1 ELSE 0 END AS b
+  FROM flagged
+),
+isl AS (
+  SELECT doc_id, start_idx,
+         SUM(b) OVER (PARTITION BY doc_id ORDER BY start_idx) AS island
+  FROM brk
+),
+iv AS (
+  SELECT doc_id, MIN(start_idx) AS lo, MAX(start_idx) + 10 AS hi
+  FROM isl GROUP BY doc_id, island
+),
+tok AS (
+  SELECT doc_id, unnest(tk) AS tok, generate_subscripts(tk, 1) - 1 AS i
+  FROM d
+),
+kept AS (
+  SELECT t.doc_id, t.tok, t.i
+  FROM tok t
+  WHERE NOT EXISTS (
+    SELECT 1 FROM iv
+    WHERE iv.doc_id = t.doc_id AND t.i >= iv.lo AND t.i < iv.hi
+  )
+)
+SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS text
+FROM kept GROUP BY doc_id
+"""
+
+
+@query("dedup_span_removal", oracle=_SPAN_REMOVAL_ORACLE, tags=("llm", "dedup"))
+def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-removal rewrite (round 6): documents with their maximal
+    duplicated spans cut out; fully-duplicated documents dropped. The
+    oracle rebuilds every document token-by-token with an anti-semijoin
+    against the same islands fold — any off-by-one in interval bounds or
+    token indexing breaks the hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = D.remove_duplicate_spans(docs, "text", "doc_id", n=10, min_count=2)
+    return out.select("doc_id", "text")
