@@ -996,3 +996,48 @@ class TestDuplicateSpanRemoval:
             ex = len(set(_re.findall(r"\(\d+\) (?:Broadcast)?Exchange", plan)))
             assert ex <= cap, (fn.__name__, ex)
             assert "SinglePartition" not in plan
+
+
+class TestNormalizeText:
+    """Unicode normalization stage (round 6)."""
+
+    def test_nfc_composes_and_cleans(self, spark):
+        from tuktu_spark.llm.text import normalize_text
+
+        decomposed = "Cafe" + chr(0x301)  # e + combining acute
+        df = spark.createDataFrame(
+            [(1, f"  a  b\t{decomposed}\x07 c\x85d  "), (2, None), (3, "")],
+            "id long, text string",
+        )
+        got = {r["id"]: r["text"] for r in normalize_text(df).collect()}
+        assert got[1] == "a b Café cd"  # composed, ctrl-stripped, collapsed
+        assert got[2] is None and got[3] == ""
+
+    def test_nfkc_folds_compatibility(self, spark):
+        from tuktu_spark.llm.text import normalize_text
+
+        df = spark.createDataFrame([(1, "ﬁn ①")], "id long, text string")
+        got = normalize_text(df, form="NFKC").first()["text"]
+        assert got == "fin 1"  # fi ligature + circled-one folded
+
+    def test_bad_form_rejected(self, spark):
+        import pytest as _pytest
+
+        from tuktu_spark.llm.text import normalize_text
+
+        df = spark.range(1).selectExpr("'x' AS text")
+        with _pytest.raises(ValueError, match="form"):
+            normalize_text(df, form="NFX")
+
+    def test_operator_and_zero_shuffles(self, spark, sf_dir):
+        from tuktu_spark.operators.registry import make_operator
+
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        out = make_operator("normalize_text", {})(d)
+        plan = out._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        assert "Exchange" not in plan  # scan-pass stage
+        assert out.count() == d.count()

@@ -407,3 +407,48 @@ def with_pii_scrubbed(
     return df.withColumns(
         {"scrubbed": scrubbed, **{f"n_{k}": c for k, c in counts.items()}}
     )
+
+
+def normalize_text(
+    df: DataFrame,
+    text_col: str = "text",
+    form: str = "NFC",
+    collapse_whitespace: bool = True,
+    strip_control: bool = True,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Unicode text normalization — the standard first stage of a
+    pre-training pipeline (mojibake-adjacent cleanup before dedup hashes
+    anything: the SAME text in composed vs decomposed form must hash
+    identically). Order: strip C0/C1 control characters (JVM regexp,
+    keeps \\t \\n \\r) -> canonical normalization to ``form`` (NFC
+    default; NFKC/NFD/NFKD accepted — unicodedata via an Arrow batch,
+    Spark has no JVM builtin) -> collapse whitespace runs + trim (JVM
+    regexp). Everything except the normalization proper stays codegen'd;
+    scan-pass, zero shuffles.
+
+    The NFC path is exactly oracle-checkable: DuckDB's nfc_normalize
+    composes identically (both implement Unicode canonical composition),
+    so the driver query hash-matches the full stage."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError(f"unknown normalization form {form!r}")
+    out = out_col or text_col
+    col = F.col(text_col)
+    if strip_control:
+        col = F.regexp_replace(col, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F-\\x9F]", "")
+
+    def norm(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(
+            lambda x: None if x is None else unicodedata.normalize(form, x)
+        )
+
+    norm.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    col = pandas_udf("string")(norm)(col)
+    if collapse_whitespace:
+        col = F.trim(F.regexp_replace(col, "\\s+", " "))
+    return df.withColumn(out, col)

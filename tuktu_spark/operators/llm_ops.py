@@ -194,6 +194,21 @@ def repetition_stats(config: dict):
     return lambda df: T.with_repetition_stats(df, text_col, n)
 
 
+@operator("normalize_text")
+def normalize_text_op(config: dict):
+    """Unicode normalization stage (NFC default): control-char strip +
+    canonical composition + whitespace collapse. config: {text_field,
+    form, collapse_whitespace, strip_control, as}."""
+    return lambda df: T.normalize_text(
+        df,
+        config.get("text_field", "text"),
+        config.get("form", "NFC"),
+        bool(config.get("collapse_whitespace", True)),
+        bool(config.get("strip_control", True)),
+        config.get("as"),
+    )
+
+
 @operator("pii_scrub")
 def pii_scrub(config: dict):
     """Redact emails / IPv4 / phone numbers with [KIND] placeholders and

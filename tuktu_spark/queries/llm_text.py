@@ -545,3 +545,40 @@ def mix_sample_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return sample_exact_k(d, 40, "doc_id", "lang").select("doc_id", "lang")
+
+
+# round 6: unicode normalization stage. The corpus text is ASCII, so the
+# query appends a stress suffix (decomposed e-acute, a BEL control char,
+# a C1 NEL, whitespace runs) to every document — the oracle embeds the
+# SAME literal (via chr() codepoints, keeping this source file ASCII)
+# and must compose/strip/collapse identically.
+_NORMALIZE_SUFFIX = " Cafe" + chr(0x301) + " " + chr(7) + "x" + chr(0x85) + " fin  "
+
+_NORMALIZE_ORACLE = """
+SELECT doc_id,
+       trim(regexp_replace(
+         nfc_normalize(
+           regexp_replace(text || ' Cafe' || chr(769) || ' ' || chr(7)
+                               || 'x' || chr(133) || ' fin  ',
+                          '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F-\\x9F]',
+                          '', 'g')
+         ),
+         '\\s+', ' ', 'g')) AS text
+FROM documents
+"""
+
+
+@query("text_normalize_nfc", oracle=_NORMALIZE_ORACLE, tags=("llm", "text"))
+def text_normalize_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization stage (round 6): control-strip ->
+    canonical composition -> whitespace collapse (llm/text.
+    normalize_text), hash-matched against DuckDB's nfc_normalize on a
+    stress suffix carrying a decomposed accent, C0/C1 control chars, and
+    whitespace runs — the composed form differs bytewise from the input,
+    so a pass-through cannot match."""
+    from ..llm.text import normalize_text
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.concat(F.col("text"), F.lit(_NORMALIZE_SUFFIX)).alias("text")
+    )
+    return normalize_text(d, "text", form="NFC").select("doc_id", "text")
