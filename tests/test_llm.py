@@ -1041,3 +1041,52 @@ class TestNormalizeText:
         )
         assert "Exchange" not in plan  # scan-pass stage
         assert out.count() == d.count()
+
+
+class TestSemDeDup:
+    """SemDeDup (round 6): cluster-scoped semantic dedup."""
+
+    def test_keep_rule_hand_fixture(self, spark):
+        from tuktu_spark.llm.similarity import semdedup
+
+        # two orthogonal clusters; c1: three near-identical vectors,
+        # c2: two orthogonal-ish (no dups)
+        rows = [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [0.999, 0.01, 0.0]),   # dup of 1/3
+            (3, [0.98, 0.10, 0.0]),    # dup of 1/2, least centroid-similar
+            (4, [0.0, 1.0, 0.0]),
+            (5, [0.0, 0.0, 1.0]),      # assigned c2 but not a near-dup of 4
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        cents = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]
+        out = {r["vec_id"]: (r["cluster_id"], r["keep"])
+               for r in semdedup(df, cents, eps=0.01).collect()}
+        # vector 3 is the least centroid-similar of the dup set -> kept;
+        # 1 and 2 are beaten by it
+        assert out[3] == (1, True)
+        assert out[1][1] is False and out[2][1] is False
+        assert out[4][1] is True and out[5][1] is True
+
+    def test_plan_single_cluster_shuffle_no_cartesian(self, spark, sf_dir):
+        from tuktu_spark.llm.similarity import semdedup, train_ivf_centroids
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        cents = train_ivf_centroids(emb, nlist=8)
+        plan = semdedup(emb, cents, eps=0.5)._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        assert "CartesianProduct" not in plan
+        assert "SinglePartition" not in plan
+
+    def test_operator_trains_centroids(self, spark, sf_dir):
+        from tuktu_spark.operators.registry import make_operator
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        out = make_operator("semdedup", {"nlist": 4, "eps": 0.7})(emb)
+        rows = out.collect()
+        assert len(rows) == emb.count()
+        assert {r["cluster_id"] for r in rows} <= set(range(1, 5))
+        assert any(r["keep"] for r in rows)

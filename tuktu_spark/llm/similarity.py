@@ -645,3 +645,76 @@ def ivf_topk_from_index(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
+
+
+def semdedup(
+    vectors: DataFrame,
+    centroids: list[list[float]],
+    eps: float = 0.05,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — public paper):
+    SEMANTIC dedup scoped to k-means clusters. Each vector joins its
+    nearest centroid (squared L2, ties to the lower index — the paper's
+    k-means assignment); within a cluster two vectors are semantic
+    duplicates when cosine >= 1 - eps. Of any duplicate pair the vector
+    kept is the one LEAST similar to its centroid (the paper's
+    best-performing keep rule — cluster-edge examples preserve
+    diversity), tie-break on smaller id; a vector is dropped when ANY
+    in-cluster near-duplicate beats it under that order (the greedy
+    removal's deterministic closure). Returns
+    (id, cluster_id, cent_sim, keep).
+
+    Scale shape: the corpus shuffles ONCE on cluster_id for the
+    self-join; pair work is quadratic only within a cluster and the
+    paper scales nlist with the corpus (50k clusters for LAION) so
+    cluster sizes stay bounded; centroids travel as plan literals
+    (kilobytes). Engine-portable: assignment distance, cent_sim, and
+    pair cosines are sequential folds — bit-identical in the DuckDB
+    oracle."""
+    vv = _as_double(F.col(vec_col))
+    cents = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
+
+    def side(suffix: str) -> DataFrame:
+        # each side projected independently from the source: HOF lambda
+        # resolution breaks on alias-qualified self-joins over a shared
+        # projection (see embedding_near_dup_pairs)
+        assign = F.element_at(_nearest_centroids(vv, centroids, 1), 1)
+        base = vectors.select(
+            F.col(id_col).alias(f"id_{suffix}"),
+            vv.alias(f"v{suffix}"),
+            assign.alias(f"cl{suffix}"),
+        )
+        return base.withColumn(
+            f"cs{suffix}",
+            cosine(F.col(f"v{suffix}"), F.element_at(cents, F.col(f"cl{suffix}"))),
+        )
+
+    a, b = side("a"), side("b")
+    thr = 1.0 - float(eps)
+    beaten = (
+        a.join(
+            b,
+            (F.col("cla") == F.col("clb")) & (F.col("id_a") != F.col("id_b")),
+        )
+        .filter(cosine(F.col("va"), F.col("vb")) >= thr)
+        .filter(
+            (F.col("csb") < F.col("csa"))
+            | ((F.col("csb") == F.col("csa")) & (F.col("id_b") < F.col("id_a")))
+        )
+        .select(F.col("id_a").alias("__dropped"))
+        .distinct()
+    )
+    keep_side = side("k")
+    return (
+        keep_side.join(
+            beaten, keep_side["id_k"] == beaten["__dropped"], "left"
+        )
+        .select(
+            F.col("id_k").alias(id_col),
+            F.col("clk").cast("int").alias("cluster_id"),
+            F.col("csk").alias("cent_sim"),
+            F.col("__dropped").isNull().alias("keep"),
+        )
+    )

@@ -126,6 +126,29 @@ def quantize_embeddings_op(config: dict):
     )
 
 
+@operator("semdedup")
+def semdedup_op(config: dict):
+    """SemDeDup semantic dedup (cluster-scoped cosine near-dups, keep the
+    cluster-edge representative). config: {eps, nlist, id_field,
+    vec_field, centroids} — omit centroids to train k-means here."""
+    from ..llm import similarity as S
+
+    def transform(df):
+        cents = config.get("centroids") or S.train_ivf_centroids(
+            df, nlist=int(config.get("nlist", 16)),
+            vec_col=config.get("vec_field", "embedding"),
+        )
+        return S.semdedup(
+            df,
+            cents,
+            float(config.get("eps", 0.05)),
+            config.get("id_field", "vec_id"),
+            config.get("vec_field", "embedding"),
+        )
+
+    return transform
+
+
 @operator("ann_topk")
 def ann_topk_op(config: dict):
     """Approximate nearest-neighbor top-k over an embedding column.

@@ -393,3 +393,68 @@ def similarity_ivf_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sql(f"DROP TABLE IF EXISTS {t_inc}_centroids")
         spark.sql(f"DROP TABLE IF EXISTS {t_full}")
         spark.sql(f"DROP TABLE IF EXISTS {t_full}_centroids")
+
+
+_SEMDEDUP_N_SEEDS = 8
+_SEMDEDUP_EPS = 0.7  # synthetic embeddings are near-orthogonal; 1-eps=0.3
+                     # matches the dedup_embedding_cosine threshold band
+
+_L2_SQL = (
+    "list_reduce(list_prepend(0.0, list_transform(list_zip({a}, {b}),"
+    " x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))"
+    " * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))), (acc, v) -> acc + v)"
+)
+
+_SEMDEDUP_ORACLE = f"""
+WITH cent AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS cidx,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+  FROM embeddings WHERE vec_id < {_SEMDEDUP_N_SEEDS}
+),
+e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+asg AS (
+  SELECT e.vec_id, e.v, c.cidx, c.cv,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                            ORDER BY {_L2_SQL.format(a='e.v', b='c.cv')}, c.cidx) AS rk
+  FROM e CROSS JOIN cent c
+),
+cs AS (
+  SELECT vec_id, v, CAST(cidx AS INT) AS cluster_id,
+         {_cosine_sql('v', 'cv')} AS cent_sim
+  FROM asg WHERE rk = 1
+),
+dropped AS (
+  SELECT DISTINCT x.vec_id FROM cs x JOIN cs y
+    ON x.cluster_id = y.cluster_id AND x.vec_id <> y.vec_id
+  WHERE {_cosine_sql('x.v', 'y.v')} >= {1.0 - _SEMDEDUP_EPS}
+    AND (y.cent_sim < x.cent_sim
+         OR (y.cent_sim = x.cent_sim AND y.vec_id < x.vec_id))
+)
+SELECT c.vec_id, c.cluster_id, c.cent_sim,
+       d.vec_id IS NULL AS keep
+FROM cs c LEFT JOIN dropped d ON c.vec_id = d.vec_id
+"""
+
+
+@query("dedup_semdedup", oracle=_SEMDEDUP_ORACLE, tags=("llm", "dedup", "similarity"))
+def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster-scoped semantic dedup — the
+    100 TB shape for embedding-level near-dup removal (corpus shuffles
+    once on cluster id; pair work bounded per cluster; the paper scales
+    the cluster count with the corpus). For oracle determinism the
+    quantizer here is the SEED assignment (centroids = the first
+    {n} vectors by id — k-means init without iterations); the operator
+    trains real k-means centroids in production. Assignment distance,
+    centroid similarity and pair cosines are sequential folds, so DuckDB
+    reproduces every keep/drop decision bit-for-bit."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    seeds = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id") < _SEMDEDUP_N_SEEDS)
+        .orderBy("vec_id")
+        .collect()
+    ]
+    return S.semdedup(emb, seeds, eps=_SEMDEDUP_EPS)
