@@ -454,3 +454,20 @@ def test_js_merge_bounded_engine(spark):
     jb = make_operator("js_merge", {"order_by": ["pos"], "engine": "bounded"})(a, b)
     jw = make_operator("js_merge", {"order_by": ["pos"], "engine": "window"})(a, b)
     assert sorted(map(key, jb.collect())) == sorted(map(key, jw.collect()))
+
+
+def test_query_builds_release_prior_positional_persists(spark, sf_dir, registry):
+    """r5 ADVICE (medium): building a query releases the positional
+    persists pinned by PREVIOUS query builds, so driver/bench loops
+    cannot accumulate cached sorted copies."""
+    from tuktu_spark.operators import joins as J
+
+    q = registry["zip_merge_branches"].fn
+    q(spark, sf_dir).count()
+    n_after_first = len(J._POSITIONAL_PERSISTED)
+    assert n_after_first > 0  # the kernel did pin this build's sort
+    q(spark, sf_dir).count()
+    # second build released the first build's pins before adding its own
+    assert len(J._POSITIONAL_PERSISTED) <= n_after_first
+    J.release_positional_persisted()
+    assert not J._POSITIONAL_PERSISTED
