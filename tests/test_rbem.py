@@ -330,3 +330,39 @@ class TestScoreBatchKernel:
         monkeypatch.setattr(R, "_PAIR_CHUNK", 7)
         chunked = R._score_batch(arrs, pos, neg, lf, rf, 2.0, 20)
         assert list(whole) == list(chunked)
+
+    def test_split_fast_path_identical(self, spark, sf_dir):
+        """round 6: in-kernel literal split == F.split(text, ' ') tokens,
+        scores bit-identical (incl. empty-field behavior)."""
+        from pyspark.sql import functions as F
+
+        from tuktu_spark.ml.rbem import rbem_polarity
+
+        df = spark.createDataFrame(
+            [(1, "fast  slow the fast"), (2, " the fast "), (3, None), (4, "")],
+            "doc_id long, text string",
+        ).unionByName(
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "text").limit(200)
+        )
+        kw = dict(positive=["fast"], negative=["slow"], left_flips=[],
+                  right_flips=["the"])
+        via_arrays = rbem_polarity(
+            df.select("doc_id", F.split("text", " ").alias("tokens")),
+            tokens_col="tokens", **kw,
+        ).select("doc_id", "polarity")
+        via_split = rbem_polarity(
+            df, tokens_col="text", split=" ", **kw
+        ).select("doc_id", "polarity")
+        a = {r["doc_id"]: r["polarity"] for r in via_arrays.collect()}
+        b = {r["doc_id"]: r["polarity"] for r in via_split.collect()}
+        assert a == b
+
+    def test_split_rejected_on_sql_engine(self, spark):
+        import pytest as _pytest
+
+        from tuktu_spark.ml.rbem import rbem_polarity
+
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        with _pytest.raises(ValueError, match="arrow"):
+            rbem_polarity(df, tokens_col="text", engine="sql", split=" ")
