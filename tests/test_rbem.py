@@ -366,3 +366,34 @@ class TestScoreBatchKernel:
         df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
         with _pytest.raises(ValueError, match="arrow"):
             rbem_polarity(df, tokens_col="text", engine="sql", split=" ")
+
+    def test_trailing_empty_and_none_docs(self):
+        """Round-6 review fix: a batch ENDING in empty/None docs used to
+        IndexError in seg_incl_cumsum (start offset == flat length)."""
+        from tuktu_spark.ml.rbem import _score_batch, _score_doc
+
+        pos, neg = frozenset(["fast"]), frozenset(["slow"])
+        lf, rf = frozenset(["not"]), frozenset(["the"])
+        for arrs in (
+            [["fast", "x"], []],
+            [["fast", "x"], None],
+            [None, [], ["the", "fast"], None, []],
+            [[], None],
+        ):
+            got = list(_score_batch(arrs, pos, neg, lf, rf, 2.0, 20))
+            want = [_score_doc(a, pos, neg, lf, rf, 2.0, 20) for a in arrs]
+            assert got == want, arrs
+
+    def test_trailing_null_rows_through_spark(self, spark):
+        from pyspark.sql import functions as F
+
+        from tuktu_spark.ml.rbem import rbem_polarity
+
+        df = spark.createDataFrame(
+            [(1, ["fast", "x"]), (2, None), (3, [])],
+            "doc_id long, tokens array<string>",
+        ).coalesce(1)  # one Arrow batch, null/empty LAST
+        out = {r["doc_id"]: r["polarity"]
+               for r in rbem_polarity(df, positive=["fast"], negative=[],
+                                      left_flips=[], right_flips=[]).collect()}
+        assert out[1] == 1.5 and out[2] == 0.0 and out[3] == 0.0

@@ -725,6 +725,21 @@ def paragraph_dedup(
     )
 
 
+def _rebuild_text_agg(text_col: str, joiner: str):
+    """The document-reconstruction aggregate shared by batch
+    ``paragraph_dedup_rebuild`` and the streaming paragraph store
+    (streaming/llm.py) — ONE definition so their pinned equality cannot
+    drift: kept (para_idx, para) structs sorted by index, paragraphs
+    joined with ``joiner``."""
+    return F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("para_idx", "para"))),
+            lambda s: s["para"],
+        ),
+        joiner,
+    ).alias(text_col)
+
+
 def paragraph_dedup_rebuild(
     df: DataFrame,
     text_col: str = "text",
@@ -741,20 +756,7 @@ def paragraph_dedup_rebuild(
     partitioning — text shuffles once end to end."""
     marked = paragraph_dedup(df, text_col, id_col, sep_regex, engine=engine)
     kept = marked.filter(F.col("keep"))
-    return (
-        kept.groupBy(id_col)
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct("para_idx", "para"))
-                    ),
-                    lambda s: s["para"],
-                ),
-                joiner,
-            ).alias(text_col)
-        )
-    )
+    return kept.groupBy(id_col).agg(_rebuild_text_agg(text_col, joiner))
 
 
 def duplicate_ngram_spans(

@@ -24,6 +24,16 @@ from pyspark.sql import functions as F
 HASH_MOD = 1_000_000
 
 
+def _md5_key(id_col):
+    """The sampling family's shared order/bucket key: first 15 md5 hex
+    digits of the id as int64 (DuckDB: CAST('0x'||substr(md5(id),1,15)
+    AS BIGINT)). ONE definition keeps weighted_sample, sample_exact_k
+    and their SQL oracles pinned together."""
+    return F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+
+
 def weighted_sample(
     df: DataFrame,
     weights: dict[str, float],
@@ -36,12 +46,7 @@ def weighted_sample(
     rate = F.lit(float(default_rate))
     for dom, w in sorted(weights.items()):
         rate = F.when(F.col(domain_col) == dom, F.lit(float(w))).otherwise(rate)
-    bucket = F.pmod(
-        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10).cast(
-            "long"
-        ),
-        F.lit(HASH_MOD),
-    )
+    bucket = F.pmod(_md5_key(id_col), F.lit(HASH_MOD))
     return df.filter(bucket < (rate * HASH_MOD).cast("long"))
 
 
@@ -117,9 +122,7 @@ def sample_exact_k(
     parallelism (the key is a pure function of the id), so the kept set
     is exactly reproducible and exactly SQL-oracle-checkable (same
     md5-prefix arithmetic in DuckDB)."""
-    key = F.conv(
-        F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
-    ).cast("long")
+    key = _md5_key(id_col)
     if stratify_col is None:
         return df.orderBy(key.asc(), F.col(id_col).asc()).limit(int(k))
     w = Window.partitionBy(stratify_col).orderBy(key.asc(), F.col(id_col).asc())

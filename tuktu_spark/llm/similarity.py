@@ -666,29 +666,42 @@ def semdedup(
     removal's deterministic closure). Returns
     (id, cluster_id, cent_sim, keep).
 
-    Scale shape: the corpus shuffles ONCE on cluster_id for the
+    Scale shape: the O(nlist x dim) centroid-assignment fold and
+    cent_sim run ONCE over the corpus — the assignment table
+    (id, v, cluster, cent_sim) is persisted via the dedup pipelines'
+    scoped registry (released on the next pipeline's entry, same
+    contract as hashed_shingles) and both self-join sides plus the
+    output read it; the corpus shuffles ONCE on cluster_id for the
     self-join; pair work is quadratic only within a cluster and the
     paper scales nlist with the corpus (50k clusters for LAION) so
     cluster sizes stay bounded; centroids travel as plan literals
     (kilobytes). Engine-portable: assignment distance, cent_sim, and
     pair cosines are sequential folds — bit-identical in the DuckDB
     oracle."""
+    from .dedup import _persist_scoped, release_persisted
+
+    release_persisted()
     vv = _as_double(F.col(vec_col))
     cents = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
+    base = _persist_scoped(
+        vectors.select(
+            F.col(id_col).alias("__sid"),
+            vv.alias("__sv"),
+            F.element_at(_nearest_centroids(vv, centroids, 1), 1).alias("__scl"),
+        ).withColumn(
+            "__scs", cosine(F.col("__sv"), F.element_at(cents, F.col("__scl")))
+        )
+    )
 
     def side(suffix: str) -> DataFrame:
-        # each side projected independently from the source: HOF lambda
-        # resolution breaks on alias-qualified self-joins over a shared
-        # projection (see embedding_near_dup_pairs)
-        assign = F.element_at(_nearest_centroids(vv, centroids, 1), 1)
-        base = vectors.select(
-            F.col(id_col).alias(f"id_{suffix}"),
-            vv.alias(f"v{suffix}"),
-            assign.alias(f"cl{suffix}"),
-        )
-        return base.withColumn(
-            f"cs{suffix}",
-            cosine(F.col(f"v{suffix}"), F.element_at(cents, F.col(f"cl{suffix}"))),
+        # plain column renames over the SHARED persisted projection (the
+        # alias-qualified-join HOF bug hits df.alias() joins, not
+        # select-renamed sides; pinned by tests)
+        return base.select(
+            F.col("__sid").alias(f"id_{suffix}"),
+            F.col("__sv").alias(f"v{suffix}"),
+            F.col("__scl").alias(f"cl{suffix}"),
+            F.col("__scs").alias(f"cs{suffix}"),
         )
 
     a, b = side("a"), side("b")

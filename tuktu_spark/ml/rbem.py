@@ -349,6 +349,8 @@ def rbem_polarity(
     left_flips = left_flips if left_flips is not None else []
     right_flips = right_flips if right_flips is not None else DEFAULT_NEGATORS
 
+    if split is not None:
+        _validate_literal_split(split)
     if engine == "arrow":
         return _rbem_polarity_arrow(
             df, tokens_col, positive, negative, left_flips, right_flips,
@@ -418,6 +420,23 @@ def rbem_polarity(
     return staged.withColumn(out_col, score).drop(
         "__toks", "__idx", "__sp", "__sn", "__lf", "__rf"
     )
+
+
+def _validate_literal_split(split: str) -> None:
+    """The split= fast path tokenizes with Python str.split — a LITERAL
+    separator. F.split treats its pattern as a Java REGEX, so the two are
+    equivalent only for regex-free separators; reject metacharacters (and
+    the empty string, which str.split refuses) rather than silently
+    mis-tokenizing a caller who passes '\\\\s+'."""
+    if not split:
+        raise ValueError("split= must be a non-empty LITERAL separator")
+    meta = set("\\.[]{}()*+?^$|")
+    if any(ch in meta for ch in split):
+        raise ValueError(
+            f"split={split!r} contains regex metacharacters; the fast path "
+            "splits LITERALLY (F.split-equivalent only for literal "
+            "separators) — pre-tokenize with F.split for regex separators"
+        )
 
 
 def _score_doc(arr, pos, neg, lf, rf, base, maxd) -> float:
@@ -521,7 +540,11 @@ def _score_batch(arrs, pos, neg, lf, rf, base: float, maxd: int):
 
     def seg_incl_cumsum(mask):
         g = np.cumsum(mask.astype(np.int64))
-        head = g[starts] - mask[starts]  # exclusive prefix at each doc start
+        # clip: trailing EMPTY/None docs have start == total (out of
+        # bounds); their head value is repeated 0 times so any in-range
+        # index works
+        sc = np.minimum(starts, total - 1)
+        head = g[sc] - mask[sc]  # exclusive prefix at each doc start
         return g - np.repeat(head, lens)
 
     n_right = seg_incl_cumsum(rf_m)
@@ -649,6 +672,8 @@ def rbem_polarity_by_lang(
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
+    if split is not None:
+        _validate_literal_split(split)
     models = models if models is not None else load_rbem_models()
     frozen = {
         lang: (

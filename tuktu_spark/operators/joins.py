@@ -80,8 +80,25 @@ def union_merge(config: dict):
 _POSITIONAL_PERSISTED: list[DataFrame] = []
 
 
+# Cap for standalone callers (make_operator('zip_merge')(...) outside
+# run_flow/query builds, which release explicitly): beyond this many
+# outstanding pins the OLDEST is evicted — in a long session the oldest
+# plans have long been materialized, and unbounded growth is worse than
+# the recompute-determinism caveat below.
+_POSITIONAL_PERSIST_CAP = 64
+
+
 def release_positional_persisted() -> None:
-    """Unpersist cache entries from prior positional-numbering calls."""
+    """Unpersist cache entries from prior positional-numbering calls.
+
+    CAVEAT: a previously RETURNED but not-yet-materialized DataFrame that
+    used the persist-pinned kernel will recompute from lineage after
+    release. For deterministic upstreams (file scans) the recomputed
+    range sort reproduces the same partition assignment (RangePartitioner
+    samples with per-partition-index seeds), so indices are unchanged;
+    for NONdeterministic upstreams the _global_row_number docstring's
+    hazard applies — materialize (collect/write) before triggering a
+    release, or use the recompute-safe bounded kernel."""
     while _POSITIONAL_PERSISTED:
         try:
             _POSITIONAL_PERSISTED.pop().unpersist()
@@ -92,6 +109,11 @@ def release_positional_persisted() -> None:
 def _persist_positional(df: DataFrame) -> DataFrame:
     df = df.persist()
     _POSITIONAL_PERSISTED.append(df)
+    while len(_POSITIONAL_PERSISTED) > _POSITIONAL_PERSIST_CAP:
+        try:
+            _POSITIONAL_PERSISTED.pop(0).unpersist()
+        except Exception:
+            pass
     return df
 
 
@@ -111,7 +133,15 @@ def _order_boundaries(df: DataFrame, ob: list[str], buckets: int) -> list[tuple]
     )
     if not sample:  # tiny input: hash sieve may keep nothing
         sample = df.select(*ob).limit(10_000).collect()
-    keys = sorted(tuple(r[c] for c in ob) for r in sample)
+    # null-keyed rows are excluded from boundary candidates (they are not
+    # orderable in Python); at query time a null key compares null against
+    # every boundary struct and lands in bucket 0 — consistent with
+    # Spark's nulls-first ascending order, so correctness is unaffected
+    keys = sorted(
+        t
+        for t in (tuple(r[c] for c in ob) for r in sample)
+        if all(v is not None for v in t)
+    )
     n = len(keys)
     cuts: list[tuple] = []
     for i in range(1, buckets):

@@ -469,10 +469,17 @@ def ivf_index_write(config: dict):
 
     def sink(df: DataFrame) -> DataFrame:
         if mode == "append":
-            if not df.sparkSession.catalog.tableExists(f"{table}_centroids"):
+            cat = df.sparkSession.catalog
+            # check BOTH halves: centroids can survive a dropped/failed
+            # index table, and appending would then silently create a
+            # fresh index holding only this batch
+            missing = [
+                t for t in (table, f"{table}_centroids") if not cat.tableExists(t)
+            ]
+            if missing:
                 raise ValueError(
                     f"ivf_index_write mode='append' needs an existing index "
-                    f"(missing {table}_centroids); write with "
+                    f"(missing {', '.join(missing)}); write with "
                     f"mode='overwrite' first"
                 )
             S.append_ivf_index(df, table, id_col, vec_col, buckets)

@@ -311,15 +311,7 @@ def make_paragraph_dedup_batch_processor(
                 "__pmd5",
                 "left_anti",
             )
-        rebuilt = kept.groupBy(id_col).agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("para_idx", "para"))),
-                    lambda s: s["para"],
-                ),
-                joiner,
-            ).alias(text_col)
-        )
+        rebuilt = kept.groupBy(id_col).agg(D._rebuild_text_agg(text_col, joiner))
         dyn = {"partitionOverwriteMode": "dynamic"}
         (
             rebuilt.withColumn("batch_id", F.lit(batch_id))
