@@ -28,16 +28,139 @@ from pyspark.sql import functions as F
 
 def load_fasttext_model(path: str):
     """Load a trained fastText model — the real-model seam
-    (FastTextProcessor.scala:20). Requires the `fasttext` python lib."""
-    try:
-        import fasttext  # type: ignore
-    except ImportError as e:
-        raise NotImplementedError(
-            "trained fastText models need the fasttext lib (not in this "
-            "environment); use the deterministic subword-hash fallback "
-            "(subword_ngrams / doc_bucket_vectors) or install fasttext"
-        ) from e
-    return fasttext.load_model(path)
+    (FastTextProcessor.scala:20), served by the NATIVE reader
+    (ml.fasttext_io): .vec text and .bin binary formats, no third-party
+    lib. Returns a FastTextModel with word_vector / sentence_vector /
+    predict — the reference wrapper's surface (getWordVector,
+    getSentenceVector, predict)."""
+    from .fasttext_io import load_model
+
+    return load_model(path)
+
+
+def ft_doc_vectors(
+    df: DataFrame,
+    model,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    normalize_words: bool = True,
+    out_col: str = "embedding",
+) -> DataFrame:
+    """(id, embedding array<float>) sentence vectors from a TRAINED
+    fastText model (FastTextVectorProcessor.scala behaviour) — the
+    unsupervised getSentenceVector: mean of L2-normalized word vectors.
+
+    ``model`` is a FastTextModel or a path. Scale shape: the model is
+    bounded (vocab + bucket rows), broadcast ONCE per job; scoring is a
+    map-only Arrow stage — no shuffle at any corpus size. Word vectors
+    are memoized per Python worker (corpora repeat tokens massively, so
+    the subword hashing cost is vocabulary-shaped, not corpus-shaped —
+    same move as the POS tagger's memoized Arrow path)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    if isinstance(model, str):
+        model = load_fasttext_model(model)
+    bc = df.sparkSession.sparkContext.broadcast(model)
+    dim = model.dim
+
+    def embed_fn(toks):
+        m = bc.value
+        cache: dict[str, object] = {}
+        import numpy as np
+
+        def wv(w):
+            v = cache.get(w)
+            if v is None:
+                ids = m.subword_ids(w)
+                if not ids:
+                    v = False
+                else:
+                    v = m.vectors[ids].sum(axis=0, dtype=np.float64) / len(ids)
+                    if normalize_words:
+                        nrm = float(np.sqrt((v * v).sum()))
+                        v = v / nrm if nrm > 0 else False
+                cache[w] = v
+            return v
+
+        out = []
+        for arr in toks:
+            acc = np.zeros(dim, dtype=np.float64)
+            count = 0
+            for w in arr if arr is not None else []:
+                v = wv(w)
+                if v is False:
+                    continue
+                acc += v
+                count += 1
+            out.append((acc / count if count else acc).astype(np.float32))
+        return pd.Series(out)
+
+    embed_fn.__annotations__ = {"toks": pd.Series, "return": pd.Series}
+    embed = pandas_udf("array<float>")(embed_fn)
+    return df.select(F.col(id_col), embed(F.col(tokens_col)).alias(out_col))
+
+
+def ft_predict(
+    df: DataFrame,
+    model,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    k: int = 1,
+) -> DataFrame:
+    """(id, label, prob) supervised fastText classification
+    (FastTextProcessor.scala predict path) from a natively-loaded .bin
+    model. Broadcast model, map-only Arrow stage."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    if isinstance(model, str):
+        model = load_fasttext_model(model)
+    bc = df.sparkSession.sparkContext.broadcast(model)
+
+    def pred_fn(toks):
+        m = bc.value
+        return pd.Series(
+            [m.predict(list(arr) if arr is not None else [], k=k) for arr in toks]
+        )
+
+    pred_fn.__annotations__ = {"toks": pd.Series, "return": pd.Series}
+    pred = pandas_udf("array<struct<label:string,prob:double>>")(pred_fn)
+
+    out = df.select(F.col(id_col), pred(F.col(tokens_col)).alias("p"))
+    return out.select(
+        id_col, F.explode("p").alias("pp")
+    ).select(id_col, F.col("pp.label").alias("label"), F.col("pp.prob").alias("prob"))
+
+
+def ft_doc_embed_exact(
+    df: DataFrame,
+    vec_df: DataFrame,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, dim, value) document embeddings as the PLAIN MEAN of in-vocab
+    word vectors from a .vec word-vector table (word, vector) — the
+    supervised-style average with dictionary OOV-dropping, expressed as
+    pure column algebra so it is exactly SQL-oracle-checkable when the
+    model's components are dyadic rationals (float sums of multiples of
+    2^-k are order-free exact).
+
+    Scale shape: vocabulary table broadcast (bounded), tokens explode +
+    ONE groupBy on (id, dim) — corpus shuffles once; for models too big
+    to broadcast, pass a distributed vec_df and let AQE pick the join."""
+    toks = df.select(F.col(id_col), F.explode(F.col(tokens_col)).alias("word"))
+    joined = toks.join(F.broadcast(vec_df), "word")
+    per_dim = joined.select(
+        F.col(id_col),
+        F.posexplode("vector").alias("dim", "v"),
+    )
+    return (
+        per_dim.groupBy(id_col, "dim")
+        .agg(
+            (F.sum(F.col("v").cast("double")) / F.count(F.lit(1))).alias("value")
+        )
+    )
 
 
 def subword_ngrams(token_col, n: int = 3):

@@ -281,6 +281,44 @@ def fasttext_similar_op(config: dict):
     return transform
 
 
+@operator("fasttext_vectors")
+def fasttext_vectors_op(config: dict):
+    """Sentence vectors from a TRAINED fastText model loaded by the
+    NATIVE .vec/.bin reader (FastTextVectorProcessor.scala; ml/fasttext_io).
+    config: {model_path, tokens_field, id_field, normalize_words}."""
+    from ..ml.fasttext import ft_doc_vectors
+
+    def transform(df: DataFrame) -> DataFrame:
+        return ft_doc_vectors(
+            df,
+            config["model_path"],
+            tokens_col=config.get("tokens_field", "tokens"),
+            id_col=config.get("id_field", "doc_id"),
+            normalize_words=bool(config.get("normalize_words", True)),
+        )
+
+    return transform
+
+
+@operator("fasttext_predict")
+def fasttext_predict_op(config: dict):
+    """Supervised fastText classification from a natively-loaded .bin
+    model (FastTextProcessor.scala predict path). config: {model_path,
+    tokens_field, id_field, k}."""
+    from ..ml.fasttext import ft_predict
+
+    def transform(df: DataFrame) -> DataFrame:
+        return ft_predict(
+            df,
+            config["model_path"],
+            tokens_col=config.get("tokens_field", "tokens"),
+            id_col=config.get("id_field", "doc_id"),
+            k=int(config.get("k", 1)),
+        )
+
+    return transform
+
+
 @operator("clean_tokens")
 def clean_tokens_op(config: dict):
     """Token cleanup family (nlp/processors/cleanup/Cleanup.scala:47-140)

@@ -1412,3 +1412,55 @@ def nlp_word2vec_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_probes").cast("int").alias("n_probes"),
         "k_each", "sims_bounded", "sorted_desc", "no_self",
     )
+
+
+# ---------------------------------------------------------------------------
+# Native fastText model loading (FastText.scala / FastTextVectorProcessor):
+# document embeddings from a TRAINED .vec model read by the native reader
+# (ml/fasttext_io.py — no third-party lib). The bundled mini model's
+# components are dyadic rationals (k/32), so the mean of in-vocab word
+# vectors is order-free EXACT and the oracle embeds the same model as a
+# VALUES table — the loader's parse is hash-checked end to end.
+# ---------------------------------------------------------------------------
+
+
+def _ft_vec_model_path() -> str:
+    import os
+
+    from .. import ml as _ml
+
+    return os.path.join(os.path.dirname(_ml.__file__), "data", "mini_fasttext.vec")
+
+
+def _ft_vec_values() -> str:
+    from ..ml.fasttext_io import read_vec
+
+    m = read_vec(_ft_vec_model_path())
+    return ", ".join(
+        f"('{w}', {j}, {float(v)!r})"
+        for w, row in zip(m.words, m.vectors)
+        for j, v in enumerate(row)
+    )
+
+
+_FT_VEC_EMBED_ORACLE = f"""
+WITH model(word, dim, v) AS (VALUES {_ft_vec_values()}),
+toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+)
+SELECT t.doc_id, m.dim, SUM(m.v) / COUNT(*) AS value
+FROM toks t JOIN model m ON t.word = m.word
+GROUP BY 1, 2
+"""
+
+
+@query("nlp_fasttext_vec_embed", oracle=_FT_VEC_EMBED_ORACLE, tags=("ml", "nlp"))
+def nlp_fasttext_vec_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ml.fasttext import ft_doc_embed_exact
+    from ..ml.fasttext_io import read_vec_spark
+
+    vec_df = read_vec_spark(spark, _ft_vec_model_path())
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("tokens")
+    )
+    return ft_doc_embed_exact(d, vec_df, "tokens", "doc_id")
