@@ -1,0 +1,302 @@
+"""Stupid-backoff n-gram LM (llm/ngram_lm.py): backoff arithmetic vs a
+pure-Python reference, doc-start truncation, OOV handling, min-count
+context safety, CCNet buckets/filter, the shuffle-join model path, and
+plan shape (one corpus shuffle, broadcast count joins).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from tuktu_spark.llm.ngram_lm import (
+    NgramLM,
+    perplexity_buckets,
+    perplexity_filter,
+    score_ngram_lm,
+    train_ngram_lm,
+)
+
+DOCS = [
+    (1, "the cat sat on the mat"),
+    (2, "the cat sat on the hat"),
+    (3, "a dog sat on the mat"),
+    (4, "the cat ran"),
+]
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string").select(
+        "doc_id", F.split("text", " ").alias("tokens")
+    )
+    return df.cache()
+
+
+def _py_lm(docs: list[list[str]], n: int, min_count: int):
+    """Independent pure-Python trainer."""
+    counts = [dict() for _ in range(n)]
+    total = 0
+    for toks in docs:
+        total += len(toks)
+        for k in range(1, n + 1):
+            for i in range(len(toks) - k + 1):
+                g = " ".join(toks[i : i + k])
+                counts[k - 1][g] = counts[k - 1].get(g, 0) + 1
+    for k in range(n):
+        counts[k] = {g: c for g, c in counts[k].items() if c >= min_count}
+    return counts, total
+
+
+def _py_score(toks: list[str], counts, total: int, n: int, alpha: float):
+    """Independent per-doc reference: returns (probs, hits_by_order)."""
+    probs = []
+    hits = [0] * (n + 1)  # hits[k] for order k
+
+    def s_order(i: int, k: int) -> float:
+        if k == 1:
+            c = counts[0].get(toks[i])
+            if c is not None:
+                return c / total
+            return 1.0 / total
+        g = " ".join(toks[i - k + 1 : i + 1])
+        ctx = " ".join(toks[i - k + 1 : i])
+        c = counts[k - 1].get(g)
+        if c is not None:
+            return c / counts[k - 2][ctx]
+        return alpha * s_order(i, k - 1)
+
+    for i in range(len(toks)):
+        k = min(i + 1, n)
+        probs.append(s_order(i, k))
+        if counts[0].get(toks[i]) is not None:
+            hits[1] += 1
+        for kk in range(2, n + 1):
+            if i >= kk - 1 and " ".join(toks[i - kk + 1 : i + 1]) in counts[kk - 1]:
+                hits[kk] += 1
+    return probs, hits
+
+
+class TestBackoffMath:
+    @pytest.mark.parametrize("min_count", [1, 2])
+    def test_matches_python_reference(self, spark, corpus, min_count):
+        lm = train_ngram_lm(corpus, n=3, min_count=min_count)
+        got = {
+            r["doc_id"]: r
+            for r in score_ngram_lm(corpus, lm).collect()
+        }
+        docs = {i: t.split(" ") for i, t in DOCS}
+        counts, total = _py_lm(list(docs.values()), 3, min_count)
+        assert lm.total == total
+        for did, toks in docs.items():
+            probs, hits = _py_score(toks, counts, total, 3, 0.4)
+            r = got[did]
+            assert r["n_pos"] == len(toks)
+            assert (r["hits1"], r["hits2"], r["hits3"]) == (hits[1], hits[2], hits[3])
+            assert r["mean_prob"] == pytest.approx(sum(probs) / len(probs), rel=1e-12)
+            logp = sum(math.log10(p) for p in probs)
+            assert r["logprob10"] == pytest.approx(logp, abs=1e-9)
+            assert r["ppl"] == pytest.approx(10 ** (-logp / len(toks)), rel=1e-9)
+            assert r["prob_q30"] == sum(math.floor(p * (1 << 30)) for p in probs)
+
+    def test_doc_start_truncation(self, spark, corpus):
+        # position 0 must use the unigram even when trigram counts exist
+        lm = train_ngram_lm(corpus, n=3, min_count=1)
+        one = spark.createDataFrame(
+            [(9, ["the"])], "doc_id long, tokens array<string>"
+        )
+        r = score_ngram_lm(one, lm).collect()[0]
+        the_count = {x["gram"]: x["cnt"] for x in lm.counts[0].collect()}["the"]
+        assert r["mean_prob"] == pytest.approx(the_count / lm.total, rel=1e-12)
+
+    def test_oov_floor(self, spark, corpus):
+        lm = train_ngram_lm(corpus, n=2, min_count=1)
+        oov = spark.createDataFrame(
+            [(9, ["zebra"])], "doc_id long, tokens array<string>"
+        )
+        r = score_ngram_lm(oov, lm).collect()[0]
+        assert r["hits1"] == 0
+        assert r["mean_prob"] == pytest.approx(1.0 / lm.total, rel=1e-12)
+
+    def test_min_count_context_safety(self, spark, corpus):
+        # shared min_count prune: wherever a k-gram count survives, its
+        # (k-1)-gram context count survives too (cnt(ctx) >= cnt(gram)),
+        # so the backoff division is total — check on real tables
+        lm = train_ngram_lm(corpus, n=3, min_count=2)
+        c2 = {r["gram"] for r in lm.counts[1].collect()}
+        c1 = {r["gram"] for r in lm.counts[0].collect()}
+        assert all(g.split(" ")[0] in c1 for g in c2)
+        # and scoring emits no nulls
+        out = score_ngram_lm(corpus, lm).collect()
+        assert all(r["mean_prob"] is not None for r in out)
+
+    def test_shuffle_join_path_matches_broadcast(self, spark, corpus):
+        lm = train_ngram_lm(corpus, n=3, min_count=1)
+        a = {
+            r["doc_id"]: r["prob_q30"]
+            for r in score_ngram_lm(corpus, lm, broadcast_counts=True).collect()
+        }
+        b = {
+            r["doc_id"]: r["prob_q30"]
+            for r in score_ngram_lm(corpus, lm, broadcast_counts=False).collect()
+        }
+        assert a == b
+
+
+class TestCCNetStage:
+    def test_buckets_terciles(self, spark, corpus):
+        lm = train_ngram_lm(corpus, n=2, min_count=1)
+        scored = score_ngram_lm(corpus, lm)
+        out = perplexity_buckets(scored)
+        buckets = {r["doc_id"]: r["bucket"] for r in out.collect()}
+        assert set(buckets.values()) <= {"head", "middle", "tail"}
+        assert len(buckets) == 4
+        # the lowest-perplexity doc is in the head
+        ppls = {r["doc_id"]: r["ppl"] for r in scored.collect()}
+        best = min(ppls, key=ppls.get)
+        assert buckets[best] == "head"
+
+    def test_buckets_per_language(self, spark, corpus):
+        lang = spark.createDataFrame(
+            [(1, "en"), (2, "en"), (3, "nl"), (4, "nl")], "doc_id long, lang string"
+        )
+        lm = train_ngram_lm(corpus, n=2, min_count=1)
+        out = perplexity_buckets(score_ngram_lm(corpus, lm), lang)
+        rows = out.collect()
+        assert {r["lang"] for r in rows} == {"en", "nl"}
+        # within each language at least one head doc exists
+        for lg in ("en", "nl"):
+            assert any(r["bucket"] == "head" for r in rows if r["lang"] == lg)
+
+    def test_filter_threshold(self, spark, corpus):
+        lm = train_ngram_lm(corpus, n=3, min_count=1)
+        ppls = {
+            r["doc_id"]: r["ppl"] for r in score_ngram_lm(corpus, lm).collect()
+        }
+        cut = sorted(ppls.values())[1]  # keep exactly the 2 best docs
+        kept = perplexity_filter(corpus, lm, max_ppl=cut)
+        want = {d for d, p in ppls.items() if p <= cut}
+        assert {r["doc_id"] for r in kept.collect()} == want
+        assert kept.columns == corpus.columns
+
+    def test_operators(self, spark, corpus):
+        from tuktu_spark.operators.registry import make_operator
+
+        scored = make_operator("ngram_lm_score", {"min_count": 1})(corpus)
+        assert scored.count() == 4
+        filt = make_operator(
+            "ngram_perplexity_filter", {"min_count": 1, "max_ppl": 1e9}
+        )(corpus)
+        assert filt.count() == 4
+        lang_corpus = corpus.withColumn("lang", F.lit("en"))
+        b = make_operator(
+            "ngram_perplexity_buckets", {"min_count": 1, "lang_field": "lang"}
+        )(lang_corpus)
+        assert set(b.select("bucket").distinct().toPandas()["bucket"]) <= {
+            "head", "middle", "tail",
+        }
+
+
+class TestPlanShape:
+    def test_one_corpus_shuffle_and_broadcast_joins(self, spark, sf_dir):
+        from tests.test_plans import plan_of
+        from tuktu_spark.tables import load_table
+
+        from tuktu_spark.llm.dedup import release_persisted
+
+        release_persisted()
+        d = load_table(spark, sf_dir, "documents").select(
+            "doc_id", F.split("text", " ").alias("tokens")
+        )
+        # persisted model — the query/operator path: count tables are
+        # InMemoryRelations, computed once each
+        lm = train_ngram_lm(d, n=3, min_count=2).persist()
+        plan = plan_of(score_ngram_lm(d, lm))
+        assert "SinglePartition" not in plan
+        assert "CartesianProduct" not in plan
+        # formatted explain prints each node twice (tree + detail):
+        # 5 joins = c1, c2+ctx, c3+ctx
+        assert plan.count("BroadcastHashJoin") == 10
+        # the scoring path shuffles the corpus ONCE: the window's
+        # doc-keyed exchange is reused by the final per-doc aggregate.
+        # The other two doc-keyed exchanges in the text live INSIDE the
+        # c2/c3 InMemoryRelations (their one-time build plans, printed as
+        # part of the cache node); after materialization they never
+        # re-execute. 1 scoring + (n-1)=2 cached builds:
+        assert plan.count("hashpartitioning(doc_id") == 3
+        assert plan.count("InMemoryRelation") >= 5  # every count table cached
+        release_persisted()
+
+
+class TestArpa:
+    def _write_model(self, tmp_path):
+        from tuktu_spark.llm.ngram_lm import write_arpa
+
+        p = str(tmp_path / "m.arpa")
+        write_arpa(
+            p,
+            [
+                [("the", -0.5, -0.25), ("cat", -1.0, -0.5), ("<unk>", -5.0, None)],
+                [("the cat", -0.125, -0.0625), ("cat sat", -0.75, 0.0)],
+                [("the cat sat", -0.25,)],
+            ],
+            3,
+        )
+        return p
+
+    def test_read_roundtrip(self, spark, tmp_path):
+        from tuktu_spark.llm.ngram_lm import read_arpa
+
+        lm = read_arpa(spark, self._write_model(tmp_path))
+        assert lm.n == 3 and lm.unk_log10 == -5.0
+        t1 = {r["gram"]: (r["log10p"], r["bow"]) for r in lm.tables[0].collect()}
+        assert t1["the"] == (-0.5, -0.25)
+        assert t1["<unk>"] == (-5.0, 0.0)
+        t3 = {r["gram"]: r["log10p"] for r in lm.tables[2].collect()}
+        assert t3 == {"the cat sat": -0.25}
+
+    def test_katz_cascade(self, spark, tmp_path):
+        from tuktu_spark.llm.ngram_lm import read_arpa, score_arpa
+
+        lm = read_arpa(spark, self._write_model(tmp_path))
+        df = spark.createDataFrame(
+            [(1, ["the", "cat", "sat"]), (2, ["cat", "zebra"])],
+            "doc_id long, tokens array<string>",
+        )
+        got = {r["doc_id"]: r for r in score_arpa(df, lm).collect()}
+        # doc 1: pos0 = p1(the) = -0.5; pos1 = p2(the cat) = -0.125;
+        # pos2 = p3(the cat sat) = -0.25
+        assert got[1]["logprob10"] == pytest.approx(-0.875, abs=1e-12)
+        # doc 2: pos0 = p1(cat) = -1.0; pos1: "cat zebra" unlisted ->
+        # bow(cat) = -0.5 + [p1(zebra) missing -> unk -5.0] = -5.5
+        assert got[2]["logprob10"] == pytest.approx(-6.5, abs=1e-12)
+        assert got[1]["ppl"] == pytest.approx(10 ** (0.875 / 3), rel=1e-12)
+
+    def test_backoff_weight_zero_when_context_unlisted(self, spark, tmp_path):
+        from tuktu_spark.llm.ngram_lm import read_arpa, score_arpa
+
+        lm = read_arpa(spark, self._write_model(tmp_path))
+        df = spark.createDataFrame(
+            [(1, ["zebra", "cat"])], "doc_id long, tokens array<string>"
+        )
+        r = score_arpa(df, lm).collect()[0]
+        # pos0: unk = -5.0; pos1: "zebra cat" unlisted, ctx "zebra"
+        # unlisted -> bow 0 + p1(cat) = -1.0
+        assert r["logprob10"] == pytest.approx(-6.0, abs=1e-12)
+
+    def test_operator_with_bundled_model(self, spark):
+        import os
+
+        from tuktu_spark import llm as _llm
+        from tuktu_spark.operators.registry import make_operator
+
+        path = os.path.join(os.path.dirname(_llm.__file__), "data", "mini_lm.arpa")
+        df = spark.createDataFrame(
+            [(1, "the fast scan"), (2, "join merge sort")],
+            "doc_id long, text string",
+        )
+        out = make_operator("arpa_lm_score", {"model_path": path})(df)
+        rows = out.collect()
+        assert len(rows) == 2 and all(r["ppl"] > 0 for r in rows)

@@ -731,3 +731,254 @@ def semdedup(
             F.col("__dropped").isNull().alias("keep"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: the billion-scale composite (FAISS IVFPQ layout, public
+# literature — Jégou et al. 2011 "Product Quantization for Nearest
+# Neighbor Search"): coarse inverted lists prune the corpus to n_probe
+# lists, PQ codes of the RESIDUAL (v - centroid) make the in-list scan a
+# table-lookup over bytes, exact re-rank touches only the shortlist.
+# ---------------------------------------------------------------------------
+
+
+def _centroid_array(centroids: list[list[float]]):
+    return F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
+
+
+def ivfpq_assign_encode(
+    vectors: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(neighbor_id, nv, list_id, pq_codes): coarse-assign each vector and
+    PQ-encode its residual v - centroid[list]. One narrow corpus map (the
+    assignment fold is column algebra; encoding is one Arrow batch
+    stage); no shuffle."""
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("nv"),
+    ).withColumn(
+        "list_id", F.element_at(_nearest_centroids(F.col("nv"), centroids, 1), 1)
+    )
+    resid = F.zip_with(
+        F.col("nv"),
+        F.element_at(_centroid_array(centroids), F.col("list_id")),
+        lambda a, b: a - b,
+    )
+    v = v.withColumn("__resid", resid)
+    return pq_encode(v, codebooks, vec_col="__resid", out_col="pq_codes").drop(
+        "__resid"
+    )
+
+
+def train_ivfpq(
+    vectors: DataFrame,
+    nlist: int = 16,
+    m: int = 8,
+    k_codes: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> tuple[list[list[float]], list[list[list[float]]]]:
+    """Train the coarse quantizer, then the PQ codebooks ON THE RESIDUALS
+    (the IVFPQ detail that matters: residuals are centered near zero, so
+    the codebooks spend their k_codes entries on in-list variation).
+    Model size = nlist*D + m*k_codes*(D/m) floats — broadcast-sized at
+    any corpus scale; train on a sample at 100 TB."""
+    cents = train_ivf_centroids(vectors, nlist=nlist, vec_col=vec_col, seed=seed)
+    v = vectors.select(_as_double(F.col(vec_col)).alias("nv")).withColumn(
+        "list_id", F.element_at(_nearest_centroids(F.col("nv"), cents, 1), 1)
+    )
+    resid = v.select(
+        F.zip_with(
+            F.col("nv"),
+            F.element_at(_centroid_array(cents), F.col("list_id")),
+            lambda a, b: a - b,
+        ).alias("resid")
+    )
+    books = train_pq_codebooks(resid, m=m, k=k_codes, vec_col="resid", seed=seed)
+    return cents, books
+
+
+def write_ivfpq_index(
+    vectors: DataFrame,
+    table: str,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    buckets: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Materialize the IVFPQ index as a managed table BUCKETED by list_id
+    (same write-once/query-many layout as write_ivf_index); rows carry
+    (id, list_id, pq_codes, nv) — nv kept for the exact re-rank stage
+    (drop it and re-rank from the source table if storage dominates)."""
+    enc = ivfpq_assign_encode(vectors, centroids, codebooks, id_col, vec_col)
+    (
+        enc.write.mode(mode)
+        .bucketBy(buckets, "list_id")
+        .sortBy("list_id")
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
+def _ivfpq_score_encoded(
+    encoded: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    n_probe: int = 4,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Core IVFPQ search over an encoded relation: probe n_probe lists per
+    query, ADC-score their codes with per-(query, list) residual lookup
+    tables (m lookups per candidate — never full-dimension math), take a
+    ``shortlist`` by approximate distance, exact-cosine re-rank the
+    shortlist only. Queries are collected (query batches are bounded by
+    definition) and the tables broadcast; the corpus-side scan touches
+    only probed lists."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    books = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    d_sub = books[0].shape[1]
+    m = len(books)
+    C = np.asarray(centroids, dtype=np.float64)
+    spark = encoded.sparkSession
+    qrows = queries.select(
+        F.col(id_col).alias("qid"), _as_double(F.col(vec_col)).alias("__v")
+    ).collect()
+    probe_map: dict[int, dict[int, np.ndarray]] = {}
+    for r in qrows:
+        qv = np.asarray(r["__v"], dtype=np.float64)
+        d2 = ((C - qv[None, :]) ** 2).sum(axis=1)
+        lists = np.argsort(d2, kind="stable")[:n_probe] + 1  # 1-based ids
+        tabs = {}
+        for li in lists:
+            rq = qv - C[li - 1]
+            tabs[int(li)] = np.stack(
+                [
+                    ((books[j] - rq[j * d_sub : (j + 1) * d_sub][None, :]) ** 2).sum(
+                        axis=1
+                    )
+                    for j in range(m)
+                ]
+            )
+        probe_map[int(r["qid"])] = tabs
+    bc = spark.sparkContext.broadcast(probe_map)
+    all_lists = sorted({li for tabs in probe_map.values() for li in tabs})
+
+    # bucket-prunable IN filter (SelectedBucketsCount when encoded is the
+    # bucketed index table)
+    scan = encoded.filter(F.col("list_id").isin([int(x) for x in all_lists]))
+
+    def score(it):
+        pm = bc.value
+        js = np.arange(m)
+        for pdf in it:
+            if not len(pdf):
+                continue
+            codes = np.stack([np.asarray(c, dtype=np.int64) for c in pdf["pq_codes"]])
+            lst = pdf["list_id"].to_numpy()
+            nid = pdf["neighbor_id"].to_numpy()
+            out_q, out_n, out_d = [], [], []
+            for qid, tabs in pm.items():
+                for li, t in tabs.items():
+                    rows = np.nonzero(lst == li)[0]
+                    if not len(rows):
+                        continue
+                    # (m,) lookups per candidate, summed: t[j, code_j]
+                    adc = t[js[:, None], codes[rows].T].sum(axis=0)
+                    out_q.append(np.full(len(rows), qid, dtype=np.int64))
+                    out_n.append(nid[rows])
+                    out_d.append(adc)
+            if out_q:
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.concatenate(out_q),
+                        "neighbor_id": np.concatenate(out_n),
+                        "adc": np.concatenate(out_d),
+                    }
+                )
+
+    cand = scan.select("neighbor_id", "list_id", "pq_codes").mapInPandas(
+        score, "query_id long, neighbor_id long, adc double"
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(F.col("adc").asc(), F.col("neighbor_id"))
+    short = (
+        cand.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= int(shortlist))
+        .select("query_id", "neighbor_id")
+    )
+    # exact re-rank: shortlist*queries rows — broadcast against the index
+    vecs = encoded.select("neighbor_id", "nv")
+    qvecs = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("__qv")
+    )
+    scored = (
+        vecs.join(F.broadcast(short), "neighbor_id")
+        .join(F.broadcast(qvecs), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("__qv"), F.col("nv")).alias("cosine"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= int(k))
+        .select(
+            "query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"),
+            "cosine",
+        )
+    )
+
+
+def ivfpq_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    n_probe: int = 4,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Direct (no materialized index) IVFPQ top-k: encode in the same
+    plan, then the probe/ADC/re-rank core."""
+    enc = ivfpq_assign_encode(vectors, centroids, codebooks, id_col, vec_col)
+    return _ivfpq_score_encoded(
+        enc, queries, centroids, codebooks, k, n_probe, shortlist, id_col, vec_col
+    )
+
+
+def ivfpq_topk_from_index(
+    spark,
+    table: str,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    n_probe: int = 4,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVFPQ top-k over a prebuilt index table (write_ivfpq_index): the
+    probe-set IN filter prunes to the probed lists' BUCKETS."""
+    return _ivfpq_score_encoded(
+        spark.table(table), queries, centroids, codebooks,
+        k, n_probe, shortlist, id_col, vec_col,
+    )

@@ -519,3 +519,205 @@ def ann_topk_from_index(config: dict):
         )
 
     return transform
+
+
+def _with_tokens(df: DataFrame, config: dict) -> tuple[DataFrame, str, bool]:
+    """tokens_field passthrough (default: an existing `tokens` column),
+    or derive a temp token array by whitespace-splitting text_field
+    (flow specs carry text columns)."""
+    tokens = config.get("tokens_field")
+    if tokens is not None:
+        return df, tokens, False
+    text = config.get("text_field")
+    if text is None and "tokens" in df.columns:
+        return df, "tokens", False
+    text = text or "text"
+    return df.withColumn("__lm_toks", F.split(F.col(text), " ")), "__lm_toks", True
+
+
+@operator("ngram_lm_score")
+def ngram_lm_score_op(config: dict):
+    """CCNet perplexity stage (llm/ngram_lm.py): train a stupid-backoff
+    n-gram LM on the piped corpus and score every document. config:
+    {tokens_field | text_field, id_field, n, min_count, alpha,
+    persist_model}."""
+    from ..llm.ngram_lm import score_ngram_lm, train_ngram_lm
+
+    def transform(df: DataFrame) -> DataFrame:
+        d, tokens, _ = _with_tokens(df, config)
+        lm = train_ngram_lm(
+            d,
+            tokens_col=tokens,
+            id_col=config.get("id_field", "doc_id"),
+            n=int(config.get("n", 3)),
+            min_count=int(config.get("min_count", 2)),
+        )
+        if config.get("persist_model", True):
+            lm = lm.persist()
+        return score_ngram_lm(
+            d,
+            lm,
+            tokens_col=tokens,
+            id_col=config.get("id_field", "doc_id"),
+            alpha=float(config.get("alpha", 0.4)),
+        )
+
+    return transform
+
+
+@operator("ngram_perplexity_filter")
+def ngram_perplexity_filter_op(config: dict):
+    """Keep documents with stupid-backoff perplexity <= max_ppl (CCNet
+    keep-the-head as a threshold). config: {tokens_field | text_field,
+    id_field, n, min_count, alpha, max_ppl}."""
+    from ..llm.ngram_lm import perplexity_filter, train_ngram_lm
+
+    def transform(df: DataFrame) -> DataFrame:
+        d, tokens, temp = _with_tokens(df, config)
+        lm = train_ngram_lm(
+            d,
+            tokens_col=tokens,
+            id_col=config.get("id_field", "doc_id"),
+            n=int(config.get("n", 3)),
+            min_count=int(config.get("min_count", 2)),
+        ).persist()
+        kept = perplexity_filter(
+            d,
+            lm,
+            tokens_col=tokens,
+            id_col=config.get("id_field", "doc_id"),
+            max_ppl=float(config.get("max_ppl", 1e6)),
+            alpha=float(config.get("alpha", 0.4)),
+        )
+        return kept.drop("__lm_toks") if temp else kept
+
+    return transform
+
+
+@operator("ngram_perplexity_buckets")
+def ngram_perplexity_buckets_op(config: dict):
+    """CCNet head/middle/tail perplexity terciles, per-language when
+    lang_field is set. config: {tokens_field | text_field, id_field,
+    lang_field, n, min_count, alpha}."""
+    from ..llm.ngram_lm import (
+        perplexity_buckets,
+        score_ngram_lm,
+        train_ngram_lm,
+    )
+
+    def transform(df: DataFrame) -> DataFrame:
+        d, tokens, _ = _with_tokens(df, config)
+        idc = config.get("id_field", "doc_id")
+        lm = train_ngram_lm(
+            d, tokens_col=tokens, id_col=idc,
+            n=int(config.get("n", 3)),
+            min_count=int(config.get("min_count", 2)),
+        ).persist()
+        scored = score_ngram_lm(
+            d, lm, tokens_col=tokens, id_col=idc,
+            alpha=float(config.get("alpha", 0.4)),
+        )
+        lang = config.get("lang_field")
+        lang_df = df.select(idc, lang).withColumnRenamed(lang, "lang") if lang else None
+        return perplexity_buckets(scored, lang_df, id_col=idc)
+
+    return transform
+
+
+@operator("ivfpq_index_write")
+def ivfpq_index_write(config: dict):
+    """Build/write an IVF-PQ index over the piped vectors (llm/similarity
+    write_ivfpq_index): trains the coarse quantizer + residual PQ
+    codebooks, stores codes bucketed by list_id, and persists centroids +
+    codebooks next to the index for later probes. Passes the input
+    through (sink semantics). config: {table, nlist, m, k_codes, buckets,
+    id_field, vec_field}."""
+    from ..llm import similarity as S
+
+    table = config["table"]
+    nlist = int(config.get("nlist", 16))
+    m = int(config.get("m", 4))
+    k_codes = int(config.get("k_codes", 16))
+    buckets = int(config.get("buckets", 16))
+    id_col = config.get("id_field", "vec_id")
+    vec_col = config.get("vec_field", "embedding")
+
+    def sink(df: DataFrame) -> DataFrame:
+        spark = df.sparkSession
+        cents, books = S.train_ivfpq(df, nlist=nlist, m=m, k_codes=k_codes,
+                                     vec_col=vec_col)
+        S.write_ivfpq_index(df, table, cents, books, id_col, vec_col, buckets)
+        cent_rows = [(i + 1, c) for i, c in enumerate(cents)]
+        spark.createDataFrame(
+            cent_rows, "centroid_id int, centroid array<double>"
+        ).write.mode("overwrite").saveAsTable(f"{table}_centroids")
+        book_rows = [
+            (j, ci, c)
+            for j, book in enumerate(books)
+            for ci, c in enumerate(book)
+        ]
+        spark.createDataFrame(
+            book_rows, "subspace int, code int, centroid array<double>"
+        ).write.mode("overwrite").saveAsTable(f"{table}_codebooks")
+        return df
+
+    return sink
+
+
+@operator("ivfpq_topk_from_index")
+def ivfpq_topk_from_index_op(config: dict):
+    """IVF-PQ ANN over a prebuilt index (ivfpq_index_write): the piped
+    DataFrame is the QUERY set; probes prune to the probed lists'
+    buckets, ADC scores the codes, exact cosine re-ranks the shortlist.
+    config: {table, k, n_probe, shortlist, id_field, vec_field}."""
+    from ..llm import similarity as S
+
+    table = config["table"]
+
+    def transform(queries: DataFrame) -> DataFrame:
+        spark = queries.sparkSession
+        cents = S.load_ivf_centroids(spark, table)
+        books_rows = (
+            spark.table(f"{table}_codebooks").orderBy("subspace", "code").collect()
+        )
+        n_sub = max(r["subspace"] for r in books_rows) + 1
+        books = [
+            [
+                [float(x) for x in r["centroid"]]
+                for r in books_rows
+                if r["subspace"] == j
+            ]
+            for j in range(n_sub)
+        ]
+        return S.ivfpq_topk_from_index(
+            spark, table, queries, cents, books,
+            k=int(config.get("k", 5)),
+            n_probe=int(config.get("n_probe", 4)),
+            shortlist=int(config.get("shortlist", 50)),
+            id_col=config.get("id_field", "vec_id"),
+            vec_col=config.get("vec_field", "embedding"),
+        )
+
+    return transform
+
+
+@operator("arpa_lm_score")
+def arpa_lm_score_op(config: dict):
+    """Score documents with a PRETRAINED ARPA language model (the real
+    CCNet setting — llm/ngram_lm.py read_arpa/score_arpa: distributed
+    parse, Katz backoff as broadcast-join cascades). config:
+    {model_path, tokens_field | text_field, id_field, broadcast}."""
+    from ..llm.ngram_lm import read_arpa, score_arpa
+
+    def transform(df: DataFrame) -> DataFrame:
+        d, tokens, _ = _with_tokens(df, config)
+        lm = read_arpa(df.sparkSession, config["model_path"]).persist()
+        return score_arpa(
+            d,
+            lm,
+            tokens_col=tokens,
+            id_col=config.get("id_field", "doc_id"),
+            broadcast_tables=bool(config.get("broadcast", True)),
+        )
+
+    return transform

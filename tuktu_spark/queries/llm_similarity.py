@@ -458,3 +458,62 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     ]
     return S.semdedup(emb, seeds, eps=_SEMDEDUP_EPS)
+
+
+_IVFPQ_ORACLE = f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, TRUE AS index_matches_direct,
+       TRUE AS bucket_pruned, TRUE AS recall_ok
+FROM embeddings WHERE vec_id < {_N_QUERIES}
+"""
+
+
+@query("similarity_ivfpq_topk", oracle=_IVFPQ_ORACLE, tags=("llm", "similarity"))
+def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composite ANN (Jégou et al. 2011; llm/similarity.py): coarse
+    lists prune the corpus, PQ codes of the residual make the in-list
+    scan m table-lookups per candidate, exact cosine re-ranks only the
+    shortlist. SELF-VERIFYING: index_matches_direct pins the bucketed
+    index-table path row-for-row equal to the in-plan direct path;
+    bucket_pruned asserts the probe scan physically prunes to the probed
+    lists' buckets (SelectedBucketsCount); recall_ok pins recall@k vs
+    exact brute force >= 0.5 at n_probe=nlist/2 (measured ~0.9 — the
+    bound is a floor, not the expectation); n_queries is the exact
+    corpus fact the oracle recomputes."""
+    import uuid
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    cents, books = S.train_ivfpq(emb, nlist=16, m=4, k_codes=16)
+    table = f"ivfpq_idx_q_{uuid.uuid4().hex[:8]}"
+    S.write_ivfpq_index(emb, table, cents, books, buckets=16)
+    try:
+        direct = S.ivfpq_topk(
+            emb, queries, cents, books, k=_K, n_probe=8, shortlist=50
+        )
+        indexed = S.ivfpq_topk_from_index(
+            spark, table, queries, cents, books, k=_K, n_probe=8, shortlist=50
+        )
+        plan = indexed._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        a = direct.select("query_id", "rank", "neighbor_id")
+        b = indexed.select("query_id", "rank", "neighbor_id")
+        n_direct = a.count()
+        n_same = a.join(b, ["query_id", "rank", "neighbor_id"]).count()
+        n_indexed = b.count()
+        bf = S.brute_force_topk(emb, queries, k=_K)
+        want = {(r["query_id"], r["neighbor_id"]) for r in bf.collect()}
+        got = {(r["query_id"], r["neighbor_id"]) for r in indexed.collect()}
+        recall = len(want & got) / len(want) if want else 1.0
+        return spark.range(1).select(
+            F.lit(queries.count()).cast("long").alias("n_queries"),
+            F.lit(n_direct == n_same and n_indexed == n_direct).alias(
+                "index_matches_direct"
+            ),
+            F.lit("SelectedBucketsCount" in plan).alias("bucket_pruned"),
+            F.lit(recall >= 0.5).alias("recall_ok"),
+        )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")

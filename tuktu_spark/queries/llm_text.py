@@ -582,3 +582,197 @@ def text_normalize_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.concat(F.col("text"), F.lit(_NORMALIZE_SUFFIX)).alias("text")
     )
     return normalize_text(d, "text", form="NFC").select("doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# CCNet perplexity stage (llm/ngram_lm.py): train a stupid-backoff trigram
+# LM over the corpus, score every document. The oracle retrains the same
+# counts in CTEs and replays the backoff cascade; the checked fractional
+# aggregate (mean in-context probability) rides exact decimal sums —
+# per-position probabilities are ratios of integer counts (correctly-
+# rounded IEEE division, engine-identical). Perplexity itself (log10)
+# is pytest-pinned instead: libm vs JVM log10 rounding is not specified.
+# ---------------------------------------------------------------------------
+
+_NGRAM_LM_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, CAST(g.i AS INT) - 1 AS pos, t[CAST(g.i AS INT)] AS w
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       UNNEST(generate_series(1, len(t))) AS g(i)
+),
+lagged AS (
+  SELECT doc_id, pos, w,
+         LAG(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
+         LAG(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+  FROM toks
+),
+p AS (
+  SELECT doc_id, pos, w,
+         concat_ws(' ', w1, w) AS g2, concat_ws(' ', w1) AS ctx2,
+         concat_ws(' ', w2, w1, w) AS g3, concat_ws(' ', w2, w1) AS ctx3
+  FROM lagged
+),
+c1 AS (SELECT w AS gram, COUNT(*) AS cnt FROM toks GROUP BY 1 HAVING COUNT(*) >= 2),
+c2 AS (SELECT g2 AS gram, COUNT(*) AS cnt FROM p WHERE pos >= 1 GROUP BY 1 HAVING COUNT(*) >= 2),
+c3 AS (SELECT g3 AS gram, COUNT(*) AS cnt FROM p WHERE pos >= 2 GROUP BY 1 HAVING COUNT(*) >= 2),
+tot AS (SELECT COUNT(*) AS total FROM toks),
+scored AS (
+  SELECT p.doc_id, p.pos,
+         u.cnt AS c1, b.cnt AS c2, bc.cnt AS cc2, t3.cnt AS c3, t3c.cnt AS cc3,
+         CASE WHEN u.cnt IS NOT NULL
+              THEN CAST(u.cnt AS DOUBLE) / CAST(tot.total AS DOUBLE)
+              ELSE 1.0 / CAST(tot.total AS DOUBLE) END AS s1
+  FROM p
+  CROSS JOIN tot
+  LEFT JOIN c1 u ON p.w = u.gram
+  LEFT JOIN c2 b ON p.g2 = b.gram
+  LEFT JOIN c1 bc ON p.ctx2 = bc.gram
+  LEFT JOIN c3 t3 ON p.g3 = t3.gram
+  LEFT JOIN c2 t3c ON p.ctx3 = t3c.gram
+),
+s AS (
+  SELECT doc_id, pos, c1, c2, c3,
+         CASE WHEN pos >= 2 THEN
+                CASE WHEN c3 IS NOT NULL
+                     THEN CAST(c3 AS DOUBLE) / CAST(cc3 AS DOUBLE)
+                     ELSE CAST(0.4 AS DOUBLE) *
+                          CASE WHEN c2 IS NOT NULL
+                               THEN CAST(c2 AS DOUBLE) / CAST(cc2 AS DOUBLE)
+                               ELSE CAST(0.4 AS DOUBLE) * s1 END END
+              WHEN pos >= 1 THEN
+                CASE WHEN c2 IS NOT NULL
+                     THEN CAST(c2 AS DOUBLE) / CAST(cc2 AS DOUBLE)
+                     ELSE CAST(0.4 AS DOUBLE) * s1 END
+              ELSE s1 END AS s
+  FROM scored
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_pos,
+       CAST(SUM(CASE WHEN c1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits1,
+       CAST(SUM(CASE WHEN c2 IS NOT NULL AND pos >= 1 THEN 1 ELSE 0 END) AS BIGINT) AS hits2,
+       CAST(SUM(CASE WHEN c3 IS NOT NULL AND pos >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS hits3,
+       CAST(SUM(CAST(FLOOR(s * 1073741824) AS BIGINT)) AS BIGINT) AS prob_q30
+FROM s
+GROUP BY doc_id
+"""
+
+
+@query("text_ngram_lm_score", oracle=_NGRAM_LM_ORACLE, tags=("llm", "text"), bench=True)
+def text_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.dedup import release_persisted
+    from ..llm.ngram_lm import score_ngram_lm, train_ngram_lm
+
+    release_persisted()
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("tokens")
+    )
+    lm = train_ngram_lm(d, n=3, min_count=2).persist()
+    out = score_ngram_lm(d, lm)
+    return out.select(
+        "doc_id", "n_pos", "hits1", "hits2", "hits3", "prob_q30"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pretrained-ARPA scoring (the real CCNet setting: a FIXED LM scores the
+# corpus). The oracle embeds the bundled mini model (dyadic log10 probs,
+# generated deterministically from md5 over the corpus vocabulary) as
+# VALUES tables and replays the Katz backoff cascade; the checked
+# aggregate is the exact 2^20-quantized log-prob sum (same argument as
+# prob_q30: power-of-two scaling + floor + bigint sum is engine-exact).
+# ---------------------------------------------------------------------------
+
+
+def _arpa_path() -> str:
+    import os
+
+    from .. import llm as _llm
+
+    return os.path.join(os.path.dirname(_llm.__file__), "data", "mini_lm.arpa")
+
+
+def _arpa_values() -> tuple[str, str, str, float]:
+    rows: dict[int, list[str]] = {1: [], 2: [], 3: []}
+    unk = -7.0
+    with open(_arpa_path(), encoding="utf-8") as f:
+        for line in f:
+            parts = line.rstrip("\n").split("\t")
+            if len(parts) < 2:
+                continue
+            try:
+                lp = float(parts[0])
+            except ValueError:
+                continue
+            gram = parts[1]
+            bow = float(parts[2]) if len(parts) > 2 else 0.0
+            k = len(gram.split(" "))
+            if gram == "<unk>":
+                unk = lp
+                continue
+            g = gram.replace("'", "''")
+            rows[k].append(f"('{g}', {lp!r}, {bow!r})")
+    return ", ".join(rows[1]), ", ".join(rows[2]), ", ".join(rows[3]), unk
+
+
+_A1, _A2, _A3, _UNK = _arpa_values()
+
+_ARPA_ORACLE = f"""
+WITH t1(w, p1, b1) AS (VALUES {_A1}),
+t2(gram, p2, b2) AS (VALUES {_A2}),
+t3(gram, p3, b3) AS (VALUES {_A3}),
+toks AS (
+  SELECT doc_id, CAST(g.i AS INT) - 1 AS pos, t[CAST(g.i AS INT)] AS w
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       UNNEST(generate_series(1, len(t))) AS g(i)
+),
+lagged AS (
+  SELECT doc_id, pos, w,
+         LAG(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
+         LAG(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+  FROM toks
+),
+p AS (
+  SELECT doc_id, pos, w,
+         concat_ws(' ', w1, w) AS g2, concat_ws(' ', w1) AS ctx2,
+         concat_ws(' ', w2, w1, w) AS g3, concat_ws(' ', w2, w1) AS ctx3
+  FROM lagged
+),
+joined AS (
+  SELECT p.doc_id, p.pos,
+         u.p1, bu.b1 AS cb2, b.p2, bb.b2 AS cb3, t.p3
+  FROM p
+  LEFT JOIN t1 u ON p.w = u.w
+  LEFT JOIN t1 bu ON p.ctx2 = bu.w
+  LEFT JOIN t2 b ON p.g2 = b.gram
+  LEFT JOIN t2 bb ON p.ctx3 = bb.gram
+  LEFT JOIN t3 t ON p.g3 = t.gram
+),
+s AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos >= 2 THEN
+                COALESCE(p3, COALESCE(cb3, 0.0) +
+                  COALESCE(p2, COALESCE(cb2, 0.0) + COALESCE(p1, {_UNK!r})))
+              WHEN pos >= 1 THEN
+                COALESCE(p2, COALESCE(cb2, 0.0) + COALESCE(p1, {_UNK!r}))
+              ELSE COALESCE(p1, {_UNK!r}) END AS lp
+  FROM joined
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_pos,
+       CAST(SUM(CAST(FLOOR(lp * 1048576) AS BIGINT)) AS BIGINT) AS lp_q20
+FROM s
+GROUP BY doc_id
+"""
+
+
+@query("text_arpa_lm_score", oracle=_ARPA_ORACLE, tags=("llm", "text"))
+def text_arpa_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.dedup import release_persisted
+    from ..llm.ngram_lm import read_arpa, score_arpa
+
+    release_persisted()
+    lm = read_arpa(spark, _arpa_path()).persist()
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("tokens")
+    )
+    return score_arpa(d, lm).select("doc_id", "n_pos", "lp_q20")
