@@ -292,3 +292,82 @@ class TestSpark:
         out = make_operator("fasttext_vectors", {"model_path": p})(df).collect()
         assert len(out) == 1 and abs(out[0]["embedding"][0] - 1.0) < 1e-6
         assert os.path.exists(p)
+
+
+class TestReferenceSurface:
+    """The rest of FastText.scala's wrapper API: nearest words and the
+    word-overlap classifier (simpleWordOverlapClassifier:82-97)."""
+
+    def _model(self):
+        # orthogonal-ish vocab: a/b similar, c distinct
+        words = ["aa", "ab", "cc", "dd"]
+        mat = np.array(
+            [[1.0, 0.1, 0.0], [0.9, 0.2, 0.0], [0.0, 0.0, 1.0], [0.1, 1.0, 0.0]],
+            dtype=np.float32,
+        )
+        args = FastTextArgs(dim=3, bucket=0, minn=0, maxn=0)
+        return FastTextModel(args=args, words=words, vectors=mat)
+
+    def test_similar_words(self, spark):
+        from tuktu_spark.ml.fasttext import ft_similar_words
+
+        out = ft_similar_words(spark, self._model(), ["aa"], k=2).collect()
+        assert [r["word"] for r in sorted(out, key=lambda r: r["rank"])] == [
+            "ab", "dd",
+        ]
+        assert all(r["word"] != "aa" for r in out)
+
+    def test_word_overlap_classify_matches_reference_semantics(self, spark):
+        import numpy as np
+
+        from tuktu_spark.ml.fasttext import ft_word_overlap_classify
+
+        m = self._model()
+        classes = {"x": ["aa", "ab"], "y": ["cc"]}
+        df = spark.createDataFrame(
+            [(1, ["aa"]), (2, ["cc", "zz"]), (3, ["zz"])],
+            "doc_id long, tokens array<string>",
+        )
+        got = {
+            (r["doc_id"], r["label"]): r["score"]
+            for r in ft_word_overlap_classify(df, m, classes, cutoff=0.5).collect()
+        }
+
+        def cos(a, b):
+            a, b = np.asarray(a, float), np.asarray(b, float)
+            return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+        # doc 1 vs class x: pairs (aa,aa)=1.0 and (aa,ab); both >= 0.5
+        want = (1.0 + cos(m.word_vector("aa"), m.word_vector("ab"))) / 2
+        assert got[(1, "x")] == pytest.approx(want, rel=1e-6)
+        assert got[(1, "y")] == 0.0  # aa.cc cosine 0 < cutoff
+        assert got[(2, "y")] == pytest.approx(1.0, rel=1e-6)  # cc self-match
+        assert got[(3, "x")] == 0.0 and got[(3, "y")] == 0.0  # OOV-only doc
+
+    def test_overlap_operator(self, spark, tmp_path):
+        from tuktu_spark.ml.fasttext_io import write_vec
+        from tuktu_spark.operators.registry import make_operator
+
+        m = self._model()
+        p = str(tmp_path / "m.vec")
+        write_vec(p, m.words, m.vectors)
+        df = spark.createDataFrame([(1, ["aa"])], "doc_id long, tokens array<string>")
+        out = make_operator(
+            "fasttext_word_overlap_classify",
+            {"model_path": p, "classes": {"x": ["aa"], "y": ["cc"]}, "cutoff": 0.5},
+        )(df).collect()
+        scores = {r["label"]: r["score"] for r in out}
+        assert scores["x"] == pytest.approx(1.0) and scores["y"] == 0.0
+
+    def test_similar_words_operator(self, spark, tmp_path):
+        from tuktu_spark.ml.fasttext_io import write_vec
+        from tuktu_spark.operators.registry import make_operator
+
+        m = self._model()
+        p = str(tmp_path / "m.vec")
+        write_vec(p, m.words, m.vectors)
+        df = spark.range(1)
+        out = make_operator(
+            "fasttext_similar_words", {"model_path": p, "probes": ["aa"], "k": 1}
+        )(df).collect()
+        assert len(out) == 1 and out[0]["word"] == "ab"

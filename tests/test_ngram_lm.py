@@ -300,3 +300,84 @@ class TestArpa:
         out = make_operator("arpa_lm_score", {"model_path": path})(df)
         rows = out.collect()
         assert len(rows) == 2 and all(r["ppl"] > 0 for r in rows)
+
+
+class TestArrayEngine:
+    def test_array_positions_equal_window(self, spark, corpus):
+        lm = train_ngram_lm(corpus, n=3, min_count=2)
+        a = sorted(
+            map(tuple, score_ngram_lm(corpus, lm).select(
+                "doc_id", "n_pos", "hits1", "hits2", "hits3", "prob_q30"
+            ).collect())
+        )
+        b = sorted(
+            map(tuple, score_ngram_lm(corpus, lm, engine="array").select(
+                "doc_id", "n_pos", "hits1", "hits2", "hits3", "prob_q30"
+            ).collect())
+        )
+        assert a == b
+
+    def test_array_engine_plan_has_no_window(self, spark, corpus):
+        # the stream-legality claim: the gram CONSTRUCTION itself uses no
+        # window function (a frozen model's training plan, which does, is
+        # materialized before any stream starts)
+        from tests.test_plans import plan_of
+        from tuktu_spark.llm.ngram_lm import _positions
+
+        plan = plan_of(_positions(corpus, "tokens", "doc_id", 3, engine="array"))
+        assert "Window" not in plan
+        plan_w = plan_of(_positions(corpus, "tokens", "doc_id", 3))
+        assert "Window" in plan_w
+
+    def test_arpa_array_equals_window(self, spark, tmp_path):
+        from tuktu_spark.llm.ngram_lm import read_arpa, score_arpa
+
+        lm = read_arpa(spark, TestArpa._write_model(TestArpa(), tmp_path))
+        df = spark.createDataFrame(
+            [(1, ["the", "cat", "sat"]), (2, ["zebra", "cat"])],
+            "doc_id long, tokens array<string>",
+        )
+        a = sorted(map(tuple, score_arpa(df, lm).select("doc_id", "lp_q20").collect()))
+        b = sorted(map(tuple, score_arpa(df, lm, engine="array")
+                       .select("doc_id", "lp_q20").collect()))
+        assert a == b
+
+
+class TestStreamingScore:
+    def test_streaming_equals_batch_and_idempotent(self, spark, tmp_path):
+        import tests.test_streaming as TS
+        from tuktu_spark.streaming.llm import (
+            make_lm_score_batch_processor,
+            streaming_lm_score,
+        )
+
+        corpus = spark.createDataFrame(DOCS, "doc_id long, text string").select(
+            "doc_id", F.split("text", " ").alias("tokens")
+        )
+        lm = train_ngram_lm(corpus, n=3, min_count=1)
+        # freeze the model (collect-free: persist + materialize)
+        lm.persist()
+        stream = TS.STR.replay_dataframe(
+            corpus, str(tmp_path / "replay"), chunks=2, order_col="doc_id"
+        )
+        q = streaming_lm_score(
+            stream, lm, str(tmp_path / "out"), str(tmp_path / "ckpt")
+        )
+        q.processAllAvailable()
+        q.stop()
+        got = {
+            (r["doc_id"], r["prob_q30"])
+            for r in spark.read.parquet(str(tmp_path / "out")).collect()
+        }
+        want = {
+            (r["doc_id"], r["prob_q30"])
+            for r in score_ngram_lm(corpus, lm).collect()
+        }
+        assert got == want and len(want) == 4
+        # idempotent replay of batch 0
+        n = spark.read.parquet(str(tmp_path / "out")).count()
+        proc = make_lm_score_batch_processor(
+            spark, lm, str(tmp_path / "out")
+        )
+        proc(corpus.limit(2), 0)
+        assert spark.read.parquet(str(tmp_path / "out")).count() == n

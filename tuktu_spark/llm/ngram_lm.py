@@ -71,11 +71,54 @@ class NgramLM:
         return self
 
 
-def _positions(df: DataFrame, tokens_col: str, id_col: str, n: int) -> DataFrame:
+def _positions(
+    df: DataFrame,
+    tokens_col: str,
+    id_col: str,
+    n: int,
+    engine: str = "window",
+) -> DataFrame:
     """(id, pos, w, g2..gn, ctx2..ctxn): every token position with its
     k-gram strings (g_k = w_{i-k+1}..w_i) and context strings
-    (ctx_k = w_{i-k+1}..w_{i-1}), built with LAG over one doc-keyed
-    shuffle that the caller's per-doc aggregation reuses."""
+    (ctx_k = w_{i-k+1}..w_{i-1}).
+
+    engine='window' (batch default): LAG over one doc-keyed shuffle that
+    the caller's per-doc aggregation reuses. engine='array': grams built
+    per-row from the token array (slice + concat_ws inside one struct
+    transform) BEFORE the explode — no window, no shuffle until the
+    caller aggregates; required under Structured Streaming (window
+    functions are unsupported on streams) and pinned equal to the window
+    form in tests."""
+    if engine == "array":
+        t = F.col(tokens_col)
+        fields = [F.col("z.pos").alias("pos"), F.col("z.w").alias("w")]
+        struct_cols = lambda i: [  # noqa: E731
+            (i - 1).alias("pos"),
+            F.element_at(t, i).alias("w"),
+        ] + [
+            c
+            for k in range(2, n + 1)
+            for c in (
+                F.when(
+                    i >= k, F.concat_ws(" ", F.slice(t, i - k + 1, k))
+                ).otherwise(F.concat_ws(" ", F.slice(t, F.lit(1), i)))
+                .alias(f"g{k}"),
+                F.when(
+                    i >= k, F.concat_ws(" ", F.slice(t, i - k + 1, k - 1))
+                ).otherwise(F.concat_ws(" ", F.slice(t, F.lit(1), i - 1)))
+                .alias(f"ctx{k}"),
+            )
+        ]
+        structs = F.transform(
+            F.sequence(F.lit(1), F.size(t)), lambda i: F.struct(*struct_cols(i))
+        )
+        out = df.select(F.col(id_col), F.explode(structs).alias("z"))
+        for k in range(2, n + 1):
+            fields += [
+                F.col(f"z.g{k}").alias(f"g{k}"),
+                F.col(f"z.ctx{k}").alias(f"ctx{k}"),
+            ]
+        return out.select(F.col(id_col), *fields)
     pos = df.select(
         F.col(id_col), F.posexplode(F.col(tokens_col)).alias("pos", "w")
     )
@@ -146,6 +189,7 @@ def score_ngram_lm(
     id_col: str = "doc_id",
     alpha: float = 0.4,
     broadcast_counts: bool = True,
+    engine: str = "window",
 ) -> DataFrame:
     """(id, n_pos, hit counts per order, mean_prob, logprob10, ppl):
     per-document stupid-backoff scores.
@@ -160,7 +204,7 @@ def score_ngram_lm(
     share it); count tables broadcast (CCNet's fixed-small-LM setting) or
     shuffle-joined when broadcast_counts=False."""
     n = lm.n
-    pos = _positions(df, tokens_col, id_col, n)
+    pos = _positions(df, tokens_col, id_col, n, engine=engine)
     maybe_b = F.broadcast if broadcast_counts else (lambda x: x)
     c1 = maybe_b(
         lm.counts[0].select(F.col("gram").alias("w"), F.col("cnt").alias("c1"))
@@ -325,6 +369,7 @@ def score_arpa(
     tokens_col: str = "tokens",
     id_col: str = "doc_id",
     broadcast_tables: bool = True,
+    engine: str = "window",
 ) -> DataFrame:
     """(id, n_pos, logprob10, ppl) under a pretrained ARPA model with full
     Katz backoff: listed k-gram -> its log10 prob; else the CONTEXT's
@@ -333,7 +378,7 @@ def score_arpa(
     <unk> floor. Same plan shape as score_ngram_lm: one doc-keyed corpus
     shuffle, per-order broadcast joins, codegen end to end."""
     n = lm.n
-    pos = _positions(df, tokens_col, id_col, n)
+    pos = _positions(df, tokens_col, id_col, n, engine=engine)
     maybe_b = F.broadcast if broadcast_tables else (lambda x: x)
     t1 = maybe_b(
         lm.tables[0].select(

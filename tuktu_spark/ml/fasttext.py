@@ -1,11 +1,17 @@
 """FastText-style word/document vectors.
 
 Reference: nlp/processors/FastTextProcessor.scala:20 (JFastText wrapper
-loading a trained .bin model) and URBEM's vector matcher. The trained-model
-path needs the fasttext lib + a model binary, neither in this container —
-``load_fasttext_model`` documents that seam and fails with a clear message.
+loading a trained .bin model) and URBEM's vector matcher. The
+trained-model path is served NATIVELY (round 6): ``ml.fasttext_io``
+reads the public .vec/.bin formats with no third-party lib, and this
+module surfaces the reference wrapper's whole API over Spark —
+``ft_doc_vectors`` (getSentenceVector), ``ft_predict`` (supervised
+predict), ``ft_similar_words`` (nearest-word lookups),
+``ft_word_overlap_classify`` (simpleWordOverlapClassifier), and
+``ft_doc_embed_exact`` (oracle-exact .vec averaging).
 
-The WORKING fallback is the deterministic half of fastText itself
+Alongside the trained path there is a model-free fallback — the
+deterministic half of fastText itself
 (Bojanowski et al., "Enriching Word Vectors with Subword Information" —
 public literature): a word is represented by its char n-grams (with < >
 boundary markers) hashed into a fixed number of buckets. Without learned
@@ -312,4 +318,128 @@ def doc_cosine_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.sum(F.col("wa") * F.col("wb")).alias("cosine"))
         .filter(F.col("cosine") >= min_cosine)
+    )
+
+
+def ft_similar_words(
+    spark,
+    model,
+    probes: list[str],
+    k: int = 5,
+) -> DataFrame:
+    """(probe, word, similarity, rank): nearest VOCABULARY words to each
+    probe word by cosine over the loaded model — the fastText
+    nearest-neighbor / FastTextToWord2VecProcessor surface. The
+    vocabulary table is model-sized (bounded); probes broadcast. For
+    models beyond driver memory, export with write_vec and join against
+    read_vec_spark instead."""
+    import pandas as pd
+    from pyspark.sql import Window
+
+    from .fasttext_io import FastTextModel
+
+    if isinstance(model, str):
+        model = load_fasttext_model(model)
+    assert isinstance(model, FastTextModel)
+    vocab = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "word": model.words,
+                "v": [model.word_vector(w).tolist() for w in model.words],
+            }
+        )
+    )
+    probe_rows = [(p, [float(x) for x in model.word_vector(p)]) for p in probes]
+    pdf = spark.createDataFrame(probe_rows, "probe string, pv array<double>")
+    from ..llm.similarity import cosine
+
+    scored = (
+        vocab.crossJoin(F.broadcast(pdf))
+        .filter(F.col("word") != F.col("probe"))
+        .select(
+            "probe", "word",
+            cosine(F.col("pv"), F.col("v")).alias("similarity"),
+        )
+    )
+    w = Window.partitionBy("probe").orderBy(F.col("similarity").desc(), F.col("word"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(k))
+        .select("probe", "word", F.col("rank").cast("int").alias("rank"), "similarity")
+    )
+
+
+def ft_word_overlap_classify(
+    df: DataFrame,
+    model,
+    classes: dict[str, list[str]],
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    cutoff: float = 0.225,
+) -> DataFrame:
+    """(id, label, score): the reference's word-by-word overlap classifier
+    (FastText.scala simpleWordOverlapClassifier / URBEM seed matching):
+    for each class's candidate words, cosine every (input word, candidate
+    word) pair, keep pairs >= cutoff, score = mean of kept similarities
+    (0.0 when none clear the cutoff). Broadcast model + class matrices;
+    map-only Arrow stage."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    if isinstance(model, str):
+        model = load_fasttext_model(model)
+    labels = sorted(classes)
+    class_mats = []
+    for lab in labels:
+        vs = []
+        for w in classes[lab]:
+            v = model.word_vector(w).astype(np.float64)
+            n = float(np.sqrt((v * v).sum()))
+            vs.append(v / n if n > 0 else v)
+        class_mats.append(np.stack(vs) if vs else np.zeros((0, model.dim)))
+    bc = df.sparkSession.sparkContext.broadcast((model, class_mats))
+
+    def score_fn(toks):
+        m, mats = bc.value
+        cache: dict[str, object] = {}
+
+        def wv(w):
+            v = cache.get(w)
+            if v is None:
+                v = m.word_vector(w).astype(np.float64)
+                n = float(np.sqrt((v * v).sum()))
+                v = v / n if n > 0 else None
+                cache[w] = v if v is not None else False
+                return cache[w]
+            return v
+
+        out = []
+        for arr in toks:
+            vs = [wv(w) for w in (arr if arr is not None else [])]
+            vs = [v for v in vs if v is not False]
+            scores = []
+            if vs:
+                V = np.stack(vs)
+                for mat in mats:
+                    if not len(mat):
+                        scores.append(0.0)
+                        continue
+                    sims = (V @ mat.T).ravel()
+                    kept = sims[sims >= cutoff]
+                    scores.append(float(kept.mean()) if len(kept) else 0.0)
+            else:
+                scores = [0.0] * len(mats)
+            out.append(scores)
+        return pd.Series(out)
+
+    score_fn.__annotations__ = {"toks": pd.Series, "return": pd.Series}
+    u = pandas_udf("array<double>")(score_fn)
+    scored = df.select(F.col(id_col), u(F.col(tokens_col)).alias("__s"))
+    pairs = F.arrays_zip(
+        F.array(*[F.lit(lb) for lb in labels]).alias("label"),
+        F.col("__s").alias("score"),
+    )
+    return scored.select(F.col(id_col), F.explode(pairs).alias("z")).select(
+        id_col, F.col("z.label").alias("label"), F.col("z.score").alias("score")
     )

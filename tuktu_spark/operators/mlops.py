@@ -656,3 +656,43 @@ def url_parse_op(config: dict):
         return out
 
     return transform
+
+
+@operator("fasttext_similar_words")
+def fasttext_similar_words_op(config: dict):
+    """Nearest vocabulary words to probe words from a natively-loaded
+    fastText model (FastTextToWord2Vec / nearest-neighbor surface).
+    Input DataFrame is ignored except for its session. config:
+    {model_path, probes, k}."""
+    from ..ml.fasttext import ft_similar_words
+
+    def transform(df: DataFrame) -> DataFrame:
+        return ft_similar_words(
+            df.sparkSession,
+            config["model_path"],
+            list(config["probes"]),
+            k=int(config.get("k", 5)),
+        )
+
+    return transform
+
+
+@operator("fasttext_word_overlap_classify")
+def fasttext_word_overlap_classify_op(config: dict):
+    """Word-by-word cosine overlap classification against candidate word
+    sets (FastText.scala simpleWordOverlapClassifier; URBEM seed
+    matching). config: {model_path, classes: {label: [words]},
+    tokens_field, id_field, cutoff}."""
+    from ..ml.fasttext import ft_word_overlap_classify
+
+    def transform(df: DataFrame) -> DataFrame:
+        return ft_word_overlap_classify(
+            df,
+            config["model_path"],
+            dict(config["classes"]),
+            tokens_col=config.get("tokens_field", "tokens"),
+            id_col=config.get("id_field", "doc_id"),
+            cutoff=float(config.get("cutoff", 0.225)),
+        )
+
+    return transform

@@ -332,3 +332,69 @@ def make_paragraph_dedup_batch_processor(
         )
 
     return process
+
+
+# ---------------------------------------------------------------------------
+# Streaming LM scoring: score arriving micro-batches against a FROZEN
+# language model (the CCNet production shape — the LM never changes while
+# the corpus streams in). Stateless per batch given the model, so the
+# foreachBatch processor only needs batch_id idempotency; inside
+# foreachBatch each batch is a plain DataFrame, so the batch scorer (and
+# its window engine) applies unchanged. For a pure streaming plan (no
+# foreachBatch) use score_* with engine='array' — grams are built per-row
+# from the token array, no window function, stream-legal.
+# ---------------------------------------------------------------------------
+
+
+def make_lm_score_batch_processor(
+    spark,
+    lm,
+    out_dir: str,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    alpha: float = 0.4,
+):
+    """foreachBatch processor scoring each micro-batch with a frozen
+    NgramLM or ArpaLM (llm/ngram_lm.py) and appending per-doc scores to a
+    batch_id-partitioned parquet store (commit-last idempotency: a
+    re-delivered batch overwrites its own partition, same contract as the
+    dedup stores). Pinned equal to batch scoring on replay in tests."""
+    from ..llm.ngram_lm import ArpaLM, score_arpa, score_ngram_lm
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if isinstance(lm, ArpaLM):
+            scored = score_arpa(batch_df, lm, tokens_col, id_col)
+        else:
+            scored = score_ngram_lm(batch_df, lm, tokens_col, id_col, alpha=alpha)
+        dyn = {"partitionOverwriteMode": "dynamic"}
+        (
+            scored.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .options(**dyn)
+            .partitionBy("batch_id")
+            .parquet(out_dir)
+        )
+
+    return process
+
+
+def streaming_lm_score(
+    stream_df: DataFrame,
+    lm,
+    out_dir: str,
+    checkpoint_dir: str,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+):
+    """readStream -> frozen-LM scoring -> partitioned parquet scores."""
+    proc = make_lm_score_batch_processor(
+        stream_df.sparkSession, lm, out_dir, tokens_col, id_col
+    )
+    return (
+        stream_df.writeStream.foreachBatch(proc)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
