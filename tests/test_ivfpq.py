@@ -166,3 +166,67 @@ class TestOperators:
             spark.sql(f"DROP TABLE IF EXISTS {table}")
             spark.sql(f"DROP TABLE IF EXISTS {table}_centroids")
             spark.sql(f"DROP TABLE IF EXISTS {table}_codebooks")
+
+
+class TestAppend:
+    def test_append_equals_full_rebuild(self, spark, emb, model):
+        import uuid
+
+        from pyspark.sql import functions as F
+
+        cents, books = model
+        a = emb.filter(F.col("vec_id") < 40)
+        b = emb.filter(F.col("vec_id") >= 40)
+        t1 = f"ivfpq_app_{uuid.uuid4().hex[:8]}"
+        t2 = f"ivfpq_full_{uuid.uuid4().hex[:8]}"
+        try:
+            S.write_ivfpq_index(a, t1, cents, books, buckets=NLIST)
+            S.append_ivfpq_index(b, t1, cents, books, buckets=NLIST)
+            S.write_ivfpq_index(emb, t2, cents, books, buckets=NLIST)
+            q = emb.filter(F.col("vec_id") < 5)
+            got = sorted(map(tuple, S.ivfpq_topk_from_index(
+                spark, t1, q, cents, books, k=5, n_probe=2, shortlist=30
+            ).select("query_id", "rank", "neighbor_id").collect()))
+            want = sorted(map(tuple, S.ivfpq_topk_from_index(
+                spark, t2, q, cents, books, k=5, n_probe=2, shortlist=30
+            ).select("query_id", "rank", "neighbor_id").collect()))
+            assert got == want and len(got) == 25
+            # the appended index still prunes buckets
+            plan = S.ivfpq_topk_from_index(
+                spark, t1, q, cents, books, k=5, n_probe=2
+            )._jdf.queryExecution().explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                    "formatted"
+                )
+            )
+            assert "SelectedBucketsCount" in plan
+        finally:
+            spark.sql(f"DROP TABLE IF EXISTS {t1}")
+            spark.sql(f"DROP TABLE IF EXISTS {t2}")
+
+    def test_append_operator(self, spark, emb):
+        import uuid
+
+        from pyspark.sql import functions as F
+
+        from tuktu_spark.operators.registry import make_operator
+
+        table = f"ivfpq_opa_{uuid.uuid4().hex[:8]}"
+        try:
+            with pytest.raises(ValueError, match="append"):
+                make_operator(
+                    "ivfpq_index_write", {"table": table, "mode": "append"}
+                )(emb)
+            cfg = {"table": table, "nlist": NLIST, "m": M, "k_codes": KC,
+                   "buckets": NLIST}
+            make_operator("ivfpq_index_write", cfg)(
+                emb.filter(F.col("vec_id") < 40)
+            )
+            make_operator("ivfpq_index_write", {**cfg, "mode": "append"})(
+                emb.filter(F.col("vec_id") >= 40)
+            )
+            assert spark.table(table).count() == 60
+        finally:
+            spark.sql(f"DROP TABLE IF EXISTS {table}")
+            spark.sql(f"DROP TABLE IF EXISTS {table}_centroids")
+            spark.sql(f"DROP TABLE IF EXISTS {table}_codebooks")

@@ -139,13 +139,21 @@ def train_ngram_lm(
     id_col: str = "doc_id",
     n: int = 3,
     min_count: int = 1,
+    positions: DataFrame | None = None,
 ) -> NgramLM:
     """Count tables for orders 1..n over the corpus. min_count prunes
     every order identically (the scale knob: at 100 TB raise it until
     the model fits the broadcast budget — or keep it 1 and shuffle-join).
     ``total`` (the unigram denominator) is counted BEFORE pruning so
-    probabilities stay proper."""
-    pos = _positions(df, tokens_col, id_col, n)
+    probabilities stay proper.
+
+    ``positions``: a prebuilt (ideally persisted) ``_positions`` table —
+    train-then-score-the-same-corpus flows should build it ONCE and pass
+    it to both calls, so the corpus is exploded/windowed a single time
+    instead of once per count table (measured ~2x on the bench query)."""
+    pos = positions if positions is not None else _positions(
+        df, tokens_col, id_col, n
+    )
     counts: list[DataFrame] = []
     for k in range(1, n + 1):
         gram = F.col("w") if k == 1 else F.col(f"g{k}")
@@ -158,7 +166,10 @@ def train_ngram_lm(
         if min_count > 1:
             c = c.filter(F.col("cnt") >= min_count)
         counts.append(c)
-    total = df.select(F.sum(F.size(tokens_col))).collect()[0][0] or 0
+    if positions is not None:
+        total = pos.count()  # one row per token; reuses the caller's cache
+    else:
+        total = df.select(F.sum(F.size(tokens_col))).collect()[0][0] or 0
     return NgramLM(counts=counts, total=int(total), n=n, min_count=min_count)
 
 
@@ -190,6 +201,7 @@ def score_ngram_lm(
     alpha: float = 0.4,
     broadcast_counts: bool = True,
     engine: str = "window",
+    positions: DataFrame | None = None,
 ) -> DataFrame:
     """(id, n_pos, hit counts per order, mean_prob, logprob10, ppl):
     per-document stupid-backoff scores.
@@ -204,7 +216,9 @@ def score_ngram_lm(
     share it); count tables broadcast (CCNet's fixed-small-LM setting) or
     shuffle-joined when broadcast_counts=False."""
     n = lm.n
-    pos = _positions(df, tokens_col, id_col, n, engine=engine)
+    pos = positions if positions is not None else _positions(
+        df, tokens_col, id_col, n, engine=engine
+    )
     maybe_b = F.broadcast if broadcast_counts else (lambda x: x)
     c1 = maybe_b(
         lm.counts[0].select(F.col("gram").alias("w"), F.col("cnt").alias("c1"))
@@ -439,3 +453,62 @@ def write_arpa(path: str, tables: list[list[tuple]], n: int) -> None:
                 else:
                     f.write(f"{lp}\t{gram}\t{bow}\n")
         f.write("\n\\end\\\n")
+
+
+def lm_score_buckets_exact(
+    scored: DataFrame,
+    id_col: str = "doc_id",
+    lang_col: str | None = None,
+    score_col: str = "lp_q20",
+    n_col: str = "n_pos",
+) -> DataFrame:
+    """CCNet head/middle/tail with EXACT, engine-portable terciles.
+
+    ``perplexity_buckets`` (above) cuts on percentile_approx — the right
+    tool at scale but its tie/rank semantics are engine-specific, so it
+    can't face the SQL-oracle gate. This variant buckets on the exact
+    integer per-token score lpt_q = floordiv(score, n) (score = the
+    2^20-quantized log-prob sum the ARPA/backoff scorers emit — higher
+    is better, i.e. lower perplexity):
+
+        head    lpt_q >= v1,  v1 = the ceil(n/3)-th largest lpt_q
+        middle  v2 <= lpt_q < v1,  v2 = the ceil(2n/3)-th largest
+        tail    otherwise
+
+    Tie groups never split across buckets (the cutoffs are VALUES, not
+    row ranks), so the assignment is deterministic and identical in any
+    engine. Shape: one map-side-combined groupBy(lang, lpt_q) to
+    distinct-value rows, a cumsum window over those SMALL rows (per-lang
+    distinct score values, not documents), two tiny cutoff aggregates
+    broadcast back — the corpus itself is never re-shuffled. Without
+    ``lang_col`` the cumsum window is a single task over the distinct
+    quantized values — fine when the score range bounds them, but at
+    corpus scale pass the partitioning column (the CCNet setting)."""
+    s, n = F.col(score_col), F.col(n_col)
+    # exact floor division for possibly-negative scores: subtract the
+    # non-negative pmod first, then the division is exact in any engine
+    lpt = ((s - F.pmod(s, n)) / n).cast("long")
+    scored = scored.withColumn("lpt_q", lpt)
+    key = [lang_col] if lang_col else []
+    grp = scored.groupBy(*key, "lpt_q").agg(F.count(F.lit(1)).alias("__c"))
+    w = (
+        Window.partitionBy(*key).orderBy(F.desc("lpt_q"))
+        if key
+        else Window.orderBy(F.desc("lpt_q"))
+    )
+    tot = grp.groupBy(*key).agg(F.sum("__c").alias("__n"))
+    cum = grp.withColumn("__cum", F.sum("__c").over(w))
+    cum = cum.join(tot, key) if key else cum.crossJoin(F.broadcast(tot))
+    cuts = cum.groupBy(*key).agg(
+        F.max(F.when(F.col("__cum") >= F.ceil(F.col("__n") / 3), F.col("lpt_q"))).alias("__v1"),
+        F.max(F.when(F.col("__cum") >= F.ceil(F.col("__n") * 2 / 3), F.col("lpt_q"))).alias("__v2"),
+    )
+    out = scored.join(F.broadcast(cuts), key) if key else scored.crossJoin(
+        F.broadcast(cuts)
+    )
+    return out.withColumn(
+        "bucket",
+        F.when(F.col("lpt_q") >= F.col("__v1"), F.lit("head"))
+        .when(F.col("lpt_q") >= F.col("__v2"), F.lit("middle"))
+        .otherwise(F.lit("tail")),
+    ).drop("__v1", "__v2")

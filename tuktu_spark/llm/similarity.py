@@ -982,3 +982,43 @@ def ivfpq_topk_from_index(
         spark.table(table), queries, centroids, codebooks,
         k, n_probe, shortlist, id_col, vec_col,
     )
+
+
+def append_ivfpq_index(
+    vectors: DataFrame,
+    table: str,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    buckets: int = 16,
+) -> None:
+    """Incrementally add a batch to an EXISTING IVFPQ index: the new
+    vectors are assigned and residual-encoded against the index's FROZEN
+    centroids and codebooks (no retraining, prior lists untouched) and
+    appended into the same bucketed layout — batch-vs-corpus, the same
+    shape as append_ivf_index. Equivalent by construction to rewriting
+    the full index with the same model (test-pinned)."""
+    enc = ivfpq_assign_encode(vectors, centroids, codebooks, id_col, vec_col)
+    (
+        enc.write.mode("append")
+        .bucketBy(buckets, "list_id")
+        .sortBy("list_id")
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
+def load_ivfpq_model(
+    spark, table: str
+) -> tuple[list[list[float]], list[list[list[float]]]]:
+    """Load the frozen (centroids, codebooks) persisted next to an IVFPQ
+    index by the ivfpq_index_write operator."""
+    cents = load_ivf_centroids(spark, table)
+    rows = spark.table(f"{table}_codebooks").orderBy("subspace", "code").collect()
+    n_sub = max(r["subspace"] for r in rows) + 1
+    books = [
+        [[float(x) for x in r["centroid"]] for r in rows if r["subspace"] == j]
+        for j in range(n_sub)
+    ]
+    return cents, books

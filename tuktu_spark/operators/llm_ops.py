@@ -629,9 +629,11 @@ def ivfpq_index_write(config: dict):
     """Build/write an IVF-PQ index over the piped vectors (llm/similarity
     write_ivfpq_index): trains the coarse quantizer + residual PQ
     codebooks, stores codes bucketed by list_id, and persists centroids +
-    codebooks next to the index for later probes. Passes the input
-    through (sink semantics). config: {table, nlist, m, k_codes, buckets,
-    id_field, vec_field}."""
+    codebooks next to the index for later probes; mode='append' assigns
+    and encodes the batch against the EXISTING frozen model instead (no
+    retrain — batch-vs-corpus, same contract as ivf_index_write append).
+    Passes the input through (sink semantics). config: {table, nlist, m,
+    k_codes, buckets, id_field, vec_field, mode}."""
     from ..llm import similarity as S
 
     table = config["table"]
@@ -641,9 +643,26 @@ def ivfpq_index_write(config: dict):
     buckets = int(config.get("buckets", 16))
     id_col = config.get("id_field", "vec_id")
     vec_col = config.get("vec_field", "embedding")
+    mode = config.get("mode", "overwrite")
 
     def sink(df: DataFrame) -> DataFrame:
         spark = df.sparkSession
+        if mode == "append":
+            cat = spark.catalog
+            missing = [
+                t
+                for t in (table, f"{table}_centroids", f"{table}_codebooks")
+                if not cat.tableExists(t)
+            ]
+            if missing:
+                raise ValueError(
+                    f"ivfpq_index_write mode='append' needs an existing "
+                    f"index (missing {', '.join(missing)}); write with "
+                    f"mode='overwrite' first"
+                )
+            cents, books = S.load_ivfpq_model(spark, table)
+            S.append_ivfpq_index(df, table, cents, books, id_col, vec_col, buckets)
+            return df
         cents, books = S.train_ivfpq(df, nlist=nlist, m=m, k_codes=k_codes,
                                      vec_col=vec_col)
         S.write_ivfpq_index(df, table, cents, books, id_col, vec_col, buckets)
@@ -676,19 +695,7 @@ def ivfpq_topk_from_index_op(config: dict):
 
     def transform(queries: DataFrame) -> DataFrame:
         spark = queries.sparkSession
-        cents = S.load_ivf_centroids(spark, table)
-        books_rows = (
-            spark.table(f"{table}_codebooks").orderBy("subspace", "code").collect()
-        )
-        n_sub = max(r["subspace"] for r in books_rows) + 1
-        books = [
-            [
-                [float(x) for x in r["centroid"]]
-                for r in books_rows
-                if r["subspace"] == j
-            ]
-            for j in range(n_sub)
-        ]
+        cents, books = S.load_ivfpq_model(spark, table)
         return S.ivfpq_topk_from_index(
             spark, table, queries, cents, books,
             k=int(config.get("k", 5)),
@@ -721,3 +728,51 @@ def arpa_lm_score_op(config: dict):
         )
 
     return transform
+
+
+@operator("dsir_select")
+def dsir_select_op(config: dict):
+    """DSIR data selection (llm/dsir.py — Xie et al. 2023): flows pipe
+    (raw_corpus, target_sample) inputs, get back the k raw documents
+    importance-resampled toward the target's hashed-n-gram distribution.
+    config: {k, buckets, max_n, smoothing, method: topk|gumbel, seed,
+    tokens_field | text_field, id_field}."""
+    from ..llm.dsir import dsir_select
+
+    def transform(raw: DataFrame, target: DataFrame | None = None) -> DataFrame:
+        if target is None:
+            raise ValueError("dsir_select needs (raw_corpus, target) inputs")
+        d_raw, tokens, _ = _with_tokens(raw, config)
+        d_tgt, _, _ = _with_tokens(target, config)
+        return dsir_select(
+            d_raw,
+            d_tgt,
+            k=int(config.get("k", 1000)),
+            tokens_col=tokens,
+            id_col=config.get("id_field", "doc_id"),
+            buckets=int(config.get("buckets", 4096)),
+            max_n=int(config.get("max_n", 2)),
+            smoothing=float(config.get("smoothing", 1.0)),
+            method=config.get("method", "topk"),
+            seed=config.get("seed", "dsir"),
+        )
+
+    return transform
+
+
+@operator("lm_score_buckets")
+def lm_score_buckets_op(config: dict):
+    """CCNet head/middle/tail with exact engine-portable terciles over an
+    LM-scored frame (ngram_lm.lm_score_buckets_exact): buckets on the
+    integer per-token score floordiv(score, n) with value cutoffs, so tie
+    groups never split. config: {id_field, lang_field, score_field,
+    n_field}."""
+    from ..llm.ngram_lm import lm_score_buckets_exact
+
+    return lambda df: lm_score_buckets_exact(
+        df,
+        id_col=config.get("id_field", "doc_id"),
+        lang_col=config.get("lang_field"),
+        score_col=config.get("score_field", "lp_q20"),
+        n_col=config.get("n_field", "n_pos"),
+    )

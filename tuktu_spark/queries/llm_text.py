@@ -659,15 +659,18 @@ GROUP BY doc_id
 
 @query("text_ngram_lm_score", oracle=_NGRAM_LM_ORACLE, tags=("llm", "text"), bench=True)
 def text_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..llm.dedup import release_persisted
-    from ..llm.ngram_lm import score_ngram_lm, train_ngram_lm
+    from ..llm.dedup import _persist_scoped, release_persisted
+    from ..llm.ngram_lm import _positions, score_ngram_lm, train_ngram_lm
 
     release_persisted()
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.split("text", " ").alias("tokens")
     )
-    lm = train_ngram_lm(d, n=3, min_count=2).persist()
-    out = score_ngram_lm(d, lm)
+    # train and score share ONE persisted positions table: the corpus is
+    # exploded/windowed once for the whole query
+    pos = _persist_scoped(_positions(d, "tokens", "doc_id", 3))
+    lm = train_ngram_lm(d, n=3, min_count=2, positions=pos).persist()
+    out = score_ngram_lm(d, lm, positions=pos)
     return out.select(
         "doc_id", "n_pos", "hits1", "hits2", "hits3", "prob_q30"
     )
@@ -776,3 +779,179 @@ def text_arpa_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.split("text", " ").alias("tokens")
     )
     return score_arpa(d, lm).select("doc_id", "n_pos", "lp_q20")
+
+
+# ---------------------------------------------------------------------------
+# DSIR data selection (llm/dsir.py — Xie et al. 2023). The oracle retrains
+# the whole method in SQL: hashed unigram+bigram features (the shared
+# md5-60bit bucket hash), Laplace-smoothed bucket distributions for target
+# (lang='en') vs raw (everything), per-bucket llr quantized with the SAME
+# four-ln expression the engine evaluates driver-side (term order pinned so
+# the doubles agree bit-for-bit on one libm), exact BIGINT per-doc weight
+# sums, deterministic top-k. Everything corpus-sized is integer arithmetic
+# in both engines — the transcendental step happens once per bucket.
+# ---------------------------------------------------------------------------
+
+_DSIR_B = 128
+_DSIR_K = 100
+
+_DSIR_ORACLE = f"""
+WITH tk AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents
+),
+grams AS (
+  SELECT doc_id, lang, unnest(t) AS g FROM tk
+  UNION ALL
+  SELECT tk.doc_id, tk.lang, tk.t[i.i] || ' ' || tk.t[i.i + 1] AS g
+  FROM tk, LATERAL (SELECT unnest(range(1, len(tk.t))) AS i) i
+),
+feats AS (
+  SELECT doc_id, lang,
+         CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) % {_DSIR_B} AS bucket
+  FROM grams
+),
+ct AS (SELECT bucket, COUNT(*) AS c FROM feats WHERE lang = 'en' GROUP BY bucket),
+cr AS (SELECT bucket, COUNT(*) AS c FROM feats GROUP BY bucket),
+tots AS (
+  SELECT (SELECT COUNT(*) FROM feats WHERE lang = 'en') + 1.0 * {_DSIR_B} AS tt,
+         (SELECT COUNT(*) FROM feats) + 1.0 * {_DSIR_B} AS tr
+),
+llr AS (
+  SELECT b.bucket,
+         CAST(FLOOR(1048576.0 * (ln(COALESCE(ct.c, 0) + 1.0) - ln(tots.tt)
+                                - ln(COALESCE(cr.c, 0) + 1.0) + ln(tots.tr)))
+              AS BIGINT) AS llr_q
+  FROM (SELECT unnest(range(0, {_DSIR_B})) AS bucket) b
+  LEFT JOIN ct USING (bucket) LEFT JOIN cr USING (bucket), tots
+),
+w AS (
+  SELECT f.doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+         CAST(SUM(l.llr_q) AS BIGINT) AS logw_q
+  FROM feats f JOIN llr l USING (bucket)
+  GROUP BY f.doc_id
+)
+SELECT doc_id, n_feats, logw_q
+FROM w ORDER BY logw_q DESC, doc_id LIMIT {_DSIR_K}
+"""
+
+
+@query("mix_dsir_select", oracle=_DSIR_ORACLE, tags=("llm", "mixing"))
+def mix_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling: select the {k} raw documents whose
+    hashed-n-gram distribution best matches the English target sample
+    (deterministic top-k variant; the Gumbel sampler is pytest-pinned).
+    Shuffle inventory: two B-bounded bucket-count aggregations + one
+    doc-keyed weight aggregation + TakeOrderedAndProject — no global
+    sort, no Python in the hot path."""
+    from ..llm.dsir import dsir_select
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.split("text", " ").alias("tokens")
+    )
+    target = d.filter(F.col("lang") == "en")
+    out = dsir_select(d, target, k=_DSIR_K, buckets=_DSIR_B)
+    return out.select("doc_id", "n_feats", "logw_q")
+
+
+# ---------------------------------------------------------------------------
+# CCNet head/middle/tail bucketing under the pretrained ARPA model — the
+# oracle replays the Katz cascade (same VALUES tables as text_arpa_lm_score),
+# then the EXACT tercile rule of lm_score_buckets_exact: integer per-token
+# score lpt_q = floordiv(lp_q20, n_pos), value cutoffs at the ceil(n/3)-th /
+# ceil(2n/3)-th largest — pure integer arithmetic end to end, tie groups
+# never split, so the assignment is engine-portable.
+# ---------------------------------------------------------------------------
+
+_PPL_BUCKETS_ORACLE = f"""
+WITH t1(w, p1, b1) AS (VALUES {_A1}),
+t2(gram, p2, b2) AS (VALUES {_A2}),
+t3(gram, p3, b3) AS (VALUES {_A3}),
+toks AS (
+  SELECT doc_id, lang, CAST(g.i AS INT) - 1 AS pos, t[CAST(g.i AS INT)] AS w
+  FROM (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+       UNNEST(generate_series(1, len(t))) AS g(i)
+),
+lagged AS (
+  SELECT doc_id, lang, pos, w,
+         LAG(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
+         LAG(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+  FROM toks
+),
+p AS (
+  SELECT doc_id, lang, pos, w,
+         concat_ws(' ', w1, w) AS g2, concat_ws(' ', w1) AS ctx2,
+         concat_ws(' ', w2, w1, w) AS g3, concat_ws(' ', w2, w1) AS ctx3
+  FROM lagged
+),
+joined AS (
+  SELECT p.doc_id, p.lang, p.pos,
+         u.p1, bu.b1 AS cb2, b.p2, bb.b2 AS cb3, t.p3
+  FROM p
+  LEFT JOIN t1 u ON p.w = u.w
+  LEFT JOIN t1 bu ON p.ctx2 = bu.w
+  LEFT JOIN t2 b ON p.g2 = b.gram
+  LEFT JOIN t2 bb ON p.ctx3 = bb.gram
+  LEFT JOIN t3 t ON p.g3 = t.gram
+),
+s AS (
+  SELECT doc_id, lang, pos,
+         CASE WHEN pos >= 2 THEN
+                COALESCE(p3, COALESCE(cb3, 0.0) +
+                  COALESCE(p2, COALESCE(cb2, 0.0) + COALESCE(p1, {_UNK!r})))
+              WHEN pos >= 1 THEN
+                COALESCE(p2, COALESCE(cb2, 0.0) + COALESCE(p1, {_UNK!r}))
+              ELSE COALESCE(p1, {_UNK!r}) END AS lp
+  FROM joined
+),
+d AS (
+  SELECT doc_id, lang,
+         CAST(SUM(CAST(FLOOR(lp * 1048576) AS BIGINT)) AS BIGINT) AS lp_q20,
+         CAST(COUNT(*) AS BIGINT) AS n_pos
+  FROM s GROUP BY doc_id, lang
+),
+m AS (
+  SELECT doc_id, lang,
+         CAST((lp_q20 - ((lp_q20 % n_pos) + n_pos) % n_pos) / n_pos
+              AS BIGINT) AS lpt_q
+  FROM d
+),
+g AS (SELECT lang, lpt_q, COUNT(*) AS c FROM m GROUP BY 1, 2),
+cum AS (
+  SELECT lang, lpt_q,
+         SUM(c) OVER (PARTITION BY lang ORDER BY lpt_q DESC) AS cum,
+         SUM(c) OVER (PARTITION BY lang) AS n
+  FROM g
+),
+cuts AS (
+  SELECT lang,
+         MAX(CASE WHEN cum >= CEIL(n / 3.0) THEN lpt_q END) AS v1,
+         MAX(CASE WHEN cum >= CEIL(n * 2 / 3.0) THEN lpt_q END) AS v2
+  FROM cum GROUP BY lang
+)
+SELECT m.doc_id, m.lang, m.lpt_q,
+       CASE WHEN m.lpt_q >= c.v1 THEN 'head'
+            WHEN m.lpt_q >= c.v2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM m JOIN cuts c USING (lang)
+"""
+
+
+@query("text_arpa_ppl_buckets", oracle=_PPL_BUCKETS_ORACLE, tags=("llm", "text"))
+def text_arpa_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail split under the bundled pretrained ARPA
+    model, with exact engine-portable terciles (ngram_lm.
+    lm_score_buckets_exact). Shuffle inventory: the ARPA scoring
+    pipeline's one doc-keyed shuffle + the id-keyed lang join; the
+    tercile machinery runs on distinct-value rows only."""
+    from ..llm.dedup import release_persisted
+    from ..llm.ngram_lm import lm_score_buckets_exact, read_arpa, score_arpa
+
+    release_persisted()
+    lm = read_arpa(spark, _arpa_path()).persist()
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.split("text", " ").alias("tokens")
+    )
+    scored = score_arpa(docs.select("doc_id", "tokens"), lm)
+    scored = scored.join(docs.select("doc_id", "lang"), "doc_id")
+    out = lm_score_buckets_exact(scored, lang_col="lang")
+    return out.select("doc_id", "lang", "lpt_q", "bucket")
