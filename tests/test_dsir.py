@@ -185,3 +185,45 @@ def _group(rows):
     for r in rows:
         out.setdefault(r["doc_id"], []).append(r)
     return out
+
+
+class TestStreaming:
+    def test_streaming_weights_equal_batch_and_idempotent(self, spark, docs, tmp_path):
+        import tests.test_streaming as TS
+        from tuktu_spark.streaming.llm import (
+            make_dsir_weight_batch_processor,
+            streaming_dsir_weights,
+        )
+
+        tgt = docs.filter(F.col("doc_id").isin(*TARGET_IDS))
+        rf = hashed_ngram_features(docs, buckets=B)
+        llr = train_dsir_llr(hashed_ngram_features(tgt, buckets=B), rf, B)
+        stream = TS.STR.replay_dataframe(
+            docs, str(tmp_path / "replay"), chunks=3, order_col="doc_id"
+        )
+        q = streaming_dsir_weights(
+            stream, llr, str(tmp_path / "out"), str(tmp_path / "ckpt"),
+            buckets=B,
+        )
+        q.processAllAvailable()
+        q.stop()
+        got = {
+            (r["doc_id"], r["n_feats"], r["logw_q"])
+            for r in spark.read.parquet(str(tmp_path / "out")).collect()
+        }
+        want = {
+            (r["doc_id"], r["n_feats"], r["logw_q"])
+            for r in dsir_weights(rf, llr).collect()
+        }
+        assert got == want and len(want) == len(DOCS)
+        # idempotent replay: re-deliver exactly batch 0's documents
+        store = spark.read.parquet(str(tmp_path / "out"))
+        n = store.count()
+        b0_ids = [
+            r["doc_id"] for r in store.filter(F.col("batch_id") == 0).collect()
+        ]
+        proc = make_dsir_weight_batch_processor(
+            spark, llr, str(tmp_path / "out"), buckets=B
+        )
+        proc(docs.filter(F.col("doc_id").isin(b0_ids)), 0)
+        assert spark.read.parquet(str(tmp_path / "out")).count() == n

@@ -397,3 +397,34 @@ def test_ann_index_pipeline_flow(spark, sf_dir):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
         spark.sql(f"DROP TABLE IF EXISTS {table}_centroids")
+
+
+def test_dsir_select_flow(spark, sf_dir, tmp_path_factory):
+    """flows/examples/dsir_select.json: the dsir_select merger receives
+    (raw, target) in edge order, selects k=100 ids, and the semi join
+    carries the selected documents to the sink; the kept set equals the
+    library call's selection."""
+    from pyspark.sql import functions as F
+
+    from tuktu_spark.llm.dsir import dsir_select
+
+    out_dir = str(tmp_path_factory.mktemp("dsirflow")) + "/picked"
+    run_flow(
+        spark,
+        "flows/examples/dsir_select.json",
+        params={"dir": sf_dir, "out": out_dir},
+    )
+    got = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(out_dir).select("doc_id").collect()
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", F.split("text", " ").alias("tokens")
+    )
+    want = sorted(
+        r["doc_id"]
+        for r in dsir_select(
+            docs, docs.filter(F.col("lang") == "en"), k=100, buckets=256
+        ).collect()
+    )
+    assert got == want and len(got) == 100

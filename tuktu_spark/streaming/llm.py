@@ -398,3 +398,61 @@ def streaming_lm_score(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def make_dsir_weight_batch_processor(
+    spark,
+    llr_table: list[tuple[int, int]],
+    out_dir: str,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    buckets: int = 4096,
+    max_n: int = 2,
+):
+    """foreachBatch processor scoring each micro-batch's DSIR importance
+    weights against a FROZEN llr table (llm/dsir.py — the model is fit
+    once offline, batches are weighted as they arrive) and appending to a
+    batch_id-partitioned parquet store (commit-last idempotency, same
+    contract as the dedup/LM stores). The featurization is the stream-
+    legal gram-array form (no window), and weights are exact BIGINT sums,
+    so streamed scores are bit-equal to batch scores (test-pinned)."""
+    from ..llm.dsir import dsir_weights, hashed_ngram_features
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        feats = hashed_ngram_features(batch_df, tokens_col, id_col, buckets, max_n)
+        w = dsir_weights(feats, llr_table, id_col)
+        dyn = {"partitionOverwriteMode": "dynamic"}
+        (
+            w.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .options(**dyn)
+            .partitionBy("batch_id")
+            .parquet(out_dir)
+        )
+
+    return process
+
+
+def streaming_dsir_weights(
+    stream_df: DataFrame,
+    llr_table: list[tuple[int, int]],
+    out_dir: str,
+    checkpoint_dir: str,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    buckets: int = 4096,
+    max_n: int = 2,
+):
+    """readStream -> frozen-llr DSIR weighting -> partitioned parquet."""
+    proc = make_dsir_weight_batch_processor(
+        stream_df.sparkSession, llr_table, out_dir, tokens_col, id_col,
+        buckets, max_n,
+    )
+    return (
+        stream_df.writeStream.foreachBatch(proc)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
