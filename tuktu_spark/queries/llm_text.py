@@ -659,18 +659,18 @@ GROUP BY doc_id
 
 @query("text_ngram_lm_score", oracle=_NGRAM_LM_ORACLE, tags=("llm", "text"), bench=True)
 def text_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..llm.dedup import _persist_scoped, release_persisted
-    from ..llm.ngram_lm import _positions, score_ngram_lm, train_ngram_lm
+    from ..llm.dedup import release_persisted
+    from ..llm.ngram_lm import score_ngram_lm, train_ngram_lm
 
     release_persisted()
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.split("text", " ").alias("tokens")
     )
-    # train and score share ONE persisted positions table: the corpus is
-    # exploded/windowed once for the whole query
-    pos = _persist_scoped(_positions(d, "tokens", "doc_id", 3))
-    lm = train_ngram_lm(d, n=3, min_count=2, positions=pos).persist()
-    out = score_ngram_lm(d, lm, positions=pos)
+    # positions= deliberately NOT used: A/B-measured neutral-to-slower
+    # here, and caching an exploded corpus is the wrong trade at scale
+    # (see train_ngram_lm docstring)
+    lm = train_ngram_lm(d, n=3, min_count=2).persist()
+    out = score_ngram_lm(d, lm)
     return out.select(
         "doc_id", "n_pos", "hits1", "hits2", "hits3", "prob_q30"
     )
