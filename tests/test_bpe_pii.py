@@ -192,3 +192,73 @@ class TestBpeVocabCap:
         ok = enc.select((bpe_decode(F.col("bpe")) == norm).alias("ok"))
         assert all(r["ok"] for r in ok.collect())
         assert len(model.merges) > 0  # merges still learned from the head
+
+
+class TestTemperatureSample:
+    def _df(self, spark):
+        # 1000 en, 100 de, 10 fr
+        rows = (
+            [(i, "en") for i in range(1000)]
+            + [(1000 + i, "de") for i in range(100)]
+            + [(1100 + i, "fr") for i in range(10)]
+        )
+        return spark.createDataFrame(rows, "doc_id long, lang string")
+
+    def test_alpha_half_rates_match_python_sqrt(self, spark):
+        import hashlib
+        import math
+
+        from tuktu_spark.llm.mixing import HASH_MOD, temperature_sample
+
+        df = self._df(spark)
+        kept = {
+            r["doc_id"]
+            for r in temperature_sample(df, 0.5).select("doc_id").collect()
+        }
+        counts = {"en": 1000, "de": 100, "fr": 10}
+        rate = {d: math.sqrt(10 / n) for d, n in counts.items()}
+        want = set()
+        for r in df.collect():
+            h = int(
+                hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:15], 16
+            ) % HASH_MOD
+            if h < int(rate[r["lang"]] * HASH_MOD):
+                want.add(r["doc_id"])
+        assert kept == want
+
+    def test_smallest_domain_kept_whole(self, spark):
+        from tuktu_spark.llm.mixing import temperature_sample
+
+        df = self._df(spark)
+        out = temperature_sample(df, 0.5)
+        assert out.filter(F.col("lang") == "fr").count() == 10
+
+    def test_alpha_one_keeps_everything(self, spark):
+        from tuktu_spark.llm.mixing import temperature_sample
+
+        df = self._df(spark)
+        assert temperature_sample(df, 1.0).count() == df.count()
+
+    def test_alpha_zero_equalizes(self, spark):
+        from tuktu_spark.llm.mixing import temperature_sample
+
+        df = self._df(spark)
+        got = {
+            r["lang"]: r["n"]
+            for r in temperature_sample(df, 0.0)
+            .groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        # rates n_min/n_d target ~10 docs per domain (hash-approximate)
+        assert got["fr"] == 10
+        assert 3 <= got["de"] <= 20 and 3 <= got["en"] <= 20
+
+    def test_parallelism_invariant(self, spark):
+        from tuktu_spark.llm.mixing import temperature_sample
+
+        df = self._df(spark)
+        a = sorted(r["doc_id"] for r in temperature_sample(df, 0.5).collect())
+        b = sorted(
+            r["doc_id"]
+            for r in temperature_sample(df.repartition(17), 0.5).collect()
+        )
+        assert a == b

@@ -18,6 +18,8 @@ parallelism and exactly verifiable against a SQL oracle:
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -131,3 +133,41 @@ def sample_exact_k(
         .filter(F.col("__srank__") <= int(k))
         .drop("__srank__")
     )
+
+
+def temperature_sample(
+    df: DataFrame,
+    alpha: float = 0.5,
+    domain_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-based mixture rebalancing (the multilingual-LM
+    alpha-sampling of Lample & Conneau 2019 / XLM-R): resample so final
+    domain counts are proportional to p_d^alpha, keeping ALL of the
+    smallest domain and hash-downsampling the rest with rate
+
+        r_d = (n_min / n_d) ** (1 - alpha)     (alpha=1 keeps everything;
+                                                alpha=0 equalizes domains)
+
+    Rates are computed from one tiny per-domain count aggregate
+    (bounded collect — domains are languages/sources, not corpus-sized)
+    and applied with the same shuffle-free md5 Bernoulli rule as
+    ``weighted_sample``, so the kept set is a pure function of
+    (ids, corpus composition, alpha) at any parallelism.
+
+    Exactness: at the default alpha=0.5 the rate is evaluated as
+    sqrt(n_min / n_d) — IEEE sqrt and division are correctly rounded, so
+    any engine reproduces the exact keep decisions (SQL-oracled). Other
+    alphas go through pow(), which is only run-deterministic."""
+    counts = {
+        r[domain_col]: r["__n"]
+        for r in df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("__n")).collect()
+    }
+    if not counts:
+        return df
+    n_min = min(counts.values())
+    if alpha == 0.5:
+        weights = {d: math.sqrt(n_min / n) for d, n in counts.items()}
+    else:
+        weights = {d: (n_min / n) ** (1.0 - alpha) for d, n in counts.items()}
+    return weighted_sample(df, weights, domain_col, id_col)

@@ -776,3 +776,19 @@ def lm_score_buckets_op(config: dict):
         score_col=config.get("score_field", "lp_q20"),
         n_col=config.get("n_field", "n_pos"),
     )
+
+
+@operator("temperature_sample")
+def temperature_sample_op(config: dict):
+    """Temperature-based mixture rebalancing (llm/mixing.
+    temperature_sample — XLM-R alpha-sampling): final domain counts
+    proportional to p^alpha via deterministic hash downsampling. config:
+    {alpha, domain_field, id_field}."""
+    from ..llm.mixing import temperature_sample
+
+    return lambda df: temperature_sample(
+        df,
+        alpha=float(config.get("alpha", 0.5)),
+        domain_col=config.get("domain_field", "lang"),
+        id_col=config.get("id_field", "doc_id"),
+    )

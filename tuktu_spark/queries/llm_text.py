@@ -955,3 +955,44 @@ def text_arpa_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = scored.join(docs.select("doc_id", "lang"), "doc_id")
     out = lm_score_buckets_exact(scored, lang_col="lang")
     return out.select("doc_id", "lang", "lpt_q", "bucket")
+
+
+# ---------------------------------------------------------------------------
+# Temperature sampling (llm/mixing.temperature_sample — XLM-R alpha=0.5
+# rebalancing). Exactly reproducible in SQL because at alpha=0.5 the rate is
+# sqrt(n_min/n_d) and IEEE sqrt/division are correctly rounded: both engines
+# compute bit-identical rates from the same integer counts, and the keep rule
+# is the shared md5 Bernoulli hash with an explicit FLOOR (Spark's long cast
+# truncates; CAST in DuckDB rounds, so the oracle floors first).
+# ---------------------------------------------------------------------------
+
+_TEMP_SAMPLE_ORACLE = """
+WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+mn AS (SELECT MIN(n) AS n_min FROM c),
+rates AS (
+  SELECT c.lang, sqrt(CAST(mn.n_min AS DOUBLE) / c.n) AS rate FROM c, mn
+),
+r AS (
+  SELECT d.doc_id, d.lang,
+         CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+           % 1000000 AS bucket,
+         rates.rate
+  FROM documents d JOIN rates USING (lang)
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS kept
+FROM r WHERE bucket < CAST(FLOOR(rate * 1000000) AS BIGINT)
+GROUP BY lang
+"""
+
+
+@query("mix_temperature_sample", oracle=_TEMP_SAMPLE_ORACLE, tags=("llm", "mixing"))
+def mix_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XLM-R-style alpha=0.5 temperature rebalancing of the language
+    mixture: keep all of the smallest language, downsample the rest
+    toward p^0.5 with the deterministic md5 Bernoulli rule — the oracle
+    reproduces the exact kept rows, not just expected counts."""
+    from ..llm.mixing import temperature_sample
+
+    d = load_table(spark, sf_dir, "documents")
+    kept = temperature_sample(d, alpha=0.5, domain_col="lang", id_col="doc_id")
+    return kept.groupBy("lang").agg(F.count(F.lit(1)).alias("kept"))
