@@ -154,3 +154,106 @@ def test_global_prefix_sum_matches_running_total(spark, rows, parts):
         cum += v
         want[k] = cum
     assert got == want
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    corpus=st.lists(
+        st.lists(WORD, min_size=0, max_size=6).map(" ".join),
+        min_size=1,
+        max_size=8,
+    ),
+    n_target=st.integers(min_value=1, max_value=3),
+)
+def test_dsir_weights_match_naive_model(spark, corpus, n_target):
+    """End-to-end DSIR weights equal a naive Python reimplementation:
+    featurize (unigrams+bigrams, md5 mod B), fit Laplace llr over
+    target=first n docs vs raw=all, sum quantized llrs per doc."""
+    import hashlib
+    import math
+
+    from tuktu_spark.llm.dsir import (
+        LLR_SCALE_BITS,
+        dsir_weights,
+        hashed_ngram_features,
+        train_dsir_llr,
+    )
+
+    B = 16
+    rows = [(i, t) for i, t in enumerate(corpus)]
+    target_ids = {i for i, _ in rows[: min(n_target, len(rows))]}
+
+    def feats(text):
+        toks = text.split(" ")
+        grams = list(toks) + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        return [
+            int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % B
+            for g in grams
+        ]
+
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(rows, "doc_id long, text string").select(
+        "doc_id", F.split("text", " ").alias("tokens")
+    )
+    tf = hashed_ngram_features(
+        df.filter(F.col("doc_id").isin(*target_ids)), buckets=B
+    )
+    rf = hashed_ngram_features(df, buckets=B)
+    llr = train_dsir_llr(tf, rf, buckets=B)
+    got = {
+        r["doc_id"]: (r["n_feats"], r["logw_q"])
+        for r in dsir_weights(rf, llr).collect()
+    }
+
+    ct, cr = Counter(), Counter()
+    for i, t in rows:
+        for b in feats(t):
+            cr[b] += 1
+            if i in target_ids:
+                ct[b] += 1
+    tt, tr = sum(ct.values()) + 1.0 * B, sum(cr.values()) + 1.0 * B
+    lut = {
+        b: math.floor(
+            (1 << LLR_SCALE_BITS)
+            * (math.log(ct[b] + 1.0) - math.log(tt)
+               - math.log(cr[b] + 1.0) + math.log(tr))
+        )
+        for b in range(B)
+    }
+    want = {
+        i: (len(feats(t)), sum(lut[b] for b in feats(t))) for i, t in rows
+    }
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    sizes=st.lists(st.integers(min_value=1, max_value=40), min_size=1, max_size=4)
+)
+def test_temperature_sample_matches_naive_model(spark, sizes):
+    """alpha=0.5 temperature sampling keeps exactly the rows the naive
+    sqrt-rate hash rule keeps, for arbitrary domain size mixes."""
+    import hashlib
+    import math
+
+    from tuktu_spark.llm.mixing import HASH_MOD, temperature_sample
+
+    rows, doc = [], 0
+    for d, n in enumerate(sizes):
+        for _ in range(n):
+            rows.append((doc, f"dom{d}"))
+            doc += 1
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    got = sorted(
+        r["doc_id"] for r in temperature_sample(df, 0.5).collect()
+    )
+    n_min = min(sizes)
+    rate = {f"dom{d}": math.sqrt(n_min / n) for d, n in enumerate(sizes)}
+    want = sorted(
+        i
+        for i, lang in rows
+        if int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16) % HASH_MOD
+        < int(rate[lang] * HASH_MOD)
+    )
+    assert got == want

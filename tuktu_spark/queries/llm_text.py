@@ -795,7 +795,7 @@ def text_arpa_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DSIR_B = 128
 _DSIR_K = 100
 
-_DSIR_ORACLE = f"""
+_DSIR_WEIGHTS_CTE = f"""
 WITH tk AS (
   SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents
 ),
@@ -830,6 +830,9 @@ w AS (
   FROM feats f JOIN llr l USING (bucket)
   GROUP BY f.doc_id
 )
+"""
+
+_DSIR_ORACLE = f"""{_DSIR_WEIGHTS_CTE}
 SELECT doc_id, n_feats, logw_q
 FROM w ORDER BY logw_q DESC, doc_id LIMIT {_DSIR_K}
 """

@@ -159,3 +159,45 @@ def streaming_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_pairs")
     )
+
+
+# DSIR weighting through the REAL streaming path: the llr model is fit in
+# batch (frozen), documents replay in 4 micro-batches through the
+# foreachBatch store, and the store's content must equal the batch weights
+# — the oracle recomputes them from scratch in SQL (shared CTE with
+# mix_dsir_select).
+from .llm_text import _DSIR_B, _DSIR_WEIGHTS_CTE  # noqa: E402
+
+_DSIR_REPLAY_ORACLE = f"""{_DSIR_WEIGHTS_CTE}
+SELECT doc_id, n_feats, logw_q FROM w
+"""
+
+
+@query("streaming_dsir_replay", oracle=_DSIR_REPLAY_ORACLE, tags=("streaming", "llm"))
+def streaming_dsir_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights computed BY THE STREAMING ENGINE: frozen
+    llr model (fit in batch on target=en vs raw=all), ordered 4-chunk
+    replay -> window-free gram featurization -> exact BIGINT weight sums
+    -> batch_id-partitioned store; the store must hold every document's
+    weight bit-equal to the batch computation the oracle replays."""
+    import tempfile
+
+    from ..llm.dsir import hashed_ngram_features, train_dsir_llr
+    from ..streaming.llm import streaming_dsir_weights
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.split("text", " ").alias("tokens")
+    )
+    tf = hashed_ngram_features(d.filter(F.col("lang") == "en"), buckets=_DSIR_B)
+    rf = hashed_ngram_features(d, buckets=_DSIR_B)
+    llr = train_dsir_llr(tf, rf, buckets=_DSIR_B)
+    stage = tempfile.mkdtemp(prefix="tuktu_dsir_replay_")
+    out_dir = tempfile.mkdtemp(prefix="tuktu_dsir_scores_")
+    ckpt = tempfile.mkdtemp(prefix="tuktu_dsir_ckpt_")
+    stream = STR.replay_dataframe(
+        d.select("doc_id", "tokens"), stage, chunks=4, order_col="doc_id"
+    )
+    q = streaming_dsir_weights(stream, llr, out_dir, ckpt, buckets=_DSIR_B)
+    q.processAllAvailable()
+    q.stop()
+    return spark.read.parquet(out_dir).select("doc_id", "n_feats", "logw_q")
