@@ -458,3 +458,39 @@ def test_approx_sketch_operators(spark):
     assert abs(q["v_quantiles"][0] - 10000) < 200
     fi = make_operator("freq_items", {"fields": ["g"], "support": 0.1})(df).collect()[0]
     assert set(fi["g_freqItems"]) == set(range(7))
+
+
+class TestOrcAvro:
+    def test_orc_roundtrip(self, spark, tmp_path):
+        from tuktu_spark.operators.registry import make_operator, make_source
+
+        df = spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "id long, v string"
+        )
+        path = str(tmp_path / "t.orc")
+        make_operator("orc_sink", {"path": path})(df)
+        back = make_source(spark, "orc", {"path": path})
+        assert sorted(map(tuple, back.collect())) == [(1, "a"), (2, "b"), (3, "c")]
+        assert back.schema == df.schema
+
+    def test_orc_partitioned_write(self, spark, tmp_path):
+        import os
+
+        from tuktu_spark.operators.registry import make_operator
+
+        df = spark.createDataFrame(
+            [(1, "x"), (2, "y")], "id long, part string"
+        )
+        path = str(tmp_path / "p.orc")
+        make_operator("orc_sink", {"path": path, "partition_by": ["part"]})(df)
+        assert {d for d in os.listdir(path) if d.startswith("part=")} == {
+            "part=x", "part=y"
+        }
+
+    def test_avro_source_gated(self, spark, tmp_path):
+        import pytest
+
+        from tuktu_spark.operators.registry import make_source
+
+        with pytest.raises((NotImplementedError, Exception)):
+            make_source(spark, "avro", {"path": str(tmp_path / "nope.avro")})

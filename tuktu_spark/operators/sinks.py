@@ -215,3 +215,21 @@ def binary_files_sink(config: dict):
         return df
 
     return sink
+
+
+@operator("orc_sink")
+def orc_sink(config: dict):
+    """ORC writer with optional partitioning — same rotation analogue as
+    parquet_sink, for ORC-standardized estates."""
+    path = config["path"]
+    mode = config.get("mode", "overwrite")
+    partition_by = config.get("partition_by")
+
+    def sink(df: DataFrame):
+        writer = df.write.mode(mode)
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.orc(path)
+        return df
+
+    return sink

@@ -176,3 +176,26 @@ def rate_stream(spark: SparkSession, config: dict) -> DataFrame:
         rows_per_second=int(config.get("rows_per_second", 10)),
         constant=config.get("constant"),
     )
+
+
+@source("orc")
+def orc(spark: SparkSession, config: dict) -> DataFrame:
+    """ORC file/directory source (predicate pushdown + column pruning,
+    same contract as the parquet source — Spark-native reader)."""
+    return spark.read.orc(config["path"])
+
+
+@source("avro")
+def avro(spark: SparkSession, config: dict) -> DataFrame:
+    """Avro source via Spark's external spark-avro module. Gated: the
+    jar isn't bundled with pyspark, so a missing format errors with a
+    remediation message instead of a raw AnalysisException."""
+    try:
+        return spark.read.format("avro").load(config["path"])
+    except Exception as e:  # noqa: BLE001 - jvm exception types vary
+        if "avro" in str(e).lower():
+            raise NotImplementedError(
+                "avro source needs the spark-avro package on the classpath "
+                "(--packages org.apache.spark:spark-avro_2.13:<spark-version>)"
+            ) from e
+        raise
