@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from tuktu_spark.llm.bpe import (
@@ -262,3 +264,76 @@ class TestTemperatureSample:
             for r in temperature_sample(df.repartition(17), 0.5).collect()
         )
         assert a == b
+
+
+class TestChunkDocuments:
+    def _chunks(self, spark, toks, max_tokens, stride=None):
+        from tuktu_spark.llm.mixing import chunk_documents
+
+        df = spark.createDataFrame([(1, toks)], "doc_id long, tokens array<string>")
+        return [
+            (r["chunk_idx"], r["chunk"])
+            for r in chunk_documents(df, max_tokens, stride)
+            .orderBy("chunk_idx").collect()
+        ]
+
+    def test_disjoint_chunks_default_stride(self, spark):
+        toks = [str(i) for i in range(10)]
+        got = self._chunks(spark, toks, 4)
+        assert got == [
+            (0, ["0", "1", "2", "3"]),
+            (1, ["4", "5", "6", "7"]),
+            (2, ["8", "9"]),
+        ]
+
+    def test_overlap_and_tail_coverage(self, spark):
+        # n=9, max=4, stride=2: ceil(5/2)+1 = 4 chunks; token 8 (last)
+        # must be covered — the floor rule would have dropped it
+        toks = [str(i) for i in range(9)]
+        got = self._chunks(spark, toks, 4, 2)
+        assert [c for _, c in got] == [
+            ["0", "1", "2", "3"],
+            ["2", "3", "4", "5"],
+            ["4", "5", "6", "7"],
+            ["6", "7", "8"],
+        ]
+
+    def test_short_doc_single_chunk(self, spark):
+        got = self._chunks(spark, ["a", "b"], 64, 32)
+        assert got == [(0, ["a", "b"])]
+
+    def test_empty_doc_emits_one_empty_chunk(self, spark):
+        got = self._chunks(spark, [], 8)
+        assert got == [(0, [])]
+
+    def test_every_token_covered_exactly_stride_times_in_interior(self, spark):
+        from collections import Counter
+
+        toks = [str(i) for i in range(20)]
+        got = self._chunks(spark, toks, 6, 3)
+        cover = Counter(tok for _, c in got for tok in c)
+        assert set(cover) == set(toks)  # full coverage
+        # interior tokens appear max/stride = 2 times
+        assert cover["9"] == 2
+
+    def test_keep_cols_and_plan_shuffle_free(self, spark):
+        from tuktu_spark.llm.mixing import chunk_documents
+
+        df = spark.createDataFrame(
+            [(1, "en", ["a", "b", "c"])],
+            "doc_id long, lang string, tokens array<string>",
+        )
+        out = chunk_documents(df, 2, keep_cols=("lang",))
+        rows = out.collect()
+        assert all(r["lang"] == "en" for r in rows) and len(rows) == 2
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan  # per-row algebra, stream-legal
+
+    def test_invalid_params(self, spark):
+        from tuktu_spark.llm.mixing import chunk_documents
+
+        df = spark.createDataFrame([(1, ["a"])], "doc_id long, tokens array<string>")
+        with pytest.raises(ValueError):
+            chunk_documents(df, 0)
+        with pytest.raises(ValueError):
+            chunk_documents(df, 4, 0)

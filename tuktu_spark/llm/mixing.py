@@ -171,3 +171,51 @@ def temperature_sample(
     else:
         weights = {d: (n_min / n) ** (1.0 - alpha) for d, n in counts.items()}
     return weighted_sample(df, weights, domain_col, id_col)
+
+
+def chunk_documents(
+    df: DataFrame,
+    max_tokens: int,
+    stride: int | None = None,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Split long documents into context-window-sized chunks — the
+    complement of ``pack_sequences`` (which merges short ones): chunk i
+    covers tokens [i*stride, i*stride + max_tokens). stride defaults to
+    max_tokens (disjoint chunks); stride < max_tokens gives overlapping
+    windows (the usual eval / long-context training prep). The final
+    chunk is the remainder (never empty, never duplicated: a doc emits
+    exactly ceil(max(n - max_tokens, 0) / stride) + 1 chunks; an empty
+    token array emits one empty chunk so no document silently vanishes).
+
+    Pure per-row array algebra (sequence of starts -> slice) — no
+    window, no shuffle, stream-legal; output carries (id, chunk_idx,
+    chunk tokens, n_chunk_tokens)."""
+    if stride is None:
+        stride = max_tokens
+    if stride <= 0 or max_tokens <= 0:
+        raise ValueError("max_tokens and stride must be positive")
+    t = F.col(tokens_col)
+    n = F.size(t)
+    # starts: 0, stride, 2*stride, ... last start <= max(n - max_tokens, 0)
+    last_start = F.greatest(n - max_tokens, F.lit(0))
+    n_chunks = F.ceil(last_start / stride).cast("int") + F.lit(1)
+    starts = F.sequence(F.lit(0), (n_chunks - 1) * stride, F.lit(stride))
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            (s / stride).cast("int").alias("chunk_idx"),
+            F.slice(t, s + 1, max_tokens).alias("chunk"),
+        ),
+    )
+    return df.select(
+        F.col(id_col), *[F.col(c) for c in keep_cols], F.explode(chunks).alias("__z")
+    ).select(
+        F.col(id_col),
+        *[F.col(c) for c in keep_cols],
+        F.col("__z.chunk_idx").alias("chunk_idx"),
+        F.col("__z.chunk").alias("chunk"),
+        F.size("__z.chunk").alias("n_chunk_tokens"),
+    )

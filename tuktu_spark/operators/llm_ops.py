@@ -792,3 +792,26 @@ def temperature_sample_op(config: dict):
         domain_col=config.get("domain_field", "lang"),
         id_col=config.get("id_field", "doc_id"),
     )
+
+
+@operator("chunk_documents")
+def chunk_documents_op(config: dict):
+    """Context-window chunking (llm/mixing.chunk_documents): split long
+    documents into max_tokens-sized chunks with optional overlap (stride
+    < max_tokens) — per-row array algebra, stream-legal. config:
+    {max_tokens, stride, tokens_field | text_field, id_field,
+    keep_fields}."""
+    from ..llm.mixing import chunk_documents
+
+    def transform(df: DataFrame) -> DataFrame:
+        d, tokens, _ = _with_tokens(df, config)
+        return chunk_documents(
+            d,
+            max_tokens=int(config["max_tokens"]),
+            stride=int(config["stride"]) if config.get("stride") else None,
+            tokens_col=tokens,
+            id_col=config.get("id_field", "doc_id"),
+            keep_cols=tuple(config.get("keep_fields", ())),
+        )
+
+    return transform

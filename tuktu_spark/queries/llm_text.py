@@ -999,3 +999,53 @@ def mix_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     kept = temperature_sample(d, alpha=0.5, domain_col="lang", id_col="doc_id")
     return kept.groupBy("lang").agg(F.count(F.lit(1)).alias("kept"))
+
+
+# ---------------------------------------------------------------------------
+# Context-window chunking (llm/mixing.chunk_documents): overlapping
+# max-64/stride-32 windows; the oracle rebuilds every chunk with list_slice
+# and pins its md5, so off-by-one bounds cannot survive the hash. Chunk
+# count rule: ceil(max(n - max_tokens, 0) / stride) + 1 — the final chunk is
+# the remainder; empty docs emit one empty chunk (nothing silently vanishes).
+# ---------------------------------------------------------------------------
+
+_CHUNK_MAX = 64
+_CHUNK_STRIDE = 32
+
+_CHUNK_ORACLE = f"""
+WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+c AS (
+  SELECT doc_id, t,
+         CAST(CEIL(GREATEST(len(t) - {_CHUNK_MAX}, 0) / {_CHUNK_STRIDE}.0)
+              AS INT) + 1 AS k
+  FROM tk
+)
+SELECT doc_id, CAST(i.i AS INT) AS chunk_idx,
+       CAST(len(list_slice(t, i.i * {_CHUNK_STRIDE} + 1,
+                           i.i * {_CHUNK_STRIDE} + {_CHUNK_MAX})) AS INT)
+         AS n_chunk_tokens,
+       md5(array_to_string(list_slice(t, i.i * {_CHUNK_STRIDE} + 1,
+                                      i.i * {_CHUNK_STRIDE} + {_CHUNK_MAX}),
+                           ' ')) AS chunk_md5
+FROM c, LATERAL (SELECT unnest(range(0, k)) AS i) i
+"""
+
+
+@query("text_chunk_documents", oracle=_CHUNK_ORACLE, tags=("llm", "mixing"))
+def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split every document into overlapping context windows (max 64
+    tokens, stride 32) — the complement of pack_sequences for the
+    long-document side. Pure per-row array algebra: no window function,
+    no shuffle, stream-legal."""
+    from ..llm.mixing import chunk_documents
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("tokens")
+    )
+    out = chunk_documents(d, max_tokens=_CHUNK_MAX, stride=_CHUNK_STRIDE)
+    return out.select(
+        "doc_id",
+        "chunk_idx",
+        "n_chunk_tokens",
+        F.md5(F.concat_ws(" ", "chunk")).alias("chunk_md5"),
+    )
