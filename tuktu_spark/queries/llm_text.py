@@ -838,7 +838,7 @@ FROM w ORDER BY logw_q DESC, doc_id LIMIT {_DSIR_K}
 """
 
 
-@query("mix_dsir_select", oracle=_DSIR_ORACLE, tags=("llm", "mixing"))
+@query("mix_dsir_select", oracle=_DSIR_ORACLE, tags=("llm", "mixing"), bench=True)
 def mix_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance resampling: select the {k} raw documents whose
     hashed-n-gram distribution best matches the English target sample
