@@ -189,6 +189,8 @@ _TOUCHED = frozenset(
         "mix_pack_sequences",        # shares _global_prefix_sum; param deprecation
         "dedup_paragraphs",          # engine= parameter threaded through
         "similarity_topk_ivf_index",  # shares write_ivf_index with append path
+        "text_ngram_lm_score",       # train/score positions= param (A/B'd, reverted in query)
+        "similarity_ivfpq_topk",     # shares the IVFPQ model load/write path with append
     }
 )
 
