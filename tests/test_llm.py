@@ -1090,3 +1090,46 @@ class TestSemDeDup:
         assert len(rows) == emb.count()
         assert {r["cluster_id"] for r in rows} <= set(range(1, 5))
         assert any(r["keep"] for r in rows)
+
+
+class TestHtmlExtract:
+    def _x(self, spark, html):
+        from tuktu_spark.llm.text import html_extract_text
+
+        df = spark.createDataFrame([(html,)], "h string")
+        return df.select(html_extract_text("h").alias("t")).collect()[0]["t"]
+
+    def test_basic_page(self, spark):
+        got = self._x(
+            spark,
+            "<html><head><style>p{x}</style><script>if(1<2){}</script></head>"
+            "<body><h1>Title</h1><p>Hello world</p><div>tail</div></body></html>",
+        )
+        assert got == "Title Hello world tail"
+
+    def test_script_content_never_leaks(self, spark):
+        got = self._x(spark, "<p>a</p><SCRIPT>var SECRET=1;</SCRIPT><p>b</p>")
+        assert "SECRET" not in got and got == "a b"
+
+    def test_entity_single_pass(self, spark):
+        # &amp;lt; decodes ONE level to the literal string "&lt;"
+        got = self._x(spark, "<p>x &amp;lt; y &amp; z &#39;q&#39;</p>")
+        assert got == "x &lt; y & z 'q'"
+
+    def test_block_breaks_separate_words(self, spark):
+        got = self._x(spark, "<p>one</p><p>two</p><br>three")
+        assert got == "one two three"
+
+    def test_unclosed_tag_degrades_gracefully(self, spark):
+        got = self._x(spark, "<div><b>bold text</div> after")
+        assert got == "bold text after"
+
+    def test_plan_is_pure_codegen(self, spark):
+        from tuktu_spark.llm.text import html_extract_text
+
+        df = spark.createDataFrame([("<p>a</p>",)], "h string")
+        out = df.select(html_extract_text("h").alias("t"))
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+            assert marker not in plan

@@ -452,3 +452,40 @@ def normalize_text(
     if collapse_whitespace:
         col = F.trim(F.regexp_replace(col, "\\s+", " "))
     return df.withColumn(out, col)
+
+
+# Entity decode map, applied in order — &amp; LAST so "&amp;lt;" decodes to
+# the literal "&lt;" (one level), matching the standard single-pass rule.
+HTML_ENTITIES: tuple[tuple[str, str], ...] = (
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&apos;", "'"),
+    ("&amp;", "&"),
+)
+
+# block-level closers/breaks that become whitespace so words don't glue
+_HTML_BREAK = r"(?i)<(?:br|/p|/div|/li|/tr|/h[1-6])[^>]*>"
+# alternation, not a backreference — RE2 (the oracle's engine) has no \1
+_HTML_DROP_BLOCKS = r"(?is)<script[^>]*>.*?</script>|<style[^>]*>.*?</style>"
+_HTML_TAG = r"<[^>]*>"
+
+
+def html_extract_text(col) -> "Column":
+    """WET-style text extraction from HTML (the CCNet/CommonCrawl ingest
+    step): drop <script>/<style> blocks, turn block-level breaks into
+    spaces, strip remaining tags, decode the common entities, collapse
+    whitespace. Pure regexp_replace chain — whole-stage codegen, no
+    Python — and every pattern is RE2-compatible, so a DuckDB oracle
+    replays it verbatim. NOT a browser: malformed nesting degrades
+    gracefully (unmatched tags are stripped, their text kept)."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.regexp_replace(c, _HTML_DROP_BLOCKS, " ")
+    c = F.regexp_replace(c, _HTML_BREAK, " ")
+    c = F.regexp_replace(c, _HTML_TAG, " ")
+    for ent, rep in HTML_ENTITIES:
+        # entity strings contain no regex metacharacters — literal match
+        c = F.regexp_replace(c, ent, rep)
+    return F.trim(F.regexp_replace(c, r"\s+", " "))

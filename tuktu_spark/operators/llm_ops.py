@@ -815,3 +815,16 @@ def chunk_documents_op(config: dict):
         )
 
     return transform
+
+
+@operator("html_extract_text")
+def html_extract_text_op(config: dict):
+    """WET-style HTML -> text extraction (llm/text.html_extract_text):
+    drop script/style, break blocks, strip tags, decode entities,
+    collapse whitespace — pure codegen regex chain. config: {html_field,
+    out_field}."""
+    from ..llm.text import html_extract_text
+
+    html_col = config.get("html_field", "html")
+    out = config.get("out_field", "text")
+    return lambda df: df.withColumn(out, html_extract_text(html_col))

@@ -1049,3 +1049,81 @@ def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chunk_tokens",
         F.md5(F.concat_ws(" ", "chunk")).alias("chunk_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# HTML -> text extraction (llm/text.html_extract_text — the CCNet/WET ingest
+# step). Roundtrip-style oracle: both engines wrap each document in the SAME
+# synthetic HTML (script/style blocks, entities, block breaks, a dangling
+# unclosed tag) and replay the SAME RE2-compatible regex chain; the extracted
+# text's md5 is pinned, so any divergence in drop/strip/decode/collapse
+# behavior fails the hash.
+# ---------------------------------------------------------------------------
+
+_HTML_PRE = (
+    '<html><head><title>t</title><style type="text/css">body {color: red}'
+    '</style><script>var x = 1 < 2 && y;</script></head><body><h1>'
+)
+_HTML_MID = (
+    '</h1><p>A &amp; B &lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;end</p><p>'
+)
+_HTML_POST = "</p><br><div>tail <b>bold</div></body></html>"
+
+_HTML_ORACLE = f"""
+WITH h AS (
+  SELECT doc_id,
+         '{_HTML_PRE}' || lang || '{_HTML_MID}' || text || '{_HTML_POST}' AS html
+  FROM documents
+),
+x AS (
+  SELECT doc_id,
+         trim(regexp_replace(
+           regexp_replace(
+            regexp_replace(
+             regexp_replace(
+              regexp_replace(
+               regexp_replace(
+                regexp_replace(
+                 regexp_replace(
+                  regexp_replace(
+                   regexp_replace(
+                    regexp_replace(html,
+                      '(?is)<script[^>]*>.*?</script>|<style[^>]*>.*?</style>',
+                      ' ', 'g'),
+                    '(?i)<(?:br|/p|/div|/li|/tr|/h[1-6])[^>]*>', ' ', 'g'),
+                   '<[^>]*>', ' ', 'g'),
+                  '&nbsp;', ' ', 'g'),
+                 '&lt;', '<', 'g'),
+                '&gt;', '>', 'g'),
+               '&quot;', '"', 'g'),
+              '&#39;', CHR(39), 'g'),
+             '&apos;', CHR(39), 'g'),
+            '&amp;', '&', 'g'),
+           '\\s+', ' ', 'g')) AS extracted
+  FROM h
+)
+SELECT doc_id, md5(extracted) AS text_md5,
+       CAST(length(extracted) AS BIGINT) AS n_chars
+FROM x
+"""
+
+
+@query("text_html_extract", oracle=_HTML_ORACLE, tags=("llm", "text"))
+def text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wrap every document in synthetic HTML and extract the text back —
+    script/style dropped, block tags become separators, entities decoded
+    one pass, whitespace collapsed. Zero shuffles, zero Python: one
+    codegen regex chain over the scan."""
+    from ..llm.text import html_extract_text
+
+    d = load_table(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit(_HTML_PRE), F.col("lang"), F.lit(_HTML_MID),
+        F.col("text"), F.lit(_HTML_POST),
+    )
+    out = html_extract_text(html)
+    return d.select(
+        "doc_id",
+        F.md5(out).alias("text_md5"),
+        F.length(out).cast("long").alias("n_chars"),
+    )
