@@ -337,3 +337,59 @@ class TestChunkDocuments:
             chunk_documents(df, 0)
         with pytest.raises(ValueError):
             chunk_documents(df, 4, 0)
+
+
+class TestBudgetSample:
+    def test_greedy_fill_matches_python(self, spark):
+        import hashlib
+
+        from tuktu_spark.llm.mixing import budget_sample
+
+        rows = [(i, "en" if i % 2 else "de", 10 + i % 7) for i in range(60)]
+        df = spark.createDataFrame(rows, "doc_id long, lang string, n_tokens long")
+        got = sorted(
+            r["doc_id"] for r in budget_sample(df, budget_tokens=100).collect()
+        )
+        want = []
+        for lang in ("en", "de"):
+            docs = sorted(
+                (r for r in rows if r[1] == lang),
+                key=lambda r: (
+                    int(hashlib.md5(str(r[0]).encode()).hexdigest()[:15], 16),
+                    r[0],
+                ),
+            )
+            cum = 0
+            for i, _, n in docs:
+                cum += n
+                if cum <= 100:
+                    want.append(i)
+        assert got == sorted(want)
+
+    def test_per_domain_budgets_and_overflow_doc_dropped(self, spark):
+        from tuktu_spark.llm.mixing import budget_sample
+
+        rows = [(1, "a", 60), (2, "a", 60), (3, "b", 10)]
+        df = spark.createDataFrame(rows, "doc_id long, lang string, n_tokens long")
+        out = budget_sample(df, budgets={"a": 100, "b": 100})
+        got = {r["lang"]: r["doc_id"] for r in out.collect()}
+        # domain a: first doc (hash order) fits, second would overflow -> dropped
+        assert set(got) == {"a", "b"} and out.count() == 2
+
+    def test_parallelism_invariant(self, spark):
+        from tuktu_spark.llm.mixing import budget_sample
+
+        rows = [(i, f"d{i%3}", 5) for i in range(90)]
+        df = spark.createDataFrame(rows, "doc_id long, lang string, n_tokens long")
+        a = sorted(r["doc_id"] for r in budget_sample(df, 50).collect())
+        b = sorted(
+            r["doc_id"] for r in budget_sample(df.repartition(11), 50).collect()
+        )
+        assert a == b and len(a) == 30  # 10 docs x 5 tokens per domain
+
+    def test_requires_a_budget(self, spark):
+        from tuktu_spark.llm.mixing import budget_sample
+
+        df = spark.createDataFrame([(1, "a", 5)], "doc_id long, lang string, n_tokens long")
+        with pytest.raises(ValueError):
+            budget_sample(df)

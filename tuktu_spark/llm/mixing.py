@@ -219,3 +219,46 @@ def chunk_documents(
         F.col("__z.chunk").alias("chunk"),
         F.size("__z.chunk").alias("n_chunk_tokens"),
     )
+
+
+def budget_sample(
+    df: DataFrame,
+    budget_tokens: int | None = None,
+    budgets: dict[str, int] | None = None,
+    token_col: str = "n_tokens",
+    domain_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Token-budget mixture carve-out: per domain, keep documents in
+    deterministic md5(id) order until the cumulative token count reaches
+    the budget (greedy inclusive fill — the first doc whose tokens push
+    the running sum PAST the budget is dropped, as are all later ones).
+    ``budgets`` gives per-domain budgets; ``budget_tokens`` is the
+    uniform fallback. The kept set is a pure function of (ids, token
+    counts, budgets) — exact integer arithmetic, any parallelism, any
+    engine.
+
+    Scale shape: one shuffle keyed by domain; the cumsum window streams
+    each domain's docs through one task — the same per-stream shape as
+    pack_sequences, fine when domains are languages/sources. For very
+    few, very large domains, carve sub-streams first (hash-prefix
+    bucketing) and budget per sub-stream."""
+    if budgets is None and budget_tokens is None:
+        raise ValueError("pass budget_tokens or budgets")
+    b = F.lit(int(budget_tokens)) if budget_tokens is not None else F.lit(0)
+    if budgets:
+        expr = F.lit(int(budget_tokens)) if budget_tokens is not None else F.lit(0)
+        for dom, t in sorted(budgets.items()):
+            expr = F.when(F.col(domain_col) == dom, F.lit(int(t))).otherwise(expr)
+        b = expr
+    w = (
+        Window.partitionBy(domain_col)
+        .orderBy(_md5_key(id_col), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = F.sum(F.col(token_col).cast("long")).over(w)
+    return (
+        df.withColumn("__cum", cum)
+        .filter(F.col("__cum") <= b)
+        .drop("__cum")
+    )

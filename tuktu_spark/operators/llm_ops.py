@@ -828,3 +828,25 @@ def html_extract_text_op(config: dict):
     html_col = config.get("html_field", "html")
     out = config.get("out_field", "text")
     return lambda df: df.withColumn(out, html_extract_text(html_col))
+
+
+@operator("budget_sample")
+def budget_sample_op(config: dict):
+    """Token-budget mixture carve-out (llm/mixing.budget_sample): per
+    domain, keep docs in deterministic md5(id) order until the token
+    budget fills. config: {budget_tokens | budgets, token_field,
+    domain_field, id_field}."""
+    from ..llm.mixing import budget_sample
+
+    return lambda df: budget_sample(
+        df,
+        budget_tokens=(
+            int(config["budget_tokens"]) if config.get("budget_tokens") else None
+        ),
+        budgets={k: int(v) for k, v in config["budgets"].items()}
+        if config.get("budgets")
+        else None,
+        token_col=config.get("token_field", "n_tokens"),
+        domain_col=config.get("domain_field", "lang"),
+        id_col=config.get("id_field", "doc_id"),
+    )

@@ -1127,3 +1127,41 @@ def text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(out).alias("text_md5"),
         F.length(out).cast("long").alias("n_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Token-budget carve-out (llm/mixing.budget_sample): greedy inclusive fill
+# per language in md5(id) order — exact integer cumsum, identical window
+# semantics in DuckDB, so the oracle pins the exact kept rows.
+# ---------------------------------------------------------------------------
+
+_BUDGET_ORACLE = """
+WITH d AS (
+  SELECT doc_id, lang,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS k
+  FROM documents
+),
+c AS (
+  SELECT doc_id, lang, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY lang ORDER BY k, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM d
+)
+SELECT doc_id, lang, n_tokens FROM c WHERE cum <= 2000
+"""
+
+
+@query("mix_budget_sample", oracle=_BUDGET_ORACLE, tags=("llm", "mixing"))
+def mix_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Carve a 2000-token-per-language training slice: greedy
+    deterministic hash-order fill — the token-budget analogue of
+    sample_exact_k. One domain-keyed shuffle; exact integer arithmetic
+    end to end."""
+    from ..llm.mixing import budget_sample
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    return budget_sample(d, budget_tokens=2000)
