@@ -1133,3 +1133,50 @@ class TestHtmlExtract:
         assert "Exchange" not in plan
         for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
             assert marker not in plan
+
+
+class TestSemanticDecontam:
+    def _emb(self, spark):
+        rows = [
+            (1, [1.0, 0.0, 0.0]),   # eval
+            (2, [0.99, 0.14, 0.0]), # paraphrase of 1 (cos ~0.99)
+            (3, [0.0, 1.0, 0.0]),   # clean
+            (4, [0.0, 0.0, 1.0]),   # clean
+            (5, [-1.0, 0.0, 0.0]),  # opposite — cos = -1, clean
+        ]
+        return spark.createDataFrame(rows, "doc_id long, embedding array<double>")
+
+    def test_drops_near_eval_keeps_rest(self, spark):
+        from tuktu_spark.llm.decontaminate import semantic_decontaminate
+
+        emb = self._emb(spark)
+        ev = emb.filter(F.col("doc_id") == 1)
+        kept = sorted(
+            r["doc_id"]
+            for r in semantic_decontaminate(emb, ev, threshold=0.9).collect()
+        )
+        assert kept == [3, 4, 5]  # 1 is its own match, 2 is the paraphrase
+
+    def test_report_counts_and_max_cos(self, spark):
+        from tuktu_spark.llm.decontaminate import semantic_decontaminate
+
+        emb = self._emb(spark)
+        ev = emb.filter(F.col("doc_id").isin(1, 3))
+        rep = {
+            r["doc_id"]: (r["n_eval_hits"], round(r["max_cos"], 6))
+            for r in semantic_decontaminate(
+                emb, ev, threshold=0.9, report=True
+            ).collect()
+        }
+        assert rep[1] == (1, 1.0) and rep[3] == (1, 1.0)
+        assert rep[2][0] == 1 and rep[2][1] > 0.98
+        assert 4 not in rep and 5 not in rep
+
+    def test_eval_side_broadcasts(self, spark):
+        from tuktu_spark.llm.decontaminate import semantic_decontaminate
+
+        emb = self._emb(spark)
+        ev = emb.filter(F.col("doc_id") == 1)
+        out = semantic_decontaminate(emb, ev, threshold=0.9)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Broadcast" in plan and "SortMergeJoin" not in plan

@@ -69,3 +69,43 @@ def decontaminate(
         corpus_id
     ).distinct()
     return corpus.join(contaminated, corpus_id, "left_anti")
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    threshold: float = 0.9,
+    corpus_vec: str = "embedding",
+    corpus_id: str = "doc_id",
+    eval_vec: str = "embedding",
+    report: bool = False,
+) -> DataFrame:
+    """Embedding-level decontamination: drop corpus rows whose vector is
+    cosine-similar (>= threshold) to ANY eval example — the semantic
+    complement of the 13-gram filter, catching paraphrased/reformatted
+    eval leakage exact n-grams miss (public practice: e.g. the
+    phi/GPT-3 appendix decontamination discussions).
+
+    Scale shape: eval sets are small — the eval side BROADCASTS and the
+    corpus never shuffles (a broadcast nested-loop with an early cosine
+    filter, the same sanctioned shape as brute-force ANN's query side);
+    the contaminated-id set is then a broadcast anti join. report=True
+    returns (corpus_id, n_eval_hits, max_cos) for audit instead of
+    filtering."""
+    from .similarity import cosine
+
+    ev = eval_set.select(F.col(eval_vec).alias("__ev"))
+    pairs = corpus.select(F.col(corpus_id), F.col(corpus_vec).alias("__cv")).join(
+        F.broadcast(ev)
+    )
+    cos = cosine(F.col("__cv"), F.col("__ev"))
+    hits = pairs.select(F.col(corpus_id), cos.alias("__cos")).filter(
+        F.col("__cos") >= float(threshold)
+    )
+    if report:
+        return hits.groupBy(corpus_id).agg(
+            F.count(F.lit(1)).alias("n_eval_hits"),
+            F.max("__cos").alias("max_cos"),
+        )
+    contaminated = hits.select(corpus_id).distinct()
+    return corpus.join(F.broadcast(contaminated), corpus_id, "left_anti")

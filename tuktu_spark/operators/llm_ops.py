@@ -850,3 +850,28 @@ def budget_sample_op(config: dict):
         domain_col=config.get("domain_field", "lang"),
         id_col=config.get("id_field", "doc_id"),
     )
+
+
+@operator("semantic_decontaminate")
+def semantic_decontaminate_op(config: dict):
+    """Embedding-level decontamination (llm/decontaminate.
+    semantic_decontaminate): flows pipe (corpus, eval_set); corpus rows
+    cosine-similar to any eval vector are dropped (report=True returns
+    the audit table instead). config: {threshold, vec_field, id_field,
+    eval_vec_field, report}."""
+    from ..llm.decontaminate import semantic_decontaminate
+
+    def transform(corpus: DataFrame, eval_set: DataFrame | None = None) -> DataFrame:
+        if eval_set is None:
+            raise ValueError("semantic_decontaminate needs (corpus, eval_set) inputs")
+        return semantic_decontaminate(
+            corpus,
+            eval_set,
+            threshold=float(config.get("threshold", 0.9)),
+            corpus_vec=config.get("vec_field", "embedding"),
+            corpus_id=config.get("id_field", "doc_id"),
+            eval_vec=config.get("eval_vec_field", config.get("vec_field", "embedding")),
+            report=bool(config.get("report", False)),
+        )
+
+    return transform

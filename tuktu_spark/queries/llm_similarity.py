@@ -517,3 +517,43 @@ def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+# ---------------------------------------------------------------------------
+# Embedding-level decontamination (llm/decontaminate.semantic_decontaminate):
+# corpus rows cosine-similar to ANY eval vector are dropped. Same fold-order
+# cosine in both engines; eval side broadcasts, corpus never shuffles.
+# ---------------------------------------------------------------------------
+
+_SEMDECON_N_EVAL = 8
+_SEMDECON_T = 0.7
+
+_SEMDECON_ORACLE = f"""
+WITH ev AS (
+  SELECT embedding AS evv FROM embeddings WHERE vec_id < {_SEMDECON_N_EVAL}
+),
+hits AS (
+  SELECT DISTINCT e.vec_id
+  FROM embeddings e, ev
+  WHERE {_cosine_sql('e.embedding', 'ev.evv')} >= {_SEMDECON_T}
+)
+SELECT vec_id FROM embeddings
+WHERE vec_id NOT IN (SELECT vec_id FROM hits)
+"""
+
+
+@query("dedup_semantic_decontam", oracle=_SEMDECON_ORACLE, tags=("llm", "dedup", "similarity"))
+def dedup_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic decontamination: corpus minus everything embedding-close
+    to the 8-vector eval slice (threshold 0.7) — catches paraphrased
+    leakage the 13-gram filter misses. Broadcast nested-loop on the
+    eval side + broadcast anti join: the corpus never shuffles."""
+    from ..llm.decontaminate import semantic_decontaminate
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ev = emb.filter(F.col("vec_id") < _SEMDECON_N_EVAL)
+    out = semantic_decontaminate(
+        emb, ev, threshold=_SEMDECON_T,
+        corpus_vec="embedding", corpus_id="vec_id", eval_vec="embedding",
+    )
+    return out.select("vec_id")
