@@ -494,3 +494,12 @@ class TestOrcAvro:
 
         with pytest.raises((NotImplementedError, Exception)):
             make_source(spark, "avro", {"path": str(tmp_path / "nope.avro")})
+
+    def test_avro_sink_gated(self, spark, tmp_path):
+        import pytest
+
+        from tuktu_spark.operators.registry import make_operator
+
+        df = spark.createDataFrame([(1,)], "id long")
+        with pytest.raises((NotImplementedError, Exception)):
+            make_operator("avro_sink", {"path": str(tmp_path / "x.avro")})(df)

@@ -233,3 +233,26 @@ def orc_sink(config: dict):
         return df
 
     return sink
+
+
+@operator("avro_sink")
+def avro_sink(config: dict):
+    """Avro writer via Spark's external spark-avro module — gated like
+    the avro source (jar not bundled with pyspark; errors with the
+    package coordinate instead of a raw AnalysisException)."""
+    path = config["path"]
+    mode = config.get("mode", "overwrite")
+
+    def sink(df: DataFrame):
+        try:
+            df.write.mode(mode).format("avro").save(path)
+        except Exception as e:  # noqa: BLE001 - jvm exception types vary
+            if "avro" in str(e).lower():
+                raise NotImplementedError(
+                    "avro_sink needs the spark-avro package on the classpath "
+                    "(--packages org.apache.spark:spark-avro_2.13:<spark-version>)"
+                ) from e
+            raise
+        return df
+
+    return sink
