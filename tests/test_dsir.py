@@ -227,3 +227,23 @@ class TestStreaming:
         )
         proc(docs.filter(F.col("doc_id").isin(b0_ids)), 0)
         assert spark.read.parquet(str(tmp_path / "out")).count() == n
+
+
+class TestFlaggedFit:
+    def test_single_pass_llr_equals_two_pass(self, spark, docs):
+        from tuktu_spark.llm.dsir import train_dsir_llr_flagged
+
+        tgt = docs.filter(F.col("doc_id").isin(*TARGET_IDS))
+        two_pass = train_dsir_llr(
+            hashed_ngram_features(tgt, buckets=B),
+            hashed_ngram_features(docs, buckets=B),
+            buckets=B,
+        )
+        flagged = docs.withColumn(
+            "is_target", F.col("doc_id").isin(*TARGET_IDS)
+        )
+        one_pass = train_dsir_llr_flagged(
+            hashed_ngram_features(flagged, buckets=B, keep_cols=("is_target",)),
+            buckets=B,
+        )
+        assert one_pass == two_pass

@@ -63,12 +63,15 @@ def hashed_ngram_features(
     id_col: str = "doc_id",
     buckets: int = 4096,
     max_n: int = 2,
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(id, bucket): one row per n-gram occurrence (orders 1..max_n),
-    bucket = md5-60bit(gram) mod buckets. Gram arrays are built per-row
-    (slice + concat_ws over a sequence) before the explode — no window
-    function, so the plan is shuffle-free until the caller aggregates
-    and the operator is legal under Structured Streaming."""
+    """(id, bucket[, keep_cols]): one row per n-gram occurrence (orders
+    1..max_n), bucket = md5-60bit(gram) mod buckets. Gram arrays are
+    built per-row (slice + concat_ws over a sequence) before the explode
+    — no window function, so the plan is shuffle-free until the caller
+    aggregates and the operator is legal under Structured Streaming.
+    ``keep_cols`` rides extra columns through (e.g. an is_target flag
+    for the single-pass fit)."""
     t = F.col(tokens_col)
 
     def gram_at(k: int):
@@ -84,10 +87,13 @@ def hashed_ngram_features(
             F.transform(F.sequence(F.lit(1), F.size(t) - (k - 1)), gram_at(k)),
         ).otherwise(F.array().cast("array<string>"))
         grams = F.concat(grams, k_grams)
+    extra = [F.col(c) for c in keep_cols]
     return df.select(
-        F.col(id_col), F.explode(grams).alias("__g")
+        F.col(id_col), *extra, F.explode(grams).alias("__g")
     ).select(
-        F.col(id_col), F.pmod(_hash60(F.col("__g")), F.lit(buckets)).alias("bucket")
+        F.col(id_col),
+        *extra,
+        F.pmod(_hash60(F.col("__g")), F.lit(buckets)).alias("bucket"),
     )
 
 
@@ -212,3 +218,44 @@ def dsir_select(
     if method == "gumbel":
         return dsir_sample_gumbel(w, k, id_col, seed)
     return dsir_select_topk(w, k, id_col)
+
+
+def train_dsir_llr_flagged(
+    raw_feats_flagged: DataFrame,
+    buckets: int,
+    smoothing: float = 1.0,
+    flag_col: str = "is_target",
+) -> list[tuple[int, int]]:
+    """Single-pass llr fit for the common in-corpus-target case (target
+    = a predicate over the raw corpus): one aggregation computes both
+    bucket distributions (raw count + flagged count), so the corpus is
+    featurized and scanned ONCE instead of once per side. Bit-identical
+    llr to train_dsir_llr on the same counts (pinned in tests)."""
+    rows = (
+        raw_feats_flagged.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("cr"),
+            F.count(F.when(F.col(flag_col), 1)).alias("ct"),
+        )
+        .collect()
+    )
+    cr = {r["bucket"]: r["cr"] for r in rows}
+    ct = {r["bucket"]: r["ct"] for r in rows}
+    tot_t = sum(ct.values()) + smoothing * buckets
+    tot_r = sum(cr.values()) + smoothing * buckets
+    scale = float(1 << LLR_SCALE_BITS)
+    return [
+        (
+            b,
+            math.floor(
+                (
+                    math.log(ct.get(b, 0) + smoothing)
+                    - math.log(tot_t)
+                    - math.log(cr.get(b, 0) + smoothing)
+                    + math.log(tot_r)
+                )
+                * scale
+            ),
+        )
+        for b in range(buckets)
+    ]

@@ -846,13 +846,24 @@ def mix_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shuffle inventory: two B-bounded bucket-count aggregations + one
     doc-keyed weight aggregation + TakeOrderedAndProject — no global
     sort, no Python in the hot path."""
-    from ..llm.dsir import dsir_select
+    from ..llm.dsir import (
+        dsir_select_topk,
+        dsir_weights,
+        hashed_ngram_features,
+        train_dsir_llr_flagged,
+    )
 
     d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "lang", F.split("text", " ").alias("tokens")
+        "doc_id",
+        F.split("text", " ").alias("tokens"),
+        (F.col("lang") == "en").alias("is_target"),
     )
-    target = d.filter(F.col("lang") == "en")
-    out = dsir_select(d, target, k=_DSIR_K, buckets=_DSIR_B)
+    # target is a slice of raw -> single-pass fit: one aggregation yields
+    # both bucket distributions, so the corpus featurizes twice total
+    # (fit + weights) instead of three times (bit-identical llr, pinned)
+    feats = hashed_ngram_features(d, buckets=_DSIR_B, keep_cols=("is_target",))
+    llr = train_dsir_llr_flagged(feats, _DSIR_B)
+    out = dsir_select_topk(dsir_weights(feats, llr), _DSIR_K)
     return out.select("doc_id", "n_feats", "logw_q")
 
 
