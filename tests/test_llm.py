@@ -1180,3 +1180,57 @@ class TestSemanticDecontam:
         out = semantic_decontaminate(emb, ev, threshold=0.9)
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "Broadcast" in plan and "SortMergeJoin" not in plan
+
+
+class TestResizeNearest:
+    def test_identity_resize(self, spark):
+        from tuktu_spark.llm.multimodal import (
+            decode_png_pixels,
+            make_png,
+            resize_nearest,
+        )
+
+        png = make_png(4, 3, gradient=(10, 3, 7), filters=[0, 1, 2, 3, 4])
+        w, h, c, pix = decode_png_pixels(png)
+        assert (w, h, c) == (4, 3, 1)
+        assert resize_nearest(pix, w, h, c, 4, 3) == (4, 3, 1, pix)
+
+    def test_downsample_coordinates(self, spark):
+        from tuktu_spark.llm.multimodal import resize_nearest
+
+        # 4x2 grayscale grid with value = 10*y + x
+        pix = bytes([0, 1, 2, 3, 10, 11, 12, 13])
+        _, _, _, out = resize_nearest(pix, 4, 2, 1, 2, 1)
+        # out(x,0) = in((x*4)//2, 0) -> x=0 -> in(0,0)=0 ; x=1 -> in(2,0)=2
+        assert list(out) == [0, 2]
+
+    def test_upsample_replicates(self, spark):
+        from tuktu_spark.llm.multimodal import resize_nearest
+
+        pix = bytes([5, 9])  # 2x1
+        _, _, _, out = resize_nearest(pix, 2, 1, 1, 4, 2)
+        # src_x for x=0..3: 0,0,1,1 ; both rows identical
+        assert list(out) == [5, 5, 9, 9, 5, 5, 9, 9]
+
+    def test_rgb_channels_kept_together(self, spark):
+        from tuktu_spark.llm.multimodal import resize_nearest
+
+        pix = bytes([1, 2, 3, 4, 5, 6])  # 2x1 RGB
+        _, _, _, out = resize_nearest(pix, 2, 1, 3, 1, 1)
+        assert list(out) == [1, 2, 3]
+
+    def test_gradient_png_roundtrip(self, spark):
+        from tuktu_spark.llm.multimodal import decode_png_pixels, make_png
+
+        png = make_png(5, 4, gradient=(100, 3, 7), filters=[0, 1, 2, 3, 4])
+        w, h, c, pix = decode_png_pixels(png)
+        want = bytes((100 + 3 * x + 7 * y) % 256 for y in range(4) for x in range(5))
+        assert (w, h, c) == (5, 4, 1) and pix == want
+
+    def test_invalid_dims(self, spark):
+        import pytest
+
+        from tuktu_spark.llm.multimodal import resize_nearest
+
+        with pytest.raises(ValueError):
+            resize_nearest(b"\x00", 1, 1, 1, 0, 1)

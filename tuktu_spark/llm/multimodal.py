@@ -480,13 +480,17 @@ def make_png(
     shade: int = 128,
     pixel: tuple[int, ...] | None = None,
     filters: list[int] | None = None,
+    gradient: tuple[int, int, int] | None = None,
 ) -> bytes:
     """A real, spec-valid PNG (zlib-compressed scanlines, CRC-correct
     chunks). ``pixel`` selects the color layout: None/1-tuple =
     grayscale, 3-tuple = RGB, 4-tuple = RGBA, repeated across the image.
     ``filters`` gives per-row filter types 0-4 (cycled), applying REAL
     forward filtering so a decoder must reverse Sub/Up/Average/Paeth to
-    recover the pixels."""
+    recover the pixels. ``gradient=(seed, dx, dy)`` overrides the flat
+    fill with a grayscale coordinate ramp value(x, y) = (seed + dx*x +
+    dy*y) % 256 — every pixel distinct-ish, so geometry bugs (resize
+    sampling, crops) change sums instead of cancelling."""
     import zlib
 
     def chunk(ctype: bytes, payload: bytes) -> bytes:
@@ -498,13 +502,19 @@ def make_png(
         )
 
     px = tuple(pixel) if pixel is not None else (shade,)
+    if gradient is not None:
+        px = (0,)  # grayscale layout; values come from the ramp
     color_type = {1: 0, 3: 2, 4: 6}[len(px)]
     bpp = len(px)
     ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
-    line = bytes(px) * width
     raw = bytearray()
-    prior = bytes(len(line))
+    prior = bytes(width * bpp)
     for y in range(height):
+        if gradient is not None:
+            seed, dx, dy = gradient
+            line = bytes((seed + dx * x + dy * y) % 256 for x in range(width))
+        else:
+            line = bytes(px) * width
         f = filters[y % len(filters)] if filters else 0
         raw += bytes([f]) + _png_filter_line(f, line, prior, bpp)
         prior = line
@@ -670,4 +680,62 @@ def frame_timestamps_plan(
     return (
         probed.filter(F.col("duration_ms").isNotNull())
         .select(id_col, F.explode(ts).alias("ts_ms"))
+    )
+
+
+def resize_nearest(
+    pix: bytes, w: int, h: int, c: int, out_w: int, out_h: int
+) -> tuple[int, int, int, bytes]:
+    """REAL nearest-neighbor resize of a decoded pixel grid: out(x, y) =
+    in((x*w)//out_w, (y*h)//out_h) — the standard floor mapping, pure
+    integer arithmetic, so an oracle can pin every sampled coordinate."""
+    if w <= 0 or h <= 0 or out_w <= 0 or out_h <= 0:
+        raise ValueError("dimensions must be positive")
+    out = bytearray()
+    for y in range(out_h):
+        sy = (y * h) // out_h
+        row = pix[sy * w * c : (sy + 1) * w * c]
+        for x in range(out_w):
+            sx = (x * w) // out_w
+            out += row[sx * c : (sx + 1) * c]
+    return out_w, out_h, c, bytes(out)
+
+
+def resize_stats_table(
+    df: DataFrame,
+    id_col: str,
+    media_col: str = "media",
+    out_w: int = 8,
+    out_h: int = 8,
+) -> DataFrame:
+    """mapInPandas decode -> nearest-neighbor resize -> integer stats:
+    the image-resize stage of a multimodal pipeline with the Spark-side
+    plumbing (schema, Arrow batches) AND the kernel real (stdlib decode
+    + exact integer resample — no image library needed). The sum over
+    the resized grid pins the exact sampling coordinates, so any
+    off-by-one in the mapping breaks the oracle hash."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                data = bytes(row[media_col]) if row[media_col] is not None else b""
+                w, h, c, pix = decode_pixels(data)
+                rw, rh, rc, rpix = resize_nearest(pix, w, h, c, out_w, out_h)
+                s, n = sum(rpix), len(rpix)
+                rows.append(
+                    {
+                        "id": int(row[id_col]),
+                        "width": rw,
+                        "height": rh,
+                        "channels": rc,
+                        "pixel_sum": s,
+                        "n_vals": n,
+                        "mean_pixel": s / n,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return df.select(F.col(id_col).cast("bigint").alias(id_col), media_col).mapInPandas(
+        stats, schema=PIXEL_STATS_SCHEMA
     )

@@ -875,3 +875,20 @@ def semantic_decontaminate_op(config: dict):
         )
 
     return transform
+
+
+@operator("image_resize_stats")
+def image_resize_stats_op(config: dict):
+    """Decode + REAL nearest-neighbor resize + stats over a binary media
+    column (multimodal.resize_stats_table — stdlib PNG/JPEG decode, exact
+    integer resample, Arrow batches). config: {out_w, out_h, id_field,
+    media_field}."""
+    from ..llm.multimodal import resize_stats_table
+
+    return lambda df: resize_stats_table(
+        df,
+        id_col=config.get("id_field", "doc_id"),
+        media_col=config.get("media_field", "media"),
+        out_w=int(config.get("out_w", 8)),
+        out_h=int(config.get("out_h", 8)),
+    )

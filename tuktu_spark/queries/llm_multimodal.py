@@ -373,3 +373,68 @@ def multimodal_frame_timestamps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_frames").cast("long").alias("n_frames"),
         F.col("last_ts").cast("long").alias("last_ts"),
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL nearest-neighbor image resize (multimodal.resize_nearest over the
+# stdlib PNG decode): gradient-filled PNGs make every pixel coordinate-
+# dependent, so the resized sum pins the exact floor sampling map
+# out(x, y) = in((x*w)//out_w, (y*h)//out_h) — any off-by-one breaks the
+# hash. The oracle recomputes each sampled ramp value from doc_id alone.
+# ---------------------------------------------------------------------------
+
+_RS_W, _RS_H = 5, 3
+
+_RESIZE_ORACLE = f"""
+WITH p AS (
+  SELECT doc_id, 1 + doc_id % 16 AS w, 1 + doc_id % 8 AS h,
+         doc_id % 256 AS seed
+  FROM documents
+),
+cells AS (
+  SELECT doc_id, w, h, seed, x.i AS x, y.i AS y
+  FROM p,
+       LATERAL (SELECT unnest(range(0, {_RS_W})) AS i) x,
+       LATERAL (SELECT unnest(range(0, {_RS_H})) AS i) y
+),
+s AS (
+  SELECT doc_id,
+         SUM((seed + 3 * ((x * w) // {_RS_W}) + 7 * ((y * h) // {_RS_H})) % 256)
+           AS ps
+  FROM cells GROUP BY doc_id
+)
+SELECT doc_id AS id, CAST({_RS_W} AS INT) AS width, CAST({_RS_H} AS INT) AS height,
+       CAST(1 AS INT) AS channels,
+       CAST(ps AS BIGINT) AS pixel_sum,
+       CAST({_RS_W * _RS_H} AS BIGINT) AS n_vals,
+       CAST(ps AS DOUBLE) / {_RS_W * _RS_H} AS mean_pixel
+FROM s
+"""
+
+
+@query("multimodal_resize_stats", oracle=_RESIZE_ORACLE, tags=("llm", "multimodal"))
+def multimodal_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode gradient PNGs (full zlib + unfilter path, all five filter
+    types exercised) and nearest-neighbor resize each to 5x3 with the
+    REAL integer resample kernel; integer sums over the resized grid are
+    hash-matched against per-coordinate oracle arithmetic."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def synth(ids):
+        def mk(i):
+            i = int(i)
+            return MM.make_png(
+                1 + i % 16, 1 + i % 8,
+                gradient=(i % 256, 3, 7),
+                filters=[0, 1, 2, 3, 4],
+            )
+
+        return ids.map(mk)
+
+    synth.__annotations__ = {"ids": pd.Series, "return": pd.Series}
+    synth_udf = pandas_udf("binary")(synth)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    media = docs.select("doc_id", synth_udf(F.col("doc_id")).alias("media"))
+    return MM.resize_stats_table(media, "doc_id", "media", _RS_W, _RS_H)
