@@ -1234,3 +1234,54 @@ class TestResizeNearest:
 
         with pytest.raises(ValueError):
             resize_nearest(b"\x00", 1, 1, 1, 0, 1)
+
+
+class TestAudioResample:
+    def test_identity(self, spark):
+        from tuktu_spark.llm.multimodal import resample_nearest_audio
+
+        s = [1, 2, 3, 4]
+        assert resample_nearest_audio(s, 1, 4) == s
+
+    def test_downsample_indices(self, spark):
+        from tuktu_spark.llm.multimodal import resample_nearest_audio
+
+        s = [10, 11, 12, 13, 14, 15]  # 6 frames mono
+        # src for j=0..2: (j*6)//3 = 0,2,4
+        assert resample_nearest_audio(s, 1, 3) == [10, 12, 14]
+
+    def test_upsample_replicates_frames(self, spark):
+        from tuktu_spark.llm.multimodal import resample_nearest_audio
+
+        s = [7, -7]  # 2 frames mono
+        assert resample_nearest_audio(s, 1, 4) == [7, 7, -7, -7]
+
+    def test_stereo_frames_stay_paired(self, spark):
+        from tuktu_spark.llm.multimodal import resample_nearest_audio
+
+        s = [1, 2, 3, 4, 5, 6]  # 3 stereo frames (L,R)
+        # src frames for n_out=2: 0, 1
+        assert resample_nearest_audio(s, 2, 2) == [1, 2, 3, 4]
+
+    def test_wav_roundtrip_resample(self, spark):
+        from tuktu_spark.llm.multimodal import (
+            decode_wav_samples,
+            make_wav,
+            resample_nearest_audio,
+        )
+
+        wav = make_wav(8000, 2, n_samples=10, square=(100, 4))
+        rate, ch, samples = decode_wav_samples(wav)
+        out = resample_nearest_audio(samples, ch, 5)
+        # src frames: (j*10)//5 = 0,2,4,6,8 -> phases j%4 = 0,2,0,2,0
+        want_frames = [100, -100, 100, -100, 100]
+        assert out == [v for f in want_frames for v in (f, f)]
+
+    def test_invalid_params(self, spark):
+        import pytest
+
+        from tuktu_spark.llm.multimodal import resample_nearest_audio
+
+        with pytest.raises(ValueError):
+            resample_nearest_audio([1], 1, 0)
+        assert resample_nearest_audio([], 1, 3) == []

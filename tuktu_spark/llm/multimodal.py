@@ -739,3 +739,59 @@ def resize_stats_table(
     return df.select(F.col(id_col).cast("bigint").alias(id_col), media_col).mapInPandas(
         stats, schema=PIXEL_STATS_SCHEMA
     )
+
+
+def resample_nearest_audio(
+    samples: "list[int]", channels: int, n_out: int
+) -> "list[int]":
+    """REAL nearest-index PCM resample: frame j of the output copies
+    input frame (j * n_frames) // n_out (all channels together) — the
+    audio analogue of resize_nearest, pure integer arithmetic."""
+    if channels <= 0 or n_out <= 0:
+        raise ValueError("channels and n_out must be positive")
+    n_frames = len(samples) // channels
+    if n_frames == 0:
+        return []
+    out: list[int] = []
+    for j in range(n_out):
+        src = (j * n_frames) // n_out
+        out.extend(samples[src * channels : (src + 1) * channels])
+    return out
+
+
+AUDIO_RESAMPLE_SCHEMA = (
+    "id bigint, sample_rate int, channels int, n_frames bigint, "
+    "sample_sum bigint, abs_sum bigint"
+)
+
+
+def audio_resample_stats_table(
+    df: DataFrame, id_col: str, media_col: str = "media", n_out: int = 50
+) -> DataFrame:
+    """mapInPandas PCM decode -> nearest-index resample to ``n_out``
+    frames -> integer sums: the audio-resample stage with a real kernel
+    (stdlib WAV decode + exact frame mapping), oracle-able because every
+    resampled frame index is pinned by integer arithmetic."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                data = bytes(row[media_col]) if row[media_col] is not None else b""
+                rate, ch, samples = decode_wav_samples(data)
+                out = resample_nearest_audio(samples, ch, n_out)
+                rows.append(
+                    {
+                        "id": int(row[id_col]),
+                        "sample_rate": rate,
+                        "channels": ch,
+                        "n_frames": len(out) // ch if ch else 0,
+                        "sample_sum": sum(out),
+                        "abs_sum": sum(abs(v) for v in out),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return df.select(F.col(id_col).cast("bigint").alias(id_col), media_col).mapInPandas(
+        stats, schema=AUDIO_RESAMPLE_SCHEMA
+    )

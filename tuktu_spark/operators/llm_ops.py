@@ -892,3 +892,18 @@ def image_resize_stats_op(config: dict):
         out_w=int(config.get("out_w", 8)),
         out_h=int(config.get("out_h", 8)),
     )
+
+
+@operator("audio_resample_stats")
+def audio_resample_stats_op(config: dict):
+    """Decode + REAL nearest-index PCM resample + stats over a binary
+    WAV column (multimodal.audio_resample_stats_table). config: {n_out,
+    id_field, media_field}."""
+    from ..llm.multimodal import audio_resample_stats_table
+
+    return lambda df: audio_resample_stats_table(
+        df,
+        id_col=config.get("id_field", "doc_id"),
+        media_col=config.get("media_field", "media"),
+        n_out=int(config.get("n_out", 50)),
+    )

@@ -438,3 +438,67 @@ def multimodal_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     media = docs.select("doc_id", synth_udf(F.col("doc_id")).alias("media"))
     return MM.resize_stats_table(media, "doc_id", "media", _RS_W, _RS_H)
+
+
+# ---------------------------------------------------------------------------
+# REAL PCM resample (multimodal.resample_nearest_audio over the stdlib WAV
+# decode): square waves make every frame phase-dependent, so the resampled
+# signed sum pins the exact frame mapping src = (j * nf) // n_out; abs_sum
+# pins amplitude and output length. The oracle recomputes each sampled
+# frame's value from doc_id alone.
+# ---------------------------------------------------------------------------
+
+_ARS_N = 50
+
+_AUDIO_RESAMPLE_ORACLE = f"""
+WITH p AS (
+  SELECT doc_id,
+         CAST(8000 * (1 + doc_id % 3) AS INT) AS rate,
+         CAST(1 + doc_id % 2 AS INT) AS ch,
+         (doc_id % 100) * 10 AS amp,
+         37 * (1 + doc_id % 8) + doc_id % 4 AS nf
+  FROM documents
+),
+s AS (
+  SELECT p.doc_id,
+         SUM(CASE WHEN ((j.i * p.nf) // {_ARS_N}) % 4 < 2
+                  THEN p.amp ELSE -p.amp END) AS fs
+  FROM p, LATERAL (SELECT unnest(range(0, {_ARS_N})) AS i) j
+  GROUP BY p.doc_id
+)
+SELECT p.doc_id AS id, p.rate AS sample_rate, p.ch AS channels,
+       CAST({_ARS_N} AS BIGINT) AS n_frames,
+       CAST(p.ch * s.fs AS BIGINT) AS sample_sum,
+       CAST(p.ch * {_ARS_N} * p.amp AS BIGINT) AS abs_sum
+FROM p JOIN s USING (doc_id)
+"""
+
+
+@query(
+    "multimodal_audio_resample", oracle=_AUDIO_RESAMPLE_ORACLE,
+    tags=("llm", "multimodal"),
+)
+def multimodal_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode the square-wave WAVs (REAL 16-bit PCM path) and resample
+    each to 50 frames with the exact nearest-index kernel; signed and
+    absolute sums are hash-matched against per-frame oracle
+    arithmetic."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def synth(ids):
+        return ids.map(
+            lambda i: MM.make_wav(
+                sample_rate=8000 * (1 + int(i) % 3),
+                channels=1 + int(i) % 2,
+                n_samples=37 * (1 + int(i) % 8) + int(i) % 4,
+                square=((int(i) % 100) * 10, 4),
+            )
+        )
+
+    synth.__annotations__ = {"ids": pd.Series, "return": pd.Series}
+    synth_udf = pandas_udf("binary")(synth)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    media = docs.select("doc_id", synth_udf(F.col("doc_id")).alias("media"))
+    return MM.audio_resample_stats_table(media, "doc_id", "media", _ARS_N)
