@@ -1285,3 +1285,37 @@ class TestAudioResample:
         with pytest.raises(ValueError):
             resample_nearest_audio([1], 1, 0)
         assert resample_nearest_audio([], 1, 3) == []
+
+
+class TestCrop:
+    def test_crop_window_values(self, spark):
+        from tuktu_spark.llm.multimodal import crop_pixels
+
+        # 4x3 grid value = 10*y + x
+        pix = bytes(10 * y + x for y in range(3) for x in range(4))
+        cw, ch, c, out = crop_pixels(pix, 4, 3, 1, 1, 1, 2, 2)
+        assert (cw, ch, c) == (2, 2, 1)
+        assert list(out) == [11, 12, 21, 22]
+
+    def test_out_of_bounds_raises(self, spark):
+        import pytest
+
+        from tuktu_spark.llm.multimodal import crop_pixels
+
+        pix = bytes(4)
+        with pytest.raises(ValueError):
+            crop_pixels(pix, 2, 2, 1, 1, 1, 2, 2)
+
+    def test_seeded_offset_deterministic_and_in_range(self, spark):
+        from tuktu_spark.llm.multimodal import seeded_crop_offset
+
+        for i in range(50):
+            x0, y0 = seeded_crop_offset(i, 10, 8, 4, 2)
+            assert (x0, y0) == seeded_crop_offset(i, 10, 8, 4, 2)
+            assert 0 <= x0 <= 6 and 0 <= y0 <= 6
+        # different seed moves at least one window
+        assert any(
+            seeded_crop_offset(i, 10, 8, 4, 2, "a")
+            != seeded_crop_offset(i, 10, 8, 4, 2, "b")
+            for i in range(50)
+        )

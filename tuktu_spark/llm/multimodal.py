@@ -795,3 +795,69 @@ def audio_resample_stats_table(
     return df.select(F.col(id_col).cast("bigint").alias(id_col), media_col).mapInPandas(
         stats, schema=AUDIO_RESAMPLE_SCHEMA
     )
+
+
+def crop_pixels(
+    pix: bytes, w: int, h: int, c: int, x0: int, y0: int, cw: int, ch: int
+) -> tuple[int, int, int, bytes]:
+    """Exact rectangular crop of a decoded pixel grid (top-left (x0, y0),
+    size cw x ch). Bounds-checked: the window must lie inside the
+    image."""
+    if not (0 <= x0 and 0 <= y0 and x0 + cw <= w and y0 + ch <= h and cw > 0 and ch > 0):
+        raise ValueError("crop window out of bounds")
+    out = bytearray()
+    for y in range(y0, y0 + ch):
+        row = pix[y * w * c : (y + 1) * w * c]
+        out += row[x0 * c : (x0 + cw) * c]
+    return cw, ch, c, bytes(out)
+
+
+def seeded_crop_offset(doc_id: int, w: int, h: int, cw: int, ch: int, seed: str = "crop") -> tuple[int, int]:
+    """Deterministic 'random' crop offset: md5-60bit(seed || id) modulo
+    the valid ranges — the reproducible-augmentation rule (same id, same
+    crop, any engine; DuckDB replays the same arithmetic)."""
+    import hashlib
+
+    hval = int(
+        hashlib.md5(f"{seed}{doc_id}".encode()).hexdigest()[:15], 16
+    )
+    return hval % (w - cw + 1), (hval // 7) % (h - ch + 1)
+
+
+def crop_stats_table(
+    df: DataFrame,
+    id_col: str,
+    media_col: str = "media",
+    crop_w: int = 4,
+    crop_h: int = 2,
+    seed: str = "crop",
+) -> DataFrame:
+    """mapInPandas decode -> deterministic seeded crop -> integer stats:
+    the reproducible random-crop augmentation stage with a real kernel
+    (images smaller than the crop window raise — size-filter upstream)."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                data = bytes(row[media_col]) if row[media_col] is not None else b""
+                w, h, c, pix = decode_pixels(data)
+                x0, y0 = seeded_crop_offset(int(row[id_col]), w, h, crop_w, crop_h, seed)
+                cw, ch, cc, cpix = crop_pixels(pix, w, h, c, x0, y0, crop_w, crop_h)
+                s, n = sum(cpix), len(cpix)
+                rows.append(
+                    {
+                        "id": int(row[id_col]),
+                        "width": cw,
+                        "height": ch,
+                        "channels": cc,
+                        "pixel_sum": s,
+                        "n_vals": n,
+                        "mean_pixel": s / n,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return df.select(F.col(id_col).cast("bigint").alias(id_col), media_col).mapInPandas(
+        stats, schema=PIXEL_STATS_SCHEMA
+    )

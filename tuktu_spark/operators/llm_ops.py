@@ -907,3 +907,21 @@ def audio_resample_stats_op(config: dict):
         media_col=config.get("media_field", "media"),
         n_out=int(config.get("n_out", 50)),
     )
+
+
+@operator("image_crop_stats")
+def image_crop_stats_op(config: dict):
+    """Decode + deterministic seeded crop + stats over a binary media
+    column (multimodal.crop_stats_table — reproducible random-crop
+    augmentation). config: {crop_w, crop_h, seed, id_field,
+    media_field}."""
+    from ..llm.multimodal import crop_stats_table
+
+    return lambda df: crop_stats_table(
+        df,
+        id_col=config.get("id_field", "doc_id"),
+        media_col=config.get("media_field", "media"),
+        crop_w=int(config.get("crop_w", 4)),
+        crop_h=int(config.get("crop_h", 2)),
+        seed=config.get("seed", "crop"),
+    )

@@ -502,3 +502,72 @@ def multimodal_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     media = docs.select("doc_id", synth_udf(F.col("doc_id")).alias("media"))
     return MM.audio_resample_stats_table(media, "doc_id", "media", _ARS_N)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic seeded crop (multimodal.crop_stats_table): the reproducible
+# random-crop augmentation — offset = md5-60bit('crop'||id) folded into the
+# valid ranges, so the same id crops the same window in any engine. Gradient
+# pixels make the sum pin the exact window position.
+# ---------------------------------------------------------------------------
+
+_CROP_W, _CROP_H = 4, 2
+
+_CROP_ORACLE = f"""
+WITH p AS (
+  SELECT doc_id, 4 + doc_id % 13 AS w, 2 + doc_id % 7 AS h,
+         doc_id % 256 AS seed,
+         CAST('0x' || substr(md5('crop' || CAST(doc_id AS VARCHAR)), 1, 15)
+              AS BIGINT) AS hv
+  FROM documents
+),
+o AS (
+  SELECT doc_id, w, h, seed,
+         hv % (w - {_CROP_W} + 1) AS x0,
+         (hv // 7) % (h - {_CROP_H} + 1) AS y0
+  FROM p
+),
+cells AS (
+  SELECT doc_id, seed, x0 + x.i AS x, y0 + y.i AS y
+  FROM o,
+       LATERAL (SELECT unnest(range(0, {_CROP_W})) AS i) x,
+       LATERAL (SELECT unnest(range(0, {_CROP_H})) AS i) y
+),
+s AS (
+  SELECT doc_id, SUM((seed + 3 * x + 7 * y) % 256) AS ps
+  FROM cells GROUP BY doc_id
+)
+SELECT doc_id AS id, CAST({_CROP_W} AS INT) AS width,
+       CAST({_CROP_H} AS INT) AS height, CAST(1 AS INT) AS channels,
+       CAST(ps AS BIGINT) AS pixel_sum,
+       CAST({_CROP_W * _CROP_H} AS BIGINT) AS n_vals,
+       CAST(ps AS DOUBLE) / {_CROP_W * _CROP_H} AS mean_pixel
+FROM s
+"""
+
+
+@query("multimodal_crop_stats", oracle=_CROP_ORACLE, tags=("llm", "multimodal"))
+def multimodal_crop_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode gradient PNGs and take the deterministic seeded crop
+    (4x2, offset from md5('crop'||id)) with the real crop kernel; sums
+    hash-matched against per-coordinate oracle arithmetic."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def synth(ids):
+        def mk(i):
+            i = int(i)
+            return MM.make_png(
+                4 + i % 13, 2 + i % 7,
+                gradient=(i % 256, 3, 7),
+                filters=[0, 1, 2, 3, 4],
+            )
+
+        return ids.map(mk)
+
+    synth.__annotations__ = {"ids": pd.Series, "return": pd.Series}
+    synth_udf = pandas_udf("binary")(synth)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    media = docs.select("doc_id", synth_udf(F.col("doc_id")).alias("media"))
+    return MM.crop_stats_table(media, "doc_id", "media", _CROP_W, _CROP_H)
