@@ -1319,3 +1319,52 @@ class TestCrop:
             != seeded_crop_offset(i, 10, 8, 4, 2, "b")
             for i in range(50)
         )
+
+
+class TestGifCodec:
+    def test_roundtrip_small_and_large(self, spark):
+        from tuktu_spark.llm.multimodal import decode_gif_pixels, make_gif
+
+        for w, h in ((1, 1), (7, 5), (40, 30)):  # 40x30 forces CLEAR resets
+            g = make_gif(w, h, gradient=(11, 3, 7))
+            gw, gh, c, rgb = decode_gif_pixels(g)
+            want = bytearray()
+            for y in range(h):
+                for x in range(w):
+                    v = (11 + 3 * x + 7 * y) % 256
+                    want += bytes([v, (2 * v) % 256, (3 * v) % 256])
+            assert (gw, gh, c) == (w, h, 3) and rgb == bytes(want)
+
+    def test_general_lzw_kwkwk_case(self, spark):
+        from tuktu_spark.llm.multimodal import _lzw_decode
+
+        # min_size=2: CLEAR=4 END=5; stream 4,1,6,5 — code 6 == next_code
+        # is the KwKwK case -> [1,1]; total output [1,1,1]
+        assert _lzw_decode(2, bytes([140, 11])) == [1, 1, 1]
+
+    def test_decode_pixels_dispatches_gif(self, spark):
+        from tuktu_spark.llm.multimodal import decode_pixels, make_gif
+
+        w, h, c, rgb = decode_pixels(make_gif(4, 3, gradient=(0, 1, 1)))
+        assert (w, h, c) == (4, 3, 3) and len(rgb) == 36
+
+    def test_interlaced_raises_seam(self, spark):
+        import pytest
+
+        from tuktu_spark.llm.multimodal import decode_gif_pixels, make_gif
+
+        g = bytearray(make_gif(4, 3))
+        # image descriptor starts after the 13-byte header + 768-byte GCT;
+        # its flags byte is at +9 — set the interlace bit
+        idx = 13 + 768
+        assert g[idx] == 0x2C
+        g[idx + 9] |= 0x40
+        with pytest.raises(NotImplementedError):
+            decode_gif_pixels(bytes(g))
+
+    def test_gif89a_accepted(self, spark):
+        from tuktu_spark.llm.multimodal import decode_gif_pixels, make_gif
+
+        g = b"GIF89a" + make_gif(3, 2)[6:]
+        w, h, c, _ = decode_gif_pixels(g)
+        assert (w, h, c) == (3, 2, 3)

@@ -6,10 +6,13 @@ markers, GIF, BMP, WAV/RIFF and ISO-BMFF/MP4 box trees are public
 formats parsed with struct/bytes alone (``probe_media``). Pixel/sample
 DECODE is also real for the stdlib envelope: 8-bit PNGs
 (``decode_png_pixels`` — zlib + full unfilter), baseline JPEGs
-(``llm/jpeg.py`` — T.81 Huffman + IDCT) and 16-bit PCM WAV
-(``decode_wav_samples``). Codecs outside that envelope (progressive
-JPEG, video sample data) raise NotImplementedError — the PIL/ffmpeg
-seam: swap the decode step and nothing else changes.
+(``llm/jpeg.py`` — T.81 Huffman + IDCT), GIF87a/89a
+(``decode_gif_pixels`` — full general LZW) and 16-bit PCM WAV
+(``decode_wav_samples``), plus real feature-extraction kernels on top
+(nearest-neighbor resize, nearest-index PCM resample, seeded crop).
+Codecs outside that envelope (progressive JPEG, interlaced GIF, video
+sample data) raise NotImplementedError — the PIL/ffmpeg seam: swap the
+decode step and nothing else changes.
 
 Scale notes: binary payloads ride in Arrow record batches; keep
 ``spark.sql.files.maxPartitionBytes`` at default 128 MB so a partition of
@@ -332,6 +335,11 @@ def decode_pixels(data: bytes) -> tuple[int, int, int, bytes]:
         pass
     except (zlib.error, ValueError, struct.error) as ex:
         raise NotImplementedError(f"corrupt PNG body: {ex}") from ex
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        try:
+            return decode_gif_pixels(data)
+        except (ValueError, struct.error, KeyError, IndexError) as ex:
+            raise NotImplementedError(f"corrupt GIF body: {ex}") from ex
     from .jpeg import decode_jpeg_pixels
 
     try:
@@ -861,3 +869,157 @@ def crop_stats_table(
     return df.select(F.col(id_col).cast("bigint").alias(id_col), media_col).mapInPandas(
         stats, schema=PIXEL_STATS_SCHEMA
     )
+
+
+# --- GIF: real LZW codec (GIF87a, public spec) ---------------------------
+
+
+def _lzw_encode_literals(indices: "list[int]", min_size: int = 8) -> bytes:
+    """LZW-encode a GIF index stream emitting only literal codes, with a
+    CLEAR every 254 literals so the code width stays at min_size+1 — the
+    classic spec-valid 'uncompressed GIF' scheme (any conforming decoder
+    reads it; our decoder below is a full general LZW, not limited to
+    this shape)."""
+    width = min_size + 1
+    clear, end = 1 << min_size, (1 << min_size) + 1
+    bits: list[int] = []
+
+    def emit(code: int) -> None:
+        for b in range(width):
+            bits.append((code >> b) & 1)
+
+    emit(clear)
+    count = 0
+    for idx in indices:
+        if count == 254:
+            emit(clear)
+            count = 0
+        emit(idx)
+        count += 1
+    emit(end)
+    out = bytearray()
+    for i in range(0, len(bits), 8):
+        byte = 0
+        for j, bit in enumerate(bits[i : i + 8]):
+            byte |= bit << j
+        out.append(byte)
+    return bytes(out)
+
+
+def _lzw_decode(min_size: int, data: bytes) -> "list[int]":
+    """Full general GIF LZW decode (dictionary growth, width bumps at
+    2^width up to 12 bits, KwKwK case) — LSB-first bit order."""
+    width = min_size + 1
+    clear, end = 1 << min_size, (1 << min_size) + 1
+    base = {i: [i] for i in range(clear)}
+    table = dict(base)
+    next_code = end + 1
+    out: list[int] = []
+    prev: list[int] | None = None
+    bitpos = 0
+    total = len(data) * 8
+    while bitpos + width <= total:
+        code = 0
+        for j in range(width):
+            p = bitpos + j
+            code |= ((data[p >> 3] >> (p & 7)) & 1) << j
+        bitpos += width
+        if code == clear:
+            table = dict(base)
+            next_code = end + 1
+            width = min_size + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code in table:
+            entry = table[code]
+            table[next_code] = prev + [entry[0]]
+            next_code += 1
+        elif code == next_code:
+            entry = prev + [prev[0]]  # the KwKwK case
+            table[next_code] = entry
+            next_code += 1
+        else:
+            raise NotImplementedError("corrupt LZW stream")
+        if next_code == (1 << width) and width < 12:
+            width += 1
+        out.extend(entry)
+        prev = table.get(code, entry)
+    return out
+
+
+def make_gif(
+    width: int, height: int, gradient: tuple[int, int, int] = (0, 1, 1)
+) -> bytes:
+    """A real, spec-valid GIF87a: 256-entry global color table with
+    palette[j] = (j, (2j)%256, (3j)%256), pixel index(x, y) =
+    (seed + dx*x + dy*y) % 256 from ``gradient``, LZW-encoded."""
+    seed, dx, dy = gradient
+    out = bytearray(b"GIF87a")
+    out += struct.pack("<HH", width, height)
+    out += bytes([0xF7, 0, 0])  # GCT present, 8 bpp, 256 entries
+    for j in range(256):
+        out += bytes([j, (2 * j) % 256, (3 * j) % 256])
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, width, height) + b"\x00"
+    indices = [
+        (seed + dx * x + dy * y) % 256 for y in range(height) for x in range(width)
+    ]
+    out += bytes([8])  # LZW min code size
+    enc = _lzw_encode_literals(indices, 8)
+    for i in range(0, len(enc), 255):
+        block = enc[i : i + 255]
+        out += bytes([len(block)]) + block
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def decode_gif_pixels(data: bytes) -> tuple[int, int, int, bytes]:
+    """REAL GIF87a/89a decode for the single-image, global-color-table,
+    non-interlaced case: (width, height, 3, RGB bytes). Interlace, local
+    palettes and extensions beyond plain skipping raise
+    NotImplementedError (the PIL seam)."""
+    if len(data) < 13 or data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise NotImplementedError("not a GIF")
+    w, h = struct.unpack("<HH", data[6:10])
+    flags = data[10]
+    if not flags & 0x80:
+        raise NotImplementedError("GIF without a global color table")
+    gct_n = 2 << (flags & 0x07)
+    pos = 13
+    palette = data[pos : pos + 3 * gct_n]
+    pos += 3 * gct_n
+    while pos < len(data):
+        b = data[pos]
+        if b == 0x21:  # extension: skip sub-blocks
+            pos += 2
+            while pos < len(data) and data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+        elif b == 0x2C:
+            _, _, iw, ih = struct.unpack("<HHHH", data[pos + 1 : pos + 9])
+            iflags = data[pos + 9]
+            if iflags & 0x80:
+                raise NotImplementedError("local color tables unsupported")
+            if iflags & 0x40:
+                raise NotImplementedError("interlaced GIFs unsupported")
+            pos += 10
+            min_size = data[pos]
+            pos += 1
+            lzw = bytearray()
+            while pos < len(data) and data[pos] != 0:
+                n = data[pos]
+                lzw += data[pos + 1 : pos + 1 + n]
+                pos += 1 + n
+            indices = _lzw_decode(min_size, bytes(lzw))[: iw * ih]
+            rgb = bytearray()
+            for idx in indices:
+                rgb += palette[3 * idx : 3 * idx + 3]
+            return iw, ih, 3, bytes(rgb)
+        elif b == 0x3B:
+            break
+        else:
+            raise NotImplementedError("unexpected GIF block")
+    raise NotImplementedError("no image descriptor")

@@ -571,3 +571,63 @@ def multimodal_crop_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     media = docs.select("doc_id", synth_udf(F.col("doc_id")).alias("media"))
     return MM.crop_stats_table(media, "doc_id", "media", _CROP_W, _CROP_H)
+
+
+# ---------------------------------------------------------------------------
+# REAL GIF decode (multimodal.decode_gif_pixels — full general LZW with
+# dictionary growth and width bumps; the synth encoder emits the spec-valid
+# literal+CLEAR scheme): gradient indices through the arithmetic palette
+# make every RGB byte a function of (doc_id, x, y) — the oracle recomputes
+# all of them.
+# ---------------------------------------------------------------------------
+
+_GIF_ORACLE = """
+WITH p AS (
+  SELECT doc_id, 3 + doc_id % 14 AS w, 2 + doc_id % 9 AS h,
+         doc_id % 256 AS seed
+  FROM documents
+),
+cells AS (
+  SELECT doc_id, w, h,
+         (seed + 3 * x.i + 7 * y.i) % 256 AS v
+  FROM p,
+       LATERAL (SELECT unnest(range(0, w)) AS i) x,
+       LATERAL (SELECT unnest(range(0, h)) AS i) y
+),
+s AS (
+  SELECT doc_id, MIN(w) AS w, MIN(h) AS h,
+         SUM(v + (2 * v) % 256 + (3 * v) % 256) AS ps
+  FROM cells GROUP BY doc_id
+)
+SELECT doc_id AS id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST(3 AS INT) AS channels,
+       CAST(ps AS BIGINT) AS pixel_sum,
+       CAST(w * h * 3 AS BIGINT) AS n_vals,
+       CAST(ps AS DOUBLE) / (w * h * 3) AS mean_pixel
+FROM s
+"""
+
+
+@query("multimodal_gif_decode", oracle=_GIF_ORACLE, tags=("llm", "multimodal"))
+def multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL LZW decode, ORACLED end-to-end: synthesize a spec-valid
+    GIF87a per doc (256-entry arithmetic palette, gradient indices, LZW
+    with CLEAR resets) and decode it with the pure-python general LZW
+    path inside Arrow batches; RGB sums hash-match per-coordinate oracle
+    arithmetic — any bit-packing/dictionary/palette bug breaks it."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def synth(ids):
+        def mk(i):
+            i = int(i)
+            return MM.make_gif(3 + i % 14, 2 + i % 9, gradient=(i % 256, 3, 7))
+
+        return ids.map(mk)
+
+    synth.__annotations__ = {"ids": pd.Series, "return": pd.Series}
+    synth_udf = pandas_udf("binary")(synth)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    media = docs.select("doc_id", synth_udf(F.col("doc_id")).alias("media"))
+    return MM.pixel_stats_table(media, "doc_id", "media")
