@@ -1368,3 +1368,43 @@ class TestGifCodec:
         g = b"GIF89a" + make_gif(3, 2)[6:]
         w, h, c, _ = decode_gif_pixels(g)
         assert (w, h, c) == (3, 2, 3)
+
+
+class TestBmpCodec:
+    def test_roundtrip_with_padding(self, spark):
+        from tuktu_spark.llm.multimodal import decode_bmp_pixels, make_bmp
+
+        for w, h in ((1, 1), (5, 4), (3, 7)):  # w=5,3 -> padded rows
+            bmp = make_bmp(w, h, gradient=(9, 3, 7))
+            gw, gh, c, rgb = decode_bmp_pixels(bmp)
+            want = bytearray()
+            for y in range(h):
+                for x in range(w):
+                    v = (9 + 3 * x + 7 * y) % 256
+                    want += bytes([v, (2 * v) % 256, (3 * v) % 256])
+            assert (gw, gh, c) == (w, h, 3) and rgb == bytes(want)
+
+    def test_row_order_is_top_down(self, spark):
+        from tuktu_spark.llm.multimodal import decode_bmp_pixels, make_bmp
+
+        # dy=1: first decoded row must be y=0 (value seed), not y=h-1
+        _, _, _, rgb = decode_bmp_pixels(make_bmp(1, 3, gradient=(50, 0, 1)))
+        assert rgb[0] == 50 and rgb[3] == 51 and rgb[6] == 52
+
+    def test_unsupported_depth_raises_seam(self, spark):
+        import struct as st
+
+        import pytest
+
+        from tuktu_spark.llm.multimodal import decode_bmp_pixels, make_bmp
+
+        bmp = bytearray(make_bmp(2, 2))
+        bmp[28:30] = st.pack("<H", 8)  # 8bpp
+        with pytest.raises(NotImplementedError):
+            decode_bmp_pixels(bytes(bmp))
+
+    def test_decode_pixels_dispatches_bmp(self, spark):
+        from tuktu_spark.llm.multimodal import decode_pixels, make_bmp
+
+        w, h, c, rgb = decode_pixels(make_bmp(4, 2))
+        assert (w, h, c) == (4, 2, 3) and len(rgb) == 24

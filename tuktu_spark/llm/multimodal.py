@@ -340,6 +340,11 @@ def decode_pixels(data: bytes) -> tuple[int, int, int, bytes]:
             return decode_gif_pixels(data)
         except (ValueError, struct.error, KeyError, IndexError) as ex:
             raise NotImplementedError(f"corrupt GIF body: {ex}") from ex
+    if data[:2] == b"BM":
+        try:
+            return decode_bmp_pixels(data)
+        except (ValueError, struct.error, IndexError) as ex:
+            raise NotImplementedError(f"corrupt BMP body: {ex}") from ex
     from .jpeg import decode_jpeg_pixels
 
     try:
@@ -1023,3 +1028,56 @@ def decode_gif_pixels(data: bytes) -> tuple[int, int, int, bytes]:
         else:
             raise NotImplementedError("unexpected GIF block")
     raise NotImplementedError("no image descriptor")
+
+
+# --- BMP: real 24-bit uncompressed codec (BITMAPINFOHEADER, public) ------
+
+
+def make_bmp(
+    width: int, height: int, gradient: tuple[int, int, int] = (0, 1, 1)
+) -> bytes:
+    """A real, spec-valid 24-bit BI_RGB BMP: BITMAPFILEHEADER +
+    BITMAPINFOHEADER, BGR pixel rows stored bottom-up with 4-byte row
+    padding. Pixel (x, y) carries RGB = (v, (2v)%256, (3v)%256) with
+    v = (seed + dx*x + dy*y) % 256 from ``gradient``."""
+    seed, dx, dy = gradient
+    row_len = (width * 3 + 3) & ~3
+    data = bytearray()
+    for y in range(height - 1, -1, -1):  # bottom-up
+        row = bytearray()
+        for x in range(width):
+            v = (seed + dx * x + dy * y) % 256
+            row += bytes([(3 * v) % 256, (2 * v) % 256, v])  # B, G, R
+        row += bytes(row_len - len(row))
+        data += row
+    info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0,
+                       len(data), 2835, 2835, 0, 0)
+    offset = 14 + 40
+    header = b"BM" + struct.pack("<IHHI", offset + len(data), 0, 0, offset)
+    return header + info + bytes(data)
+
+
+def decode_bmp_pixels(data: bytes) -> tuple[int, int, int, bytes]:
+    """REAL BMP decode for the 24-bit uncompressed (BI_RGB,
+    BITMAPINFOHEADER) case: (width, height, 3, RGB bytes top-down).
+    Other depths/compressions/top-down negative heights raise
+    NotImplementedError (the PIL seam)."""
+    if len(data) < 54 or data[:2] != b"BM":
+        raise NotImplementedError("not a BMP")
+    offset = struct.unpack("<I", data[10:14])[0]
+    hdr_size, w, h = struct.unpack("<Iii", data[14:26])
+    planes, bpp = struct.unpack("<HH", data[26:30])
+    compression = struct.unpack("<I", data[30:34])[0]
+    if hdr_size < 40 or bpp != 24 or compression != 0 or h <= 0:
+        raise NotImplementedError("only bottom-up 24-bit BI_RGB supported")
+    row_len = (w * 3 + 3) & ~3
+    rgb = bytearray()
+    for y in range(h):
+        src = offset + (h - 1 - y) * row_len
+        row = data[src : src + w * 3]
+        if len(row) < w * 3:
+            raise ValueError("truncated BMP pixel data")
+        for x in range(w):
+            b, g, r = row[3 * x : 3 * x + 3]
+            rgb += bytes([r, g, b])
+    return w, h, 3, bytes(rgb)
