@@ -1408,3 +1408,61 @@ class TestBmpCodec:
 
         w, h, c, rgb = decode_pixels(make_bmp(4, 2))
         assert (w, h, c) == (4, 2, 3) and len(rgb) == 24
+
+
+def _dhash_of(png: bytes) -> tuple[int, int]:
+    from tuktu_spark.llm.multimodal import decode_pixels, dhash_bits
+
+    w, h, c, pix = decode_pixels(png)
+    return dhash_bits(pix, w, h, c)
+
+
+class TestImageDhash:
+    def test_identical_images_identical_hash(self, spark):
+        from tuktu_spark.llm.multimodal import make_png
+
+        assert _dhash_of(make_png(12, 9, gradient=(7, 3, 5))) == _dhash_of(
+            make_png(12, 9, gradient=(7, 3, 5))
+        )
+
+    def test_hash_halves_are_32bit_nonnegative(self, spark):
+        from tuktu_spark.llm.multimodal import make_png
+
+        for i in range(20):
+            hi, lo = _dhash_of(
+                make_png(3 + i % 14, 2 + i % 9, gradient=(i * 11 % 256, 3, 7))
+            )
+            assert 0 <= hi < (1 << 32) and 0 <= lo < (1 << 32)
+
+    def test_near_identical_images_small_hamming(self, spark):
+        from tuktu_spark.llm.multimodal import make_png
+
+        # steps of 48/96 wrap mod 256, so gradient-sign bits carry real
+        # structure (small-step ramps never wrap -> all-ones hashes)
+        base = _dhash_of(make_png(20, 16, gradient=(50, 48, 96)))
+        near = _dhash_of(make_png(20, 16, gradient=(51, 48, 96)))
+        far = _dhash_of(make_png(20, 16, gradient=(50, 96, 48)))
+        d_near = bin(base[0] ^ near[0]).count("1") + bin(base[1] ^ near[1]).count("1")
+        d_far = bin(base[0] ^ far[0]).count("1") + bin(base[1] ^ far[1]).count("1")
+        assert d_near <= 6 < d_far
+
+    def test_near_pairs_finds_planted_dups(self, spark):
+        from tuktu_spark.llm.multimodal import (
+            image_dhash_near_pairs,
+            image_dhash_table,
+            make_png,
+        )
+
+        rows = []
+        for i in range(12):
+            seed = (i % 6) * 37  # docs i and i+6 are identical images
+            rows.append(
+                (i, bytearray(make_png(10, 8, gradient=(seed, 48, 96))))
+            )
+        df = spark.createDataFrame(rows, "doc_id long, media binary")
+        hashes = image_dhash_table(df, "doc_id")
+        pairs = {
+            (r["id_a"], r["id_b"], r["hamming"])
+            for r in image_dhash_near_pairs(hashes, max_hamming=0).collect()
+        }
+        assert pairs == {(i, i + 6, 0) for i in range(6)}

@@ -1081,3 +1081,109 @@ def decode_bmp_pixels(data: bytes) -> tuple[int, int, int, bytes]:
             b, g, r = row[3 * x : 3 * x + 3]
             rgb += bytes([r, g, b])
     return w, h, 3, bytes(rgb)
+
+
+# --- perceptual image hashing (dHash) over the real decoders -------------
+
+
+def dhash_bits(pix: bytes, w: int, h: int, c: int) -> tuple[int, int]:
+    """dHash (difference hash, public technique): luma L = R + 2G + B
+    (grayscale: 4*v), nearest-resize to a 9x8 grid, bit(x, y) =
+    L(x+1, y) > L(x, y) — 64 bits of horizontal gradient signs, returned
+    as two non-negative 32-bit halves (rows 0-3, rows 4-7) so BIGINT
+    arithmetic stays sign-free in any engine. Exact integer pipeline end
+    to end: identical images hash identically, near-identical images
+    land within small Hamming distance."""
+    if w <= 0 or h <= 0:
+        raise ValueError("empty image")
+
+    def luma(px: int, py: int) -> int:
+        sx, sy = (px * w) // 9, (py * h) // 8
+        base = (sy * w + sx) * c
+        if c >= 3:
+            return pix[base] + 2 * pix[base + 1] + pix[base + 2]
+        return 4 * pix[base]
+
+    hi = lo = 0
+    for gy in range(8):
+        for gx in range(8):
+            if luma(gx + 1, gy) > luma(gx, gy):
+                k = (gy % 4) * 8 + gx
+                if gy < 4:
+                    hi |= 1 << k
+                else:
+                    lo |= 1 << k
+    return hi, lo
+
+
+IMAGE_DHASH_SCHEMA = "id bigint, dhash_hi bigint, dhash_lo bigint"
+
+
+def image_dhash_table(
+    df: DataFrame, id_col: str, media_col: str = "media"
+) -> DataFrame:
+    """mapInPandas decode -> dHash: (id, dhash_hi, dhash_lo) per image —
+    the perceptual-dedup signature stage (decode once, hash once; the
+    8-byte signature is what shuffles, never the pixels)."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                data = bytes(row[media_col]) if row[media_col] is not None else b""
+                w, h, c, pix = decode_pixels(data)
+                hi, lo = dhash_bits(pix, w, h, c)
+                rows.append(
+                    {"id": int(row[id_col]), "dhash_hi": hi, "dhash_lo": lo}
+                )
+            yield pd.DataFrame(rows)
+
+    return df.select(F.col(id_col).cast("bigint").alias(id_col), media_col).mapInPandas(
+        stats, schema=IMAGE_DHASH_SCHEMA
+    )
+
+
+def image_dhash_near_pairs(
+    hashes: DataFrame, max_hamming: int = 6, id_col: str = "id"
+) -> DataFrame:
+    """Near-duplicate image pairs by banded dHash Hamming distance: the
+    64 bits split into 8 byte-chunks — any pair within distance 7 shares
+    one exact chunk (pigeonhole), so candidates come from an equi-join
+    on (chunk_idx, chunk_value) and the exact distance is verified with
+    bit_count. Same scale shape as simhash_near_pairs: signatures
+    shuffle, pixels never do."""
+    chunks = [
+        F.struct(
+            F.lit(i).alias("chunk"),
+            F.shiftright(F.col(col), 8 * (i % 4)).bitwiseAND(F.lit(255)).alias("val"),
+        )
+        for col, base in (("dhash_hi", 0), ("dhash_lo", 4))
+        for i in range(base, base + 4)
+    ]
+    pieces = hashes.select(
+        F.col(id_col), "dhash_hi", "dhash_lo",
+        F.explode(F.array(*chunks)).alias("p"),
+    ).select(id_col, "dhash_hi", "dhash_lo", "p.chunk", "p.val")
+    a, b = pieces.alias("a"), pieces.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            (
+                F.bit_count(
+                    F.col("a.dhash_hi").bitwiseXOR(F.col("b.dhash_hi"))
+                )
+                + F.bit_count(
+                    F.col("a.dhash_lo").bitwiseXOR(F.col("b.dhash_lo"))
+                )
+            ).alias("hamming"),
+        )
+        .distinct()
+    )
+    return cand.filter(F.col("hamming") <= int(max_hamming))

@@ -925,3 +925,32 @@ def image_crop_stats_op(config: dict):
         crop_h=int(config.get("crop_h", 2)),
         seed=config.get("seed", "crop"),
     )
+
+
+@operator("image_dhash")
+def image_dhash_op(config: dict):
+    """Perceptual dHash signatures over a binary media column
+    (multimodal.image_dhash_table — decode + 9x8 gradient-sign bits).
+    config: {id_field, media_field}."""
+    from ..llm.multimodal import image_dhash_table
+
+    return lambda df: image_dhash_table(
+        df,
+        id_col=config.get("id_field", "doc_id"),
+        media_col=config.get("media_field", "media"),
+    )
+
+
+@operator("image_dhash_pairs")
+def image_dhash_pairs_op(config: dict):
+    """Near-duplicate image pairs from a dHash table (multimodal.
+    image_dhash_near_pairs — banded byte-chunk candidates + bit_count
+    verify; pigeonhole-complete to Hamming 7). config: {max_hamming,
+    id_field}."""
+    from ..llm.multimodal import image_dhash_near_pairs
+
+    return lambda df: image_dhash_near_pairs(
+        df,
+        max_hamming=int(config.get("max_hamming", 6)),
+        id_col=config.get("id_field", "id"),
+    )

@@ -724,3 +724,69 @@ def multimodal_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pixel_sum bigint, even_row_r_sum bigint, mean_pixel double"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image hash (multimodal.image_dhash_table): the dHash pipeline —
+# decode, 9x8 nearest resize, horizontal gradient-sign bits — is exact
+# integer arithmetic end to end, so the oracle recomputes both 32-bit
+# halves from doc_id alone (LEAD over the grid = the x+1 comparison).
+# ---------------------------------------------------------------------------
+
+_DHASH_ORACLE = """
+WITH p AS (
+  SELECT doc_id, 3 + doc_id % 14 AS w, 2 + doc_id % 9 AS h,
+         doc_id % 256 AS seed
+  FROM documents
+),
+g AS (
+  SELECT doc_id, gy.i AS gy, gx.i AS gx,
+         4 * ((seed + 3 * ((gx.i * w) // 9) + 7 * ((gy.i * h) // 8)) % 256)
+           AS L
+  FROM p,
+       LATERAL (SELECT unnest(range(0, 9)) AS i) gx,
+       LATERAL (SELECT unnest(range(0, 8)) AS i) gy
+),
+b AS (
+  SELECT doc_id, gy, gx,
+         CASE WHEN LEAD(L) OVER (PARTITION BY doc_id, gy ORDER BY gx) > L
+              THEN 1 ELSE 0 END AS bit
+  FROM g
+)
+SELECT doc_id AS id,
+       CAST(SUM(CASE WHEN gy < 4 AND gx < 8
+                     THEN bit * (CAST(1 AS BIGINT) << ((gy % 4) * 8 + gx))
+                     ELSE 0 END) AS BIGINT) AS dhash_hi,
+       CAST(SUM(CASE WHEN gy >= 4 AND gx < 8
+                     THEN bit * (CAST(1 AS BIGINT) << ((gy % 4) * 8 + gx))
+                     ELSE 0 END) AS BIGINT) AS dhash_lo
+FROM b GROUP BY doc_id
+"""
+
+
+@query("multimodal_image_dhash", oracle=_DHASH_ORACLE, tags=("llm", "multimodal", "dedup"))
+def multimodal_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual dHash of every gradient PNG through the REAL decode +
+    resize pipeline; both 32-bit halves hash-matched against per-bit
+    oracle arithmetic. The 8-byte signature is the image-dedup shuffle
+    unit — pixels never cross the wire."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def synth(ids):
+        def mk(i):
+            i = int(i)
+            return MM.make_png(
+                3 + i % 14, 2 + i % 9,
+                gradient=(i % 256, 3, 7),
+                filters=[0, 1, 2, 3, 4],
+            )
+
+        return ids.map(mk)
+
+    synth.__annotations__ = {"ids": pd.Series, "return": pd.Series}
+    synth_udf = pandas_udf("binary")(synth)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    media = docs.select("doc_id", synth_udf(F.col("doc_id")).alias("media"))
+    return MM.image_dhash_table(media, "doc_id", "media")
