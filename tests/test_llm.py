@@ -1466,3 +1466,92 @@ class TestImageDhash:
             for r in image_dhash_near_pairs(hashes, max_hamming=0).collect()
         }
         assert pairs == {(i, i + 6, 0) for i in range(6)}
+
+
+class TestAviVideo:
+    def test_dib_roundtrip_exact(self, spark):
+        from tuktu_spark.llm.multimodal import decode_avi_frames, make_avi
+
+        for w, h, n in ((1, 1, 1), (5, 4, 3), (3, 7, 2)):  # w=5,3 -> padded rows
+            avi = make_avi(w, h, n, codec="DIB ", gradient=(9, 3, 7, 11))
+            gw, gh, frames = decode_avi_frames(avi)
+            assert (gw, gh, len(frames)) == (w, h, n)
+            for t, rgb in enumerate(frames):
+                want = bytearray()
+                for y in range(h):
+                    for x in range(w):
+                        v = (9 + 3 * x + 7 * y + 11 * t) % 256
+                        want += bytes([v, (2 * v) % 256, (3 * v) % 256])
+                assert rgb == bytes(want)
+
+    def test_probe_media_parses_avi(self, spark):
+        from tuktu_spark.llm.multimodal import make_avi, probe_media
+
+        info = probe_media(make_avi(6, 4, 5, fps=10))
+        assert info["format"] == "avi"
+        assert (info["width"], info["height"], info["n_frames"]) == (6, 4, 5)
+        assert info["duration_ms"] == 500
+
+    def test_mjpg_frames_match_direct_jpeg_decode(self, spark):
+        from tuktu_spark.llm.jpeg import decode_jpeg_pixels, make_jpeg
+        from tuktu_spark.llm.multimodal import decode_avi_frames, make_avi
+
+        avi = make_avi(8, 8, 2, codec="MJPG", gradient=(100, 0, 0, 50))
+        w, h, frames = decode_avi_frames(avi)
+        assert (w, h, len(frames)) == (8, 8, 2)
+        for t, shade in enumerate((100, 150)):
+            _, _, c, pix = decode_jpeg_pixels(make_jpeg(8, 8, shade=shade))
+            assert c == 1
+            assert frames[t] == bytes(b for p in pix for b in (p, p, p))
+
+    def test_truncated_dib_frame_raises_seam(self, spark):
+        import pytest
+
+        from tuktu_spark.llm.multimodal import decode_avi_frames, make_avi
+
+        avi = make_avi(4, 3, 1)
+        with pytest.raises(NotImplementedError):
+            decode_avi_frames(avi[:-8])  # cut into the last frame chunk
+
+    def test_foreign_codec_raises_seam(self, spark):
+        import pytest
+
+        from tuktu_spark.llm.multimodal import decode_avi_frames, make_avi
+
+        avi = bytearray(make_avi(4, 3, 1, codec="MJPG"))
+        # an H.264-style stream: same chunk ids, non-JPEG sample bytes
+        i = avi.find(b"00dc")
+        avi[i + 8 : i + 12] = b"\x00\x00\x00\x01"  # NAL start code, not SOI
+        with pytest.raises(NotImplementedError):
+            decode_avi_frames(bytes(avi))
+
+    def test_frame_stats_table_distributed(self, spark):
+        import pandas as pd
+        from pyspark.sql import functions as F
+        from pyspark.sql.functions import pandas_udf
+
+        from tuktu_spark.llm import multimodal as MM
+
+        def synth(ids):
+            return ids.map(
+                lambda i: MM.make_avi(3, 2, 1 + int(i) % 2, gradient=(int(i), 1, 2, 3))
+            )
+
+        synth.__annotations__ = {"ids": pd.Series, "return": pd.Series}
+        df = spark.range(6).select(
+            F.col("id").alias("doc_id"),
+            pandas_udf("binary")(synth)(F.col("id")).alias("media"),
+        )
+        out = MM.video_frame_stats_table(df, "doc_id").collect()
+        # ids 1,3,5 carry 2 frames; 0,2,4 carry 1 -> 9 rows
+        assert len(out) == 9
+        by_key = {(r["id"], r["frame_idx"]): r for r in out}
+        for (i, t), r in by_key.items():
+            ps = sum(
+                v + (2 * v) % 256 + (3 * v) % 256
+                for y in range(2)
+                for x in range(3)
+                for v in [(i + x + 2 * y + 3 * t) % 256]
+            )
+            assert (r["width"], r["height"], r["channels"]) == (3, 2, 3)
+            assert r["pixel_sum"] == ps

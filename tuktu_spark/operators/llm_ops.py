@@ -954,3 +954,56 @@ def image_dhash_pairs_op(config: dict):
         max_hamming=int(config.get("max_hamming", 6)),
         id_col=config.get("id_field", "id"),
     )
+
+
+@operator("media_synth_avi")
+def media_synth_avi(config: dict):
+    """TEST/DEMO generator stage: synthesize a real, frame-carrying AVI
+    per row (multimodal.make_avi — 'DIB ' uncompressed or 'MJPG'
+    baseline-JPEG frames), so a flow can exercise the full video ->
+    pixels path without external files. config: {id_field, width,
+    height, n_frames, codec}. Deterministic: the frame gradient is a
+    pure function of the id column."""
+    from ..llm.multimodal import attach_binary, make_avi
+
+    id_col = config.get("id_field", "doc_id")
+    width = int(config.get("width", 8))
+    height = int(config.get("height", 6))
+    n_frames = int(config.get("n_frames", 3))
+    codec = config.get("codec", "DIB ")
+
+    def run(df: DataFrame) -> DataFrame:
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        def synth(ids):
+            return ids.map(
+                lambda i: make_avi(
+                    width, height, n_frames, codec=codec,
+                    gradient=(int(i) % 256, 3, 7, 11),
+                )
+            )
+
+        synth.__annotations__ = {"ids": pd.Series, "return": pd.Series}
+        blob = pandas_udf("binary")(synth)(F.col(id_col))
+        return attach_binary(df.withColumn("__blob", blob), "__blob", "video/avi")
+
+    return run
+
+
+@operator("video_frame_pixels")
+def video_frame_pixels_op(config: dict):
+    """REAL distributed video frame extraction over a binary media
+    column (multimodal.video_frame_stats_table): decode every AVI's
+    'DIB '/'MJPG' frames inside Arrow batches and emit one
+    (id, frame_idx, dims, pixel stats) row per frame. Pixels never leave
+    the executor — only per-frame aggregates shuffle (the 100 TB shape).
+    Other codecs raise at the documented ffmpeg seam. config:
+    {id_field, media_field}."""
+    from ..llm.multimodal import video_frame_stats_table
+
+    return lambda df: video_frame_stats_table(
+        df,
+        id_col=config.get("id_field", "doc_id"),
+        media_col=config.get("media_field", "media"),
+    )

@@ -790,3 +790,70 @@ def multimodal_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     media = docs.select("doc_id", synth_udf(F.col("doc_id")).alias("media"))
     return MM.image_dhash_table(media, "doc_id", "media")
+
+
+# ---------------------------------------------------------------------------
+# REAL video frame decode (multimodal.decode_avi_frames — RIFF/AVI walk +
+# uncompressed-DIB frame decode): the time axis (dt=11) makes every frame
+# distinct, so a frame-indexing bug (skipped/duplicated/reordered chunks)
+# breaks the per-frame sums; the bottom-up row order and BGR swap are pinned
+# exactly as in the BMP oracle. The reference schedules video work through
+# its generic media pipeline (SURVEY §2.12); here the frame pixels are real.
+# ---------------------------------------------------------------------------
+
+_AVI_ORACLE = """
+WITH p AS (
+  SELECT doc_id, 3 + doc_id % 6 AS w, 2 + doc_id % 5 AS h,
+         2 + doc_id % 3 AS nf, doc_id % 256 AS seed
+  FROM documents
+),
+cells AS (
+  SELECT doc_id, w, h, t.i AS t,
+         (seed + 3 * x.i + 7 * y.i + 11 * t.i) % 256 AS v
+  FROM p,
+       LATERAL (SELECT unnest(range(0, w)) AS i) x,
+       LATERAL (SELECT unnest(range(0, h)) AS i) y,
+       LATERAL (SELECT unnest(range(0, nf)) AS i) t
+),
+s AS (
+  SELECT doc_id, t, MIN(w) AS w, MIN(h) AS h,
+         SUM(v + (2 * v) % 256 + (3 * v) % 256) AS ps
+  FROM cells GROUP BY doc_id, t
+)
+SELECT doc_id AS id, CAST(t AS INT) AS frame_idx,
+       CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST(3 AS INT) AS channels,
+       CAST(ps AS BIGINT) AS pixel_sum,
+       CAST(ps AS DOUBLE) / (w * h * 3) AS mean_pixel
+FROM s
+"""
+
+
+@query("multimodal_avi_frames", oracle=_AVI_ORACLE, tags=("llm", "multimodal"))
+def multimodal_avi_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video -> pixels, ORACLED end-to-end: synthesize a spec-valid
+    frame-carrying AVI per doc ('DIB ' uncompressed stream, gradient
+    frames with a time axis) and decode EVERY frame with the pure-stdlib
+    RIFF walk + DIB row decode inside Arrow batches; per-frame RGB sums
+    hash-match per-coordinate oracle arithmetic. Pixels never leave the
+    executor — one row of aggregates per (video, frame) is all that
+    shuffles."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def synth(ids):
+        def mk(i):
+            i = int(i)
+            return MM.make_avi(
+                3 + i % 6, 2 + i % 5, 2 + i % 3,
+                codec="DIB ", gradient=(i % 256, 3, 7, 11),
+            )
+
+        return ids.map(mk)
+
+    synth.__annotations__ = {"ids": pd.Series, "return": pd.Series}
+    synth_udf = pandas_udf("binary")(synth)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    media = docs.select("doc_id", synth_udf(F.col("doc_id")).alias("media"))
+    return MM.video_frame_stats_table(media, "doc_id", "media")
