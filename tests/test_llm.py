@@ -1555,3 +1555,110 @@ class TestAviVideo:
             )
             assert (r["width"], r["height"], r["channels"]) == (3, 2, 3)
             assert r["pixel_sum"] == ps
+
+
+class TestAudioFingerprint:
+    def test_bits_match_manual_energy_deltas(self, spark):
+        from tuktu_spark.llm.multimodal import (
+            audio_fingerprint_bits, decode_wav_samples, make_wav,
+        )
+
+        wav = make_wav(n_samples=300, ramp=(7, 512))
+        _, ch, s = decode_wav_samples(wav)
+        hi, lo = audio_fingerprint_bits(s, ch)
+        L = len(s) // 65
+        e = [sum(x * x for x in s[t * L : (t + 1) * L]) for t in range(65)]
+        want_hi = want_lo = 0
+        for k in range(64):
+            if e[k + 1] > e[k]:
+                if k < 32:
+                    want_hi |= 1 << k
+                else:
+                    want_lo |= 1 << (k % 32)
+        assert (hi, lo) == (want_hi, want_lo)
+        assert 0 <= hi < 2**32 and 0 <= lo < 2**32
+
+    def test_stereo_uses_channel_zero(self, spark):
+        from tuktu_spark.llm.multimodal import (
+            audio_fingerprint_bits, decode_wav_samples, make_wav,
+        )
+
+        mono = make_wav(channels=1, n_samples=260, ramp=(5, 256))
+        stereo = make_wav(channels=2, n_samples=260, ramp=(5, 256))
+        _, c1, s1 = decode_wav_samples(mono)
+        _, c2, s2 = decode_wav_samples(stereo)
+        assert audio_fingerprint_bits(s1, c1) == audio_fingerprint_bits(s2, c2)
+
+    def test_too_short_raises(self, spark):
+        import pytest
+
+        from tuktu_spark.llm.multimodal import audio_fingerprint_bits
+
+        with pytest.raises(ValueError):
+            audio_fingerprint_bits([1] * 10, 1)
+
+    def test_near_pair_recovery_distributed(self, spark):
+        import pandas as pd
+        from pyspark.sql import functions as F
+        from pyspark.sql.functions import pandas_udf
+
+        from tuktu_spark.llm import multimodal as MM
+
+        # ids 0 and 100 get IDENTICAL waveforms; others differ strongly
+        def synth(ids):
+            def mk(i):
+                i = int(i)
+                key = 0 if i in (0, 100) else i
+                return MM.make_wav(
+                    n_samples=325, ramp=(3 + key % 11, 200 + 16 * (key % 20))
+                )
+
+            return ids.map(mk)
+
+        synth.__annotations__ = {"ids": pd.Series, "return": pd.Series}
+        df = spark.createDataFrame(
+            [(i,) for i in (0, 3, 7, 100)], "doc_id bigint"
+        ).select(
+            "doc_id", pandas_udf("binary")(synth)(F.col("doc_id")).alias("media")
+        )
+        fps = MM.audio_fingerprint_table(df, "doc_id")
+        pairs = MM.audio_fingerprint_near_pairs(fps, max_hamming=0).collect()
+        assert [(r["id_a"], r["id_b"], r["hamming"]) for r in pairs] == [(0, 100, 0)]
+
+    def test_features_table_matches_manual(self, spark):
+        import pandas as pd
+        from pyspark.sql import functions as F
+        from pyspark.sql.functions import pandas_udf
+
+        from tuktu_spark.llm import multimodal as MM
+
+        def synth(ids):
+            return ids.map(
+                lambda i: MM.make_wav(
+                    channels=1 + int(i) % 2,
+                    n_samples=260 + int(i) * 13,
+                    ramp=(3 + int(i), 128 + 32 * int(i)),
+                )
+            )
+
+        synth.__annotations__ = {"ids": pd.Series, "return": pd.Series}
+        df = spark.range(4).select(
+            F.col("id").alias("doc_id"),
+            pandas_udf("binary")(synth)(F.col("id")).alias("media"),
+        )
+        out = {r["id"]: r for r in MM.audio_features_table(df, "doc_id").collect()}
+        for i in range(4):
+            n = 260 + i * 13
+            step, md = 3 + i, 128 + 32 * i
+            mono = [(j * step) % md - md // 2 for j in range(n)]
+            zcr = sum(
+                1 for j in range(1, n) if (mono[j - 1] < 0) != (mono[j] < 0)
+            )
+            L = n // 16
+            e = [sum(x * x for x in mono[t * L : (t + 1) * L]) for t in range(16)]
+            loudest = max(range(16), key=lambda t: e[t])
+            r = out[i]
+            assert r["n_mono"] == n and r["zcr"] == zcr
+            assert r["peak_abs"] == max(abs(x) for x in mono)
+            assert r["loudest_frame"] == loudest
+            assert r["loudest_energy"] == e[loudest]

@@ -582,21 +582,35 @@ def make_wav(
     n_samples: int = 800,
     bits: int = 16,
     square: tuple[int, int] | None = None,
+    ramp: tuple[int, int] | None = None,
 ) -> bytes:
     """A real RIFF/WAVE file: canonical fmt + PCM data chunk. Silence by
     default; ``square=(amplitude, period)`` writes a square wave
-    (+amp for the first half-period, -amp for the second) whose sample
-    sum/RMS are exact integer arithmetic — oracle-able."""
+    (+amp for the first half-period, -amp for the second);
+    ``ramp=(step, modulus)`` writes the centered sawtooth
+    v(i) = (i*step) % modulus - modulus//2 — both exact integer
+    arithmetic, so sums/energies/crossings are oracle-able. The ramp's
+    per-frame energy VARIES along the file (unlike the square's), which
+    is what the energy-delta fingerprint fixture needs."""
     block_align = channels * bits // 8
     byte_rate = sample_rate * block_align
-    if square is None:
+    if square is not None and ramp is not None:
+        raise ValueError("pass square or ramp, not both")
+    if square is None and ramp is None:
         data = b"\x00" * (n_samples * block_align)
-    else:
+    elif square is not None:
         amp, period = square
         half = period // 2
         frame = bytearray()
         for i in range(n_samples):
             v = amp if (i % period) < half else -amp
+            frame += struct.pack("<h", v) * channels
+        data = bytes(frame)
+    else:
+        step, modulus = ramp
+        frame = bytearray()
+        for i in range(n_samples):
+            v = (i * step) % modulus - modulus // 2
             frame += struct.pack("<h", v) * channels
         data = bytes(frame)
     fmt = struct.pack("<HHIIHH", 1, channels, sample_rate, byte_rate, block_align, bits)
@@ -1143,27 +1157,31 @@ def image_dhash_table(
     )
 
 
-def image_dhash_near_pairs(
-    hashes: DataFrame, max_hamming: int = 6, id_col: str = "id"
+def hash64_near_pairs(
+    hashes: DataFrame,
+    hi_col: str,
+    lo_col: str,
+    max_hamming: int = 6,
+    id_col: str = "id",
 ) -> DataFrame:
-    """Near-duplicate image pairs by banded dHash Hamming distance: the
-    64 bits split into 8 byte-chunks — any pair within distance 7 shares
-    one exact chunk (pigeonhole), so candidates come from an equi-join
-    on (chunk_idx, chunk_value) and the exact distance is verified with
-    bit_count. Same scale shape as simhash_near_pairs: signatures
-    shuffle, pixels never do."""
+    """Near-duplicate pairs over any 64-bit signature stored as two
+    non-negative 32-bit halves: the 64 bits split into 8 byte-chunks —
+    any pair within distance 7 shares one exact chunk (pigeonhole), so
+    candidates come from an equi-join on (chunk_idx, chunk_value) and
+    the exact distance is verified with bit_count. Same scale shape as
+    simhash_near_pairs: signatures shuffle, payloads never do."""
     chunks = [
         F.struct(
             F.lit(i).alias("chunk"),
             F.shiftright(F.col(col), 8 * (i % 4)).bitwiseAND(F.lit(255)).alias("val"),
         )
-        for col, base in (("dhash_hi", 0), ("dhash_lo", 4))
+        for col, base in ((hi_col, 0), (lo_col, 4))
         for i in range(base, base + 4)
     ]
     pieces = hashes.select(
-        F.col(id_col), "dhash_hi", "dhash_lo",
+        F.col(id_col), hi_col, lo_col,
         F.explode(F.array(*chunks)).alias("p"),
-    ).select(id_col, "dhash_hi", "dhash_lo", "p.chunk", "p.val")
+    ).select(id_col, hi_col, lo_col, "p.chunk", "p.val")
     a, b = pieces.alias("a"), pieces.alias("b")
     cand = (
         a.join(
@@ -1177,16 +1195,27 @@ def image_dhash_near_pairs(
             F.col(f"b.{id_col}").alias("id_b"),
             (
                 F.bit_count(
-                    F.col("a.dhash_hi").bitwiseXOR(F.col("b.dhash_hi"))
+                    F.col(f"a.{hi_col}").bitwiseXOR(F.col(f"b.{hi_col}"))
                 )
                 + F.bit_count(
-                    F.col("a.dhash_lo").bitwiseXOR(F.col("b.dhash_lo"))
+                    F.col(f"a.{lo_col}").bitwiseXOR(F.col(f"b.{lo_col}"))
                 )
             ).alias("hamming"),
         )
         .distinct()
     )
     return cand.filter(F.col("hamming") <= int(max_hamming))
+
+
+def image_dhash_near_pairs(
+    hashes: DataFrame, max_hamming: int = 6, id_col: str = "id"
+) -> DataFrame:
+    """Near-duplicate image pairs by banded dHash Hamming distance
+    (hash64_near_pairs over the two dHash halves): signatures shuffle,
+    pixels never do."""
+    return hash64_near_pairs(
+        hashes, "dhash_hi", "dhash_lo", max_hamming=max_hamming, id_col=id_col
+    )
 
 
 # --- REAL video: AVI (RIFF) container with raw-DIB / MJPEG streams --------
@@ -1399,4 +1428,129 @@ def video_frame_stats_table(
 
     return df.select(F.col(id_col).cast("bigint").alias(id_col), media_col).mapInPandas(
         stats, schema=VIDEO_FRAME_STATS_SCHEMA
+    )
+
+
+# --- audio perceptual fingerprint + framed DSP features -------------------
+#
+# The audio analogue of image dHash: frame the PCM stream, compute exact
+# integer frame energies, and take the SIGN of the energy delta between
+# consecutive frames — 64 bits that survive volume scaling direction and
+# small edits (the classic landmark/energy-delta fingerprint family,
+# e.g. Haitsma & Kalker 2002, public technique). Pure integer arithmetic
+# end to end, so a SQL oracle can recompute every bit from the synth
+# waveform formula.
+
+
+def audio_fingerprint_bits(
+    samples: "list[int]", channels: int, n_frames: int = 65
+) -> tuple[int, int]:
+    """Energy-delta fingerprint of interleaved int16 PCM: mono = channel
+    0, split the first n_frames*L samples into ``n_frames`` equal frames
+    (L = n_mono // n_frames), energy_t = sum of squares, bit_t =
+    energy_{t+1} > energy_t for t in 0..n_frames-2 — packed like
+    dhash_bits into two non-negative 32-bit halves (bit k: hi for k<32,
+    shift k%32). Requires n_mono >= n_frames."""
+    mono = samples[::max(channels, 1)]
+    if len(mono) < n_frames:
+        raise ValueError(f"need >= {n_frames} mono samples, got {len(mono)}")
+    L = len(mono) // n_frames
+    energies = [
+        sum(s * s for s in mono[t * L : (t + 1) * L]) for t in range(n_frames)
+    ]
+    hi = lo = 0
+    for k in range(min(n_frames - 1, 64)):
+        if energies[k + 1] > energies[k]:
+            if k < 32:
+                hi |= 1 << k
+            else:
+                lo |= 1 << (k % 32)
+    return hi, lo
+
+
+AUDIO_FINGERPRINT_SCHEMA = "id bigint, afp_hi bigint, afp_lo bigint"
+
+
+def audio_fingerprint_table(
+    df: DataFrame, id_col: str, media_col: str = "media", n_frames: int = 65
+) -> DataFrame:
+    """mapInPandas WAV decode -> energy-delta fingerprint: (id, afp_hi,
+    afp_lo) per clip — the audio-dedup signature stage. The 8-byte
+    signature is what shuffles; PCM never leaves the executor."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                data = bytes(row[media_col]) if row[media_col] is not None else b""
+                _rate, ch, samples = decode_wav_samples(data)
+                hi, lo = audio_fingerprint_bits(samples, ch, n_frames)
+                rows.append({"id": int(row[id_col]), "afp_hi": hi, "afp_lo": lo})
+            yield pd.DataFrame(rows)
+
+    return df.select(F.col(id_col).cast("bigint").alias(id_col), media_col).mapInPandas(
+        stats, schema=AUDIO_FINGERPRINT_SCHEMA
+    )
+
+
+def audio_fingerprint_near_pairs(
+    fps: DataFrame, max_hamming: int = 6, id_col: str = "id"
+) -> DataFrame:
+    """Near-duplicate audio pairs by banded fingerprint Hamming distance
+    (hash64_near_pairs over the two fingerprint halves)."""
+    return hash64_near_pairs(
+        fps, "afp_hi", "afp_lo", max_hamming=max_hamming, id_col=id_col
+    )
+
+
+AUDIO_FEATURES_SCHEMA = (
+    "id bigint, n_mono bigint, zcr bigint, peak_abs bigint,"
+    " loudest_frame int, loudest_energy bigint"
+)
+
+
+def audio_features_table(
+    df: DataFrame, id_col: str, media_col: str = "media", n_frames: int = 16
+) -> DataFrame:
+    """mapInPandas framed DSP features over 16-bit PCM WAV: zero-crossing
+    count (sign-bit transitions), peak absolute amplitude, and the
+    loudest frame (argmax of exact integer frame energy, first-wins on
+    ties). All integers — a SQL oracle that predicts the waveform
+    recomputes every value. Frames use L = n_mono // n_frames samples;
+    the remainder tail is excluded from frame energies (but not from
+    zcr/peak)."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                data = bytes(row[media_col]) if row[media_col] is not None else b""
+                _rate, ch, samples = decode_wav_samples(data)
+                mono = samples[::max(ch, 1)]
+                zcr = sum(
+                    1
+                    for i in range(1, len(mono))
+                    if (mono[i - 1] < 0) != (mono[i] < 0)
+                )
+                peak = max((abs(s) for s in mono), default=0)
+                L = max(len(mono) // n_frames, 1)
+                energies = [
+                    sum(s * s for s in mono[t * L : (t + 1) * L])
+                    for t in range(min(n_frames, len(mono) // L))
+                ]
+                loudest = max(range(len(energies)), key=lambda t: energies[t]) if energies else 0
+                rows.append(
+                    {
+                        "id": int(row[id_col]),
+                        "n_mono": len(mono),
+                        "zcr": zcr,
+                        "peak_abs": peak,
+                        "loudest_frame": loudest,
+                        "loudest_energy": energies[loudest] if energies else 0,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return df.select(F.col(id_col).cast("bigint").alias(id_col), media_col).mapInPandas(
+        stats, schema=AUDIO_FEATURES_SCHEMA
     )

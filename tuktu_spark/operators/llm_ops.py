@@ -1007,3 +1007,49 @@ def video_frame_pixels_op(config: dict):
         id_col=config.get("id_field", "doc_id"),
         media_col=config.get("media_field", "media"),
     )
+
+
+@operator("audio_fingerprint")
+def audio_fingerprint_op(config: dict):
+    """Energy-delta audio fingerprints over a binary WAV column
+    (multimodal.audio_fingerprint_table — framed integer energies,
+    delta-sign bits). config: {id_field, media_field, n_frames}."""
+    from ..llm.multimodal import audio_fingerprint_table
+
+    return lambda df: audio_fingerprint_table(
+        df,
+        id_col=config.get("id_field", "doc_id"),
+        media_col=config.get("media_field", "media"),
+        n_frames=int(config.get("n_frames", 65)),
+    )
+
+
+@operator("audio_fingerprint_pairs")
+def audio_fingerprint_pairs_op(config: dict):
+    """Near-duplicate audio pairs from a fingerprint table (multimodal.
+    audio_fingerprint_near_pairs — banded byte-chunk candidates +
+    bit_count verify; pigeonhole-complete to Hamming 7). config:
+    {max_hamming, id_field}."""
+    from ..llm.multimodal import audio_fingerprint_near_pairs
+
+    return lambda df: audio_fingerprint_near_pairs(
+        df,
+        max_hamming=int(config.get("max_hamming", 6)),
+        id_col=config.get("id_field", "id"),
+    )
+
+
+@operator("audio_features")
+def audio_features_op(config: dict):
+    """Framed DSP features over 16-bit PCM WAV media (multimodal.
+    audio_features_table — zero crossings, peak amplitude, loudest
+    frame by exact integer energy). config: {id_field, media_field,
+    n_frames}."""
+    from ..llm.multimodal import audio_features_table
+
+    return lambda df: audio_features_table(
+        df,
+        id_col=config.get("id_field", "doc_id"),
+        media_col=config.get("media_field", "media"),
+        n_frames=int(config.get("n_frames", 16)),
+    )

@@ -857,3 +857,144 @@ def multimodal_avi_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     media = docs.select("doc_id", synth_udf(F.col("doc_id")).alias("media"))
     return MM.video_frame_stats_table(media, "doc_id", "media")
+
+
+# ---------------------------------------------------------------------------
+# Audio perceptual fingerprint (multimodal.audio_fingerprint_table): the
+# energy-delta pipeline — PCM decode, 65 equal frames, exact integer frame
+# energies, delta-sign bits — recomputed bit-for-bit in DuckDB from the
+# sawtooth formula (LEAD over frame energies = the t+1 comparison, exactly
+# the dHash oracle pattern in one dimension).
+# ---------------------------------------------------------------------------
+
+_AUDIO_FP_ORACLE = """
+WITH p AS (
+  SELECT doc_id, 3 + doc_id % 13 AS step, 128 + 8 * (doc_id % 48) AS md,
+         260 + doc_id % 120 AS n
+  FROM documents
+),
+samp AS (
+  SELECT doc_id, i.i AS i, n // 65 AS L,
+         (i.i * step) % md - md // 2 AS v
+  FROM p, LATERAL (SELECT unnest(range(0, n)) AS i) i
+),
+fr AS (
+  SELECT doc_id, i // L AS t, SUM(v * v) AS e
+  FROM samp WHERE i < 65 * L GROUP BY doc_id, i // L
+),
+b AS (
+  SELECT doc_id, t,
+         CASE WHEN LEAD(e) OVER (PARTITION BY doc_id ORDER BY t) > e
+              THEN 1 ELSE 0 END AS bit
+  FROM fr
+)
+SELECT doc_id AS id,
+       CAST(SUM(CASE WHEN t < 32 THEN bit * (CAST(1 AS BIGINT) << t)
+                     ELSE 0 END) AS BIGINT) AS afp_hi,
+       CAST(SUM(CASE WHEN t >= 32 AND t < 64
+                     THEN bit * (CAST(1 AS BIGINT) << (t % 32))
+                     ELSE 0 END) AS BIGINT) AS afp_lo
+FROM b GROUP BY doc_id
+"""
+
+
+@query(
+    "multimodal_audio_fingerprint",
+    oracle=_AUDIO_FP_ORACLE,
+    tags=("llm", "multimodal", "dedup"),
+)
+def multimodal_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy-delta fingerprint of every sawtooth WAV through the REAL
+    PCM decode + framing pipeline; both 32-bit halves hash-matched
+    against per-bit oracle arithmetic. The 8-byte signature is the
+    audio-dedup shuffle unit — PCM never crosses the wire."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def synth(ids):
+        def mk(i):
+            i = int(i)
+            return MM.make_wav(
+                n_samples=260 + i % 120,
+                ramp=(3 + i % 13, 128 + 8 * (i % 48)),
+            )
+
+        return ids.map(mk)
+
+    synth.__annotations__ = {"ids": pd.Series, "return": pd.Series}
+    synth_udf = pandas_udf("binary")(synth)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    media = docs.select("doc_id", synth_udf(F.col("doc_id")).alias("media"))
+    return MM.audio_fingerprint_table(media, "doc_id", "media")
+
+
+# ---------------------------------------------------------------------------
+# Framed audio DSP features (multimodal.audio_features_table): zero
+# crossings, peak amplitude and the loudest frame — all exact integers over
+# the same sawtooth, with stereo interleave exercised (channel 0 extraction
+# must skip every other sample or zcr/peak shift).
+# ---------------------------------------------------------------------------
+
+_AUDIO_FEAT_ORACLE = """
+WITH p AS (
+  SELECT doc_id, 3 + doc_id % 13 AS step, 128 + 8 * (doc_id % 48) AS md,
+         260 + doc_id % 120 AS n
+  FROM documents
+),
+samp AS (
+  SELECT doc_id, i.i AS i, n, n // 16 AS L,
+         (i.i * step) % md - md // 2 AS v,
+         LAG((i.i * step) % md - md // 2)
+           OVER (PARTITION BY doc_id ORDER BY i.i) AS pv
+  FROM p, LATERAL (SELECT unnest(range(0, n)) AS i) i
+),
+base AS (
+  SELECT doc_id, MIN(n) AS n_mono,
+         SUM(CASE WHEN pv IS NOT NULL AND (pv < 0) <> (v < 0)
+                  THEN 1 ELSE 0 END) AS zcr,
+         MAX(ABS(v)) AS peak_abs
+  FROM samp GROUP BY doc_id
+),
+fr AS (
+  SELECT doc_id, i // L AS t, SUM(v * v) AS e
+  FROM samp WHERE i < 16 * L GROUP BY doc_id, i // L
+),
+loud AS (
+  SELECT doc_id, t, e,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY e DESC, t ASC) AS rn
+  FROM fr
+)
+SELECT b.doc_id AS id, CAST(b.n_mono AS BIGINT) AS n_mono,
+       CAST(b.zcr AS BIGINT) AS zcr, CAST(b.peak_abs AS BIGINT) AS peak_abs,
+       CAST(l.t AS INT) AS loudest_frame, CAST(l.e AS BIGINT) AS loudest_energy
+FROM base b JOIN loud l ON b.doc_id = l.doc_id AND l.rn = 1
+"""
+
+
+@query("multimodal_audio_features", oracle=_AUDIO_FEAT_ORACLE, tags=("llm", "multimodal"))
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Framed DSP features through the REAL PCM decode: zero-crossing
+    count, peak amplitude and argmax-energy frame, each recomputed
+    exactly by the oracle from the sawtooth formula. Stereo clips (odd
+    doc_id) pin the channel-0 de-interleave."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def synth(ids):
+        def mk(i):
+            i = int(i)
+            return MM.make_wav(
+                channels=1 + i % 2,
+                n_samples=260 + i % 120,
+                ramp=(3 + i % 13, 128 + 8 * (i % 48)),
+            )
+
+        return ids.map(mk)
+
+    synth.__annotations__ = {"ids": pd.Series, "return": pd.Series}
+    synth_udf = pandas_udf("binary")(synth)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    media = docs.select("doc_id", synth_udf(F.col("doc_id")).alias("media"))
+    return MM.audio_features_table(media, "doc_id", "media")
