@@ -1662,3 +1662,50 @@ class TestAudioFingerprint:
             assert r["peak_abs"] == max(abs(x) for x in mono)
             assert r["loudest_frame"] == loudest
             assert r["loudest_energy"] == e[loudest]
+
+
+class TestVideoSceneCuts:
+    def test_frame_dhash_and_cuts_distributed(self, spark):
+        import pandas as pd
+        from pyspark.sql import functions as F
+        from pyspark.sql.functions import pandas_udf
+
+        from tuktu_spark.llm import multimodal as MM
+
+        def synth(ids):
+            def mk(i):
+                i = int(i)
+                n = 6
+                grads = [
+                    (i % 256, 3 if (t // 2) % 2 == 0 else 253, 7)
+                    for t in range(n)
+                ]
+                return MM.make_avi(5, 4, n, frame_gradients=grads)
+
+            return ids.map(mk)
+
+        synth.__annotations__ = {"ids": pd.Series, "return": pd.Series}
+        df = spark.range(3).select(
+            F.col("id").alias("doc_id"),
+            pandas_udf("binary")(synth)(F.col("id")).alias("media"),
+        )
+        hashes = MM.video_frame_dhash_table(df, "doc_id")
+        cuts = MM.video_scene_cuts(hashes, threshold=8).collect()
+        # 6 frames -> 5 deltas per video; scene flips at t=2 and t=4
+        assert len(cuts) == 15
+        for r in cuts:
+            expect_cut = r["frame_idx"] in (2, 4)
+            assert r["is_cut"] == expect_cut, r
+            if not expect_cut:
+                assert r["hamming"] == 0
+
+    def test_frame_dhash_matches_single_image(self, spark):
+        from tuktu_spark.llm.multimodal import (
+            decode_avi_frames, dhash_bits, make_avi,
+        )
+
+        avi = make_avi(7, 5, 3, gradient=(20, 3, 7, 11))
+        w, h, frames = decode_avi_frames(avi)
+        for t, rgb in enumerate(frames):
+            hi, lo = dhash_bits(rgb, w, h, 3)
+            assert 0 <= hi < 2**32 and 0 <= lo < 2**32

@@ -1267,6 +1267,7 @@ def make_avi(
     fps: int = 10,
     gradient: tuple[int, int, int, int] = (0, 1, 1, 0),
     frame_shades: "list[int] | None" = None,
+    frame_gradients: "list[tuple[int, int, int]] | None" = None,
 ) -> bytes:
     """A real, spec-valid AVI: RIFF('AVI ') > LIST(hdrl: avih +
     LIST(strl: strh 'vids' + strf BITMAPINFOHEADER)) > LIST(movi) with
@@ -1278,7 +1279,10 @@ def make_avi(
     v = (seed + dx*x + dy*y + dt*t) % 256 from ``gradient`` — the same
     arithmetic family as make_bmp, extended with a time axis so a SQL
     oracle can recompute every byte of every frame. MJPG frames are
-    constant-shade JPEGs (frame_shades[t], default a dt-ramp)."""
+    constant-shade JPEGs (frame_shades[t], default a dt-ramp).
+    ``frame_gradients`` overrides ``gradient`` with an explicit
+    (seed, dx, dy) per frame — the scene-cut fixture (per-scene
+    gradient direction changes)."""
 
     def chunk(cid: bytes, payload: bytes) -> bytes:
         pad = b"\x00" if len(payload) % 2 else b""
@@ -1292,11 +1296,15 @@ def make_avi(
     if codec == "DIB ":
         row_len = (width * 3 + 3) & ~3
         for t in range(n_frames):
+            if frame_gradients is not None:
+                s_t, dx_t, dy_t, dt_t = (*frame_gradients[t], 0)
+            else:
+                s_t, dx_t, dy_t, dt_t = seed, dx, dy, dt
             buf = bytearray()
             for y in range(height - 1, -1, -1):  # bottom-up
                 row = bytearray()
                 for x in range(width):
-                    v = (seed + dx * x + dy * y + dt * t) % 256
+                    v = (s_t + dx_t * x + dy_t * y + dt_t * t) % 256
                     row += bytes([(3 * v) % 256, (2 * v) % 256, v])  # B,G,R
                 row += bytes(row_len - len(row))
                 buf += row
@@ -1553,4 +1561,70 @@ def audio_features_table(
 
     return df.select(F.col(id_col).cast("bigint").alias(id_col), media_col).mapInPandas(
         stats, schema=AUDIO_FEATURES_SCHEMA
+    )
+
+
+VIDEO_FRAME_DHASH_SCHEMA = (
+    "id bigint, frame_idx int, dhash_hi bigint, dhash_lo bigint"
+)
+
+
+def video_frame_dhash_table(
+    df: DataFrame, id_col: str, media_col: str = "media"
+) -> DataFrame:
+    """mapInPandas REAL video decode -> per-frame perceptual dHash:
+    (id, frame_idx, dhash_hi, dhash_lo). The video analogue of
+    image_dhash_table — each frame's pixels reduce to an 8-byte
+    signature inside the decode task, so downstream temporal analysis
+    (scene cuts, frame dedup) shuffles signatures keyed on the video id,
+    never pixels."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                data = bytes(row[media_col]) if row[media_col] is not None else b""
+                w, h, frames = decode_avi_frames(data)
+                for t, rgb in enumerate(frames):
+                    hi, lo = dhash_bits(rgb, w, h, 3)
+                    rows.append(
+                        {
+                            "id": int(row[id_col]),
+                            "frame_idx": t,
+                            "dhash_hi": hi,
+                            "dhash_lo": lo,
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    return df.select(F.col(id_col).cast("bigint").alias(id_col), media_col).mapInPandas(
+        stats, schema=VIDEO_FRAME_DHASH_SCHEMA
+    )
+
+
+def video_scene_cuts(
+    frame_hashes: DataFrame, threshold: int = 8, id_col: str = "id"
+) -> DataFrame:
+    """Scene-cut detection over per-frame dHash signatures: Hamming
+    distance between consecutive frames (LAG over frame_idx within each
+    video) with ``is_cut = hamming > threshold``. Pure JVM-side window
+    arithmetic (bit_count over XOR) — ONE shuffle keyed on the video id,
+    whole-stage codegen'd; at 100 TB the window state per key is a
+    single prior 8-byte signature. Frame 0 has no predecessor and is
+    excluded."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy("frame_idx")
+    prev_hi = F.lag("dhash_hi").over(w)
+    prev_lo = F.lag("dhash_lo").over(w)
+    hamming = (
+        F.bit_count(F.col("dhash_hi").bitwiseXOR(prev_hi))
+        + F.bit_count(F.col("dhash_lo").bitwiseXOR(prev_lo))
+    )
+    return (
+        frame_hashes.select(
+            id_col, "frame_idx", hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming").isNotNull())
+        .withColumn("is_cut", F.col("hamming") > F.lit(int(threshold)))
     )

@@ -1053,3 +1053,31 @@ def audio_features_op(config: dict):
         media_col=config.get("media_field", "media"),
         n_frames=int(config.get("n_frames", 16)),
     )
+
+
+@operator("video_frame_dhash")
+def video_frame_dhash_op(config: dict):
+    """Per-frame perceptual dHash over a binary AVI column
+    (multimodal.video_frame_dhash_table): frame pixels reduce to 8-byte
+    signatures inside the decode task. config: {id_field, media_field}."""
+    from ..llm.multimodal import video_frame_dhash_table
+
+    return lambda df: video_frame_dhash_table(
+        df,
+        id_col=config.get("id_field", "doc_id"),
+        media_col=config.get("media_field", "media"),
+    )
+
+
+@operator("video_scene_cuts")
+def video_scene_cuts_op(config: dict):
+    """Scene-cut detection over per-frame dHash signatures
+    (multimodal.video_scene_cuts — LAG + bit_count window, one shuffle
+    keyed on the video id). config: {threshold, id_field}."""
+    from ..llm.multimodal import video_scene_cuts
+
+    return lambda df: video_scene_cuts(
+        df,
+        threshold=int(config.get("threshold", 8)),
+        id_col=config.get("id_field", "id"),
+    )

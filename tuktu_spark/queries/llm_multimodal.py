@@ -998,3 +998,94 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     media = docs.select("doc_id", synth_udf(F.col("doc_id")).alias("media"))
     return MM.audio_features_table(media, "doc_id", "media")
+
+
+# ---------------------------------------------------------------------------
+# Video scene-cut detection (multimodal.video_frame_dhash_table +
+# video_scene_cuts): per-frame dHash through the REAL AVI decode, then a
+# JVM-side LAG + bit_count window keyed on the video id. The fixture flips
+# the gradient DIRECTION every 2 frames (dx 3 <-> 253 = -3 mod 256), so
+# within-scene Hamming is exactly 0 and every cut flips gradient-sign bits;
+# the oracle recomputes each frame's 64 dHash bits and the XOR popcount.
+# ---------------------------------------------------------------------------
+
+_SCENE_CUTS_ORACLE = """
+WITH p AS (
+  SELECT doc_id, 3 + doc_id % 6 AS w, 2 + doc_id % 5 AS h,
+         4 + doc_id % 3 AS nf, doc_id % 256 AS seed
+  FROM documents
+),
+g AS (
+  SELECT doc_id, t.i AS t, gy.i AS gy, gx.i AS gx,
+         (seed + (CASE WHEN (t.i // 2) % 2 = 0 THEN 3 ELSE 253 END)
+            * ((gx.i * w) // 9) + 7 * ((gy.i * h) // 8)) % 256 AS v
+  FROM p,
+       LATERAL (SELECT unnest(range(0, nf)) AS i) t,
+       LATERAL (SELECT unnest(range(0, 9)) AS i) gx,
+       LATERAL (SELECT unnest(range(0, 8)) AS i) gy
+),
+b AS (
+  SELECT doc_id, t, gy, gx,
+         CASE WHEN LEAD(v + 2 * ((2 * v) % 256) + (3 * v) % 256)
+                     OVER (PARTITION BY doc_id, t, gy ORDER BY gx)
+                   > v + 2 * ((2 * v) % 256) + (3 * v) % 256
+              THEN 1 ELSE 0 END AS bit
+  FROM g
+),
+hs AS (
+  SELECT doc_id, t,
+         CAST(SUM(CASE WHEN gy < 4 AND gx < 8
+                       THEN bit * (CAST(1 AS BIGINT) << ((gy % 4) * 8 + gx))
+                       ELSE 0 END) AS BIGINT) AS hi,
+         CAST(SUM(CASE WHEN gy >= 4 AND gx < 8
+                       THEN bit * (CAST(1 AS BIGINT) << ((gy % 4) * 8 + gx))
+                       ELSE 0 END) AS BIGINT) AS lo
+  FROM b GROUP BY doc_id, t
+),
+d AS (
+  SELECT doc_id, t,
+         bit_count(xor(hi, LAG(hi) OVER (PARTITION BY doc_id ORDER BY t)))
+         + bit_count(xor(lo, LAG(lo) OVER (PARTITION BY doc_id ORDER BY t)))
+           AS hamming
+  FROM hs
+)
+SELECT doc_id AS id, CAST(t AS INT) AS frame_idx,
+       CAST(hamming AS BIGINT) AS hamming, hamming > 8 AS is_cut
+FROM d WHERE hamming IS NOT NULL
+"""
+
+
+@query(
+    "multimodal_video_scene_cuts",
+    oracle=_SCENE_CUTS_ORACLE,
+    tags=("llm", "multimodal"),
+)
+def multimodal_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene cuts of every synthetic AVI through the REAL decode +
+    per-frame dHash + LAG/bit_count window; every Hamming value
+    hash-matched against per-bit oracle arithmetic. Frame signatures are
+    all that shuffles — one 8-byte pair per frame, keyed on the video
+    id."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def synth(ids):
+        def mk(i):
+            i = int(i)
+            n = 4 + i % 3
+            grads = [
+                (i % 256, 3 if (t // 2) % 2 == 0 else 253, 7) for t in range(n)
+            ]
+            return MM.make_avi(
+                3 + i % 6, 2 + i % 5, n, frame_gradients=grads
+            )
+
+        return ids.map(mk)
+
+    synth.__annotations__ = {"ids": pd.Series, "return": pd.Series}
+    synth_udf = pandas_udf("binary")(synth)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    media = docs.select("doc_id", synth_udf(F.col("doc_id")).alias("media"))
+    hashes = MM.video_frame_dhash_table(media, "doc_id", "media")
+    return MM.video_scene_cuts(hashes, threshold=8)
