@@ -274,3 +274,99 @@ def test_streaming_paragraph_dedup_equals_batch(spark, tmp_path):
     )
     proc(corpus.limit(2), 0)
     assert spark.read.parquet(str(tmp_path / "out")).count() == n_before
+
+
+def test_streaming_media_dedup_equals_batch(spark, tmp_path):
+    """Perceptual media dedup at ingest: an id-ordered replay keeps
+    exactly the batch first-seen-signature set, and replays are no-ops."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    from tuktu_spark.llm import multimodal as MM
+    from tuktu_spark.streaming.llm import (
+        make_media_dedup_batch_processor,
+        streaming_media_dedup,
+    )
+
+    # ids 1/4 and 2/5 carry IDENTICAL images (cross-chunk duplicates)
+    def synth(ids):
+        def mk(i):
+            key = int(i) % 3
+            # dHash is brightness-shift invariant and horizontal-only:
+            # distinct images need distinct HORIZONTAL gradient behavior
+            # (direction flip / mod-256 wrap), not just seeds or dy
+            dx = [3, 253, 101][key]
+            return MM.make_png(6, 5, gradient=(40 + 50 * key, dx, 7))
+
+        return ids.map(mk)
+
+    synth.__annotations__ = {"ids": pd.Series, "return": pd.Series}
+    corpus = spark.createDataFrame(
+        [(i,) for i in range(1, 7)], "doc_id long"
+    ).select("doc_id", pandas_udf("binary")(synth)(F.col("doc_id")).alias("media"))
+
+    stream = STR.replay_dataframe(
+        corpus, str(tmp_path / "replay"), chunks=3, order_col="doc_id"
+    )
+    q = streaming_media_dedup(
+        stream,
+        store_dir=str(tmp_path / "store"),
+        out_dir=str(tmp_path / "out"),
+        checkpoint=str(tmp_path / "ckpt"),
+        kind="image",
+    )
+    q.processAllAvailable()
+    q.stop()
+    kept = sorted(
+        r["doc_id"] for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    )
+    # batch equivalent: min doc_id per distinct dHash signature
+    sigs = MM.image_dhash_table(corpus, "doc_id")
+    want = sorted(
+        r["m"]
+        for r in sigs.groupBy("dhash_hi", "dhash_lo")
+        .agg(F.min("id").alias("m"))
+        .collect()
+    )
+    assert kept == want == [1, 2, 3]
+
+    # idempotent replay: re-running batch 0 changes nothing
+    n_before = spark.read.parquet(str(tmp_path / "out")).count()
+    proc = make_media_dedup_batch_processor(
+        spark, str(tmp_path / "store"), str(tmp_path / "out"), kind="image"
+    )
+    proc(corpus.limit(4), 0)
+    assert spark.read.parquet(str(tmp_path / "out")).count() == n_before
+
+
+def test_streaming_media_dedup_audio_kind(spark, tmp_path):
+    """Audio kind reduces WAVs to energy-delta fingerprints; duplicate
+    waveforms collapse to the first-seen clip."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    from tuktu_spark.llm import multimodal as MM
+    from tuktu_spark.streaming.llm import make_media_dedup_batch_processor
+
+    def synth(ids):
+        def mk(i):
+            key = int(i) % 2
+            return MM.make_wav(n_samples=325, ramp=(5 + 2 * key, 256))
+
+        return ids.map(mk)
+
+    synth.__annotations__ = {"ids": pd.Series, "return": pd.Series}
+    corpus = spark.createDataFrame(
+        [(i,) for i in range(1, 5)], "doc_id long"
+    ).select("doc_id", pandas_udf("binary")(synth)(F.col("doc_id")).alias("media"))
+
+    proc = make_media_dedup_batch_processor(
+        spark, str(tmp_path / "store"), str(tmp_path / "out"), kind="audio"
+    )
+    proc(corpus, 0)
+    kept = sorted(
+        r["doc_id"] for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    )
+    assert kept == [1, 2]

@@ -201,3 +201,63 @@ def streaming_dsir_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.processAllAvailable()
     q.stop()
     return spark.read.parquet(out_dir).select("doc_id", "n_feats", "logw_q")
+
+
+# Perceptual media dedup through the REAL streaming path: images replay in
+# 4 micro-batches through the foreachBatch signature store; the surviving
+# set must equal the batch first-seen-by-dHash truth, which the oracle
+# recomputes per-bit from doc_id arithmetic (shared CTE with
+# multimodal_image_dhash).
+from .llm_multimodal import _DHASH_ORACLE  # noqa: E402
+
+_MEDIA_DEDUP_REPLAY_ORACLE = f"""
+WITH sigs AS ({_DHASH_ORACLE})
+SELECT CAST(MIN(id) AS BIGINT) AS doc_id
+FROM sigs GROUP BY dhash_hi, dhash_lo
+"""
+
+
+@query(
+    "streaming_media_dedup_replay",
+    oracle=_MEDIA_DEDUP_REPLAY_ORACLE,
+    tags=("streaming", "llm", "multimodal"),
+)
+def streaming_media_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dedup executed BY THE STREAMING ENGINE: each
+    micro-batch reduces its PNGs to dHash signatures (the batch table's
+    exact arithmetic), keeps first-seen signatures against the
+    accumulated store, and the surviving doc_ids must equal the batch
+    min-id-per-signature truth the oracle recomputes bit-for-bit."""
+    import tempfile
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from ..llm import multimodal as MM
+    from ..streaming.llm import streaming_media_dedup
+
+    def synth(ids):
+        def mk(i):
+            i = int(i)
+            return MM.make_png(
+                3 + i % 14, 2 + i % 9,
+                gradient=(i % 256, 3, 7),
+                filters=[0, 1, 2, 3, 4],
+            )
+
+        return ids.map(mk)
+
+    synth.__annotations__ = {"ids": pd.Series, "return": pd.Series}
+    synth_udf = pandas_udf("binary")(synth)
+    corpus = load_table(spark, sf_dir, "documents").select(
+        "doc_id", synth_udf(F.col("doc_id")).alias("media")
+    )
+    stage = tempfile.mkdtemp(prefix="tuktu_media_dedup_replay_")
+    store = tempfile.mkdtemp(prefix="tuktu_media_dedup_store_")
+    out_dir = tempfile.mkdtemp(prefix="tuktu_media_dedup_out_")
+    ckpt = tempfile.mkdtemp(prefix="tuktu_media_dedup_ckpt_")
+    stream = STR.replay_dataframe(corpus, stage, chunks=4, order_col="doc_id")
+    q = streaming_media_dedup(stream, store, out_dir, ckpt, kind="image")
+    q.processAllAvailable()
+    q.stop()
+    return spark.read.parquet(out_dir).select("doc_id")

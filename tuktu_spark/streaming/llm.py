@@ -456,3 +456,104 @@ def streaming_dsir_weights(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def make_media_dedup_batch_processor(
+    spark,
+    store_dir: str,
+    out_dir: str,
+    kind: str = "image",
+    media_col: str = "media",
+    id_col: str = "doc_id",
+):
+    """foreachBatch processor for incremental perceptual media dedup:
+    each arriving blob reduces to its 8-byte signature (image dHash or
+    audio energy-delta fingerprint — identical to the batch tables, so a
+    blob's signature is the same either way), first-seen signatures
+    survive to ``out_dir`` and accumulate in the signature store.
+
+    State is (sig_hi, sig_lo) per distinct signature — two BIGINTs per
+    kept item, never the media bytes. NEAR-duplicate mining stays a
+    batch job over the accumulated store (hash64_near_pairs reads just
+    the signatures), exactly as exact Jaccard verification does for the
+    streaming MinHash store. Same idempotency contract as the other
+    stores: batch_id-partitioned dynamic overwrite, signature store
+    commits last, replays skip."""
+    from ..llm.multimodal import audio_fingerprint_table, image_dhash_table
+
+    sig_store = os.path.join(store_dir, "media_sigs")
+    if kind == "image":
+        sig_table, hi, lo = image_dhash_table, "dhash_hi", "dhash_lo"
+    elif kind == "audio":
+        sig_table, hi, lo = audio_fingerprint_table, "afp_hi", "afp_lo"
+    else:
+        raise ValueError(f"kind must be 'image' or 'audio', not {kind!r}")
+
+    def _read_store() -> DataFrame | None:
+        from pyspark.errors.exceptions.captured import AnalysisException
+
+        try:
+            return spark.read.parquet(sig_store)
+        except AnalysisException:
+            return None
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        old = _read_store()
+        if old is not None and "batch_id" in old.columns:
+            if old.filter(F.col("batch_id") == batch_id).limit(1).count() > 0:
+                return
+            old = old.drop("batch_id")
+        sigs = sig_table(batch_df, id_col, media_col).select(
+            F.col("id").alias(id_col),
+            F.col(hi).alias("sig_hi"),
+            F.col(lo).alias("sig_lo"),
+        )
+        # batch-internal canonical pick: min id per signature
+        keep = sigs.groupBy("sig_hi", "sig_lo").agg(F.min(id_col).alias("__keep"))
+        firsts = sigs.join(keep, ["sig_hi", "sig_lo"]).filter(
+            F.col(id_col) == F.col("__keep")
+        ).drop("__keep")
+        if old is not None:
+            firsts = firsts.join(
+                old.select("sig_hi", "sig_lo"), ["sig_hi", "sig_lo"], "left_anti"
+            )
+        kept = batch_df.join(firsts.select(id_col), id_col)
+        dyn = {"partitionOverwriteMode": "dynamic"}
+        (
+            kept.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .options(**dyn)
+            .partitionBy("batch_id")
+            .parquet(out_dir)
+        )
+        (
+            firsts.select("sig_hi", "sig_lo")
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .options(**dyn)
+            .partitionBy("batch_id")
+            .parquet(sig_store)
+        )
+
+    return process
+
+
+def streaming_media_dedup(
+    stream: DataFrame,
+    store_dir: str,
+    out_dir: str,
+    checkpoint: str,
+    kind: str = "image",
+    media_col: str = "media",
+    id_col: str = "doc_id",
+):
+    """Incremental perceptual media dedup at ingest: only first-seen
+    signatures (image dHash / audio fingerprint) survive to ``out_dir``.
+    The streaming counterpart of image_dhash_table/audio_fingerprint_table
+    + exact-signature keep — the media analogue of streaming_exact_dedup."""
+    process = make_media_dedup_batch_processor(
+        stream.sparkSession, store_dir, out_dir, kind, media_col, id_col
+    )
+    return foreach_batch_sink(stream, process, checkpoint=checkpoint)
