@@ -428,3 +428,26 @@ def test_dsir_select_flow(spark, sf_dir, tmp_path_factory):
         ).collect()
     )
     assert got == want and len(got) == 100
+
+
+def test_video_scene_pipeline_flow(spark, sf_dir):
+    """REAL video->pixels->scene-cuts wiring as a flow spec: AVI synth,
+    per-frame dHash, LAG+bit_count cut window."""
+    import os
+
+    from tuktu_spark.flow import run_flow
+
+    base = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "flows", "examples",
+    )
+    out = run_flow(
+        spark, os.path.join(base, "video_scene_pipeline.json"),
+        params={"dir": sf_dir},
+    )
+    rows = out["cuts"].collect()
+    # 100 videos x 4 frames -> 3 deltas each; constant dt gradient ->
+    # deterministic hamming per video (exact values pinned by the oracled
+    # driver query; here: shape + no within-video frame loss)
+    assert len(rows) == 300
+    assert {r["frame_idx"] for r in rows} == {1, 2, 3}

@@ -964,7 +964,7 @@ def media_synth_avi(config: dict):
     pixels path without external files. config: {id_field, width,
     height, n_frames, codec}. Deterministic: the frame gradient is a
     pure function of the id column."""
-    from ..llm.multimodal import attach_binary, make_avi
+    from ..llm.multimodal import make_avi
 
     id_col = config.get("id_field", "doc_id")
     width = int(config.get("width", 8))
@@ -986,7 +986,15 @@ def media_synth_avi(config: dict):
 
         synth.__annotations__ = {"ids": pd.Series, "return": pd.Series}
         blob = pandas_udf("binary")(synth)(F.col(id_col))
-        return attach_binary(df.withColumn("__blob", blob), "__blob", "video/avi")
+        # keep the id column: downstream per-frame ops key on it
+        # (attach_binary's checksum-keyed shape fits probe pipelines,
+        # not frame extraction)
+        return df.withColumn("__blob", blob).select(
+            F.col(id_col),
+            F.col("__blob").cast("binary").alias("media"),
+            F.lit("video/avi").alias("media_type"),
+            F.length(F.col("__blob").cast("binary")).cast("bigint").alias("byte_len"),
+        )
 
     return run
 

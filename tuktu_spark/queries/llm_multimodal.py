@@ -1089,3 +1089,90 @@ def multimodal_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = docs.select("doc_id", synth_udf(F.col("doc_id")).alias("media"))
     hashes = MM.video_frame_dhash_table(media, "doc_id", "media")
     return MM.video_scene_cuts(hashes, threshold=8)
+
+
+# ---------------------------------------------------------------------------
+# Banded-Hamming near-pair mining (multimodal.hash64_near_pairs — the ONE
+# code path behind image_dhash_pairs and audio_fingerprint_pairs): the
+# banding is pigeonhole-COMPLETE for max_hamming < 8, so the engine's
+# candidate-join output must equal the oracle's exhaustive cross-join
+# popcount filter — a missed band, a bad chunk shift or a duplicate
+# candidate all break the match. Fingerprints recomputed per-bit from the
+# 50 waveform classes (doc_id % 50), so duplicates span micro-classes.
+# ---------------------------------------------------------------------------
+
+_AUDIO_PAIRS_ORACLE = """
+WITH k AS (SELECT DISTINCT doc_id % 50 AS key FROM documents),
+p AS (
+  SELECT key, 3 + key % 13 AS step, 128 + 8 * (key % 29) AS md,
+         260 + key AS n
+  FROM k
+),
+samp AS (
+  SELECT key, i.i AS i, n // 65 AS L, (i.i * step) % md - md // 2 AS v
+  FROM p, LATERAL (SELECT unnest(range(0, n)) AS i) i
+),
+fr AS (
+  SELECT key, i // L AS t, SUM(v * v) AS e
+  FROM samp WHERE i < 65 * L GROUP BY key, i // L
+),
+b AS (
+  SELECT key, t,
+         CASE WHEN LEAD(e) OVER (PARTITION BY key ORDER BY t) > e
+              THEN 1 ELSE 0 END AS bit
+  FROM fr
+),
+f AS (
+  SELECT key,
+         CAST(SUM(CASE WHEN t < 32 THEN bit * (CAST(1 AS BIGINT) << t)
+                       ELSE 0 END) AS BIGINT) AS hi,
+         CAST(SUM(CASE WHEN t >= 32 AND t < 64
+                       THEN bit * (CAST(1 AS BIGINT) << (t % 32))
+                       ELSE 0 END) AS BIGINT) AS lo
+  FROM b GROUP BY key
+),
+d AS (
+  SELECT doc_id, f.hi, f.lo
+  FROM documents JOIN f ON documents.doc_id % 50 = f.key
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.hi, b.hi))
+            + bit_count(xor(a.lo, b.lo)) AS INT) AS hamming
+FROM d a JOIN d b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 6
+"""
+
+
+@query(
+    "multimodal_audio_near_pairs",
+    oracle=_AUDIO_PAIRS_ORACLE,
+    tags=("llm", "multimodal", "dedup"),
+)
+def multimodal_audio_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate audio pairs through the REAL decode -> fingerprint
+    -> banded-Hamming pipeline, hash-matched against the oracle's
+    EXHAUSTIVE popcount cross join (completeness: banding must find
+    every pair within Hamming 6; soundness: bit_count verify must drop
+    everything else)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def synth(ids):
+        def mk(i):
+            key = int(i) % 50
+            return MM.make_wav(
+                n_samples=260 + key,
+                ramp=(3 + key % 13, 128 + 8 * (key % 29)),
+            )
+
+        return ids.map(mk)
+
+    synth.__annotations__ = {"ids": pd.Series, "return": pd.Series}
+    synth_udf = pandas_udf("binary")(synth)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    media = docs.select("doc_id", synth_udf(F.col("doc_id")).alias("media"))
+    fps = MM.audio_fingerprint_table(media, "doc_id", "media")
+    return MM.audio_fingerprint_near_pairs(fps, max_hamming=6).select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    )
