@@ -829,7 +829,10 @@ FROM s
 """
 
 
-@query("multimodal_avi_frames", oracle=_AVI_ORACLE, tags=("llm", "multimodal"))
+@query(
+    "multimodal_avi_frames", oracle=_AVI_ORACLE, tags=("llm", "multimodal"),
+    bench=True,
+)
 def multimodal_avi_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL video -> pixels, ORACLED end-to-end: synthesize a spec-valid
     frame-carrying AVI per doc ('DIB ' uncompressed stream, gradient
@@ -854,7 +857,14 @@ def multimodal_avi_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     synth.__annotations__ = {"ids": pd.Series, "return": pd.Series}
     synth_udf = pandas_udf("binary")(synth)
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # the documents scan is one small file -> one partition; spread the
+    # heavy decode stage across cores (the module docstring's
+    # "repartition before heavy decode" guidance — only doc_ids shuffle)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     media = docs.select("doc_id", synth_udf(F.col("doc_id")).alias("media"))
     return MM.video_frame_stats_table(media, "doc_id", "media")
 
