@@ -1709,3 +1709,16 @@ class TestVideoSceneCuts:
         for t, rgb in enumerate(frames):
             hi, lo = dhash_bits(rgb, w, h, 3)
             assert 0 <= hi < 2**32 and 0 <= lo < 2**32
+
+
+class TestMjpegFrames:
+    def test_partial_mcu_even_shades_decode_exact(self, spark):
+        from tuktu_spark.llm.multimodal import decode_avi_frames, make_avi
+
+        shades = [0, 128, 254]
+        avi = make_avi(5, 4, 3, codec="MJPG", frame_shades=shades)
+        w, h, frames = decode_avi_frames(avi)
+        assert (w, h) == (5, 4)
+        for shade, rgb in zip(shades, frames):
+            assert set(rgb) == {shade}
+            assert len(rgb) == 5 * 4 * 3

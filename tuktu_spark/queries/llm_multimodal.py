@@ -1186,3 +1186,63 @@ def multimodal_audio_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.audio_fingerprint_near_pairs(fps, max_hamming=6).select(
         "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL compressed-video decode (MJPEG stream inside AVI): every frame is a
+# baseline JPEG decoded by the full T.81 path (llm/jpeg.py). Even constant
+# shades reconstruct bit-exactly (predicted_constant_decode — DC quantizes
+# exactly, all AC zero), so the oracle predicts every frame's pixel sum in
+# closed form; partial MCUs (w, h not multiples of 8) pin the crop.
+# ---------------------------------------------------------------------------
+
+_MJPEG_ORACLE = """
+WITH p AS (
+  SELECT doc_id, 5 + doc_id % 9 AS w, 4 + doc_id % 7 AS h,
+         2 + doc_id % 4 AS nf
+  FROM documents
+),
+f AS (
+  SELECT doc_id, w, h, t.i AS t, 2 * ((doc_id + 31 * t.i) % 128) AS shade
+  FROM p, LATERAL (SELECT unnest(range(0, nf)) AS i) t
+)
+SELECT doc_id AS id, CAST(t AS INT) AS frame_idx,
+       CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST(3 AS INT) AS channels,
+       CAST(w * h * 3 * shade AS BIGINT) AS pixel_sum,
+       CAST(shade AS DOUBLE) AS mean_pixel
+FROM f
+"""
+
+
+@query("multimodal_mjpeg_frames", oracle=_MJPEG_ORACLE, tags=("llm", "multimodal"))
+def multimodal_mjpeg_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPRESSED video -> pixels, ORACLED end-to-end: each AVI carries
+    an MJPEG stream (one real baseline JPEG per frame, even constant
+    shades), decoded frame-by-frame through the full T.81 entropy decode
+    + IDCT inside Arrow batches; the oracle predicts every frame's sums
+    in closed form. Partial MCUs exercise the decoder's crop path."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def synth(ids):
+        def mk(i):
+            i = int(i)
+            nf = 2 + i % 4
+            shades = [2 * ((i + 31 * t) % 128) for t in range(nf)]
+            return MM.make_avi(
+                5 + i % 9, 4 + i % 7, nf, codec="MJPG", frame_shades=shades
+            )
+
+        return ids.map(mk)
+
+    synth.__annotations__ = {"ids": pd.Series, "return": pd.Series}
+    synth_udf = pandas_udf("binary")(synth)
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    media = docs.select("doc_id", synth_udf(F.col("doc_id")).alias("media"))
+    return MM.video_frame_stats_table(media, "doc_id", "media")
