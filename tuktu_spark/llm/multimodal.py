@@ -2,17 +2,19 @@
 with typed metadata, processed via Arrow-batched mapInPandas.
 
 Container/header parsing is REAL and dependency-free: PNG IHDR, JPEG SOF
-markers, GIF, BMP, WAV/RIFF and ISO-BMFF/MP4 box trees are public
+markers, GIF, BMP, WAV/RIFF, AVI and ISO-BMFF/MP4 box trees are public
 formats parsed with struct/bytes alone (``probe_media``). Pixel/sample
 DECODE is also real for the stdlib envelope: 8-bit PNGs
 (``decode_png_pixels`` — zlib + full unfilter), baseline JPEGs
 (``llm/jpeg.py`` — T.81 Huffman + IDCT), GIF87a/89a
-(``decode_gif_pixels`` — full general LZW) and 16-bit PCM WAV
-(``decode_wav_samples``), plus real feature-extraction kernels on top
-(nearest-neighbor resize, nearest-index PCM resample, seeded crop).
-Codecs outside that envelope (progressive JPEG, interlaced GIF, video
-sample data) raise NotImplementedError — the PIL/ffmpeg seam: swap the
-decode step and nothing else changes.
+(``decode_gif_pixels`` — full general LZW), 24-bit BMP, 16-bit PCM WAV
+(``decode_wav_samples``) and AVI video frames (``decode_avi_frames`` —
+uncompressed-DIB and MJPEG streams), plus real feature-extraction
+kernels on top (nearest-neighbor resize, nearest-index PCM resample,
+seeded crop, image dHash, audio energy-delta fingerprints, scene-cut
+detection). Codecs outside that envelope (progressive JPEG, interlaced
+GIF, H.264/VP9 video samples) raise NotImplementedError — the
+PIL/ffmpeg seam: swap the decode step and nothing else changes.
 
 Scale notes: binary payloads ride in Arrow record batches; keep
 ``spark.sql.files.maxPartitionBytes`` at default 128 MB so a partition of

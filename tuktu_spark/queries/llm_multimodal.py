@@ -1,9 +1,11 @@
 """Multimodal-column queries: binary media decoded END-TO-END through
 the driver surface with REAL stdlib codecs — PNG (zlib + unfilter),
-baseline JPEG (T.81 Huffman + IDCT), RIFF/WAV header parsing — each
-hash-matched against a DuckDB oracle that predicts the pixels/metadata
-from doc_id arithmetic. Only codecs outside the stdlib envelope
-(progressive JPEG, video) remain the documented PIL/ffmpeg seam."""
+baseline JPEG (T.81 Huffman + IDCT), GIF (general LZW), 24-bit BMP,
+16-bit PCM WAV, and AVI video (uncompressed-DIB and MJPEG streams,
+frame by frame) — each hash-matched against a DuckDB oracle that
+predicts the pixels/samples/metadata from doc_id arithmetic. Only
+codecs outside the stdlib envelope (progressive JPEG, H.264/VP9
+video) remain the documented PIL/ffmpeg seam."""
 
 from __future__ import annotations
 
