@@ -1722,3 +1722,53 @@ class TestMjpegFrames:
         for shade, rgb in zip(shades, frames):
             assert set(rgb) == {shade}
             assert len(rgb) == 5 * 4 * 3
+
+
+class TestMp4Samples:
+    def test_multi_chunk_roundtrip_exact(self, spark):
+        from tuktu_spark.llm.multimodal import decode_mp4_samples, make_mp4_mjpeg
+
+        shades = [0, 50, 100, 150, 200, 254, 12]
+        for spc in (None, 2, 3, 5):
+            mp4 = make_mp4_mjpeg(6, 5, shades, samples_per_chunk=spc)
+            w, h, frames = decode_mp4_samples(mp4)
+            assert (w, h, len(frames)) == (6, 5, 7)
+            for s, f in zip(shades, frames):
+                assert set(f) == {s} and len(f) == 6 * 5 * 3
+
+    def test_probe_media_still_parses(self, spark):
+        from tuktu_spark.llm.multimodal import make_mp4_mjpeg, probe_media
+
+        info = probe_media(make_mp4_mjpeg(6, 5, [10, 20, 30]))
+        assert info["format"] == "mp4"
+        assert (info["width"], info["height"]) == (6, 5)
+        assert info["duration_ms"] == 300
+
+    def test_foreign_codec_raises_seam(self, spark):
+        import pytest
+
+        from tuktu_spark.llm.multimodal import decode_mp4_samples, make_mp4_mjpeg
+
+        mp4 = bytearray(make_mp4_mjpeg(4, 4, [10]))
+        i = mp4.find(b"jpeg", 20)
+        mp4[i : i + 4] = b"avc1"
+        with pytest.raises(NotImplementedError):
+            decode_mp4_samples(bytes(mp4))
+
+    def test_header_only_mp4_raises_seam(self, spark):
+        import pytest
+
+        from tuktu_spark.llm.multimodal import decode_mp4_samples, make_mp4
+
+        with pytest.raises(NotImplementedError):
+            decode_mp4_samples(make_mp4(640, 360, 5000))
+
+    def test_video_dispatch_covers_both_containers(self, spark):
+        from tuktu_spark.llm.multimodal import (
+            decode_video_frames, make_avi, make_mp4_mjpeg,
+        )
+
+        w1, h1, f1 = decode_video_frames(make_avi(4, 3, 2))
+        w2, h2, f2 = decode_video_frames(make_mp4_mjpeg(4, 3, [10, 20]))
+        assert (w1, h1, len(f1)) == (4, 3, 2)
+        assert (w2, h2, len(f2)) == (4, 3, 2)

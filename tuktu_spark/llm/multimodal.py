@@ -1420,7 +1420,7 @@ def video_frame_stats_table(
             rows = []
             for _, row in pdf.iterrows():
                 data = bytes(row[media_col]) if row[media_col] is not None else b""
-                w, h, frames = decode_avi_frames(data)
+                w, h, frames = decode_video_frames(data)
                 for t, rgb in enumerate(frames):
                     ps = sum(rgb)
                     rows.append(
@@ -1586,7 +1586,7 @@ def video_frame_dhash_table(
             rows = []
             for _, row in pdf.iterrows():
                 data = bytes(row[media_col]) if row[media_col] is not None else b""
-                w, h, frames = decode_avi_frames(data)
+                w, h, frames = decode_video_frames(data)
                 for t, rgb in enumerate(frames):
                     hi, lo = dhash_bits(rgb, w, h, 3)
                     rows.append(
@@ -1630,3 +1630,252 @@ def video_scene_cuts(
         .filter(F.col("hamming").isNotNull())
         .withColumn("is_cut", F.col("hamming") > F.lit(int(threshold)))
     )
+
+
+# --- REAL MP4 video samples: ISO-BMFF sample tables + MJPEG frames -------
+#
+# The AVI path above covers the RIFF container family; this covers the
+# ISO base media family (MP4/MOV, ISO/IEC 14496-12): a real sample table
+# (stsd codec entry, stts timing, stsc sample-to-chunk, stsz sizes,
+# stco chunk offsets) written and walked with struct alone. Frames are
+# baseline JPEGs ('jpeg' sample entry — the Motion-JPEG-in-MP4 shape),
+# decoded by llm/jpeg.py. Any other stsd fourcc (avc1, vp09, ...) raises
+# NotImplementedError — the ffmpeg seam.
+
+
+def _box(btype: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+
+def make_mp4_mjpeg(
+    width: int,
+    height: int,
+    frame_shades: "list[int]",
+    timescale: int = 1000,
+    frame_delta: int = 100,
+    samples_per_chunk: "int | None" = None,
+) -> bytes:
+    """A real, frame-CARRYING ISO-BMFF file: ftyp + moov(mvhd +
+    trak(tkhd + mdia(mdhd + hdlr'vide' + minf(vmhd + dinf +
+    stbl(stsd'jpeg' + stts + stsc + stsz + stco))))) + mdat holding one
+    baseline JPEG per frame (llm/jpeg.make_jpeg, constant shades).
+    Default single-chunk layout; ``samples_per_chunk`` groups samples
+    into multiple chunks (a short final chunk gets its own stsc run —
+    the run-expansion case real muxers produce). stco holds absolute
+    mdat payload offsets (computed by sizing moov first — all offset
+    fields are fixed-width, so moov's length is layout-stable)."""
+    from .jpeg import make_jpeg
+
+    samples = [make_jpeg(width, height, shade=s) for s in frame_shades]
+    n = len(samples)
+    duration = n * frame_delta
+    spc = samples_per_chunk or n
+    # chunk layout: sizes per chunk, then stsc runs (full + remainder)
+    chunk_sizes = [min(spc, n - i) for i in range(0, n, spc)] or [0]
+    stsc_runs: list[tuple[int, int, int]] = [(1, spc, 1)]
+    if chunk_sizes[-1] != spc and len(chunk_sizes) > 1:
+        stsc_runs.append((len(chunk_sizes), chunk_sizes[-1], 1))
+
+    def moov_with(payload_off: int) -> bytes:
+        offs, pos, si = [], payload_off, 0
+        for csz in chunk_sizes:
+            offs.append(pos)
+            pos += sum(len(samples[si + j]) for j in range(csz))
+            si += csz
+        chunk_offset = offs  # absolute offsets per chunk
+        stsd = _box(
+            b"stsd",
+            struct.pack(">II", 0, 1)
+            + _box(
+                b"jpeg",
+                b"\x00" * 6
+                + struct.pack(">H", 1)  # data_reference_index
+                + b"\x00" * 16
+                + struct.pack(">HH", width, height)
+                + struct.pack(">II", 0x00480000, 0x00480000)  # 72 dpi
+                + struct.pack(">I", 0)
+                + struct.pack(">H", 1)  # frame count per sample
+                + b"\x00" * 32  # compressor name
+                + struct.pack(">Hh", 24, -1),  # depth, color table id
+            ),
+        )
+        stts = _box(b"stts", struct.pack(">III I", 0, 1, n, frame_delta))
+        stsc = _box(
+            b"stsc",
+            struct.pack(">II", 0, len(stsc_runs))
+            + b"".join(struct.pack(">III", *run) for run in stsc_runs),
+        )
+        stsz = _box(
+            b"stsz",
+            struct.pack(">III", 0, 0, n)
+            + b"".join(struct.pack(">I", len(s)) for s in samples),
+        )
+        stco = _box(
+            b"stco",
+            struct.pack(">II", 0, len(chunk_offset))
+            + b"".join(struct.pack(">I", o) for o in chunk_offset),
+        )
+        stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+        vmhd = _box(b"vmhd", struct.pack(">I4H", 1, 0, 0, 0, 0))
+        dref = _box(
+            b"dref",
+            struct.pack(">II", 0, 1) + _box(b"url ", struct.pack(">I", 1)),
+        )
+        minf = _box(b"minf", vmhd + _box(b"dinf", dref) + stbl)
+        mdhd = _box(
+            b"mdhd",
+            b"\x00\x00\x00\x00" + b"\x00" * 8
+            + struct.pack(">II", timescale, duration)
+            + struct.pack(">HH", 0x55C4, 0),  # language 'und'
+        )
+        hdlr = _box(
+            b"hdlr",
+            struct.pack(">II", 0, 0) + b"vide" + b"\x00" * 12 + b"VideoHandler\x00",
+        )
+        mdia = _box(b"mdia", mdhd + hdlr + minf)
+        tkhd = (
+            b"\x00\x00\x00\x07"
+            + b"\x00" * 8
+            + struct.pack(">I", 1)
+            + b"\x00" * 4
+            + struct.pack(">I", duration)
+            + b"\x00" * 8
+            + struct.pack(">hhhh", 0, 0, 0, 0)
+            + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+            + struct.pack(">II", width << 16, height << 16)
+        )
+        mvhd = (
+            b"\x00\x00\x00\x00"
+            + b"\x00" * 8
+            + struct.pack(">II", timescale, duration)
+            + struct.pack(">I", 0x00010000)
+            + struct.pack(">H", 0x0100)
+            + b"\x00" * 10
+            + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+            + b"\x00" * 24
+            + struct.pack(">I", 2)
+        )
+        return _box(
+            b"moov", _box(b"mvhd", mvhd) + _box(b"trak", _box(b"tkhd", tkhd) + mdia)
+        )
+
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+    moov_len = len(moov_with(0))  # offset field is fixed-width: stable
+    payload_off = len(ftyp) + moov_len + 8  # + mdat header
+    moov = moov_with(payload_off)
+    mdat = _box(b"mdat", b"".join(samples))
+    return ftyp + moov + mdat
+
+
+def decode_mp4_samples(data: bytes) -> tuple[int, int, "list[bytes]"]:
+    """REAL ISO-BMFF sample extraction + frame decode: walk the box tree
+    to the video track's stbl, read the sample tables (stsd codec check,
+    stsz sizes, stco+stsc chunk layout), slice each sample out of the
+    file and decode it ('jpeg' entries via the baseline T.81 path,
+    grayscale expanded to RGB). Returns (width, height, [rgb per frame,
+    top-down]). Non-JPEG codecs or a missing sample table raise
+    NotImplementedError (the ffmpeg seam)."""
+    if len(data) < 12 or data[4:8] != b"ftyp":
+        raise NotImplementedError("not an ISO-BMFF file")
+    tables: dict = {}
+
+    def walk(lo: int, hi: int, depth: int = 0) -> None:
+        pos = lo
+        while pos + 8 <= hi and depth < 10:
+            size = struct.unpack(">I", data[pos : pos + 4])[0]
+            btype = data[pos + 4 : pos + 8]
+            body = pos + 8
+            if size == 1:
+                if pos + 16 > hi:
+                    return
+                size = struct.unpack(">Q", data[pos + 8 : pos + 16])[0]
+                body = pos + 16
+            if size == 0:
+                size = hi - pos
+            end = min(pos + size, hi)
+            if btype in (b"moov", b"trak", b"mdia", b"minf", b"stbl"):
+                walk(body, end, depth + 1)
+            elif btype == b"tkhd" and end - 8 >= body:
+                w_fx, h_fx = struct.unpack(">II", data[end - 8 : end])
+                if w_fx or h_fx:
+                    tables.setdefault("dims", (w_fx >> 16, h_fx >> 16))
+            elif btype == b"stsd" and body + 16 <= end:
+                tables["codec"] = data[body + 12 : body + 16]
+            elif btype == b"stsz" and body + 12 <= end:
+                fixed, count = struct.unpack(">II", data[body + 4 : body + 12])
+                if fixed:
+                    tables["sizes"] = [fixed] * count
+                else:
+                    off = body + 12
+                    tables["sizes"] = [
+                        struct.unpack(">I", data[off + 4 * i : off + 4 * i + 4])[0]
+                        for i in range(count)
+                    ]
+            elif btype == b"stco" and body + 8 <= end:
+                count = struct.unpack(">I", data[body + 4 : body + 8])[0]
+                off = body + 8
+                tables["chunk_offsets"] = [
+                    struct.unpack(">I", data[off + 4 * i : off + 4 * i + 4])[0]
+                    for i in range(count)
+                ]
+            elif btype == b"stsc" and body + 8 <= end:
+                count = struct.unpack(">I", data[body + 4 : body + 8])[0]
+                off = body + 8
+                tables["stsc"] = [
+                    struct.unpack(">III", data[off + 12 * i : off + 12 * i + 12])
+                    for i in range(count)
+                ]
+            pos = max(pos + size, pos + 8)
+
+    walk(0, len(data))
+    if "sizes" not in tables or "chunk_offsets" not in tables or "stsc" not in tables:
+        raise NotImplementedError("no complete sample table (stsz/stco/stsc)")
+    codec = tables.get("codec", b"")
+    if codec not in (b"jpeg", b"mjpa"):
+        raise NotImplementedError(
+            f"unsupported sample codec {codec!r}; only MJPEG ('jpeg'/'mjpa')"
+        )
+    sizes = tables["sizes"]
+    offsets = tables["chunk_offsets"]
+    stsc = tables["stsc"]
+    # expand sample-to-chunk runs: entry (first_chunk, samples_per_chunk, _)
+    # applies until the next entry's first_chunk (1-based)
+    spans: list[int] = []  # samples_per_chunk for each chunk
+    for i, (first, per, _desc) in enumerate(stsc):
+        last = stsc[i + 1][0] - 1 if i + 1 < len(stsc) else len(offsets)
+        spans.extend([per] * (last - first + 1))
+    frames: list[bytes] = []
+    from .jpeg import decode_jpeg_pixels
+
+    si = 0
+    try:
+        for chunk_idx, per in enumerate(spans):
+            pos = offsets[chunk_idx]
+            for _ in range(per):
+                if si >= len(sizes):
+                    break
+                raw = data[pos : pos + sizes[si]]
+                if len(raw) < sizes[si]:
+                    raise ValueError("sample runs past end of file")
+                fw, fh, fc, pix = decode_jpeg_pixels(raw)
+                if fc == 1:
+                    pix = bytes(b for p in pix for b in (p, p, p))
+                frames.append(pix)
+                pos += sizes[si]
+                si += 1
+    except (ValueError, struct.error, IndexError) as ex:
+        raise NotImplementedError(f"corrupt MP4 sample data: {ex}") from ex
+    w, h = tables.get("dims", (0, 0))
+    return w, h, frames
+
+
+def decode_video_frames(data: bytes) -> tuple[int, int, "list[bytes]"]:
+    """Container-dispatching REAL video frame decode: RIFF/AVI
+    (decode_avi_frames — DIB/MJPEG streams) or ISO-BMFF/MP4
+    (decode_mp4_samples — MJPEG sample tables). Everything else raises
+    NotImplementedError (the ffmpeg seam)."""
+    if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+        return decode_avi_frames(data)
+    if len(data) >= 12 and data[4:8] == b"ftyp":
+        return decode_mp4_samples(data)
+    raise NotImplementedError("not an AVI or ISO-BMFF video container")

@@ -1248,3 +1248,64 @@ def multimodal_mjpeg_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     media = docs.select("doc_id", synth_udf(F.col("doc_id")).alias("media"))
     return MM.video_frame_stats_table(media, "doc_id", "media")
+
+
+# ---------------------------------------------------------------------------
+# REAL ISO-BMFF (MP4) sample-table decode: frames extracted via the actual
+# stsz/stco/stsc walk (multi-chunk layout — the short final chunk gets its
+# own stsc run) and decoded by the T.81 path; even shades are closed-form.
+# A sample-table bug (wrong chunk offset, run off-by-one, size slip) loses
+# or corrupts frames and breaks the per-frame hash.
+# ---------------------------------------------------------------------------
+
+_MP4_FRAMES_ORACLE = """
+WITH p AS (
+  SELECT doc_id, 5 + doc_id % 9 AS w, 4 + doc_id % 7 AS h,
+         3 + doc_id % 4 AS nf
+  FROM documents
+),
+f AS (
+  SELECT doc_id, w, h, t.i AS t, 2 * ((doc_id + 53 * t.i) % 128) AS shade
+  FROM p, LATERAL (SELECT unnest(range(0, nf)) AS i) t
+)
+SELECT doc_id AS id, CAST(t AS INT) AS frame_idx,
+       CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST(3 AS INT) AS channels,
+       CAST(w * h * 3 * shade AS BIGINT) AS pixel_sum,
+       CAST(shade AS DOUBLE) AS mean_pixel
+FROM f
+"""
+
+
+@query("multimodal_mp4_frames", oracle=_MP4_FRAMES_ORACLE, tags=("llm", "multimodal"))
+def multimodal_mp4_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL MP4 -> pixels, ORACLED end-to-end: each doc synthesizes a
+    frame-carrying ISO-BMFF file (real stsd/stts/stsc/stsz/stco sample
+    tables, 2-samples-per-chunk layout so the short final chunk
+    exercises stsc run expansion) whose MJPEG samples decode through the
+    full T.81 path; the oracle predicts every frame's sums in closed
+    form from even constant shades."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def synth(ids):
+        def mk(i):
+            i = int(i)
+            nf = 3 + i % 4
+            shades = [2 * ((i + 53 * t) % 128) for t in range(nf)]
+            return MM.make_mp4_mjpeg(
+                5 + i % 9, 4 + i % 7, shades, samples_per_chunk=2
+            )
+
+        return ids.map(mk)
+
+    synth.__annotations__ = {"ids": pd.Series, "return": pd.Series}
+    synth_udf = pandas_udf("binary")(synth)
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    media = docs.select("doc_id", synth_udf(F.col("doc_id")).alias("media"))
+    return MM.video_frame_stats_table(media, "doc_id", "media")
