@@ -1772,3 +1772,28 @@ class TestMp4Samples:
         w2, h2, f2 = decode_video_frames(make_mp4_mjpeg(4, 3, [10, 20]))
         assert (w1, h1, len(f1)) == (4, 3, 2)
         assert (w2, h2, len(f2)) == (4, 3, 2)
+
+
+class TestMp4Timestamps:
+    def test_variable_deltas_rle_expansion(self, spark):
+        from tuktu_spark.llm.multimodal import make_mp4_mjpeg, mp4_sample_timestamps
+
+        deltas = [40, 60, 80, 40, 60]
+        mp4 = make_mp4_mjpeg(4, 4, [10] * 5, frame_deltas=deltas)
+        assert mp4_sample_timestamps(mp4) == [0, 40, 100, 180, 220]
+
+    def test_constant_deltas_single_run(self, spark):
+        from tuktu_spark.llm.multimodal import make_mp4_mjpeg, mp4_sample_timestamps
+
+        mp4 = make_mp4_mjpeg(4, 4, [10, 12, 14])
+        # constant 100 ms deltas RLE to one run
+        assert mp4.count(b"stts") == 1
+        assert mp4_sample_timestamps(mp4) == [0, 100, 200]
+
+    def test_header_only_raises_seam(self, spark):
+        import pytest
+
+        from tuktu_spark.llm.multimodal import make_mp4, mp4_sample_timestamps
+
+        with pytest.raises(NotImplementedError):
+            mp4_sample_timestamps(make_mp4(640, 360, 5000))

@@ -1654,6 +1654,7 @@ def make_mp4_mjpeg(
     timescale: int = 1000,
     frame_delta: int = 100,
     samples_per_chunk: "int | None" = None,
+    frame_deltas: "list[int] | None" = None,
 ) -> bytes:
     """A real, frame-CARRYING ISO-BMFF file: ftyp + moov(mvhd +
     trak(tkhd + mdia(mdhd + hdlr'vide' + minf(vmhd + dinf +
@@ -1668,7 +1669,17 @@ def make_mp4_mjpeg(
 
     samples = [make_jpeg(width, height, shade=s) for s in frame_shades]
     n = len(samples)
-    duration = n * frame_delta
+    deltas = frame_deltas if frame_deltas is not None else [frame_delta] * n
+    if len(deltas) != n:
+        raise ValueError("frame_deltas must have one entry per frame")
+    duration = sum(deltas)
+    # stts is run-length encoded: (count, delta) per run of equal deltas
+    stts_runs: list[tuple[int, int]] = []
+    for d in deltas:
+        if stts_runs and stts_runs[-1][1] == d:
+            stts_runs[-1] = (stts_runs[-1][0] + 1, d)
+        else:
+            stts_runs.append((1, d))
     spc = samples_per_chunk or n
     # chunk layout: sizes per chunk, then stsc runs (full + remainder)
     chunk_sizes = [min(spc, n - i) for i in range(0, n, spc)] or [0]
@@ -1699,7 +1710,11 @@ def make_mp4_mjpeg(
                 + struct.pack(">Hh", 24, -1),  # depth, color table id
             ),
         )
-        stts = _box(b"stts", struct.pack(">III I", 0, 1, n, frame_delta))
+        stts = _box(
+            b"stts",
+            struct.pack(">II", 0, len(stts_runs))
+            + b"".join(struct.pack(">II", c, d) for c, d in stts_runs),
+        )
         stsc = _box(
             b"stsc",
             struct.pack(">II", 0, len(stsc_runs))
@@ -1879,3 +1894,78 @@ def decode_video_frames(data: bytes) -> tuple[int, int, "list[bytes]"]:
     if len(data) >= 12 and data[4:8] == b"ftyp":
         return decode_mp4_samples(data)
     raise NotImplementedError("not an AVI or ISO-BMFF video container")
+
+
+def mp4_sample_timestamps(data: bytes, timescale: int = 1000) -> "list[int]":
+    """REAL sample-accurate frame timestamps from the stts
+    (decoding-time-to-sample) table: expand the run-length-encoded
+    (count, delta) entries and prefix-sum them — t_k = sum of deltas
+    before sample k, in timescale units (ms at the default 1000). This
+    supersedes the interval-derived schedule (frame_timestamps_plan) for
+    containers that carry a sample table."""
+    if len(data) < 12 or data[4:8] != b"ftyp":
+        raise NotImplementedError("not an ISO-BMFF file")
+    runs: "list[tuple[int, int]] | None" = None
+
+    def walk(lo: int, hi: int, depth: int = 0) -> None:
+        nonlocal runs
+        pos = lo
+        while pos + 8 <= hi and depth < 10:
+            size = struct.unpack(">I", data[pos : pos + 4])[0]
+            btype = data[pos + 4 : pos + 8]
+            body = pos + 8
+            if size == 1:
+                if pos + 16 > hi:
+                    return
+                size = struct.unpack(">Q", data[pos + 8 : pos + 16])[0]
+                body = pos + 16
+            if size == 0:
+                size = hi - pos
+            end = min(pos + size, hi)
+            if btype in (b"moov", b"trak", b"mdia", b"minf", b"stbl"):
+                walk(body, end, depth + 1)
+            elif btype == b"stts" and body + 8 <= end:
+                count = struct.unpack(">I", data[body + 4 : body + 8])[0]
+                off = body + 8
+                runs = [
+                    struct.unpack(">II", data[off + 8 * i : off + 8 * i + 8])
+                    for i in range(count)
+                ]
+            pos = max(pos + size, pos + 8)
+
+    walk(0, len(data))
+    if runs is None:
+        raise NotImplementedError("no stts table")
+    ts, t = [], 0
+    for count, delta in runs:
+        for _ in range(count):
+            ts.append(t)
+            t += delta
+    return ts
+
+
+VIDEO_TIMESTAMPS_SCHEMA = "id bigint, frame_idx int, ts_ms bigint"
+
+
+def video_sample_timestamps_table(
+    df: DataFrame, id_col: str, media_col: str = "media"
+) -> DataFrame:
+    """mapInPandas stts walk: one (id, frame_idx, ts_ms) row per sample —
+    the sample-accurate frame-extraction schedule (vs the interval
+    approximation of frame_timestamps_plan). Scan-shaped: no shuffle at
+    all until a consumer keys on it."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                data = bytes(row[media_col]) if row[media_col] is not None else b""
+                for t, ts in enumerate(mp4_sample_timestamps(data)):
+                    rows.append(
+                        {"id": int(row[id_col]), "frame_idx": t, "ts_ms": ts}
+                    )
+            yield pd.DataFrame(rows)
+
+    return df.select(F.col(id_col).cast("bigint").alias(id_col), media_col).mapInPandas(
+        stats, schema=VIDEO_TIMESTAMPS_SCHEMA
+    )

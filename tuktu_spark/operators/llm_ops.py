@@ -1089,3 +1089,19 @@ def video_scene_cuts_op(config: dict):
         threshold=int(config.get("threshold", 8)),
         id_col=config.get("id_field", "id"),
     )
+
+
+@operator("video_sample_timestamps")
+def video_sample_timestamps_op(config: dict):
+    """Sample-accurate frame timestamps from the real stts table
+    (multimodal.video_sample_timestamps_table) — the schedule a
+    frame-extract stage consumes when the container carries sample
+    timing, superseding the interval-derived media_frame_timestamps.
+    config: {id_field, media_field}."""
+    from ..llm.multimodal import video_sample_timestamps_table
+
+    return lambda df: video_sample_timestamps_table(
+        df,
+        id_col=config.get("id_field", "doc_id"),
+        media_col=config.get("media_field", "media"),
+    )

@@ -1309,3 +1309,55 @@ def multimodal_mp4_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     media = docs.select("doc_id", synth_udf(F.col("doc_id")).alias("media"))
     return MM.video_frame_stats_table(media, "doc_id", "media")
+
+
+# ---------------------------------------------------------------------------
+# Sample-accurate frame timestamps (multimodal.mp4_sample_timestamps): the
+# stts run-length expansion + prefix sum, against an oracle that recomputes
+# the cumulative deltas with a window SUM. Variable per-frame deltas
+# (40 + 20*((id + t) % 3)) force single-count runs, so the RLE expansion
+# itself is what's under test.
+# ---------------------------------------------------------------------------
+
+_MP4_TS_ORACLE = """
+WITH p AS (
+  SELECT doc_id, 3 + doc_id % 5 AS nf FROM documents
+),
+f AS (
+  SELECT doc_id, t.i AS t, 40 + 20 * ((doc_id + t.i) % 3) AS delta
+  FROM p, LATERAL (SELECT unnest(range(0, nf)) AS i) t
+)
+SELECT doc_id AS id, CAST(t AS INT) AS frame_idx,
+       CAST(COALESCE(SUM(delta) OVER (
+              PARTITION BY doc_id ORDER BY t
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS ts_ms
+FROM f
+"""
+
+
+@query("multimodal_mp4_timestamps", oracle=_MP4_TS_ORACLE, tags=("llm", "multimodal"))
+def multimodal_mp4_timestamps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-accurate frame schedule through the REAL stts walk: each
+    doc's MP4 carries variable per-frame durations; the decoded
+    timestamps must equal the oracle's windowed prefix sums exactly."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def synth(ids):
+        def mk(i):
+            i = int(i)
+            nf = 3 + i % 5
+            deltas = [40 + 20 * ((i + t) % 3) for t in range(nf)]
+            return MM.make_mp4_mjpeg(
+                4, 4, [128] * nf, frame_deltas=deltas
+            )
+
+        return ids.map(mk)
+
+    synth.__annotations__ = {"ids": pd.Series, "return": pd.Series}
+    synth_udf = pandas_udf("binary")(synth)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    media = docs.select("doc_id", synth_udf(F.col("doc_id")).alias("media"))
+    return MM.video_sample_timestamps_table(media, "doc_id", "media")
