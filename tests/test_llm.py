@@ -1797,3 +1797,57 @@ class TestMp4Timestamps:
 
         with pytest.raises(NotImplementedError):
             mp4_sample_timestamps(make_mp4(640, 360, 5000))
+
+
+class TestIndexedPng:
+    def test_roundtrip_exact_all_filters(self, spark):
+        from tuktu_spark.llm.multimodal import decode_pixels, make_png
+
+        png = make_png(
+            5, 4, gradient=(9, 3, 7), filters=[0, 1, 2, 3, 4], indexed=True
+        )
+        w, h, c, rgb = decode_pixels(png)
+        assert (w, h, c) == (5, 4, 3)
+        want = bytearray()
+        for y in range(4):
+            for x in range(5):
+                v = (9 + 3 * x + 7 * y) % 256
+                want += bytes([v, (2 * v) % 256, (3 * v) % 256])
+        assert rgb == bytes(want)
+
+    def test_missing_plte_raises_seam(self, spark):
+        import struct as st
+        import zlib
+
+        import pytest
+
+        from tuktu_spark.llm.multimodal import decode_png_pixels, make_png
+
+        png = bytearray(make_png(4, 3, indexed=True, gradient=(0, 1, 1)))
+        # excise the PLTE chunk (12-byte framing + 768-byte payload)
+        i = png.find(b"PLTE") - 4
+        ln = st.unpack(">I", png[i : i + 4])[0]
+        del png[i : i + 12 + ln]
+        with pytest.raises(NotImplementedError):
+            decode_png_pixels(bytes(png))
+
+    def test_out_of_range_index_raises(self, spark):
+        import pytest
+
+        from tuktu_spark.llm.multimodal import decode_pixels, make_png
+
+        png = bytearray(make_png(2, 2, indexed=True, gradient=(250, 1, 1)))
+        # shrink the palette to 16 entries: indices 250.. overflow it
+        import struct as st
+        import zlib
+
+        i = png.find(b"PLTE") - 4
+        ln = st.unpack(">I", png[i : i + 4])[0]
+        payload = bytes(png[i + 8 : i + 8 + 48])  # 16 entries
+        new = (
+            st.pack(">I", 48) + b"PLTE" + payload
+            + st.pack(">I", zlib.crc32(b"PLTE" + payload) & 0xFFFFFFFF)
+        )
+        png[i : i + 12 + ln] = new
+        with pytest.raises(NotImplementedError):  # ValueError -> seam map
+            decode_pixels(bytes(png))

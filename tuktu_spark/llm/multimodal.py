@@ -259,11 +259,13 @@ def _paeth(a: int, b: int, c: int) -> int:
 
 def decode_png_pixels(data: bytes) -> tuple[int, int, int, bytes]:
     """REAL stdlib PNG pixel decode for 8-bit non-interlaced images
-    (color types 0/2/4/6): concatenate IDAT chunks, zlib-inflate, reverse
-    the per-scanline filters (None/Sub/Up/Average/Paeth per the W3C PNG
-    spec §9) and return (width, height, channels, raw_pixel_bytes).
-    Raises NotImplementedError for bit depths/palettes/interlace outside
-    that envelope — those fall to the PIL seam."""
+    (color types 0/2/3/4/6): concatenate IDAT chunks, zlib-inflate,
+    reverse the per-scanline filters (None/Sub/Up/Average/Paeth per the
+    W3C PNG spec §9) and return (width, height, channels,
+    raw_pixel_bytes). Indexed images (type 3) map through the PLTE
+    palette to RGB (tRNS transparency ignored — documented). Raises
+    NotImplementedError for bit depths/interlace outside that envelope —
+    those fall to the PIL seam."""
     import zlib
 
     if len(data) < 33 or data[:8] != b"\x89PNG\r\n\x1a\n":
@@ -272,23 +274,31 @@ def decode_png_pixels(data: bytes) -> tuple[int, int, int, bytes]:
     bit_depth, color_type, _comp, _filt, interlace = struct.unpack(
         ">BBBBB", data[24:29]
     )
-    if bit_depth != 8 or interlace != 0 or color_type not in _PNG_CHANNELS:
+    if bit_depth != 8 or interlace != 0 or (
+        color_type not in _PNG_CHANNELS and color_type != 3
+    ):
         raise NotImplementedError(
             f"PNG envelope not supported: depth={bit_depth} color={color_type}"
             f" interlace={interlace}"
         )
-    channels = _PNG_CHANNELS[color_type]
-    # walk chunks, concatenating IDAT payloads
+    channels = 1 if color_type == 3 else _PNG_CHANNELS[color_type]
+    # walk chunks, concatenating IDAT payloads (and PLTE for indexed)
     idat = bytearray()
+    palette = None
     pos = 8
     while pos + 8 <= len(data):
         (length,) = struct.unpack(">I", data[pos : pos + 4])
         ctype = data[pos + 4 : pos + 8]
         if ctype == b"IDAT":
             idat += data[pos + 8 : pos + 8 + length]
+        elif ctype == b"PLTE":
+            palette = data[pos + 8 : pos + 8 + length]
         if ctype == b"IEND":
             break
         pos += 12 + length  # len + type + payload + crc
+    if color_type == 3:
+        if palette is None or len(palette) % 3:
+            raise NotImplementedError("indexed PNG without a valid PLTE")
     raw = zlib.decompress(bytes(idat))
     bpp = channels  # 8-bit: bytes per pixel == samples per pixel
     stride = w * bpp
@@ -318,6 +328,14 @@ def decode_png_pixels(data: bytes) -> tuple[int, int, int, bytes]:
             raise NotImplementedError(f"unknown PNG filter {f}")
         out[y * stride : (y + 1) * stride] = line
         prior = bytes(line)
+    if color_type == 3:
+        n_entries = len(palette) // 3
+        rgb = bytearray(len(out) * 3)
+        for i, idx in enumerate(out):
+            if idx >= n_entries:
+                raise ValueError(f"palette index {idx} out of range")
+            rgb[3 * i : 3 * i + 3] = palette[3 * idx : 3 * idx + 3]
+        return int(w), int(h), 3, bytes(rgb)
     return int(w), int(h), channels, bytes(out)
 
 
@@ -496,6 +514,7 @@ def make_png(
     pixel: tuple[int, ...] | None = None,
     filters: list[int] | None = None,
     gradient: tuple[int, int, int] | None = None,
+    indexed: bool = False,
 ) -> bytes:
     """A real, spec-valid PNG (zlib-compressed scanlines, CRC-correct
     chunks). ``pixel`` selects the color layout: None/1-tuple =
@@ -505,7 +524,10 @@ def make_png(
     recover the pixels. ``gradient=(seed, dx, dy)`` overrides the flat
     fill with a grayscale coordinate ramp value(x, y) = (seed + dx*x +
     dy*y) % 256 — every pixel distinct-ish, so geometry bugs (resize
-    sampling, crops) change sums instead of cancelling."""
+    sampling, crops) change sums instead of cancelling. ``indexed=True``
+    writes color type 3: the ramp values become PALETTE INDICES and a
+    256-entry PLTE maps index v -> RGB (v, (2v)%256, (3v)%256) — the
+    same arithmetic palette as make_gif, oracle-friendly."""
     import zlib
 
     def chunk(ctype: bytes, payload: bytes) -> bytes:
@@ -518,8 +540,10 @@ def make_png(
 
     px = tuple(pixel) if pixel is not None else (shade,)
     if gradient is not None:
-        px = (0,)  # grayscale layout; values come from the ramp
-    color_type = {1: 0, 3: 2, 4: 6}[len(px)]
+        px = (0,)  # grayscale/index layout; values come from the ramp
+    color_type = 3 if indexed else {1: 0, 3: 2, 4: 6}[len(px)]
+    if indexed and len(px) != 1:
+        raise ValueError("indexed PNGs take 1-byte values (indices)")
     bpp = len(px)
     ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
     raw = bytearray()
@@ -533,9 +557,16 @@ def make_png(
         f = filters[y % len(filters)] if filters else 0
         raw += bytes([f]) + _png_filter_line(f, line, prior, bpp)
         prior = line
+    plte = b""
+    if indexed:
+        pal = bytes(
+            b for v in range(256) for b in (v, (2 * v) % 256, (3 * v) % 256)
+        )
+        plte = chunk(b"PLTE", pal)
     return (
         b"\x89PNG\r\n\x1a\n"
         + chunk(b"IHDR", ihdr)
+        + plte
         + chunk(b"IDAT", zlib.compress(bytes(raw)))
         + chunk(b"IEND", b"")
     )

@@ -1361,3 +1361,67 @@ def multimodal_mp4_timestamps(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     media = docs.select("doc_id", synth_udf(F.col("doc_id")).alias("media"))
     return MM.video_sample_timestamps_table(media, "doc_id", "media")
+
+
+# ---------------------------------------------------------------------------
+# Indexed (palette) PNG decode: color type 3 + PLTE, the one common PNG
+# layout the envelope lacked. Same arithmetic palette as the GIF fixture,
+# REAL forward row filtering (all five types cycled) on the INDEX plane —
+# a filter bug scrambles indices and the palette amplifies it.
+# ---------------------------------------------------------------------------
+
+_PNG_INDEXED_ORACLE = """
+WITH p AS (
+  SELECT doc_id, 3 + doc_id % 14 AS w, 2 + doc_id % 9 AS h,
+         doc_id % 256 AS seed
+  FROM documents
+),
+cells AS (
+  SELECT doc_id, w, h,
+         (seed + 3 * x.i + 7 * y.i) % 256 AS v
+  FROM p,
+       LATERAL (SELECT unnest(range(0, w)) AS i) x,
+       LATERAL (SELECT unnest(range(0, h)) AS i) y
+),
+s AS (
+  SELECT doc_id, MIN(w) AS w, MIN(h) AS h,
+         SUM(v + (2 * v) % 256 + (3 * v) % 256) AS ps
+  FROM cells GROUP BY doc_id
+)
+SELECT doc_id AS id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST(3 AS INT) AS channels,
+       CAST(ps AS BIGINT) AS pixel_sum,
+       CAST(w * h * 3 AS BIGINT) AS n_vals,
+       CAST(ps AS DOUBLE) / (w * h * 3) AS mean_pixel
+FROM s
+"""
+
+
+@query("multimodal_png_indexed", oracle=_PNG_INDEXED_ORACLE, tags=("llm", "multimodal"))
+def multimodal_png_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL indexed-PNG decode, ORACLED end-to-end: color type 3 with a
+    256-entry arithmetic PLTE, gradient indices under real per-row
+    forward filtering (all five filter types); the RGB sums hash-match
+    per-coordinate oracle arithmetic — an unfilter or palette-mapping
+    bug breaks it."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def synth(ids):
+        def mk(i):
+            i = int(i)
+            return MM.make_png(
+                3 + i % 14, 2 + i % 9,
+                gradient=(i % 256, 3, 7),
+                filters=[0, 1, 2, 3, 4],
+                indexed=True,
+            )
+
+        return ids.map(mk)
+
+    synth.__annotations__ = {"ids": pd.Series, "return": pd.Series}
+    synth_udf = pandas_udf("binary")(synth)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    media = docs.select("doc_id", synth_udf(F.col("doc_id")).alias("media"))
+    return MM.pixel_stats_table(media, "doc_id", "media")
