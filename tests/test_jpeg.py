@@ -96,3 +96,34 @@ class TestRoundTrip:
     def test_not_a_jpeg(self):
         with pytest.raises(NotImplementedError):
             decode_jpeg_pixels(b"plainly not a jpeg")
+
+
+class Test420Subsampling:
+    def test_gray_color_420_decodes_exact(self):
+        from tuktu_spark.llm.jpeg import decode_jpeg_pixels, make_jpeg
+
+        # partial MCUs in both axes (16x16 MCU grid): 9x5, 24x17, 33x31
+        for w, h in ((16, 16), (9, 5), (24, 17), (33, 31)):
+            for shade in (0, 64, 128, 254):
+                j = make_jpeg(w, h, pixel=(shade, shade, shade), subsampling="420")
+                dw, dh, c, pix = decode_jpeg_pixels(j)
+                assert (dw, dh, c) == (w, h, 3)
+                assert set(pix) == {shade}
+
+    def test_sof_declares_22_sampling(self):
+        from tuktu_spark.llm.jpeg import make_jpeg
+
+        j = make_jpeg(16, 16, pixel=(100, 100, 100), subsampling="420")
+        i = j.find(b"\xff\xc0")
+        # SOF0: len(2) prec(1) h(2) w(2) nc(1), then comp 1: id, h<<4|v, tq
+        assert j[i + 11] == 0x22
+
+    def test_color_420_within_quant_error(self):
+        from tuktu_spark.llm.jpeg import decode_jpeg_pixels, make_jpeg
+
+        j = make_jpeg(16, 16, pixel=(200, 80, 40), subsampling="420")
+        _, _, c, pix = decode_jpeg_pixels(j)
+        assert c == 3
+        rs, gs, bs = pix[0::3], pix[1::3], pix[2::3]
+        for chan, target in ((rs, 200), (gs, 80), (bs, 40)):
+            assert all(abs(v - target) <= 12 for v in chan)

@@ -8,10 +8,10 @@ Progressive (SOF2) and arithmetic coding are OUT of the envelope and
 raise NotImplementedError — they fall to the PIL seam, exactly like
 non-8-bit PNGs.
 
-The encoder writes spec-valid baseline grayscale/4:4:4 color JPEGs with
-the T.81 Annex K quantization + Huffman tables, so the decoder's every
-stage (huffman, dequant, IDCT, color transform) is round-trip tested
-without binary fixtures. JPEG is lossy, but for CONSTANT blocks the DCT
+The encoder writes spec-valid baseline grayscale, 4:4:4 and 4:2:0 color
+JPEGs with the T.81 Annex K quantization + Huffman tables, so the
+decoder's every stage (huffman, dequant, IDCT, chroma upsampling, color
+transform) is round-trip tested without binary fixtures. JPEG is lossy, but for CONSTANT blocks the DCT
 has only a DC coefficient and the decoded value is exact integer
 arithmetic in the input shade — which is what the driver oracle predicts
 in SQL (multimodal_jpeg_decode).
@@ -447,11 +447,23 @@ def _encode_block(bw, block, quant, dc_codes, ac_codes, pred):
 
 
 def make_jpeg(
-    width: int, height: int, shade: int = 128, pixel: tuple[int, int, int] | None = None
+    width: int,
+    height: int,
+    shade: int = 128,
+    pixel: tuple[int, int, int] | None = None,
+    subsampling: str = "444",
 ) -> bytes:
     """A real baseline JFIF JPEG: grayscale when ``pixel`` is None, else
-    4:4:4 color filled with the RGB triple. Annex K tables."""
+    color filled with the RGB triple. Annex K tables.
+    ``subsampling='420'`` (color only) writes 2x2-sampled luma — 16x16
+    MCUs of four Y blocks + Cb + Cr, the layout nearly every camera and
+    encoder produces; gray triples (r=g=b, even) still decode exactly
+    (Cb=Cr=128 survives quantization untouched)."""
     color = pixel is not None
+    if subsampling not in ("444", "420"):
+        raise ValueError("subsampling must be '444' or '420'")
+    sub420 = color and subsampling == "420"
+    luma_hv = 0x22 if sub420 else 0x11
     out = bytearray(b"\xff\xd8")
     out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
     # DQT
@@ -465,7 +477,7 @@ def make_jpeg(
     # SOF0
     nc = 3 if color else 1
     sof = bytes([8]) + struct.pack(">HH", height, width) + bytes([nc])
-    sof += bytes([1, 0x11, 0])
+    sof += bytes([1, luma_hv, 0])
     if color:
         sof += bytes([2, 0x11, 1, 3, 0x11, 1])
     out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
@@ -494,8 +506,9 @@ def make_jpeg(
     else:
         planes = [(float(shade), QUANT_LUMA, 0)]
 
-    mcux = (width + 7) // 8
-    mcuy = (height + 7) // 8
+    mcu_px = 16 if sub420 else 8
+    mcux = (width + mcu_px - 1) // mcu_px
+    mcuy = (height + mcu_px - 1) // mcu_px
     bw = _BitWriter()
     dc_l, ac_l = _huff_codes(DC_LUMA_SPEC), _huff_codes(AC_LUMA_SPEC)
     dc_c, ac_c = _huff_codes(DC_CHROMA_SPEC), _huff_codes(AC_CHROMA_SPEC)
@@ -504,10 +517,14 @@ def make_jpeg(
     for _my in range(mcuy):
         for _mx in range(mcux):
             for ci, (val, quant, tab) in enumerate(planes):
-                block = np.full((8, 8), float(val))
-                dc_codes = dc_l if tab == 0 else dc_c
-                ac_codes = ac_l if tab == 0 else ac_c
-                preds[ci] = _encode_block(bw, block, quant, dc_codes, ac_codes, preds[ci])
+                # 4:2:0: the luma component contributes h*v = 4 blocks
+                # per MCU (constant fill -> identical blocks)
+                reps = 4 if (sub420 and ci == 0) else 1
+                for _ in range(reps):
+                    block = np.full((8, 8), float(val))
+                    dc_codes = dc_l if tab == 0 else dc_c
+                    ac_codes = ac_l if tab == 0 else ac_c
+                    preds[ci] = _encode_block(bw, block, quant, dc_codes, ac_codes, preds[ci])
     bw.flush()
     out += bw.out
     out += b"\xff\xd9"

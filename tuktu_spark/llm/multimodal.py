@@ -2000,3 +2000,14 @@ def video_sample_timestamps_table(
     return df.select(F.col(id_col).cast("bigint").alias(id_col), media_col).mapInPandas(
         stats, schema=VIDEO_TIMESTAMPS_SCHEMA
     )
+
+
+def make_jpeg420(width: int, height: int, shade: int) -> bytes:
+    """Convenience wrapper: a real 4:2:0-subsampled color JPEG filled
+    with the gray triple (shade, shade, shade) — even shades decode
+    exactly through the chroma-upsampling path (llm/jpeg.make_jpeg)."""
+    from .jpeg import make_jpeg
+
+    return make_jpeg(
+        width, height, pixel=(shade, shade, shade), subsampling="420"
+    )

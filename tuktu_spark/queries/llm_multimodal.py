@@ -1425,3 +1425,53 @@ def multimodal_png_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     media = docs.select("doc_id", synth_udf(F.col("doc_id")).alias("media"))
     return MM.pixel_stats_table(media, "doc_id", "media")
+
+
+# ---------------------------------------------------------------------------
+# 4:2:0 chroma-subsampled JPEG decode: 16x16 MCUs (four Y blocks + Cb + Cr)
+# — the layout virtually every camera produces, and the decoder's chroma
+# UPSAMPLING path, which 4:4:4 fixtures never touch. Gray triples with even
+# shades decode exactly (Cb=Cr=128 survives quantization untouched), so the
+# oracle stays closed-form; partial MCUs in both axes pin the edge crop.
+# ---------------------------------------------------------------------------
+
+_JPEG420_ORACLE = """
+WITH params AS (
+  SELECT doc_id,
+         CAST(9 + doc_id % 24 AS INT) AS width,
+         CAST(5 + doc_id % 14 AS INT) AS height,
+         (doc_id * 2) % 256 AS shade
+  FROM documents
+)
+SELECT doc_id AS id, width, height, CAST(3 AS INT) AS channels,
+       CAST(width * height * 3 * shade AS BIGINT) AS pixel_sum,
+       CAST(width * height * 3 AS BIGINT) AS n_vals,
+       CAST(shade AS DOUBLE) AS mean_pixel
+FROM params
+"""
+
+
+@query("multimodal_jpeg420_decode", oracle=_JPEG420_ORACLE, tags=("llm", "multimodal"))
+def multimodal_jpeg420_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL 4:2:0 JPEG decode, ORACLED end-to-end: per-doc 2x2-subsampled
+    color JPEGs (gray triples, even shades), decoded through the full
+    T.81 path INCLUDING chroma upsampling; the oracle predicts every
+    value in closed form. Widths/heights force partial 16x16 MCUs in
+    both axes."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def synth(ids):
+        def mk(i):
+            i = int(i)
+            s = (i * 2) % 256
+            return MM.make_jpeg420(9 + i % 24, 5 + i % 14, s)
+
+        return ids.map(mk)
+
+    synth.__annotations__ = {"ids": pd.Series, "return": pd.Series}
+    synth_udf = pandas_udf("binary")(synth)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    media = docs.select("doc_id", synth_udf(F.col("doc_id")).alias("media"))
+    return MM.pixel_stats_table(media, "doc_id", "media")
