@@ -1348,19 +1348,22 @@ class TestGifCodec:
         w, h, c, rgb = decode_pixels(make_gif(4, 3, gradient=(0, 1, 1)))
         assert (w, h, c) == (4, 3, 3) and len(rgb) == 36
 
-    def test_interlaced_raises_seam(self, spark):
-        import pytest
-
+    def test_interlaced_roundtrip_exact(self, spark):
         from tuktu_spark.llm.multimodal import decode_gif_pixels, make_gif
 
-        g = bytearray(make_gif(4, 3))
-        # image descriptor starts after the 13-byte header + 768-byte GCT;
-        # its flags byte is at +9 — set the interlace bit
-        idx = 13 + 768
-        assert g[idx] == 0x2C
-        g[idx + 9] |= 0x40
-        with pytest.raises(NotImplementedError):
-            decode_gif_pixels(bytes(g))
+        # 4-pass interlace: stored row order scatters back exactly
+        for w, h in ((1, 1), (7, 5), (16, 13), (40, 30)):
+            plain = decode_gif_pixels(make_gif(w, h, gradient=(11, 3, 7)))
+            inter = decode_gif_pixels(
+                make_gif(w, h, gradient=(11, 3, 7), interlaced=True)
+            )
+            assert plain == inter
+
+    def test_interlace_row_order_is_specd(self, spark):
+        from tuktu_spark.llm.multimodal import gif_interlace_rows
+
+        assert gif_interlace_rows(10) == [0, 8, 4, 2, 6, 1, 3, 5, 7, 9]
+        assert sorted(gif_interlace_rows(30)) == list(range(30))
 
     def test_gif89a_accepted(self, spark):
         from tuktu_spark.llm.multimodal import decode_gif_pixels, make_gif

@@ -12,8 +12,8 @@ DECODE is also real for the stdlib envelope: 8-bit PNGs
 uncompressed-DIB and MJPEG streams), plus real feature-extraction
 kernels on top (nearest-neighbor resize, nearest-index PCM resample,
 seeded crop, image dHash, audio energy-delta fingerprints, scene-cut
-detection). Codecs outside that envelope (progressive JPEG, interlaced
-GIF, H.264/VP9 video samples) raise NotImplementedError — the
+detection). Codecs outside that envelope (progressive JPEG, H.264/VP9
+video samples) raise NotImplementedError — the
 PIL/ffmpeg seam: swap the decode step and nothing else changes.
 
 Scale notes: binary payloads ride in Arrow record batches; keep
@@ -1003,21 +1003,37 @@ def _lzw_decode(min_size: int, data: bytes) -> "list[int]":
     return out
 
 
+def gif_interlace_rows(height: int) -> "list[int]":
+    """The GIF 4-pass interlace row order (GIF89a spec appendix E):
+    rows 0,8,16,... then 4,12,..., then 2,6,10,..., then odd rows."""
+    order = []
+    for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+        order.extend(range(start, height, step))
+    return order
+
+
 def make_gif(
-    width: int, height: int, gradient: tuple[int, int, int] = (0, 1, 1)
+    width: int,
+    height: int,
+    gradient: tuple[int, int, int] = (0, 1, 1),
+    interlaced: bool = False,
 ) -> bytes:
     """A real, spec-valid GIF87a: 256-entry global color table with
     palette[j] = (j, (2j)%256, (3j)%256), pixel index(x, y) =
-    (seed + dx*x + dy*y) % 256 from ``gradient``, LZW-encoded."""
+    (seed + dx*x + dy*y) % 256 from ``gradient``, LZW-encoded.
+    ``interlaced=True`` sets the image-descriptor interlace flag and
+    stores the rows in the 4-pass interlace order."""
     seed, dx, dy = gradient
     out = bytearray(b"GIF87a")
     out += struct.pack("<HH", width, height)
     out += bytes([0xF7, 0, 0])  # GCT present, 8 bpp, 256 entries
     for j in range(256):
         out += bytes([j, (2 * j) % 256, (3 * j) % 256])
-    out += b"\x2c" + struct.pack("<HHHH", 0, 0, width, height) + b"\x00"
+    iflags = 0x40 if interlaced else 0x00
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, width, height) + bytes([iflags])
+    row_order = gif_interlace_rows(height) if interlaced else list(range(height))
     indices = [
-        (seed + dx * x + dy * y) % 256 for y in range(height) for x in range(width)
+        (seed + dx * x + dy * y) % 256 for y in row_order for x in range(width)
     ]
     out += bytes([8])  # LZW min code size
     enc = _lzw_encode_literals(indices, 8)
@@ -1029,8 +1045,8 @@ def make_gif(
 
 
 def decode_gif_pixels(data: bytes) -> tuple[int, int, int, bytes]:
-    """REAL GIF87a/89a decode for the single-image, global-color-table,
-    non-interlaced case: (width, height, 3, RGB bytes). Interlace, local
+    """REAL GIF87a/89a decode for the single-image, global-color-table
+    case, interlaced or not: (width, height, 3, RGB bytes). Local
     palettes and extensions beyond plain skipping raise
     NotImplementedError (the PIL seam)."""
     if len(data) < 13 or data[:6] not in (b"GIF87a", b"GIF89a"):
@@ -1055,8 +1071,7 @@ def decode_gif_pixels(data: bytes) -> tuple[int, int, int, bytes]:
             iflags = data[pos + 9]
             if iflags & 0x80:
                 raise NotImplementedError("local color tables unsupported")
-            if iflags & 0x40:
-                raise NotImplementedError("interlaced GIFs unsupported")
+            interlaced = bool(iflags & 0x40)
             pos += 10
             min_size = data[pos]
             pos += 1
@@ -1066,6 +1081,14 @@ def decode_gif_pixels(data: bytes) -> tuple[int, int, int, bytes]:
                 lzw += data[pos + 1 : pos + 1 + n]
                 pos += 1 + n
             indices = _lzw_decode(min_size, bytes(lzw))[: iw * ih]
+            if interlaced:
+                # stored rows are in 4-pass order; scatter them back
+                deinter = [0] * (iw * ih)
+                for stored, actual in enumerate(gif_interlace_rows(ih)):
+                    deinter[actual * iw : (actual + 1) * iw] = indices[
+                        stored * iw : (stored + 1) * iw
+                    ]
+                indices = deinter
             rgb = bytearray()
             for idx in indices:
                 rgb += palette[3 * idx : 3 * idx + 3]
