@@ -451,3 +451,32 @@ def test_video_scene_pipeline_flow(spark, sf_dir):
     # driver query; here: shape + no within-video frame loss)
     assert len(rows) == 300
     assert {r["frame_idx"] for r in rows} == {1, 2, 3}
+
+
+def test_multimodal_curation_pipeline_flow(spark, sf_dir):
+    """Video corpus -> per-frame dHash -> (scene cuts, cross-video frame
+    dedup) as one flow spec; the frame-pair leg uses a composite key so
+    the shared banded-Hamming join dedups at FRAME granularity."""
+    import os
+
+    from tuktu_spark.flow import run_flow
+
+    base = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "flows", "examples",
+    )
+    out = run_flow(
+        spark,
+        os.path.join(base, "multimodal_curation_pipeline.json"),
+        params={"dir": sf_dir},
+    )
+    cuts = out["cuts"].collect()
+    assert len(cuts) == 600  # 200 videos x 3 deltas
+    pairs = out["frame_pairs"].collect()
+    # media_synth_avi uses gradient (id%256, 3, 7, 11): videos with
+    # id % 256 equal AND same dims produce identical frames; at 200 docs
+    # ids are distinct mod 256, but within a video dt=11 keeps frames
+    # distinct too -- so exact-dup pairs come only from dHash-equal
+    # gradient collisions, which DO occur (dHash is shift-invariant).
+    assert all(r["hamming"] == 0 for r in pairs)
+    assert len(pairs) > 0
