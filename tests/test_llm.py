@@ -1854,3 +1854,74 @@ class TestIndexedPng:
         png[i : i + 12 + ln] = new
         with pytest.raises(NotImplementedError):  # ValueError -> seam map
             decode_pixels(bytes(png))
+
+
+class TestWav8Bit:
+    def test_8bit_roundtrip_matches_16bit_waveform(self, spark):
+        from tuktu_spark.llm.multimodal import decode_wav_samples, make_wav
+
+        w8 = make_wav(n_samples=300, bits=8, ramp=(3, 200))
+        w16 = make_wav(n_samples=300, bits=16, ramp=(3, 200))
+        r8, c8, s8 = decode_wav_samples(w8)
+        _, _, s16 = decode_wav_samples(w16)
+        assert s8 == s16 == [(i * 3) % 200 - 100 for i in range(300)]
+
+    def test_8bit_silence_is_centered(self, spark):
+        from tuktu_spark.llm.multimodal import decode_wav_samples, make_wav
+
+        _, _, s = decode_wav_samples(make_wav(n_samples=10, bits=8))
+        assert s == [0] * 10  # stored as 0x80, decoded centered
+
+    def test_fingerprint_agnostic_to_width(self, spark):
+        from tuktu_spark.llm.multimodal import (
+            audio_fingerprint_bits, decode_wav_samples, make_wav,
+        )
+
+        # small amplitudes fit both widths: identical fingerprints
+        f = []
+        for bits in (8, 16):
+            _, ch, s = decode_wav_samples(
+                make_wav(n_samples=325, bits=bits, ramp=(3, 200))
+            )
+            f.append(audio_fingerprint_bits(s, ch))
+        assert f[0] == f[1]
+
+    def test_other_widths_raise_seam(self, spark):
+        import struct as st
+
+        import pytest
+
+        from tuktu_spark.llm.multimodal import decode_wav_samples, make_wav
+
+        w = bytearray(make_wav(n_samples=10))
+        i = w.find(b"fmt ")
+        w[i + 22 : i + 24] = st.pack("<H", 24)  # claim 24-bit
+        with pytest.raises(NotImplementedError):
+            decode_wav_samples(bytes(w))
+
+
+class TestGifLocalPalette:
+    def _to_local(self, g: bytes) -> bytes:
+        hdr = bytearray(g[:13])
+        gct, rest = g[13 : 13 + 768], g[13 + 768 :]
+        hdr[10] &= 0x7F  # clear the GCT flag
+        desc = bytearray(rest[:10])
+        desc[9] |= 0x87  # LCT present, 256 entries
+        return bytes(hdr) + bytes(desc) + gct + rest[10:]
+
+    def test_local_table_decodes_identically(self, spark):
+        from tuktu_spark.llm.multimodal import decode_gif_pixels, make_gif
+
+        g = make_gif(5, 4, gradient=(9, 3, 7))
+        assert decode_gif_pixels(self._to_local(g)) == decode_gif_pixels(g)
+
+    def test_no_palette_at_all_raises_seam(self, spark):
+        import pytest
+
+        from tuktu_spark.llm.multimodal import decode_gif_pixels, make_gif
+
+        g = make_gif(4, 3)
+        hdr = bytearray(g[:13])
+        hdr[10] &= 0x7F
+        with pytest.raises(NotImplementedError):
+            decode_gif_pixels(bytes(hdr) + g[13 + 768 :])

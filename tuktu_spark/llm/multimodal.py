@@ -629,22 +629,28 @@ def make_wav(
     byte_rate = sample_rate * block_align
     if square is not None and ramp is not None:
         raise ValueError("pass square or ramp, not both")
+    def pack(v: int) -> bytes:
+        if bits == 8:  # WAV 8-bit PCM is stored unsigned, centered at 128
+            return bytes([max(0, min(255, v + 128))])
+        return struct.pack("<h", v)
+
     if square is None and ramp is None:
-        data = b"\x00" * (n_samples * block_align)
+        fill = b"\x80" if bits == 8 else b"\x00"
+        data = fill * (n_samples * channels * (bits // 8))
     elif square is not None:
         amp, period = square
         half = period // 2
         frame = bytearray()
         for i in range(n_samples):
             v = amp if (i % period) < half else -amp
-            frame += struct.pack("<h", v) * channels
+            frame += pack(v) * channels
         data = bytes(frame)
     else:
         step, modulus = ramp
         frame = bytearray()
         for i in range(n_samples):
             v = (i * step) % modulus - modulus // 2
-            frame += struct.pack("<h", v) * channels
+            frame += pack(v) * channels
         data = bytes(frame)
     fmt = struct.pack("<HHIIHH", 1, channels, sample_rate, byte_rate, block_align, bits)
     body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
@@ -653,14 +659,17 @@ def make_wav(
 
 
 def decode_wav_samples(data: bytes) -> tuple[int, int, "list[int]"]:
-    """REAL PCM decode of a 16-bit RIFF/WAVE file: (sample_rate,
-    channels, interleaved int16 samples). Raises NotImplementedError for
-    non-PCM or non-16-bit encodings (the ffmpeg seam)."""
+    """REAL PCM decode of a RIFF/WAVE file: (sample_rate, channels,
+    interleaved int samples). 16-bit PCM decodes to signed int16 values;
+    8-bit PCM (stored UNSIGNED per the WAV spec) is centered to
+    [-128, 127] so both widths share the signed-sample contract
+    downstream (zcr/energy/fingerprint). Other widths/encodings raise
+    NotImplementedError (the ffmpeg seam)."""
     info = _parse_wav(data)
     if info is None:
         raise NotImplementedError("not a RIFF/WAVE file")
-    if info.get("bits") != 16:
-        raise NotImplementedError("only 16-bit PCM supported")
+    if info.get("bits") not in (8, 16):
+        raise NotImplementedError("only 8/16-bit PCM supported")
     # locate the data chunk payload
     pos = 12
     payload = None
@@ -673,8 +682,11 @@ def decode_wav_samples(data: bytes) -> tuple[int, int, "list[int]"]:
         pos += 8 + size + (size % 2)
     if payload is None:
         raise NotImplementedError("no data chunk")
-    n = len(payload) // 2
-    samples = list(struct.unpack(f"<{n}h", payload[: n * 2]))
+    if info["bits"] == 8:
+        samples = [b - 128 for b in payload]
+    else:
+        n = len(payload) // 2
+        samples = list(struct.unpack(f"<{n}h", payload[: n * 2]))
     return int(info["sample_rate"]), int(info["channels"]), samples
 
 
@@ -1045,20 +1057,20 @@ def make_gif(
 
 
 def decode_gif_pixels(data: bytes) -> tuple[int, int, int, bytes]:
-    """REAL GIF87a/89a decode for the single-image, global-color-table
-    case, interlaced or not: (width, height, 3, RGB bytes). Local
-    palettes and extensions beyond plain skipping raise
-    NotImplementedError (the PIL seam)."""
+    """REAL GIF87a/89a decode for the single-image case, interlaced or
+    not, global or local color table (a local table overrides the
+    global per the spec): (width, height, 3, RGB bytes). Extensions
+    beyond plain skipping raise NotImplementedError (the PIL seam)."""
     if len(data) < 13 or data[:6] not in (b"GIF87a", b"GIF89a"):
         raise NotImplementedError("not a GIF")
     w, h = struct.unpack("<HH", data[6:10])
     flags = data[10]
-    if not flags & 0x80:
-        raise NotImplementedError("GIF without a global color table")
-    gct_n = 2 << (flags & 0x07)
     pos = 13
-    palette = data[pos : pos + 3 * gct_n]
-    pos += 3 * gct_n
+    palette = b""
+    if flags & 0x80:
+        gct_n = 2 << (flags & 0x07)
+        palette = data[pos : pos + 3 * gct_n]
+        pos += 3 * gct_n
     while pos < len(data):
         b = data[pos]
         if b == 0x21:  # extension: skip sub-blocks
@@ -1069,10 +1081,14 @@ def decode_gif_pixels(data: bytes) -> tuple[int, int, int, bytes]:
         elif b == 0x2C:
             _, _, iw, ih = struct.unpack("<HHHH", data[pos + 1 : pos + 9])
             iflags = data[pos + 9]
-            if iflags & 0x80:
-                raise NotImplementedError("local color tables unsupported")
             interlaced = bool(iflags & 0x40)
             pos += 10
+            if iflags & 0x80:  # local color table overrides the global
+                lct_n = 2 << (iflags & 0x07)
+                palette = data[pos : pos + 3 * lct_n]
+                pos += 3 * lct_n
+            if not palette:
+                raise NotImplementedError("GIF without any color table")
             min_size = data[pos]
             pos += 1
             lzw = bytearray()
