@@ -1925,3 +1925,39 @@ class TestGifLocalPalette:
         hdr[10] &= 0x7F
         with pytest.raises(NotImplementedError):
             decode_gif_pixels(bytes(hdr) + g[13 + 768 :])
+
+
+class TestLumaHistogram:
+    def test_histogram_matches_manual_and_flat_signal(self, spark):
+        import pandas as pd
+        from pyspark.sql import functions as F
+        from pyspark.sql.functions import pandas_udf
+
+        from tuktu_spark.llm import multimodal as MM
+
+        # id 0: flat image (one bin gets everything); id 1: gradient
+        def synth(ids):
+            def mk(i):
+                if int(i) == 0:
+                    return MM.make_png(6, 5, shade=100)
+                return MM.make_png(6, 5, gradient=(0, 50, 90))
+
+            return ids.map(mk)
+
+        synth.__annotations__ = {"ids": pd.Series, "return": pd.Series}
+        df = spark.range(2).select(
+            F.col("id").alias("doc_id"),
+            pandas_udf("binary")(synth)(F.col("id")).alias("media"),
+        )
+        rows = MM.image_luma_histogram_table(df, "doc_id").collect()
+        flat = [r for r in rows if r["id"] == 0]
+        assert len(flat) == 1 and flat[0]["n"] == 30  # all pixels, one bin
+        assert flat[0]["bin"] == (4 * 100) // 64
+        grad = {(r["bin"]): r["n"] for r in rows if r["id"] == 1}
+        manual: dict[int, int] = {}
+        for y in range(5):
+            for x in range(6):
+                v = (50 * x + 90 * y) % 256
+                b = 4 * v // 64
+                manual[b] = manual.get(b, 0) + 1
+        assert grad == manual

@@ -2050,3 +2050,42 @@ def make_jpeg420(width: int, height: int, shade: int) -> bytes:
     return make_jpeg(
         width, height, pixel=(shade, shade, shade), subsampling="420"
     )
+
+
+IMAGE_HISTOGRAM_SCHEMA = "id bigint, bin int, n bigint"
+
+
+def image_luma_histogram_table(
+    df: DataFrame, id_col: str, media_col: str = "media", bins: int = 16
+) -> DataFrame:
+    """mapInPandas decode -> integer luma histogram: one (id, bin, n)
+    row per occupied bin, luma = R + 2G + B (range 0..1020, grayscale
+    4*v) binned by floor division — exact integer arithmetic end to
+    end. The flat/low-entropy-image curation signal: a dominant bin
+    share near 1.0 marks single-color or near-constant images, the
+    visual analogue of the text repetition filters. Histograms, not
+    pixels, shuffle (≤ ``bins`` rows per image)."""
+    div = (1020 // bins) + 1  # bins of equal integer width covering 0..1020
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                data = bytes(row[media_col]) if row[media_col] is not None else b""
+                w, h, c, pix = decode_pixels(data)
+                counts: dict[int, int] = {}
+                for p in range(w * h):
+                    base = p * c
+                    if c >= 3:
+                        luma = pix[base] + 2 * pix[base + 1] + pix[base + 2]
+                    else:
+                        luma = 4 * pix[base]
+                    b = luma // div
+                    counts[b] = counts.get(b, 0) + 1
+                for b, n in counts.items():
+                    rows.append({"id": int(row[id_col]), "bin": b, "n": n})
+            yield pd.DataFrame(rows)
+
+    return df.select(F.col(id_col).cast("bigint").alias(id_col), media_col).mapInPandas(
+        stats, schema=IMAGE_HISTOGRAM_SCHEMA
+    )

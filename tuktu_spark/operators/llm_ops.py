@@ -1105,3 +1105,19 @@ def video_sample_timestamps_op(config: dict):
         id_col=config.get("id_field", "doc_id"),
         media_col=config.get("media_field", "media"),
     )
+
+
+@operator("image_luma_histogram")
+def image_luma_histogram_op(config: dict):
+    """Integer luma histogram per image (multimodal.
+    image_luma_histogram_table) — the flat/low-entropy image curation
+    signal; histograms, not pixels, shuffle. config: {id_field,
+    media_field, bins}."""
+    from ..llm.multimodal import image_luma_histogram_table
+
+    return lambda df: image_luma_histogram_table(
+        df,
+        id_col=config.get("id_field", "doc_id"),
+        media_col=config.get("media_field", "media"),
+        bins=int(config.get("bins", 16)),
+    )

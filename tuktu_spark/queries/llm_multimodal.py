@@ -1475,3 +1475,58 @@ def multimodal_jpeg420_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     media = docs.select("doc_id", synth_udf(F.col("doc_id")).alias("media"))
     return MM.pixel_stats_table(media, "doc_id", "media")
+
+
+# ---------------------------------------------------------------------------
+# Image luma histogram (multimodal.image_luma_histogram_table): the
+# flat/low-entropy image signal — exact integer luma bins recomputed
+# per-coordinate by the oracle over the same gradient PNGs as the dHash
+# fixture.
+# ---------------------------------------------------------------------------
+
+_LUMA_HIST_ORACLE = """
+WITH p AS (
+  SELECT doc_id, 3 + doc_id % 14 AS w, 2 + doc_id % 9 AS h,
+         doc_id % 256 AS seed
+  FROM documents
+),
+cells AS (
+  SELECT doc_id,
+         (seed + 3 * x.i + 7 * y.i) % 256 AS v
+  FROM p,
+       LATERAL (SELECT unnest(range(0, w)) AS i) x,
+       LATERAL (SELECT unnest(range(0, h)) AS i) y
+)
+SELECT doc_id AS id,
+       CAST((v + 2 * ((2 * v) % 256) + (3 * v) % 256) // 64 AS INT) AS bin,
+       COUNT(*) AS n
+FROM cells GROUP BY 1, 2
+"""
+
+
+@query("multimodal_luma_histogram", oracle=_LUMA_HIST_ORACLE, tags=("llm", "multimodal"))
+def multimodal_luma_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact luma histograms through the REAL indexed-PNG decode: every
+    (bin, count) recomputed per-coordinate by the oracle. ≤16 rows per
+    image shuffle — the curation-signal shape, pixels stay local."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def synth(ids):
+        def mk(i):
+            i = int(i)
+            return MM.make_png(
+                3 + i % 14, 2 + i % 9,
+                gradient=(i % 256, 3, 7),
+                filters=[0, 1, 2, 3, 4],
+                indexed=True,
+            )
+
+        return ids.map(mk)
+
+    synth.__annotations__ = {"ids": pd.Series, "return": pd.Series}
+    synth_udf = pandas_udf("binary")(synth)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    media = docs.select("doc_id", synth_udf(F.col("doc_id")).alias("media"))
+    return MM.image_luma_histogram_table(media, "doc_id", "media")
