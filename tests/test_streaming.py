@@ -370,3 +370,52 @@ def test_streaming_media_dedup_audio_kind(spark, tmp_path):
         r["doc_id"] for r in spark.read.parquet(str(tmp_path / "out")).collect()
     )
     assert kept == [1, 2]
+
+
+def test_streaming_scene_cuts_equals_batch(spark, tmp_path):
+    """The stateful scene-cut operator over a frame_idx-ordered replay
+    emits exactly the batch window's rows; state = one 24-byte triple
+    per video carried across micro-batches."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    from tuktu_spark.llm import multimodal as MM
+    from tuktu_spark.streaming.llm import streaming_scene_cuts
+
+    def synth(ids):
+        def mk(i):
+            i = int(i)
+            n = 6
+            grads = [
+                (i % 256, 3 if (t // 2) % 2 == 0 else 253, 7) for t in range(n)
+            ]
+            return MM.make_avi(5, 4, n, frame_gradients=grads)
+
+        return ids.map(mk)
+
+    synth.__annotations__ = {"ids": pd.Series, "return": pd.Series}
+    media = spark.range(4).select(
+        F.col("id").alias("doc_id"),
+        pandas_udf("binary")(synth)(F.col("id")).alias("media"),
+    )
+    hashes = MM.video_frame_dhash_table(media, "doc_id").cache()
+    want = {
+        (r["id"], r["frame_idx"], r["hamming"], r["is_cut"])
+        for r in MM.video_scene_cuts(hashes, threshold=8).collect()
+    }
+
+    # replay ordered by frame_idx: every video's frames are split
+    # ACROSS micro-batches in order — the cross-batch state path
+    stream = STR.replay_dataframe(
+        hashes, str(tmp_path / "replay"), chunks=3, order_col="frame_idx"
+    )
+    cuts = streaming_scene_cuts(stream, threshold=8)
+    q, name = STR.memory_sink(cuts, output_mode="append")
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r["id"], r["frame_idx"], r["hamming"], r["is_cut"])
+        for r in spark.table(name).collect()
+    }
+    assert got == want and len(want) == 20  # 4 videos x 5 deltas

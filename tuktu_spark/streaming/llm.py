@@ -557,3 +557,60 @@ def streaming_media_dedup(
         stream.sparkSession, store_dir, out_dir, kind, media_col, id_col
     )
     return foreach_batch_sink(stream, process, checkpoint=checkpoint)
+
+
+def streaming_scene_cuts(
+    frame_hashes: DataFrame, threshold: int = 8, id_col: str = "id"
+):
+    """Scene-cut detection as a CUSTOM STATEFUL streaming operator
+    (applyInPandasWithState): the state per video is one prior
+    (frame_idx, dhash_hi, dhash_lo) triple — 24 bytes, exactly the
+    batch window's per-key state — so an unbounded frame stream emits
+    (id, frame_idx, hamming, is_cut) rows incrementally with no
+    watermark needed (the comparison has no event-time horizon, only
+    sequence order). Requires frames of a video to arrive in
+    frame_idx order across micro-batches, which a decode pipeline
+    produces by construction; within a batch rows are sorted. Emits the
+    same rows as the batch video_scene_cuts on an ordered replay
+    (pinned by test)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from collections.abc import Iterator as _Iter
+
+    thr = int(threshold)
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            last_idx, hi, lo = state.get
+        else:
+            last_idx, hi, lo = None, None, None
+        rows = []
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values("frame_idx")
+        for _, r in pdf.iterrows():
+            fi, fhi, flo = int(r["frame_idx"]), int(r["dhash_hi"]), int(r["dhash_lo"])
+            if last_idx is not None:
+                ham = bin((fhi ^ hi) | ((flo ^ lo) << 32)).count("1")
+                rows.append(
+                    {
+                        id_col: key[0],
+                        "frame_idx": fi,
+                        "hamming": ham,
+                        "is_cut": ham > thr,
+                    }
+                )
+            last_idx, hi, lo = fi, fhi, flo
+        state.update((last_idx, hi, lo))
+        yield pd.DataFrame(
+            rows,
+            columns=[id_col, "frame_idx", "hamming", "is_cut"],
+        )
+
+    return frame_hashes.groupBy(id_col).applyInPandasWithState(
+        update,
+        outputStructType=f"{id_col} bigint, frame_idx int, hamming bigint, is_cut boolean",
+        stateStructType="last_idx bigint, hi bigint, lo bigint",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
