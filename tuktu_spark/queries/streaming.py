@@ -261,3 +261,55 @@ def streaming_media_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.processAllAvailable()
     q.stop()
     return spark.read.parquet(out_dir).select("doc_id")
+
+
+# Scene-cut detection through the REAL stateful streaming path: per-frame
+# dHash rows replay in frame_idx order (every video split across
+# micro-batches), the applyInPandasWithState operator carries one 24-byte
+# triple per video, and the emitted rows must equal the batch window's —
+# the oracle recomputes every dHash bit and XOR popcount from doc_id
+# arithmetic (shared with multimodal_video_scene_cuts).
+from .llm_multimodal import _SCENE_CUTS_ORACLE  # noqa: E402
+
+
+@query(
+    "streaming_scene_cuts_replay",
+    oracle=_SCENE_CUTS_ORACLE,
+    tags=("streaming", "llm", "multimodal"),
+)
+def streaming_scene_cuts_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene cuts computed BY THE STREAMING ENGINE: frame signatures
+    replay across micro-batches in sequence order; the stateful
+    operator's output must hash-match the same per-bit oracle as the
+    batch window."""
+    import tempfile
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from ..llm import multimodal as MM
+    from ..streaming.llm import streaming_scene_cuts
+
+    def synth(ids):
+        def mk(i):
+            i = int(i)
+            n = 4 + i % 3
+            grads = [
+                (i % 256, 3 if (t // 2) % 2 == 0 else 253, 7) for t in range(n)
+            ]
+            return MM.make_avi(3 + i % 6, 2 + i % 5, n, frame_gradients=grads)
+
+        return ids.map(mk)
+
+    synth.__annotations__ = {"ids": pd.Series, "return": pd.Series}
+    synth_udf = pandas_udf("binary")(synth)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    media = docs.select("doc_id", synth_udf(F.col("doc_id")).alias("media"))
+    hashes = MM.video_frame_dhash_table(media, "doc_id", "media")
+    stage = tempfile.mkdtemp(prefix="tuktu_scene_replay_")
+    stream = STR.replay_dataframe(hashes, stage, chunks=3, order_col="frame_idx")
+    cuts = streaming_scene_cuts(stream, threshold=8)
+    q, name = STR.memory_sink(cuts, output_mode="append")
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name).select("id", "frame_idx", "hamming", "is_cut")
