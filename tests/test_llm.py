@@ -581,12 +581,21 @@ class TestMediaCodecsExtra:
         assert samples == expected
 
     def test_wav_nonpcm_bits_rejected(self):
+        import struct as _st
+
         import pytest as _pytest
 
         from tuktu_spark.llm.multimodal import decode_wav_samples, make_wav
 
+        # 8-bit is now in the envelope (decoded centered)...
+        _, _, s = decode_wav_samples(make_wav(8000, 1, 10, bits=8))
+        assert s == [0] * 10
+        # ...but 24-bit still falls to the seam
+        w = bytearray(make_wav(8000, 1, 10))
+        i = w.find(b"fmt ")
+        w[i + 22 : i + 24] = _st.pack("<H", 24)
         with _pytest.raises(NotImplementedError):
-            decode_wav_samples(make_wav(8000, 1, 10, bits=8))
+            decode_wav_samples(bytes(w))
 
     def test_mp4_probe_fields(self):
         from tuktu_spark.llm.multimodal import make_mp4, probe_media
@@ -1961,3 +1970,50 @@ class TestLumaHistogram:
                 b = 4 * v // 64
                 manual[b] = manual.get(b, 0) + 1
         assert grad == manual
+
+
+class TestCodecCorruptionContracts:
+    def test_corrupt_stsz_count_maps_to_seam(self, spark):
+        import struct as st
+
+        import pytest
+
+        from tuktu_spark.llm.multimodal import decode_mp4_samples, make_mp4_mjpeg
+
+        mp4 = bytearray(make_mp4_mjpeg(4, 4, [10, 20]))
+        i = mp4.find(b"stsz")
+        mp4[i + 8 : i + 12] = st.pack(">I", 0)
+        mp4[i + 12 : i + 16] = st.pack(">I", 1 << 30)  # memory-bomb count
+        with pytest.raises(NotImplementedError):
+            decode_mp4_samples(bytes(mp4))
+
+    def test_corrupt_stts_count_maps_to_seam(self, spark):
+        import struct as st
+
+        import pytest
+
+        from tuktu_spark.llm.multimodal import make_mp4_mjpeg, mp4_sample_timestamps
+
+        mp4 = bytearray(make_mp4_mjpeg(4, 4, [10]))
+        i = mp4.find(b"stts")
+        mp4[i + 12 : i + 16] = st.pack(">I", 1 << 29)  # run count bomb
+        with pytest.raises(NotImplementedError):
+            mp4_sample_timestamps(bytes(mp4))
+
+    def test_gif_short_local_palette_index_overflow(self, spark):
+        import pytest
+
+        from tuktu_spark.llm.multimodal import decode_gif_pixels, decode_pixels, make_gif
+
+        g = make_gif(4, 3, gradient=(250, 1, 1))
+        hdr = bytearray(g[:13])
+        gct, rest = g[13 : 13 + 768], g[13 + 768 :]
+        hdr[10] &= 0x7F
+        desc = bytearray(rest[:10])
+        desc[9] |= 0x80  # local table, 2 entries
+        local = bytes(hdr) + bytes(desc) + gct[:6] + rest[10:]
+        with pytest.raises(ValueError):
+            decode_gif_pixels(local)
+        # ...and the unified dispatch maps it to the documented seam
+        with pytest.raises(NotImplementedError):
+            decode_pixels(local)

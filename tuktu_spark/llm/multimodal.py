@@ -1105,8 +1105,11 @@ def decode_gif_pixels(data: bytes) -> tuple[int, int, int, bytes]:
                         stored * iw : (stored + 1) * iw
                     ]
                 indices = deinter
+            n_entries = len(palette) // 3
             rgb = bytearray()
             for idx in indices:
+                if idx >= n_entries:
+                    raise ValueError(f"palette index {idx} out of range")
                 rgb += palette[3 * idx : 3 * idx + 3]
             return iw, ih, 3, bytes(rgb)
         elif b == 0x3B:
@@ -1888,6 +1891,10 @@ def decode_mp4_samples(data: bytes) -> tuple[int, int, "list[bytes]"]:
                 tables["codec"] = data[body + 12 : body + 16]
             elif btype == b"stsz" and body + 12 <= end:
                 fixed, count = struct.unpack(">II", data[body + 4 : body + 12])
+                if count > (end - body) and not fixed:
+                    raise ValueError("stsz count exceeds box size")
+                if count > 10_000_000:
+                    raise ValueError("stsz count implausibly large")
                 if fixed:
                     tables["sizes"] = [fixed] * count
                 else:
@@ -1912,7 +1919,10 @@ def decode_mp4_samples(data: bytes) -> tuple[int, int, "list[bytes]"]:
                 ]
             pos = max(pos + size, pos + 8)
 
-    walk(0, len(data))
+    try:
+        walk(0, len(data))
+    except (ValueError, struct.error, IndexError) as ex:
+        raise NotImplementedError(f"corrupt MP4 box tree: {ex}") from ex
     if "sizes" not in tables or "chunk_offsets" not in tables or "stsc" not in tables:
         raise NotImplementedError("no complete sample table (stsz/stco/stsc)")
     codec = tables.get("codec", b"")
@@ -2003,9 +2013,14 @@ def mp4_sample_timestamps(data: bytes, timescale: int = 1000) -> "list[int]":
                 ]
             pos = max(pos + size, pos + 8)
 
-    walk(0, len(data))
+    try:
+        walk(0, len(data))
+    except (ValueError, struct.error, IndexError) as ex:
+        raise NotImplementedError(f"corrupt MP4 box tree: {ex}") from ex
     if runs is None:
         raise NotImplementedError("no stts table")
+    if sum(c for c, _ in runs) > 10_000_000:
+        raise NotImplementedError("stts sample count implausibly large")
     ts, t = [], 0
     for count, delta in runs:
         for _ in range(count):
