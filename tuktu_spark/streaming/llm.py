@@ -519,23 +519,30 @@ def make_media_dedup_batch_processor(
             firsts = firsts.join(
                 old.select("sig_hi", "sig_lo"), ["sig_hi", "sig_lo"], "left_anti"
             )
-        kept = batch_df.join(firsts.select(id_col), id_col)
-        dyn = {"partitionOverwriteMode": "dynamic"}
-        (
-            kept.withColumn("batch_id", F.lit(batch_id))
-            .write.mode("overwrite")
-            .options(**dyn)
-            .partitionBy("batch_id")
-            .parquet(out_dir)
-        )
-        (
-            firsts.select("sig_hi", "sig_lo")
-            .withColumn("batch_id", F.lit(batch_id))
-            .write.mode("overwrite")
-            .options(**dyn)
-            .partitionBy("batch_id")
-            .parquet(sig_store)
-        )
+        # the signature table re-decodes the media; pin it so the two
+        # writes below (kept rows, then the commit-last store) decode
+        # each batch once, not twice
+        firsts = firsts.persist()
+        try:
+            kept = batch_df.join(firsts.select(id_col), id_col)
+            dyn = {"partitionOverwriteMode": "dynamic"}
+            (
+                kept.withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .options(**dyn)
+                .partitionBy("batch_id")
+                .parquet(out_dir)
+            )
+            (
+                firsts.select("sig_hi", "sig_lo")
+                .withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .options(**dyn)
+                .partitionBy("batch_id")
+                .parquet(sig_store)
+            )
+        finally:
+            firsts.unpersist()
 
     return process
 
