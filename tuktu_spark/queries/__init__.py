@@ -191,6 +191,16 @@ _TOUCHED = frozenset(
         "similarity_topk_ivf_index",  # shares write_ivf_index with append path
         "text_ngram_lm_score",       # train/score positions= param (A/B'd, reverted in query)
         "similarity_ivfpq_topk",     # shares the IVFPQ model load/write path with append
+        # round-6 late-session codec edits (all re-verified in-session by
+        # driver_sim; forced here so the DRIVER also re-checks them):
+        "multimodal_decode_stats",   # decode_png_pixels: indexed type-3 branch
+        "multimodal_image_dhash",    # decode_pixels dispatch; hash64_near_pairs refactor
+        "multimodal_gif_decode",     # interlace + local-color-table + bounds check
+        "multimodal_audio_stats",    # decode_wav_samples: 8-bit branch
+        "multimodal_audio_resample", # shares decode_wav_samples
+        "multimodal_jpeg_decode",    # make_jpeg: subsampling parameter
+        "multimodal_probe_roundtrip",  # probe_media chain gained _parse_avi
+        "multimodal_frame_timestamps",  # rides probe_table over the new chain
     }
 )
 
