@@ -2017,3 +2017,63 @@ class TestCodecCorruptionContracts:
         # ...and the unified dispatch maps it to the documented seam
         with pytest.raises(NotImplementedError):
             decode_pixels(local)
+
+
+class TestWebDatasetShards:
+    def test_untar_and_group_end_to_end(self, spark):
+        import pandas as pd
+        from pyspark.sql import functions as F
+        from pyspark.sql.functions import pandas_udf
+
+        from tuktu_spark.llm import multimodal as MM
+
+        def synth(ids):
+            def mk(i):
+                return MM.make_tar_shard(
+                    [
+                        ("000000.png", MM.make_png(4, 3)),
+                        ("000000.txt", b"caption zero"),
+                        ("sub/000001.png", MM.make_png(2, 2)),
+                        ("sub/000001.seg.json", b"{}"),
+                    ]
+                )
+
+            return ids.map(mk)
+
+        synth.__annotations__ = {"ids": pd.Series, "return": pd.Series}
+        df = spark.range(2).select(
+            F.col("id").alias("doc_id"),
+            pandas_udf("binary")(synth)(F.col("id")).alias("shard"),
+        )
+        members = MM.untar_members_table(df, "doc_id", "shard")
+        rows = members.collect()
+        assert len(rows) == 8
+        # directory prefix stripped; multi-dot ext preserved after key
+        exts = {(r["key"], r["ext"]) for r in rows if r["shard_id"] == 0}
+        assert exts == {
+            ("000000", "png"), ("000000", "txt"),
+            ("000001", "png"), ("000001", "seg.json"),
+        }
+        samples = MM.webdataset_samples(members).collect()
+        assert len(samples) == 4  # 2 shards x 2 keys
+        s0 = next(s for s in samples if s["shard_id"] == 0 and s["key"] == "000000")
+        assert s0["n_parts"] == 2
+        assert bytes(s0["parts"]["txt"]) == b"caption zero"
+        # the png member decodes through the real pipeline
+        w, h, c, _ = MM.decode_pixels(bytes(s0["parts"]["png"]))
+        assert (w, h) == (4, 3)
+
+    def test_determinism_and_corrupt_seam(self, spark):
+        import pytest
+
+        from tuktu_spark.llm.multimodal import make_tar_shard
+
+        a = make_tar_shard([("k.txt", b"v")])
+        b = make_tar_shard([("k.txt", b"v")])
+        assert a == b  # zeroed metadata -> content-hash friendly
+
+        import io
+        import tarfile
+
+        with pytest.raises(tarfile.TarError):
+            tarfile.open(fileobj=io.BytesIO(b"not a tar"), mode="r:*")

@@ -2104,3 +2104,102 @@ def image_luma_histogram_table(
     return df.select(F.col(id_col).cast("bigint").alias(id_col), media_col).mapInPandas(
         stats, schema=IMAGE_HISTOGRAM_SCHEMA
     )
+
+
+# --- WebDataset-style tar shards (the standard multimodal corpus layout) --
+#
+# Large multimodal training corpora ship as tar shards whose members pair
+# up by basename: sample key "000123" owns "000123.jpg", "000123.txt",
+# "000123.json" (the public WebDataset convention). Shards stream well
+# (sequential tar reads), parallelize by file, and keep media + caption
+# together. Pure stdlib tarfile — no format dependency.
+
+
+def make_tar_shard(members: "list[tuple[str, bytes]]") -> bytes:
+    """A real POSIX tar archive built in memory: one (name, payload) per
+    member, deterministic metadata (zero mtime/uid/gid) so identical
+    inputs produce identical shards (content-hash friendly)."""
+    import io
+    import tarfile
+
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as tf:
+        for name, payload in members:
+            info = tarfile.TarInfo(name=name)
+            info.size = len(payload)
+            info.mtime = 0
+            info.uid = info.gid = 0
+            info.uname = info.gname = ""
+            tf.addfile(info, io.BytesIO(payload))
+    return buf.getvalue()
+
+
+TAR_MEMBERS_SCHEMA = (
+    "shard_id bigint, key string, ext string, byte_len bigint, data binary"
+)
+
+
+def untar_members_table(
+    df: DataFrame, id_col: str, shard_col: str = "shard"
+) -> DataFrame:
+    """mapInPandas tar extraction: one row per member with the WebDataset
+    key split (key = name up to the FIRST dot of the basename, ext = the
+    rest — '000123.seg.json' -> key '000123', ext 'seg.json'). Each
+    Arrow batch untars its own shards; at 100 TB the shard blobs arrive
+    via binaryFile partitions and never shuffle — downstream grouping
+    keys on (shard_id, key), two small columns."""
+    import io
+    import tarfile
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                blob = bytes(row[shard_col]) if row[shard_col] is not None else b""
+                sid = int(row[id_col])
+                try:
+                    with tarfile.open(fileobj=io.BytesIO(blob), mode="r:*") as tf:
+                        for m in tf:
+                            if not m.isfile():
+                                continue
+                            payload = tf.extractfile(m).read()
+                            base = m.name.rsplit("/", 1)[-1]
+                            key, _, ext = base.partition(".")
+                            rows.append(
+                                {
+                                    "shard_id": sid,
+                                    "key": key,
+                                    "ext": ext,
+                                    "byte_len": len(payload),
+                                    "data": payload,
+                                }
+                            )
+                except tarfile.TarError as ex:
+                    raise NotImplementedError(f"corrupt tar shard: {ex}") from ex
+            yield pd.DataFrame(
+                rows, columns=["shard_id", "key", "ext", "byte_len", "data"]
+            )
+
+    return df.select(F.col(id_col).cast("bigint").alias(id_col), shard_col).mapInPandas(
+        extract, schema=TAR_MEMBERS_SCHEMA
+    )
+
+
+def webdataset_samples(members: DataFrame) -> DataFrame:
+    """Group tar members into WebDataset SAMPLES: one row per
+    (shard_id, key) with ext->bytes and ext->size maps — the unit a
+    multimodal pipeline consumes (decode 'png', tokenize 'txt', parse
+    'json'). Pure JVM grouping (map_from_entries over collect_list);
+    ONE shuffle keyed on (shard_id, key)."""
+    return (
+        members.groupBy("shard_id", "key")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("ext", "data"))
+            ).alias("parts"),
+            F.map_from_entries(
+                F.collect_list(F.struct("ext", "byte_len"))
+            ).alias("sizes"),
+            F.count(F.lit(1)).alias("n_parts"),
+        )
+    )

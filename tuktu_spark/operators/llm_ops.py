@@ -1121,3 +1121,27 @@ def image_luma_histogram_op(config: dict):
         media_col=config.get("media_field", "media"),
         bins=int(config.get("bins", 16)),
     )
+
+
+@operator("tar_members")
+def tar_members_op(config: dict):
+    """Extract tar-shard members into (shard_id, key, ext, byte_len,
+    data) rows (multimodal.untar_members_table — the WebDataset key
+    split). config: {id_field, shard_field}."""
+    from ..llm.multimodal import untar_members_table
+
+    return lambda df: untar_members_table(
+        df,
+        id_col=config.get("id_field", "doc_id"),
+        shard_col=config.get("shard_field", "shard"),
+    )
+
+
+@operator("webdataset_samples")
+def webdataset_samples_op(config: dict):
+    """Group tar members into WebDataset samples: one row per
+    (shard_id, key) with ext->bytes / ext->size maps
+    (multimodal.webdataset_samples)."""
+    from ..llm.multimodal import webdataset_samples
+
+    return lambda df: webdataset_samples(df)

@@ -1530,3 +1530,67 @@ def multimodal_luma_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     media = docs.select("doc_id", synth_udf(F.col("doc_id")).alias("media"))
     return MM.image_luma_histogram_table(media, "doc_id", "media")
+
+
+# ---------------------------------------------------------------------------
+# WebDataset tar-shard ingestion (multimodal.untar_members_table +
+# webdataset_samples): real in-memory tar archives per doc, member sizes
+# arithmetic in (doc_id, sample, ext) so the oracle predicts the whole
+# grouped layout — a header-offset bug, a key-split bug or a lost member
+# all break the match.
+# ---------------------------------------------------------------------------
+
+_WDS_ORACLE = """
+WITH p AS (
+  SELECT doc_id, 2 + doc_id % 3 AS n_samples FROM documents
+),
+s AS (
+  SELECT doc_id, k.i AS k,
+         10 + (doc_id + 7 * k.i) % 90 AS png_len,
+         5 + (doc_id + 13 * k.i) % 40 AS txt_len
+  FROM p, LATERAL (SELECT unnest(range(0, n_samples)) AS i) t(i) , LATERAL (SELECT t.i AS i) k
+)
+SELECT doc_id AS shard_id,
+       printf('%06d', k) AS key,
+       CAST(2 AS BIGINT) AS n_parts,
+       CAST(png_len AS BIGINT) AS bin_len,
+       CAST(txt_len AS BIGINT) AS txt_len
+FROM s
+"""
+
+
+@query("multimodal_webdataset_shards", oracle=_WDS_ORACLE, tags=("llm", "multimodal"))
+def multimodal_webdataset_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset ingestion ORACLED end-to-end: per doc a real tar shard
+    (2-4 samples, each a '.bin' payload + '.txt' caption with
+    arithmetic sizes), untarred inside Arrow batches, grouped into
+    samples, and the per-sample part sizes hash-matched against the
+    oracle's closed-form layout."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def synth(ids):
+        def mk(i):
+            i = int(i)
+            members = []
+            for k in range(2 + i % 3):
+                png_len = 10 + (i + 7 * k) % 90
+                txt_len = 5 + (i + 13 * k) % 40
+                members.append((f"{k:06d}.bin", bytes(png_len)))
+                members.append((f"{k:06d}.txt", b"x" * txt_len))
+            return MM.make_tar_shard(members)
+
+        return ids.map(mk)
+
+    synth.__annotations__ = {"ids": pd.Series, "return": pd.Series}
+    synth_udf = pandas_udf("binary")(synth)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    shards = docs.select("doc_id", synth_udf(F.col("doc_id")).alias("shard"))
+    members = MM.untar_members_table(shards, "doc_id", "shard")
+    samples = MM.webdataset_samples(members)
+    return samples.select(
+        "shard_id", "key", "n_parts",
+        F.element_at("sizes", "bin").alias("bin_len"),
+        F.element_at("sizes", "txt").alias("txt_len"),
+    )
