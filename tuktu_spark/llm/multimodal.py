@@ -2203,3 +2203,58 @@ def webdataset_samples(members: DataFrame) -> DataFrame:
             F.count(F.lit(1)).alias("n_parts"),
         )
     )
+
+
+PACKED_SHARDS_SCHEMA = (
+    "shard_idx int, n_samples bigint, byte_len bigint, shard binary"
+)
+
+
+def pack_tar_shards(
+    samples: DataFrame, n_shards: int = 16, shard_col: "str | None" = None
+) -> DataFrame:
+    """Repack WebDataset samples (webdataset_samples output) into
+    ``n_shards`` new tar shards — the resharding stage after
+    filtering/dedup. Samples land in shards by key hash (the
+    'shuffle shards' convention: deterministic, key-stable,
+    size-balanced in expectation); within a shard, members are emitted
+    in sorted (key, ext) order and metadata is zeroed, so the SAME
+    sample set always packs to byte-identical shards regardless of
+    partitioning. One shuffle keyed on shard_idx (applyInPandas);
+    shard size is bounded by choosing n_shards ~ corpus_bytes /
+    target_shard_bytes. ``shard_col`` names a caller-computed integer
+    assignment column instead of the key hash (e.g. a SQL-expressible
+    rule an oracle can replicate; Spark's Murmur3 hash is not)."""
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        members: list[tuple[str, bytes]] = []
+        for _, row in pdf.iterrows():
+            parts = row["parts"]
+            for ext in parts:
+                members.append((f"{row['key']}.{ext}", bytes(parts[ext])))
+        # sort by member NAME: (key, ext) pairs are unique after the
+        # samples groupBy, so this is a total order — byte-identical
+        # shards regardless of input partitioning or tie order
+        members.sort(key=lambda m: m[0])
+        blob = make_tar_shard(members)
+        return pd.DataFrame(
+            [
+                {
+                    "shard_idx": int(pdf["__shard_idx"].iloc[0]),
+                    "n_samples": len(pdf),
+                    "byte_len": len(blob),
+                    "shard": blob,
+                }
+            ]
+        )
+
+    build.__annotations__ = {"pdf": pd.DataFrame, "return": pd.DataFrame}
+    if shard_col is not None:
+        with_idx = samples.withColumn("__shard_idx", F.col(shard_col).cast("int"))
+    else:
+        with_idx = samples.withColumn(
+            "__shard_idx", F.pmod(F.hash("key"), F.lit(int(n_shards)))
+        )
+    return with_idx.groupBy("__shard_idx").applyInPandas(
+        build, schema=PACKED_SHARDS_SCHEMA
+    )

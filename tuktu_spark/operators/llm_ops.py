@@ -1145,3 +1145,14 @@ def webdataset_samples_op(config: dict):
     from ..llm.multimodal import webdataset_samples
 
     return lambda df: webdataset_samples(df)
+
+
+@operator("pack_tar_shards")
+def pack_tar_shards_op(config: dict):
+    """Repack WebDataset samples into n_shards deterministic tar shards
+    (multimodal.pack_tar_shards — key-hash assignment, sorted members,
+    zeroed metadata). Feed the output to binary_files_sink to land
+    .tar files. config: {n_shards}."""
+    from ..llm.multimodal import pack_tar_shards
+
+    return lambda df: pack_tar_shards(df, n_shards=int(config.get("n_shards", 16)))

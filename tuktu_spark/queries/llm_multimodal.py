@@ -1594,3 +1594,77 @@ def multimodal_webdataset_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("sizes", "bin").alias("bin_len"),
         F.element_at("sizes", "txt").alias("txt_len"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Tar resharding (multimodal.pack_tar_shards): samples regrouped into new
+# shards with a SQL-expressible assignment; the oracle predicts each
+# shard's sample count AND exact byte length from the POSIX tar layout
+# (512-byte header + 512-padded payload per member, 1024 end marker,
+# archive padded to 10240-byte records) — any member loss, ordering
+# nondeterminism or layout slip changes byte_len.
+# ---------------------------------------------------------------------------
+
+_RESHARD_ORACLE = """
+WITH p AS (
+  SELECT doc_id, 2 + doc_id % 3 AS n_samples FROM documents
+),
+s AS (
+  SELECT doc_id, t.i AS k,
+         10 + (doc_id + 7 * t.i) % 90 AS bin_len,
+         5 + (doc_id + 13 * t.i) % 40 AS txt_len
+  FROM p, LATERAL (SELECT unnest(range(0, n_samples)) AS i) t
+),
+assigned AS (
+  SELECT (doc_id * 10 + k) % 8 AS shard_idx,
+         512 + 512 * ((bin_len + 511) // 512)
+         + 512 + 512 * ((txt_len + 511) // 512) AS member_bytes
+  FROM s
+),
+agg AS (
+  SELECT shard_idx, COUNT(*) AS n_samples, SUM(member_bytes) AS body
+  FROM assigned GROUP BY shard_idx
+)
+SELECT CAST(shard_idx AS INT) AS shard_idx,
+       CAST(n_samples AS BIGINT) AS n_samples,
+       CAST(((body + 1024 + 10239) // 10240) * 10240 AS BIGINT) AS byte_len
+FROM agg
+"""
+
+
+@query("multimodal_reshard_tars", oracle=_RESHARD_ORACLE, tags=("llm", "multimodal"))
+def multimodal_reshard_tars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus resharding ORACLED to the BYTE: untar every doc's shard,
+    regroup samples into 8 new shards by a SQL-expressible rule, pack
+    real tars (sorted members, zeroed metadata) and report each new
+    shard's sample count and exact byte length — predicted in closed
+    form from the POSIX tar layout."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def synth(ids):
+        def mk(i):
+            i = int(i)
+            members = []
+            for k in range(2 + i % 3):
+                bin_len = 10 + (i + 7 * k) % 90
+                txt_len = 5 + (i + 13 * k) % 40
+                members.append((f"{i:06d}{k}.bin", bytes(bin_len)))
+                members.append((f"{i:06d}{k}.txt", b"x" * txt_len))
+            return MM.make_tar_shard(members)
+
+        return ids.map(mk)
+
+    synth.__annotations__ = {"ids": pd.Series, "return": pd.Series}
+    synth_udf = pandas_udf("binary")(synth)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    shards = docs.select("doc_id", synth_udf(F.col("doc_id")).alias("shard"))
+    members = MM.untar_members_table(shards, "doc_id", "shard")
+    samples = MM.webdataset_samples(members)
+    # keys are '{doc:06d}{k}': doc*10+k survives as cast(key as int)
+    assigned = samples.withColumn(
+        "assign", F.pmod(F.col("key").cast("long"), F.lit(8))
+    )
+    packed = MM.pack_tar_shards(assigned, shard_col="assign")
+    return packed.select("shard_idx", "n_samples", "byte_len")
