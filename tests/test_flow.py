@@ -480,3 +480,24 @@ def test_multimodal_curation_pipeline_flow(spark, sf_dir):
     # gradient collisions, which DO occur (dHash is shift-invariant).
     assert all(r["hamming"] == 0 for r in pairs)
     assert len(pairs) > 0
+
+
+def test_webdataset_repack_pipeline_flow(spark, sf_dir):
+    """Tar shards -> members -> samples -> byte-deterministic repack as
+    one flow spec; conservation of samples across the lifecycle."""
+    import os
+
+    from tuktu_spark.flow import run_flow
+
+    base = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "flows", "examples",
+    )
+    out = run_flow(
+        spark,
+        os.path.join(base, "webdataset_repack_pipeline.json"),
+        params={"dir": sf_dir},
+    )
+    packed = out["repack"].collect()
+    assert sum(r["n_samples"] for r in packed) == 300  # 100 shards x 3
+    assert len(packed) == 4 and all(r["byte_len"] % 10240 == 0 for r in packed)

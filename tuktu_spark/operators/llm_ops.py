@@ -1156,3 +1156,41 @@ def pack_tar_shards_op(config: dict):
     from ..llm.multimodal import pack_tar_shards
 
     return lambda df: pack_tar_shards(df, n_shards=int(config.get("n_shards", 16)))
+
+
+@operator("media_synth_tar")
+def media_synth_tar(config: dict):
+    """TEST/DEMO generator stage: synthesize a deterministic WebDataset
+    tar shard per row (multimodal.make_tar_shard — .bin payload + .txt
+    caption per sample, sizes arithmetic in the id), so a flow can
+    exercise the full untar -> group -> repack path without external
+    files. config: {id_field, samples_per_shard}."""
+    from ..llm.multimodal import make_tar_shard
+
+    id_col = config.get("id_field", "doc_id")
+    per = int(config.get("samples_per_shard", 3))
+
+    def run(df: DataFrame) -> DataFrame:
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        def synth(ids):
+            def mk(i):
+                i = int(i)
+                members = []
+                for k in range(per):
+                    members.append(
+                        (f"{i:06d}{k}.bin", bytes(10 + (i + 7 * k) % 90))
+                    )
+                    members.append(
+                        (f"{i:06d}{k}.txt", b"x" * (5 + (i + 13 * k) % 40))
+                    )
+                return make_tar_shard(members)
+
+            return ids.map(mk)
+
+        synth.__annotations__ = {"ids": pd.Series, "return": pd.Series}
+        blob = pandas_udf("binary")(synth)(F.col(id_col))
+        return df.select(F.col(id_col), blob.alias("shard"))
+
+    return run
