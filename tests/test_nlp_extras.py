@@ -142,3 +142,42 @@ class TestWord2VecNearest:
         probes = {r["probe"] for r in rows}
         assert probes == {"fast"}  # OOV probe skipped cleanly
         assert len(rows) == 3
+
+
+class TestBm25:
+    def test_matches_hand_computed(self, spark):
+        import math
+
+        from tuktu_spark.ml.nlp import bm25
+
+        docs = spark.createDataFrame(
+            [(1, "apple banana apple"), (2, "banana cherry"), (3, "apple")],
+            "doc_id long, text string",
+        )
+        rows = {
+            (r["doc_id"], r["term"]): r
+            for r in bm25(docs, use_log=True).collect()
+        }
+        # corpus: N=3, dl = [3, 2, 1], avgdl = 2
+        # apple: df=2; doc 1 tf=2 dl=3
+        r = rows[(1, "apple")]
+        idf = math.log(1 + (3 - 2 + 0.5) / (2 + 0.5))
+        norm = 2 * 2.2 / (2 + 1.2 * (0.25 + 0.75 * 3 / 2.0))
+        assert abs(r["bm25"] - idf * norm) < 1e-12
+        assert (r["tf"], r["df_t"], r["dl"]) == (2, 2, 3)
+        # cherry: df=1, doc 2 tf=1 dl=2 (dl == avgdl -> norm over 1+k1)
+        r = rows[(2, "cherry")]
+        idf = math.log(1 + (3 - 1 + 0.5) / (1 + 0.5))
+        norm = 1 * 2.2 / (1 + 1.2)
+        assert abs(r["bm25"] - idf * norm) < 1e-12
+
+    def test_length_normalization_orders_docs(self, spark):
+        from tuktu_spark.ml.nlp import bm25
+
+        # same tf for 'x', shorter doc must score higher (b > 0)
+        docs = spark.createDataFrame(
+            [(1, "x filler filler filler filler filler filler"), (2, "x")],
+            "doc_id long, text string",
+        )
+        rows = {r["doc_id"]: r["bm25"] for r in bm25(docs).collect() if r["term"] == "x"}
+        assert rows[2] > rows[1]

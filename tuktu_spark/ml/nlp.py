@@ -105,6 +105,73 @@ def tf_idf(
     return out.select(F.col(id_col), "term", "tf", "df_t", score.alias("tfidf"))
 
 
+def bm25(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    stopwords: list[str] | None = None,
+    k1: float = 1.2,
+    b: float = 0.75,
+    use_log: bool = True,
+) -> DataFrame:
+    """Exact corpus BM25 (Robertson/Sparck Jones, public): per (doc,
+    term) score idf(t) * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)).
+
+    ``use_log=True``: idf = ln(1 + (N - df_t + 0.5)/(df_t + 0.5))
+    (the standard smoothed form). ``use_log=False``: the log-free
+    rarity ratio (N - df_t + 0.5)/(df_t + 0.5) as idf — same
+    per-term monotonicity, and bit-identical across engines (pure
+    IEEE rational arithmetic; ln() last-ulp behavior is
+    libm-specific), which is what the oracle-checked query uses —
+    the same portability convention as tf_idf(use_log=False).
+
+    Shuffle topology mirrors the fused tf_idf: tokens repartition by
+    term once; groupBy(term, doc) and the df_t window ride that
+    partitioning; doc lengths join back broadcast (N rows of (doc,
+    dl) aggregate to corpus scale only in doc COUNT, and the join is
+    on the doc key the tf table already carries — a broadcast at
+    dimension scale, a doc-keyed shuffle at corpus scale)."""
+    from pyspark.sql import Window
+
+    toks = remove_stopwords(tokenize(F.col(text_col)), stopwords)
+    exploded = df.select(F.col(id_col), F.explode(toks).alias("term"))
+    tf = (
+        exploded.repartition("term")
+        .groupBy("term", id_col)
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = F.count(F.lit(1)).over(Window.partitionBy("term"))
+    scored = tf.withColumn("df_t", df_t)
+    # doc length (post-stopword token count) + corpus stats
+    dl = (
+        df.select(F.col(id_col), F.size(toks).alias("dl"))
+        .groupBy(id_col)
+        .agg(F.max("dl").alias("dl"))
+    )
+    stats = dl.agg(
+        F.countDistinct(id_col).alias("n_docs"),
+        F.sum("dl").alias("dl_sum"),
+    )
+    out = (
+        scored.join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .withColumn("avgdl", F.col("dl_sum").cast("double") / F.col("n_docs").cast("double"))
+    )
+    rarity = (
+        (F.col("n_docs").cast("double") - F.col("df_t").cast("double") + F.lit(0.5))
+        / (F.col("df_t").cast("double") + F.lit(0.5))
+    )
+    idf = F.log(F.lit(1.0) + rarity) if use_log else rarity
+    tfd = F.col("tf").cast("double")
+    norm = tfd * F.lit(k1 + 1.0) / (
+        tfd + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl").cast("double") / F.col("avgdl"))
+    )
+    return out.select(
+        F.col(id_col), "term", "tf", "df_t", "dl",
+        (idf * norm).alias("bm25"),
+    )
+
+
 def word2vec(
     df: DataFrame,
     text_col: str = "text",

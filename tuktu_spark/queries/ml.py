@@ -1464,3 +1464,49 @@ def nlp_fasttext_vec_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.split("text", " ").alias("tokens")
     )
     return ft_doc_embed_exact(d, vec_df, "tokens", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# NLP: exact BM25 (log-free rarity idf — bit-portable, same convention as
+# nlp_tfidf_top), top 100. The length normalization (dl/avgdl) is what
+# tf_idf lacks; the oracle recomputes every factor in the same IEEE order.
+# ---------------------------------------------------------------------------
+
+_BM25_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                            x -> x <> '' AND x NOT IN ('{_SW}'))) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, COUNT(DISTINCT doc_id) AS df_t FROM tf GROUP BY term
+), dl AS (
+  SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id
+), stats AS (
+  SELECT COUNT(*) AS n_docs, SUM(dl) AS dl_sum FROM dl
+)
+SELECT tf.doc_id, tf.term, tf.tf, dfreq.df_t, dl.dl,
+       ((CAST(n_docs AS DOUBLE) - CAST(df_t AS DOUBLE) + 0.5)
+          / (CAST(df_t AS DOUBLE) + 0.5))
+       * (CAST(tf AS DOUBLE) * 2.2
+          / (CAST(tf AS DOUBLE)
+             + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE)
+                             / (CAST(dl_sum AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+         AS bm25
+FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+ORDER BY bm25 DESC, term ASC, doc_id ASC LIMIT 100
+"""
+
+
+@query("nlp_bm25_top", oracle=_BM25_ORACLE, tags=("ml", "nlp"))
+def nlp_bm25_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact BM25 over the corpus (k1=1.2, b=0.75, log-free idf for
+    bit-portability), top 100 — adds the document-length normalization
+    TF-IDF lacks; rides the fused one-term-exchange topology."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = NLP.bm25(docs, use_log=False)
+    return out.orderBy(
+        F.col("bm25").desc(), F.col("term").asc(), F.col("doc_id").asc()
+    ).limit(100)
