@@ -181,3 +181,23 @@ class TestBm25:
         )
         rows = {r["doc_id"]: r["bm25"] for r in bm25(docs).collect() if r["term"] == "x"}
         assert rows[2] > rows[1]
+
+
+class TestBm25Search:
+    def test_topk_retrieval(self, spark):
+        from tuktu_spark.ml.nlp import bm25_search
+
+        docs = spark.createDataFrame(
+            [
+                (1, "spark engine spark cluster"),
+                (2, "spark"),
+                (3, "cluster cluster cluster"),
+                (4, "unrelated words entirely"),
+            ],
+            "doc_id long, text string",
+        )
+        rows = bm25_search(docs, "spark cluster", k=3).collect()
+        assert [r["doc_id"] for r in rows][0] == 1  # matches both terms
+        assert len(rows) == 3
+        assert {r["doc_id"] for r in rows} == {1, 2, 3}  # doc 4 scores 0 terms
+        assert rows[0]["n_terms"] == 2

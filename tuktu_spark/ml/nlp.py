@@ -172,6 +172,31 @@ def bm25(
     )
 
 
+def bm25_search(
+    df: DataFrame,
+    query: str,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    stopwords: list[str] | None = None,
+    use_log: bool = True,
+) -> DataFrame:
+    """Top-k document retrieval: score(d) = sum of BM25(d, t) over the
+    query's distinct terms. The per-term table filters to the handful
+    of query terms BEFORE any join (predicate pushdown into the fused
+    term-exchange), so corpus cost is the tf scan plus a k-row
+    TakeOrderedAndProject — no global sort materializes."""
+    terms = sorted({t for t in query.lower().split() if t})
+    scored = bm25(df, text_col, id_col, stopwords, use_log=use_log)
+    return (
+        scored.filter(F.col("term").isin(terms))
+        .groupBy(id_col)
+        .agg(F.sum("bm25").alias("score"), F.count(F.lit(1)).alias("n_terms"))
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(int(k))
+    )
+
+
 def word2vec(
     df: DataFrame,
     text_col: str = "text",

@@ -1510,3 +1510,81 @@ def nlp_bm25_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy(
         F.col("bm25").desc(), F.col("term").asc(), F.col("doc_id").asc()
     ).limit(100)
+
+
+# ---------------------------------------------------------------------------
+# BM25 top-k retrieval: sum the (bit-portable) per-term scores over a fixed
+# query's terms; float SUM order is made engine-portable by summing the
+# per-term doubles in term order via DECIMAL-exact accumulation in BOTH
+# engines? No — the query terms are FEW (<=3 here), and IEEE addition of 2-3
+# doubles in a deterministic order matches when both engines reduce in the
+# same order; to remove order dependence entirely the Spark side sorts terms
+# and sums via a 2-term expression, and the oracle lists the same terms.
+# ---------------------------------------------------------------------------
+
+_BM25_SEARCH_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                            x -> x <> '' AND x NOT IN ('{_SW}'))) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, COUNT(DISTINCT doc_id) AS df_t FROM tf GROUP BY term
+), dl AS (
+  SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id
+), stats AS (
+  SELECT COUNT(*) AS n_docs, SUM(dl) AS dl_sum FROM dl
+), scored AS (
+  SELECT tf.doc_id, tf.term,
+         ((CAST(n_docs AS DOUBLE) - CAST(df_t AS DOUBLE) + 0.5)
+            / (CAST(df_t AS DOUBLE) + 0.5))
+         * (CAST(tf AS DOUBLE) * 2.2
+            / (CAST(tf AS DOUBLE)
+               + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE)
+                               / (CAST(dl_sum AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+           AS bm25
+  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  WHERE tf.term IN ('data', 'model')
+)
+SELECT doc_id,
+       CAST(COALESCE(MAX(CASE WHEN term = 'data' THEN bm25 END), 0)
+            + COALESCE(MAX(CASE WHEN term = 'model' THEN bm25 END), 0)
+            AS DOUBLE) AS score,
+       COUNT(*) AS n_terms
+FROM scored GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC LIMIT 20
+"""
+
+
+@query("nlp_bm25_search", oracle=_BM25_SEARCH_ORACLE, tags=("ml", "nlp"))
+def nlp_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 BM25 retrieval for the 2-term query 'data model': the
+    per-term filter pushes into the fused term exchange; scores sum in
+    fixed term order ('data' + 'model') so the oracle's addition order
+    matches bitwise."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = NLP.bm25(docs, use_log=False)
+    per = (
+        scored.filter(F.col("term").isin(["data", "model"]))
+        .groupBy("doc_id")
+        .agg(
+            F.coalesce(
+                F.max(F.when(F.col("term") == "data", F.col("bm25"))), F.lit(0.0)
+            ).alias("s_data"),
+            F.coalesce(
+                F.max(F.when(F.col("term") == "model", F.col("bm25"))), F.lit(0.0)
+            ).alias("s_model"),
+            F.count(F.lit(1)).alias("n_terms"),
+        )
+    )
+    return (
+        per.select(
+            "doc_id",
+            (F.col("s_data") + F.col("s_model")).alias("score"),
+            "n_terms",
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )
