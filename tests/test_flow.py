@@ -501,3 +501,37 @@ def test_webdataset_repack_pipeline_flow(spark, sf_dir):
     packed = out["repack"].collect()
     assert sum(r["n_samples"] for r in packed) == 300  # 100 shards x 3
     assert len(packed) == 4 and all(r["byte_len"] % 10240 == 0 for r in packed)
+
+
+def test_webdataset_image_dedup_pipeline_flow(spark, sf_dir):
+    """Tar -> real PNG decode -> dHash dedup -> tar: survivors equal the
+    distinct-signature count, and the repacked shards round-trip."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from tuktu_spark.flow import run_flow
+    from tuktu_spark.llm import multimodal as MM
+
+    base = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "flows", "examples",
+    )
+    out = run_flow(
+        spark,
+        os.path.join(base, "webdataset_image_dedup_pipeline.json"),
+        params={"dir": sf_dir},
+    )
+    n_classes = out["kept_tap"].count()  # one row per signature class
+    packed = out["repack"].collect()
+    kept = sum(r["n_samples"] for r in packed)
+    assert kept == n_classes  # exactly one survivor per signature class
+    assert 0 < kept < 300  # the dedup did real work on 300 samples
+    # the output tars are real: untar and count samples back
+    re = spark.createDataFrame(
+        [(r["shard_idx"], bytes(r["shard"])) for r in packed],
+        "doc_id long, shard binary",
+    )
+    s2 = MM.webdataset_samples(MM.untar_members_table(re, "doc_id", "shard"))
+    assert s2.count() == kept
+    assert s2.filter(F.element_at("parts", "png").isNull()).count() == 0

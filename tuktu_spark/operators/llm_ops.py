@@ -1161,14 +1161,16 @@ def pack_tar_shards_op(config: dict):
 @operator("media_synth_tar")
 def media_synth_tar(config: dict):
     """TEST/DEMO generator stage: synthesize a deterministic WebDataset
-    tar shard per row (multimodal.make_tar_shard — .bin payload + .txt
-    caption per sample, sizes arithmetic in the id), so a flow can
-    exercise the full untar -> group -> repack path without external
-    files. config: {id_field, samples_per_shard}."""
-    from ..llm.multimodal import make_tar_shard
+    tar shard per row (multimodal.make_tar_shard — payload + .txt
+    caption per sample). config: {id_field, samples_per_shard,
+    payload: 'bytes' (opaque, sizes arithmetic in the id) | 'png'
+    (REAL decodable gradient PNGs whose dHash classes collide across
+    shards — the perceptual-dedup fixture)}."""
+    from ..llm.multimodal import make_png, make_tar_shard
 
     id_col = config.get("id_field", "doc_id")
     per = int(config.get("samples_per_shard", 3))
+    payload = config.get("payload", "bytes")
 
     def run(df: DataFrame) -> DataFrame:
         import pandas as pd
@@ -1179,9 +1181,15 @@ def media_synth_tar(config: dict):
                 i = int(i)
                 members = []
                 for k in range(per):
-                    members.append(
-                        (f"{i:06d}{k}.bin", bytes(10 + (i + 7 * k) % 90))
-                    )
+                    if payload == "png":
+                        dx = [3, 253, 101, 11, 29, 57, 201][(i + k) % 7]
+                        body = make_png(
+                            6 + (i + k) % 5, 5 + k % 3,
+                            gradient=((i * 7 + k) % 256, dx, 7),
+                        )
+                    else:
+                        body = bytes(10 + (i + 7 * k) % 90)
+                    members.append((f"{i:06d}{k}.{'png' if payload == 'png' else 'bin'}", body))
                     members.append(
                         (f"{i:06d}{k}.txt", b"x" * (5 + (i + 13 * k) % 40))
                     )
@@ -1194,3 +1202,14 @@ def media_synth_tar(config: dict):
         return df.select(F.col(id_col), blob.alias("shard"))
 
     return run
+
+
+@operator("map_extract")
+def map_extract_op(config: dict):
+    """Project one key of a map column into its own column
+    (element_at) — e.g. the 'png' part out of a WebDataset sample's
+    ext->bytes map. config: {field, key, as}."""
+    field = config["field"]
+    key = config["key"]
+    out = config.get("as", key)
+    return lambda df: df.withColumn(out, F.element_at(F.col(field), key))
