@@ -1500,7 +1500,7 @@ ORDER BY bm25 DESC, term ASC, doc_id ASC LIMIT 100
 """
 
 
-@query("nlp_bm25_top", oracle=_BM25_ORACLE, tags=("ml", "nlp"))
+@query("nlp_bm25_top", oracle=_BM25_ORACLE, tags=("ml", "nlp"), bench=True)
 def nlp_bm25_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact BM25 over the corpus (k1=1.2, b=0.75, log-free idf for
     bit-portability), top 100 — adds the document-length normalization
