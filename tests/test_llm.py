@@ -2134,3 +2134,45 @@ class TestPackTarShards:
             for r in MM.pack_tar_shards(samples.repartition(7), n_shards=3).collect()
         }
         assert {r["shard_idx"]: bytes(r["shard"]) for r in rows} == m2
+
+
+class TestStripMetadata:
+    def test_png_strip_is_exact_inverse(self, spark):
+        from tuktu_spark.llm.multimodal import (
+            decode_pixels, make_png, strip_media_metadata,
+        )
+
+        plain = make_png(4, 3, gradient=(5, 3, 7))
+        tagged = make_png(
+            4, 3, gradient=(5, 3, 7),
+            text_chunks=[("Author", "x" * 20), ("GPS", "y" * 7)],
+        )
+        stripped, n, blen = strip_media_metadata(tagged)
+        assert stripped == plain  # byte-identical to never-tagged
+        assert n == 2 and blen == (12 + 6 + 1 + 20) + (12 + 3 + 1 + 7)
+        assert decode_pixels(stripped) == decode_pixels(tagged)
+
+    def test_jpeg_strip_preserves_pixels(self, spark):
+        from tuktu_spark.llm.jpeg import decode_jpeg_pixels, make_jpeg
+        from tuktu_spark.llm.multimodal import strip_media_metadata
+
+        j = make_jpeg(9, 5, shade=100)
+        sj, n, blen = strip_media_metadata(j)
+        assert n == 1 and blen == 18  # APP0 JFIF
+        assert decode_jpeg_pixels(sj) == decode_jpeg_pixels(j)
+
+    def test_idempotent(self, spark):
+        from tuktu_spark.llm.multimodal import make_png, strip_media_metadata
+
+        tagged = make_png(4, 3, text_chunks=[("k", "v")])
+        once, _, _ = strip_media_metadata(tagged)
+        twice, n, blen = strip_media_metadata(once)
+        assert twice == once and n == 0 and blen == 0
+
+    def test_unsupported_container_raises(self, spark):
+        import pytest
+
+        from tuktu_spark.llm.multimodal import make_gif, strip_media_metadata
+
+        with pytest.raises(NotImplementedError):
+            strip_media_metadata(make_gif(4, 3))

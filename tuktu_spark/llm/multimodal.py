@@ -515,6 +515,7 @@ def make_png(
     filters: list[int] | None = None,
     gradient: tuple[int, int, int] | None = None,
     indexed: bool = False,
+    text_chunks: "list[tuple[str, str]] | None" = None,
 ) -> bytes:
     """A real, spec-valid PNG (zlib-compressed scanlines, CRC-correct
     chunks). ``pixel`` selects the color layout: None/1-tuple =
@@ -527,7 +528,9 @@ def make_png(
     sampling, crops) change sums instead of cancelling. ``indexed=True``
     writes color type 3: the ramp values become PALETTE INDICES and a
     256-entry PLTE maps index v -> RGB (v, (2v)%256, (3v)%256) — the
-    same arithmetic palette as make_gif, oracle-friendly."""
+    same arithmetic palette as make_gif, oracle-friendly.
+    ``text_chunks`` inserts tEXt metadata chunks (keyword, text) after
+    IHDR — the strip-metadata fixture."""
     import zlib
 
     def chunk(ctype: bytes, payload: bytes) -> bytes:
@@ -563,9 +566,14 @@ def make_png(
             b for v in range(256) for b in (v, (2 * v) % 256, (3 * v) % 256)
         )
         plte = chunk(b"PLTE", pal)
+    texts = b"".join(
+        chunk(b"tEXt", k.encode("latin-1") + b"\x00" + v.encode("latin-1"))
+        for k, v in (text_chunks or [])
+    )
     return (
         b"\x89PNG\r\n\x1a\n"
         + chunk(b"IHDR", ihdr)
+        + texts
         + plte
         + chunk(b"IDAT", zlib.compress(bytes(raw)))
         + chunk(b"IEND", b"")
@@ -2257,4 +2265,121 @@ def pack_tar_shards(
         )
     return with_idx.groupBy("__shard_idx").applyInPandas(
         build, schema=PACKED_SHARDS_SCHEMA
+    )
+
+
+# --- media metadata stripping (the image-side PII scrub) ------------------
+#
+# Camera metadata (EXIF GPS/serials in JPEG APPn, PNG tEXt/zTXt/iTXt,
+# timestamps) is a privacy leak a curation pipeline must remove — the
+# media analogue of the text pii_scrub stage. Stripping is byte surgery
+# on the container: keep the chunks/segments the decoder needs, drop
+# everything ancillary. Pixels are untouched (no re-encode, no quality
+# loss).
+
+_PNG_KEEP = {b"IHDR", b"PLTE", b"tRNS", b"IDAT", b"IEND"}
+
+
+def strip_png_metadata(data: bytes) -> tuple[bytes, int, int]:
+    """Drop every non-essential PNG chunk (tEXt/zTXt/iTXt/eXIf/tIME/...):
+    returns (stripped_bytes, n_chunks_removed, bytes_removed). Keeps
+    IHDR/PLTE/tRNS/IDAT/IEND — the decode-essential set."""
+    if len(data) < 8 or data[:8] != b"\x89PNG\r\n\x1a\n":
+        raise NotImplementedError("not a PNG")
+    out = bytearray(data[:8])
+    removed = blen = 0
+    pos = 8
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        ctype = data[pos + 4 : pos + 8]
+        total = 12 + length
+        if ctype in _PNG_KEEP:
+            out += data[pos : pos + total]
+        else:
+            removed += 1
+            blen += total
+        if ctype == b"IEND":
+            break
+        pos += total
+    return bytes(out), removed, blen
+
+
+def strip_jpeg_metadata(data: bytes) -> tuple[bytes, int, int]:
+    """Drop JPEG APPn (EXIF/JFIF/XMP/ICC) and COM segments: returns
+    (stripped_bytes, n_segments_removed, bytes_removed). Keeps the
+    decode-essential DQT/DHT/SOFn/DRI/SOS + entropy data."""
+    if len(data) < 4 or data[:2] != b"\xff\xd8":
+        raise NotImplementedError("not a JPEG")
+    out = bytearray(b"\xff\xd8")
+    removed = blen = 0
+    pos = 2
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise NotImplementedError("corrupt JPEG marker stream")
+        marker = data[pos + 1]
+        if marker == 0xD9:  # EOI
+            out += data[pos : pos + 2]
+            return bytes(out), removed, blen
+        seg_len = struct.unpack(">H", data[pos + 2 : pos + 4])[0]
+        total = 2 + seg_len
+        if 0xE0 <= marker <= 0xEF or marker == 0xFE:  # APPn / COM
+            removed += 1
+            blen += total
+        elif marker == 0xDA:  # SOS: copy through to EOI verbatim
+            out += data[pos:]
+            return bytes(out), removed, blen
+        else:
+            out += data[pos : pos + total]
+        pos += total
+    raise NotImplementedError("no EOI marker")
+
+
+def strip_media_metadata(data: bytes) -> tuple[bytes, int, int]:
+    """Signature-dispatching metadata strip (PNG/JPEG). Other formats
+    raise NotImplementedError — extend per container as needed."""
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        return strip_png_metadata(data)
+    if data[:2] == b"\xff\xd8":
+        return strip_jpeg_metadata(data)
+    raise NotImplementedError("metadata strip supports PNG/JPEG")
+
+
+STRIP_SCHEMA = (
+    "id bigint, n_removed int, bytes_removed bigint, byte_len bigint,"
+    " decodable boolean, media binary"
+)
+
+
+def strip_metadata_table(
+    df: DataFrame, id_col: str, media_col: str = "media"
+) -> DataFrame:
+    """mapInPandas metadata strip over a binary media column: emits the
+    stripped bytes plus audit columns (what was removed, and whether the
+    stripped blob still decodes — it must). Scan-pass, zero shuffle."""
+
+    def strip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                data = bytes(row[media_col]) if row[media_col] is not None else b""
+                stripped, n, blen = strip_media_metadata(data)
+                try:
+                    decode_pixels(stripped)
+                    ok = True
+                except NotImplementedError:
+                    ok = False
+                rows.append(
+                    {
+                        "id": int(row[id_col]),
+                        "n_removed": n,
+                        "bytes_removed": blen,
+                        "byte_len": len(stripped),
+                        "decodable": ok,
+                        "media": stripped,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return df.select(F.col(id_col).cast("bigint").alias(id_col), media_col).mapInPandas(
+        strip, schema=STRIP_SCHEMA
     )

@@ -1213,3 +1213,18 @@ def map_extract_op(config: dict):
     key = config["key"]
     out = config.get("as", key)
     return lambda df: df.withColumn(out, F.element_at(F.col(field), key))
+
+
+@operator("media_strip_metadata")
+def media_strip_metadata_op(config: dict):
+    """Strip camera/author metadata from image blobs (PNG ancillary
+    chunks, JPEG APPn/COM incl. EXIF) — the media analogue of
+    pii_scrub; pixels untouched, no re-encode
+    (multimodal.strip_metadata_table). config: {id_field, media_field}."""
+    from ..llm.multimodal import strip_metadata_table
+
+    return lambda df: strip_metadata_table(
+        df,
+        id_col=config.get("id_field", "doc_id"),
+        media_col=config.get("media_field", "media"),
+    )

@@ -1668,3 +1668,64 @@ def multimodal_reshard_tars(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     packed = MM.pack_tar_shards(assigned, shard_col="assign")
     return packed.select("shard_idx", "n_samples", "byte_len")
+
+
+# ---------------------------------------------------------------------------
+# Media metadata strip (multimodal.strip_metadata_table): the image-side
+# PII scrub — the oracle predicts exactly how many chunks and bytes the
+# strip removes (tEXt framing is 12 overhead + keyword + NUL + text), and
+# the audit column pins that every stripped blob still decodes.
+# ---------------------------------------------------------------------------
+
+_STRIP_ORACLE = """
+WITH p AS (
+  SELECT doc_id,
+         10 + doc_id % 50 AS author_len,
+         3 + doc_id % 20 AS gps_len,
+         1 + doc_id % 3 AS n_chunks
+  FROM documents
+)
+SELECT doc_id AS id,
+       CAST(n_chunks AS INT) AS n_removed,
+       CAST(CASE n_chunks
+              WHEN 1 THEN 12 + 6 + 1 + author_len
+              WHEN 2 THEN (12 + 6 + 1 + author_len) + (12 + 3 + 1 + gps_len)
+              ELSE (12 + 6 + 1 + author_len) + (12 + 3 + 1 + gps_len)
+                   + (12 + 4 + 1 + 10)
+            END AS BIGINT) AS bytes_removed,
+       true AS decodable
+FROM p
+"""
+
+
+@query("multimodal_strip_metadata", oracle=_STRIP_ORACLE, tags=("llm", "multimodal"))
+def multimodal_strip_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata strip ORACLED end-to-end: PNGs carry 1-3 tEXt chunks of
+    arithmetic sizes; the strip must remove exactly those chunks (count
+    and byte totals predicted in closed form) and the survivor must
+    still decode through the real pipeline."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def synth(ids):
+        def mk(i):
+            i = int(i)
+            chunks = [("Author", "a" * (10 + i % 50))]
+            if 1 + i % 3 >= 2:
+                chunks.append(("GPS", "g" * (3 + i % 20)))
+            if 1 + i % 3 >= 3:
+                chunks.append(("Make", "m" * 10))
+            return MM.make_png(
+                3 + i % 8, 2 + i % 5, gradient=(i % 256, 3, 7),
+                text_chunks=chunks,
+            )
+
+        return ids.map(mk)
+
+    synth.__annotations__ = {"ids": pd.Series, "return": pd.Series}
+    synth_udf = pandas_udf("binary")(synth)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    media = docs.select("doc_id", synth_udf(F.col("doc_id")).alias("media"))
+    out = MM.strip_metadata_table(media, "doc_id", "media")
+    return out.select("id", "n_removed", "bytes_removed", "decodable")
