@@ -1186,6 +1186,7 @@ def media_synth_tar(config: dict):
                         body = make_png(
                             6 + (i + k) % 5, 5 + k % 3,
                             gradient=((i * 7 + k) % 256, dx, 7),
+                            text_chunks=[("Author", "cam" * (1 + i % 4))],
                         )
                     else:
                         body = bytes(10 + (i + 7 * k) % 90)
