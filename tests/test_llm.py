@@ -2176,3 +2176,67 @@ class TestStripMetadata:
 
         with pytest.raises(NotImplementedError):
             strip_media_metadata(make_gif(4, 3))
+
+
+class TestImageDecontaminate:
+    def test_drops_exact_and_near_eval_matches(self, spark):
+        import pandas as pd
+        from pyspark.sql import functions as F
+        from pyspark.sql.functions import pandas_udf
+
+        from tuktu_spark.llm import multimodal as MM
+
+        # corpus: ids 0/3 share eval image 0's signature family; 1 is a
+        # strongly brightness-shifted copy (dHash is shift-invariant,
+        # hamming 0); 2 is a different gradient direction
+        def synth(ids):
+            def mk(i):
+                i = int(i)
+                if i == 1:
+                    return MM.make_png(7, 6, gradient=(200, 3, 7))
+                dx = 3 if i in (0, 3) else 253
+                return MM.make_png(7, 6, gradient=(40 + i, dx, 7))
+
+            return ids.map(mk)
+
+        synth.__annotations__ = {"ids": pd.Series, "return": pd.Series}
+        corpus = spark.range(4).select(
+            F.col("id").alias("doc_id"),
+            pandas_udf("binary")(synth)(F.col("id")).alias("media"),
+        )
+
+        def esynth(ids):
+            return ids.map(lambda e: MM.make_png(7, 6, gradient=(40, 3, 7)))
+
+        esynth.__annotations__ = {"ids": pd.Series, "return": pd.Series}
+        eval_media = spark.range(1).select(
+            F.col("id").alias("doc_id"),
+            pandas_udf("binary")(esynth)(F.col("id")).alias("media"),
+        )
+        kept = sorted(
+            r["doc_id"]
+            for r in MM.image_decontaminate(
+                corpus, eval_media, max_hamming=2
+            ).collect()
+        )
+        # 0, 1 and 3 are brightness-shifted copies (hamming 0, modulo
+        # wrap effects within tolerance) -> dropped; 2 stays
+        assert kept == [2]
+
+    def test_zero_eval_set_keeps_everything(self, spark):
+        import pandas as pd
+        from pyspark.sql import functions as F
+        from pyspark.sql.functions import pandas_udf
+
+        from tuktu_spark.llm import multimodal as MM
+
+        def synth(ids):
+            return ids.map(lambda i: MM.make_png(5, 4, gradient=(int(i), 3, 7)))
+
+        synth.__annotations__ = {"ids": pd.Series, "return": pd.Series}
+        corpus = spark.range(3).select(
+            F.col("id").alias("doc_id"),
+            pandas_udf("binary")(synth)(F.col("id")).alias("media"),
+        )
+        empty = corpus.filter("doc_id < 0")
+        assert MM.image_decontaminate(corpus, empty).count() == 3

@@ -2383,3 +2383,75 @@ def strip_metadata_table(
     return df.select(F.col(id_col).cast("bigint").alias(id_col), media_col).mapInPandas(
         strip, schema=STRIP_SCHEMA
     )
+
+
+def hash64_cross_matches(
+    a_hashes: DataFrame,
+    b_hashes: DataFrame,
+    hi_col: str,
+    lo_col: str,
+    max_hamming: int = 6,
+    id_col: str = "id",
+) -> DataFrame:
+    """Cross-table near matches over 64-bit signatures (the two-corpus
+    form of hash64_near_pairs): candidates from the banded byte-chunk
+    equi-join (pigeonhole-complete for max_hamming < 8), verified with
+    bit_count. Returns (id_a from a, id_b from b, hamming). Scale shape:
+    signatures only; when b is an eval set it is bands-broadcast-sized."""
+
+    def pieces(df, side):
+        chunks = [
+            F.struct(
+                F.lit(i).alias("chunk"),
+                F.shiftright(F.col(col), 8 * (i % 4)).bitwiseAND(F.lit(255)).alias("val"),
+            )
+            for col, base in ((hi_col, 0), (lo_col, 4))
+            for i in range(base, base + 4)
+        ]
+        return df.select(
+            F.col(id_col), hi_col, lo_col, F.explode(F.array(*chunks)).alias("p")
+        ).select(id_col, hi_col, lo_col, "p.chunk", "p.val").alias(side)
+
+    a, b = pieces(a_hashes, "a"), pieces(b_hashes, "b")
+    cand = (
+        a.join(
+            F.broadcast(b),
+            (F.col("a.chunk") == F.col("b.chunk")) & (F.col("a.val") == F.col("b.val")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            (
+                F.bit_count(F.col(f"a.{hi_col}").bitwiseXOR(F.col(f"b.{hi_col}")))
+                + F.bit_count(F.col(f"a.{lo_col}").bitwiseXOR(F.col(f"b.{lo_col}")))
+            ).alias("hamming"),
+        )
+        .distinct()
+    )
+    return cand.filter(F.col("hamming") <= int(max_hamming))
+
+
+def image_decontaminate(
+    corpus: DataFrame,
+    eval_media: DataFrame,
+    max_hamming: int = 6,
+    id_col: str = "doc_id",
+    media_col: str = "media",
+) -> DataFrame:
+    """Drop corpus images perceptually matching ANY eval-set image
+    (dHash within ``max_hamming``) — the image analogue of the 13-gram
+    text decontamination: benchmark images must not leak into training
+    data, including resized/re-encoded variants (dHash is scale- and
+    brightness-shift-tolerant). The corpus decodes once to signatures;
+    the eval side is broadcast (eval sets are small by nature); corpus
+    media never shuffles."""
+    c_hash = image_dhash_table(corpus, id_col, media_col)
+    e_hash = image_dhash_table(eval_media, id_col, media_col)
+    matches = hash64_cross_matches(
+        c_hash, e_hash, "dhash_hi", "dhash_lo", max_hamming=max_hamming
+    ).select(F.col("id_a").alias("__contaminated"))
+    return corpus.join(
+        matches.distinct(),
+        F.col(id_col).cast("bigint") == F.col("__contaminated"),
+        "left_anti",
+    )

@@ -1229,3 +1229,26 @@ def media_strip_metadata_op(config: dict):
         id_col=config.get("id_field", "doc_id"),
         media_col=config.get("media_field", "media"),
     )
+
+
+@operator("image_decontaminate")
+def image_decontaminate_op(config: dict):
+    """Benchmark decontamination for IMAGES (merger takes
+    (corpus, eval_set) inputs in flows): drop corpus images whose dHash
+    is within max_hamming of any eval image
+    (multimodal.image_decontaminate). config: {max_hamming, id_field,
+    media_field}."""
+    from ..llm.multimodal import image_decontaminate
+
+    def transform(corpus: DataFrame, eval_set: DataFrame | None = None) -> DataFrame:
+        if eval_set is None:
+            raise ValueError("image_decontaminate needs (corpus, eval_set) inputs")
+        return image_decontaminate(
+            corpus,
+            eval_set,
+            max_hamming=int(config.get("max_hamming", 6)),
+            id_col=config.get("id_field", "doc_id"),
+            media_col=config.get("media_field", "media"),
+        )
+
+    return transform

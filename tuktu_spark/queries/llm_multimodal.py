@@ -1729,3 +1729,124 @@ def multimodal_strip_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = docs.select("doc_id", synth_udf(F.col("doc_id")).alias("media"))
     out = MM.strip_metadata_table(media, "doc_id", "media")
     return out.select("id", "n_removed", "bytes_removed", "decodable")
+
+
+# ---------------------------------------------------------------------------
+# Image decontamination (multimodal.image_decontaminate): corpus dHashes
+# recomputed per-bit (the dHash oracle CTE) against TWO eval images
+# synthesized from the same family; a corpus doc survives iff its signature
+# is farther than max_hamming from BOTH — the oracle recomputes the exact
+# Hamming distances with xor/bit_count.
+# ---------------------------------------------------------------------------
+
+_IMG_DECON_ORACLE = """
+WITH corp AS (
+  SELECT doc_id, 3 + doc_id % 14 AS w, 2 + doc_id % 9 AS h,
+         doc_id % 256 AS seed
+  FROM documents
+),
+cg AS (
+  SELECT doc_id, gy.i AS gy, gx.i AS gx,
+         (seed + 3 * ((gx.i * w) // 9) + 7 * ((gy.i * h) // 8)) % 256 AS v
+  FROM corp,
+       LATERAL (SELECT unnest(range(0, 9)) AS i) gx,
+       LATERAL (SELECT unnest(range(0, 8)) AS i) gy
+),
+cb AS (
+  -- grayscale PNGs: luma = 4*v (the dHash oracle convention)
+  SELECT doc_id, gy, gx,
+         CASE WHEN LEAD(4 * v) OVER (PARTITION BY doc_id, gy ORDER BY gx)
+                   > 4 * v
+              THEN 1 ELSE 0 END AS bit
+  FROM cg
+),
+ch AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN gy < 4 AND gx < 8
+                       THEN bit * (CAST(1 AS BIGINT) << ((gy % 4) * 8 + gx))
+                       ELSE 0 END) AS BIGINT) AS hi,
+         CAST(SUM(CASE WHEN gy >= 4 AND gx < 8
+                       THEN bit * (CAST(1 AS BIGINT) << ((gy % 4) * 8 + gx))
+                       ELSE 0 END) AS BIGINT) AS lo
+  FROM cb GROUP BY doc_id
+),
+ev AS (SELECT unnest([0, 1]) AS eid),
+eg AS (
+  SELECT eid, gy.i AS gy, gx.i AS gx,
+         (40 + (CASE eid WHEN 0 THEN 3 ELSE 101 END) * ((gx.i * 7) // 9)
+             + 7 * ((gy.i * 6) // 8)) % 256 AS v
+  FROM ev,
+       LATERAL (SELECT unnest(range(0, 9)) AS i) gx,
+       LATERAL (SELECT unnest(range(0, 8)) AS i) gy
+),
+eb AS (
+  SELECT eid, gy, gx,
+         CASE WHEN LEAD(4 * v) OVER (PARTITION BY eid, gy ORDER BY gx)
+                   > 4 * v
+              THEN 1 ELSE 0 END AS bit
+  FROM eg
+),
+eh AS (
+  SELECT eid,
+         CAST(SUM(CASE WHEN gy < 4 AND gx < 8
+                       THEN bit * (CAST(1 AS BIGINT) << ((gy % 4) * 8 + gx))
+                       ELSE 0 END) AS BIGINT) AS hi,
+         CAST(SUM(CASE WHEN gy >= 4 AND gx < 8
+                       THEN bit * (CAST(1 AS BIGINT) << ((gy % 4) * 8 + gx))
+                       ELSE 0 END) AS BIGINT) AS lo
+  FROM eb GROUP BY eid
+),
+contaminated AS (
+  SELECT DISTINCT ch.doc_id
+  FROM ch JOIN eh ON
+    bit_count(xor(ch.hi, eh.hi)) + bit_count(xor(ch.lo, eh.lo)) <= 2
+)
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+"""
+
+
+@query(
+    "multimodal_image_decontaminate",
+    oracle=_IMG_DECON_ORACLE,
+    tags=("llm", "multimodal", "dedup"),
+)
+def multimodal_image_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set image decontamination ORACLED end-to-end: corpus PNGs
+    (the dHash fixture family) filtered against two eval images; every
+    dHash bit on BOTH sides and every cross Hamming distance recomputed
+    in SQL. Corpus media decodes once and never shuffles; the eval side
+    is broadcast."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def synth(ids):
+        def mk(i):
+            i = int(i)
+            return MM.make_png(
+                3 + i % 14, 2 + i % 9, gradient=(i % 256, 3, 7),
+                filters=[0, 1, 2, 3, 4],
+            )
+
+        return ids.map(mk)
+
+    synth.__annotations__ = {"ids": pd.Series, "return": pd.Series}
+    synth_udf = pandas_udf("binary")(synth)
+
+    def esynth(ids):
+        def mk(e):
+            dx = 3 if int(e) == 0 else 101
+            return MM.make_png(7, 6, gradient=(40, dx, 7))
+
+        return ids.map(mk)
+
+    esynth.__annotations__ = {"ids": pd.Series, "return": pd.Series}
+    esynth_udf = pandas_udf("binary")(esynth)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    corpus = docs.select("doc_id", synth_udf(F.col("doc_id")).alias("media"))
+    eval_media = spark.range(2).select(
+        F.col("id").alias("doc_id"), esynth_udf(F.col("id")).alias("media")
+    )
+    kept = MM.image_decontaminate(corpus, eval_media, max_hamming=2)
+    return kept.select("doc_id")
