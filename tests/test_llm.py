@@ -2240,3 +2240,69 @@ class TestImageDecontaminate:
         )
         empty = corpus.filter("doc_id < 0")
         assert MM.image_decontaminate(corpus, empty).count() == 3
+
+
+class TestAudioTrimAndDecontaminate:
+    def test_trim_bounds_and_energy(self, spark):
+        import pandas as pd
+        from pyspark.sql import functions as F
+        from pyspark.sql.functions import pandas_udf
+
+        from tuktu_spark.llm import multimodal as MM
+
+        def synth(ids):
+            def mk(i):
+                if int(i) == 2:  # all silent
+                    return MM.make_wav(n_samples=40)
+                return MM.make_wav(n_samples=50, ramp=(7, 101), pad=(5, 9))
+
+            return ids.map(mk)
+
+        synth.__annotations__ = {"ids": pd.Series, "return": pd.Series}
+        df = spark.range(3).select(
+            F.col("id").alias("doc_id"),
+            pandas_udf("binary")(synth)(F.col("id")).alias("media"),
+        )
+        out = {r["id"]: r for r in MM.audio_trim_silence_table(df, "doc_id").collect()}
+        r = out[0]
+        mono = [(i * 7) % 101 - 50 for i in range(50)]
+        assert (r["lead_silence"], r["trail_silence"]) == (5, 9)
+        assert r["trimmed_len"] == 50
+        assert r["trimmed_sq_sum"] == sum(v * v for v in mono)
+        silent = out[2]
+        assert silent["trimmed_len"] == 0 and silent["trimmed_sq_sum"] == 0
+        assert silent["lead_silence"] == 40 and silent["trail_silence"] == 0
+
+    def test_audio_decontaminate_drops_matching_waveform(self, spark):
+        import pandas as pd
+        from pyspark.sql import functions as F
+        from pyspark.sql.functions import pandas_udf
+
+        from tuktu_spark.llm import multimodal as MM
+
+        def synth(ids):
+            def mk(i):
+                key = 0 if int(i) in (0, 2) else int(i)
+                return MM.make_wav(n_samples=325, ramp=(5 + 2 * key, 200 + 16 * key))
+
+            return ids.map(mk)
+
+        synth.__annotations__ = {"ids": pd.Series, "return": pd.Series}
+        corpus = spark.range(4).select(
+            F.col("id").alias("doc_id"),
+            pandas_udf("binary")(synth)(F.col("id")).alias("media"),
+        )
+
+        def esynth(ids):
+            return ids.map(lambda e: MM.make_wav(n_samples=325, ramp=(5, 200)))
+
+        esynth.__annotations__ = {"ids": pd.Series, "return": pd.Series}
+        eval_media = spark.range(1).select(
+            F.col("id").alias("doc_id"),
+            pandas_udf("binary")(esynth)(F.col("id")).alias("media"),
+        )
+        kept = sorted(
+            r["doc_id"]
+            for r in MM.audio_decontaminate(corpus, eval_media, max_hamming=0).collect()
+        )
+        assert kept == [1, 3]  # clips 0 and 2 share the eval waveform

@@ -624,6 +624,7 @@ def make_wav(
     bits: int = 16,
     square: tuple[int, int] | None = None,
     ramp: tuple[int, int] | None = None,
+    pad: tuple[int, int] = (0, 0),
 ) -> bytes:
     """A real RIFF/WAVE file: canonical fmt + PCM data chunk. Silence by
     default; ``square=(amplitude, period)`` writes a square wave
@@ -632,11 +633,13 @@ def make_wav(
     v(i) = (i*step) % modulus - modulus//2 — both exact integer
     arithmetic, so sums/energies/crossings are oracle-able. The ramp's
     per-frame energy VARIES along the file (unlike the square's), which
-    is what the energy-delta fingerprint fixture needs."""
+    is what the energy-delta fingerprint fixture needs. ``pad=(lead,
+    trail)`` wraps the signal in silent samples — the trim fixture."""
     block_align = channels * bits // 8
     byte_rate = sample_rate * block_align
     if square is not None and ramp is not None:
         raise ValueError("pass square or ramp, not both")
+    lead, trail = pad
     def pack(v: int) -> bytes:
         if bits == 8:  # WAV 8-bit PCM is stored unsigned, centered at 128
             return bytes([max(0, min(255, v + 128))])
@@ -660,6 +663,9 @@ def make_wav(
             v = (i * step) % modulus - modulus // 2
             frame += pack(v) * channels
         data = bytes(frame)
+    if lead or trail:
+        z = pack(0) * channels
+        data = z * lead + data + z * trail
     fmt = struct.pack("<HHIIHH", 1, channels, sample_rate, byte_rate, block_align, bits)
     body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
     body += b"data" + struct.pack("<I", len(data)) + data
@@ -2454,4 +2460,73 @@ def image_decontaminate(
         matches.distinct(),
         F.col(id_col).cast("bigint") == F.col("__contaminated"),
         "left_anti",
+    )
+
+
+def audio_decontaminate(
+    corpus: DataFrame,
+    eval_media: DataFrame,
+    max_hamming: int = 6,
+    id_col: str = "doc_id",
+    media_col: str = "media",
+) -> DataFrame:
+    """Drop corpus clips perceptually matching ANY eval-set clip
+    (energy-delta fingerprint within ``max_hamming``) — the audio twin
+    of image_decontaminate, riding the same hash64_cross_matches shape:
+    corpus PCM decodes once to 8-byte signatures, eval side broadcast."""
+    c = audio_fingerprint_table(corpus, id_col, media_col)
+    e = audio_fingerprint_table(eval_media, id_col, media_col)
+    matches = hash64_cross_matches(
+        c, e, "afp_hi", "afp_lo", max_hamming=max_hamming
+    ).select(F.col("id_a").alias("__contaminated"))
+    return corpus.join(
+        matches.distinct(),
+        F.col(id_col).cast("bigint") == F.col("__contaminated"),
+        "left_anti",
+    )
+
+
+AUDIO_TRIM_SCHEMA = (
+    "id bigint, n_mono bigint, lead_silence bigint, trail_silence bigint,"
+    " trimmed_len bigint, trimmed_sq_sum bigint"
+)
+
+
+def audio_trim_silence_table(
+    df: DataFrame, id_col: str, media_col: str = "media", threshold: int = 0
+) -> DataFrame:
+    """mapInPandas silence trim over 16/8-bit PCM WAV: find the first and
+    last mono sample with |s| > threshold and report the trim bounds plus
+    the trimmed segment's exact integer energy — all closed-form for a
+    synthetic waveform, so the whole trim is oracle-checkable. An
+    all-silent clip trims to length 0."""
+
+    def trim(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                data = bytes(row[media_col]) if row[media_col] is not None else b""
+                _rate, ch, samples = decode_wav_samples(data)
+                mono = samples[::max(ch, 1)]
+                loud = [i for i, v in enumerate(mono) if abs(v) > threshold]
+                if loud:
+                    lo, hi = loud[0], loud[-1]
+                    seg = mono[lo : hi + 1]
+                    trail = len(mono) - 1 - hi
+                else:  # all silent: everything is leading silence
+                    lo, seg, trail = len(mono), [], 0
+                rows.append(
+                    {
+                        "id": int(row[id_col]),
+                        "n_mono": len(mono),
+                        "lead_silence": lo,
+                        "trail_silence": trail,
+                        "trimmed_len": len(seg),
+                        "trimmed_sq_sum": sum(v * v for v in seg),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return df.select(F.col(id_col).cast("bigint").alias(id_col), media_col).mapInPandas(
+        trim, schema=AUDIO_TRIM_SCHEMA
     )

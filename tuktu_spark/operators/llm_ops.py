@@ -1252,3 +1252,41 @@ def image_decontaminate_op(config: dict):
         )
 
     return transform
+
+
+@operator("audio_decontaminate")
+def audio_decontaminate_op(config: dict):
+    """Benchmark decontamination for AUDIO (merger takes (corpus,
+    eval_set) inputs in flows): drop corpus clips whose energy-delta
+    fingerprint is within max_hamming of any eval clip
+    (multimodal.audio_decontaminate). config: {max_hamming, id_field,
+    media_field}."""
+    from ..llm.multimodal import audio_decontaminate
+
+    def transform(corpus: DataFrame, eval_set: DataFrame | None = None) -> DataFrame:
+        if eval_set is None:
+            raise ValueError("audio_decontaminate needs (corpus, eval_set) inputs")
+        return audio_decontaminate(
+            corpus,
+            eval_set,
+            max_hamming=int(config.get("max_hamming", 6)),
+            id_col=config.get("id_field", "doc_id"),
+            media_col=config.get("media_field", "media"),
+        )
+
+    return transform
+
+
+@operator("audio_trim_silence")
+def audio_trim_silence_op(config: dict):
+    """Silence-trim audit over PCM WAV media (multimodal.
+    audio_trim_silence_table — exact integer bounds + trimmed energy).
+    config: {id_field, media_field, threshold}."""
+    from ..llm.multimodal import audio_trim_silence_table
+
+    return lambda df: audio_trim_silence_table(
+        df,
+        id_col=config.get("id_field", "doc_id"),
+        media_col=config.get("media_field", "media"),
+        threshold=int(config.get("threshold", 0)),
+    )

@@ -1850,3 +1850,75 @@ def multimodal_image_decontaminate(spark: SparkSession, sf_dir: str) -> DataFram
     )
     kept = MM.image_decontaminate(corpus, eval_media, max_hamming=2)
     return kept.select("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Silence trimming (multimodal.audio_trim_silence_table): sawtooth wrapped
+# in arithmetic-size silence; the oracle recomputes the bounds and the
+# trimmed segment's exact integer energy. The ramp's interior zeros
+# (v=0 whenever i*step % md == md//2... exactly md even and i*step ≡ md/2)
+# are inside the kept segment by construction, so the trim must NOT cut
+# at them — an any-zero-trims bug breaks the match.
+# ---------------------------------------------------------------------------
+
+_AUDIO_TRIM_ORACLE = """
+WITH p AS (
+  SELECT doc_id, 3 + doc_id % 13 AS step, 129 + 8 * (doc_id % 29) AS md,
+         100 + doc_id % 80 AS n,
+         doc_id % 30 AS lead, doc_id % 17 AS trail
+  FROM documents
+),
+samp AS (
+  SELECT doc_id, n, lead, trail, i.i AS i,
+         (i.i * step) % md - md // 2 AS v
+  FROM p, LATERAL (SELECT unnest(range(0, n)) AS i) i
+),
+seg AS (
+  SELECT doc_id, MIN(n) AS n, MIN(lead) AS lead, MIN(trail) AS trail,
+         MIN(CASE WHEN v <> 0 THEN i END) AS lo,
+         MAX(CASE WHEN v <> 0 THEN i END) AS hi
+  FROM samp GROUP BY doc_id
+),
+e AS (
+  SELECT s.doc_id, SUM(v * v) AS sq
+  FROM samp sm JOIN seg s ON sm.doc_id = s.doc_id
+  WHERE sm.i BETWEEN s.lo AND s.hi
+  GROUP BY s.doc_id
+)
+SELECT seg.doc_id AS id,
+       CAST(n + lead + trail AS BIGINT) AS n_mono,
+       CAST(lead + lo AS BIGINT) AS lead_silence,
+       CAST(trail + (n - 1 - hi) AS BIGINT) AS trail_silence,
+       CAST(hi - lo + 1 AS BIGINT) AS trimmed_len,
+       CAST(e.sq AS BIGINT) AS trimmed_sq_sum
+FROM seg JOIN e ON seg.doc_id = e.doc_id
+"""
+
+
+@query("multimodal_audio_trim", oracle=_AUDIO_TRIM_ORACLE, tags=("llm", "multimodal"))
+def multimodal_audio_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Silence trimming ORACLED end-to-end: each clip is a sawtooth
+    (odd modulus — interior samples can still be exactly zero when the
+    ramp lands on md//2... they cannot for odd md, so the kept-segment
+    bounds are the padded silence exactly) wrapped in arithmetic-size
+    silence; bounds and trimmed energy recomputed in closed form."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def synth(ids):
+        def mk(i):
+            i = int(i)
+            return MM.make_wav(
+                n_samples=100 + i % 80,
+                ramp=(3 + i % 13, 129 + 8 * (i % 29)),
+                pad=(i % 30, i % 17),
+            )
+
+        return ids.map(mk)
+
+    synth.__annotations__ = {"ids": pd.Series, "return": pd.Series}
+    synth_udf = pandas_udf("binary")(synth)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    media = docs.select("doc_id", synth_udf(F.col("doc_id")).alias("media"))
+    return MM.audio_trim_silence_table(media, "doc_id", "media")
