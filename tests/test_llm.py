@@ -2306,3 +2306,14 @@ class TestAudioTrimAndDecontaminate:
             for r in MM.audio_decontaminate(corpus, eval_media, max_hamming=0).collect()
         )
         assert kept == [1, 3]  # clips 0 and 2 share the eval waveform
+
+
+def test_jpeg_strip_passes_standalone_markers(spark):
+    from tuktu_spark.llm.multimodal import strip_media_metadata
+    from tuktu_spark.llm.jpeg import make_jpeg
+
+    j = bytearray(make_jpeg(8, 8, shade=100))
+    j[2:2] = b"\xff\x01"  # TEM: standalone, no length field
+    sj, n, b = strip_media_metadata(bytes(j))
+    assert n == 1 and b == 18  # only the APP0 goes
+    assert b"\xff\x01" in sj

@@ -2326,6 +2326,10 @@ def strip_jpeg_metadata(data: bytes) -> tuple[bytes, int, int]:
         if marker == 0xD9:  # EOI
             out += data[pos : pos + 2]
             return bytes(out), removed, blen
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # standalone: no length
+            out += data[pos : pos + 2]
+            pos += 2
+            continue
         seg_len = struct.unpack(">H", data[pos + 2 : pos + 4])[0]
         total = 2 + seg_len
         if 0xE0 <= marker <= 0xEF or marker == 0xFE:  # APPn / COM
