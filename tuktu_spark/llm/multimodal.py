@@ -428,7 +428,7 @@ def decode_features(df: DataFrame, batch_hint: int = 1024) -> DataFrame:
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, row in pdf.iterrows():
+            for row in pdf.to_dict("records"):
                 data = bytes(row["media"]) if row["media"] is not None else b""
                 w, h, feat = _decode_image_bytes(data)
                 rows.append(
@@ -459,7 +459,7 @@ def probe_table(df: DataFrame) -> DataFrame:
     def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, row in pdf.iterrows():
+            for row in pdf.to_dict("records"):
                 data = bytes(row["media"]) if row["media"] is not None else b""
                 info = probe_media(data)
                 rows.append(
@@ -595,7 +595,7 @@ def pixel_stats_table(df: DataFrame, id_col: str, media_col: str = "media") -> D
     def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, row in pdf.iterrows():
+            for row in pdf.to_dict("records"):
                 data = bytes(row[media_col]) if row[media_col] is not None else b""
                 w, h, c, pix = decode_pixels(data)
                 s, n = sum(pix), len(pix)
@@ -718,7 +718,7 @@ def audio_stats_table(df: DataFrame, id_col: str, media_col: str = "media") -> D
     def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, row in pdf.iterrows():
+            for row in pdf.to_dict("records"):
                 data = bytes(row[media_col]) if row[media_col] is not None else b""
                 rate, channels, samples = decode_wav_samples(data)
                 rows.append(
@@ -804,7 +804,7 @@ def resize_stats_table(
     def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, row in pdf.iterrows():
+            for row in pdf.to_dict("records"):
                 data = bytes(row[media_col]) if row[media_col] is not None else b""
                 w, h, c, pix = decode_pixels(data)
                 rw, rh, rc, rpix = resize_nearest(pix, w, h, c, out_w, out_h)
@@ -862,7 +862,7 @@ def audio_resample_stats_table(
     def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, row in pdf.iterrows():
+            for row in pdf.to_dict("records"):
                 data = bytes(row[media_col]) if row[media_col] is not None else b""
                 rate, ch, samples = decode_wav_samples(data)
                 out = resample_nearest_audio(samples, ch, n_out)
@@ -925,7 +925,7 @@ def crop_stats_table(
     def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, row in pdf.iterrows():
+            for row in pdf.to_dict("records"):
                 data = bytes(row[media_col]) if row[media_col] is not None else b""
                 w, h, c, pix = decode_pixels(data)
                 x0, y0 = seeded_crop_offset(int(row[id_col]), w, h, crop_w, crop_h, seed)
@@ -1232,7 +1232,7 @@ def image_dhash_table(
     def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, row in pdf.iterrows():
+            for row in pdf.to_dict("records"):
                 data = bytes(row[media_col]) if row[media_col] is not None else b""
                 w, h, c, pix = decode_pixels(data)
                 hi, lo = dhash_bits(pix, w, h, c)
@@ -1462,13 +1462,14 @@ def decode_avi_frames(data: bytes) -> tuple[int, int, "list[bytes]"]:
                 raw = data[body : body + size]
                 if len(raw) < row_len * h:
                     raise ValueError("truncated DIB frame")
-                rgb = bytearray()
-                for y in range(h):
-                    row = raw[(h - 1 - y) * row_len :][: w * 3]
-                    for x in range(w):
-                        b_, g_, r_ = row[3 * x : 3 * x + 3]
-                        rgb += bytes([r_, g_, b_])
-                frames.append(bytes(rgb))
+                import numpy as np
+
+                # vectorized: (h, row_len) grid -> strip padding, flip
+                # rows bottom-up -> top-down, swap BGR -> RGB
+                grid = np.frombuffer(
+                    raw[: row_len * h], dtype=np.uint8
+                ).reshape(h, row_len)[::-1, : w * 3].reshape(h, w, 3)
+                frames.append(grid[:, :, ::-1].tobytes())
             elif cid[2:4] == b"dc":
                 from .jpeg import decode_jpeg_pixels
 
@@ -1505,7 +1506,7 @@ def video_frame_stats_table(
     def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, row in pdf.iterrows():
+            for row in pdf.to_dict("records"):
                 data = bytes(row[media_col]) if row[media_col] is not None else b""
                 w, h, frames = decode_video_frames(data)
                 for t, rgb in enumerate(frames):
@@ -1578,7 +1579,7 @@ def audio_fingerprint_table(
     def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, row in pdf.iterrows():
+            for row in pdf.to_dict("records"):
                 data = bytes(row[media_col]) if row[media_col] is not None else b""
                 _rate, ch, samples = decode_wav_samples(data)
                 hi, lo = audio_fingerprint_bits(samples, ch, n_frames)
@@ -1620,7 +1621,7 @@ def audio_features_table(
     def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, row in pdf.iterrows():
+            for row in pdf.to_dict("records"):
                 data = bytes(row[media_col]) if row[media_col] is not None else b""
                 _rate, ch, samples = decode_wav_samples(data)
                 mono = samples[::max(ch, 1)]
@@ -1671,7 +1672,7 @@ def video_frame_dhash_table(
     def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, row in pdf.iterrows():
+            for row in pdf.to_dict("records"):
                 data = bytes(row[media_col]) if row[media_col] is not None else b""
                 w, h, frames = decode_video_frames(data)
                 for t, rgb in enumerate(frames):
@@ -2057,7 +2058,7 @@ def video_sample_timestamps_table(
     def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, row in pdf.iterrows():
+            for row in pdf.to_dict("records"):
                 data = bytes(row[media_col]) if row[media_col] is not None else b""
                 for t, ts in enumerate(mp4_sample_timestamps(data)):
                     rows.append(
@@ -2099,7 +2100,7 @@ def image_luma_histogram_table(
     def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, row in pdf.iterrows():
+            for row in pdf.to_dict("records"):
                 data = bytes(row[media_col]) if row[media_col] is not None else b""
                 w, h, c, pix = decode_pixels(data)
                 counts: dict[int, int] = {}
@@ -2168,7 +2169,7 @@ def untar_members_table(
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, row in pdf.iterrows():
+            for row in pdf.to_dict("records"):
                 blob = bytes(row[shard_col]) if row[shard_col] is not None else b""
                 sid = int(row[id_col])
                 try:
@@ -2242,7 +2243,7 @@ def pack_tar_shards(
 
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
         members: list[tuple[str, bytes]] = []
-        for _, row in pdf.iterrows():
+        for row in pdf.to_dict("records"):
             parts = row["parts"]
             for ext in parts:
                 members.append((f"{row['key']}.{ext}", bytes(parts[ext])))
@@ -2370,7 +2371,7 @@ def strip_metadata_table(
     def strip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, row in pdf.iterrows():
+            for row in pdf.to_dict("records"):
                 data = bytes(row[media_col]) if row[media_col] is not None else b""
                 stripped, n, blen = strip_media_metadata(data)
                 try:
@@ -2508,7 +2509,7 @@ def audio_trim_silence_table(
     def trim(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, row in pdf.iterrows():
+            for row in pdf.to_dict("records"):
                 data = bytes(row[media_col]) if row[media_col] is not None else b""
                 _rate, ch, samples = decode_wav_samples(data)
                 mono = samples[::max(ch, 1)]
