@@ -1174,16 +1174,14 @@ def decode_bmp_pixels(data: bytes) -> tuple[int, int, int, bytes]:
     if hdr_size < 40 or bpp != 24 or compression != 0 or h <= 0:
         raise NotImplementedError("only bottom-up 24-bit BI_RGB supported")
     row_len = (w * 3 + 3) & ~3
-    rgb = bytearray()
-    for y in range(h):
-        src = offset + (h - 1 - y) * row_len
-        row = data[src : src + w * 3]
-        if len(row) < w * 3:
-            raise ValueError("truncated BMP pixel data")
-        for x in range(w):
-            b, g, r = row[3 * x : 3 * x + 3]
-            rgb += bytes([r, g, b])
-    return w, h, 3, bytes(rgb)
+    if len(data) < offset + row_len * h:
+        raise ValueError("truncated BMP pixel data")
+    import numpy as np
+
+    grid = np.frombuffer(
+        data[offset : offset + row_len * h], dtype=np.uint8
+    ).reshape(h, row_len)[::-1, : w * 3].reshape(h, w, 3)
+    return w, h, 3, grid[:, :, ::-1].tobytes()
 
 
 # --- perceptual image hashing (dHash) over the real decoders -------------
