@@ -1922,3 +1922,95 @@ def multimodal_audio_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     media = docs.select("doc_id", synth_udf(F.col("doc_id")).alias("media"))
     return MM.audio_trim_silence_table(media, "doc_id", "media")
+
+
+# ---------------------------------------------------------------------------
+# Audio decontamination (multimodal.audio_decontaminate): corpus
+# fingerprints from the 50 waveform classes (the near-pairs CTE) against
+# one eval clip synthesized from class-7 parameters; survivors are corpus
+# docs farther than Hamming 0 — every bit on both sides recomputed in SQL.
+# ---------------------------------------------------------------------------
+
+_AUDIO_DECON_ORACLE = """
+WITH k AS (SELECT DISTINCT doc_id % 50 AS key FROM documents),
+p AS (
+  SELECT key, 3 + key % 13 AS step, 128 + 8 * (key % 29) AS md,
+         260 + key AS n
+  FROM k
+),
+samp AS (
+  SELECT key, i.i AS i, n // 65 AS L, (i.i * step) % md - md // 2 AS v
+  FROM p, LATERAL (SELECT unnest(range(0, n)) AS i) i
+),
+fr AS (
+  SELECT key, i // L AS t, SUM(v * v) AS e
+  FROM samp WHERE i < 65 * L GROUP BY key, i // L
+),
+b AS (
+  SELECT key, t,
+         CASE WHEN LEAD(e) OVER (PARTITION BY key ORDER BY t) > e
+              THEN 1 ELSE 0 END AS bit
+  FROM fr
+),
+f AS (
+  SELECT key,
+         CAST(SUM(CASE WHEN t < 32 THEN bit * (CAST(1 AS BIGINT) << t)
+                       ELSE 0 END) AS BIGINT) AS hi,
+         CAST(SUM(CASE WHEN t >= 32 AND t < 64
+                       THEN bit * (CAST(1 AS BIGINT) << (t % 32))
+                       ELSE 0 END) AS BIGINT) AS lo
+  FROM b GROUP BY key
+),
+ev AS (SELECT hi AS ehi, lo AS elo FROM f WHERE key = 7),
+contaminated AS (
+  SELECT DISTINCT d.doc_id
+  FROM documents d JOIN f ON d.doc_id % 50 = f.key CROSS JOIN ev
+  WHERE bit_count(xor(f.hi, ehi)) + bit_count(xor(f.lo, elo)) = 0
+)
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+"""
+
+
+@query(
+    "multimodal_audio_decontaminate",
+    oracle=_AUDIO_DECON_ORACLE,
+    tags=("llm", "multimodal", "dedup"),
+)
+def multimodal_audio_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set audio decontamination ORACLED end-to-end: the 50-class
+    sawtooth corpus filtered against one eval clip (class-7 waveform);
+    both sides' fingerprint bits and the cross Hamming distances
+    recomputed in SQL. Clips whose fingerprint equals class 7's —
+    including OTHER classes that happen to collide — must all drop."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def synth(ids):
+        def mk(i):
+            key = int(i) % 50
+            return MM.make_wav(
+                n_samples=260 + key,
+                ramp=(3 + key % 13, 128 + 8 * (key % 29)),
+            )
+
+        return ids.map(mk)
+
+    synth.__annotations__ = {"ids": pd.Series, "return": pd.Series}
+    synth_udf = pandas_udf("binary")(synth)
+
+    def esynth(ids):
+        return ids.map(
+            lambda e: MM.make_wav(n_samples=260 + 7, ramp=(3 + 7 % 13, 128 + 8 * (7 % 29)))
+        )
+
+    esynth.__annotations__ = {"ids": pd.Series, "return": pd.Series}
+    esynth_udf = pandas_udf("binary")(esynth)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    corpus = docs.select("doc_id", synth_udf(F.col("doc_id")).alias("media"))
+    eval_media = spark.range(1).select(
+        F.col("id").alias("doc_id"), esynth_udf(F.col("id")).alias("media")
+    )
+    kept = MM.audio_decontaminate(corpus, eval_media, max_hamming=0)
+    return kept.select("doc_id")
