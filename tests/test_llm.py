@@ -2317,3 +2317,30 @@ def test_jpeg_strip_passes_standalone_markers(spark):
     sj, n, b = strip_media_metadata(bytes(j))
     assert n == 1 and b == 18  # only the APP0 goes
     assert b"\xff\x01" in sj
+
+
+def test_tar_duplicate_member_last_wins(spark):
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    from tuktu_spark.llm import multimodal as MM
+
+    def synth(ids):
+        return ids.map(
+            lambda i: MM.make_tar_shard(
+                [("k.txt", b"old"), ("k.png", b"p"), ("k.txt", b"new")]
+            )
+        )
+
+    synth.__annotations__ = {"ids": pd.Series, "return": pd.Series}
+    df = spark.range(1).select(
+        F.col("id").alias("doc_id"),
+        pandas_udf("binary")(synth)(F.col("id")).alias("shard"),
+    )
+    members = MM.untar_members_table(df, "doc_id", "shard")
+    rows = {(r["key"], r["ext"]): bytes(r["data"]) for r in members.collect()}
+    assert rows == {("k", "txt"): b"new", ("k", "png"): b"p"}
+    # and the sample map builds without duplicate-key errors
+    samples = MM.webdataset_samples(members).collect()
+    assert bytes(samples[0]["parts"]["txt"]) == b"new"

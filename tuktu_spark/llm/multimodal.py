@@ -2171,6 +2171,7 @@ def untar_members_table(
                 blob = bytes(row[shard_col]) if row[shard_col] is not None else b""
                 sid = int(row[id_col])
                 try:
+                    members: dict[tuple[str, str], bytes] = {}
                     with tarfile.open(fileobj=io.BytesIO(blob), mode="r:*") as tf:
                         for m in tf:
                             if not m.isfile():
@@ -2178,15 +2179,20 @@ def untar_members_table(
                             payload = tf.extractfile(m).read()
                             base = m.name.rsplit("/", 1)[-1]
                             key, _, ext = base.partition(".")
-                            rows.append(
-                                {
-                                    "shard_id": sid,
-                                    "key": key,
-                                    "ext": ext,
-                                    "byte_len": len(payload),
-                                    "data": payload,
-                                }
-                            )
+                            # duplicate names: LAST occurrence wins (tar
+                            # extract semantics) — also keeps the sample
+                            # map free of duplicate keys downstream
+                            members[(key, ext)] = payload
+                    for (key, ext), payload in members.items():
+                        rows.append(
+                            {
+                                "shard_id": sid,
+                                "key": key,
+                                "ext": ext,
+                                "byte_len": len(payload),
+                                "data": payload,
+                            }
+                        )
                 except tarfile.TarError as ex:
                     raise NotImplementedError(f"corrupt tar shard: {ex}") from ex
             yield pd.DataFrame(
