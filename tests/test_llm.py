@@ -2344,3 +2344,30 @@ def test_tar_duplicate_member_last_wins(spark):
     # and the sample map builds without duplicate-key errors
     samples = MM.webdataset_samples(members).collect()
     assert bytes(samples[0]["parts"]["txt"]) == b"new"
+
+
+def test_video_frames_at_variable_durations(spark):
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    from tuktu_spark.llm import multimodal as MM
+
+    def synth(ids):
+        return ids.map(
+            lambda i: MM.make_mp4_mjpeg(
+                4, 4, [0, 100, 200], frame_deltas=[150, 70, 130]
+            )
+        )
+
+    synth.__annotations__ = {"ids": pd.Series, "return": pd.Series}
+    df = spark.range(1).select(
+        F.col("id").alias("doc_id"),
+        pandas_udf("binary")(synth)(F.col("id")).alias("media"),
+    )
+    rows = {
+        r["tick_ms"]: r["frame_idx"]
+        for r in MM.video_frames_at_table(df, "doc_id", interval_ms=100).collect()
+    }
+    # stts starts: [0, 150, 220]; ticks through the last start (220)
+    assert rows == {0: 0, 100: 0, 200: 1}

@@ -2539,3 +2539,62 @@ def audio_trim_silence_table(
     return df.select(F.col(id_col).cast("bigint").alias(id_col), media_col).mapInPandas(
         trim, schema=AUDIO_TRIM_SCHEMA
     )
+
+
+VIDEO_FRAMES_AT_SCHEMA = (
+    "id bigint, tick_ms bigint, frame_idx int, width int, height int,"
+    " pixel_sum bigint, mean_pixel double"
+)
+
+
+def video_frames_at_table(
+    df: DataFrame, id_col: str, media_col: str = "media", interval_ms: int = 100
+) -> DataFrame:
+    """REAL scheduled frame extraction — the operation
+    frame_timestamps_plan could only SCHEDULE is now executed end to
+    end for in-envelope codecs: for every ``interval_ms`` tick of media
+    time, decode and emit the frame showing at that instant (largest
+    sample timestamp <= tick, from the actual stts table). One row of
+    stats per (video, tick); pixels stay on the executor. H.264-class
+    codecs still raise at the ffmpeg seam — swap decode_video_frames,
+    keep the schedule."""
+
+    def grab(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for row in pdf.to_dict("records"):
+                data = bytes(row[media_col]) if row[media_col] is not None else b""
+                ts = mp4_sample_timestamps(data)
+                w, h, frames = decode_video_frames(data)
+                if not frames:
+                    continue
+                total = ts[-1] + 1  # through the last sample's start
+                sums = [sum(f) for f in frames]
+                t = 0
+                tick = 0
+                while tick < total:
+                    while t + 1 < len(ts) and ts[t + 1] <= tick:
+                        t += 1
+                    rows.append(
+                        {
+                            "id": int(row[id_col]),
+                            "tick_ms": tick,
+                            "frame_idx": t,
+                            "width": w,
+                            "height": h,
+                            "pixel_sum": sums[t],
+                            "mean_pixel": sums[t] / (w * h * 3),
+                        }
+                    )
+                    tick += int(interval_ms)
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "id", "tick_ms", "frame_idx", "width", "height",
+                    "pixel_sum", "mean_pixel",
+                ],
+            )
+
+    return df.select(F.col(id_col).cast("bigint").alias(id_col), media_col).mapInPandas(
+        grab, schema=VIDEO_FRAMES_AT_SCHEMA
+    )

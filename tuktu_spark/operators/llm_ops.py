@@ -1290,3 +1290,20 @@ def audio_trim_silence_op(config: dict):
         media_col=config.get("media_field", "media"),
         threshold=int(config.get("threshold", 0)),
     )
+
+
+@operator("video_frames_at")
+def video_frames_at_op(config: dict):
+    """REAL scheduled frame extraction (multimodal.video_frames_at_table):
+    decode the frame showing at every interval_ms tick of media time,
+    using the container's actual sample timestamps — the executed form
+    of the media_frame_timestamps schedule. config: {id_field,
+    media_field, interval_ms}."""
+    from ..llm.multimodal import video_frames_at_table
+
+    return lambda df: video_frames_at_table(
+        df,
+        id_col=config.get("id_field", "doc_id"),
+        media_col=config.get("media_field", "media"),
+        interval_ms=int(config.get("interval_ms", 100)),
+    )

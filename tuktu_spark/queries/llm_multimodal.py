@@ -2014,3 +2014,80 @@ def multimodal_audio_decontaminate(spark: SparkSession, sf_dir: str) -> DataFram
     )
     kept = MM.audio_decontaminate(corpus, eval_media, max_hamming=0)
     return kept.select("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Scheduled frame extraction (multimodal.video_frames_at_table): for every
+# 100 ms tick, the frame showing at that instant per the REAL stts table.
+# The oracle rebuilds the schedule with a window join: frame t covers
+# [cum_ts(t), cum_ts(t+1)); ticks fall to the covering frame; variable
+# per-frame durations make off-by-one tick assignment break the hash.
+# ---------------------------------------------------------------------------
+
+_FRAMES_AT_ORACLE = """
+WITH p AS (
+  SELECT doc_id, 3 + doc_id % 4 AS nf FROM documents
+),
+f AS (
+  SELECT doc_id, t.i AS t,
+         40 + 20 * ((doc_id + t.i) % 3) AS delta,
+         2 * ((doc_id + 53 * t.i) % 128) AS shade
+  FROM p, LATERAL (SELECT unnest(range(0, nf)) AS i) t
+),
+ts AS (
+  SELECT doc_id, t, shade,
+         COALESCE(SUM(delta) OVER (
+           PARTITION BY doc_id ORDER BY t
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_ms,
+         COALESCE(SUM(delta) OVER (
+           PARTITION BY doc_id ORDER BY t
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS end_ms,
+         MAX(t) OVER (PARTITION BY doc_id) AS last_t
+  FROM f
+),
+ticks AS (
+  SELECT ts.doc_id, k.i * 100 AS tick, ts.t, ts.shade, ts.start_ms
+  FROM ts, LATERAL (SELECT unnest(range(0, 20)) AS i) k
+  WHERE k.i * 100 < (SELECT MAX(start_ms) + 1 FROM ts t2
+                     WHERE t2.doc_id = ts.doc_id)
+    AND k.i * 100 >= ts.start_ms
+    AND (k.i * 100 < ts.end_ms OR ts.t = ts.last_t)
+)
+SELECT doc_id AS id, CAST(tick AS BIGINT) AS tick_ms,
+       CAST(t AS INT) AS frame_idx,
+       CAST(5 AS INT) AS width, CAST(4 AS INT) AS height,
+       CAST(5 * 4 * 3 * shade AS BIGINT) AS pixel_sum,
+       CAST(shade AS DOUBLE) AS mean_pixel
+FROM ticks
+"""
+
+
+@query("multimodal_frames_at_ticks", oracle=_FRAMES_AT_ORACLE, tags=("llm", "multimodal"))
+def multimodal_frames_at_ticks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scheduled frame extraction ORACLED end-to-end: MJPEG MP4s with
+    VARIABLE frame durations; every 100 ms tick must decode the frame
+    whose stts interval covers it — tick-to-frame assignment, the
+    decode, and the closed-form shades all hash-matched."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def synth(ids):
+        def mk(i):
+            i = int(i)
+            nf = 3 + i % 4
+            deltas = [40 + 20 * ((i + t) % 3) for t in range(nf)]
+            shades = [2 * ((i + 53 * t) % 128) for t in range(nf)]
+            return MM.make_mp4_mjpeg(5, 4, shades, frame_deltas=deltas)
+
+        return ids.map(mk)
+
+    synth.__annotations__ = {"ids": pd.Series, "return": pd.Series}
+    synth_udf = pandas_udf("binary")(synth)
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    media = docs.select("doc_id", synth_udf(F.col("doc_id")).alias("media"))
+    return MM.video_frames_at_table(media, "doc_id", "media", interval_ms=100)
