@@ -583,8 +583,6 @@ def streaming_scene_cuts(
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    from collections.abc import Iterator as _Iter
-
     thr = int(threshold)
 
     def update(key, pdfs, state: GroupState):
