@@ -173,3 +173,20 @@ def test_audio_fingerprint_matches_naive(samples, channels):
             else:
                 want_lo |= 1 << (k % 32)
     assert (hi, lo) == (want_hi, want_lo)
+
+
+@settings(**_S)
+@given(dims=DIMS, grad=GRAD, rps=st.integers(1, 6), rgb=st.booleans())
+def test_tiff_roundtrip(dims, grad, rps, rgb):
+    from tuktu_spark.llm.multimodal import decode_tiff_pixels, make_tiff
+
+    (w, h), (seed, dx, dy) = dims, grad
+    t = make_tiff(w, h, gradient=grad, rows_per_strip=rps, rgb=rgb)
+    dw, dh, c, px = decode_tiff_pixels(t)
+    assert (dw, dh, c) == (w, h, 3 if rgb else 1)
+    if rgb:
+        assert px == _expected_rgb(w, h, seed, dx, dy)
+    else:
+        assert px == bytes(
+            (seed + dx * x + dy * y) % 256 for y in range(h) for x in range(w)
+        )

@@ -2371,3 +2371,55 @@ def test_video_frames_at_variable_durations(spark):
     }
     # stts starts: [0, 150, 220]; ticks through the last start (220)
     assert rows == {0: 0, 100: 0, 200: 1}
+
+
+class TestTiffCodec:
+    def test_multistrip_roundtrip_exact(self, spark):
+        from tuktu_spark.llm.multimodal import decode_tiff_pixels, make_tiff
+
+        for w, h, rps in ((1, 1, 1), (5, 7, 3), (8, 4, 2), (6, 10, 4)):
+            t = make_tiff(w, h, gradient=(9, 3, 7), rows_per_strip=rps)
+            dw, dh, c, rgb = decode_tiff_pixels(t)
+            want = bytearray()
+            for y in range(h):
+                for x in range(w):
+                    v = (9 + 3 * x + 7 * y) % 256
+                    want += bytes([v, (2 * v) % 256, (3 * v) % 256])
+            assert (dw, dh, c) == (w, h, 3) and rgb == bytes(want)
+
+    def test_grayscale_and_probe_and_dispatch(self, spark):
+        from tuktu_spark.llm.multimodal import (
+            decode_pixels, decode_tiff_pixels, make_tiff, probe_media,
+        )
+
+        g = make_tiff(4, 3, gradient=(0, 1, 1), rgb=False)
+        assert decode_tiff_pixels(g)[:3] == (4, 3, 1)
+        info = probe_media(make_tiff(6, 4))
+        assert info == {"format": "tiff", "width": 6, "height": 4}
+        assert decode_pixels(make_tiff(6, 4))[:3] == (6, 4, 3)
+
+    def test_compressed_raises_seam(self, spark):
+        import struct as st
+
+        import pytest
+
+        from tuktu_spark.llm.multimodal import decode_tiff_pixels, make_tiff
+
+        t = bytearray(make_tiff(4, 3))
+        # find the Compression entry (tag 259) in the IFD and claim LZW (5)
+        i = t.find(st.pack("<HH", 259, 3))
+        assert i > 0
+        t[i + 8 : i + 10] = st.pack("<H", 5)
+        with pytest.raises(NotImplementedError):
+            decode_tiff_pixels(bytes(t))
+
+    def test_truncated_strip_maps_to_seam_via_dispatch(self, spark):
+        import pytest
+
+        from tuktu_spark.llm.multimodal import decode_pixels, make_tiff
+
+        t = make_tiff(6, 8, rows_per_strip=8)
+        # cut into the single strip: decode_pixels maps ValueError -> seam
+        broken = t[:8] + t[8 : 8 + 10]  # header + 10 pixel bytes, no IFD
+        with pytest.raises(NotImplementedError):
+            decode_pixels(broken)

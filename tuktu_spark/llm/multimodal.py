@@ -236,7 +236,7 @@ def probe_media(data: bytes) -> dict:
     Pure stdlib — runs inside Arrow batches with no native deps."""
     if not data:
         return {"format": "empty"}
-    for parser in (_parse_png, _parse_jpeg, _parse_gif, _parse_bmp, _parse_wav, _parse_avi, _parse_mp4):
+    for parser in (_parse_png, _parse_jpeg, _parse_gif, _parse_bmp, _parse_tiff, _parse_wav, _parse_avi, _parse_mp4):
         got = parser(data)
         if got is not None:
             return got
@@ -365,6 +365,11 @@ def decode_pixels(data: bytes) -> tuple[int, int, int, bytes]:
             return decode_bmp_pixels(data)
         except (ValueError, struct.error, IndexError) as ex:
             raise NotImplementedError(f"corrupt BMP body: {ex}") from ex
+    if data[:4] in (b"II*\x00", b"MM\x00*"):
+        try:
+            return decode_tiff_pixels(data)
+        except (ValueError, struct.error, IndexError) as ex:
+            raise NotImplementedError(f"corrupt TIFF body: {ex}") from ex
     from .jpeg import decode_jpeg_pixels
 
     try:
@@ -2598,3 +2603,164 @@ def video_frames_at_table(
     return df.select(F.col(id_col).cast("bigint").alias(id_col), media_col).mapInPandas(
         grab, schema=VIDEO_FRAMES_AT_SCHEMA
     )
+
+
+# --- TIFF: real baseline probe + uncompressed decode (public spec 6.0) ----
+
+
+def _parse_tiff(data: bytes) -> dict | None:
+    """TIFF: 'II*\\0' / 'MM\\0*' header, IFD walk for
+    ImageWidth(256)/ImageLength(257) (TIFF 6.0, public spec)."""
+    if len(data) < 8 or data[:4] not in (b"II*\x00", b"MM\x00*"):
+        return None
+    bo = "<" if data[:2] == b"II" else ">"
+    (ifd_off,) = struct.unpack(bo + "I", data[4:8])
+    if ifd_off + 2 > len(data):
+        return None
+    (n_entries,) = struct.unpack(bo + "H", data[ifd_off : ifd_off + 2])
+    out: dict = {"format": "tiff"}
+    for i in range(n_entries):
+        e = ifd_off + 2 + 12 * i
+        if e + 12 > len(data):
+            break
+        tag, typ, cnt = struct.unpack(bo + "HHI", data[e : e + 8])
+        if typ == 3:  # SHORT: value in the first 2 bytes of the field
+            (val,) = struct.unpack(bo + "H", data[e + 8 : e + 10])
+        else:  # LONG (or offset)
+            (val,) = struct.unpack(bo + "I", data[e + 8 : e + 12])
+        if tag == 256:
+            out["width"] = val
+        elif tag == 257:
+            out["height"] = val
+    return out if "width" in out else out
+
+
+def _tiff_ifd(data: bytes, bo: str) -> dict[int, tuple[int, int, list[int]]]:
+    (ifd_off,) = struct.unpack(bo + "I", data[4:8])
+    (n_entries,) = struct.unpack(bo + "H", data[ifd_off : ifd_off + 2])
+    tags: dict[int, tuple[int, int, list[int]]] = {}
+    sizes = {1: 1, 3: 2, 4: 4}
+    fmts = {1: "B", 3: "H", 4: "I"}
+    for i in range(n_entries):
+        e = ifd_off + 2 + 12 * i
+        tag, typ, cnt = struct.unpack(bo + "HHI", data[e : e + 8])
+        if typ not in sizes:
+            continue
+        total = sizes[typ] * cnt
+        if total <= 4:
+            raw = data[e + 8 : e + 8 + total]
+        else:
+            (off,) = struct.unpack(bo + "I", data[e + 8 : e + 12])
+            raw = data[off : off + total]
+        vals = list(struct.unpack(bo + fmts[typ] * cnt, raw))
+        tags[tag] = (typ, cnt, vals)
+    return tags
+
+
+def decode_tiff_pixels(data: bytes) -> tuple[int, int, int, bytes]:
+    """REAL baseline TIFF decode: uncompressed (Compression=1) 8-bit
+    grayscale or RGB, strip-organized, either byte order. Other
+    compressions/bit depths raise NotImplementedError (the PIL seam)."""
+    if len(data) < 8 or data[:4] not in (b"II*\x00", b"MM\x00*"):
+        raise NotImplementedError("not a TIFF")
+    bo = "<" if data[:2] == b"II" else ">"
+    tags = _tiff_ifd(data, bo)
+
+    def one(tag, default=None):
+        if tag not in tags:
+            if default is None:
+                raise NotImplementedError(f"TIFF missing tag {tag}")
+            return default
+        return tags[tag][2][0]
+
+    w, h = one(256), one(257)
+    comp = one(259, 1)
+    spp = one(277, 1)
+    bits = tags.get(258, (3, 1, [8]))[2]
+    if comp != 1 or any(b != 8 for b in bits) or spp not in (1, 3):
+        raise NotImplementedError("only uncompressed 8-bit gray/RGB TIFF")
+    offsets = tags[273][2] if 273 in tags else None
+    counts = tags[279][2] if 279 in tags else None
+    if offsets is None or counts is None:
+        raise NotImplementedError("TIFF without strip tables")
+    buf = bytearray()
+    for off, cnt in zip(offsets, counts):
+        chunk = data[off : off + cnt]
+        if len(chunk) < cnt:
+            raise ValueError("truncated TIFF strip")
+        buf += chunk
+    need = w * h * spp
+    if len(buf) < need:
+        raise ValueError("TIFF strip data shorter than the image")
+    return int(w), int(h), int(spp), bytes(buf[:need])
+
+
+def make_tiff(
+    width: int,
+    height: int,
+    gradient: tuple[int, int, int] = (0, 1, 1),
+    rows_per_strip: int = 3,
+    rgb: bool = True,
+) -> bytes:
+    """A real, spec-valid little-endian baseline TIFF: uncompressed
+    8-bit RGB (or grayscale), MULTIPLE strips (rows_per_strip rows each
+    — real scanners strip their output, and multi-strip is exactly what
+    a naive single-blob reader gets wrong). Pixel (x, y): gray v or
+    RGB (v, (2v)%256, (3v)%256), v = (seed + dx*x + dy*y) % 256."""
+    seed, dx, dy = gradient
+    spp = 3 if rgb else 1
+    rows = []
+    for y in range(height):
+        row = bytearray()
+        for x in range(width):
+            v = (seed + dx * x + dy * y) % 256
+            row += bytes([v, (2 * v) % 256, (3 * v) % 256]) if rgb else bytes([v])
+        rows.append(bytes(row))
+    strips = [
+        b"".join(rows[y : y + rows_per_strip])
+        for y in range(0, height, rows_per_strip)
+    ]
+    n_strips = len(strips)
+
+    # layout: header(8) + pixel strips + IFD + out-of-line arrays
+    entries = []  # (tag, type, count, value_or_offset_placeholder)
+    strip_data_off = 8
+    strip_offsets = []
+    pos = strip_data_off
+    for s in strips:
+        strip_offsets.append(pos)
+        pos += len(s)
+    ifd_off = pos
+    n_entries = 8
+    ifd_len = 2 + 12 * n_entries + 4
+    extra_off = ifd_off + ifd_len
+
+    extra = bytearray()
+
+    def arr_field(vals, typ):
+        nonlocal extra
+        fmt = {3: "H", 4: "I"}[typ]
+        size = {3: 2, 4: 4}[typ]
+        raw = b"".join(struct.pack("<" + fmt, v) for v in vals)
+        if len(raw) <= 4:
+            return raw + b"\x00" * (4 - len(raw))
+        off = extra_off + len(extra)
+        extra += raw
+        return struct.pack("<I", off)
+
+    def entry(tag, typ, cnt, field4):
+        return struct.pack("<HHI", tag, typ, cnt) + field4
+
+    bps = [8] * spp
+    ifd = struct.pack("<H", n_entries)
+    ifd += entry(256, 4, 1, struct.pack("<I", width))
+    ifd += entry(257, 4, 1, struct.pack("<I", height))
+    ifd += entry(258, 3, spp, arr_field(bps, 3))
+    ifd += entry(259, 3, 1, struct.pack("<HH", 1, 0))  # uncompressed
+    ifd += entry(262, 3, 1, struct.pack("<HH", 2 if rgb else 1, 0))
+    ifd += entry(273, 4, n_strips, arr_field(strip_offsets, 4))
+    ifd += entry(277, 3, 1, struct.pack("<HH", spp, 0))
+    ifd += entry(279, 4, n_strips, arr_field([len(s) for s in strips], 4))
+    ifd += struct.pack("<I", 0)  # next IFD
+    header = b"II*\x00" + struct.pack("<I", ifd_off)
+    return header + b"".join(strips) + ifd + bytes(extra)

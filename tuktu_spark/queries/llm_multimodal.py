@@ -2091,3 +2091,96 @@ def multimodal_frames_at_ticks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     media = docs.select("doc_id", synth_udf(F.col("doc_id")).alias("media"))
     return MM.video_frames_at_table(media, "doc_id", "media", interval_ms=100)
+
+
+# ---------------------------------------------------------------------------
+# Baseline TIFF decode (multimodal.decode_tiff_pixels): uncompressed 8-bit
+# RGB in MULTIPLE strips (3 rows each — strip reassembly is what a naive
+# single-blob reader gets wrong); same per-coordinate oracle arithmetic as
+# the BMP/GIF family, with a row-parity sum pinning strip order.
+# ---------------------------------------------------------------------------
+
+_TIFF_ORACLE = """
+WITH p AS (
+  SELECT doc_id, 3 + doc_id % 14 AS w, 2 + doc_id % 9 AS h,
+         doc_id % 256 AS seed
+  FROM documents
+),
+cells AS (
+  SELECT doc_id, w, h, y.i AS yy,
+         (seed + 3 * x.i + 7 * y.i) % 256 AS v
+  FROM p,
+       LATERAL (SELECT unnest(range(0, w)) AS i) x,
+       LATERAL (SELECT unnest(range(0, h)) AS i) y
+),
+s AS (
+  SELECT doc_id, MIN(w) AS w, MIN(h) AS h,
+         SUM(v + (2 * v) % 256 + (3 * v) % 256) AS ps,
+         SUM(CASE WHEN yy % 2 = 0 THEN v ELSE 0 END) AS even_row_r_sum
+  FROM cells GROUP BY doc_id
+)
+SELECT doc_id AS id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST(3 AS INT) AS channels,
+       CAST(ps AS BIGINT) AS pixel_sum,
+       CAST(even_row_r_sum AS BIGINT) AS even_row_r_sum,
+       CAST(ps AS DOUBLE) / (w * h * 3) AS mean_pixel
+FROM s
+"""
+
+
+@query("multimodal_tiff_decode", oracle=_TIFF_ORACLE, tags=("llm", "multimodal"))
+def multimodal_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-TIFF decode, ORACLED end-to-end: multi-strip
+    uncompressed RGB; strip reassembly order pinned by the even-row
+    red-channel sum, total sums by per-coordinate arithmetic."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from ..llm.multimodal import decode_tiff_pixels
+
+    def synth(ids):
+        def mk(i):
+            i = int(i)
+            return MM.make_tiff(
+                3 + i % 14, 2 + i % 9, gradient=(i % 256, 3, 7),
+                rows_per_strip=3,
+            )
+
+        return ids.map(mk)
+
+    synth.__annotations__ = {"ids": pd.Series, "return": pd.Series}
+    synth_udf = pandas_udf("binary")(synth)
+
+    def stats(batches):
+        for pdf in batches:
+            rows = []
+            for row in pdf.to_dict("records"):
+                w, h, c, rgb = decode_tiff_pixels(bytes(row["media"]))
+                ps = sum(rgb)
+                even = sum(
+                    rgb[(y * w + x) * 3]
+                    for y in range(0, h, 2)
+                    for x in range(w)
+                )
+                rows.append(
+                    {
+                        "id": int(row["doc_id"]),
+                        "width": w,
+                        "height": h,
+                        "channels": c,
+                        "pixel_sum": ps,
+                        "even_row_r_sum": even,
+                        "mean_pixel": ps / (w * h * c),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    media = docs.select("doc_id", synth_udf(F.col("doc_id")).alias("media"))
+    return media.mapInPandas(
+        stats,
+        schema=(
+            "id bigint, width int, height int, channels int, "
+            "pixel_sum bigint, even_row_r_sum bigint, mean_pixel double"
+        ),
+    )
