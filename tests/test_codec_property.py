@@ -190,3 +190,23 @@ def test_tiff_roundtrip(dims, grad, rps, rgb):
         assert px == bytes(
             (seed + dx * x + dy * y) % 256 for y in range(h) for x in range(w)
         )
+
+
+@settings(**_S)
+@given(dims=DIMS, grad=GRAD, rgb=st.booleans(),
+       comment=st.one_of(st.none(), st.text(alphabet="ab c", max_size=10)))
+def test_pnm_roundtrip(dims, grad, rgb, comment):
+    from tuktu_spark.llm.multimodal import decode_pnm_pixels, make_pnm
+
+    (w, h), (seed, dx, dy) = dims, grad
+    if comment is not None and ("\n" in comment or "\r" in comment):
+        comment = comment.replace("\n", " ").replace("\r", " ")
+    img = make_pnm(w, h, gradient=grad, rgb=rgb, comment=comment)
+    dw, dh, c, px = decode_pnm_pixels(img)
+    assert (dw, dh, c) == (w, h, 3 if rgb else 1)
+    if rgb:
+        assert px == _expected_rgb(w, h, seed, dx, dy)
+    else:
+        assert px == bytes(
+            (seed + dx * x + dy * y) % 256 for y in range(h) for x in range(w)
+        )

@@ -2423,3 +2423,42 @@ class TestTiffCodec:
         broken = t[:8] + t[8 : 8 + 10]  # header + 10 pixel bytes, no IFD
         with pytest.raises(NotImplementedError):
             decode_pixels(broken)
+
+
+class TestPnmCodec:
+    def test_roundtrip_with_comment_header(self, spark):
+        from tuktu_spark.llm.multimodal import decode_pnm_pixels, make_pnm
+
+        for rgb in (True, False):
+            img = make_pnm(5, 4, gradient=(9, 3, 7), rgb=rgb, comment="scanner")
+            w, h, c, px = decode_pnm_pixels(img)
+            assert (w, h, c) == (5, 4, 3 if rgb else 1)
+            want = bytearray()
+            for y in range(4):
+                for x in range(5):
+                    v = (9 + 3 * x + 7 * y) % 256
+                    want += (
+                        bytes([v, (2 * v) % 256, (3 * v) % 256]) if rgb else bytes([v])
+                    )
+            assert px == bytes(want)
+
+    def test_probe_and_dispatch(self, spark):
+        from tuktu_spark.llm.multimodal import decode_pixels, make_pnm, probe_media
+
+        assert probe_media(make_pnm(6, 2)) == {
+            "format": "pnm", "width": 6, "height": 2,
+        }
+        assert decode_pixels(make_pnm(6, 2))[:3] == (6, 2, 3)
+
+    def test_nonstandard_maxval_and_truncation_raise(self, spark):
+        import pytest
+
+        from tuktu_spark.llm.multimodal import decode_pixels, decode_pnm_pixels, make_pnm
+
+        img = bytearray(make_pnm(4, 3))
+        i = img.find(b"255")
+        img[i : i + 3] = b"511"
+        with pytest.raises(NotImplementedError):
+            decode_pnm_pixels(bytes(img))
+        with pytest.raises(NotImplementedError):  # ValueError -> seam map
+            decode_pixels(make_pnm(4, 3)[:-5])

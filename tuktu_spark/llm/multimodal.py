@@ -236,7 +236,7 @@ def probe_media(data: bytes) -> dict:
     Pure stdlib — runs inside Arrow batches with no native deps."""
     if not data:
         return {"format": "empty"}
-    for parser in (_parse_png, _parse_jpeg, _parse_gif, _parse_bmp, _parse_tiff, _parse_wav, _parse_avi, _parse_mp4):
+    for parser in (_parse_png, _parse_jpeg, _parse_gif, _parse_bmp, _parse_tiff, _parse_pnm, _parse_wav, _parse_avi, _parse_mp4):
         got = parser(data)
         if got is not None:
             return got
@@ -370,6 +370,11 @@ def decode_pixels(data: bytes) -> tuple[int, int, int, bytes]:
             return decode_tiff_pixels(data)
         except (ValueError, struct.error, IndexError) as ex:
             raise NotImplementedError(f"corrupt TIFF body: {ex}") from ex
+    if data[:2] in (b"P5", b"P6"):
+        try:
+            return decode_pnm_pixels(data)
+        except (ValueError, struct.error, IndexError) as ex:
+            raise NotImplementedError(f"corrupt PNM body: {ex}") from ex
     from .jpeg import decode_jpeg_pixels
 
     try:
@@ -2764,3 +2769,84 @@ def make_tiff(
     ifd += struct.pack("<I", 0)  # next IFD
     header = b"II*\x00" + struct.pack("<I", ifd_off)
     return header + b"".join(strips) + ifd + bytes(extra)
+
+
+# --- netpbm (PGM P5 / PPM P6): the CV-pipeline interchange format ---------
+
+
+def _parse_pnm(data: bytes) -> dict | None:
+    """PGM/PPM binary: 'P5'/'P6' magic, whitespace/comment-separated
+    ASCII header (width height maxval), then raw samples (netpbm spec,
+    public)."""
+    if len(data) < 2 or data[:2] not in (b"P5", b"P6"):
+        return None
+    try:
+        _, w, h, _ = _pnm_header(data)
+    except (ValueError, NotImplementedError):
+        return {"format": "pnm"}
+    return {"format": "pnm", "width": w, "height": h}
+
+
+def _pnm_header(data: bytes) -> tuple[int, int, int, int]:
+    """Parse the P5/P6 header -> (channels, width, height, data offset).
+    Handles '#' comments and arbitrary whitespace per the spec."""
+    channels = 1 if data[:2] == b"P5" else 3
+    pos, fields = 2, []
+    while len(fields) < 3:
+        if pos >= len(data):
+            raise ValueError("truncated PNM header")
+        ch = data[pos : pos + 1]
+        if ch == b"#":
+            while pos < len(data) and data[pos] not in (10, 13):
+                pos += 1
+        elif ch.isspace():
+            pos += 1
+        elif ch.isdigit():
+            start = pos
+            while pos < len(data) and data[pos : pos + 1].isdigit():
+                pos += 1
+            fields.append(int(data[start:pos]))
+        else:
+            raise ValueError(f"bad PNM header byte {ch!r}")
+    if fields[2] != 255:
+        raise NotImplementedError("only maxval 255 PNM supported")
+    # exactly ONE whitespace byte separates maxval from the raster
+    return channels, fields[0], fields[1], pos + 1
+
+
+def decode_pnm_pixels(data: bytes) -> tuple[int, int, int, bytes]:
+    """REAL binary PGM/PPM decode: (width, height, channels, samples).
+    maxval must be 255 (8-bit); ASCII variants (P2/P3) raise at the
+    seam."""
+    if len(data) < 2 or data[:2] not in (b"P5", b"P6"):
+        raise NotImplementedError("not a binary PGM/PPM")
+    c, w, h, off = _pnm_header(data)
+    need = w * h * c
+    raster = data[off : off + need]
+    if len(raster) < need:
+        raise ValueError("truncated PNM raster")
+    return w, h, c, bytes(raster)
+
+
+def make_pnm(
+    width: int,
+    height: int,
+    gradient: tuple[int, int, int] = (0, 1, 1),
+    rgb: bool = True,
+    comment: str | None = None,
+) -> bytes:
+    """A real binary PPM (P6) or PGM (P5): ASCII header (optionally with
+    a '#' comment — parsers must skip it) + raw 8-bit samples. Pixel
+    (x, y): gray v or RGB (v, (2v)%256, (3v)%256), the family fixture."""
+    seed, dx, dy = gradient
+    magic = b"P6" if rgb else b"P5"
+    hdr = magic + b"\n"
+    if comment:
+        hdr += b"# " + comment.encode("ascii") + b"\n"
+    hdr += f"{width} {height}\n255\n".encode("ascii")
+    out = bytearray(hdr)
+    for y in range(height):
+        for x in range(width):
+            v = (seed + dx * x + dy * y) % 256
+            out += bytes([v, (2 * v) % 256, (3 * v) % 256]) if rgb else bytes([v])
+    return bytes(out)
