@@ -2462,3 +2462,41 @@ class TestPnmCodec:
             decode_pnm_pixels(bytes(img))
         with pytest.raises(NotImplementedError):  # ValueError -> seam map
             decode_pixels(make_pnm(4, 3)[:-5])
+
+
+class TestG711:
+    def test_anchor_values_match_public_tables(self, spark):
+        from tuktu_spark.llm.multimodal import alaw_decode_sample, ulaw_decode_sample
+
+        assert ulaw_decode_sample(0x00) == -32124
+        assert ulaw_decode_sample(0x80) == 32124
+        assert ulaw_decode_sample(0xFF) == 0
+        assert alaw_decode_sample(0x55) == -8
+        assert alaw_decode_sample(0xD5) == 8
+        assert alaw_decode_sample(0x00) == -5504
+        assert alaw_decode_sample(0x80) == 5504
+
+    def test_wav_fmt_dispatch(self, spark):
+        from tuktu_spark.llm.multimodal import (
+            alaw_decode_sample, decode_wav_samples, make_g711_wav,
+            ulaw_decode_sample,
+        )
+
+        codes = [(i * 7) % 256 for i in range(50)]
+        for codec, fn in (("ulaw", ulaw_decode_sample), ("alaw", alaw_decode_sample)):
+            rate, ch, s = decode_wav_samples(make_g711_wav(codes, codec=codec))
+            assert (rate, ch) == (8000, 1)
+            assert s == [fn(c) for c in codes]
+
+    def test_unknown_fmt_raises_seam(self, spark):
+        import struct as st
+
+        import pytest
+
+        from tuktu_spark.llm.multimodal import decode_wav_samples, make_g711_wav
+
+        w = bytearray(make_g711_wav([1, 2, 3]))
+        i = w.find(b"fmt ")
+        w[i + 8 : i + 10] = st.pack("<H", 2)  # ADPCM
+        with pytest.raises(NotImplementedError):
+            decode_wav_samples(bytes(w))

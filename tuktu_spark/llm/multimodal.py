@@ -127,11 +127,12 @@ def _parse_wav(data: bytes) -> dict | None:
         cid = data[pos : pos + 4]
         size = struct.unpack("<I", data[pos + 4 : pos + 8])[0]
         if cid == b"fmt " and pos + 24 <= len(data):
-            (_fmt, channels, rate, brate, _align, bits) = struct.unpack(
+            (fmt, channels, rate, brate, _align, bits) = struct.unpack(
                 "<HHIIHH", data[pos + 8 : pos + 24]
             )
             out.update(
-                {"channels": channels, "sample_rate": rate, "bits": bits}
+                {"channels": channels, "sample_rate": rate, "bits": bits,
+                 "codec": {1: "pcm", 6: "alaw", 7: "ulaw"}.get(fmt, f"fmt{fmt}")}
             )
             byte_rate = brate
         elif cid == b"data":
@@ -692,8 +693,15 @@ def decode_wav_samples(data: bytes) -> tuple[int, int, "list[int]"]:
     info = _parse_wav(data)
     if info is None:
         raise NotImplementedError("not a RIFF/WAVE file")
-    if info.get("bits") not in (8, 16):
-        raise NotImplementedError("only 8/16-bit PCM supported")
+    codec = info.get("codec", "pcm")
+    if codec == "pcm":
+        if info.get("bits") not in (8, 16):
+            raise NotImplementedError("only 8/16-bit PCM supported")
+    elif codec in ("ulaw", "alaw"):
+        if info.get("bits") != 8:
+            raise NotImplementedError("G.711 streams are 8-bit codes")
+    else:
+        raise NotImplementedError(f"unsupported WAV codec {codec}")
     # locate the data chunk payload
     pos = 12
     payload = None
@@ -706,7 +714,11 @@ def decode_wav_samples(data: bytes) -> tuple[int, int, "list[int]"]:
         pos += 8 + size + (size % 2)
     if payload is None:
         raise NotImplementedError("no data chunk")
-    if info["bits"] == 8:
+    if codec == "ulaw":
+        samples = [_ULAW_TABLE[b] for b in payload]
+    elif codec == "alaw":
+        samples = [_ALAW_TABLE[b] for b in payload]
+    elif info["bits"] == 8:
         samples = [b - 128 for b in payload]
     else:
         n = len(payload) // 2
@@ -2850,3 +2862,50 @@ def make_pnm(
             v = (seed + dx * x + dy * y) % 256
             out += bytes([v, (2 * v) % 256, (3 * v) % 256]) if rgb else bytes([v])
     return bytes(out)
+
+
+# --- G.711 companded audio (telephony corpora): exact integer expansion --
+
+
+def ulaw_decode_sample(code: int) -> int:
+    """G.711 mu-law expansion (public ITU-T spec): pure integer
+    arithmetic — u = ~code; magnitude = (mant*8 + 0x84) << exp) - 0x84."""
+    u = (~code) & 0xFF
+    sign = u & 0x80
+    exp = (u >> 4) & 0x07
+    mant = u & 0x0F
+    mag = ((mant * 8 + 0x84) << exp) - 0x84
+    return -mag if sign else mag
+
+
+def alaw_decode_sample(code: int) -> int:
+    """G.711 A-law expansion (public ITU-T spec / the classic g711.c):
+    toggle even bits (0x55), then segment/mantissa arithmetic. NOTE the
+    A-law sign convention is inverted vs mu-law: a SET sign bit means
+    POSITIVE."""
+    a = code ^ 0x55
+    sign = a & 0x80
+    exp = (a >> 4) & 0x07
+    mant = a & 0x0F
+    if exp == 0:
+        mag = (mant << 4) + 8
+    else:
+        mag = ((mant << 4) + 0x108) << (exp - 1)
+    return mag if sign else -mag
+
+
+_ULAW_TABLE = [ulaw_decode_sample(c) for c in range(256)]
+_ALAW_TABLE = [alaw_decode_sample(c) for c in range(256)]
+
+
+def make_g711_wav(
+    codes: "list[int]", codec: str = "ulaw", sample_rate: int = 8000
+) -> bytes:
+    """A real RIFF/WAVE file carrying G.711 companded audio: fmt tag 7
+    (mu-law) or 6 (A-law), 8 bits per sample, raw code bytes."""
+    fmt_tag = {"ulaw": 7, "alaw": 6}[codec]
+    data = bytes(c & 0xFF for c in codes)
+    fmt = struct.pack("<HHIIHH", fmt_tag, 1, sample_rate, sample_rate, 1, 8)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body

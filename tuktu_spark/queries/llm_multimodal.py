@@ -2184,3 +2184,82 @@ def multimodal_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pixel_sum bigint, even_row_r_sum bigint, mean_pixel double"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# G.711 companded audio (multimodal.decode_wav_samples, fmt tags 6/7): the
+# telephony formats' exact integer expansion recomputed in SQL — mu-law
+# (even docs) and A-law (odd docs, INVERTED sign convention) from the same
+# arithmetic code ramp; a table or sign slip breaks the signed sum first.
+# ---------------------------------------------------------------------------
+
+_G711_ORACLE = """
+WITH p AS (
+  SELECT doc_id, 120 + doc_id % 60 AS n FROM documents
+),
+c AS (
+  SELECT doc_id, (i.i * 7 + doc_id) % 256 AS code
+  FROM p, LATERAL (SELECT unnest(range(0, n)) AS i) i
+),
+dec AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 2 = 0 THEN
+      -- mu-law: u = ~code; mag = (mant*8 + 132) * 2^exp - 132
+      CASE WHEN (255 - code) >= 128
+           THEN -(((((255 - code) % 128) % 16) * 8 + 132)
+                    * (1 << (((255 - code) % 128) // 16)) - 132)
+           ELSE ((((255 - code) % 16) * 8 + 132)
+                    * (1 << ((255 - code) // 16)) - 132)
+      END
+    ELSE
+      -- A-law: a = code XOR 0x55; SET sign bit means POSITIVE
+      CASE WHEN xor(code, 85) >= 128 THEN
+        CASE WHEN ((xor(code, 85) % 128) // 16) = 0
+             THEN ((xor(code, 85) % 16) * 16 + 8)
+             ELSE ((xor(code, 85) % 16) * 16 + 264)
+                    * (1 << (((xor(code, 85) % 128) // 16) - 1))
+        END
+      ELSE
+        -(CASE WHEN ((xor(code, 85)) // 16) = 0
+               THEN ((xor(code, 85) % 16) * 16 + 8)
+               ELSE ((xor(code, 85) % 16) * 16 + 264)
+                      * (1 << ((xor(code, 85) // 16) - 1))
+          END)
+      END
+    END AS s
+  FROM c
+)
+SELECT doc_id AS id, CAST(8000 AS INT) AS sample_rate, CAST(1 AS INT) AS channels,
+       COUNT(*) AS n_samples,
+       CAST(SUM(s) AS BIGINT) AS sample_sum,
+       CAST(SUM(ABS(s)) AS BIGINT) AS abs_sum,
+       CAST(SUM(s * s) AS BIGINT) AS sq_sum
+FROM dec GROUP BY doc_id
+"""
+
+
+@query("multimodal_g711_stats", oracle=_G711_ORACLE, tags=("llm", "multimodal"))
+def multimodal_g711_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL G.711 expansion, ORACLED end-to-end: mu-law WAVs (even docs)
+    and A-law WAVs (odd docs) built from an arithmetic code ramp,
+    decoded through the real fmt-tag dispatch, integer sums recomputed
+    in SQL bit-for-bit — including A-law's inverted sign convention."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def synth(ids):
+        def mk(i):
+            i = int(i)
+            codes = [(k * 7 + i) % 256 for k in range(120 + i % 60)]
+            return MM.make_g711_wav(
+                codes, codec="ulaw" if i % 2 == 0 else "alaw"
+            )
+
+        return ids.map(mk)
+
+    synth.__annotations__ = {"ids": pd.Series, "return": pd.Series}
+    synth_udf = pandas_udf("binary")(synth)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    media = docs.select("doc_id", synth_udf(F.col("doc_id")).alias("media"))
+    return MM.audio_stats_table(media, "doc_id", "media")
