@@ -17,20 +17,59 @@ Usage: python scripts/bench_diff.py BENCH_r04.json BENCH_r05.json
 from __future__ import annotations
 
 import json
+import re
 import sys
+
+
+def _salvage(tail: str) -> tuple[dict[str, float], dict[str, dict[str, float]]]:
+    """Recover per-query medians/spreads from a truncated driver capture.
+
+    Driver artifacts sometimes ship `"parsed": null` because the tail
+    capture cut off the JSON head (BENCH_r06.json did). The bench line is
+    flat `"name": 1.234` pairs followed by a `"spread": {...}` object, so
+    a regex over whatever survived still yields usable rows. Queries whose
+    head was cut are reported as lost.
+    """
+    spread_at = tail.find('"spread"')
+    head, rest = (tail, "") if spread_at < 0 else (tail[:spread_at], tail[spread_at:])
+    queries = {
+        m.group(1): float(m.group(2))
+        for m in re.finditer(r'"([A-Za-z0-9_]+)":\s*(-?\d+(?:\.\d+)?)', head)
+        if m.group(1) not in ("n", "rc", "cpus", "sf", "value")
+    }
+    spread: dict[str, dict[str, float]] = {}
+    for m in re.finditer(
+        r'"([A-Za-z0-9_]+)":\s*\{\s*"min":\s*(-?\d+(?:\.\d+)?),\s*'
+        r'"max":\s*(-?\d+(?:\.\d+)?),\s*"runs":\s*(\d+)', rest
+    ):
+        spread[m.group(1)] = {
+            "min": float(m.group(2)),
+            "max": float(m.group(3)),
+            "runs": int(m.group(4)),
+        }
+    lost = sorted(set(spread) - set(queries))
+    if lost:
+        print(
+            f"# WARNING: artifact truncated — {len(lost)} queries have spread "
+            f"but lost their median to truncation: {', '.join(lost)}",
+            file=sys.stderr,
+        )
+    return queries, spread
 
 
 def load(path: str) -> tuple[dict[str, float], dict[str, dict[str, float]]]:
     with open(path, encoding="utf-8") as f:
         raw = json.load(f)
     parsed = raw.get("parsed", raw)  # driver artifacts nest under "parsed"
+    if not isinstance(parsed, dict):  # truncated capture: parsed == null
+        return _salvage(str(raw.get("tail", "")))
     return parsed.get("queries", {}), parsed.get("spread", {})
 
 
 def main(old_path: str, new_path: str) -> int:
     old_q, old_s = load(old_path)
     new_q, new_s = load(new_path)
-    names = sorted(set(old_q) | set(new_q))
+    names = sorted(set(old_q) | set(new_q) | set(old_s) | set(new_s))
     width = max((len(n) for n in names), default=10)
     print(
         f"{'query':<{width}}  {'old_med':>8} {'old_min':>8}  "
@@ -43,7 +82,20 @@ def main(old_path: str, new_path: str) -> int:
         nmin = new_s.get(n, {}).get("min")
         nmax = new_s.get(n, {}).get("max")
         if om is None or nm is None:
-            tag = "old-only" if nm is None else "new-only"
+            # A truncated artifact can lose the median but keep the spread:
+            # still run the spread-rule check against the other side's median.
+            if nm is None and om is not None and nmin is not None:
+                verdict = "REGRESSED*" if nmin > om else (
+                    "IMPROVED*" if nmax is not None and nmax < om else "~noise*"
+                )
+                n_reg += verdict == "REGRESSED*"
+                tag = f"{verdict} (new median truncated)"
+            elif n not in old_q and n not in old_s:
+                tag = "new-only"
+            elif n not in new_q and n not in new_s:
+                tag = "old-only"
+            else:
+                tag = "median-truncated"
             print(
                 f"{n:<{width}}  {_f(om):>8} {_f(omin):>8}  "
                 f"{_f(nm):>8} {_f(nmin):>8}  {'':>6}  {tag}"
