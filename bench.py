@@ -47,6 +47,15 @@ def main() -> None:
     timings: dict[str, float] = {}
     spread: dict[str, dict[str, float]] = {}
     for name, qd in bench_queries.items():
+        # GC barrier (JMH practice): without it, alphabetically-late
+        # queries pay the GC debt of the ~100 earlier executions — r6
+        # root cause: single-task nlp_rbem_polarity read 2.08s in-context
+        # vs 0.5s fresh, and untouched q1/q5 drifted 1.5x, all restored
+        # by a forced collection. Runs OUTSIDE the timed region.
+        import gc
+
+        gc.collect()
+        spark._jvm.System.gc()
         samples = []
         for _ in range(runs):
             t0 = time.perf_counter()
