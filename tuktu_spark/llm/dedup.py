@@ -356,6 +356,38 @@ def minhash_dedup_pairs(
     return _minhash_pairs_from_hashed(h_all, id_col, threshold)
 
 
+def _verify_jaccard_pairs(
+    cands: DataFrame, ha: DataFrame, hb: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate (id_a, id_b) pairs against
+    two (id, shingles) frames: fetch both DISTINCT shingle arrays by id
+    and intersect per row (the ngram_jaccard_pairs form).
+
+    This replaced the round-3 explode-join verification
+    (cands ⋈ explode(shingles) on id_a, then on (id_b, shingle), then a
+    count groupBy): that shape shuffled the ENTIRE exploded shingle table
+    on (id_b, shingle) — every shingle of every doc as its own row —
+    regardless of how few candidates banding produced. Here the corpus
+    crosses the wire as one array row per doc, only twice-joined by id
+    (AQE broadcasts the candidate side when it is small), and the
+    intersection is a per-row hash-set probe in codegen. Requires
+    threshold > 0: candidate pairs with zero common shingles now appear
+    with jaccard 0.0 before the filter, where the explode form dropped
+    them in the count groupBy."""
+    sa = ha.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("__sa"))
+    sb = hb.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("__sb"))
+    common = F.size(F.array_intersect("__sa", "__sb"))
+    jac = common.cast("double") / (
+        F.size("__sa") + F.size("__sb") - common
+    ).cast("double")
+    return (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def _minhash_pairs_from_hashed(
     h_all: DataFrame, id_col: str, threshold: float
 ) -> DataFrame:
@@ -366,30 +398,7 @@ def _minhash_pairs_from_hashed(
     # fold (measured ~1.4 s/side at sf0.1)
     sigs = _persist_scoped(minhash_signatures_from_hashed(h, id_col))
     cands = minhash_lsh_candidates(sigs, id_col)
-    sh = h.select(F.col(id_col), F.explode("shingles").alias("shingle"))
-    sizes = h.select(F.col(id_col), F.size("shingles").alias("n_sh"))
-    a = sh.select(F.col(id_col).alias("id_a"), F.col("shingle"))
-    b = sh.select(F.col(id_col).alias("id_b"), F.col("shingle"))
-    common = (
-        cands.join(a, "id_a")
-        .join(b, ["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("common"))
-    )
-    jac = F.col("common").cast("double") / (
-        F.col("n_a") + F.col("n_b") - F.col("common")
-    ).cast("double")
-    # NOTE: no broadcast hint on `sizes` — it is O(num_docs) rows, and at
-    # the billions-of-docs scale this module targets a forced broadcast
-    # would OOM. Catalyst/AQE broadcasts it automatically when it fits
-    # under autoBroadcastJoinThreshold (always true at bench scale).
-    return (
-        common.join(sizes.withColumnsRenamed({id_col: "id_a", "n_sh": "n_a"}), "id_a")
-        .join(sizes.withColumnsRenamed({id_col: "id_b", "n_sh": "n_b"}), "id_b")
-        .withColumn("jaccard", jac)
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
+    return _verify_jaccard_pairs(cands, h, h, id_col, threshold)
 
 
 def write_shingle_index(
@@ -477,26 +486,7 @@ def minhash_batch_vs_corpus_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    sh_b = hb.select(F.col(id_col).alias("id_a"), F.explode("shingles").alias("shingle"))
-    sh_c = hc.select(F.col(id_col).alias("id_b"), F.explode("shingles").alias("shingle"))
-    sizes_b = hb.select(F.col(id_col).alias("id_a"), F.size("shingles").alias("n_a"))
-    sizes_c = hc.select(F.col(id_col).alias("id_b"), F.size("shingles").alias("n_b"))
-    common = (
-        cands.join(sh_b, "id_a")
-        .join(sh_c, ["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("common"))
-    )
-    jac = F.col("common").cast("double") / (
-        F.col("n_a") + F.col("n_b") - F.col("common")
-    ).cast("double")
-    return (
-        common.join(sizes_b, "id_a")
-        .join(sizes_c, "id_b")
-        .withColumn("jaccard", jac)
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
+    return _verify_jaccard_pairs(cands, hb, hc, id_col, threshold)
 
 
 SIMHASH_BITS = 48  # of the 60-bit base hash; stays clear of int64 sign

@@ -64,7 +64,7 @@ WHERE CAST(common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - common AS DOUBLE) >= 0.8
 @query("dedup_ngram_jaccard", oracle=_JACCARD_ORACLE, tags=("llm", "dedup"), bench=True)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_jaccard_pairs(
-        load_table(spark, sf_dir, "documents"), threshold=0.8
+        load_table(spark, sf_dir, "documents", parallel=True), threshold=0.8
     )
 
 
@@ -80,7 +80,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("dedup_minhash_lsh", oracle=_JACCARD_ORACLE, tags=("llm", "dedup"), bench=True)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_dedup_pairs(
-        load_table(spark, sf_dir, "documents"), threshold=0.8
+        load_table(spark, sf_dir, "documents", parallel=True), threshold=0.8
     )
 
 
@@ -94,7 +94,7 @@ def dedup_minhash_lsh_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     noise of dedup_minhash_lsh; a regression that lets sentinel
     signatures back into a hot bucket shows up as a timing blowout in
     BENCH_r{N}.json, not just a pytest failure."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", parallel=True)
     junk = (
         docs.sparkSession.range(10_000)
         .select(

@@ -663,7 +663,7 @@ def text_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..llm.ngram_lm import score_ngram_lm, train_ngram_lm
 
     release_persisted()
-    d = load_table(spark, sf_dir, "documents").select(
+    d = load_table(spark, sf_dir, "documents", parallel=True).select(
         "doc_id", F.split("text", " ").alias("tokens")
     )
     # positions= deliberately NOT used: A/B-measured neutral-to-slower
@@ -853,7 +853,7 @@ def mix_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         train_dsir_llr_flagged,
     )
 
-    d = load_table(spark, sf_dir, "documents").select(
+    d = load_table(spark, sf_dir, "documents", parallel=True).select(
         "doc_id",
         F.split("text", " ").alias("tokens"),
         (F.col("lang") == "en").alias("is_target"),
