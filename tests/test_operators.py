@@ -437,6 +437,35 @@ class TestSources:
         )
         assert sorted(r["line"] for r in df.collect()) == ["l1", "l2"]
 
+    def test_line_source_bounds_recompute_stable(self, spark, tmp_path):
+        """Round-7 verdict #4: line-bound numbering must be persist-FREE
+        and renumber identically under lineage recompute (executor loss on
+        a preemptible cluster). Multiple files -> multiple scan splits ->
+        nontrivial monotonic-id ordering; the bounded kernel pins no
+        cache, and dropping every cached block between two full
+        evaluations (the recompute simulation available in local mode)
+        must select the same lines."""
+        from tuktu_spark.operators.joins import _POSITIONAL_PERSISTED
+
+        for i in range(4):
+            (tmp_path / f"part-{i}.txt").write_text(
+                "".join(f"f{i}l{j}\n" for j in range(25))
+            )
+        before = len(_POSITIONAL_PERSISTED)
+        df = make_source(
+            spark,
+            "line",
+            {"path": str(tmp_path), "start_line": 10, "end_line": 79, "result": "line"},
+        )
+        first = sorted(r["line"] for r in df.collect())
+        assert len(_POSITIONAL_PERSISTED) == before, "bounded kernel must not persist"
+        assert len(first) == 70
+        # drop every cached/shuffle-cached block, then re-evaluate the SAME
+        # DataFrame: all stages recompute from the file scan
+        spark.catalog.clearCache()
+        second = sorted(r["line"] for r in df.collect())
+        assert first == second
+
     def test_unknown_operator(self):
         with pytest.raises(UnknownOperatorError):
             make_operator("definitely_not_real")

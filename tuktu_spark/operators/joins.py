@@ -176,16 +176,18 @@ def _global_row_number_bounded(
         buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     cuts = _order_boundaries(df, ob, int(buckets))
     key = F.struct(*[F.col(c) for c in ob])
-    if cuts:
-        barr = F.array(
-            *[
-                F.struct(*[F.lit(v).alias(c) for v, c in zip(t, ob)])
-                for t in cuts
-            ]
-        )
-        bucket = F.size(F.filter(barr, lambda b: key > b))
-    else:
-        bucket = F.lit(0)
+    # bucket = #boundaries below the key, as a LAMBDA-FREE when-chain (at
+    # most `buckets`-1 terms): an earlier size(filter(array, lambda ...))
+    # form crashed at runtime — constraint propagation infers the join
+    # filter `bucket_expr <=> __bkt__` into the offsets branch, and
+    # Catalyst's attribute rewriting cannot descend into lambdafunction,
+    # so the pushed copy kept the OTHER branch's attr ids
+    # (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND). Plain when-chains rewrite
+    # fine (redundant pushed filter, harmless).
+    bucket = F.lit(0)
+    for t in cuts:
+        lit_struct = F.struct(*[F.lit(v).alias(c) for v, c in zip(t, ob)])
+        bucket = bucket + F.when(key > lit_struct, 1).otherwise(0)
     bucketed = df.withColumn("__bkt__", bucket)
     tiny = Window.orderBy("__bkt__").rowsBetween(Window.unboundedPreceding, -1)
     offsets = (
@@ -201,6 +203,21 @@ def _global_row_number_bounded(
         .withColumn(out_col, (F.col("__off__") + F.col("__lrn__")).cast("bigint"))
         .drop("__bkt__", "__lrn__", "__off__")
     )
+
+
+def _global_row_number_auto(df: DataFrame, ob: list, out_col: str) -> DataFrame:
+    """Dispatch between the positional kernels (round-7, verdict #4):
+    plain ascending column names -> the persist-free BOUNDED kernel,
+    whose bucket ids are pure functions of the data — recompute under
+    executor loss provably renumbers identically (and there is no cache
+    residency at all). Desc / expression orders -> the persist-pinned
+    kernel (boundary sampling of arbitrary expressions is not
+    value-stable). Production positional paths (line source bounds,
+    running_count, drop_first) hit the bounded branch for the common
+    plain-column case."""
+    if ob and all(isinstance(c, str) for c in ob):
+        return _global_row_number_bounded(df, list(ob), out_col)
+    return _global_row_number(df, ob, out_col)
 
 
 def _global_row_number(df: DataFrame, ob: list, out_col: str) -> DataFrame:

@@ -109,10 +109,11 @@ def running_count(config: dict):
 
     def transform(df: DataFrame) -> DataFrame:
         if not partition:
-            # global counter without the single-partition window funnel
-            from .joins import _global_row_number
+            # global counter without the single-partition window funnel;
+            # plain ascending orders take the persist-free bounded kernel
+            from .joins import _global_row_number_auto
 
-            out = _global_row_number(df, list(order_by), "__grn__")
+            out = _global_row_number_auto(df, list(order_by), "__grn__")
             return out.withColumn(
                 name, (F.col("__grn__") - 1) * step + start
             ).drop("__grn__")

@@ -44,10 +44,13 @@ def drop_first(config: dict):
     by = config["by"]
 
     def transform(df: DataFrame) -> DataFrame:
-        from .joins import _global_row_number
+        from .joins import _global_row_number_auto
 
+        # pass plain string orders through untouched so the auto dispatch
+        # can pick the persist-free bounded kernel
+        ob = list(by) if all(isinstance(s, str) for s in by) else _order_cols(by)
         return (
-            _global_row_number(df, _order_cols(by), "__rn__")
+            _global_row_number_auto(df, ob, "__rn__")
             .filter(F.col("__rn__") > n)
             .drop("__rn__")
         )

@@ -53,12 +53,16 @@ def line(spark: SparkSession, config: dict) -> DataFrame:
     end = config.get("end_line")
     if start is not None or end is not None:
         # file order = partition order of the text scan; materialize the
-        # monotonic id, then number it DISTRIBUTED (joins._global_row_number
-        # — no single-partition window even for huge files)
-        from .joins import _global_row_number
+        # monotonic id, then number it DISTRIBUTED with the persist-free
+        # BOUNDED kernel (no single-partition window even for huge files,
+        # and no cache pin): for a pure file scan the splits — and hence
+        # the monotonic ids — are deterministic under recompute, so the
+        # value-based boundary cuts renumber identically after executor
+        # loss (round-7, verdict #4; pinned in tests/test_operators.py)
+        from .joins import _global_row_number_bounded
 
         df = df.withColumn("__mid__", F.monotonically_increasing_id())
-        df = _global_row_number(df, ["__mid__"], "__rn__")
+        df = _global_row_number_bounded(df, ["__mid__"], "__rn__")
         df = df.withColumn("__line__", F.col("__rn__") - 1).drop("__mid__", "__rn__")
         if start is not None:
             df = df.filter(F.col("__line__") >= int(start))
