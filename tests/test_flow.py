@@ -535,3 +535,90 @@ def test_webdataset_image_dedup_pipeline_flow(spark, sf_dir):
     s2 = MM.webdataset_samples(MM.untar_members_table(re, "doc_id", "shard"))
     assert s2.count() == kept
     assert s2.filter(F.element_at("parts", "png").isNull()).count() == 0
+
+
+def test_flagship_curation_lifecycle_flow(spark, sf_dir):
+    """flows/examples/webdataset_curation_lifecycle.json — the flagship
+    oracled lifecycle: ingest -> dedup -> decontaminate -> strip ->
+    reshard. Shape checks here (the value oracle is the driver query
+    flow_multimodal_curation): 4 shards, every eval-matching image
+    dropped, metadata removed from every survivor."""
+    # compile_flow: run_flow returns leaves only; the pack node is interior
+    from tuktu_spark.flow import compile_flow
+
+    out = compile_flow(
+        spark,
+        "flows/examples/webdataset_curation_lifecycle.json",
+        params={"dir": sf_dir},
+    )
+    final = {r["shard_idx"]: r for r in out["final"].collect()}
+    assert set(final) == {0, 1, 2, 3}
+    assert all(r["meta_removed"] > 0 for r in final.values())
+    # the packed tars exist and carry exactly the surviving samples
+    packed = {r["shard_idx"]: r for r in out["pack"].collect()}
+    assert {k: v["n_samples"] for k, v in packed.items()} == {
+        k: v["n_samples"] for k, v in final.items()
+    }
+    assert all(r["byte_len"] % 10240 == 0 for r in packed.values())
+
+
+def test_paragraph_dedup_slim_engine_flow_roundtrip(spark, sf_dir):
+    """The engine='slim' paragraph dedup is reachable from a FLOW CONFIG
+    and agrees with the default engine (round-6 verdict #9)."""
+    def flow_for(engine):
+        return {
+            "generators": [
+                {"id": "src", "name": "parquet",
+                 "config": {"path": f"{sf_dir}/documents.parquet"},
+                 "next": ["dd"]}
+            ],
+            "processors": [
+                {"id": "dd", "name": "paragraph_dedup",
+                 "config": {"text_field": "text", "id_field": "doc_id",
+                            "sep_regex": "\\.\\s+", "engine": engine,
+                            "rebuild": True},
+                 "next": []}
+            ],
+        }
+
+    slim = {r["doc_id"]: r["text"] for r in run_flow(spark, flow_for("slim"))["dd"].collect()}
+    full = {r["doc_id"]: r["text"] for r in run_flow(spark, flow_for("full"))["dd"].collect()}
+    assert slim == full and len(slim) > 0
+
+
+def test_ivfpq_append_mode_flow_roundtrip(spark, sf_dir):
+    """ivfpq_index_write mode='append' is reachable from a FLOW CONFIG:
+    build the index over even-id vectors, append odd-id vectors against
+    the FROZEN model, and the probe sees both (round-6 verdict #9)."""
+    import uuid
+
+    table = f"ivfpq_flow_{uuid.uuid4().hex[:8]}"
+    base_cfg = {"table": table, "nlist": 4, "m": 4, "k_codes": 8,
+                "buckets": 4, "id_field": "vec_id", "vec_field": "embedding"}
+
+    def wflow(expr, mode):
+        return {
+            "generators": [
+                {"id": "src", "name": "parquet",
+                 "config": {"path": f"{sf_dir}/embeddings.parquet"},
+                 "next": ["pick"]}
+            ],
+            "processors": [
+                {"id": "pick", "name": "filter",
+                 "config": {"expression": expr}, "next": ["w"]},
+                {"id": "w", "name": "ivfpq_index_write",
+                 "config": {**base_cfg, "mode": mode}, "next": []},
+            ],
+        }
+
+    try:
+        run_flow(spark, wflow("${vec_id} % 2 == 0", "overwrite"))["w"].collect()
+        n_even = spark.table(table).count()
+        run_flow(spark, wflow("${vec_id} % 2 == 1", "append"))["w"].collect()
+        n_all = spark.table(table).count()
+        assert n_all > n_even
+        total = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+        assert n_all == total
+    finally:
+        for suffix in ("", "_centroids", "_codebooks"):
+            spark.sql(f"DROP TABLE IF EXISTS {table}{suffix}")

@@ -1152,10 +1152,16 @@ def pack_tar_shards_op(config: dict):
     """Repack WebDataset samples into n_shards deterministic tar shards
     (multimodal.pack_tar_shards — key-hash assignment, sorted members,
     zeroed metadata). Feed the output to binary_files_sink to land
-    .tar files. config: {n_shards}."""
+    .tar files. config: {n_shards, shard_col} — ``shard_col`` names a
+    caller-computed integer assignment column (an oracle-replicable
+    SQL rule) instead of the key hash."""
     from ..llm.multimodal import pack_tar_shards
 
-    return lambda df: pack_tar_shards(df, n_shards=int(config.get("n_shards", 16)))
+    return lambda df: pack_tar_shards(
+        df,
+        n_shards=int(config.get("n_shards", 16)),
+        shard_col=config.get("shard_col"),
+    )
 
 
 @operator("media_synth_tar")

@@ -513,3 +513,24 @@ def document_build(config: dict):
         return g.agg(F.array_join(collected, sep).alias(result))
 
     return transform
+
+
+@operator("map_build")
+def map_build(config: dict):
+    """Build a map column from literal keys -> existing columns — the
+    inverse of map_extract (reference analogue: the implicit map-datum
+    construction every Tuktu processor does when assembling a packet,
+    BaseProcessors.scala field writes). Used by the WebDataset repack
+    stage to rebuild a sample's ext->bytes ``parts`` map after
+    per-part transforms (e.g. metadata strip). config:
+    {field, entries: {key: column}}."""
+    out = config["field"]
+    entries = config["entries"]
+
+    def transform(df: DataFrame) -> DataFrame:
+        kv = []
+        for k, col in entries.items():
+            kv += [F.lit(k), F.col(col)]
+        return df.withColumn(out, F.create_map(*kv))
+
+    return transform
