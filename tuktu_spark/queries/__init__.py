@@ -172,6 +172,35 @@ _VERIFIED_ROUND = {
         ),
         5,
     ),
+    **dict.fromkeys(
+        (
+            "dedup_semantic_decontam", "dedup_semdedup",
+            "dedup_span_intervals", "dedup_span_removal", "drop_offset",
+            "mix_budget_sample", "mix_dsir_select", "mix_sample_exact_k",
+            "mix_temperature_sample", "multimodal_audio_decontaminate",
+            "multimodal_audio_features", "multimodal_audio_fingerprint",
+            "multimodal_audio_near_pairs", "multimodal_audio_resample",
+            "multimodal_audio_trim", "multimodal_avi_frames",
+            "multimodal_bmp_decode", "multimodal_crop_stats",
+            "multimodal_frames_at_ticks", "multimodal_g711_stats",
+            "multimodal_gif_decode", "multimodal_image_decontaminate",
+            "multimodal_image_dhash", "multimodal_jpeg420_decode",
+            "multimodal_luma_histogram", "multimodal_mjpeg_frames",
+            "multimodal_mp4_frames", "multimodal_mp4_timestamps",
+            "multimodal_png_indexed", "multimodal_reshard_tars",
+            "multimodal_resize_stats", "multimodal_strip_metadata",
+            "multimodal_tiff_decode", "multimodal_video_scene_cuts",
+            "multimodal_webdataset_shards", "nlp_bm25_search",
+            "nlp_bm25_top", "nlp_fasttext_vec_embed",
+            "running_count_per_user", "similarity_ivf_index_append",
+            "similarity_ivfpq_topk", "streaming_dsir_replay",
+            "streaming_media_dedup_replay", "streaming_scene_cuts_replay",
+            "text_arpa_lm_score", "text_arpa_ppl_buckets",
+            "text_chunk_documents", "text_html_extract",
+            "text_ngram_lm_score", "text_normalize_nfc"
+        ),
+        6,
+    ),
 }
 
 # Queries whose implementation (or a shared helper they exercise) changed in
@@ -179,28 +208,17 @@ _VERIFIED_ROUND = {
 # green, so this round's edits cannot silently regress them.
 _TOUCHED = frozenset(
     {
-        # round 6 edits
-        "nlp_rbem_polarity",         # flat batch-vectorized Arrow scorer
-        "nlp_rbem_multilang",        # per-language batch dispatch over it
-        "nlp_pos_tags",              # lazy lexicon training (PEP 562)
-        "zip_merge_branches",        # positional index now bigint
-        "running_count_per_user",    # shares _global_row_number
-        "drop_offset",               # shares _global_row_number
-        "mix_pack_sequences",        # shares _global_prefix_sum; param deprecation
-        "dedup_paragraphs",          # engine= parameter threaded through
-        "similarity_topk_ivf_index",  # shares write_ivf_index with append path
-        "text_ngram_lm_score",       # train/score positions= param (A/B'd, reverted in query)
-        "similarity_ivfpq_topk",     # shares the IVFPQ model load/write path with append
-        # round-6 late-session codec edits (all re-verified in-session by
-        # driver_sim; forced here so the DRIVER also re-checks them):
-        "multimodal_decode_stats",   # decode_png_pixels: indexed type-3 branch
-        "multimodal_image_dhash",    # decode_pixels dispatch; hash64_near_pairs refactor
-        "multimodal_gif_decode",     # interlace + local-color-table + bounds check
-        "multimodal_audio_stats",    # decode_wav_samples: 8-bit branch
-        "multimodal_audio_resample", # shares decode_wav_samples
-        "multimodal_jpeg_decode",    # make_jpeg: subsampling parameter
-        "multimodal_probe_roundtrip",  # probe_media chain gained _parse_avi
-        "multimodal_frame_timestamps",  # rides probe_table over the new chain
+        # round 7 edits
+        "dedup_minhash_lsh",          # verification tail -> array_intersect form
+        "dedup_minhash_lsh_skew",     # same tail + parallel=True scan
+        "dedup_ngram_jaccard",        # parallel=True scan
+        "dedup_incremental_batch",    # batch-vs-corpus shares _verify_jaccard_pairs
+        "nlp_rbem_polarity",          # parallel=True scan
+        "mix_dsir_select",            # parallel=True scan
+        "text_ngram_lm_score",        # parallel=True scan
+        "drop_offset",                # bounded positional kernel now default
+        "multimodal_image_dhash",     # shares the lifecycle flow's dhash stage
+        "multimodal_reshard_tars",    # pack_tar_shards shard_col exposure
     }
 )
 
