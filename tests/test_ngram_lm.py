@@ -381,3 +381,106 @@ class TestStreamingScore:
         )
         proc(corpus.limit(2), 0)
         assert spark.read.parquet(str(tmp_path / "out")).count() == n
+
+
+class TestArpaAtScale:
+    """Round-6 verdict #8: the 'LM beyond broadcast budget' path. A ~100 MB
+    trigram ARPA model is generated DISTRIBUTED (spark.range -> text
+    parts; never through the driver), parsed with read_arpa, and scored
+    with broadcast_tables=False under a 1 MB broadcast threshold — the
+    realistic cluster setting where the model tables must shuffle-join.
+    Pins (a) value equality with the broadcast path, (b) the shuffle-join
+    plan shape (SortMergeJoin on the gram tables, zero broadcasts of
+    them)."""
+
+    V = 50_000
+    PER_HEAD = 30
+
+    def _write_big_arpa(self, spark, path: str) -> None:
+        from pyspark.sql import functions as F
+
+        tab = F.lit("\t")
+        v, per = self.V, self.PER_HEAD
+
+        def fmt(x):
+            return F.format_number(x, 6)
+
+        uni = spark.range(v).select(
+            F.concat(
+                fmt(-(1.0 + (F.col("id") % 40) * 0.1)), tab,
+                F.concat(F.lit("w"), F.col("id")), tab,
+                fmt(-(0.1 + (F.col("id") % 7) * 0.05)),
+            ).alias("value")
+        )
+        bi = spark.range(v * per).select(
+            (F.col("id") % v).alias("i"), (F.col("id") / v).cast("long").alias("s")
+        ).select(
+            F.concat(
+                fmt(-(0.5 + ((F.col("i") + F.col("s")) % 30) * 0.05)), tab,
+                F.concat(F.lit("w"), F.col("i"), F.lit(" w"),
+                         (F.col("i") * 7 + F.col("s")) % v), tab,
+                fmt(F.lit(-0.2)),
+            ).alias("value")
+        )
+        tri = spark.range(v * per).select(
+            (F.col("id") % v).alias("i"), (F.col("id") / v).cast("long").alias("s")
+        ).select(
+            F.concat(
+                fmt(-(0.3 + ((F.col("i") + F.col("s")) % 20) * 0.05)), tab,
+                F.concat(F.lit("w"), F.col("i"), F.lit(" w"),
+                         (F.col("i") * 7 + F.col("s")) % v, F.lit(" w"),
+                         (F.col("i") * 13 + F.col("s")) % v),
+            ).alias("value")
+        )
+        header = spark.createDataFrame(
+            [("\\data\\",), (f"ngram 1={v}",), (f"ngram 2={v*per}",),
+             (f"ngram 3={v*per}",), ("\\1-grams:",), ("\\2-grams:",),
+             ("\\3-grams:",), ("\\end\\",)],
+            ["value"],
+        )
+        header.union(uni).union(bi).union(tri).write.mode("overwrite").text(path)
+
+    def test_shuffle_join_scoring_matches_broadcast(self, spark, tmp_path_factory):
+        import os
+
+        from pyspark.sql import functions as F
+
+        from tuktu_spark.llm.ngram_lm import read_arpa, score_arpa
+
+        path = str(tmp_path_factory.mktemp("bigarpa") / "model.arpa")
+        self._write_big_arpa(spark, path)
+        size = sum(
+            os.path.getsize(os.path.join(path, f))
+            for f in os.listdir(path) if f.startswith("part-")
+        )
+        assert size > 80 * 1024 * 1024, f"fixture only {size} bytes"
+
+        lm = read_arpa(spark, path)
+        assert lm.n == 3
+
+        v = self.V
+        corpus = spark.range(2_000).select(
+            F.col("id").alias("doc_id"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(49)),
+                lambda t: F.concat(F.lit("w"), F.pmod(F.col("id") * 31 + t, F.lit(v))),
+            ).alias("tokens"),
+        )
+        a = score_arpa(corpus, lm, broadcast_tables=True)
+        b = score_arpa(corpus, lm, broadcast_tables=False)
+
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            # the cluster-realistic setting: the model exceeds any broadcast
+            # budget, so the unhinted path must shuffle-join
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(1024 * 1024))
+            plan = b._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+            got_b = {r["doc_id"]: (r["n_pos"], r["lp_q20"]) for r in b.collect()}
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        got_a = {r["doc_id"]: (r["n_pos"], r["lp_q20"]) for r in a.collect()}
+        assert got_a == got_b and len(got_a) == 2_000
+        # sanity: listed grams actually hit (not everything backs off to <unk>)
+        hits = b.agg(F.sum("n_pos")).collect()[0][0]
+        assert hits == 2_000 * 50
