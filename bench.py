@@ -56,6 +56,12 @@ def main() -> None:
 
         gc.collect()
         spark._jvm.System.gc()
+        # one UNTIMED warmup execution per query (JMH practice): the first
+        # run pays Janino whole-stage-codegen compilation + JIT of the
+        # generated classes — measured 8-11 s for nlp_bm25_top in a
+        # mid-bench JVM vs ~1.0 s steady state. Medians should compare
+        # steady-state plans, not compiler latency.
+        qd.fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
         samples = []
         for _ in range(runs):
             t0 = time.perf_counter()
