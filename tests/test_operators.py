@@ -532,3 +532,20 @@ class TestOrcAvro:
         df = spark.createDataFrame([(1,)], "id long")
         with pytest.raises((NotImplementedError, Exception)):
             make_operator("avro_sink", {"path": str(tmp_path / "x.avro")})(df)
+
+
+def test_ensure_parallelism_adaptive(spark, tmp_path):
+    """ensure_parallelism (round 7): repartition ONLY when the scan has
+    fewer partitions than cores — the cluster-scale branch (>= cores
+    partitions) must be a no-op with no exchange added."""
+    from tuktu_spark.tables import ensure_parallelism
+
+    one = spark.createDataFrame([(i,) for i in range(100)], ["x"]).coalesce(1)
+    up = ensure_parallelism(one)
+    assert up.rdd.getNumPartitions() > 1
+    assert sorted(r["x"] for r in up.collect()) == list(range(100))
+
+    cores = spark.sparkContext.defaultParallelism
+    wide = spark.range(1000).repartition(cores)
+    same = ensure_parallelism(wide)
+    assert same is wide  # identical object: no plan change at scale

@@ -313,7 +313,10 @@ def test_pack_sequences_streamed_has_no_global_window(spark, sf_dir, registry):
 
     df = spark.range(0, 5000).selectExpr("id AS doc_id", "id % 37 + 1 AS n")
     gplan = plan_of(pack_sequences(df, 512, "n"))
-    assert "hashpartitioning(__pid__" in gplan  # parallel cumsum window
+    # round 7: the global form dispatches to the persist-FREE bounded
+    # prefix sum — the data window clusters by the value-determined
+    # bucket id (never one task, never a cache pin)
+    assert "hashpartitioning(__bkt__" in gplan  # parallel cumsum window
 
     # identical chunk ids to the naive single-window semantics
     from pyspark.sql import Window as W

@@ -89,9 +89,9 @@ def pack_sequences(
             stacklevel=2,
         )
     if not stream_cols:
-        from ..operators.joins import _global_prefix_sum
+        from ..operators.joins import _global_prefix_sum_auto
 
-        cum_df = _global_prefix_sum(df, [order_col], token_count_col, "__cum__")
+        cum_df = _global_prefix_sum_auto(df, [order_col], token_count_col, "__cum__")
         return cum_df.withColumn(
             out_col,
             F.floor((F.col("__cum__") - 1) / F.lit(int(budget))).cast("bigint"),

@@ -256,6 +256,57 @@ def _global_row_number(df: DataFrame, ob: list, out_col: str) -> DataFrame:
     )
 
 
+def _global_prefix_sum_bounded(
+    df: DataFrame, ob: list[str], value_col: str, out_col: str,
+    buckets: int | None = None,
+) -> DataFrame:
+    """Persist-free prefix sum (round 7): the bounded row-number kernel's
+    construction carries over verbatim because the per-bucket offsets are
+    SUMS — order-within-bucket cannot change a sum, and the bucket id is
+    a pure function of the row, so lineage recompute under executor loss
+    provably reproduces the same cumulative values (ties ordered
+    arbitrarily, as in every prefix-sum form here). Plain ascending
+    column orders only."""
+    if not all(isinstance(c, str) for c in ob):
+        raise ValueError("bounded kernel needs plain ascending column names")
+    spark = df.sparkSession
+    if buckets is None:
+        buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    cuts = _order_boundaries(df, ob, int(buckets))
+    key = F.struct(*[F.col(c) for c in ob])
+    bucket = F.lit(0)
+    for t in cuts:  # lambda-free (see _global_row_number_bounded)
+        lit_struct = F.struct(*[F.lit(v).alias(c) for v, c in zip(t, ob)])
+        bucket = bucket + F.when(key > lit_struct, 1).otherwise(0)
+    bucketed = df.withColumn("__bkt__", bucket)
+    tiny = Window.orderBy("__bkt__").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        bucketed.groupBy("__bkt__")
+        .agg(F.sum(value_col).alias("__tot__"))
+        .withColumn("__off__", F.coalesce(F.sum("__tot__").over(tiny), F.lit(0)))
+        .select("__bkt__", "__off__")
+    )
+    local = Window.partitionBy("__bkt__").orderBy(*ob).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        bucketed.withColumn("__lcum__", F.sum(value_col).over(local))
+        .join(F.broadcast(offsets), "__bkt__")
+        .withColumn(out_col, F.col("__off__") + F.col("__lcum__"))
+        .drop("__bkt__", "__lcum__", "__off__")
+    )
+
+
+def _global_prefix_sum_auto(
+    df: DataFrame, ob: list, value_col: str, out_col: str
+) -> DataFrame:
+    """Plain ascending column orders -> the persist-free bounded prefix
+    sum; anything else -> the persist-pinned kernel."""
+    if ob and all(isinstance(c, str) for c in ob):
+        return _global_prefix_sum_bounded(df, list(ob), value_col, out_col)
+    return _global_prefix_sum(df, ob, value_col, out_col)
+
+
 def _global_prefix_sum(
     df: DataFrame, ob: list, value_col: str, out_col: str
 ) -> DataFrame:
