@@ -367,12 +367,14 @@ def test_zip_merge_default_engine_is_distributed(spark):
     b = spark.range(0, 2000).selectExpr("id AS pos", "id * 3 AS y")
     out = make_operator("zip_merge", {"order_by": ["pos"]})(a, b)
     plan = plan_of(out)
-    # the only SinglePartition pieces allowed are the partition-count-sized
-    # offsets tables; the data-carrying windows must be pid-clustered
-    assert "hashpartitioning(__pid__" in plan
+    # the only SinglePartition pieces allowed are the bucket-count-sized
+    # offsets tables; the data-carrying windows must be bucket-clustered
+    # (round 7: plain ascending orders dispatch to the persist-free
+    # bounded kernel, whose window keys on the value-determined bucket)
+    assert "hashpartitioning(__bkt__" in plan
     data_windows = [
         ln for ln in plan.splitlines()
-        if "Window" in ln and "row_number" in ln and "__pid__" not in ln
+        if "Window" in ln and "row_number" in ln and "__bkt__" not in ln
     ]
     assert not data_windows, data_windows
 
@@ -387,7 +389,7 @@ def test_zip_merge_default_engine_is_distributed(spark):
         b.withColumn("tuktu_js_field", F.array(F.create_map(F.lit("k"), F.lit("w")))),
     )
     jplan = plan_of(j)
-    assert "hashpartitioning(__pid__" in jplan
+    assert "hashpartitioning(__bkt__" in jplan
 
 
 def test_bounded_positional_kernel(spark):

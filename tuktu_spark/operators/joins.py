@@ -368,7 +368,9 @@ def zip_merge(config: dict):
         for i, df in enumerate(dfs):
             ob = order_by[str(i)] if isinstance(order_by, dict) else order_by
             if engine == "distributed":
-                numbered.append(_global_row_number(df, ob, "__rn__"))
+                # auto: plain ascending orders take the persist-free
+                # bounded kernel (round 7), others the persist kernel
+                numbered.append(_global_row_number_auto(df, ob, "__rn__"))
                 continue
             if engine == "bounded":
                 numbered.append(_global_row_number_bounded(df, ob, "__rn__"))
@@ -443,7 +445,7 @@ def js_merge(config: dict):
         for i, df in enumerate(dfs):
             ob = order_by[str(i)] if isinstance(order_by, dict) else order_by
             if engine == "distributed":
-                num = _global_row_number(df, ob, "__rn__")
+                num = _global_row_number_auto(df, ob, "__rn__")
             elif engine == "bounded":
                 num = _global_row_number_bounded(df, ob, "__rn__")
             else:
