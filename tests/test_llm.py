@@ -2500,3 +2500,44 @@ class TestG711:
         w[i + 8 : i + 10] = st.pack("<H", 2)  # ADPCM
         with pytest.raises(NotImplementedError):
             decode_wav_samples(bytes(w))
+
+
+def test_line_filter_rules(spark):
+    """Each line rule in isolation + the rewrite/audit contract."""
+    from tuktu_spark.llm.text import line_filter_table
+
+    df = spark.createDataFrame(
+        [
+            (1, "good prose line here\n42 1234 99\n!!! --- ***\nok line yes\nx"),
+            (2, "all boilerplate\n123456"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in line_filter_table(
+            df, min_chars=4, max_digit_frac=0.4, max_punct_frac=0.4
+        ).collect()
+    }
+    # doc 1: digits line dropped (digit frac 8/10), decoration line dropped
+    # (punct frac 9/11), 'x' dropped (min_chars)
+    assert out[1]["text"] == "good prose line here\nok line yes"
+    assert out[1]["n_lines"] == 5 and out[1]["n_kept"] == 2
+    assert out[1]["chars_removed"] == len("42 1234 99") + len("!!! --- ***") + 1
+    # doc 2: 'all boilerplate' kept, digits dropped
+    assert out[2]["text"] == "all boilerplate" and out[2]["n_kept"] == 1
+
+    # drop_regex + total wipeout -> empty text, not a lost row
+    wiped = line_filter_table(
+        spark.createDataFrame([(3, "menu\nhome")], ["doc_id", "text"]),
+        min_chars=1, drop_regex="^(menu|home)$",
+    ).collect()[0]
+    assert wiped["text"] == "" and wiped["n_kept"] == 0
+
+
+def test_line_filter_flow_operator(spark):
+    from tuktu_spark.operators import make_operator
+
+    df = spark.createDataFrame([(1, "keep this line\nno")], ["doc_id", "text"])
+    out = make_operator("line_filter", {"min_chars": 5})(df).collect()[0]
+    assert out["text"] == "keep this line" and out["n_lines"] == 2

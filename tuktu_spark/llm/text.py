@@ -489,3 +489,83 @@ def html_extract_text(col) -> "Column":
         # entity strings contain no regex metacharacters — literal match
         c = F.regexp_replace(c, ent, rep)
     return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
+# --- line-wise boilerplate filtering (the RefinedWeb/Dolma per-line
+# stage: a document's nav crumbs, share buttons, cookie banners and
+# numeric junk live on their OWN lines — dropping lines, not documents,
+# keeps the prose) ---------------------------------------------------------
+
+LINE_FILTER_SCHEMA_COLS = ("n_lines", "n_kept", "chars_removed")
+
+
+def line_keep_predicate(
+    line: Column,
+    min_chars: int = 1,
+    max_digit_frac: float | None = None,
+    max_punct_frac: float | None = None,
+    drop_regex: str | None = None,
+) -> Column:
+    """Keep-predicate for one line — every rule is engine-portable column
+    algebra (length / regexp_replace counting / RE2-safe regex), so a
+    DuckDB oracle replays the exact decision:
+
+    - ``min_chars``: drop ultra-short lines (nav crumbs, stray bullets);
+    - ``max_digit_frac``: drop lines that are mostly digits (timestamps,
+      vote counts, phone-number walls);
+    - ``max_punct_frac``: drop separator/decoration lines;
+    - ``drop_regex``: explicit boilerplate patterns (cookie banners,
+      'share this', ...). RE2-compatible patterns only.
+    """
+    keep = F.length(line) >= int(min_chars)
+    n = F.greatest(F.length(line), F.lit(1)).cast("double")
+    if max_digit_frac is not None:
+        digits = F.length(F.regexp_replace(line, r"[^0-9]", ""))
+        keep = keep & (digits.cast("double") / n <= float(max_digit_frac))
+    if max_punct_frac is not None:
+        punct = F.length(F.regexp_replace(line, r"[a-zA-Z0-9\s]", ""))
+        keep = keep & (punct.cast("double") / n <= float(max_punct_frac))
+    if drop_regex:
+        keep = keep & ~line.rlike(drop_regex)
+    return keep
+
+
+def line_filter_table(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+    joiner: str | None = None,
+    min_chars: int = 1,
+    max_digit_frac: float | None = None,
+    max_punct_frac: float | None = None,
+    drop_regex: str | None = None,
+) -> DataFrame:
+    """Rewrite each document keeping only lines that pass
+    ``line_keep_predicate`` — plus an audit of what was dropped:
+    (id, text, n_lines, n_kept, chars_removed). Pure per-row array
+    algebra (split -> filter -> array_join): zero shuffle, zero Python,
+    embarrassingly parallel at any corpus size. A document whose every
+    line is boilerplate survives with text '' (filter on n_kept > 0 to
+    drop it — the caller's policy, not this stage's)."""
+    joiner = sep if joiner is None else joiner
+    lines = F.split(F.col(text_col), sep)
+    kept = F.filter(
+        lines,
+        lambda l: line_keep_predicate(
+            l, min_chars, max_digit_frac, max_punct_frac, drop_regex
+        ),
+    )
+    # stage the two arrays ONCE (no CSE across lambda boundaries)
+    staged = df.withColumn("__lines", lines).withColumn("__kept", kept)
+    joined_len = F.aggregate(
+        "__lines", F.lit(0), lambda a, l: a + F.length(l)
+    )
+    kept_len = F.aggregate("__kept", F.lit(0), lambda a, l: a + F.length(l))
+    return staged.select(
+        F.col(id_col),
+        F.array_join("__kept", joiner).alias(text_col),
+        F.size("__lines").alias("n_lines"),
+        F.size("__kept").alias("n_kept"),
+        (joined_len - kept_len).cast("bigint").alias("chars_removed"),
+    )

@@ -1313,3 +1313,25 @@ def video_frames_at_op(config: dict):
         media_col=config.get("media_field", "media"),
         interval_ms=int(config.get("interval_ms", 100)),
     )
+
+
+@operator("line_filter")
+def line_filter_op(config: dict):
+    """RefinedWeb/Dolma line-wise boilerplate filter (llm/text.
+    line_filter_table): drop nav-crumb/numeric/decoration/boilerplate
+    LINES and rewrite the document, with an audit of what was removed.
+    config: {text_field, id_field, sep, joiner, min_chars,
+    max_digit_frac, max_punct_frac, drop_regex}."""
+    from ..llm.text import line_filter_table
+
+    return lambda df: line_filter_table(
+        df,
+        text_col=config.get("text_field", "text"),
+        id_col=config.get("id_field", "doc_id"),
+        sep=config.get("sep", "\n"),
+        joiner=config.get("joiner"),
+        min_chars=int(config.get("min_chars", 1)),
+        max_digit_frac=config.get("max_digit_frac"),
+        max_punct_frac=config.get("max_punct_frac"),
+        drop_regex=config.get("drop_regex"),
+    )

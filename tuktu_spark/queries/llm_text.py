@@ -1176,3 +1176,61 @@ def mix_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
     )
     return budget_sample(d, budget_tokens=2000)
+
+
+# ---------------------------------------------------------------------------
+# Line-wise boilerplate filtering (the RefinedWeb/Dolma per-line stage).
+# The corpus is single-line, so lines are synthesized deterministically in
+# BOTH engines: every ' row ' token becomes a newline (plain non-regex
+# replace — identical left-to-right non-overlapping semantics in Spark and
+# DuckDB). The oracle replays the exact keep-predicate per line and the
+# ordered reconstruction.
+# ---------------------------------------------------------------------------
+
+_LINE_FILTER_ORACLE = """
+WITH d AS (
+  SELECT doc_id, string_split(replace(text, ' row ', chr(10)), chr(10)) AS ls
+  FROM documents
+),
+l AS (
+  SELECT doc_id, unnest(ls) AS line, generate_subscripts(ls, 1) AS i FROM d
+),
+k AS (
+  SELECT doc_id, i, line,
+         (length(line) >= 25 AND NOT regexp_matches(line, '^key')) AS keep
+  FROM l
+)
+SELECT doc_id,
+       COALESCE(string_agg(CASE WHEN keep THEN line END, chr(10) ORDER BY i),
+                '') AS text,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN keep THEN 0 ELSE length(line) END) AS BIGINT)
+         AS chars_removed
+FROM k GROUP BY doc_id
+"""
+
+
+@query("text_line_filter", oracle=_LINE_FILTER_ORACLE, tags=("llm", "text"))
+def text_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-LINE boilerplate removal (RefinedWeb/Dolma stage): drop short
+    and pattern-matched lines, rebuild each document, audit the removal.
+    Zero-shuffle per-row array algebra; the oracle replays the predicate
+    and the ordered reconstruction line by line."""
+    from ..llm.text import line_filter_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        # literal (non-regex) replace — same left-to-right non-overlapping
+        # semantics as the oracle's replace()
+        F.replace(F.col("text"), F.lit(" row "), F.lit("\n")).alias("text"),
+    )
+    out = line_filter_table(
+        docs, min_chars=25, drop_regex="^key"
+    )
+    return out.select(
+        "doc_id", "text",
+        F.col("n_lines").cast("bigint").alias("n_lines"),
+        F.col("n_kept").cast("bigint").alias("n_kept"),
+        "chars_removed",
+    )
