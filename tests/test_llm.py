@@ -2541,3 +2541,34 @@ def test_line_filter_flow_operator(spark):
     df = spark.createDataFrame([(1, "keep this line\nno")], ["doc_id", "text"])
     out = make_operator("line_filter", {"min_chars": 5})(df).collect()[0]
     assert out["text"] == "keep this line" and out["n_lines"] == 2
+
+
+def test_url_host_and_blocklist(spark):
+    from tuktu_spark.llm.text import registrable_suffix, url_blocklist_filter, url_host
+
+    df = spark.createDataFrame(
+        [
+            (1, "https://EXAMPLE.com/a?b=1"),
+            (2, "http://user:pw@sub.Bad.org:8080/x"),
+            (3, "ftp://deep.a.b.bad.org/f"),
+            (4, "not a url"),
+            (5, "https://bad.org.evil.net/phish"),  # suffix-ONLY match must not drop
+        ],
+        ["doc_id", "url"],
+    )
+    hosts = {r["doc_id"]: r["h"] for r in df.select("doc_id", url_host("url").alias("h")).collect()}
+    assert hosts == {
+        1: "example.com", 2: "sub.bad.org", 3: "deep.a.b.bad.org",
+        4: "", 5: "bad.org.evil.net",
+    }
+    kept = sorted(
+        r["doc_id"] for r in url_blocklist_filter(df, "url", ["bad.org"]).collect()
+    )
+    assert kept == [1, 4, 5]  # 2 and 3 are subdomains of bad.org; 5 is NOT
+    sfx = {
+        r["doc_id"]: r["d"]
+        for r in df.select(
+            "doc_id", registrable_suffix(url_host("url")).alias("d")
+        ).collect()
+    }
+    assert sfx[3] == "bad.org" and sfx[1] == "example.com" and sfx[4] == ""

@@ -569,3 +569,51 @@ def line_filter_table(
         F.size("__kept").alias("n_kept"),
         (joined_len - kept_len).cast("bigint").alias("chars_removed"),
     )
+
+
+# --- URL / domain curation (the RefinedWeb URL-filtering stage: drop
+# documents from blocklisted or adult/junk domains before any content
+# work; the host is also the key for per-domain quality stats) ------------
+
+# RE2-compatible (the oracle's engine): scheme :// [userinfo@] HOST [:port]
+_URL_HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)"
+
+
+def url_host(col) -> Column:
+    """Lower-cased host of a URL column ('' when the value does not parse
+    as scheme://...). Pure regexp_extract — codegen, oracle-replayable."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.lower(F.regexp_extract(c, _URL_HOST_RE, 1))
+
+
+def registrable_suffix(host: Column, levels: int = 2) -> Column:
+    """Last ``levels`` labels of a host (crude eTLD+1 without a PSL:
+    'a.b.example.com' -> 'example.com') — the grouping key for domain
+    stats and blocklists. A real public-suffix list plugs in as a
+    broadcast join on this column."""
+    parts = F.split(host, r"\.")
+    n = F.size(parts)
+    return F.when(n <= levels, host).otherwise(
+        F.array_join(F.slice(parts, n - levels + 1, levels), ".")
+    )
+
+
+def url_blocklist_filter(
+    df: DataFrame,
+    url_col: str = "url",
+    blocklist: list[str] | None = None,
+    match_subdomains: bool = True,
+) -> DataFrame:
+    """Drop rows whose URL host is on the blocklist (exact host, or any
+    subdomain of a listed domain when ``match_subdomains``). The
+    blocklist is a plan literal here (task-shipped); at real scale pass
+    a blocklist TABLE and anti-join on registrable_suffix instead —
+    same semantics, broadcast-sized."""
+    host = url_host(F.col(url_col))
+    bad = F.lit(False)
+    for d in blocklist or ():
+        d = d.lower()
+        bad = bad | (host == d)
+        if match_subdomains:
+            bad = bad | host.endswith("." + d)
+    return df.filter(~bad)

@@ -1335,3 +1335,18 @@ def line_filter_op(config: dict):
         max_punct_frac=config.get("max_punct_frac"),
         drop_regex=config.get("drop_regex"),
     )
+
+
+@operator("url_blocklist_filter")
+def url_blocklist_filter_op(config: dict):
+    """RefinedWeb URL-filtering stage: drop rows whose URL host (or any
+    subdomain) is blocklisted (llm/text.url_blocklist_filter). config:
+    {url_field, blocklist, match_subdomains}."""
+    from ..llm.text import url_blocklist_filter
+
+    return lambda df: url_blocklist_filter(
+        df,
+        url_col=config.get("url_field", "url"),
+        blocklist=config.get("blocklist", []),
+        match_subdomains=bool(config.get("match_subdomains", True)),
+    )

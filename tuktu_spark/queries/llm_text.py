@@ -1234,3 +1234,58 @@ def text_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_kept").cast("bigint").alias("n_kept"),
         "chars_removed",
     )
+
+
+# ---------------------------------------------------------------------------
+# URL/domain curation (the RefinedWeb URL-filtering stage). The corpus has
+# no URL column, so one is synthesized deterministically from each doc's
+# first two tokens (both engines replay the construction); the Spark side
+# then runs the REAL host-extraction regex, registrable-suffix grouping
+# and subdomain-aware blocklist drop, and the oracle replays each in
+# closed form.
+# ---------------------------------------------------------------------------
+
+_URL_STATS_ORACLE = """
+WITH u AS (
+  SELECT doc_id,
+         string_split(text, ' ')[1] AS w1,
+         string_split(text, ' ')[2] AS w2
+  FROM documents
+),
+h AS (
+  SELECT doc_id,
+         w1 || '.sub.' || w2 || '-site.com' AS host,
+         w2 || '-site.com' AS domain
+  FROM u
+)
+SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM h
+WHERE NOT (host = 'slow-site.com' OR host LIKE '%.slow-site.com')
+GROUP BY domain
+"""
+
+
+@query("text_url_domain_stats", oracle=_URL_STATS_ORACLE, tags=("llm", "text"))
+def text_url_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host extraction (scheme/userinfo/port-aware regex) ->
+    subdomain-aware blocklist drop -> per-registrable-domain doc counts:
+    the URL-filtering front of a web-corpus pipeline, every step
+    hash-matched against the oracle's closed-form replay."""
+    from ..llm.text import registrable_suffix, url_blocklist_filter, url_host
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split("text", " ")
+    urls = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://user@"),
+            F.element_at(toks, 1), F.lit(".sub."),
+            F.element_at(toks, 2), F.lit("-site.com:8443/path?q=1"),
+        ).alias("url"),
+    )
+    kept = url_blocklist_filter(urls, "url", ["slow-site.com"])
+    return (
+        kept.select(registrable_suffix(url_host(F.col("url"))).alias("domain"))
+        .groupBy("domain")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
