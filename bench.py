@@ -16,6 +16,7 @@ is noise.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import re
@@ -39,10 +40,6 @@ def main() -> None:
     registry = load_all()
     bench_queries = {n: q for n, q in sorted(registry.items()) if q.bench}
 
-    # warmup: JVM + parquet footers + codegen, on the smallest query
-    first = next(iter(bench_queries.values()))
-    first.fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5")))
     timings: dict[str, float] = {}
     spread: dict[str, dict[str, float]] = {}
@@ -52,8 +49,6 @@ def main() -> None:
         # root cause: single-task nlp_rbem_polarity read 2.08s in-context
         # vs 0.5s fresh, and untouched q1/q5 drifted 1.5x, all restored
         # by a forced collection. Runs OUTSIDE the timed region.
-        import gc
-
         gc.collect()
         spark._jvm.System.gc()
         # one UNTIMED warmup execution per query (JMH practice): the first

@@ -35,7 +35,7 @@ def _salvage(tail: str) -> tuple[dict[str, float], dict[str, dict[str, float]]]:
     queries = {
         m.group(1): float(m.group(2))
         for m in re.finditer(r'"([A-Za-z0-9_]+)":\s*(-?\d+(?:\.\d+)?)', head)
-        if m.group(1) not in ("n", "rc", "cpus", "sf", "value")
+        if m.group(1) not in ("n", "rc", "cpus", "sf", "value", "min", "max", "runs")
     }
     spread: dict[str, dict[str, float]] = {}
     for m in re.finditer(

@@ -359,6 +359,13 @@ def minhash_dedup_pairs(
 def _verify_jaccard_pairs(
     cands: DataFrame, ha: DataFrame, hb: DataFrame, id_col: str, threshold: float
 ) -> DataFrame:
+    if threshold <= 0:
+        raise ValueError(
+            "minhash verification requires threshold > 0: at 0 every banding "
+            "candidate passes (including zero-overlap pairs), which is an "
+            "enumeration of LSH collisions, not a similarity result — use "
+            "minhash_lsh_candidates directly for that"
+        )
     """Exact-Jaccard verification of candidate (id_a, id_b) pairs against
     two (id, shingles) frames: fetch both DISTINCT shingle arrays by id
     and intersect per row (the ngram_jaccard_pairs form).

@@ -2291,7 +2291,15 @@ def pack_tar_shards(
 
     build.__annotations__ = {"pdf": pd.DataFrame, "return": pd.DataFrame}
     if shard_col is not None:
-        with_idx = samples.withColumn("__shard_idx", F.col(shard_col).cast("int"))
+        # fail loud on a NULL assignment (a silent NaN would crash deep in
+        # the pandas UDF); out-of-range values are the caller's routing
+        # rule by design — n_shards is advisory when shard_col is given
+        checked = F.when(
+            F.col(shard_col).isNull(),
+            F.assert_true(F.col(shard_col).isNotNull(),
+                          F.lit(f"pack_tar_shards: null {shard_col}")).cast("int"),
+        ).otherwise(F.col(shard_col).cast("int"))
+        with_idx = samples.withColumn("__shard_idx", checked)
     else:
         with_idx = samples.withColumn(
             "__shard_idx", F.pmod(F.hash("key"), F.lit(int(n_shards)))

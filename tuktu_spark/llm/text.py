@@ -523,7 +523,12 @@ def line_keep_predicate(
         digits = F.length(F.regexp_replace(line, r"[^0-9]", ""))
         keep = keep & (digits.cast("double") / n <= float(max_digit_frac))
     if max_punct_frac is not None:
-        punct = F.length(F.regexp_replace(line, r"[a-zA-Z0-9\s]", ""))
+        # Unicode-aware: strip letters (ANY script), digits and whitespace;
+        # the remainder is punctuation/symbols. \p{L}/\p{N} are supported
+        # by BOTH Java regex (Spark) and RE2 (the DuckDB oracle) — a naive
+        # [^a-zA-Z0-9\s] complement would count accented/CJK prose as
+        # punctuation and delete non-English lines.
+        punct = F.length(F.regexp_replace(line, r"[\p{L}\p{N}\s]", ""))
         keep = keep & (punct.cast("double") / n <= float(max_punct_frac))
     if drop_regex:
         keep = keep & ~line.rlike(drop_regex)
@@ -547,8 +552,20 @@ def line_filter_table(
     algebra (split -> filter -> array_join): zero shuffle, zero Python,
     embarrassingly parallel at any corpus size. A document whose every
     line is boilerplate survives with text '' (filter on n_kept > 0 to
-    drop it — the caller's policy, not this stage's)."""
-    joiner = sep if joiner is None else joiner
+    drop it — the caller's policy, not this stage's).
+
+    ``sep`` is a REGEX (F.split semantics); ``joiner`` is a LITERAL.
+    When ``joiner`` is omitted it defaults to ``sep`` — valid only for
+    metacharacter-free separators, so a regex ``sep`` without an explicit
+    joiner is rejected instead of silently reassembling documents with
+    the pattern text."""
+    if joiner is None:
+        meta = set("\\.[]{}()*+?^$|")
+        if any(ch in meta for ch in sep):
+            raise ValueError(
+                f"sep={sep!r} is a regex; pass an explicit literal joiner"
+            )
+        joiner = sep
     lines = F.split(F.col(text_col), sep)
     kept = F.filter(
         lines,
@@ -616,4 +633,7 @@ def url_blocklist_filter(
         bad = bad | (host == d)
         if match_subdomains:
             bad = bad | host.endswith("." + d)
-    return df.filter(~bad)
+    # NULL url -> NULL host -> NULL comparisons: a null URL is not
+    # blocklisted (it is unparseable, same as host ''), so the predicate
+    # must not null-propagate into the filter and drop the row
+    return df.filter(~F.coalesce(bad, F.lit(False)))

@@ -214,7 +214,15 @@ def _global_row_number_auto(df: DataFrame, ob: list, out_col: str) -> DataFrame:
     kernel (boundary sampling of arbitrary expressions is not
     value-stable). Production positional paths (line source bounds,
     running_count, drop_first) hit the bounded branch for the common
-    plain-column case."""
+    plain-column case.
+
+    COST TRADE (deliberate): the bounded kernel evaluates the un-cached
+    upstream ~2x at execution (offsets aggregate + data window) plus a
+    bounded boundary-sample collect at plan build, where the persist
+    kernel evaluated once into cache. Recompute-safety and zero cache
+    residency are worth two passes over a SCAN; for an expensive
+    non-cached upstream, persist/checkpoint it first (or pass an
+    expression order to opt back into the persist kernel)."""
     if ob and all(isinstance(c, str) for c in ob):
         return _global_row_number_bounded(df, list(ob), out_col)
     return _global_row_number(df, ob, out_col)
