@@ -257,3 +257,70 @@ def test_temperature_sample_matches_naive_model(spark, sizes):
         < int(rate[lang] * HASH_MOD)
     )
     assert got == want
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    docs=st.lists(
+        st.lists(
+            st.text(
+                alphabet=st.characters(
+                    codec="utf-8", exclude_characters="\n",
+                    exclude_categories=("Cs",),
+                ),
+                max_size=30,
+            ),
+            min_size=1, max_size=8,
+        ),
+        min_size=1, max_size=20,
+    ),
+    min_chars=st.integers(min_value=0, max_value=10),
+    max_digit=st.one_of(st.none(), st.floats(min_value=0, max_value=1)),
+    max_punct=st.one_of(st.none(), st.floats(min_value=0, max_value=1)),
+)
+def test_line_filter_matches_python_model(spark, docs, min_chars, max_digit, max_punct):
+    """line_filter_table == a direct Python model of the documented rules
+    (Unicode-aware punct = not letter/digit/whitespace), on arbitrary
+    Unicode lines."""
+    import unicodedata
+
+    from tuktu_spark.llm.text import line_filter_table
+
+    # exact mirror of the Column rules: digits are ASCII [0-9]; punct is
+    # the complement of \p{L} / \p{N} / Java-\s (ASCII whitespace only —
+    # NBSP etc. count as punctuation, deliberately: they ARE decoration)
+    _JAVA_WS = set(" \t\n\x0b\f\r")
+
+    def keep(line: str) -> bool:
+        if len(line) < min_chars:
+            return False
+        n = max(len(line), 1)
+        if max_digit is not None:
+            if sum(c in "0123456789" for c in line) / n > max_digit:
+                return False
+        if max_punct is not None:
+            def is_punct(c):
+                cat = unicodedata.category(c)
+                return not (
+                    cat.startswith("L") or cat.startswith("N") or c in _JAVA_WS
+                )
+            if sum(is_punct(c) for c in line) / n > max_punct:
+                return False
+        return True
+
+    rows = [(i, "\n".join(lines)) for i, lines in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["text"], r["n_lines"], r["n_kept"], r["chars_removed"])
+        for r in line_filter_table(
+            df, min_chars=min_chars, max_digit_frac=max_digit,
+            max_punct_frac=max_punct,
+        ).collect()
+    }
+    for i, lines in enumerate(docs):
+        kept = [l for l in lines if keep(l)]
+        want_text = "\n".join(kept)
+        removed = sum(len(l) for l in lines) - sum(len(l) for l in kept)
+        assert got[i] == (want_text, len(lines), len(kept), removed), (
+            i, lines, got[i]
+        )
