@@ -844,7 +844,7 @@ FROM counts
 def nlp_fasttext_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ml.fasttext import doc_bucket_vectors
 
-    d = load_table(spark, sf_dir, "documents").select(
+    d = load_table(spark, sf_dir, "documents", parallel=True).select(
         "doc_id", F.split("text", " ").alias("tokens")
     )
     return doc_bucket_vectors(d, "tokens", "doc_id", dim=64, n=3)
