@@ -86,3 +86,84 @@ class TestClassifyImages:
             media_df.withColumn("note", F.lit("x")), "media", cents, top_n=1
         )
         assert {"id", "media", "note", "labels"} == set(out.columns)
+
+
+class TestRealCnn:
+    """ml/cnn.py: the from-scratch convolutional embedder that fills the
+    image_classify model seam (model='cnn')."""
+
+    def test_forward_shapes_and_determinism(self):
+        import numpy as np
+
+        from tuktu_spark.ml.cnn import EMBED_DIM, TinyConvNet
+
+        net = TinyConvNet()
+        img = np.linspace(0, 1, 32 * 32).reshape(32, 32)
+        a = net.forward(img)
+        b = net.forward(img)
+        assert a.shape == (EMBED_DIM,)
+        assert np.array_equal(a, b)
+        assert np.array_equal(a, TinyConvNet().forward(img))  # seeded weights
+
+    def test_conv_is_correct_on_a_known_kernel(self):
+        import numpy as np
+
+        from tuktu_spark.ml.cnn import TinyConvNet
+
+        # identity kernel: center tap 1 -> conv(x) == x (zero-pad edges ok)
+        x = np.arange(25, dtype=np.float64).reshape(5, 5, 1)
+        w = np.zeros((3, 3, 1, 1))
+        w[1, 1, 0, 0] = 1.0
+        out = TinyConvNet._conv2d(x, w, np.zeros(1))
+        assert np.array_equal(out, x)
+        # shift kernel: tap at (0, 1) reads the pixel ABOVE
+        w2 = np.zeros((3, 3, 1, 1))
+        w2[0, 1, 0, 0] = 1.0
+        out2 = TinyConvNet._conv2d(x, w2, np.zeros(1))
+        assert np.array_equal(out2[1:, :, 0], x[:-1, :, 0])
+        assert np.all(out2[0] == 0)  # zero padding row
+
+    def test_weights_roundtrip(self, tmp_path):
+        import numpy as np
+
+        from tuktu_spark.ml.cnn import TinyConvNet
+
+        net = TinyConvNet(seed=7)
+        p = str(tmp_path / "w.npz")
+        net.save_weights(p)
+        loaded = TinyConvNet.load_weights(p)
+        img = np.random.RandomState(0).rand(32, 32)
+        assert np.array_equal(net.forward(img), loaded.forward(img))
+
+    def test_embeds_through_real_codecs(self):
+        from tuktu_spark.llm.multimodal import make_bmp, make_png
+        from tuktu_spark.ml.cnn import EMBED_DIM, cnn_embed_bytes
+
+        for blob in (
+            make_png(9, 7, gradient=(3, 5, 1)),
+            make_bmp(8, 6, gradient=(0, 7, 3)),
+        ):
+            v = cnn_embed_bytes(blob)
+            assert len(v) == EMBED_DIM and any(abs(x) > 0 for x in v)
+
+    def test_image_classify_operator_cnn_model(self, spark):
+        from tuktu_spark.llm.multimodal import make_png
+        from tuktu_spark.ml.cnn import cnn_embed_bytes
+        from tuktu_spark.operators import make_operator
+
+        cents = {
+            "smooth": cnn_embed_bytes(make_png(20, 16, gradient=(5, 3, 2))),
+            "rough": cnn_embed_bytes(make_png(20, 16, gradient=(5, 131, 77))),
+        }
+        rows = [
+            (0, make_png(18, 15, gradient=(40, 3, 2))),
+            (1, make_png(21, 14, gradient=(90, 131, 77))),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, media binary")
+        out = make_operator(
+            "image_classify",
+            {"field": "media", "centroids": cents, "model": "cnn",
+             "top_n": 1, "flatten": True},
+        )(df)
+        got = {r["doc_id"]: r["labels"] for r in out.collect()}
+        assert got == {0: "smooth", 1: "rough"}

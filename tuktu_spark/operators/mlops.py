@@ -558,23 +558,35 @@ def image_classify_op(config: dict):
     the ``embedder`` seam (no TF/Torch in this container): model
     'inceptionv3'/'vgg16' requires an injected config['embedder']
     callable (bytes -> list[float]) wrapping the real forward pass;
-    model 'stub' (default) uses the deterministic byte-sample feature so
-    the distributed scoring head stays testable. config: {field,
-    centroids: {label: vec}, model, top_n, flatten, categories,
-    embedder, result}."""
+    model 'cnn' runs the bundled REAL from-scratch convolutional
+    embedder (ml/cnn.py: im2col convs + pooling + dense over the stdlib
+    codec decode; deterministic He weights, config['weights'] loads a
+    trained .npz); model 'stub' (default) uses the deterministic
+    byte-sample feature so the distributed scoring head stays testable.
+    config: {field, centroids: {label: vec}, model, top_n, flatten,
+    categories, embedder, weights, result}."""
     from pyspark.sql import functions as F
 
     from ..ml.deeplearn import classify_images
 
     model = config.get("model", "stub")
     embedder = config.get("embedder")
+    if model == "cnn" and embedder is None:
+        from ..ml.cnn import TinyConvNet, cnn_embed_bytes, default_net
+
+        net = (
+            TinyConvNet.load_weights(config["weights"])
+            if config.get("weights")
+            else default_net()
+        )
+        embedder = lambda data: cnn_embed_bytes(data, net)  # noqa: E731
     if model in ("inceptionv3", "vgg16") and embedder is None:
         raise NotImplementedError(
             f"model {model!r} needs pretrained weights (TF/Torch not in "
             "this environment); inject config['embedder'] wrapping the "
             "real forward pass, or use model='stub'"
         )
-    if model not in ("stub", "inceptionv3", "vgg16"):
+    if model not in ("stub", "cnn", "inceptionv3", "vgg16"):
         raise ValueError(f"unknown image model {model!r}")
     result = config.get("result", "labels")
 

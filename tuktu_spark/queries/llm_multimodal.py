@@ -2263,3 +2263,74 @@ def multimodal_g711_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     media = docs.select("doc_id", synth_udf(F.col("doc_id")).alias("media"))
     return MM.audio_stats_table(media, "doc_id", "media")
+
+
+# ---------------------------------------------------------------------------
+# REAL CNN image classification (ml/cnn.py TinyConvNet: im2col convs +
+# pooling + dense, deterministic weights; ml/deeplearn scoring head). Two
+# texture families (smooth vs high-frequency wrap gradients) synthesized
+# per doc; nearest-centroid against two driver-embedded exemplars
+# classifies every image, and the family populations are closed-form in
+# doc_id — a single flipped prediction anywhere in the corpus breaks the
+# count match, so the whole decode -> resize -> normalize -> conv forward
+# -> cosine head is pinned deterministic end to end.
+# ---------------------------------------------------------------------------
+
+_CNN_CLASSIFY_ORACLE = """
+SELECT 'rough' AS label,
+       CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n
+FROM documents
+UNION ALL
+SELECT 'smooth' AS label,
+       CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n
+FROM documents
+"""
+
+
+@query(
+    "multimodal_cnn_classify",
+    oracle=_CNN_CLASSIFY_ORACLE,
+    tags=("llm", "multimodal", "ml"),
+)
+def multimodal_cnn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image classification through the REAL convolutional forward pass
+    (reference: deeplearn InceptionClassifier/VGG16Classifier — here the
+    bundled from-scratch CNN; a trained .npz plugs in via the weights
+    seam). Per-doc texture PNGs, centroids from two exemplar embeddings
+    computed once on the driver (kilobytes, closure-shipped), mapInPandas
+    classification; per-label counts hash-match the closed-form family
+    populations — every image must classify correctly."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from ..ml.cnn import cnn_embed_bytes
+    from ..ml.deeplearn import classify_images
+
+    def png_for(i: int) -> bytes:
+        dx, dy = (3, 2) if i % 2 == 0 else (131, 77)
+        return MM.make_png(
+            18 + i % 7, 14 + i % 5, gradient=((i * 7) % 256, dx, dy)
+        )
+
+    centroids = {
+        "smooth": cnn_embed_bytes(MM.make_png(20, 16, gradient=(5, 3, 2))),
+        "rough": cnn_embed_bytes(MM.make_png(20, 16, gradient=(5, 131, 77))),
+    }
+
+    def synth(ids):
+        return ids.map(lambda i: png_for(int(i)))
+
+    synth.__annotations__ = {"ids": pd.Series, "return": pd.Series}
+    synth_udf = pandas_udf("binary")(synth)
+
+    docs = load_table(spark, sf_dir, "documents", parallel=True).select("doc_id")
+    media = docs.select("doc_id", synth_udf(F.col("doc_id")).alias("media"))
+    labeled = classify_images(
+        media, "media", centroids, top_n=1,
+        embedder=cnn_embed_bytes, out_col="labels",
+    )
+    return (
+        labeled.select(F.get("labels", 0)["label"].alias("label"))
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
