@@ -9,11 +9,14 @@ Spark-first shape: the CNN is an EMBEDDER seam (bytes -> float vector)
 executed inside Arrow batches, and the classifier head is a broadcast
 matrix of label centroids scored with one numpy matmul per batch — the
 standard distributed-inference layout (weights ship once per executor,
-images never shuffle). The container has no TF/Torch, so the default
-embedder is the deterministic byte-sample feature from
-llm/multimodal._decode_image_bytes (real header parsing, fake pixels —
-documented stub); inject ``embedder`` (bytes -> list[float]) to plug in
-a real InceptionV3/VGG16 forward pass and nothing else changes.
+images never shuffle). The container has no TF/Torch; three embedders:
+``ml.cnn.cnn_embed_bytes`` (model='cnn' in the operator) is a REAL
+from-scratch convolutional forward pass over the stdlib codec decode
+(deterministic weights, .npz seam for trained ones); the default remains
+the byte-sample feature from llm/multimodal._decode_image_bytes (real
+header parsing, fake pixels — cheapest, plumbing-only); inject
+``embedder`` (bytes -> list[float]) to wrap a real InceptionV3/VGG16
+forward pass and nothing else changes.
 """
 
 from __future__ import annotations

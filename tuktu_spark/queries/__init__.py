@@ -218,7 +218,10 @@ _TOUCHED = frozenset(
         "text_ngram_lm_score",        # parallel=True scan
         "drop_offset",                # bounded positional kernel now default
         "multimodal_image_dhash",     # shares the lifecycle flow's dhash stage
-        "multimodal_reshard_tars",    # pack_tar_shards shard_col exposure
+        "multimodal_reshard_tars",    # pack_tar_shards shard_col + null assert
+        "mix_pack_sequences",         # global path -> bounded prefix sum
+        "zip_merge_branches",         # distributed engine -> auto bounded kernel
+        "nlp_fasttext_buckets",       # parallel=True scan
     }
 )
 
