@@ -167,3 +167,100 @@ class TestRealCnn:
         )(df)
         got = {r["doc_id"]: r["labels"] for r in out.collect()}
         assert got == {0: "smooth", 1: "rough"}
+
+
+class TestCnnTraining:
+    """From-scratch backprop + distributed data-parallel SGD (ml/cnn.py)."""
+
+    def _imgs(self, idxs):
+        import numpy as np
+
+        from tuktu_spark.llm.multimodal import decode_pixels, make_png
+        from tuktu_spark.ml.cnn import _to_gray_square
+
+        out = []
+        for i in idxs:
+            dx, dy = (3, 2) if i % 2 == 0 else (131, 77)
+            blob = make_png(18 + i % 7, 14 + i % 5, gradient=((i * 7) % 256, dx, dy))
+            w, h, c, pix = decode_pixels(blob)
+            out.append(_to_gray_square(pix, w, h, c))
+        return out
+
+    def test_gradients_match_finite_differences(self):
+        import numpy as np
+
+        from tuktu_spark.ml import cnn as C
+
+        rng = np.random.RandomState(0)
+        imgs = [rng.rand(12, 12) for _ in range(3)]
+        labels = [0, 2, 1]
+        net = C.TinyConvNet(seed=3)
+        net.w3 = net.w3[:, :3].copy()
+        net.b3 = net.b3[:3].copy()
+        _, grads = C.loss_and_grads(net, imgs, labels)
+        eps = 1e-6
+        for p in C._PARAMS:
+            w = getattr(net, p)
+            flat = w.ravel()
+            for i in rng.choice(flat.size, size=min(5, flat.size), replace=False):
+                orig = flat[i]
+                flat[i] = orig + eps
+                lp, _ = C.loss_and_grads(net, imgs, labels)
+                flat[i] = orig - eps
+                lm, _ = C.loss_and_grads(net, imgs, labels)
+                flat[i] = orig
+                num = (lp - lm) / (2 * eps)
+                ana = grads[p].ravel()[i]
+                assert abs(num - ana) <= 1e-5 * max(abs(num), abs(ana), 1e-3), (
+                    p, i, num, ana
+                )
+
+    def test_local_training_reaches_perfect_heldout(self):
+        import numpy as np
+
+        from tuktu_spark.llm.multimodal import make_png
+        from tuktu_spark.ml.cnn import cnn_predict_label, train_cnn_local
+
+        net, losses = train_cnn_local(
+            self._imgs(range(60)), [i % 2 for i in range(60)], 2, epochs=12
+        )
+        assert losses[-1] < 0.05 < losses[0]
+        for i in range(200, 260):
+            dx, dy = (3, 2) if i % 2 == 0 else (131, 77)
+            blob = make_png(18 + i % 7, 14 + i % 5, gradient=((i * 7) % 256, dx, dy))
+            assert cnn_predict_label(blob, net) == i % 2
+
+    def test_distributed_training_matches_local(self, spark):
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql import functions as F
+        from pyspark.sql.functions import pandas_udf
+
+        from tuktu_spark.llm.multimodal import make_png
+        from tuktu_spark.ml import cnn as C
+
+        def synth(ids):
+            def mk(i):
+                i = int(i)
+                dx, dy = (3, 2) if i % 2 == 0 else (131, 77)
+                return make_png(
+                    18 + i % 7, 14 + i % 5, gradient=((i * 7) % 256, dx, dy)
+                )
+            return ids.map(mk)
+
+        synth.__annotations__ = {"ids": pd.Series, "return": pd.Series}
+        su = pandas_udf("binary")(synth)
+        df = spark.range(40).select(
+            su(F.col("id")).alias("media"), (F.col("id") % 2).alias("label")
+        ).repartition(6)
+        dnet, dlosses = C.train_cnn_distributed(df, "media", "label", 2, epochs=6)
+        lnet, llosses = C.train_cnn_local(
+            self._imgs(range(40)), [i % 2 for i in range(40)], 2, epochs=6
+        )
+        # same loss trace and weights to float rounding (partition-sum
+        # grouping is the only difference)
+        assert np.allclose(dlosses, llosses, rtol=0, atol=1e-9)
+        for p in C._PARAMS:
+            assert np.allclose(
+                getattr(dnet, p), getattr(lnet, p), rtol=0, atol=1e-9
+            ), p

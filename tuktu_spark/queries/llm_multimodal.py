@@ -2334,3 +2334,75 @@ def multimodal_cnn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed CNN TRAINING (ml/cnn.py train_cnn_distributed): data-parallel
+# full-batch SGD with momentum — each epoch ships the ~5k-param net in the
+# UDF closure, partitions return exact gradient sums over their images,
+# the driver reduces and steps. Trains on the 60 lowest doc_ids (a
+# deterministic subset present at every SF), then classifies the WHOLE
+# corpus with the trained net; per-class counts are closed-form in doc_id
+# and `converged` asserts the final training loss — one wrong prediction
+# or a training drift anywhere breaks the row.
+# ---------------------------------------------------------------------------
+
+_CNN_TRAIN_ORACLE = """
+SELECT CAST(doc_id % 2 AS BIGINT) AS pred,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       TRUE AS converged
+FROM documents GROUP BY doc_id % 2
+"""
+
+
+@query(
+    "multimodal_cnn_train_eval",
+    oracle=_CNN_TRAIN_ORACLE,
+    tags=("llm", "multimodal", "ml"),
+)
+def multimodal_cnn_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the from-scratch CNN with distributed data-parallel SGD and
+    evaluate it over the full corpus — the missing half of the reference's
+    deeplearn module (which only ever RUNS pretrained nets). Gradients are
+    finite-difference-verified in tests; training is deterministic for the
+    fixed scan layout, so the full-corpus predictions hash-match a
+    closed-form oracle."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from ..ml.cnn import cnn_predict_label, train_cnn_distributed
+
+    def png_for(i: int) -> bytes:
+        dx, dy = (3, 2) if i % 2 == 0 else (131, 77)
+        return MM.make_png(
+            18 + i % 7, 14 + i % 5, gradient=((i * 7) % 256, dx, dy)
+        )
+
+    def synth(ids):
+        return ids.map(lambda i: png_for(int(i)))
+
+    synth.__annotations__ = {"ids": pd.Series, "return": pd.Series}
+    synth_udf = pandas_udf("binary")(synth)
+
+    docs = load_table(spark, sf_dir, "documents", parallel=True).select("doc_id")
+    media = docs.select(
+        "doc_id", synth_udf(F.col("doc_id")).alias("media"),
+        (F.col("doc_id") % 2).alias("label"),
+    )
+    train = media.filter(F.col("doc_id") < 60)
+    net, losses = train_cnn_distributed(
+        train, "media", "label", n_classes=2, epochs=12, lr=0.5
+    )
+    converged = bool(losses[-1] < 0.05)
+
+    def predict(payloads: pd.Series) -> pd.Series:
+        return payloads.map(lambda b: cnn_predict_label(bytes(b), net))
+
+    predict.__annotations__ = {"payloads": pd.Series, "return": pd.Series}
+    pred_udf = pandas_udf("long")(predict)
+    return (
+        media.select(pred_udf(F.col("media")).alias("pred"))
+        .groupBy("pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("converged", F.lit(converged))
+    )
