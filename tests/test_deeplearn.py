@@ -264,3 +264,25 @@ class TestCnnTraining:
             assert np.allclose(
                 getattr(dnet, p), getattr(lnet, p), rtol=0, atol=1e-9
             ), p
+
+
+def test_audio_classify_operator(spark):
+    from tuktu_spark.llm.multimodal import make_wav
+    from tuktu_spark.ml.cnn import audio_embed_bytes
+    from tuktu_spark.operators import make_operator
+
+    cents = {
+        "tone": audio_embed_bytes(make_wav(n_samples=420, ramp=(4, 2000))),
+        "square": audio_embed_bytes(make_wav(n_samples=420, square=(8000, 2))),
+    }
+    rows = [
+        (0, make_wav(n_samples=433, ramp=(5, 2000))),
+        (1, make_wav(n_samples=411, square=(8000, 2))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, media binary")
+    out = make_operator(
+        "audio_classify",
+        {"field": "media", "centroids": cents, "top_n": 1, "flatten": True},
+    )(df)
+    got = {r["doc_id"]: r["labels"] for r in out.collect()}
+    assert got == {0: "tone", 1: "square"}

@@ -354,3 +354,36 @@ def cnn_predict_label(data: bytes, net: TinyConvNet) -> int:
 
     w, h, c, pix = decode_pixels(data)
     return int(np.argmax(net.forward(_to_gray_square(pix, w, h, c))))
+
+
+def audio_embed_bytes(data: bytes, n_frames: int = 32) -> list[float]:
+    """Audio bytes -> feature embedding through the REAL PCM decode
+    (llm.multimodal decode_wav_samples: 8/16-bit PCM + G.711): per-frame
+    log-energies (n_frames equal windows) concatenated with the framed
+    zero-crossing rates — the classic energy+ZCR front end, L2-ready for
+    the cosine classifier head (ml.deeplearn.classify_images works on any
+    binary column given an embedder; this is the audio plug)."""
+    from ..llm.multimodal import decode_wav_samples
+
+    _rate, ch, samples = decode_wav_samples(data)
+    mono = np.asarray(samples[:: max(ch, 1)], dtype=np.float64)
+    n = len(mono)
+    if n == 0:
+        return [0.0] * (2 * n_frames)
+    L = max(n // n_frames, 1)
+    feats = []
+    zcrs = []
+    for t in range(n_frames):
+        fr = mono[t * L : (t + 1) * L]
+        if len(fr) == 0:
+            feats.append(0.0)
+            zcrs.append(0.0)
+            continue
+        feats.append(float(np.log1p((fr * fr).sum())))
+        sign = fr < 0
+        zcrs.append(float(np.count_nonzero(sign[1:] != sign[:-1])) / len(fr))
+    # per-clip normalization (the image embedder's lesson: remove the
+    # DC/loudness component so the classifier sees the SHAPE)
+    f = np.asarray(feats)
+    f = f - f.mean()
+    return f.tolist() + zcrs

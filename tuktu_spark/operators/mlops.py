@@ -708,3 +708,36 @@ def fasttext_word_overlap_classify_op(config: dict):
         )
 
     return transform
+
+
+@operator("audio_classify")
+def audio_classify_op(config: dict):
+    """Audio clip -> top-n (label, score) via the SAME distributed scoring
+    head as image_classify (ml/deeplearn.classify_images is
+    embedder-generic): the bundled embedder is the real energy+ZCR front
+    end over the stdlib PCM/G.711 decode (ml/cnn.audio_embed_bytes);
+    inject config['embedder'] to wrap a learned acoustic model. config:
+    {field, centroids, top_n, flatten, categories, embedder, result}."""
+    from pyspark.sql import functions as F
+
+    from ..ml.cnn import audio_embed_bytes
+    from ..ml.deeplearn import classify_images
+
+    embedder = config.get("embedder") or audio_embed_bytes
+    result = config.get("result", "labels")
+
+    def transform(df: DataFrame) -> DataFrame:
+        out = classify_images(
+            df,
+            media_col=config.get("field", "media"),
+            centroids=dict(config["centroids"]),
+            top_n=int(config.get("top_n", 3)),
+            embedder=embedder,
+            categories=config.get("categories"),
+            out_col=result,
+        )
+        if config.get("flatten"):
+            out = out.withColumn(result, F.get(result, 0)["label"])
+        return out
+
+    return transform

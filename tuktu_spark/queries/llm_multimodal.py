@@ -2406,3 +2406,67 @@ def multimodal_cnn_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .withColumn("converged", F.lit(converged))
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio classification through the REAL PCM decode + energy/ZCR front end
+# (ml/cnn.audio_embed_bytes) and the shared cosine scoring head — the
+# audio twin of multimodal_cnn_classify. Tonal sawtooth vs period-2
+# square families; per-label counts closed-form in doc_id.
+# ---------------------------------------------------------------------------
+
+_AUDIO_CLASSIFY_ORACLE = """
+SELECT 'square' AS label,
+       CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n
+FROM documents
+UNION ALL
+SELECT 'tone' AS label,
+       CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n
+FROM documents
+"""
+
+
+@query(
+    "multimodal_audio_classify",
+    oracle=_AUDIO_CLASSIFY_ORACLE,
+    tags=("llm", "multimodal", "ml"),
+)
+def multimodal_audio_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clip classification end to end: RIFF/WAVE decode -> framed
+    log-energy + zero-crossing embedding -> nearest-centroid head
+    (audio_classify operator path). Every clip in the corpus must
+    classify correctly for the per-label counts to match."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from ..ml.cnn import audio_embed_bytes
+    from ..ml.deeplearn import classify_images
+
+    def wav_for(i: int) -> bytes:
+        n = 400 + i % 50
+        if i % 2 == 1:
+            return MM.make_wav(n_samples=n, square=(8000, 2))
+        return MM.make_wav(n_samples=n, ramp=(3 + i % 4, 2000))
+
+    centroids = {
+        "tone": audio_embed_bytes(MM.make_wav(n_samples=420, ramp=(4, 2000))),
+        "square": audio_embed_bytes(MM.make_wav(n_samples=420, square=(8000, 2))),
+    }
+
+    def synth(ids):
+        return ids.map(lambda i: wav_for(int(i)))
+
+    synth.__annotations__ = {"ids": pd.Series, "return": pd.Series}
+    synth_udf = pandas_udf("binary")(synth)
+
+    docs = load_table(spark, sf_dir, "documents", parallel=True).select("doc_id")
+    media = docs.select("doc_id", synth_udf(F.col("doc_id")).alias("media"))
+    labeled = classify_images(
+        media, "media", centroids, top_n=1,
+        embedder=audio_embed_bytes, out_col="labels",
+    )
+    return (
+        labeled.select(F.get("labels", 0)["label"].alias("label"))
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
