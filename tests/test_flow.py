@@ -622,3 +622,33 @@ def test_ivfpq_append_mode_flow_roundtrip(spark, sf_dir):
     finally:
         for suffix in ("", "_centroids", "_codebooks"):
             spark.sql(f"DROP TABLE IF EXISTS {table}{suffix}")
+
+
+def test_web_corpus_refinement_flow(spark, sf_dir):
+    """flows/examples/web_corpus_refinement.json: the RefinedWeb front end
+    as one config-driven DAG — URL blocklist, HTML extraction, line-wise
+    boilerplate removal, quality features, slim paragraph dedup, PII
+    scrub. Shape + semantics checks against direct library calls."""
+    from pyspark.sql import functions as F
+
+    out = run_flow(
+        spark, "flows/examples/web_corpus_refinement.json",
+        params={"dir": sf_dir},
+    )
+    df = out["pii"]
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_all = docs.count()
+    n_zz = docs.filter(F.col("lang") == "zz").count()
+    got = df.count()
+    # the blocklist drops every zz-domain doc; slim paragraph dedup may
+    # additionally drop full-duplicate docs (every line seen before), so
+    # the bound is <= with a sanity floor
+    assert 0.9 * n_all <= got <= n_all - n_zz
+    zz_ids = {r["doc_id"] for r in docs.filter(F.col("lang") == "zz").collect()}
+    kept_ids = {r["doc_id"] for r in df.select("doc_id").collect()}
+    assert not (zz_ids & kept_ids)
+    row = df.first()
+    assert "<" not in row["clean"] and "script" not in row["clean"]
+    # the quality audit branch (fan-out leaf) carries the features
+    qcols = out["quality"].columns
+    assert "predicted_lang" in qcols and "n_tokens" in qcols
