@@ -286,3 +286,29 @@ def test_audio_classify_operator(spark):
     )(df)
     got = {r["doc_id"]: r["labels"] for r in out.collect()}
     assert got == {0: "tone", 1: "square"}
+
+
+def test_video_classify_operator(spark):
+    from tuktu_spark.llm.multimodal import make_avi
+    from tuktu_spark.ml.cnn import video_embed_bytes
+    from tuktu_spark.operators import make_operator
+
+    cents = {
+        "smooth": video_embed_bytes(
+            make_avi(15, 11, 4, codec="DIB ", gradient=(40, 3, 7, 11))
+        ),
+        "rough": video_embed_bytes(
+            make_avi(15, 11, 4, codec="DIB ", gradient=(40, 131, 77, 11))
+        ),
+    }
+    rows = [
+        (0, make_avi(14, 10, 3, codec="DIB ", gradient=(10, 3, 7, 11))),
+        (1, make_avi(16, 12, 4, codec="DIB ", gradient=(99, 131, 77, 11))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, media binary")
+    out = make_operator(
+        "video_classify",
+        {"field": "media", "centroids": cents, "top_n": 1, "flatten": True},
+    )(df)
+    got = {r["doc_id"]: r["labels"] for r in out.collect()}
+    assert got == {0: "smooth", 1: "rough"}

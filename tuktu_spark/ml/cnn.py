@@ -387,3 +387,27 @@ def audio_embed_bytes(data: bytes, n_frames: int = 32) -> list[float]:
     f = np.asarray(feats)
     f = f - f.mean()
     return f.tolist() + zcrs
+
+
+def video_embed_bytes(
+    data: bytes, net: TinyConvNet | None = None, max_frames: int = 16
+) -> list[float]:
+    """Video bytes -> one embedding: REAL container decode
+    (llm.multimodal decode_video_frames — AVI DIB/MJPEG or MP4 samples),
+    per-frame CNN forward, mean pool over up to ``max_frames`` evenly
+    spaced frames (the standard clip-embedding shape: temporal mean of
+    frame features). The video plug for classify_images."""
+    from ..llm.multimodal import decode_video_frames
+
+    w, h, frames = decode_video_frames(data)
+    if not frames:
+        return [0.0] * EMBED_DIM
+    n = len(frames)
+    take = min(max_frames, n)
+    idxs = [(i * n) // take for i in range(take)]
+    model = net or default_net()
+    acc = np.zeros(EMBED_DIM)
+    for i in idxs:
+        img = _to_gray_square(frames[i], w, h, 3)
+        acc += model.forward(img)
+    return (acc / take).tolist()

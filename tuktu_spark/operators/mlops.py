@@ -741,3 +741,38 @@ def audio_classify_op(config: dict):
         return out
 
     return transform
+
+
+@operator("video_classify")
+def video_classify_op(config: dict):
+    """Video clip -> top-n (label, score): REAL container decode (AVI
+    DIB/MJPEG, MP4 sample tables), per-frame CNN embedding, temporal mean
+    pool (ml/cnn.video_embed_bytes), shared cosine scoring head. config:
+    {field, centroids, top_n, flatten, categories, max_frames, embedder,
+    result}."""
+    from pyspark.sql import functions as F
+
+    from ..ml.cnn import video_embed_bytes
+    from ..ml.deeplearn import classify_images
+
+    max_frames = int(config.get("max_frames", 16))
+    embedder = config.get("embedder") or (
+        lambda data: video_embed_bytes(data, max_frames=max_frames)
+    )
+    result = config.get("result", "labels")
+
+    def transform(df: DataFrame) -> DataFrame:
+        out = classify_images(
+            df,
+            media_col=config.get("field", "media"),
+            centroids=dict(config["centroids"]),
+            top_n=int(config.get("top_n", 3)),
+            embedder=embedder,
+            categories=config.get("categories"),
+            out_col=result,
+        )
+        if config.get("flatten"):
+            out = out.withColumn(result, F.get(result, 0)["label"])
+        return out
+
+    return transform

@@ -2470,3 +2470,74 @@ def multimodal_audio_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Video classification: REAL AVI decode -> per-frame CNN embedding ->
+# temporal mean pool -> cosine head (ml/cnn.video_embed_bytes through the
+# video_classify operator path). Smooth vs high-frequency texture video
+# families; counts closed-form in doc_id. Deterministic end to end
+# (measured min within-class cosine 0.996 > max cross-class 0.985 — a
+# thin but EXACT margin; floats are bit-stable so it cannot flake).
+# ---------------------------------------------------------------------------
+
+_VIDEO_CLASSIFY_ORACLE = """
+SELECT 'rough' AS label,
+       CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n
+FROM documents
+UNION ALL
+SELECT 'smooth' AS label,
+       CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n
+FROM documents
+"""
+
+
+@query(
+    "multimodal_video_classify",
+    oracle=_VIDEO_CLASSIFY_ORACLE,
+    tags=("llm", "multimodal", "ml"),
+)
+def multimodal_video_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-clip label over REAL video decode: every frame of every AVI
+    decodes (RIFF walk + DIB rows), embeds through the CNN, mean-pools
+    and scores; per-label counts must equal the closed-form family
+    populations — one misclassified clip anywhere breaks the row."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from ..ml.cnn import video_embed_bytes
+    from ..ml.deeplearn import classify_images
+
+    def avi_for(i: int) -> bytes:
+        dx, dy = (3, 7) if i % 2 == 0 else (131, 77)
+        return MM.make_avi(
+            14 + i % 4, 10 + i % 3, 3 + i % 2,
+            codec="DIB ", gradient=((i * 5) % 256, dx, dy, 11),
+        )
+
+    centroids = {
+        "smooth": video_embed_bytes(
+            MM.make_avi(15, 11, 4, codec="DIB ", gradient=(40, 3, 7, 11))
+        ),
+        "rough": video_embed_bytes(
+            MM.make_avi(15, 11, 4, codec="DIB ", gradient=(40, 131, 77, 11))
+        ),
+    }
+
+    def synth(ids):
+        return ids.map(lambda i: avi_for(int(i)))
+
+    synth.__annotations__ = {"ids": pd.Series, "return": pd.Series}
+    synth_udf = pandas_udf("binary")(synth)
+
+    docs = load_table(spark, sf_dir, "documents", parallel=True).select("doc_id")
+    media = docs.select("doc_id", synth_udf(F.col("doc_id")).alias("media"))
+    labeled = classify_images(
+        media, "media", centroids, top_n=1,
+        embedder=video_embed_bytes, out_col="labels",
+    )
+    return (
+        labeled.select(F.get("labels", 0)["label"].alias("label"))
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
