@@ -351,7 +351,10 @@ def test_fasttext_buckets_fused_single_data_exchange(spark, sf_dir, registry):
 
     plan = plan_of(registry["nlp_fasttext_buckets"].fn(spark, sf_dir))
     n_exchanges = len(set(re.findall(r"\(\d+\) (?:Broadcast)?Exchange", plan)))
-    assert n_exchanges <= 4, plan
+    # +1 over the round-5 pin: the explicit scan-parallelism round-robin
+    # (ensure_parallelism, round 7) precedes the fused doc-id exchange
+    assert n_exchanges <= 5, plan
+    assert "RoundRobinPartitioning" in plan
     assert "SinglePartition" not in plan
 
 
