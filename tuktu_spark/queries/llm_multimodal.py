@@ -2541,3 +2541,64 @@ def multimodal_video_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+# ---------------------------------------------------------------------------
+# SEMANTIC image dedup: CNN embeddings into the SemDeDup machinery
+# (llm/similarity.semdedup) — the embedding-level dedup pass that catches
+# re-rendered/resized variants byte- and perceptual-hash dedup can miss.
+# Two texture families; every member of a family embeds within cosine
+# 0.987 of every other (measured min over all size combos) while
+# cross-family tops out at 0.956, so at eps=0.03 each family is one
+# mutual-duplicate clique inside its own cluster and SemDeDup's greedy
+# closure keeps EXACTLY ONE image per family — n_members and n_kept are
+# closed-form in doc_id.
+# ---------------------------------------------------------------------------
+
+_IMG_SEMDEDUP_ORACLE = """
+SELECT CAST(doc_id % 2 + 1 AS INT) AS cluster_id,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(1 AS BIGINT) AS n_kept
+FROM documents GROUP BY doc_id % 2
+"""
+
+
+@query(
+    "dedup_image_semantic",
+    oracle=_IMG_SEMDEDUP_ORACLE,
+    tags=("llm", "multimodal", "dedup", "similarity"),
+)
+def dedup_image_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image corpus -> CNN embeddings -> SemDeDup: one keeper per
+    semantic-duplicate clique (cluster-edge keep rule), with the corpus
+    shuffling once on cluster id and pair work bounded per cluster —
+    the SemDeDup scale shape applied to real decoded images."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from ..llm import similarity as S
+    from ..ml.cnn import cnn_embed_bytes
+
+    def png_for(i: int) -> bytes:
+        dx, dy = (3, 2) if i % 2 == 0 else (131, 77)
+        return MM.make_png(
+            18 + i % 7, 14 + i % 5, gradient=((i * 7) % 256, dx, dy)
+        )
+
+    def embed(ids: pd.Series) -> pd.Series:
+        return ids.map(lambda i: cnn_embed_bytes(png_for(int(i))))
+
+    embed.__annotations__ = {"ids": pd.Series, "return": pd.Series}
+    embed_udf = pandas_udf("array<double>")(embed)
+
+    centroids = [
+        cnn_embed_bytes(MM.make_png(20, 16, gradient=(5, 3, 2))),
+        cnn_embed_bytes(MM.make_png(20, 16, gradient=(5, 131, 77))),
+    ]
+    docs = load_table(spark, sf_dir, "documents", parallel=True).select("doc_id")
+    vecs = docs.select("doc_id", embed_udf(F.col("doc_id")).alias("embedding"))
+    out = S.semdedup(vecs, centroids, eps=0.03, id_col="doc_id")
+    return out.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum(F.col("keep").cast("bigint")).alias("n_kept"),
+    )
