@@ -313,3 +313,76 @@ def streaming_scene_cuts_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.processAllAvailable()
     q.stop()
     return spark.table(name).select("id", "frame_idx", "hamming", "is_cut")
+
+
+# CNN inference executed BY THE STREAMING ENGINE: images replay in 4
+# micro-batches through foreachBatch classification (fixed deterministic
+# net + exemplar centroids); the accumulated (doc_id, label) store must
+# equal the closed-form family assignment — one wrong label in any
+# micro-batch breaks the match, and a batch replay must not duplicate.
+_STREAM_CLASSIFY_ORACLE = """
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'smooth' ELSE 'rough' END AS label
+FROM documents
+"""
+
+
+@query(
+    "streaming_cnn_classify_replay",
+    oracle=_STREAM_CLASSIFY_ORACLE,
+    tags=("streaming", "llm", "multimodal", "ml"),
+)
+def streaming_cnn_classify_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming media classification: the CNN embedder + centroid head
+    running per micro-batch over a deterministic 4-chunk replay, with
+    idempotent batch_id-partitioned output."""
+    import tempfile
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from ..llm import multimodal as MM
+    from ..ml.cnn import cnn_embed_bytes
+    from ..streaming.llm import make_classify_batch_processor, streaming_classify
+
+    def synth(ids):
+        def mk(i):
+            i = int(i)
+            dx, dy = (3, 2) if i % 2 == 0 else (131, 77)
+            return MM.make_png(
+                18 + i % 7, 14 + i % 5, gradient=((i * 7) % 256, dx, dy)
+            )
+
+        return ids.map(mk)
+
+    synth.__annotations__ = {"ids": pd.Series, "return": pd.Series}
+    synth_udf = pandas_udf("binary")(synth)
+    corpus = load_table(spark, sf_dir, "documents").select(
+        "doc_id", synth_udf(F.col("doc_id")).alias("media")
+    )
+    centroids = {
+        "smooth": cnn_embed_bytes(MM.make_png(20, 16, gradient=(5, 3, 2))),
+        "rough": cnn_embed_bytes(MM.make_png(20, 16, gradient=(5, 131, 77))),
+    }
+    stage = tempfile.mkdtemp(prefix="tuktu_cls_replay_")
+    out_dir = tempfile.mkdtemp(prefix="tuktu_cls_out_")
+    ckpt = tempfile.mkdtemp(prefix="tuktu_cls_ckpt_")
+    stream = STR.replay_dataframe(corpus, stage, chunks=4, order_col="doc_id")
+    q = streaming_classify(
+        stream, out_dir, ckpt, centroids, cnn_embed_bytes
+    )
+    q.processAllAvailable()
+    q.stop()
+    # idempotency: a foreachBatch REPLAY redelivers the SAME batch rows;
+    # re-running batch 0 with its own data must rewrite its partition,
+    # not append duplicates
+    n = spark.read.parquet(out_dir).count()
+    b0_ids = spark.read.parquet(out_dir).filter(
+        F.col("batch_id") == 0
+    ).select("doc_id")
+    proc = make_classify_batch_processor(
+        spark, out_dir, centroids, cnn_embed_bytes
+    )
+    proc(corpus.join(b0_ids, "doc_id"), 0)
+    assert spark.read.parquet(out_dir).count() == n
+    return spark.read.parquet(out_dir).select("doc_id", "label")

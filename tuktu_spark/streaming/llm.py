@@ -619,3 +619,59 @@ def streaming_scene_cuts(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def make_classify_batch_processor(
+    spark,
+    out_dir: str,
+    centroids: dict,
+    embedder,
+    media_col: str = "media",
+    id_col: str = "doc_id",
+):
+    """foreachBatch processor for streaming media CLASSIFICATION: each
+    micro-batch's blobs embed (any ml/cnn or injected embedder) and score
+    against the broadcast centroid table inside Arrow batches; per-row
+    (id, label) rows land batch_id-partitioned with dynamic overwrite, so
+    a replayed batch rewrites its own partition instead of appending
+    duplicates — the stateless-inference member of the streaming-store
+    family (dedup/LM-score/DSIR/scene-cuts)."""
+    from ..ml.deeplearn import classify_images
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        labeled = classify_images(
+            batch_df, media_col, centroids, top_n=1, embedder=embedder
+        )
+        (
+            labeled.select(
+                F.col(id_col), F.get("labels", 0)["label"].alias("label")
+            )
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .options(partitionOverwriteMode="dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_dir)
+        )
+
+    return process
+
+
+def streaming_classify(
+    stream: DataFrame,
+    out_dir: str,
+    checkpoint: str,
+    centroids: dict,
+    embedder,
+    media_col: str = "media",
+    id_col: str = "doc_id",
+):
+    """Model inference at ingest: classify every arriving media blob with
+    a fixed embedder + centroid head (image CNN / audio energy-ZCR /
+    video temporal-pool — all plug the same seam). Weights ride the
+    closure to each executor once; only (id, label) rows persist."""
+    process = make_classify_batch_processor(
+        stream.sparkSession, out_dir, centroids, embedder, media_col, id_col
+    )
+    return foreach_batch_sink(stream, process, checkpoint=checkpoint)
