@@ -419,3 +419,37 @@ def test_streaming_scene_cuts_equals_batch(spark, tmp_path):
         for r in spark.table(name).collect()
     }
     assert got == want and len(want) == 20  # 4 videos x 5 deltas
+
+
+def test_streaming_ann_ingest_probe_prunes_partitions(spark, sf_dir):
+    """The streamed (batch_id, list_id)-partitioned index must give the
+    probe LIST PRUNING: Spark plans dynamic partition pruning on list_id
+    (the probed-lists subquery), so a probe never scans unprobed lists."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from tuktu_spark.streaming.llm import (
+        ann_probe_ingested,
+        make_ann_ingest_batch_processor,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    centroids = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id") < 4).orderBy("vec_id").collect()
+    ]
+    index_dir = tempfile.mkdtemp(prefix="ann_idx_")
+    proc = make_ann_ingest_batch_processor(spark, index_dir, centroids)
+    proc(emb, 0)
+    proc(emb.limit(0), 1)  # empty batch: no-op
+    queries = emb.filter(F.col("vec_id") < 3)
+    out = ann_probe_ingested(spark, index_dir, queries, centroids, k=3, n_probe=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan or "PartitionFilters: [isnotnull(list_id" in plan
+    rows = out.collect()
+    assert rows and all(r["rank"] <= 3 for r in rows)
+    # replay idempotency: same batch rewrites, never appends
+    n = spark.read.parquet(index_dir).count()
+    proc(emb, 0)
+    assert spark.read.parquet(index_dir).count() == n

@@ -386,3 +386,104 @@ def streaming_cnn_classify_replay(spark: SparkSession, sf_dir: str) -> DataFrame
     proc(corpus.join(b0_ids, "doc_id"), 0)
     assert spark.read.parquet(out_dir).count() == n
     return spark.read.parquet(out_dir).select("doc_id", "label")
+
+
+# ANN-index construction AT INGEST, executed by the streaming engine:
+# embeddings replay in 4 micro-batches into a (batch_id, list_id)-
+# partitioned index against FROZEN seed centroids; the post-replay probe
+# (3 nearest lists per query, exact cosine, top-5) must equal the
+# oracle's full IVF replay in SQL — the probe sees every batch's
+# vectors, so a lost/duplicated batch or a drifting assignment breaks it.
+from .llm_similarity import _cosine_sql as _COS  # noqa: E402
+from .llm_similarity import _L2_SQL as _L2  # noqa: E402
+
+_ANN_INGEST_SEEDS = 8
+_ANN_INGEST_QUERIES = 10
+
+_ANN_INGEST_ORACLE = f"""
+WITH cent AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS cidx,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+  FROM embeddings WHERE vec_id < {_ANN_INGEST_SEEDS}
+),
+e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+asg AS (
+  SELECT e.vec_id, e.v, c.cidx,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                            ORDER BY {_L2.format(a='e.v', b='c.cv')}, c.cidx) AS rk
+  FROM e CROSS JOIN cent c
+),
+lists AS (SELECT vec_id, v, CAST(cidx AS INT) AS list_id FROM asg WHERE rk = 1),
+qprobe AS (
+  SELECT e.vec_id AS query_id, e.v AS qv, CAST(c.cidx AS INT) AS list_id
+  FROM e CROSS JOIN cent c
+  WHERE e.vec_id < {_ANN_INGEST_QUERIES}
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                             ORDER BY {_L2.format(a='e.v', b='c.cv')}, c.cidx) <= 3
+),
+scored AS (
+  SELECT q.query_id, l.vec_id AS neighbor_id,
+         {_COS('q.qv', 'l.v')} AS cosine
+  FROM qprobe q JOIN lists l ON l.list_id = q.list_id
+  WHERE l.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+@query(
+    "streaming_ann_ingest_replay",
+    oracle=_ANN_INGEST_ORACLE,
+    tags=("streaming", "llm", "similarity"),
+)
+def streaming_ann_ingest_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming IVF ingestion + probe: the index grows micro-batch by
+    micro-batch against frozen coarse centroids (batch_id/list_id
+    partitioned, replay-idempotent via dynamic overwrite), and the probe
+    partition-prunes to the 3 nearest lists per query over EVERYTHING
+    ingested; every cosine and rank hash-matches the oracle's SQL
+    replay of the same IVF."""
+    import tempfile
+
+    from ..streaming.llm import (
+        ann_probe_ingested,
+        make_ann_ingest_batch_processor,
+        streaming_ann_ingest,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id") < _ANN_INGEST_SEEDS)
+        .orderBy("vec_id")
+        .collect()
+    ]
+    stage = tempfile.mkdtemp(prefix="tuktu_ann_replay_")
+    index_dir = tempfile.mkdtemp(prefix="tuktu_ann_index_")
+    ckpt = tempfile.mkdtemp(prefix="tuktu_ann_ckpt_")
+    stream = STR.replay_dataframe(emb, stage, chunks=4, order_col="vec_id")
+    q = streaming_ann_ingest(stream, index_dir, ckpt, centroids)
+    q.processAllAvailable()
+    q.stop()
+    # idempotency: re-running batch 0 with its own rows must not grow
+    n = spark.read.parquet(index_dir).count()
+    b0 = spark.read.parquet(index_dir).filter(F.col("batch_id") == 0)
+    proc = make_ann_ingest_batch_processor(spark, index_dir, centroids)
+    proc(
+        emb.join(b0.select(F.col("neighbor_id").alias("vec_id")), "vec_id"), 0
+    )
+    assert spark.read.parquet(index_dir).count() == n
+    queries = emb.filter(F.col("vec_id") < _ANN_INGEST_QUERIES)
+    return ann_probe_ingested(
+        spark, index_dir, queries, centroids, k=5, n_probe=3
+    )

@@ -675,3 +675,109 @@ def streaming_classify(
         stream.sparkSession, out_dir, centroids, embedder, media_col, id_col
     )
     return foreach_batch_sink(stream, process, checkpoint=checkpoint)
+
+
+def make_ann_ingest_batch_processor(
+    spark,
+    index_dir: str,
+    centroids: "list[list[float]]",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """foreachBatch processor for STREAMING ANN-index ingestion: each
+    arriving vector is assigned to the FROZEN coarse centroids (the
+    incremental-append contract of append_ivf_index) and lands in a
+    (batch_id, list_id)-partitioned parquet index with dynamic partition
+    overwrite — a replayed batch rewrites exactly its own partitions
+    (idempotent with no side markers), and probes keep LIST PRUNING as
+    directory-partition pruning: a probe reads only
+    ``list_id IN (probed)`` partitions across every batch directory."""
+    from ..llm.similarity import _as_double, _nearest_centroids
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        assigned = batch_df.select(
+            F.col(id_col).alias("neighbor_id"),
+            _as_double(F.col(vec_col)).alias("nv"),
+        ).withColumn(
+            "list_id",
+            F.element_at(_nearest_centroids(F.col("nv"), centroids, 1), 1),
+        )
+        (
+            assigned.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .options(partitionOverwriteMode="dynamic")
+            .partitionBy("batch_id", "list_id")
+            .parquet(index_dir)
+        )
+
+    return process
+
+
+def streaming_ann_ingest(
+    stream: DataFrame,
+    index_dir: str,
+    checkpoint: str,
+    centroids: "list[list[float]]",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """ANN index construction AT INGEST: vectors stream in, the index
+    grows incrementally against frozen coarse centroids, and probes are
+    possible at any moment over everything ingested so far — the
+    streaming member of the IVF family (write-once -> append ->
+    streaming)."""
+    process = make_ann_ingest_batch_processor(
+        stream.sparkSession, index_dir, centroids, id_col, vec_col
+    )
+    return foreach_batch_sink(stream, process, checkpoint=checkpoint)
+
+
+def ann_probe_ingested(
+    spark,
+    index_dir: str,
+    queries: DataFrame,
+    centroids: "list[list[float]]",
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe a streaming-ingested index: nearest n_probe lists per query,
+    one equi-join on list_id (partition-pruned scan of the index
+    directory), exact cosine over candidates, row_number top-k — the
+    ivf_topk_from_index shape over the streamed layout."""
+    from pyspark.sql import Window
+
+    from ..llm.similarity import _as_double, _nearest_centroids
+
+    idx = spark.read.parquet(index_dir)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        _as_double(F.col(vec_col)).alias("qv"),
+    ).withColumn(
+        "list_id",
+        F.explode(_nearest_centroids(F.col("qv"), centroids, n_probe)),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("nv"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    scored = (
+        q.join(idx, "list_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", dot / (norm(F.col("qv")) * norm(F.col("nv"))))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
