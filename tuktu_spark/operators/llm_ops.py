@@ -1350,3 +1350,41 @@ def url_blocklist_filter_op(config: dict):
         blocklist=config.get("blocklist", []),
         match_subdomains=bool(config.get("match_subdomains", True)),
     )
+
+
+@operator("unigram_tokenize")
+def unigram_tokenize(config: dict):
+    """Train a unigram-LM (SentencePiece-style) tokenizer on the input
+    corpus (or load a saved model) and segment each row's text to pieces
+    (llm/unigram.py — Kudo 2018; BPE's sibling family). config:
+    {text_field, as, vocab_size, seed_size, max_piece_len, em_rounds,
+    model_path (load instead of train), save_path}."""
+    from ..llm import unigram as U
+
+    text_col = config.get("text_field", "text")
+    out = config.get("as", "pieces")
+    model_path = config.get("model_path")
+    save_path = config.get("save_path")
+
+    def run(df: DataFrame) -> DataFrame:
+        if model_path:
+            with open(model_path) as f:
+                model = U.UnigramModel.from_json(f.read())
+        else:
+            model = U.train_unigram(
+                df,
+                text_col,
+                vocab_size=int(config.get("vocab_size", 400)),
+                seed_size=int(config.get("seed_size", 2000)),
+                max_piece_len=int(config.get("max_piece_len", 8)),
+                em_rounds=int(config.get("em_rounds", 2)),
+            )
+        if save_path:
+            with open(save_path, "w") as f:
+                f.write(model.to_json())
+        return U.unigram_encode(
+            df, model, text_col, out,
+            max_piece_len=int(config.get("max_piece_len", 8)),
+        )
+
+    return run

@@ -1289,3 +1289,53 @@ def text_url_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("domain")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM tokenizer (Kudo 2018 — the SentencePiece family, BPE's
+# sibling): trained on the corpus, every document segmented by Viterbi
+# under the learned piece probabilities. The oracle pins the
+# SQL-computable invariants exactly (doc/word counts) and the in-query
+# booleans assert the tokenizer contract: pieces concatenate back to the
+# de-spaced text for EVERY document (lossless segmentation), the
+# segmentation COMPRESSES (fewer pieces than characters — multi-char
+# pieces were actually learned and used), and the vocabulary respected
+# the size cap.
+# ---------------------------------------------------------------------------
+
+_UNIGRAM_ORACLE = """
+SELECT COUNT(*) AS n_docs,
+       CAST(SUM(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')))
+            AS BIGINT) AS n_words,
+       TRUE AS roundtrip_all, TRUE AS compresses, TRUE AS vocab_capped
+FROM documents
+"""
+
+
+@query("text_unigram_tokenize", oracle=_UNIGRAM_ORACLE, tags=("llm", "text"))
+def text_unigram_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm import unigram as U
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    model = U.train_unigram(d, "text", vocab_size=300, seed_size=1500, em_rounds=2)
+    enc = U.unigram_encode(d, model, "text", "pieces")
+    dewhite = F.regexp_replace(F.col("text"), r"\s+", "")
+    checked = enc.select(
+        (F.array_join("pieces", "") == dewhite).alias("rt_ok"),
+        F.size("pieces").alias("n_pieces"),
+        F.length(dewhite).alias("n_chars"),
+        F.size(
+            F.filter(F.split("text", r"\s+"), lambda w: w != "")
+        ).alias("n_words"),
+    )
+    n_multi = sum(1 for p in model.logp if len(p) > 1)
+    agg = checked.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").cast("long").alias("n_words"),
+        F.min("rt_ok").alias("roundtrip_all"),
+        (F.sum("n_pieces") < F.sum("n_chars")).alias("compresses"),
+    )
+    return agg.select(
+        "n_docs", "n_words", "roundtrip_all", "compresses",
+        F.lit(0 < n_multi <= 300).alias("vocab_capped"),
+    )
