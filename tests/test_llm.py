@@ -2572,3 +2572,44 @@ def test_url_host_and_blocklist(spark):
         ).collect()
     }
     assert sfx[3] == "bad.org" and sfx[1] == "example.com" and sfx[4] == ""
+
+
+def test_edit_distance_pairs_matches_naive(spark):
+    """q-gram count-filter + levenshtein pipeline == naive all-pairs, on
+    adversarial short binary-alphabet strings (stresses the short and
+    cross buckets where the count bound is vacuous)."""
+    import itertools
+    import random
+
+    from tuktu_spark.llm.dedup import edit_distance_pairs
+
+    def lev(a, b):
+        m, n = len(a), len(b)
+        dp = list(range(n + 1))
+        for i in range(1, m + 1):
+            prev, dp[0] = dp[0], i
+            for j in range(1, n + 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (a[i - 1] != b[j - 1])
+                )
+        return dp[n]
+
+    rng = random.Random(7)
+    words = [
+        "".join(rng.choice("ab") for _ in range(rng.randint(1, 9)))
+        for _ in range(100)
+    ]
+    df = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)], "doc_id long, text string"
+    )
+    for d in (1, 2):
+        got = {
+            (r["id_a"], r["id_b"], r["dist"])
+            for r in edit_distance_pairs(df, max_dist=d, q=2).collect()
+        }
+        want = {
+            (i, j, lev(words[i], words[j]))
+            for i, j in itertools.combinations(range(len(words)), 2)
+            if lev(words[i], words[j]) <= d
+        }
+        assert got == want

@@ -937,3 +937,113 @@ def remove_duplicate_spans(
         .filter(F.size("__kept") > 0)
         .select(*keep_cols, F.array_join("__kept", " ").alias(text_col))
     )
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_dist: int = 1,
+    q: int = 2,
+) -> DataFrame:
+    """Near-duplicate pairs under EDIT DISTANCE (id_a < id_b,
+    dist <= max_dist) — the fuzzy-matching family for SHORT strings
+    (titles, names, product ids) where token-set similarity is too
+    coarse. Candidates come from the positional q-gram COUNT filter
+    (Gravano et al. 2001, public literature): ed(A,B) <= d implies the
+    q-gram BAGS of A and B share at least
+    max(|A|,|B|) - q + 1 - d*q grams, so the candidate join explodes
+    (gram, occurrence_idx) pairs — the occurrence index makes the
+    equi-join count BAG intersection — and keeps pairs meeting the
+    bound; exact verification is one codegen levenshtein() per
+    candidate.
+
+    LOSSLESS except both-short pairs: when BOTH strings have at most
+    d*q q-grams the bound is vacuous, so strings of length
+    < q + d*q form a SHORT bucket joined all-pairs among themselves
+    (bounded: short strings over a finite alphabet are few distinct;
+    the join is further banded by |len(a) - len(b)| <= d). At corpus
+    scale the shuffle carries (gram, occ, id) rows — q-gram-count-
+    bounded — and candidate verification is candidate-proportional,
+    the same shape as the MinHash verify stage."""
+    release_persisted()
+    s = _persist_scoped(
+        df.select(F.col(id_col), F.col(text_col).alias("__s"))
+        .withColumn("__len", F.length("__s"))
+    )
+    d = int(max_dist)
+    short_max = q + d * q - 1  # below this, the count bound is vacuous
+
+    def grams(col):
+        n = F.greatest(F.length(col) - (q - 1), F.lit(0))
+        return F.when(n <= 0, F.array().cast("array<string>")).otherwise(
+            F.transform(F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
+                        lambda i: col.substr(i, F.lit(q)))
+        )
+
+    long_side = s.filter(F.col("__len") > short_max)
+    exploded = long_side.select(
+        F.col(id_col), F.col("__len"),
+        F.posexplode(grams(F.col("__s"))).alias("__pos", "gram"),
+    )
+    # occurrence index per (id, gram): equi-join on (gram, occ) counts the
+    # BAG intersection, not the set intersection
+    from pyspark.sql import Window
+
+    occ = F.row_number().over(
+        Window.partitionBy(id_col, "gram").orderBy("__pos")
+    )
+    bag = exploded.withColumn("__occ", occ).select(id_col, "__len", "gram", "__occ")
+    a = bag.select(
+        F.col(id_col).alias("id_a"), F.col("__len").alias("la"), "gram", "__occ"
+    )
+    b = bag.select(
+        F.col(id_col).alias("id_b"), F.col("__len").alias("lb"), "gram", "__occ"
+    )
+    cand_long = (
+        a.join(b, ["gram", "__occ"])
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.abs(F.col("la") - F.col("lb")) <= d)  # length filter
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("__common"), F.max("la").alias("la"),
+             F.max("lb").alias("lb"))
+        .filter(
+            F.col("__common")
+            >= F.greatest(F.col("la"), F.col("lb")) - (q - 1) - d * q
+        )
+        .select("id_a", "id_b")
+    )
+    shorts = s.filter(F.col("__len") <= short_max)
+    sa = shorts.select(F.col(id_col).alias("id_a"), F.col("__s").alias("__ta"),
+                       F.col("__len").alias("la"))
+    sb = shorts.select(F.col(id_col).alias("id_b"), F.col("__s").alias("__tb"),
+                       F.col("__len").alias("lb"))
+    cand_short = (
+        sa.join(sb, (F.col("id_a") < F.col("id_b"))
+                & (F.abs(F.col("la") - F.col("lb")) <= d))
+        .select("id_a", "id_b")
+    )
+    # short-vs-long pairs: within distance d, lengths differ by <= d, so
+    # the long side is at most short_max + d — band-join those directly
+    sl_long = s.filter(
+        (F.col("__len") > short_max) & (F.col("__len") <= short_max + d)
+    ).select(F.col(id_col).alias("id_b"), F.col("__len").alias("lb"))
+    cand_cross = (
+        shorts.select(F.col(id_col).alias("id_a"), F.col("__len").alias("la"))
+        .join(sl_long, F.abs(F.col("la") - F.col("lb")) <= d)
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select(F.least("id_a", "id_b").alias("id_a"),
+                F.greatest("id_a", "id_b").alias("id_b"))
+    )
+    cands = cand_long.unionByName(cand_short).unionByName(cand_cross).distinct()
+    ta = s.select(F.col(id_col).alias("id_a"), F.col("__s").alias("__ta"))
+    tb = s.select(F.col(id_col).alias("id_b"), F.col("__s").alias("__tb"))
+    return (
+        cands.join(ta, "id_a")
+        .join(tb, "id_b")
+        .withColumn("dist", F.levenshtein("__ta", "__tb"))
+        .filter(F.col("dist") <= d)
+        .select("id_a", "id_b", "dist")
+    )

@@ -1388,3 +1388,20 @@ def unigram_tokenize(config: dict):
         )
 
     return run
+
+
+@operator("edit_distance_dedup")
+def edit_distance_dedup_op(config: dict):
+    """Fuzzy near-duplicate pairs under EDIT DISTANCE for short strings
+    (titles/names/ids) — q-gram count-filter candidates + levenshtein
+    verify (llm/dedup.edit_distance_pairs; lossless). config:
+    {text_field, id_field, max_dist, q}."""
+    from ..llm import dedup as D
+
+    return lambda df: D.edit_distance_pairs(
+        df,
+        text_col=config.get("text_field", "text"),
+        id_col=config.get("id_field", "doc_id"),
+        max_dist=int(config.get("max_dist", 1)),
+        q=int(config.get("q", 2)),
+    )

@@ -496,3 +496,44 @@ def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     out = D.remove_duplicate_spans(docs, "text", "doc_id", n=10, min_count=2)
     return out.select("doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance near-dup pairs (Gravano et al. 2001 q-gram count filter +
+# levenshtein verify — lossless, pinned against naive all-pairs in
+# tests). Titles synthesized as each doc's first two tokens; the oracle
+# recomputes the EXACT pair-count-per-distance with DuckDB's own
+# levenshtein over all pairs — any candidate the filter wrongly prunes,
+# any wrong distance, any duplicate pair changes a count.
+# ---------------------------------------------------------------------------
+
+_EDIT_DIST_ORACLE = """
+WITH t AS (
+  SELECT doc_id,
+         array_to_string(list_slice(string_split(text, ' '), 1, 2), ' ') AS title
+  FROM documents
+),
+p AS (
+  SELECT levenshtein(a.title, b.title) AS dist
+  FROM t a JOIN t b ON a.doc_id < b.doc_id
+  WHERE levenshtein(a.title, b.title) <= 1
+)
+SELECT CAST(dist AS INT) AS dist, CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM p GROUP BY dist
+"""
+
+
+@query("dedup_edit_distance", oracle=_EDIT_DIST_ORACLE, tags=("llm", "dedup"))
+def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Short-string fuzzy dedup: candidates from the positional q-gram
+    bag-intersection bound, one codegen levenshtein per candidate,
+    short/cross buckets handled losslessly; per-distance pair counts
+    hash-match the oracle's exhaustive replay."""
+    docs = load_table(spark, sf_dir, "documents", parallel=True).select(
+        "doc_id",
+        F.array_join(F.slice(F.split("text", " "), 1, 2), " ").alias("title"),
+    )
+    pairs = D.edit_distance_pairs(docs, "title", "doc_id", max_dist=1, q=2)
+    return pairs.groupBy(F.col("dist").cast("int").alias("dist")).agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
