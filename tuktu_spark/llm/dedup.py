@@ -965,7 +965,16 @@ def edit_distance_pairs(
     the join is further banded by |len(a) - len(b)| <= d). At corpus
     scale the shuffle carries (gram, occ, id) rows — q-gram-count-
     bounded — and candidate verification is candidate-proportional,
-    the same shape as the MinHash verify stage."""
+    the same shape as the MinHash verify stage.
+
+    SCALE HONESTY: the candidate equi-join keys on (gram, occ); a very
+    frequent q-gram is a hot key whose bucket pairs quadratically —
+    fine for title/name corpora (the operator's domain), a skew hazard
+    on web-scale free text. The literature's fix is prefix filtering on
+    rare grams (Ed-Join, Xiao et al. 2008); here the count filter keeps
+    the pipeline simple and LOSSLESS, and the 100 TB guidance is: dedup
+    long free text with MinHash (this module), reserve edit distance
+    for the short-string columns it is meant for."""
     release_persisted()
     s = _persist_scoped(
         df.select(F.col(id_col), F.col(text_col).alias("__s"))
