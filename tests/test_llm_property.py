@@ -324,3 +324,45 @@ def test_line_filter_matches_python_model(spark, docs, min_chars, max_digit, max
         assert got[i] == (want_text, len(lines), len(kept), removed), (
             i, lines, got[i]
         )
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    words=st.lists(
+        st.text(alphabet="abcde", min_size=0, max_size=20),
+        min_size=2, max_size=60,
+    ),
+    d=st.integers(min_value=1, max_value=2),
+)
+def test_edit_distance_pairs_property(spark, words, d):
+    """edit_distance_pairs == naive all-pairs for arbitrary short strings
+    (incl. empty strings and length-20 tails that stress the q-gram
+    count filter)."""
+    import itertools
+
+    from tuktu_spark.llm.dedup import edit_distance_pairs
+
+    def lev(a, b):
+        m, n = len(a), len(b)
+        dp = list(range(n + 1))
+        for i in range(1, m + 1):
+            prev, dp[0] = dp[0], i
+            for j in range(1, n + 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (a[i - 1] != b[j - 1])
+                )
+        return dp[n]
+
+    df = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)], "doc_id long, text string"
+    )
+    got = {
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in edit_distance_pairs(df, max_dist=d, q=2).collect()
+    }
+    want = {
+        (i, j, lev(words[i], words[j]))
+        for i, j in itertools.combinations(range(len(words)), 2)
+        if lev(words[i], words[j]) <= d
+    }
+    assert got == want
