@@ -652,3 +652,22 @@ def test_web_corpus_refinement_flow(spark, sf_dir):
     # the quality audit branch (fan-out leaf) carries the features
     qcols = out["quality"].columns
     assert "predicted_lang" in qcols and "n_tokens" in qcols
+
+
+def test_tokenize_and_pack_flow(spark, sf_dir):
+    """flows/examples/tokenize_and_pack.json: learned unigram tokenizer ->
+    per-doc piece counts -> per-language token-budget packing. Chunk ids
+    must follow the greedy cumulative rule within each language stream."""
+    from pyspark.sql import functions as F
+
+    out = run_flow(
+        spark, "flows/examples/tokenize_and_pack.json", params={"dir": sf_dir}
+    )
+    df = out["proj"]
+    rows = df.orderBy("lang", "doc_id").collect()
+    assert rows and all(r["n_tokens"] > 0 for r in rows)
+    cum: dict = {}
+    for r in rows:
+        c = cum.get(r["lang"], 0) + r["n_tokens"]
+        cum[r["lang"]] = c
+        assert r["chunk_id"] == (c - 1) // 512, r
