@@ -1405,3 +1405,30 @@ def edit_distance_dedup_op(config: dict):
         max_dist=int(config.get("max_dist", 1)),
         q=int(config.get("q", 2)),
     )
+
+
+@operator("cdc_chunk")
+def cdc_chunk_op(config: dict):
+    """Content-defined chunking over a binary column (llm/cdc.py —
+    LBFS/FastCDC rolling Gear hash): (id, chunk_idx, offset, length,
+    chunk_md5) rows for sub-file dedup of multimodal corpora. config:
+    {id_field, media_field, mask_bits, min_size, max_size}."""
+    from ..llm.cdc import cdc_chunk_table
+
+    return lambda df: cdc_chunk_table(
+        df,
+        id_col=config.get("id_field", "doc_id"),
+        media_col=config.get("media_field", "media"),
+        mask_bits=int(config.get("mask_bits", 6)),
+        min_size=int(config.get("min_size", 16)),
+        max_size=int(config.get("max_size", 256)),
+    )
+
+
+@operator("cdc_dedup_stats")
+def cdc_dedup_stats_op(config: dict):
+    """Chunk-level dedup accounting over cdc_chunk output: total/unique
+    chunks and bytes, saved_bytes (llm/cdc.cdc_dedup_stats)."""
+    from ..llm.cdc import cdc_dedup_stats
+
+    return lambda df: cdc_dedup_stats(df)

@@ -2602,3 +2602,113 @@ def dedup_image_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_members"),
         F.sum(F.col("keep").cast("bigint")).alias("n_kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking dedup (llm/cdc.py — LBFS/FastCDC, public):
+# sub-file dedup for binary corpora. Blobs are identical WITHIN each of
+# 25 groups (deterministic byte streams), so per group every member
+# chunks identically: exactly ONE distinct chunk-sequence, chunks tile
+# the blob contiguously, and chunk-level dedup recovers exactly the
+# group redundancy (total bytes == unique bytes x members). The oracle
+# states the closed-form group populations and the invariants as TRUE
+# literals the query must earn.
+# ---------------------------------------------------------------------------
+
+_CDC_ORACLE = """
+SELECT CAST(doc_id % 25 AS INT) AS grp,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(1 AS BIGINT) AS n_seqs,
+       TRUE AS tiled_ok,
+       TRUE AS dedup_exact_ok
+FROM documents GROUP BY doc_id % 25
+"""
+
+
+@query("multimodal_cdc_dedup", oracle=_CDC_ORACLE, tags=("llm", "multimodal", "dedup"))
+def multimodal_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC chunking + chunk-hash dedup end to end: rolling-Gear
+    boundaries inside Arrow batches, one groupBy(chunk_md5); per group
+    the query proves one distinct chunk sequence, contiguous tiling of
+    every blob, and byte-exact dedup accounting."""
+    import pandas as pd
+    from pyspark.sql import Window
+    from pyspark.sql.functions import pandas_udf
+
+    from ..llm.cdc import cdc_chunk_table
+
+    def synth(ids):
+        import hashlib
+
+        def mk(i):
+            g = int(i) % 25
+            # aperiodic deterministic stream (md5 blocks): a periodic
+            # pattern would repeat CHUNKS inside one blob and break the
+            # total == unique x members accounting
+            return b"".join(
+                hashlib.md5(f"{g}:{j}".encode()).digest()
+                for j in range(38 + g)
+            )
+
+        return ids.map(mk)
+
+    synth.__annotations__ = {"ids": pd.Series, "return": pd.Series}
+    synth_udf = pandas_udf("binary")(synth)
+
+    docs = load_table(spark, sf_dir, "documents", parallel=True).select("doc_id")
+    media = docs.select("doc_id", synth_udf(F.col("doc_id")).alias("media"))
+    chunks = cdc_chunk_table(media, "doc_id", "media").persist()
+    try:
+        w = Window.partitionBy("id").orderBy("chunk_idx")
+        tiled = chunks.withColumn(
+            "__contig",
+            F.col("offset")
+            == F.coalesce(
+                F.lag(F.col("offset") + F.col("length")).over(w), F.lit(0)
+            ),
+        )
+        per_doc = tiled.groupBy("id").agg(
+            F.min("__contig").alias("tiled"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("chunk_idx", "chunk_md5"))
+                        ),
+                        lambda c: c["chunk_md5"],
+                    ),
+                    ",",
+                )
+            ).alias("seq_md5"),
+            F.sum("length").alias("blob_bytes"),
+        )
+        per_group = per_doc.withColumn("grp", F.pmod("id", F.lit(25)).cast("int"))
+        grp_stats = per_group.groupBy("grp").agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.countDistinct("seq_md5").alias("n_seqs"),
+            F.min("tiled").alias("tiled_ok"),
+            F.sum("blob_bytes").alias("total_bytes"),
+        )
+        # chunk-level dedup accounting per group: identical members mean
+        # unique bytes x members == total bytes, exactly
+        uniq = (
+            chunks.withColumn("grp", F.pmod("id", F.lit(25)).cast("int"))
+            .groupBy("grp", "chunk_md5")
+            .agg(F.max("length").alias("length"))
+            .groupBy("grp")
+            .agg(F.sum("length").alias("unique_bytes"))
+        )
+        out = grp_stats.join(uniq, "grp").select(
+            "grp",
+            "n_members",
+            "n_seqs",
+            "tiled_ok",
+            (
+                F.col("total_bytes")
+                == F.col("unique_bytes") * F.col("n_members")
+            ).alias("dedup_exact_ok"),
+        )
+        out = out.localCheckpoint()
+    finally:
+        chunks.unpersist()
+    return out
