@@ -89,3 +89,32 @@ def test_unigram_operator_save_load(spark, tmp_path):
     out2 = make_operator("unigram_tokenize", {"model_path": path})(df)
     r2 = out2.orderBy("doc_id").first()["pieces"]
     assert r1 == r2 and "".join(r1) == "tablescantablescanwindow"
+
+
+def test_cased_corpus_and_model_settings_roundtrip(spark, tmp_path):
+    """Round-7 review findings: a CASED corpus must still hit the
+    lowercased vocabulary at encode time, and max_piece_len must ride
+    the saved model."""
+    from tuktu_spark.llm.unigram import (
+        UnigramModel,
+        train_unigram,
+        unigram_encode,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "Hello HELLO hello WorldWord") for i in range(10)],
+        ["doc_id", "text"],
+    )
+    model = train_unigram(df, vocab_size=10, seed_size=100, max_piece_len=12)
+    assert model.lowercase and model.max_piece_len == 12
+    enc = unigram_encode(df.limit(1), model).collect()[0]
+    assert "".join(enc["pieces"]) == "hellohellohelloworldword"
+    assert "hello" in enc["pieces"]  # cased inputs reach the lowercased vocab
+    m2 = UnigramModel.from_json(model.to_json())
+    assert m2.max_piece_len == 12 and m2.lowercase is True
+    # unicode whitespace: NBSP is NOT a separator for the encoder (ASCII
+    # \s class, matching Java/Spark \s) — the pieces keep the char via the
+    # single-char fallback, so SQL-side de-\s comparisons stay consistent
+    df2 = spark.createDataFrame([(1, "ab cd ef")], ["doc_id", "text"])
+    enc2 = unigram_encode(df2, model).collect()[0]
+    assert "".join(enc2["pieces"]) == "ab cdef"

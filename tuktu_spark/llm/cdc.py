@@ -101,6 +101,10 @@ def cdc_chunk_table(
         for pdf in batches:
             rows = []
             for rec in pdf.to_dict("records"):
+                if rec[id_col] is None:
+                    # a null id cannot join back to anything — skip the
+                    # row rather than TypeError inside the Arrow task
+                    continue
                 data = bytes(rec[media_col]) if rec[media_col] is not None else b""
                 for k, (off, ln, md5) in enumerate(
                     cdc_chunks(data, mask_bits, min_size, max_size)

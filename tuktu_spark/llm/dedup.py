@@ -1024,29 +1024,54 @@ def edit_distance_pairs(
         )
         .select("id_a", "id_b")
     )
+    # The vacuous-bound buckets pair DISTINCT STRINGS, not rows (review
+    # finding: a row-level nested-loop join would be quadratic in row
+    # count even when almost no pair verifies; distinct short strings
+    # over a finite alphabet are bounded). Verified string pairs then
+    # expand back to id pairs via two joins.
     shorts = s.filter(F.col("__len") <= short_max)
-    sa = shorts.select(F.col(id_col).alias("id_a"), F.col("__s").alias("__ta"),
-                       F.col("__len").alias("la"))
-    sb = shorts.select(F.col(id_col).alias("id_b"), F.col("__s").alias("__tb"),
-                       F.col("__len").alias("lb"))
-    cand_short = (
-        sa.join(sb, (F.col("id_a") < F.col("id_b"))
+    sdist = _persist_scoped(
+        shorts.select("__s", "__len").distinct()
+    )
+    da = sdist.select(F.col("__s").alias("__ta"), F.col("__len").alias("la"))
+    db = sdist.select(F.col("__s").alias("__tb"), F.col("__len").alias("lb"))
+    # distinct-string candidate pairs (short-short), including the
+    # SAME-string case (covers distance-0 pairs between different ids)
+    sp_short = (
+        da.join(db, (F.col("__ta") <= F.col("__tb"))
                 & (F.abs(F.col("la") - F.col("lb")) <= d))
-        .select("id_a", "id_b")
+        .select("__ta", "__tb")
     )
-    # short-vs-long pairs: within distance d, lengths differ by <= d, so
-    # the long side is at most short_max + d — band-join those directly
-    sl_long = s.filter(
+    # short-vs-long: within distance d the long side is at most
+    # short_max + d chars — band the DISTINCT long strings directly
+    ldist = s.filter(
         (F.col("__len") > short_max) & (F.col("__len") <= short_max + d)
-    ).select(F.col(id_col).alias("id_b"), F.col("__len").alias("lb"))
-    cand_cross = (
-        shorts.select(F.col(id_col).alias("id_a"), F.col("__len").alias("la"))
-        .join(sl_long, F.abs(F.col("la") - F.col("lb")) <= d)
-        .filter(F.col("id_a") != F.col("id_b"))
-        .select(F.least("id_a", "id_b").alias("id_a"),
-                F.greatest("id_a", "id_b").alias("id_b"))
+    ).select("__s", "__len").distinct()
+    sp_cross = (
+        da.join(
+            ldist.select(F.col("__s").alias("__tb"), F.col("__len").alias("lb")),
+            F.abs(F.col("la") - F.col("lb")) <= d,
+        ).select("__ta", "__tb")
     )
-    cands = cand_long.unionByName(cand_short).unionByName(cand_cross).distinct()
+    verified_str = (
+        sp_short.unionByName(sp_cross)
+        .withColumn("dist", F.levenshtein("__ta", "__tb"))
+        .filter(F.col("dist") <= d)
+    )
+    ia = s.select(F.col(id_col).alias("id_a"), F.col("__s").alias("__ta"))
+    ib = s.select(F.col(id_col).alias("id_b"), F.col("__s").alias("__tb"))
+    cand_bucket = (
+        verified_str.join(ia, "__ta")
+        .join(ib, "__tb")
+        # the string pair is ordered (__ta <= __tb), which says nothing
+        # about id order — canonicalize with least/greatest, never filter
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+        )
+    )
+    cands = cand_long.unionByName(cand_bucket).distinct()
     ta = s.select(F.col(id_col).alias("id_a"), F.col("__s").alias("__ta"))
     tb = s.select(F.col(id_col).alias("id_b"), F.col("__s").alias("__tb"))
     return (

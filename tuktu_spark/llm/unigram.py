@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import json
 import math
+import re
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
@@ -44,16 +45,31 @@ from .bpe import word_frequencies
 
 @dataclass
 class UnigramModel:
-    """piece -> log-probability. JSON round-trips (model save/load)."""
+    """piece -> log-probability, plus the segmentation-relevant training
+    settings (a model trained with max_piece_len=12 must SEGMENT with 12,
+    and a lowercased model must lowercase at encode time — both persist
+    with the model so a reload cannot silently drift). JSON round-trips
+    (model save/load)."""
 
     logp: dict[str, float]
+    max_piece_len: int = 8
+    lowercase: bool = True
 
     def to_json(self) -> str:
-        return json.dumps({"logp": self.logp}, sort_keys=True)
+        return json.dumps(
+            {"logp": self.logp, "max_piece_len": self.max_piece_len,
+             "lowercase": self.lowercase},
+            sort_keys=True,
+        )
 
     @classmethod
     def from_json(cls, s: str) -> "UnigramModel":
-        return cls(logp=dict(json.loads(s)["logp"]))
+        d = json.loads(s)
+        return cls(
+            logp=dict(d["logp"]),
+            max_piece_len=int(d.get("max_piece_len", 8)),
+            lowercase=bool(d.get("lowercase", True)),
+        )
 
 
 def viterbi_segment(word: str, logp: dict[str, float], max_len: int = 8) -> list[str]:
@@ -128,18 +144,14 @@ def seed_vocabulary(
         .agg(F.sum("freq").alias("total"))
     )
     chars = pieces.filter(F.length("piece") == 1)
-    from pyspark.sql import Window
-
+    # deterministic top-N WITHOUT a global window (Window.orderBy with no
+    # partitionBy plans SinglePartition — the piece table is ~8x the
+    # vocabulary and must not funnel through one task): orderBy+limit
+    # plans TakeOrderedAndProject, a distributed per-partition top-N
     top = (
         pieces.filter(F.length("piece") > 1)
-        .withColumn(
-            "__rk",
-            F.row_number().over(
-                Window.orderBy(F.col("total").desc(), F.col("piece"))
-            ),
-        )
-        .filter(F.col("__rk") <= int(seed_size))
-        .drop("__rk")
+        .orderBy(F.col("total").desc(), F.col("piece"))
+        .limit(int(seed_size))
     )
     return chars.unionByName(top)
 
@@ -152,23 +164,30 @@ def train_unigram(
     max_piece_len: int = 8,
     em_rounds: int = 2,
     prune_frac: float = 0.25,
+    lowercase: bool = True,
+    min_freq: int = 1,
+    max_vocab: int | None = 5_000_000,
 ) -> UnigramModel:
     """Train: distributed word frequencies + seed vocab, then EM rounds
-    (Viterbi counts over DISTINCT words — an Arrow kernel with the piece
-    table broadcast; the corpus is never re-read) with bottom-``prune_frac``
-    pruning per round until at most ``vocab_size`` multi-char pieces
-    remain. Single characters are never pruned. The driver holds only
-    piece tables (seed_size-bounded collect) and the distinct-word list
-    is processed distributed."""
-    wf = word_frequencies(df, text_col)
+    (driver-side Viterbi counts over the BOUNDED distinct-word table)
+    with bottom-``prune_frac`` pruning per round until at most
+    ``vocab_size`` multi-char pieces remain. Single characters are never
+    pruned. Both driver collects are bounded: the seed table by
+    seed_size + alphabet, the word table by ``min_freq``/``max_vocab``
+    (the same knobs, same in-cluster pruning, and same rationale as
+    train_bpe — word_frequencies' docstring), so a web-scale corpus'
+    hapax tail never reaches the driver."""
+    wf = word_frequencies(
+        df, text_col, lowercase=lowercase, min_freq=min_freq,
+        max_vocab=max_vocab,
+    )
     seed = seed_vocabulary(wf, max_piece_len, seed_size)
     rows = seed.collect()  # seed_size + alphabet — bounded by construction
     total = sum(r["total"] for r in rows) or 1
     logp = {r["piece"]: math.log(r["total"] / total) for r in rows}
 
     words = [(r["word"], int(r["freq"])) for r in wf.collect()]
-    # NOTE: word_frequencies output is vocabulary-scale (same bounded-
-    # collect argument as learn_bpe_merges — bpe.py module docstring).
+    # bounded by min_freq/max_vocab (enforced inside the aggregation job)
     rounds = 0
     while True:
         rounds += 1
@@ -202,7 +221,12 @@ def train_unigram(
         n_drop = min(int(n_multi * prune_frac), max(n_multi - vocab_size, 0))
         for p, _ in multi[:n_drop]:
             del logp[p]
-    return UnigramModel(logp=logp)
+    return UnigramModel(
+        logp=logp, max_piece_len=int(max_piece_len), lowercase=bool(lowercase)
+    )
+
+
+_ASCII_WS = re.compile(r"[ \t\n\x0b\f\r]+")
 
 
 def unigram_encode(
@@ -210,16 +234,22 @@ def unigram_encode(
     model: UnigramModel,
     text_col: str = "text",
     out_col: str = "pieces",
-    max_piece_len: int = 8,
 ) -> DataFrame:
-    """array<string> of unigram pieces per document (whitespace pre-split,
-    word-wise Viterbi, per-batch distinct-word memo). The piece table
-    rides the closure — broadcast once per executor."""
+    """array<string> of unigram pieces per document (word-wise Viterbi
+    with a per-batch distinct-word memo; the piece table rides the
+    closure — broadcast once per executor). Segmentation settings come
+    FROM THE MODEL: lowercase matches training (a cased word would
+    otherwise never hit a lowercased vocabulary) and max_piece_len
+    matches the learned piece lengths. Words split on the ASCII
+    whitespace class — the same set as Java/Spark ``\\s`` — so
+    SQL-side token counts agree with the kernel on unicode-whitespace
+    inputs (Python str.split() would also split on NBSP etc.)."""
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     logp = dict(model.logp)
-    mpl = int(max_piece_len)
+    mpl = int(model.max_piece_len)
+    lower = bool(model.lowercase)
 
     def enc(texts: pd.Series) -> pd.Series:
         memo: dict[str, list[str]] = {}
@@ -227,8 +257,12 @@ def unigram_encode(
         def one(t):
             if t is None:
                 return []
+            if lower:
+                t = t.lower()
             out: list[str] = []
-            for w in t.split():
+            for w in _ASCII_WS.split(t):
+                if not w:
+                    continue
                 got = memo.get(w)
                 if got is None:
                     got = memo[w] = viterbi_segment(w, logp, mpl)

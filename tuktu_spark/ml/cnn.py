@@ -260,6 +260,12 @@ def sgd_step(
 
 
 def _init_net(n_classes: int, seed: int) -> tuple[TinyConvNet, dict]:
+    if not 1 <= n_classes <= EMBED_DIM:
+        raise ValueError(
+            f"n_classes={n_classes} out of range: the classification head "
+            f"slices the {EMBED_DIM}-wide projection (silent truncation "
+            "would IndexError deep inside an executor)"
+        )
     net = TinyConvNet(seed=seed)
     net.w3 = net.w3[:, :n_classes].copy()
     net.b3 = net.b3[:n_classes].copy()

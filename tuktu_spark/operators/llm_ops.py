@@ -1382,10 +1382,8 @@ def unigram_tokenize(config: dict):
         if save_path:
             with open(save_path, "w") as f:
                 f.write(model.to_json())
-        return U.unigram_encode(
-            df, model, text_col, out,
-            max_piece_len=int(config.get("max_piece_len", 8)),
-        )
+        # segmentation settings (max_piece_len, lowercase) ride the model
+        return U.unigram_encode(df, model, text_col, out)
 
     return run
 

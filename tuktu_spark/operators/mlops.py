@@ -550,6 +550,36 @@ def persuasion_op(config: dict):
     return transform
 
 
+
+
+def _classify_transform(config: dict, embedder):
+    """Shared scoring-head plumbing for image/audio/video classify ops:
+    centroids/top_n/categories wiring + flatten-to-top-1 (F.get, not [0]:
+    an empty labels array from null media must yield NULL, not an ANSI
+    array-index error)."""
+    from pyspark.sql import functions as F
+
+    from ..ml.deeplearn import classify_images
+
+    result = config.get("result", "labels")
+
+    def transform(df: DataFrame) -> DataFrame:
+        out = classify_images(
+            df,
+            media_col=config.get("field", "media"),
+            centroids=dict(config["centroids"]),
+            top_n=int(config.get("top_n", 3)),
+            embedder=embedder,
+            categories=config.get("categories"),
+            out_col=result,
+        )
+        if config.get("flatten"):
+            out = out.withColumn(result, F.get(result, 0)["label"])
+        return out
+
+    return transform
+
+
 @operator("image_classify")
 def image_classify_op(config: dict):
     """InceptionClassifier / VGG16Classifier (deeplearn/processors/image/
@@ -588,25 +618,7 @@ def image_classify_op(config: dict):
         )
     if model not in ("stub", "cnn", "inceptionv3", "vgg16"):
         raise ValueError(f"unknown image model {model!r}")
-    result = config.get("result", "labels")
-
-    def transform(df: DataFrame) -> DataFrame:
-        out = classify_images(
-            df,
-            media_col=config.get("field", "media"),
-            centroids=dict(config["centroids"]),
-            top_n=int(config.get("top_n", 3)),
-            embedder=embedder,
-            categories=config.get("categories"),
-            out_col=result,
-        )
-        if config.get("flatten"):
-            # F.get, not [0]: an empty labels array (null media) must
-            # yield NULL, not an ANSI array-index error
-            out = out.withColumn(result, F.get(result, 0)["label"])
-        return out
-
-    return transform
+    return _classify_transform(config, embedder)
 
 
 @operator("location_detect")
@@ -718,29 +730,9 @@ def audio_classify_op(config: dict):
     end over the stdlib PCM/G.711 decode (ml/cnn.audio_embed_bytes);
     inject config['embedder'] to wrap a learned acoustic model. config:
     {field, centroids, top_n, flatten, categories, embedder, result}."""
-    from pyspark.sql import functions as F
-
     from ..ml.cnn import audio_embed_bytes
-    from ..ml.deeplearn import classify_images
 
-    embedder = config.get("embedder") or audio_embed_bytes
-    result = config.get("result", "labels")
-
-    def transform(df: DataFrame) -> DataFrame:
-        out = classify_images(
-            df,
-            media_col=config.get("field", "media"),
-            centroids=dict(config["centroids"]),
-            top_n=int(config.get("top_n", 3)),
-            embedder=embedder,
-            categories=config.get("categories"),
-            out_col=result,
-        )
-        if config.get("flatten"):
-            out = out.withColumn(result, F.get(result, 0)["label"])
-        return out
-
-    return transform
+    return _classify_transform(config, config.get("embedder") or audio_embed_bytes)
 
 
 @operator("video_classify")
@@ -750,29 +742,10 @@ def video_classify_op(config: dict):
     pool (ml/cnn.video_embed_bytes), shared cosine scoring head. config:
     {field, centroids, top_n, flatten, categories, max_frames, embedder,
     result}."""
-    from pyspark.sql import functions as F
-
     from ..ml.cnn import video_embed_bytes
-    from ..ml.deeplearn import classify_images
 
     max_frames = int(config.get("max_frames", 16))
     embedder = config.get("embedder") or (
         lambda data: video_embed_bytes(data, max_frames=max_frames)
     )
-    result = config.get("result", "labels")
-
-    def transform(df: DataFrame) -> DataFrame:
-        out = classify_images(
-            df,
-            media_col=config.get("field", "media"),
-            centroids=dict(config["centroids"]),
-            top_n=int(config.get("top_n", 3)),
-            embedder=embedder,
-            categories=config.get("categories"),
-            out_col=result,
-        )
-        if config.get("flatten"):
-            out = out.withColumn(result, F.get(result, 0)["label"])
-        return out
-
-    return transform
+    return _classify_transform(config, embedder)

@@ -1319,7 +1319,10 @@ def text_unigram_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     model = U.train_unigram(d, "text", vocab_size=300, seed_size=1500, em_rounds=2)
     enc = U.unigram_encode(d, model, "text", "pieces")
-    dewhite = F.regexp_replace(F.col("text"), r"\s+", "")
+    # the encoder lowercases (model.lowercase) and splits on the ASCII
+    # whitespace class — Java \s is exactly that class, so lower+de-\s
+    # reproduces the reference string for the roundtrip invariant
+    dewhite = F.lower(F.regexp_replace(F.col("text"), r"\s+", ""))
     checked = enc.select(
         (F.array_join("pieces", "") == dewhite).alias("rt_ok"),
         F.size("pieces").alias("n_pieces"),
