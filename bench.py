@@ -30,6 +30,38 @@ from tuktu_spark.queries import load_all  # noqa: E402
 from tuktu_spark.session import get_spark  # noqa: E402
 
 
+# Harness protocol version. Bump whenever the measurement protocol itself
+# changes (r7 verdict #5: BENCH artifacts must be self-describing so
+# cross-round comparisons are decidable from the artifacts alone).
+#   v1 (r1-r6): median-of-N cold, no warmup, no GC barrier
+#   v2 (r7):    untimed warmup + GC barrier per query
+#   v3 (r8):    v2 + constant synthetic control query for host-drift
+#               normalization + this harness stamp
+HARNESS_VERSION = 3
+
+# The control is pure Spark — spark.range + hash/agg, zero repo code, zero
+# I/O — so its reading moves ONLY with the host (CPU contention, JVM/GC
+# state, thermal drift), never with this repo's plans. bench_diff.py divides
+# cross-round ratios by the control ratio to separate host drift from real
+# plan changes (r7 verdict: q1/q5 min flags vs r5 were undecidable without
+# a fixed in-artifact reference).
+_CONTROL_ROWS = 300_000_000
+
+
+def _control(spark) -> None:
+    (
+        spark.range(0, _CONTROL_ROWS, 1, 32)
+        .selectExpr(
+            "sum(hash(id) % 1024) AS s",
+            "count(if(id % 7 = 0, 1, null)) AS c",
+            "avg(id * 3 + 1) AS a",
+        )
+        .write.mode("overwrite")
+        .format("noop")
+        .save()
+    )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -41,6 +73,25 @@ def main() -> None:
     bench_queries = {n: q for n, q in sorted(registry.items()) if q.bench}
 
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5")))
+
+    # Control measured FIRST (same protocol as the queries: GC barrier +
+    # one untimed warmup, then `runs` timed executions) so every artifact
+    # carries a same-JVM host-speed reference.
+    gc.collect()
+    spark._jvm.System.gc()
+    _control(spark)
+    ctrl_samples = []
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        _control(spark)
+        ctrl_samples.append(time.perf_counter() - t0)
+    control = {
+        "median": round(statistics.median(ctrl_samples), 4),
+        "min": round(min(ctrl_samples), 4),
+        "max": round(max(ctrl_samples), 4),
+        "runs": runs,
+        "rows": _CONTROL_ROWS,
+    }
     timings: dict[str, float] = {}
     spread: dict[str, dict[str, float]] = {}
     for name, qd in bench_queries.items():
@@ -80,6 +131,13 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "spread": spread,
+                "control": control,
+                "harness": {
+                    "runs": runs,
+                    "warmup": 1,
+                    "gc_barrier": True,
+                    "version": HARNESS_VERSION,
+                },
                 "sf": sf,
             }
         )

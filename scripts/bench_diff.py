@@ -57,23 +57,45 @@ def _salvage(tail: str) -> tuple[dict[str, float], dict[str, dict[str, float]]]:
     return queries, spread
 
 
-def load(path: str) -> tuple[dict[str, float], dict[str, dict[str, float]]]:
+def load(
+    path: str,
+) -> tuple[dict[str, float], dict[str, dict[str, float]], float | None]:
     with open(path, encoding="utf-8") as f:
         raw = json.load(f)
     parsed = raw.get("parsed", raw)  # driver artifacts nest under "parsed"
     if not isinstance(parsed, dict):  # truncated capture: parsed == null
-        return _salvage(str(raw.get("tail", "")))
-    return parsed.get("queries", {}), parsed.get("spread", {})
+        q, s = _salvage(str(raw.get("tail", "")))
+        ctrl = _salvage_control(str(raw.get("tail", "")))
+        return q, s, ctrl
+    control = parsed.get("control") or {}
+    return parsed.get("queries", {}), parsed.get("spread", {}), control.get("median")
+
+
+def _salvage_control(tail: str) -> float | None:
+    m = re.search(r'"control":\s*\{\s*"median":\s*(-?\d+(?:\.\d+)?)', tail)
+    return float(m.group(1)) if m else None
 
 
 def main(old_path: str, new_path: str) -> int:
-    old_q, old_s = load(old_path)
-    new_q, new_s = load(new_path)
+    old_q, old_s, old_ctrl = load(old_path)
+    new_q, new_s, new_ctrl = load(new_path)
+    # Host-drift normalization (r8, harness v3): both artifacts carry a
+    # constant pure-Spark control query; its ratio is the host-speed drift
+    # between the two captures. Per-query norm ratio = raw ratio / drift.
+    drift = (new_ctrl / old_ctrl) if (old_ctrl and new_ctrl) else None
+    if drift is not None:
+        print(
+            f"# control: old {old_ctrl:.3f}s -> new {new_ctrl:.3f}s "
+            f"(host drift {drift:.2f}x); 'norm' column divides out the drift"
+        )
+    elif old_ctrl or new_ctrl:
+        print("# control present in only one artifact — raw ratios only")
     names = sorted(set(old_q) | set(new_q) | set(old_s) | set(new_s))
     width = max((len(n) for n in names), default=10)
+    norm_hdr = f"  {'norm':>6}" if drift is not None else ""
     print(
         f"{'query':<{width}}  {'old_med':>8} {'old_min':>8}  "
-        f"{'new_med':>8} {'new_min':>8}  {'ratio':>6}  verdict"
+        f"{'new_med':>8} {'new_min':>8}  {'ratio':>6}{norm_hdr}  verdict"
     )
     n_reg = 0
     for n in names:
@@ -102,22 +124,31 @@ def main(old_path: str, new_path: str) -> int:
             )
             continue
         ratio = nm / om if om else float("inf")
-        if nmin is not None and nmin > om:
+        # Spread rule against the drift-NORMALIZED old median when a control
+        # exists: a min that only cleared the old median because the host
+        # itself slowed down is not a code regression (and vice versa).
+        om_adj = om * drift if drift is not None else om
+        if nmin is not None and nmin > om_adj:
             verdict, n_reg = "REGRESSED", n_reg + 1
-        elif nmax is not None and nmax < om:
+        elif nmax is not None and nmax < om_adj:
             verdict = "IMPROVED"
         else:
             verdict = "~noise"
+        norm_col = f"  {ratio / drift:>5.2f}x" if drift is not None else ""
         print(
             f"{n:<{width}}  {_f(om):>8} {_f(omin):>8}  "
-            f"{_f(nm):>8} {_f(nmin):>8}  {ratio:>5.2f}x  {verdict}"
+            f"{_f(nm):>8} {_f(nmin):>8}  {ratio:>5.2f}x{norm_col}  {verdict}"
         )
     shared = [n for n in names if n in old_q and n in new_q]
     if shared:
         so, sn = sum(old_q[n] for n in shared), sum(new_q[n] for n in shared)
+        norm_note = (
+            f" (drift-normalized {sn / so / drift:.2f}x)" if drift is not None else ""
+        )
         print(
             f"\nshared {len(shared)} queries: {so:.2f}s -> {sn:.2f}s "
-            f"({sn / so:.2f}x); REGRESSED (min_new > median_old): {n_reg}"
+            f"({sn / so:.2f}x){norm_note}; "
+            f"REGRESSED (min_new > drift-adj median_old): {n_reg}"
         )
     return 0
 
