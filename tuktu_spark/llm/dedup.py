@@ -359,13 +359,6 @@ def minhash_dedup_pairs(
 def _verify_jaccard_pairs(
     cands: DataFrame, ha: DataFrame, hb: DataFrame, id_col: str, threshold: float
 ) -> DataFrame:
-    if threshold <= 0:
-        raise ValueError(
-            "minhash verification requires threshold > 0: at 0 every banding "
-            "candidate passes (including zero-overlap pairs), which is an "
-            "enumeration of LSH collisions, not a similarity result — use "
-            "minhash_lsh_candidates directly for that"
-        )
     """Exact-Jaccard verification of candidate (id_a, id_b) pairs against
     two (id, shingles) frames: fetch both DISTINCT shingle arrays by id
     and intersect per row (the ngram_jaccard_pairs form).
@@ -381,6 +374,13 @@ def _verify_jaccard_pairs(
     threshold > 0: candidate pairs with zero common shingles now appear
     with jaccard 0.0 before the filter, where the explode form dropped
     them in the count groupBy."""
+    if threshold <= 0:
+        raise ValueError(
+            "minhash verification requires threshold > 0: at 0 every banding "
+            "candidate passes (including zero-overlap pairs), which is an "
+            "enumeration of LSH collisions, not a similarity result — use "
+            "minhash_lsh_candidates directly for that"
+        )
     sa = ha.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("__sa"))
     sb = hb.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("__sb"))
     common = F.size(F.array_intersect("__sa", "__sb"))
@@ -945,36 +945,46 @@ def edit_distance_pairs(
     id_col: str = "doc_id",
     max_dist: int = 1,
     q: int = 2,
+    method: str = "prefix",
 ) -> DataFrame:
     """Near-duplicate pairs under EDIT DISTANCE (id_a < id_b,
     dist <= max_dist) — the fuzzy-matching family for SHORT strings
     (titles, names, product ids) where token-set similarity is too
-    coarse. Candidates come from the positional q-gram COUNT filter
-    (Gravano et al. 2001, public literature): ed(A,B) <= d implies the
-    q-gram BAGS of A and B share at least
-    max(|A|,|B|) - q + 1 - d*q grams, so the candidate join explodes
-    (gram, occurrence_idx) pairs — the occurrence index makes the
-    equi-join count BAG intersection — and keeps pairs meeting the
-    bound; exact verification is one codegen levenshtein() per
-    candidate.
+    coarse. Exact verification is one codegen levenshtein() per
+    candidate; candidates come from one of two LOSSLESS filters over
+    positional q-gram bags (both from public literature):
+
+    ``method='prefix'`` (default — Ed-Join, Xiao et al. 2008): order
+    every (gram, occurrence) by GLOBAL RARITY (corpus frequency asc,
+    then gram, then occurrence index); each string only indexes its
+    d*q + 1 rarest occurrences (its "prefix"). d edits change at most
+    d*q bag occurrences, so two strings within distance d must share an
+    occurrence — and by the standard two-sided prefix-filter lemma over
+    the (gram, occ) universe, one shared occurrence lands in BOTH
+    prefixes. The candidate join therefore keys on prefix occurrences
+    only: a hot q-gram is by definition frequent, ranks LAST in the
+    global order, and almost never enters any prefix — no hot-key
+    quadratic bucket, which is exactly the skew hazard the r7 count
+    filter documented on free text (pinned by the skew driver query).
+
+    ``method='count'`` (Gravano et al. 2001): ed(A,B) <= d implies the
+    q-gram BAGS share at least max(|A|,|B|) - q + 1 - d*q grams; the
+    join explodes ALL (gram, occurrence) pairs and keeps pairs meeting
+    the count bound. Simpler, but every occurrence of a hot gram joins.
 
     LOSSLESS except both-short pairs: when BOTH strings have at most
-    d*q q-grams the bound is vacuous, so strings of length
+    d*q q-grams either bound is vacuous, so strings of length
     < q + d*q form a SHORT bucket joined all-pairs among themselves
     (bounded: short strings over a finite alphabet are few distinct;
     the join is further banded by |len(a) - len(b)| <= d). At corpus
-    scale the shuffle carries (gram, occ, id) rows — q-gram-count-
-    bounded — and candidate verification is candidate-proportional,
-    the same shape as the MinHash verify stage.
-
-    SCALE HONESTY: the candidate equi-join keys on (gram, occ); a very
-    frequent q-gram is a hot key whose bucket pairs quadratically —
-    fine for title/name corpora (the operator's domain), a skew hazard
-    on web-scale free text. The literature's fix is prefix filtering on
-    rare grams (Ed-Join, Xiao et al. 2008); here the count filter keeps
-    the pipeline simple and LOSSLESS, and the 100 TB guidance is: dedup
-    long free text with MinHash (this module), reserve edit distance
-    for the short-string columns it is meant for."""
+    scale the shuffle carries prefix-bounded (gram, occ, id) rows and
+    candidate verification is candidate-proportional, the same shape as
+    the MinHash verify stage. The prefix path adds one gram-frequency
+    groupBy (map-side partial agg) and one 1:N frequency join (AQE
+    skew-split applies on the hot-gram build rows; the hot gram itself
+    still never *pairs*)."""
+    if method not in ("prefix", "count"):
+        raise ValueError(f"method={method!r}: expected 'prefix' or 'count'")
     release_persisted()
     s = _persist_scoped(
         df.select(F.col(id_col), F.col(text_col).alias("__s"))
@@ -1003,27 +1013,57 @@ def edit_distance_pairs(
         Window.partitionBy(id_col, "gram").orderBy("__pos")
     )
     bag = exploded.withColumn("__occ", occ).select(id_col, "__len", "gram", "__occ")
-    a = bag.select(
-        F.col(id_col).alias("id_a"), F.col("__len").alias("la"), "gram", "__occ"
-    )
-    b = bag.select(
-        F.col(id_col).alias("id_b"), F.col("__len").alias("lb"), "gram", "__occ"
-    )
-    cand_long = (
-        a.join(b, ["gram", "__occ"])
-        .filter(
-            (F.col("id_a") < F.col("id_b"))
-            & (F.abs(F.col("la") - F.col("lb")) <= d)  # length filter
+    if method == "prefix":
+        # Ed-Join: global rarity order over (gram, occ) occurrences.
+        # Frequency = total occurrence count (any total order is valid
+        # for the lemma; occurrence count needs no distinct).
+        gfreq = bag.groupBy("gram").agg(F.count(F.lit(1)).alias("__gf"))
+        ranked = bag.join(gfreq, "gram").withColumn(
+            "__r",
+            F.row_number().over(
+                Window.partitionBy(id_col).orderBy("__gf", "gram", "__occ")
+            ),
         )
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("__common"), F.max("la").alias("la"),
-             F.max("lb").alias("lb"))
-        .filter(
-            F.col("__common")
-            >= F.greatest(F.col("la"), F.col("lb")) - (q - 1) - d * q
+        prefix = ranked.filter(F.col("__r") <= d * q + 1).select(
+            id_col, "__len", "gram", "__occ"
         )
-        .select("id_a", "id_b")
-    )
+        a = prefix.select(
+            F.col(id_col).alias("id_a"), F.col("__len").alias("la"), "gram", "__occ"
+        )
+        b = prefix.select(
+            F.col(id_col).alias("id_b"), F.col("__len").alias("lb"), "gram", "__occ"
+        )
+        cand_long = (
+            a.join(b, ["gram", "__occ"])
+            .filter(
+                (F.col("id_a") < F.col("id_b"))
+                & (F.abs(F.col("la") - F.col("lb")) <= d)  # length filter
+            )
+            .select("id_a", "id_b")
+            .distinct()
+        )
+    else:
+        a = bag.select(
+            F.col(id_col).alias("id_a"), F.col("__len").alias("la"), "gram", "__occ"
+        )
+        b = bag.select(
+            F.col(id_col).alias("id_b"), F.col("__len").alias("lb"), "gram", "__occ"
+        )
+        cand_long = (
+            a.join(b, ["gram", "__occ"])
+            .filter(
+                (F.col("id_a") < F.col("id_b"))
+                & (F.abs(F.col("la") - F.col("lb")) <= d)  # length filter
+            )
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("__common"), F.max("la").alias("la"),
+                 F.max("lb").alias("lb"))
+            .filter(
+                F.col("__common")
+                >= F.greatest(F.col("la"), F.col("lb")) - (q - 1) - d * q
+            )
+            .select("id_a", "id_b")
+        )
     # The vacuous-bound buckets pair DISTINCT STRINGS, not rows (review
     # finding: a row-level nested-loop join would be quadratic in row
     # count even when almost no pair verifies; distinct short strings

@@ -545,14 +545,19 @@ def line_filter_table(
     max_digit_frac: float | None = None,
     max_punct_frac: float | None = None,
     drop_regex: str | None = None,
+    keep_cols: "tuple[str, ...]" = (),
 ) -> DataFrame:
     """Rewrite each document keeping only lines that pass
     ``line_keep_predicate`` — plus an audit of what was dropped:
-    (id, text, n_lines, n_kept, chars_removed). Pure per-row array
-    algebra (split -> filter -> array_join): zero shuffle, zero Python,
-    embarrassingly parallel at any corpus size. A document whose every
-    line is boilerplate survives with text '' (filter on n_kept > 0 to
-    drop it — the caller's policy, not this stage's).
+    (id, [keep_cols...,] text, n_lines, n_kept, chars_removed). Pure
+    per-row array algebra (split -> filter -> array_join): zero shuffle,
+    zero Python, embarrassingly parallel at any corpus size. A document
+    whose every line is boilerplate survives with text '' (filter on
+    n_kept > 0 to drop it — the caller's policy, not this stage's). A
+    NULL text is treated as '' (one empty line, zero kept) rather than
+    propagating NULL/-1 audit values (ADVICE r7). Caller columns named in
+    ``keep_cols`` pass through unchanged (the remove_duplicate_spans
+    convention).
 
     ``sep`` is a REGEX (F.split semantics); ``joiner`` is a LITERAL.
     When ``joiner`` is omitted it defaults to ``sep`` — valid only for
@@ -566,7 +571,7 @@ def line_filter_table(
                 f"sep={sep!r} is a regex; pass an explicit literal joiner"
             )
         joiner = sep
-    lines = F.split(F.col(text_col), sep)
+    lines = F.split(F.coalesce(F.col(text_col), F.lit("")), sep)
     kept = F.filter(
         lines,
         lambda l: line_keep_predicate(
@@ -581,6 +586,7 @@ def line_filter_table(
     kept_len = F.aggregate("__kept", F.lit(0), lambda a, l: a + F.length(l))
     return staged.select(
         F.col(id_col),
+        *[F.col(c) for c in keep_cols],
         F.array_join("__kept", joiner).alias(text_col),
         F.size("__lines").alias("n_lines"),
         F.size("__kept").alias("n_kept"),

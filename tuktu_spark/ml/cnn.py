@@ -58,9 +58,14 @@ class TinyConvNet:
 
     @classmethod
     def load_weights(cls, path: str) -> "TinyConvNet":
+        """Load a .npz saved by save_weights. The head width is inferred
+        from the stored w3/b3 shapes, so classifier nets trained via
+        train_cnn_* with n_classes < EMBED_DIM round-trip through the
+        image_classify ``config['weights']`` seam (ADVICE r7: a fixed
+        EMBED_DIM check rejected every narrow trained head)."""
         net = cls()
         with np.load(path) as z:
-            for name in ("w1", "b1", "w2", "b2", "w3", "b3"):
+            for name in ("w1", "b1", "w2", "b2"):
                 got = z[name]
                 want = getattr(net, name).shape
                 if got.shape != want:
@@ -68,6 +73,19 @@ class TinyConvNet:
                         f"weight {name}: shape {got.shape} != expected {want}"
                     )
                 setattr(net, name, got.astype(np.float64))
+            w3, b3 = z["w3"], z["b3"]
+            if (
+                w3.ndim != 2
+                or w3.shape[0] != net.w3.shape[0]
+                or not 1 <= w3.shape[1] <= EMBED_DIM
+                or b3.shape != (w3.shape[1],)
+            ):
+                raise ValueError(
+                    f"head w3 {w3.shape} / b3 {b3.shape} invalid: expected "
+                    f"({net.w3.shape[0]}, k) / (k,) with 1 <= k <= {EMBED_DIM}"
+                )
+            net.w3 = w3.astype(np.float64)
+            net.b3 = b3.astype(np.float64)
         return net
 
     # --- forward pass -----------------------------------------------------
@@ -150,8 +168,10 @@ def cnn_embed_bytes(data: bytes, net: TinyConvNet | None = None) -> list[float]:
 # The reference only ever RUNS pretrained CNNs; training closes the loop
 # so the model seam is fully self-contained. Gradients are exact
 # (finite-difference-checked in tests), float64, fixed reduction order —
-# so the distributed full-batch gradient equals the single-process one
-# BIT FOR BIT, and training is reproducible anywhere.
+# so the distributed full-batch gradient is bit-identical to the
+# single-process one for a FIXED partition layout, and agrees to float
+# rounding (<= 1e-14 measured) across layouts, where the partition-sum
+# grouping is the only difference (see train_cnn_distributed).
 
 _PARAMS = ("w1", "b1", "w2", "b2", "w3", "b3")
 

@@ -1321,7 +1321,7 @@ def line_filter_op(config: dict):
     line_filter_table): drop nav-crumb/numeric/decoration/boilerplate
     LINES and rewrite the document, with an audit of what was removed.
     config: {text_field, id_field, sep, joiner, min_chars,
-    max_digit_frac, max_punct_frac, drop_regex}."""
+    max_digit_frac, max_punct_frac, drop_regex, keep_fields}."""
     from ..llm.text import line_filter_table
 
     return lambda df: line_filter_table(
@@ -1334,6 +1334,7 @@ def line_filter_op(config: dict):
         max_digit_frac=config.get("max_digit_frac"),
         max_punct_frac=config.get("max_punct_frac"),
         drop_regex=config.get("drop_regex"),
+        keep_cols=tuple(config.get("keep_fields", ())),
     )
 
 
