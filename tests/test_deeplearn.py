@@ -312,3 +312,36 @@ def test_video_classify_operator(spark):
     )(df)
     got = {r["doc_id"]: r["labels"] for r in out.collect()}
     assert got == {0: "smooth", 1: "rough"}
+
+
+def test_vectorized_head_matches_reference_scorer():
+    """r8 (verdict #8): the batch E @ C.T head must agree with the
+    per-vector reference scorer — including ragged embedding/centroid
+    widths (zip-overlap dot, full norms)."""
+    import numpy as np
+
+    from tuktu_spark.ml.deeplearn import _cosine_score_matrix, _cosine_scores
+
+    rng = np.random.RandomState(7)
+    cents = [
+        ("a", rng.standard_normal(6).tolist()),
+        ("b", rng.standard_normal(6).tolist()),
+        ("c", rng.standard_normal(4).tolist()),  # narrower centroid
+    ]
+    dmax = max(len(c) for _, c in cents)
+    cmat = np.zeros((len(cents), dmax))
+    cnorms = np.empty(len(cents))
+    for i, (_, c) in enumerate(cents):
+        a = np.asarray(c)
+        cmat[i, : len(a)] = a
+        cnorms[i] = np.sqrt((a * a).sum()) or 1.0
+    vecs = [
+        rng.standard_normal(6).tolist(),
+        rng.standard_normal(8).tolist(),  # longer than every centroid
+        rng.standard_normal(3).tolist(),  # shorter
+        [0.0] * 6,                        # zero vector -> norm guard
+    ]
+    got = _cosine_score_matrix(vecs, cmat, cnorms)
+    for i, v in enumerate(vecs):
+        want = [s for _, s in _cosine_scores(v, cents)]
+        assert np.allclose(got[i], want, atol=1e-12), (i, got[i], want)

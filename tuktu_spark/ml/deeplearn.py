@@ -24,6 +24,7 @@ from __future__ import annotations
 import math
 from collections.abc import Callable, Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -38,6 +39,8 @@ def _default_embedder(data: bytes) -> list[float]:
 
 
 def _cosine_scores(vec: list[float], centroids: list[tuple[str, list[float]]]):
+    """Reference single-vector scorer (kept for tests/callers; the batch
+    path in classify_images is the vectorized equivalent)."""
     nv = math.sqrt(sum(x * x for x in vec)) or 1.0
     out = []
     for label, c in centroids:
@@ -45,6 +48,28 @@ def _cosine_scores(vec: list[float], centroids: list[tuple[str, list[float]]]):
         dot = sum(a * b for a, b in zip(vec, c))
         out.append((label, dot / (nv * nc)))
     return out
+
+
+def _cosine_score_matrix(
+    vecs: "list[list[float]]", cmat: np.ndarray, cnorms: np.ndarray
+) -> np.ndarray:
+    """Batch cosine scores: (B embeddings) x (L centroids) in ONE numpy
+    matmul (r7 verdict #8: per-row Python loops in the head do not hold
+    against a 1000-label zoo at 100 TB; E @ C.T does).
+
+    Matches _cosine_scores' zip semantics exactly: the dot runs over the
+    overlap of the two vectors (embeddings shorter than the centroid
+    width are zero-padded ≡ zip truncation of the centroid; longer ones
+    are truncated for the dot but keep their FULL norm)."""
+    d = cmat.shape[1] if cmat.size else 0
+    e = np.zeros((len(vecs), d))
+    norms = np.empty(len(vecs))
+    for i, v in enumerate(vecs):
+        a = np.asarray(v, dtype=np.float64)
+        norms[i] = np.sqrt((a * a).sum()) or 1.0
+        k = min(len(a), d)
+        e[i, :k] = a[:k]
+    return (e @ cmat.T) / (norms[:, None] * cnorms[None, :])
 
 
 def classify_images(
@@ -66,7 +91,17 @@ def classify_images(
     max."""
     emb = embedder or _default_embedder
     cents = sorted(centroids.items())
-    cats = dict(categories or {})
+    cat_of = dict(categories or {})
+    labels_l = [lb for lb, _ in cents]
+    # centroid matrix built ONCE, rides the closure: rows may be ragged
+    # (callers can mix widths); pad to the max like the zip semantics
+    dmax = max((len(c) for _, c in cents), default=0)
+    cmat = np.zeros((len(cents), dmax))
+    cnorms = np.empty(len(cents))
+    for i, (_, c) in enumerate(cents):
+        a = np.asarray(c, dtype=np.float64)
+        cmat[i, : len(a)] = a
+        cnorms[i] = np.sqrt((a * a).sum()) or 1.0
     base = ", ".join(
         f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
     )
@@ -74,23 +109,28 @@ def classify_images(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            labels = []
-            for payload in pdf[media_col]:
+            # embed per row (the conv forward is inherently per-image),
+            # score the whole batch in one E @ C.T matmul
+            vecs, live = [], []
+            for j, payload in enumerate(pdf[media_col]):
                 data = bytes(payload) if payload is not None else b""
-                if not data:
-                    labels.append([])
-                    continue
-                scored = _cosine_scores(emb(data), cents)
-                if cats:
+                if data:
+                    vecs.append(emb(data))
+                    live.append(j)
+            scores = _cosine_score_matrix(vecs, cmat, cnorms)
+            labels: list[list] = [[] for _ in range(len(pdf))]
+            for row, j in enumerate(live):
+                scored = list(zip(labels_l, scores[row]))
+                if cat_of:
                     best: dict[str, float] = {}
                     for lb, sc in scored:
-                        key = cats.get(lb, lb)
+                        key = cat_of.get(lb, lb)
                         best[key] = max(best.get(key, -1e9), sc)
                     scored = list(best.items())
                 scored.sort(key=lambda t: (-t[1], t[0]))
-                labels.append(
-                    [{"label": lb, "score": float(sc)} for lb, sc in scored[:top_n]]
-                )
+                labels[j] = [
+                    {"label": lb, "score": float(sc)} for lb, sc in scored[:top_n]
+                ]
             pdf = pdf.copy()
             pdf[out_col] = labels
             yield pdf
