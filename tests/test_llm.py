@@ -2575,9 +2575,11 @@ def test_url_host_and_blocklist(spark):
 
 
 def test_edit_distance_pairs_matches_naive(spark):
-    """q-gram count-filter + levenshtein pipeline == naive all-pairs, on
-    adversarial short binary-alphabet strings (stresses the short and
-    cross buckets where the count bound is vacuous)."""
+    """BOTH candidate filters (r8 Ed-Join prefix default + r7 Gravano
+    count) + levenshtein pipeline == naive all-pairs, on adversarial
+    short binary-alphabet strings (stresses the short and cross buckets
+    where either bound is vacuous, and — binary alphabet — every q-gram
+    is corpus-hot, the prefix filter's worst case)."""
     import itertools
     import random
 
@@ -2603,13 +2605,16 @@ def test_edit_distance_pairs_matches_naive(spark):
         [(i, w) for i, w in enumerate(words)], "doc_id long, text string"
     )
     for d in (1, 2):
-        got = {
-            (r["id_a"], r["id_b"], r["dist"])
-            for r in edit_distance_pairs(df, max_dist=d, q=2).collect()
-        }
         want = {
             (i, j, lev(words[i], words[j]))
             for i, j in itertools.combinations(range(len(words)), 2)
             if lev(words[i], words[j]) <= d
         }
-        assert got == want
+        for method in ("prefix", "count"):
+            got = {
+                (r["id_a"], r["id_b"], r["dist"])
+                for r in edit_distance_pairs(
+                    df, max_dist=d, q=2, method=method
+                ).collect()
+            }
+            assert got == want, (d, method)

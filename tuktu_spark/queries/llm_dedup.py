@@ -525,8 +525,8 @@ FROM p GROUP BY dist
 
 @query("dedup_edit_distance", oracle=_EDIT_DIST_ORACLE, tags=("llm", "dedup"))
 def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Short-string fuzzy dedup: candidates from the positional q-gram
-    bag-intersection bound, one codegen levenshtein per candidate,
+    """Short-string fuzzy dedup: candidates from the Ed-Join rare-gram
+    prefix filter (r8 default), one codegen levenshtein per candidate,
     short/cross buckets handled losslessly; per-distance pair counts
     hash-match the oracle's exhaustive replay."""
     docs = load_table(spark, sf_dir, "documents", parallel=True).select(
@@ -534,6 +534,53 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.slice(F.split("text", " "), 1, 2), " ").alias("title"),
     )
     pairs = D.edit_distance_pairs(docs, "title", "doc_id", max_dist=1, q=2)
+    return pairs.groupBy(F.col("dist").cast("int").alias("dist")).agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Skew pin for the Ed-Join prefix filter (r7 verdict #5): every title
+# carries the same hot leading grams ('zqz' prefix -> 'zq'/'qz' occur in
+# ALL strings). Under the r7 count filter every occurrence of a hot gram
+# joins — the documented quadratic hot-key bucket; under the prefix
+# filter a corpus-frequent gram ranks last in the global rarity order
+# and (almost) never enters any string's indexed prefix. The oracle
+# replays all pairs exhaustively, so the filter must stay LOSSLESS on
+# exactly the corpus shape that used to be the hazard.
+# ---------------------------------------------------------------------------
+
+_EDIT_DIST_SKEW_ORACLE = """
+WITH t AS (
+  SELECT doc_id,
+         'zqz' || list_extract(string_split(text, ' '), 1) AS title
+  FROM documents
+),
+p AS (
+  SELECT levenshtein(a.title, b.title) AS dist
+  FROM t a JOIN t b ON a.doc_id < b.doc_id
+  WHERE levenshtein(a.title, b.title) <= 1
+)
+SELECT CAST(dist AS INT) AS dist, CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM p GROUP BY dist
+"""
+
+
+@query(
+    "dedup_edit_distance_skew", oracle=_EDIT_DIST_SKEW_ORACLE, tags=("llm", "dedup")
+)
+def dedup_edit_distance_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-gram skew corpus through the prefix-filtered path: the shared
+    'zqz' head makes 'zq'/'qz' corpus-hot while the real signal lives in
+    the variable tail; per-distance pair counts hash-match DuckDB's
+    exhaustive all-pairs replay."""
+    docs = load_table(spark, sf_dir, "documents", parallel=True).select(
+        "doc_id",
+        F.concat(F.lit("zqz"), F.get(F.split("text", " "), 0)).alias("title"),
+    )
+    pairs = D.edit_distance_pairs(
+        docs, "title", "doc_id", max_dist=1, q=2, method="prefix"
+    )
     return pairs.groupBy(F.col("dist").cast("int").alias("dist")).agg(
         F.count(F.lit(1)).alias("n_pairs")
     )
