@@ -2337,6 +2337,96 @@ def multimodal_cnn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# PRETRAINED CNN classification (r7 verdict #4): the SHIPPED trained
+# weights artifact (tuktu_spark/ml/weights/tinyconvnet_textures_v1.npz,
+# reproducible via scripts/train_cnn_weights.py) loaded through the same
+# config['weights'] .npz seam the reference uses for InceptionV3/VGG16
+# binaries (modules/deeplearn/app/tuktu/deeplearn/models/). 4-way texture
+# orientation; the trained head's logits are scored against one-hot
+# centroids (cosine argmax == logit argmax: the norm is per-image), so
+# the whole operator seam — load_weights narrow-head inference, embedder
+# closure shipping, mapInPandas batch matmul head — is on the hash path.
+# Class populations are closed-form in doc_id; the shipped artifact was
+# validated to ZERO errors over doc_id 0..4999, so one flipped
+# prediction anywhere breaks the count match. He-random-baseline
+# accuracy invariants live in tests/test_cnn_pretrained.py.
+# ---------------------------------------------------------------------------
+
+_CNN_PRETRAINED_ORACLE = """
+WITH m AS (
+  SELECT CASE CAST(doc_id % 4 AS INT)
+    WHEN 0 THEN 'horizontal' WHEN 1 THEN 'vertical'
+    WHEN 2 THEN 'diagonal' ELSE 'rough' END AS label
+  FROM documents
+)
+SELECT label, CAST(COUNT(*) AS BIGINT) AS n FROM m GROUP BY label
+"""
+
+
+@query(
+    "multimodal_cnn_pretrained_classify",
+    oracle=_CNN_PRETRAINED_ORACLE,
+    tags=("llm", "multimodal", "ml"),
+)
+def multimodal_cnn_pretrained_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image classification with REAL TRAINED weights through the .npz
+    seam: per-doc orientation textures, image_classify operator with
+    model='cnn' + config['weights'] pointing at the shipped artifact,
+    per-label counts hash-matching the closed-form family populations."""
+    import os
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from .. import ml as _ml_pkg
+    from ..operators import make_operator
+
+    weights = os.path.join(
+        os.path.dirname(os.path.abspath(_ml_pkg.__file__)),
+        "weights", "tinyconvnet_textures_v1.npz",
+    )
+    fams = ((7, 0), (0, 7), (7, 7), (131, 77))  # scripts/train_cnn_weights.py
+    labels = ("horizontal", "vertical", "diagonal", "rough")
+
+    def png_for(i: int) -> bytes:
+        dx, dy = fams[i % 4]
+        return MM.make_png(
+            18 + i % 7, 14 + (i // 4) % 5, gradient=((i * 37) % 256, dx, dy)
+        )
+
+    def synth(ids):
+        return ids.map(lambda i: png_for(int(i)))
+
+    synth.__annotations__ = {"ids": pd.Series, "return": pd.Series}
+    synth_udf = pandas_udf("binary")(synth)
+
+    # one-hot centroids over the trained 4-logit head: cosine ranking
+    # equals logit ranking (same per-image norm divides every score)
+    centroids = {
+        lb: [1.0 if j == k else 0.0 for j in range(4)]
+        for k, lb in enumerate(labels)
+    }
+    docs = load_table(spark, sf_dir, "documents", parallel=True).select("doc_id")
+    media = docs.select("doc_id", synth_udf(F.col("doc_id")).alias("media"))
+    labeled = make_operator(
+        "image_classify",
+        {
+            "field": "media",
+            "centroids": centroids,
+            "model": "cnn",
+            "weights": weights,
+            "top_n": 1,
+            "flatten": True,
+        },
+    )(media)
+    return (
+        labeled.select(F.col("labels").alias("label"))
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # Distributed CNN TRAINING (ml/cnn.py train_cnn_distributed): data-parallel
 # full-batch SGD with momentum — each epoch ships the ~5k-param net in the
 # UDF closure, partitions return exact gradient sums over their images,
