@@ -156,6 +156,55 @@ def seed_vocabulary(
     return chars.unionByName(top)
 
 
+def _em_counts_driver(
+    words: "list[tuple[str, int]]", logp: dict, max_piece_len: int
+) -> dict[str, float]:
+    counts: dict[str, float] = {}
+    for w, c in words:
+        for piece in viterbi_segment(w, logp, max_piece_len):
+            counts[piece] = counts.get(piece, 0.0) + c
+    return counts
+
+
+def _em_counts_distributed(
+    wf: DataFrame, logp: dict, max_piece_len: int
+) -> dict[str, float]:
+    """One distributed E-step: the piece log-probs (vocab-sized, a few
+    hundred KB) ride the closure, every partition Viterbi-segments its
+    slice of the word table and emits LONG piece counts in one Arrow
+    pass, and a piece-keyed groupBy reduces — the same
+    partition-sum-then-reduce shape as ml/cnn.train_cnn_distributed.
+    Counts are exact integers (sums of word frequencies), so partial
+    sums are associative BIT-FOR-BIT: the result equals the driver
+    walk's float counts exactly as long as totals stay under 2^53
+    (pinned in tests). The collected reduce output is bounded by the
+    CURRENT vocabulary (|logp| + unseen single chars), not the corpus
+    or word-table size."""
+    import pandas as pd
+
+    lp = dict(logp)
+    mpl = int(max_piece_len)
+
+    def part(batches):
+        counts: dict[str, int] = {}
+        for pdf in batches:
+            for w, c in zip(pdf["word"], pdf["freq"]):
+                for piece in viterbi_segment(w, lp, mpl):
+                    counts[piece] = counts.get(piece, 0) + int(c)
+        if counts:
+            yield pd.DataFrame(
+                {"piece": list(counts), "cnt": list(counts.values())}
+            )
+
+    rows = (
+        wf.mapInPandas(part, schema="piece string, cnt long")
+        .groupBy("piece")
+        .agg(F.sum("cnt").alias("cnt"))
+        .collect()
+    )
+    return {r["piece"]: float(r["cnt"]) for r in rows}
+
+
 def train_unigram(
     df: DataFrame,
     text_col: str = "text",
@@ -167,34 +216,49 @@ def train_unigram(
     lowercase: bool = True,
     min_freq: int = 1,
     max_vocab: int | None = 5_000_000,
+    e_step: str = "driver",
 ) -> UnigramModel:
     """Train: distributed word frequencies + seed vocab, then EM rounds
-    (driver-side Viterbi counts over the BOUNDED distinct-word table)
     with bottom-``prune_frac`` pruning per round until at most
     ``vocab_size`` multi-char pieces remain. Single characters are never
-    pruned. Both driver collects are bounded: the seed table by
-    seed_size + alphabet, the word table by ``min_freq``/``max_vocab``
-    (the same knobs, same in-cluster pruning, and same rationale as
-    train_bpe — word_frequencies' docstring), so a web-scale corpus'
-    hapax tail never reaches the driver."""
+    pruned. The seed collect is bounded by seed_size + alphabet.
+
+    ``e_step`` selects where Viterbi counting runs (r7 verdict #6):
+    'driver' (default) collects the ``min_freq``/``max_vocab``-bounded
+    word table once and walks it in Python per round — the same bounded
+    contract as train_bpe (a trillion-token crawl has ~10^7 distinct
+    normalized words); 'distributed' keeps the word table on the
+    cluster (persisted across rounds) and runs each E-step as a
+    partition-parallel Viterbi count + piece-keyed reduce, so vocab
+    learning scales past driver memory — and, counts being exact
+    integers, produces the BIT-IDENTICAL model (pinned in tests)."""
+    if e_step not in ("driver", "distributed"):
+        raise ValueError(f"e_step={e_step!r}: expected 'driver' or 'distributed'")
     wf = word_frequencies(
         df, text_col, lowercase=lowercase, min_freq=min_freq,
         max_vocab=max_vocab,
     )
+    if e_step == "distributed":
+        wf = wf.persist()  # scanned once per EM round
     seed = seed_vocabulary(wf, max_piece_len, seed_size)
     rows = seed.collect()  # seed_size + alphabet — bounded by construction
     total = sum(r["total"] for r in rows) or 1
     logp = {r["piece"]: math.log(r["total"] / total) for r in rows}
 
-    words = [(r["word"], int(r["freq"])) for r in wf.collect()]
+    words = (
+        [(r["word"], int(r["freq"])) for r in wf.collect()]
+        if e_step == "driver"
+        else None
+    )
     # bounded by min_freq/max_vocab (enforced inside the aggregation job)
     rounds = 0
     while True:
         rounds += 1
-        counts: dict[str, float] = {}
-        for w, c in words:
-            for piece in viterbi_segment(w, logp, max_piece_len):
-                counts[piece] = counts.get(piece, 0.0) + c
+        counts = (
+            _em_counts_driver(words, logp, max_piece_len)
+            if words is not None
+            else _em_counts_distributed(wf, logp, max_piece_len)
+        )
         tot = sum(counts.values()) or 1.0
         # re-estimate; unseen pieces die unless single-char
         new_logp: dict[str, float] = {}
@@ -221,6 +285,8 @@ def train_unigram(
         n_drop = min(int(n_multi * prune_frac), max(n_multi - vocab_size, 0))
         for p, _ in multi[:n_drop]:
             del logp[p]
+    if e_step == "distributed":
+        wf.unpersist()
     return UnigramModel(
         logp=logp, max_piece_len=int(max_piece_len), lowercase=bool(lowercase)
     )
