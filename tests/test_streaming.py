@@ -453,3 +453,88 @@ def test_streaming_ann_ingest_probe_prunes_partitions(spark, sf_dir):
     n = spark.read.parquet(index_dir).count()
     proc(emb, 0)
     assert spark.read.parquet(index_dir).count() == n
+
+
+def test_ann_index_compaction_preserves_probes(spark, sf_dir, tmp_path):
+    """r8 (verdict #7): compact_ann_index folds old batch partitions
+    into one compacted partition — parquet file count drops, probe
+    results hash-match exactly, the newest batch stays replayable, and
+    a second compaction folds the next batch into the same label."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from tuktu_spark.streaming.llm import (
+        ann_probe_ingested,
+        compact_ann_index,
+        make_ann_ingest_batch_processor,
+    )
+
+    def parquet_files(d):
+        return sorted(
+            os.path.join(r, f)
+            for r, _, fs in os.walk(d)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        F.col("vec_id") < 60
+    )
+    centroids = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id") < 4).orderBy("vec_id").collect()
+    ]
+    index_dir = str(tmp_path / "idx")
+    proc = make_ann_ingest_batch_processor(spark, index_dir, centroids)
+    # 5 micro-batches of 12 vectors each
+    for b in range(5):
+        proc(emb.filter((F.col("vec_id") % 5) == b), b)
+
+    queries = emb.filter(F.col("vec_id") < 3)
+
+    def probe():
+        return sorted(
+            (r["query_id"], r["neighbor_id"], r["cosine"], r["rank"])
+            for r in ann_probe_ingested(
+                spark, index_dir, queries, centroids, k=4, n_probe=2
+            ).collect()
+        )
+
+    before_rows = probe()
+    before_files = parquet_files(index_dir)
+    stats = compact_ann_index(spark, index_dir, keep_latest=1)
+    assert stats["folded_batches"] == [0, 1, 2, 3]
+    assert stats["kept_batches"] == [4]
+    after_files = parquet_files(index_dir)
+    assert len(after_files) < len(before_files), (
+        len(before_files), len(after_files)
+    )
+    assert probe() == before_rows
+    # layout: compacted label + the kept batch only
+    batches = sorted(
+        r["batch_id"]
+        for r in spark.read.parquet(index_dir).select("batch_id").distinct().collect()
+    )
+    assert batches == [-1, 4]
+    # the kept batch is still replay-idempotent (dynamic overwrite of
+    # exactly its own partitions)
+    n = spark.read.parquet(index_dir).count()
+    proc(emb.filter((F.col("vec_id") % 5) == 4), 4)
+    assert spark.read.parquet(index_dir).count() == n
+    assert probe() == before_rows
+    # a later batch + second compaction folds into the SAME label
+    proc(emb.filter((F.col("vec_id") % 5) == 0).withColumn(
+        "vec_id", F.col("vec_id") + 1000
+    ), 5)
+    with_new = probe()
+    stats2 = compact_ann_index(spark, index_dir, keep_latest=1)
+    assert stats2["folded_batches"] == [4]
+    assert probe() == with_new
+    # guards
+    import pytest
+
+    with pytest.raises(ValueError, match="keep_latest"):
+        compact_ann_index(spark, index_dir, keep_latest=0)
+    with pytest.raises(ValueError, match="compact_label"):
+        compact_ann_index(spark, index_dir, compact_label=7)

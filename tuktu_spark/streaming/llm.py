@@ -781,3 +781,76 @@ def ann_probe_ingested(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def compact_ann_index(
+    spark,
+    index_dir: str,
+    keep_latest: int = 1,
+    compact_label: int = -1,
+) -> dict:
+    """Fold old batch partitions of a streaming-ingested ANN index into
+    ONE compacted batch partition (r7 verdict #7: the (batch_id,
+    list_id) layout grows a parquet directory per batch per list — a
+    small-files bomb on a long-running stream). After compaction the
+    index holds ``batch_id=compact_label`` (one file per list via a
+    list_id repartition) plus the newest ``keep_latest`` real batches.
+
+    Probe equality: probes filter on list_id only, so directory
+    partition pruning is unchanged and the row set is preserved
+    verbatim — pinned by the hash-match test.
+
+    Replay idempotence: Structured Streaming only ever re-runs the
+    LAST (uncommitted) batch after a crash; committed batches never
+    replay. Keeping the newest ``keep_latest`` (>= 1) real batches out
+    of the fold therefore preserves the ingest contract — a replayed
+    batch still dynamically overwrites exactly its own partitions.
+    ``compact_label`` must be negative so it can never collide with a
+    future epoch id (they start at 0 and increase).
+
+    Crash safety (documented, non-transactional): the compacted
+    partitions are written BEFORE the folded batch directories are
+    deleted. A crash in between leaves full-row duplicates that a
+    re-run removes (the fold dedupes on all columns before writing) —
+    the standard caveat of compaction without a table format; run it
+    between probe windows, or adopt a transactional table format for
+    concurrent probing at scale."""
+    if keep_latest < 1:
+        raise ValueError(
+            f"keep_latest={keep_latest}: the newest real batch must stay "
+            "un-folded or a post-crash replay of it would duplicate rows"
+        )
+    if compact_label >= 0:
+        raise ValueError(
+            f"compact_label={compact_label} must be negative: non-negative "
+            "labels collide with future stream epoch ids"
+        )
+    idx = spark.read.parquet(index_dir)
+    batches = sorted(
+        r["batch_id"] for r in idx.select("batch_id").distinct().collect()
+    )
+    real = [b for b in batches if b != compact_label]
+    fold = real[: max(len(real) - keep_latest, 0)]
+    sources = fold + ([compact_label] if compact_label in batches else [])
+    if len(sources) <= 1 and compact_label in sources:
+        return {"folded_batches": [], "kept_batches": real}
+    if not fold:
+        return {"folded_batches": [], "kept_batches": real}
+    (
+        idx.filter(F.col("batch_id").isin([int(b) for b in sources]))
+        .withColumn("batch_id", F.lit(int(compact_label)))
+        .dropDuplicates()  # full-row: makes a crashed fold re-runnable
+        .repartition("list_id")  # one task -> one file per list partition
+        .write.mode("overwrite")
+        .options(partitionOverwriteMode="dynamic")
+        .partitionBy("batch_id", "list_id")
+        .parquet(index_dir)
+    )
+    # delete the folded batch directories (Hadoop FS API: works on any
+    # supported filesystem — local, HDFS, s3a)
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    for b in fold:
+        p = jvm.org.apache.hadoop.fs.Path(f"{index_dir}/batch_id={b}")
+        p.getFileSystem(hconf).delete(p, True)
+    return {"folded_batches": fold, "kept_batches": real[len(fold):]}
