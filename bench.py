@@ -36,7 +36,14 @@ from tuktu_spark.session import get_spark  # noqa: E402
 #   v1 (r1-r6): median-of-N cold, no warmup, no GC barrier
 #   v2 (r7):    untimed warmup + GC barrier per query
 #   v3 (r8):    v2 + constant synthetic control query for host-drift
-#               normalization + this harness stamp
+#               normalization + this harness stamp + the GC barrier now
+#               runs before EVERY timed run (not only before the warmup):
+#               r7's text_ngram_lm_score artifact showed a 16.9 s max in
+#               a 2.1-3.2 s spread — a stop-the-world collection of debt
+#               accumulated across the previous timed runs (5 LM count
+#               broadcasts per run in a shared JVM) landing inside one
+#               timed region. Collecting between runs (untimed, JMH
+#               practice) keeps each sample a plan cost, not a debt roll.
 HARNESS_VERSION = 3
 
 # The control is pure Spark — spark.range + hash/agg, zero repo code, zero
@@ -82,6 +89,8 @@ def main() -> None:
     _control(spark)
     ctrl_samples = []
     for _ in range(runs):
+        gc.collect()
+        spark._jvm.System.gc()
         t0 = time.perf_counter()
         _control(spark)
         ctrl_samples.append(time.perf_counter() - t0)
@@ -110,6 +119,10 @@ def main() -> None:
         qd.fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
         samples = []
         for _ in range(runs):
+            # between-run GC barrier (harness v3, untimed): debt from the
+            # PREVIOUS timed runs must not pay inside this sample
+            gc.collect()
+            spark._jvm.System.gc()
             t0 = time.perf_counter()
             qd.fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
             samples.append(time.perf_counter() - t0)
