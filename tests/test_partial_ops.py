@@ -315,3 +315,96 @@ class TestXlsxReader:
         p.write_bytes(b"\xd0\xcf\x11\xe0junk")
         with pytest.raises(Exception):
             make_source(spark, "xls", {"path": str(p)})
+
+
+class TestKinesisInjectable:
+    """r8 (verdict #9): the kinesis seams promoted from connector-gated
+    partials to injectable-client-tested, the mongo pattern."""
+
+    def test_source_with_injected_reader(self, spark):
+        from tuktu_spark.operators.registry import make_source
+
+        def reader(stream_name):
+            assert stream_name == "events"
+            return [
+                {"data": b'{"id": 1}', "partitionKey": "a",
+                 "sequenceNumber": "49590338271490256608559692538361571095921575989136588898"},
+                {"data": '{"id": 2}', "partitionKey": "b",
+                 "sequenceNumber": "49590338271490256608559692538361571095921575989136588899"},
+            ]
+
+        df = make_source(
+            spark, "kinesis", {"stream": "events", "reader": reader}
+        )
+        rows = sorted(df.collect(), key=lambda r: r["partitionKey"])
+        assert [bytes(r["data"]) for r in rows] == [b'{"id": 1}', b'{"id": 2}']
+        assert [r["streamName"] for r in rows] == ["events", "events"]
+        assert df.columns == [
+            "data", "partitionKey", "sequenceNumber", "streamName"
+        ]
+
+    def test_sink_batches_and_partition_keys(self, spark, tmp_path):
+        # executor-side putter capture (file-based: foreachPartition runs
+        # in worker processes), incl. the 500-record PutRecords chunking
+        import json as _json
+        import uuid
+
+        from tuktu_spark.operators import make_operator
+
+        out_dir = tmp_path / "puts"
+        out_dir.mkdir()
+
+        def putter(stream_name, records, _d=str(out_dir)):
+            with open(f"{_d}/{uuid.uuid4().hex}.json", "w") as f:
+                _json.dump(
+                    {
+                        "stream": stream_name,
+                        "n": len(records),
+                        "records": [
+                            {"Data": r["Data"].decode(), "PartitionKey": r["PartitionKey"]}
+                            for r in records
+                        ],
+                    },
+                    f,
+                )
+
+        df = spark.range(1203).select(
+            F.concat(F.lit("payload-"), F.col("id")).alias("data"),
+            (F.col("id") % 7).cast("string").alias("shard"),
+        ).coalesce(1)  # one partition -> chunking must split into 500s
+        make_operator(
+            "kinesis_sink",
+            {"stream": "out-stream", "partition_key_field": "shard",
+             "putter": putter},
+        )(df)
+        calls = [
+            _json.load(open(p)) for p in sorted(out_dir.iterdir())
+        ]
+        assert sorted(c["n"] for c in calls) == [203, 500, 500]
+        assert all(c["stream"] == "out-stream" for c in calls)
+        got = {
+            r["Data"]: r["PartitionKey"] for c in calls for r in c["records"]
+        }
+        assert len(got) == 1203
+        assert got["payload-13"] == str(13 % 7)
+
+    def test_sink_default_path_is_env_gated(self, spark):
+        """Without an injected putter the sink must reach the REAL client
+        seam: with boto3 present it fails at the credential boundary
+        (executor-side — proving foreachPartition wired the real call);
+        without boto3 it raises the remediation NotImplementedError."""
+        import pytest
+
+        from tuktu_spark.operators import make_operator
+
+        df = spark.createDataFrame([("x",)], "data string")
+        try:
+            import boto3  # noqa: F401
+
+            with pytest.raises(Exception) as ei:
+                make_operator("kinesis_sink", {"stream": "s"})(df)
+            msg = str(ei.value)
+            assert "NoCredentialsError" in msg or "credentials" in msg.lower()
+        except ImportError:
+            with pytest.raises(NotImplementedError, match="boto3|putter"):
+                make_operator("kinesis_sink", {"stream": "s"})(df)

@@ -174,8 +174,31 @@ def es_sink(config: dict):
 
 @source("kinesis")
 def kinesis_source(spark: SparkSession, config: dict) -> DataFrame:
-    """KinesisGenerator (aws/generators): streaming read via the kinesis
-    connector format (available on AWS runtimes)."""
+    """KinesisGenerator (modules/aws/app/tuktu/aws/generators): streaming
+    read via the kinesis connector format (available on AWS runtimes).
+    ``reader`` is an injectable callable (stream_name -> list[dict] with
+    keys data/partitionKey/sequenceNumber) for tests and bounded
+    backfills: when injected, the fetched records surface as a BATCH
+    DataFrame in the connector's column layout, so downstream operators
+    are identical either way."""
+    fetch = config.get("reader")
+    if fetch is not None:
+        rows = [
+            (
+                r["data"].encode("utf-8")
+                if isinstance(r["data"], str)
+                else bytes(r["data"]),
+                str(r.get("partitionKey", "")),
+                str(r.get("sequenceNumber", "")),
+                str(config["stream"]),
+            )
+            for r in fetch(config["stream"])
+        ]
+        return spark.createDataFrame(
+            rows,
+            "data binary, partitionKey string, sequenceNumber string, "
+            "streamName string",
+        )
     reader = (
         spark.readStream.format("kinesis")
         .option("streamName", config["stream"])
@@ -183,6 +206,72 @@ def kinesis_source(spark: SparkSession, config: dict) -> DataFrame:
         .option("initialPosition", config.get("initial_position", "latest"))
     )
     return _opts(reader, config.get("options", {})).load()
+
+
+@operator("kinesis_sink")
+def kinesis_sink(config: dict):
+    """KinesisProcessor (modules/aws/app/tuktu/aws/processors): put rows
+    onto a Kinesis stream. Executor-side foreachPartition with one
+    PutRecords call per <=500-record chunk (the public API batch limit)
+    — the corpus never collects to the driver. Rows must provide a
+    ``data`` column (string/binary); ``partition_key_field`` selects the
+    PartitionKey column (default: a per-row hash of data, spreading
+    shards). ``putter`` is an injectable callable
+    (stream_name, records: list[dict with Data/PartitionKey]) for tests;
+    the default uses boto3 when present, else fails with a clear
+    message. config: {stream, region, data_field, partition_key_field,
+    putter}."""
+    stream = config["stream"]
+    region = config.get("region", "us-east-1")
+    data_field = config.get("data_field", "data")
+    pk_field = config.get("partition_key_field")
+    putter = config.get("putter")
+
+    def sink(df: DataFrame):
+        put = putter
+        if put is None:
+            try:
+                import boto3  # noqa: F401
+            except ImportError as e:
+                raise NotImplementedError(
+                    "kinesis_sink needs boto3 (not in this environment) or "
+                    "an injected config['putter'] callable"
+                ) from e
+
+            def put(stream_name: str, records: "list[dict]") -> None:
+                import boto3 as _b
+
+                _b.client("kinesis", region_name=region).put_records(
+                    StreamName=stream_name, Records=records
+                )
+
+        def per_partition(rows):
+            import hashlib
+
+            batch: list[dict] = []
+            for row in rows:
+                payload = row[data_field]
+                data = (
+                    payload.encode("utf-8")
+                    if isinstance(payload, str)
+                    else bytes(payload)
+                )
+                pk = (
+                    str(row[pk_field])
+                    if pk_field
+                    else hashlib.md5(data).hexdigest()
+                )
+                batch.append({"Data": data, "PartitionKey": pk})
+                if len(batch) >= 500:  # public PutRecords limit
+                    put(stream, batch)
+                    batch = []
+            if batch:
+                put(stream, batch)
+
+        df.foreachPartition(per_partition)
+        return df
+
+    return sink
 
 
 @source("rest")
