@@ -201,6 +201,33 @@ _VERIFIED_ROUND = {
         ),
         6,
     ),
+    **dict.fromkeys(
+        (
+            "approx_sketch_accuracy", "array_algebra_tokens", "calendar_parts",
+            "cube_orders", "date_trunc_month", "dedup_edit_distance",
+            "dedup_image_semantic", "dedup_incremental_batch",
+            "dedup_minhash_lsh", "dedup_minhash_lsh_skew",
+            "dedup_ngram_jaccard", "drop_offset", "explode_token_histogram",
+            "flow_multimodal_curation", "implode_ids_per_lang",
+            "join_asof_latest_ref", "join_range_bands", "json_fetch_props",
+            "json_parse_filter", "mix_dsir_select", "mix_pack_sequences",
+            "multimodal_audio_classify", "multimodal_cdc_dedup",
+            "multimodal_cnn_classify", "multimodal_cnn_train_eval",
+            "multimodal_image_dhash", "multimodal_reshard_tars",
+            "multimodal_video_classify", "nlp_fasttext_buckets",
+            "nlp_rbem_polarity", "period_add_shift", "pivot_linestatus",
+            "reshape_csv_roundtrip", "reshape_datum_merge",
+            "reshape_document_build", "reshape_fixed_width",
+            "reshape_struct_flatten", "rollup_orders",
+            "session_window_per_user", "ship_latency_days",
+            "sliding_window_counts", "streaming_ann_ingest_replay",
+            "streaming_cnn_classify_replay", "string_functions",
+            "text_line_filter", "text_ngram_lm_score",
+            "text_unigram_tokenize", "text_url_domain_stats",
+            "unpivot_measures", "zip_merge_branches",
+        ),
+        7,
+    ),
 }
 
 # Queries whose implementation (or a shared helper they exercise) changed in
@@ -208,20 +235,14 @@ _VERIFIED_ROUND = {
 # green, so this round's edits cannot silently regress them.
 _TOUCHED = frozenset(
     {
-        # round 7 edits
-        "dedup_minhash_lsh",          # verification tail -> array_intersect form
-        "dedup_minhash_lsh_skew",     # same tail + parallel=True scan
-        "dedup_ngram_jaccard",        # parallel=True scan
-        "dedup_incremental_batch",    # batch-vs-corpus shares _verify_jaccard_pairs
-        "nlp_rbem_polarity",          # parallel=True scan
-        "mix_dsir_select",            # parallel=True scan
-        "text_ngram_lm_score",        # parallel=True scan
-        "drop_offset",                # bounded positional kernel now default
-        "multimodal_image_dhash",     # shares the lifecycle flow's dhash stage
-        "multimodal_reshard_tars",    # pack_tar_shards shard_col + null assert
-        "mix_pack_sequences",         # global path -> bounded prefix sum
-        "zip_merge_branches",         # distributed engine -> auto bounded kernel
-        "nlp_fasttext_buckets",       # parallel=True scan
+        # round 8 edits
+        "text_line_filter",            # NULL-text coalesce + keep_cols param
+        "dedup_edit_distance",         # Ed-Join prefix filter now the default
+        "multimodal_cnn_classify",     # classify_images head -> batch matmul
+        "multimodal_audio_classify",   # same head
+        "multimodal_video_classify",   # same head
+        "streaming_cnn_classify_replay",  # make_classify_batch_processor head
+        "text_unigram_tokenize",       # train_unigram e_step refactor
     }
 )
 
