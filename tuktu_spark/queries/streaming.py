@@ -487,3 +487,58 @@ def streaming_ann_ingest_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_probe_ingested(
         spark, index_dir, queries, centroids, k=5, n_probe=3
     )
+
+
+@query(
+    "streaming_ann_compact_replay",
+    oracle=_ANN_INGEST_ORACLE,
+    tags=("streaming", "llm", "similarity"),
+)
+def streaming_ann_compact_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming IVF ingestion + COMPACTION + probe (r8): after the same
+    micro-batch ingestion as streaming_ann_ingest_replay, all committed
+    batches fold into the single compacted partition (the small-files
+    fix for long-running streams) — and the probe over the compacted
+    layout hash-matches the SAME oracle as the uncompacted index, which
+    is exactly the operator's contract: fewer files, identical
+    results."""
+    import os
+    import tempfile
+
+    from ..streaming.llm import (
+        ann_probe_ingested,
+        compact_ann_index,
+        streaming_ann_ingest,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id") < _ANN_INGEST_SEEDS)
+        .orderBy("vec_id")
+        .collect()
+    ]
+    stage = tempfile.mkdtemp(prefix="tuktu_annc_replay_")
+    index_dir = tempfile.mkdtemp(prefix="tuktu_annc_index_")
+    ckpt = tempfile.mkdtemp(prefix="tuktu_annc_ckpt_")
+    stream = STR.replay_dataframe(emb, stage, chunks=4, order_col="vec_id")
+    q = streaming_ann_ingest(stream, index_dir, ckpt, centroids)
+    q.processAllAvailable()
+    q.stop()
+
+    def n_parquet_files() -> int:
+        return sum(
+            1
+            for _r, _d, fs in os.walk(index_dir)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+
+    before = n_parquet_files()
+    stats = compact_ann_index(spark, index_dir, keep_latest=1)
+    assert stats["folded_batches"], stats  # the replay produced >= 2 batches
+    assert n_parquet_files() < before, (before, n_parquet_files())
+    queries = emb.filter(F.col("vec_id") < _ANN_INGEST_QUERIES)
+    return ann_probe_ingested(
+        spark, index_dir, queries, centroids, k=5, n_probe=3
+    )
