@@ -1,0 +1,106 @@
+"""bench_diff.py control-normalization logic (r8 harness v3): pure
+Python, no Spark — the drift factor, the normalized ratio column, and
+the spread rule against the drift-adjusted old median."""
+
+import importlib.util
+import json
+import os
+import sys
+
+
+def _load_bench_diff():
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "scripts", "bench_diff.py",
+    )
+    spec = importlib.util.spec_from_file_location("bench_diff", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _artifact(tmp_path, name, queries, spread, control=None):
+    doc = {"queries": queries, "spread": spread, "sf": 0.1}
+    if control is not None:
+        doc["control"] = control
+    p = tmp_path / name
+    p.write_text(json.dumps({"parsed": doc}))
+    return str(p)
+
+
+def test_drift_normalization_declassifies_host_slowdown(tmp_path, capsys):
+    bd = _load_bench_diff()
+    # host got 1.5x slower (control 1.0 -> 1.5); query q scaled exactly
+    # with the host: raw ratio 1.5x and min_new > median_old, which the
+    # raw rule would flag REGRESSED — the drift-adjusted rule must not.
+    old = _artifact(
+        tmp_path, "old.json",
+        {"q": 1.0}, {"q": {"min": 0.95, "max": 1.1, "runs": 5}},
+        control={"median": 1.0, "min": 0.9, "max": 1.1, "runs": 5},
+    )
+    new = _artifact(
+        tmp_path, "new.json",
+        {"q": 1.5}, {"q": {"min": 1.4, "max": 1.6, "runs": 5}},
+        control={"median": 1.5, "min": 1.4, "max": 1.6, "runs": 5},
+    )
+    assert bd.main(old, new) == 0
+    out = capsys.readouterr().out
+    assert "host drift 1.50x" in out
+    q_line = next(line for line in out.splitlines() if line.startswith("q "))
+    assert q_line.endswith("~noise"), q_line
+    assert "1.00x" in q_line  # drift-normalized ratio column
+    assert "drift-adj median_old): 0" in out
+
+
+def test_real_regression_still_flagged_under_stable_control(tmp_path, capsys):
+    bd = _load_bench_diff()
+    old = _artifact(
+        tmp_path, "old.json",
+        {"q": 1.0}, {"q": {"min": 0.95, "max": 1.1, "runs": 5}},
+        control={"median": 1.0, "min": 0.9, "max": 1.1, "runs": 5},
+    )
+    new = _artifact(
+        tmp_path, "new.json",
+        {"q": 2.0}, {"q": {"min": 1.9, "max": 2.2, "runs": 5}},
+        control={"median": 1.0, "min": 0.9, "max": 1.1, "runs": 5},
+    )
+    bd.main(old, new)
+    out = capsys.readouterr().out
+    assert "host drift 1.00x" in out
+    assert "REGRESSED" in out
+
+
+def test_legacy_artifacts_without_control_keep_raw_rule(tmp_path, capsys):
+    bd = _load_bench_diff()
+    old = _artifact(
+        tmp_path, "old.json",
+        {"q": 1.0}, {"q": {"min": 0.95, "max": 1.1, "runs": 5}},
+    )
+    new = _artifact(
+        tmp_path, "new.json",
+        {"q": 0.5}, {"q": {"min": 0.45, "max": 0.6, "runs": 5}},
+    )
+    bd.main(old, new)
+    out = capsys.readouterr().out
+    assert "host drift" not in out
+    assert "IMPROVED" in out
+
+
+def test_salvage_recovers_control_from_truncated_tail(tmp_path, capsys):
+    bd = _load_bench_diff()
+    # driver artifacts sometimes capture only the tail: parsed == null
+    tail = (
+        '"q": 1.5}, "spread": {"q": {"min": 1.4, "max": 1.6, "runs": 5}}, '
+        '"control": {"median": 1.5, "min": 1.4, "max": 1.6, "runs": 5, '
+        '"rows": 300000000}, "sf": 0.1}'
+    )
+    p = tmp_path / "trunc.json"
+    p.write_text(json.dumps({"parsed": None, "tail": tail}))
+    old = _artifact(
+        tmp_path, "old.json",
+        {"q": 1.0}, {"q": {"min": 0.95, "max": 1.1, "runs": 5}},
+        control={"median": 1.0, "min": 0.9, "max": 1.1, "runs": 5},
+    )
+    bd.main(old, str(p))
+    out = capsys.readouterr().out
+    assert "host drift 1.50x" in out
