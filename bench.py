@@ -52,7 +52,11 @@ HARNESS_VERSION = 3
 # cross-round ratios by the control ratio to separate host drift from real
 # plan changes (r7 verdict: q1/q5 min flags vs r5 were undecidable without
 # a fixed in-artifact reference).
-_CONTROL_ROWS = 300_000_000
+# ~1 s of work on this class of host: large enough that scheduler jitter
+# is a small fraction of the reading (300M read 0.23-0.30 s with a ~30%
+# spread; 1B tightens the relative noise), small enough to add only ~6 s
+# to the bench.
+_CONTROL_ROWS = 1_000_000_000
 
 
 def _control(spark) -> None:
