@@ -24,8 +24,12 @@ train_cnn_distributed on the same corpus agrees to float rounding (the
 partition-sum grouping is the only difference — see ml/cnn.py).
 
 Shipped-artifact invariants (pinned in tests/test_cnn_pretrained.py):
-zero errors over the closed-form query corpus for doc_id 0..4999 (the
-sf0.1 documents table) and a He-random baseline near chance.
+zero errors over the closed-form query corpus for the FULL image-tuple
+period — the per-doc image depends on doc_id only through
+(doc_id % 7, (doc_id // 4) % 5, (doc_id * 37) % 256, doc_id % 4),
+periodic with lcm(7, 20, 256, 4) = 8960 — so validating doc_id 0..8959
+covers EVERY doc_id at any scale factor. Plus a He-random baseline near
+chance.
 
 Usage: python scripts/train_cnn_weights.py [out.npz]
 """
@@ -91,11 +95,13 @@ def main() -> int:
     t0 = time.time()
     net, losses = train_cnn_local(imgs, ys, n_classes=4, epochs=EPOCHS, lr=LR)
     print(f"trained in {time.time() - t0:.0f}s, final loss {losses[-1]:.5f}")
+    # lcm(7, 20, 256, 4): the full period of the image tuple in doc_id
+    period = 8960
     bad = sum(
         int(np.argmax(net.forward(_gray(png))) != cls)
-        for png, cls in (query_corpus_png(i) for i in range(5000))
+        for png, cls in (query_corpus_png(i) for i in range(period))
     )
-    print(f"query-corpus errors over 5000: {bad}")
+    print(f"query-corpus errors over the full period {period}: {bad}")
     if bad:
         print("NOT saving: the driver oracle needs zero errors")
         return 1

@@ -79,9 +79,17 @@ def test_shipped_artifact_exists_and_is_narrow():
 def test_trained_weights_beat_he_random_and_are_query_exact():
     """The invariant the driver query rests on: the SHIPPED artifact
     classifies the closed-form query corpus perfectly; He-random weights
-    with the same architecture sit near 4-way chance."""
+    with the same architecture sit near 4-way chance. The image tuple is
+    periodic in doc_id with lcm(7, 20, 256, 4) = 8960 (validated to zero
+    errors over the WHOLE period by scripts/train_cnn_weights.py); the
+    sample here strides across that full period, so every (w, h, seed)
+    region is touched."""
     trained = TinyConvNet.load_weights(WEIGHTS)
     assert _accuracy(trained) == 1.0
+    # stride-sample the high end of the period (doc_ids no sf reaches)
+    for i in range(5000, 8960, 97):
+        png, cls = _query_png(i)
+        assert int(np.argmax(trained.forward(_gray(png)))) == cls, i
     base = TinyConvNet()
     base.w3 = base.w3[:, :4].copy()
     base.b3 = base.b3[:4].copy()

@@ -388,23 +388,103 @@ class TestKinesisInjectable:
         assert len(got) == 1203
         assert got["payload-13"] == str(13 % 7)
 
-    def test_sink_default_path_is_env_gated(self, spark):
-        """Without an injected putter the sink must reach the REAL client
-        seam: with boto3 present it fails at the credential boundary
-        (executor-side — proving foreachPartition wired the real call);
-        without boto3 it raises the remediation NotImplementedError."""
+    def test_sink_default_path_reaches_real_client(self, spark, monkeypatch):
+        """Without an injected putter the sink must build the REAL boto3
+        client executor-side. Deterministic on any machine: fake
+        credentials (so ambient AWS credentials can never be used) and an
+        endpoint_url at a dead local port (so no real AWS endpoint is
+        ever contacted) force a connection failure that proves the real
+        put_records call was attempted. Without boto3 the remediation
+        NotImplementedError fires instead."""
         import pytest
 
         from tuktu_spark.operators import make_operator
 
+        monkeypatch.setenv("AWS_ACCESS_KEY_ID", "testing")
+        monkeypatch.setenv("AWS_SECRET_ACCESS_KEY", "testing")
+        monkeypatch.setenv("AWS_EC2_METADATA_DISABLED", "true")
         df = spark.createDataFrame([("x",)], "data string")
+        cfg = {
+            "stream": "s",
+            "endpoint_url": "http://127.0.0.1:9",  # discard port: dead
+            "max_retries": 0,
+        }
         try:
             import boto3  # noqa: F401
 
             with pytest.raises(Exception) as ei:
-                make_operator("kinesis_sink", {"stream": "s"})(df)
+                make_operator("kinesis_sink", cfg)(df)
             msg = str(ei.value)
-            assert "NoCredentialsError" in msg or "credentials" in msg.lower()
+            # either failure proves the real client path executed: the
+            # dead endpoint refused the connection, or (executor workers
+            # predate the monkeypatched env) the credential chain ran dry
+            # before the connection attempt. Both are boto3-internal.
+            assert any(
+                s in msg
+                for s in (
+                    "127.0.0.1:9", "Could not connect",
+                    "EndpointConnectionError", "Connection refused",
+                    "NoCredentialsError", "credentials",
+                )
+            ), msg
         except ImportError:
             with pytest.raises(NotImplementedError, match="boto3|putter"):
-                make_operator("kinesis_sink", {"stream": "s"})(df)
+                make_operator("kinesis_sink", cfg)(df)
+
+    def test_sink_retries_failed_subset_and_skips_nulls(self, spark, tmp_path):
+        """PutRecords partial failures: the sink must re-put EXACTLY the
+        records whose response row carries an ErrorCode, and give up
+        loudly after max_retries. NULL data rows are skipped."""
+        import json as _json
+        import uuid
+
+        import pytest
+
+        from tuktu_spark.operators import make_operator
+
+        out_dir = tmp_path / "attempts"
+        out_dir.mkdir()
+
+        def flaky_putter(stream_name, records, _d=str(out_dir)):
+            # persist what this attempt saw (worker-process capture)
+            with open(f"{_d}/{uuid.uuid4().hex}.json", "w") as f:
+                _json.dump([r["Data"].decode() for r in records], f)
+            # the full batch (contains p0): fail the odd payloads
+            if any(r["Data"].decode() == "p0" for r in records):
+                return {
+                    "FailedRecordCount": sum(
+                        int(r["Data"].decode().endswith(("1", "3", "5")))
+                        for r in records
+                    ),
+                    "Records": [
+                        {"ErrorCode": "ProvisionedThroughputExceededException"}
+                        if r["Data"].decode().endswith(("1", "3", "5"))
+                        else {"SequenceNumber": "ok"}
+                        for r in records
+                    ],
+                }
+            return None  # retry batch: all good
+
+        rows = [(f"p{i}",) for i in range(6)] + [(None,)]
+        df = spark.createDataFrame(rows, "data string").coalesce(1)
+        make_operator(
+            "kinesis_sink", {"stream": "s", "putter": flaky_putter}
+        )(df)
+        attempts = sorted(
+            (_json.load(open(p)) for p in out_dir.iterdir()), key=len,
+            reverse=True,
+        )
+        assert attempts[0] == [f"p{i}" for i in range(6)]  # NULL skipped
+        assert attempts[1] == ["p1", "p3", "p5"]  # exactly the failed set
+
+        def always_fails(stream_name, records):
+            return {
+                "FailedRecordCount": len(records),
+                "Records": [{"ErrorCode": "InternalFailure"} for _ in records],
+            }
+
+        with pytest.raises(Exception, match="still failing"):
+            make_operator(
+                "kinesis_sink",
+                {"stream": "s", "putter": always_fails, "max_retries": 1},
+            )(df)

@@ -538,3 +538,57 @@ def test_ann_index_compaction_preserves_probes(spark, sf_dir, tmp_path):
         compact_ann_index(spark, index_dir, keep_latest=0)
     with pytest.raises(ValueError, match="compact_label"):
         compact_ann_index(spark, index_dir, compact_label=7)
+
+
+def test_ann_compaction_multiplicity_and_crash_recovery(spark, sf_dir, tmp_path):
+    """r8 review fixes: (a) a row legitimately ingested in TWO different
+    epochs survives compaction twice (src_batch provenance distinguishes
+    it from a crash copy); (b) a crash between the compacted write and
+    the source-directory delete leaves copies that a re-run removes
+    EXACTLY (converges back to the true multiplicity)."""
+    from pyspark.sql import functions as F
+
+    from tuktu_spark.streaming.llm import (
+        compact_ann_index,
+        make_ann_ingest_batch_processor,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        F.col("vec_id") < 30
+    )
+    centroids = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id") < 4).orderBy("vec_id").collect()
+    ]
+    index_dir = str(tmp_path / "idx")
+    proc = make_ann_ingest_batch_processor(spark, index_dir, centroids)
+    proc(emb, 0)                                   # 30 rows
+    proc(emb.filter(F.col("vec_id") < 10), 1)      # 10 LEGITIMATE dupes
+    proc(emb.filter(F.col("vec_id") >= 25), 2)     # newest: 5 rows
+    true_count = 45
+
+    def count():
+        return spark.read.parquet(index_dir).count()
+
+    assert count() == true_count
+    stats = compact_ann_index(spark, index_dir, keep_latest=1)
+    assert stats["folded_batches"] == [0, 1]
+    assert count() == true_count  # cross-epoch multiplicity PRESERVED
+    compacted = spark.read.parquet(index_dir).filter(F.col("batch_id") == -1)
+    assert sorted(
+        r["src_batch"]
+        for r in compacted.select("src_batch").distinct().collect()
+    ) == [0, 1]
+    # one vec duplicated across epochs: both copies present, src_batch apart
+    dup = compacted.filter(F.col("neighbor_id") == 3)
+    assert dup.count() == 2
+    assert sorted(r["src_batch"] for r in dup.collect()) == [0, 1]
+
+    # crash simulation: the folded batch-1 directory reappears (its write
+    # predates the crashed delete) — rows now duplicated vs the compacted
+    # partition, SAME src_batch
+    proc(emb.filter(F.col("vec_id") < 10), 1)
+    assert count() == true_count + 10
+    stats2 = compact_ann_index(spark, index_dir, keep_latest=1)
+    assert stats2["folded_batches"] == [1]
+    assert count() == true_count  # crash copies removed, nothing else

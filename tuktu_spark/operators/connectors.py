@@ -214,22 +214,35 @@ def kinesis_sink(config: dict):
     onto a Kinesis stream. Executor-side foreachPartition with one
     PutRecords call per <=500-record chunk (the public API batch limit)
     — the corpus never collects to the driver. Rows must provide a
-    ``data`` column (string/binary); ``partition_key_field`` selects the
-    PartitionKey column (default: a per-row hash of data, spreading
-    shards). ``putter`` is an injectable callable
-    (stream_name, records: list[dict with Data/PartitionKey]) for tests;
-    the default uses boto3 when present, else fails with a clear
-    message. config: {stream, region, data_field, partition_key_field,
-    putter}."""
+    ``data`` column (string/binary; NULL rows are skipped — the
+    kinesis_source/classify_images convention); ``partition_key_field``
+    selects the PartitionKey column (default: a per-row hash of data,
+    spreading shards).
+
+    PutRecords is NOT all-or-nothing: the API can return 200 with
+    FailedRecordCount > 0 under shard throttling, and the failed subset
+    must be re-put. The sink retries exactly the failed records (read
+    from the response's per-record ErrorCode) up to ``max_retries``
+    times with exponential backoff and raises if any remain — silent
+    partial loss is the one unacceptable outcome for a sink.
+
+    ``putter`` is an injectable callable (stream_name, records:
+    list[dict with Data/PartitionKey]) -> optional PutRecords-style
+    response dict, for tests; returning None means all records
+    succeeded. The default builds ONE boto3 client per partition
+    (connection reuse across chunks; ``endpoint_url`` supports
+    localstack-style endpoints). config: {stream, region, endpoint_url,
+    data_field, partition_key_field, putter, max_retries}."""
     stream = config["stream"]
     region = config.get("region", "us-east-1")
+    endpoint_url = config.get("endpoint_url")
     data_field = config.get("data_field", "data")
     pk_field = config.get("partition_key_field")
     putter = config.get("putter")
+    max_retries = int(config.get("max_retries", 3))
 
     def sink(df: DataFrame):
-        put = putter
-        if put is None:
+        if putter is None:
             try:
                 import boto3  # noqa: F401
             except ImportError as e:
@@ -238,19 +251,48 @@ def kinesis_sink(config: dict):
                     "an injected config['putter'] callable"
                 ) from e
 
-            def put(stream_name: str, records: "list[dict]") -> None:
-                import boto3 as _b
-
-                _b.client("kinesis", region_name=region).put_records(
-                    StreamName=stream_name, Records=records
-                )
-
         def per_partition(rows):
             import hashlib
+            import time as _time
+
+            if putter is not None:
+                put = putter
+            else:
+                import boto3 as _b
+
+                client = _b.client(  # one client per partition
+                    "kinesis", region_name=region, endpoint_url=endpoint_url
+                )
+
+                def put(stream_name: str, records: "list[dict]"):
+                    return client.put_records(
+                        StreamName=stream_name, Records=records
+                    )
+
+            def put_with_retry(records: "list[dict]") -> None:
+                pending = records
+                for attempt in range(max_retries + 1):
+                    resp = put(stream, pending) or {}
+                    if not resp.get("FailedRecordCount"):
+                        return
+                    pending = [
+                        rec
+                        for rec, status in zip(pending, resp["Records"])
+                        if status.get("ErrorCode")
+                    ]
+                    if attempt < max_retries:
+                        _time.sleep(min(0.1 * 2**attempt, 2.0))
+                raise RuntimeError(
+                    f"kinesis_sink: {len(pending)} records still failing "
+                    f"after {max_retries} retries (first error: "
+                    f"{resp['Records'][0].get('ErrorCode')})"
+                )
 
             batch: list[dict] = []
             for row in rows:
                 payload = row[data_field]
+                if payload is None:
+                    continue
                 data = (
                     payload.encode("utf-8")
                     if isinstance(payload, str)
@@ -263,10 +305,10 @@ def kinesis_sink(config: dict):
                 )
                 batch.append({"Data": data, "PartitionKey": pk})
                 if len(batch) >= 500:  # public PutRecords limit
-                    put(stream, batch)
+                    put_with_retry(batch)
                     batch = []
             if batch:
-                put(stream, batch)
+                put_with_retry(batch)
 
         df.foreachPartition(per_partition)
         return df

@@ -243,6 +243,7 @@ _TOUCHED = frozenset(
         "multimodal_video_classify",   # same head
         "streaming_cnn_classify_replay",  # make_classify_batch_processor head
         "text_unigram_tokenize",       # train_unigram e_step refactor
+        "streaming_ann_ingest_replay",  # ingest rows gain src_batch provenance
     }
 )
 

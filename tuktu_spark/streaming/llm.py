@@ -706,6 +706,13 @@ def make_ann_ingest_batch_processor(
         )
         (
             assigned.withColumn("batch_id", F.lit(batch_id))
+            # provenance DATA column (constant per batch, compresses to
+            # nothing): after compaction relabels the partition column,
+            # src_batch still records the origin epoch, which is what
+            # lets compact_ann_index distinguish a legitimate cross-batch
+            # duplicate row (different src_batch) from a crash-rerun
+            # duplicate (same src_batch) — see compact_ann_index.
+            .withColumn("src_batch", F.lit(batch_id))
             .write.mode("overwrite")
             .options(partitionOverwriteMode="dynamic")
             .partitionBy("batch_id", "list_id")
@@ -810,11 +817,23 @@ def compact_ann_index(
 
     Crash safety (documented, non-transactional): the compacted
     partitions are written BEFORE the folded batch directories are
-    deleted. A crash in between leaves full-row duplicates that a
-    re-run removes (the fold dedupes on all columns before writing) —
-    the standard caveat of compaction without a table format; run it
-    between probe windows, or adopt a transactional table format for
-    concurrent probing at scale."""
+    deleted. A crash in between leaves duplicates that a re-run
+    removes: every ingested row carries its origin epoch in the
+    ``src_batch`` DATA column, so the fold's full-row dropDuplicates
+    (which includes src_batch) removes exactly the crash-rerun copies
+    while PRESERVING legitimate duplicates the stream emitted in
+    different epochs (those differ in src_batch — full multiplicity
+    preservation is pinned in tests). Indexes written before src_batch
+    existed fall back to the partition batch_id as provenance. This is
+    still the standard caveat of compaction without a table format:
+    run it between probe windows, or adopt a transactional table
+    format for concurrent probing at scale.
+
+    The folded rows are MATERIALIZED (localCheckpoint) before the
+    overwrite starts: the fold reads the same directory it rewrites,
+    and read-overwrite-same-path is only safe in Spark when every
+    source row is off the scan before job commit — a plan-shape
+    accident without the checkpoint barrier."""
     if keep_latest < 1:
         raise ValueError(
             f"keep_latest={keep_latest}: the newest real batch must stay "
@@ -826,22 +845,33 @@ def compact_ann_index(
             "labels collide with future stream epoch ids"
         )
     idx = spark.read.parquet(index_dir)
+    if "src_batch" not in idx.columns:
+        # pre-provenance layout: the partition label is the origin epoch
+        idx = idx.withColumn("src_batch", F.col("batch_id"))
     batches = sorted(
         r["batch_id"] for r in idx.select("batch_id").distinct().collect()
     )
     real = [b for b in batches if b != compact_label]
     fold = real[: max(len(real) - keep_latest, 0)]
-    sources = fold + ([compact_label] if compact_label in batches else [])
-    if len(sources) <= 1 and compact_label in sources:
-        return {"folded_batches": [], "kept_batches": real}
     if not fold:
         return {"folded_batches": [], "kept_batches": real}
-    (
+    sources = fold + ([compact_label] if compact_label in batches else [])
+    folded = (
         idx.filter(F.col("batch_id").isin([int(b) for b in sources]))
+        # mixed-schema transitional reads: a pre-provenance file yields
+        # null src_batch — its partition label is its origin epoch. Must
+        # run BEFORE the relabel below.
+        .withColumn("src_batch", F.coalesce(F.col("src_batch"), F.col("batch_id")))
         .withColumn("batch_id", F.lit(int(compact_label)))
-        .dropDuplicates()  # full-row: makes a crashed fold re-runnable
+        # full-row incl. src_batch: removes crash-rerun copies only —
+        # a legitimate cross-epoch duplicate differs in src_batch
+        .dropDuplicates()
         .repartition("list_id")  # one task -> one file per list partition
-        .write.mode("overwrite")
+        # read-overwrite-same-path barrier (see docstring)
+        .localCheckpoint()
+    )
+    (
+        folded.write.mode("overwrite")
         .options(partitionOverwriteMode="dynamic")
         .partitionBy("batch_id", "list_id")
         .parquet(index_dir)
