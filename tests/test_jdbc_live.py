@@ -1,0 +1,86 @@
+"""LIVE JDBC end-to-end (r8): Spark ships embedded Derby jars (the hive
+metastore dependency), so the sql_table source and jdbc_sink operator can
+be exercised against a REAL database inside the sandbox — closing the
+'live connector evidence' gap for the JDBC pair (reference:
+modules/nosql/app/tuktu/nosql/generators/sql.scala:11-47 and
+nosql/sql.scala:46-111) without any external service."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tuktu_spark.operators import make_operator
+from tuktu_spark.operators.registry import make_source
+
+DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
+
+
+@pytest.fixture()
+def derby_url(tmp_path):
+    return f"jdbc:derby:{tmp_path}/db;create=true"
+
+
+def test_jdbc_sink_then_source_roundtrip(spark, derby_url):
+    props = {"driver": DRIVER}
+    df = spark.createDataFrame(
+        [(1, "alice", 9.5), (2, "bob", 3.25), (3, "carol", 7.0)],
+        "id int, name string, score double",
+    )
+    make_operator(
+        "jdbc_sink",
+        {"url": derby_url, "table": "users", "mode": "overwrite",
+         "properties": props},
+    )(df)
+    back = make_source(
+        spark, "sql_table",
+        {"url": derby_url, "table": "users", "properties": props},
+    )
+    got = sorted((r["id"], r["name"], r["score"]) for r in back.collect())
+    assert got == [(1, "alice", 9.5), (2, "bob", 3.25), (3, "carol", 7.0)]
+
+
+def test_jdbc_query_source_and_append_mode(spark, derby_url):
+    props = {"driver": DRIVER}
+    base = spark.createDataFrame([(1, 10), (2, 20)], "id int, v int")
+    make_operator(
+        "jdbc_sink",
+        {"url": derby_url, "table": "t", "mode": "overwrite",
+         "properties": props},
+    )(base)
+    # append mode really appends in the database
+    make_operator(
+        "jdbc_sink",
+        {"url": derby_url, "table": "t", "mode": "append",
+         "properties": props},
+    )(spark.createDataFrame([(3, 30)], "id int, v int"))
+    # query form: the SQL runs IN the database (derby evaluates it).
+    # Spark's JDBC writer creates QUOTED lowercase columns, and Derby
+    # upcases unquoted identifiers — so the query must quote them.
+    out = make_source(
+        spark, "sql_table",
+        {"url": derby_url,
+         "query": 'SELECT "id", "v" * 2 AS dv FROM t WHERE "v" >= 20',
+         "properties": props},
+    )
+    assert sorted((r["id"], r["DV"]) for r in out.collect()) == [(2, 40), (3, 60)]
+
+
+def test_jdbc_source_pushes_filter_to_database(spark, derby_url):
+    """Predicate pushdown reaches the JDBC scan: the filter appears as
+    PushedFilters on the scan node, so the DATABASE prunes rows before
+    they cross the wire — the property that matters when the table is
+    big and the predicate is selective."""
+    props = {"driver": DRIVER}
+    make_operator(
+        "jdbc_sink",
+        {"url": derby_url, "table": "big", "mode": "overwrite",
+         "properties": props},
+    )(spark.range(100).select(F.col("id").cast("int").alias("id")))
+    src = make_source(
+        spark, "sql_table",
+        {"url": derby_url, "table": "big", "properties": props},
+    )
+    filtered = src.filter(F.col("id") > 90)
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan, plan
+    assert "GreaterThan" in plan and "90" in plan, plan
+    assert filtered.count() == 9
