@@ -84,3 +84,76 @@ def test_jdbc_source_pushes_filter_to_database(spark, derby_url):
     assert "PushedFilters" in plan, plan
     assert "GreaterThan" in plan and "90" in plan, plan
     assert filtered.count() == 9
+
+
+class TestRestLive:
+    """LIVE HTTP evidence for the REST source (r8): a real threaded
+    http.server on 127.0.0.1 replaces the r2 urllib monkeypatch — the
+    request, headers, method and body all cross a real socket."""
+
+    @pytest.fixture()
+    def http_server(self):
+        import http.server
+        import json
+        import threading
+
+        seen = {}
+
+        class Handler(http.server.BaseHTTPRequestHandler):
+            def _reply(self, payload, status=200):
+                body = json.dumps(payload).encode()
+                self.send_response(status)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                seen["get"] = {
+                    "path": self.path,
+                    "auth": self.headers.get("Authorization"),
+                }
+                if self.path == "/list":
+                    self._reply([{"id": 1}, {"id": 2}, {"id": 3}])
+                else:
+                    self._reply({"ok": True, "path": self.path})
+
+            def do_POST(self):
+                n = int(self.headers.get("Content-Length", 0))
+                seen["post_body"] = self.rfile.read(n).decode()
+                self._reply({"created": True}, status=201)
+
+            def log_message(self, *a):
+                pass
+
+        srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        try:
+            yield f"http://127.0.0.1:{srv.server_address[1]}", seen
+        finally:
+            srv.shutdown()
+
+    def test_get_list_becomes_rows(self, spark, http_server):
+        import json
+
+        base, seen = http_server
+        df = make_source(
+            spark, "rest",
+            {"url": f"{base}/list", "headers": {"Authorization": "Bearer x"}},
+        )
+        rows = df.collect()
+        assert [json.loads(r["body"])["id"] for r in rows] == [1, 2, 3]
+        assert all(r["status"] == 200 for r in rows)
+        assert seen["get"] == {"path": "/list", "auth": "Bearer x"}
+
+    def test_post_body_reaches_server(self, spark, http_server):
+        base, seen = http_server
+        df = make_source(
+            spark, "rest",
+            {"url": f"{base}/items", "method": "POST",
+             "body": '{"name": "new"}'},
+        )
+        row = df.collect()[0]
+        assert row["status"] == 201 and '"created": true' in row["body"]
+        assert seen["post_body"] == '{"name": "new"}'
