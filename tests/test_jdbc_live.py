@@ -157,3 +157,94 @@ class TestRestLive:
         row = df.collect()[0]
         assert row["status"] == 201 and '"created": true' in row["body"]
         assert seen["post_body"] == '{"name": "new"}'
+
+
+class TestSmtpLive:
+    """LIVE SMTP evidence: a minimal threaded RFC 5321 server on
+    127.0.0.1 drives smtp_sink's DEFAULT smtplib path — greeting, MAIL
+    FROM / RCPT TO, DATA payload and QUIT all cross a real socket."""
+
+    @pytest.fixture()
+    def smtp_server(self):
+        import socket
+        import threading
+
+        mails = []
+        srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        srv.bind(("127.0.0.1", 0))
+        srv.listen(5)
+        port = srv.getsockname()[1]
+        stop = threading.Event()
+
+        def serve():
+            srv.settimeout(0.2)
+            while not stop.is_set():
+                try:
+                    conn, _ = srv.accept()
+                except socket.timeout:
+                    continue
+                with conn:
+                    f = conn.makefile("rb")
+                    conn.sendall(b"220 test ESMTP\r\n")
+                    cur = {"rcpt": []}
+                    while True:
+                        line = f.readline()
+                        if not line:
+                            break
+                        cmd = line.decode().strip()
+                        up = cmd.upper()
+                        if up.startswith(("HELO", "EHLO")):
+                            conn.sendall(b"250 test\r\n")
+                        elif up.startswith("MAIL FROM:"):
+                            cur["from"] = cmd[10:].strip("<> ")
+                            conn.sendall(b"250 ok\r\n")
+                        elif up.startswith("RCPT TO:"):
+                            cur["rcpt"].append(cmd[8:].strip("<> "))
+                            conn.sendall(b"250 ok\r\n")
+                        elif up == "DATA":
+                            conn.sendall(b"354 go\r\n")
+                            body = []
+                            while True:
+                                dl = f.readline().decode()
+                                if dl.rstrip("\r\n") == ".":
+                                    break
+                                body.append(dl.rstrip("\r\n"))
+                            cur["data"] = "\n".join(body)
+                            mails.append(dict(cur))
+                            cur = {"rcpt": []}
+                            conn.sendall(b"250 queued\r\n")
+                        elif up == "QUIT":
+                            conn.sendall(b"221 bye\r\n")
+                            break
+                        else:
+                            conn.sendall(b"250 ok\r\n")
+
+        t = threading.Thread(target=serve, daemon=True)
+        t.start()
+        try:
+            yield port, mails
+        finally:
+            stop.set()
+            t.join(timeout=2)
+            srv.close()
+
+    def test_default_smtplib_path_delivers(self, spark, smtp_server):
+        port, mails = smtp_server
+        df = spark.createDataFrame(
+            [("ops@example.com", "disk 91% full"),
+             ("dev@example.com", "queue empty")],
+            "rcpt string, msg string",
+        )
+        make_operator(
+            "smtp_sink",
+            {"host": "127.0.0.1", "port": port, "to_field": "rcpt",
+             "body_field": "msg", "subject": "alert",
+             "from": "noreply@example.com"},
+        )(df)
+        assert len(mails) == 2
+        by_rcpt = {m["rcpt"][0]: m for m in mails}
+        assert by_rcpt["ops@example.com"]["from"] == "noreply@example.com"
+        assert "disk 91% full" in by_rcpt["ops@example.com"]["data"]
+        assert "Subject: alert" in by_rcpt["ops@example.com"]["data"]
+        assert "queue empty" in by_rcpt["dev@example.com"]["data"]
