@@ -1,4 +1,6 @@
-"""LIVE JDBC end-to-end (r8): Spark ships embedded Derby jars (the hive
+"""LIVE connector evidence (r8) — no external services needed:
+
+JDBC: Spark ships embedded Derby jars (the hive
 metastore dependency), so the sql_table source and jdbc_sink operator can
 be exercised against a REAL database inside the sandbox — closing the
 'live connector evidence' gap for the JDBC pair (reference:
