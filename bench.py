@@ -140,21 +140,27 @@ def main() -> None:
         }
 
     total = round(sum(timings.values()), 4)
+    # Key order matters for driver-capture salvage: the harness that
+    # records this line sometimes truncates the HEAD and keeps the TAIL
+    # (BENCH_r06/r07 lost early-alphabet medians that way). The medians
+    # ("queries") therefore go LAST, after the bulkier spread block, so
+    # a tail capture preserves them; scripts/bench_diff.py's _salvage
+    # understands both orders.
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_wall",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
-                "spread": spread,
-                "control": control,
                 "harness": {
                     "runs": runs,
                     "warmup": 1,
                     "gc_barrier": True,
                     "version": HARNESS_VERSION,
                 },
+                "control": control,
+                "spread": spread,
+                "queries": timings,
                 "sf": sf,
             }
         )

@@ -25,17 +25,29 @@ def _salvage(tail: str) -> tuple[dict[str, float], dict[str, dict[str, float]]]:
     """Recover per-query medians/spreads from a truncated driver capture.
 
     Driver artifacts sometimes ship `"parsed": null` because the tail
-    capture cut off the JSON head (BENCH_r06.json did). The bench line is
-    flat `"name": 1.234` pairs followed by a `"spread": {...}` object, so
-    a regex over whatever survived still yields usable rows. Queries whose
-    head was cut are reported as lost.
+    capture cut off the JSON head (BENCH_r06.json did). Two layouts:
+    harness <= v2 printed the flat `"name": 1.234` median pairs FIRST
+    (before "spread"), so a tail capture loses early-alphabet medians;
+    harness v3 prints "queries" LAST for exactly this reason. Handle
+    both: when a '"queries"' marker survived, the medians are the flat
+    pairs after it; otherwise they are the pairs before "spread".
+    Queries whose median was cut are reported as lost.
     """
-    spread_at = tail.find('"spread"')
-    head, rest = (tail, "") if spread_at < 0 else (tail[:spread_at], tail[spread_at:])
+    not_queries = (
+        "n", "rc", "cpus", "sf", "value", "min", "max", "runs",
+        "median", "rows", "warmup", "version",
+    )
+    q_at = tail.find('"queries"')
+    if q_at >= 0:
+        head = tail[q_at:]
+    else:
+        spread_at = tail.find('"spread"')
+        head = tail if spread_at < 0 else tail[:spread_at]
+    rest = tail
     queries = {
         m.group(1): float(m.group(2))
         for m in re.finditer(r'"([A-Za-z0-9_]+)":\s*(-?\d+(?:\.\d+)?)', head)
-        if m.group(1) not in ("n", "rc", "cpus", "sf", "value", "min", "max", "runs")
+        if m.group(1) not in not_queries
     }
     spread: dict[str, dict[str, float]] = {}
     for m in re.finditer(

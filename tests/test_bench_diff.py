@@ -104,3 +104,34 @@ def test_salvage_recovers_control_from_truncated_tail(tmp_path, capsys):
     bd.main(old, str(p))
     out = capsys.readouterr().out
     assert "host drift 1.50x" in out
+
+
+def test_salvage_v3_layout_queries_last(tmp_path, capsys):
+    """Harness v3 prints medians LAST so a tail capture keeps them: a
+    truncated v3 artifact that lost the head (metric/harness/control
+    partly cut, early spreads gone) must still yield every median that
+    survived after the '\"queries\"' marker."""
+    bd = _load_bench_diff()
+    # tail of a v3 line: control intact, spread partially cut, then
+    # queries + sf fully present
+    tail = (
+        '"control": {"median": 2.0, "min": 1.9, "max": 2.2, "runs": 5, '
+        '"rows": 1000000000}, "spread": {"zz": {"min": 0.9, "max": 1.2, '
+        '"runs": 5}}, "queries": {"aa": 1.5, "zz": 1.0}, "sf": 0.1}'
+    )
+    p = tmp_path / "v3trunc.json"
+    p.write_text(json.dumps({"parsed": None, "tail": tail}))
+    old = _artifact(
+        tmp_path, "old.json",
+        {"aa": 1.0, "zz": 1.0},
+        {"aa": {"min": 0.95, "max": 1.1, "runs": 5},
+         "zz": {"min": 0.95, "max": 1.1, "runs": 5}},
+        control={"median": 1.0, "min": 0.9, "max": 1.1, "runs": 5},
+    )
+    bd.main(old, str(p))
+    out = capsys.readouterr().out
+    assert "host drift 2.00x" in out
+    aa = next(line for line in out.splitlines() if line.startswith("aa "))
+    zz = next(line for line in out.splitlines() if line.startswith("zz "))
+    assert "1.500" in aa and "1.000" in zz  # both medians salvaged
+    assert "shared 2 queries" in out
