@@ -592,3 +592,63 @@ def test_ann_compaction_multiplicity_and_crash_recovery(spark, sf_dir, tmp_path)
     stats2 = compact_ann_index(spark, index_dir, keep_latest=1)
     assert stats2["folded_batches"] == [1]
     assert count() == true_count  # crash copies removed, nothing else
+
+
+def test_flow_streaming_ann_lifecycle(spark, sf_dir, tmp_path):
+    """The streamed-ANN lifecycle as a config DAG (r8: ann_ingest_batch /
+    ann_index_compact / ann_probe_ingested operators): two ingest
+    batches, compaction, then a partition-pruned probe — results must
+    equal the direct-API probe over the same uncompacted data."""
+    from pyspark.sql import functions as F
+
+    from tuktu_spark.flow import run_flow
+    from tuktu_spark.streaming.llm import (
+        ann_probe_ingested,
+        make_ann_ingest_batch_processor,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    centroids = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id") < 4).orderBy("vec_id").collect()
+    ]
+    # flow ingests the SAME (full) table twice as batches 0 and 1 on purpose:
+    # compaction must preserve the doubled multiplicity (src_batch)
+    import os
+
+    flow_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "flows", "examples", "streaming_ann_lifecycle.json",
+    )
+    out = run_flow(
+        spark, flow_path,
+        params={
+            "dir": sf_dir,
+            "index_dir": str(tmp_path / "flowidx"),
+            "centroids": centroids,
+        },
+    )
+    got = sorted(
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in out["probe"].collect()
+    )
+    # reference: direct API over an identically-built index
+    ref_dir = str(tmp_path / "refidx")
+    proc = make_ann_ingest_batch_processor(spark, ref_dir, centroids)
+    proc(emb, 0)
+    proc(emb, 1)
+    want = sorted(
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in ann_probe_ingested(
+            spark, ref_dir, emb.filter(F.col("vec_id") < 3), centroids,
+            k=4, n_probe=2,
+        ).collect()
+    )
+    assert got == want and got
+    # the flow's index really is compacted: batches folded to [-1, 1]
+    batches = sorted(
+        r["batch_id"]
+        for r in spark.read.parquet(str(tmp_path / "flowidx"))
+        .select("batch_id").distinct().collect()
+    )
+    assert batches == [-1, 1]

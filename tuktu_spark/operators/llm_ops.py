@@ -521,6 +521,75 @@ def ann_topk_from_index(config: dict):
     return transform
 
 
+@operator("ann_ingest_batch")
+def ann_ingest_batch(config: dict):
+    """One micro-batch of STREAMING ANN-index ingestion, flow-reachable:
+    the piped DataFrame's vectors are assigned to the frozen coarse
+    centroids and land in the (batch_id, list_id)-partitioned index
+    (idempotent dynamic overwrite — streaming/llm.
+    make_ann_ingest_batch_processor). Passthrough: returns the input so
+    a flow can chain. config: {index_dir, centroids: [[...]], batch_id,
+    id_field, vec_field}."""
+    from ..streaming.llm import make_ann_ingest_batch_processor
+
+    def transform(df: DataFrame) -> DataFrame:
+        proc = make_ann_ingest_batch_processor(
+            df.sparkSession,
+            config["index_dir"],
+            [[float(x) for x in c] for c in config["centroids"]],
+            config.get("id_field", "vec_id"),
+            config.get("vec_field", "embedding"),
+        )
+        proc(df, int(config.get("batch_id", 0)))
+        return df
+
+    return transform
+
+
+@operator("ann_probe_ingested")
+def ann_probe_ingested_op(config: dict):
+    """Probe a streaming-ingested ANN index (partition-pruned list scan,
+    streaming/llm.ann_probe_ingested): the piped DataFrame is the QUERY
+    set. config: {index_dir, centroids, k, n_probe, id_field,
+    vec_field}."""
+    from ..streaming.llm import ann_probe_ingested as _probe
+
+    def transform(queries: DataFrame) -> DataFrame:
+        return _probe(
+            queries.sparkSession,
+            config["index_dir"],
+            queries,
+            [[float(x) for x in c] for c in config["centroids"]],
+            int(config.get("k", 5)),
+            int(config.get("n_probe", 4)),
+            config.get("id_field", "vec_id"),
+            config.get("vec_field", "embedding"),
+        )
+
+    return transform
+
+
+@operator("ann_index_compact")
+def ann_index_compact(config: dict):
+    """Fold committed batch partitions of a streaming-ingested ANN index
+    into the compacted partition (streaming/llm.compact_ann_index — the
+    small-files maintenance stage for long-running ingestion flows).
+    Passthrough: the piped DataFrame flows on unchanged. config:
+    {index_dir, keep_latest, compact_label}."""
+    from ..streaming.llm import compact_ann_index
+
+    def transform(df: DataFrame) -> DataFrame:
+        compact_ann_index(
+            df.sparkSession,
+            config["index_dir"],
+            int(config.get("keep_latest", 1)),
+            int(config.get("compact_label", -1)),
+        )
+        return df
+
+    return transform
+
+
 def _with_tokens(df: DataFrame, config: dict) -> tuple[DataFrame, str, bool]:
     """tokens_field passthrough (default: an existing `tokens` column),
     or derive a temp token array by whitespace-splitting text_field
