@@ -567,7 +567,8 @@ FROM p GROUP BY dist
 
 
 @query(
-    "dedup_edit_distance_skew", oracle=_EDIT_DIST_SKEW_ORACLE, tags=("llm", "dedup")
+    "dedup_edit_distance_skew", oracle=_EDIT_DIST_SKEW_ORACLE,
+    tags=("llm", "dedup"), bench=True,
 )
 def dedup_edit_distance_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hot-gram skew corpus through the prefix-filtered path: the shared
