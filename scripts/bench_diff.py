@@ -71,31 +71,50 @@ def _salvage(tail: str) -> tuple[dict[str, float], dict[str, dict[str, float]]]:
 
 def load(
     path: str,
-) -> tuple[dict[str, float], dict[str, dict[str, float]], float | None]:
+) -> tuple[
+    dict[str, float], dict[str, dict[str, float]], float | None, int | None
+]:
     with open(path, encoding="utf-8") as f:
         raw = json.load(f)
     parsed = raw.get("parsed", raw)  # driver artifacts nest under "parsed"
     if not isinstance(parsed, dict):  # truncated capture: parsed == null
         q, s = _salvage(str(raw.get("tail", "")))
-        ctrl = _salvage_control(str(raw.get("tail", "")))
-        return q, s, ctrl
+        ctrl, rows = _salvage_control(str(raw.get("tail", "")))
+        return q, s, ctrl, rows
     control = parsed.get("control") or {}
-    return parsed.get("queries", {}), parsed.get("spread", {}), control.get("median")
+    return (
+        parsed.get("queries", {}),
+        parsed.get("spread", {}),
+        control.get("median"),
+        control.get("rows"),
+    )
 
 
-def _salvage_control(tail: str) -> float | None:
+def _salvage_control(tail: str) -> tuple[float | None, int | None]:
     m = re.search(r'"control":\s*\{\s*"median":\s*(-?\d+(?:\.\d+)?)', tail)
-    return float(m.group(1)) if m else None
+    rows = re.search(r'"rows":\s*(\d+)', tail)
+    return (
+        float(m.group(1)) if m else None,
+        int(rows.group(1)) if rows else None,
+    )
 
 
 def main(old_path: str, new_path: str) -> int:
-    old_q, old_s, old_ctrl = load(old_path)
-    new_q, new_s, new_ctrl = load(new_path)
+    old_q, old_s, old_ctrl, old_rows = load(old_path)
+    new_q, new_s, new_ctrl, new_rows = load(new_path)
     # Host-drift normalization (r8, harness v3): both artifacts carry a
     # constant pure-Spark control query; its ratio is the host-speed drift
     # between the two captures. Per-query norm ratio = raw ratio / drift.
+    # Only valid when both controls did the SAME work: a control resized
+    # between harness versions would masquerade as host drift.
     drift = (new_ctrl / old_ctrl) if (old_ctrl and new_ctrl) else None
-    if drift is not None:
+    if drift is not None and old_rows != new_rows:
+        print(
+            f"# control work differs ({old_rows} vs {new_rows} rows) — "
+            "ratio is not host drift; raw ratios only"
+        )
+        drift = None
+    elif drift is not None:
         print(
             f"# control: old {old_ctrl:.3f}s -> new {new_ctrl:.3f}s "
             f"(host drift {drift:.2f}x); 'norm' column divides out the drift"

@@ -36,12 +36,12 @@ def test_drift_normalization_declassifies_host_slowdown(tmp_path, capsys):
     old = _artifact(
         tmp_path, "old.json",
         {"q": 1.0}, {"q": {"min": 0.95, "max": 1.1, "runs": 5}},
-        control={"median": 1.0, "min": 0.9, "max": 1.1, "runs": 5},
+        control={"median": 1.0, "min": 0.9, "max": 1.1, "runs": 5, "rows": 300000000},
     )
     new = _artifact(
         tmp_path, "new.json",
         {"q": 1.5}, {"q": {"min": 1.4, "max": 1.6, "runs": 5}},
-        control={"median": 1.5, "min": 1.4, "max": 1.6, "runs": 5},
+        control={"median": 1.5, "min": 1.4, "max": 1.6, "runs": 5, "rows": 300000000},
     )
     assert bd.main(old, new) == 0
     out = capsys.readouterr().out
@@ -57,12 +57,12 @@ def test_real_regression_still_flagged_under_stable_control(tmp_path, capsys):
     old = _artifact(
         tmp_path, "old.json",
         {"q": 1.0}, {"q": {"min": 0.95, "max": 1.1, "runs": 5}},
-        control={"median": 1.0, "min": 0.9, "max": 1.1, "runs": 5},
+        control={"median": 1.0, "min": 0.9, "max": 1.1, "runs": 5, "rows": 300000000},
     )
     new = _artifact(
         tmp_path, "new.json",
         {"q": 2.0}, {"q": {"min": 1.9, "max": 2.2, "runs": 5}},
-        control={"median": 1.0, "min": 0.9, "max": 1.1, "runs": 5},
+        control={"median": 1.0, "min": 0.9, "max": 1.1, "runs": 5, "rows": 300000000},
     )
     bd.main(old, new)
     out = capsys.readouterr().out
@@ -99,7 +99,7 @@ def test_salvage_recovers_control_from_truncated_tail(tmp_path, capsys):
     old = _artifact(
         tmp_path, "old.json",
         {"q": 1.0}, {"q": {"min": 0.95, "max": 1.1, "runs": 5}},
-        control={"median": 1.0, "min": 0.9, "max": 1.1, "runs": 5},
+        control={"median": 1.0, "min": 0.9, "max": 1.1, "runs": 5, "rows": 300000000},
     )
     bd.main(old, str(p))
     out = capsys.readouterr().out
@@ -126,7 +126,7 @@ def test_salvage_v3_layout_queries_last(tmp_path, capsys):
         {"aa": 1.0, "zz": 1.0},
         {"aa": {"min": 0.95, "max": 1.1, "runs": 5},
          "zz": {"min": 0.95, "max": 1.1, "runs": 5}},
-        control={"median": 1.0, "min": 0.9, "max": 1.1, "runs": 5},
+        control={"median": 1.0, "min": 0.9, "max": 1.1, "runs": 5, "rows": 1000000000},
     )
     bd.main(old, str(p))
     out = capsys.readouterr().out
@@ -135,3 +135,27 @@ def test_salvage_v3_layout_queries_last(tmp_path, capsys):
     zz = next(line for line in out.splitlines() if line.startswith("zz "))
     assert "1.500" in aa and "1.000" in zz  # both medians salvaged
     assert "shared 2 queries" in out
+
+
+def test_resized_control_is_not_treated_as_drift(tmp_path, capsys):
+    """A control that did DIFFERENT work in the two artifacts (rows
+    changed between harness revisions) must not masquerade as host
+    drift: normalization is skipped and raw ratios rule."""
+    bd = _load_bench_diff()
+    old = _artifact(
+        tmp_path, "old.json",
+        {"q": 1.0}, {"q": {"min": 0.95, "max": 1.1, "runs": 5}},
+        control={"median": 0.3, "min": 0.28, "max": 0.33, "runs": 5,
+                 "rows": 300000000},
+    )
+    new = _artifact(
+        tmp_path, "new.json",
+        {"q": 1.0}, {"q": {"min": 0.95, "max": 1.1, "runs": 5}},
+        control={"median": 0.9, "min": 0.85, "max": 1.0, "runs": 5,
+                 "rows": 1000000000},
+    )
+    bd.main(old, new)
+    out = capsys.readouterr().out
+    assert "control work differs" in out
+    assert "(host drift" not in out  # the normalization factor line
+    assert "norm" not in out.splitlines()[1]  # no norm column header
