@@ -142,10 +142,11 @@ def main() -> None:
     total = round(sum(timings.values()), 4)
     # Key order matters for driver-capture salvage: the harness that
     # records this line sometimes truncates the HEAD and keeps the TAIL
-    # (BENCH_r06/r07 lost early-alphabet medians that way). The medians
-    # ("queries") therefore go LAST, after the bulkier spread block, so
-    # a tail capture preserves them; scripts/bench_diff.py's _salvage
-    # understands both orders.
+    # (BENCH_r06/r07 lost early-alphabet medians that way). The bulky
+    # spread block therefore goes FIRST among the data blocks, and the
+    # tiny control (~80 bytes) and the medians ("queries") go LAST, so a
+    # tail capture preserves both the drift reference and every median;
+    # scripts/bench_diff.py's _salvage understands both orders.
     print(
         json.dumps(
             {
@@ -158,8 +159,8 @@ def main() -> None:
                     "gc_barrier": True,
                     "version": HARNESS_VERSION,
                 },
-                "control": control,
                 "spread": spread,
+                "control": control,
                 "queries": timings,
                 "sf": sf,
             }

@@ -43,7 +43,6 @@ def _salvage(tail: str) -> tuple[dict[str, float], dict[str, dict[str, float]]]:
     else:
         spread_at = tail.find('"spread"')
         head = tail if spread_at < 0 else tail[:spread_at]
-    rest = tail
     queries = {
         m.group(1): float(m.group(2))
         for m in re.finditer(r'"([A-Za-z0-9_]+)":\s*(-?\d+(?:\.\d+)?)', head)
@@ -52,7 +51,7 @@ def _salvage(tail: str) -> tuple[dict[str, float], dict[str, dict[str, float]]]:
     spread: dict[str, dict[str, float]] = {}
     for m in re.finditer(
         r'"([A-Za-z0-9_]+)":\s*\{\s*"min":\s*(-?\d+(?:\.\d+)?),\s*'
-        r'"max":\s*(-?\d+(?:\.\d+)?),\s*"runs":\s*(\d+)', rest
+        r'"max":\s*(-?\d+(?:\.\d+)?),\s*"runs":\s*(\d+)', tail
     ):
         spread[m.group(1)] = {
             "min": float(m.group(2)),
@@ -138,8 +137,10 @@ def main(old_path: str, new_path: str) -> int:
             # A truncated artifact can lose the median but keep the spread:
             # still run the spread-rule check against the other side's median.
             if nm is None and om is not None and nmin is not None:
-                verdict = "REGRESSED*" if nmin > om else (
-                    "IMPROVED*" if nmax is not None and nmax < om else "~noise*"
+                # same drift-adjusted rule as the full-data branch below
+                om_t = om * drift if drift is not None else om
+                verdict = "REGRESSED*" if nmin > om_t else (
+                    "IMPROVED*" if nmax is not None and nmax < om_t else "~noise*"
                 )
                 n_reg += verdict == "REGRESSED*"
                 tag = f"{verdict} (new median truncated)"

@@ -16,6 +16,27 @@ from tuktu_spark.operators.registry import make_source
 DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
 
 
+import contextlib
+
+
+@contextlib.contextmanager
+def serve_http(handler_cls):
+    """Shared localhost HTTP scaffolding for every live test here: a
+    ThreadingHTTPServer on an ephemeral port, torn down on exit."""
+    import http.server
+    import threading
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), handler_cls)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        yield f"http://127.0.0.1:{srv.server_address[1]}"
+    finally:
+        srv.shutdown()
+        t.join(timeout=2)
+
+
+
 @pytest.fixture()
 def derby_url(tmp_path):
     return f"jdbc:derby:{tmp_path}/db;create=true"
@@ -97,7 +118,6 @@ class TestRestLive:
     def http_server(self):
         import http.server
         import json
-        import threading
 
         seen = {}
 
@@ -128,13 +148,8 @@ class TestRestLive:
             def log_message(self, *a):
                 pass
 
-        srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
-        t = threading.Thread(target=srv.serve_forever, daemon=True)
-        t.start()
-        try:
-            yield f"http://127.0.0.1:{srv.server_address[1]}", seen
-        finally:
-            srv.shutdown()
+        with serve_http(Handler) as base:
+            yield base, seen
 
     def test_get_list_becomes_rows(self, spark, http_server):
         import json
@@ -263,7 +278,6 @@ def test_flow_rest_to_jdbc_live(spark, tmp_path):
     import http.server
     import json
     import os
-    import threading
 
     from tuktu_spark.flow import run_flow
 
@@ -281,9 +295,7 @@ def test_flow_rest_to_jdbc_live(spark, tmp_path):
         def log_message(self, *a):
             pass
 
-    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
-    threading.Thread(target=srv.serve_forever, daemon=True).start()
-    try:
+    with serve_http(Handler) as base:
         flow_path = os.path.join(
             os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
             "flows", "examples", "rest_to_jdbc.json",
@@ -292,7 +304,7 @@ def test_flow_rest_to_jdbc_live(spark, tmp_path):
         run_flow(
             spark, flow_path,
             params={
-                "url": f"http://127.0.0.1:{srv.server_address[1]}/people",
+                "url": f"{base}/people",
                 "jdbc_url": jdbc_url,
                 "table": "people",
             },
@@ -304,5 +316,3 @@ def test_flow_rest_to_jdbc_live(spark, tmp_path):
         )
         got = sorted((r["id"], r["name"]) for r in back.collect())
         assert got == [("1", "ada"), ("2", "grace"), ("3", "unknown")]
-    finally:
-        srv.shutdown()

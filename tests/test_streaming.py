@@ -652,3 +652,44 @@ def test_flow_streaming_ann_lifecycle(spark, sf_dir, tmp_path):
         .select("batch_id").distinct().collect()
     )
     assert batches == [-1, 1]
+
+
+def test_ann_probe_built_before_compaction_survives(spark, sf_dir, tmp_path):
+    """r8 review: a probe DataFrame compiled BEFORE compaction holds an
+    eager file listing of the old batch layout; compact_ann_index must
+    refresh the path so that plan re-lists at its next action instead of
+    dying on the deleted directories — and, rows being preserved, the
+    late collect matches the pre-compaction result."""
+    from pyspark.sql import functions as F
+
+    from tuktu_spark.streaming.llm import (
+        ann_probe_ingested,
+        compact_ann_index,
+        make_ann_ingest_batch_processor,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        F.col("vec_id") < 40
+    )
+    centroids = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id") < 4).orderBy("vec_id").collect()
+    ]
+    index_dir = str(tmp_path / "idx")
+    proc = make_ann_ingest_batch_processor(spark, index_dir, centroids)
+    for b in range(3):
+        proc(emb.filter((F.col("vec_id") % 3) == b), b)
+    queries = emb.filter(F.col("vec_id") < 3)
+    probe_df = ann_probe_ingested(
+        spark, index_dir, queries, centroids, k=4, n_probe=2
+    )
+    before = sorted(
+        (r["query_id"], r["neighbor_id"], r["rank"]) for r in probe_df.collect()
+    )
+    stats = compact_ann_index(spark, index_dir, keep_latest=1)
+    assert stats["folded_batches"] == [0, 1]
+    # the SAME pre-built plan, collected after the fold deleted its files
+    after = sorted(
+        (r["query_id"], r["neighbor_id"], r["rank"]) for r in probe_df.collect()
+    )
+    assert after == before

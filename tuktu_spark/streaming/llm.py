@@ -883,4 +883,10 @@ def compact_ann_index(
     for b in fold:
         p = jvm.org.apache.hadoop.fs.Path(f"{index_dir}/batch_id={b}")
         p.getFileSystem(hconf).delete(p, True)
+    # Invalidate cached file listings for the directory: a probe
+    # DataFrame built BEFORE this compaction holds an eager file index
+    # of the old layout and would hit FileNotFoundException at its next
+    # action; after the refresh it re-lists and sees the (row-identical)
+    # compacted layout instead.
+    spark.catalog.refreshByPath(index_dir)
     return {"folded_batches": fold, "kept_batches": real[len(fold):]}
