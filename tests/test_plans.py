@@ -494,3 +494,23 @@ def test_query_builds_release_prior_positional_persists(spark, sf_dir, registry)
     assert len(J._POSITIONAL_PERSISTED) <= n_after_first
     J.release_positional_persisted()
     assert not J._POSITIONAL_PERSISTED
+
+
+def test_plan_audit_covers_live_bench_set(registry):
+    """r8 verdict #2: PLAN_AUDIT.md (the ruling plan-quality document) must
+    cover EXACTLY the live bench-tagged query set — a bench query added
+    without regenerating the audit fails CI instead of going stale."""
+    import pathlib
+    import re
+
+    from tuktu_spark.queries import load_all
+
+    bench = {n for n, qd in load_all().items() if qd.bench}
+    doc = pathlib.Path(__file__).resolve().parents[1] / "PLAN_AUDIT.md"
+    rows = {
+        m.group(1) for m in re.finditer(r"^\| (\w+) \|", doc.read_text(), re.M)
+    } - {"query"}
+    assert rows == bench, (
+        f"PLAN_AUDIT.md stale: missing {sorted(bench - rows)}, "
+        f"extra {sorted(rows - bench)} — rerun scripts/plan_audit.py"
+    )

@@ -693,3 +693,188 @@ def test_ann_probe_built_before_compaction_survives(spark, sf_dir, tmp_path):
         (r["query_id"], r["neighbor_id"], r["rank"]) for r in probe_df.collect()
     )
     assert after == before
+
+
+def _parquet_files(d):
+    import os
+
+    return sum(
+        1 for _r, _dd, fs in os.walk(d) for f in fs if f.endswith(".parquet")
+    )
+
+
+def test_generic_compaction_exact_dedup_store(spark, sf_dir, tmp_path):
+    """r9 (verdict #3): compact_batch_store generalizes the ANN fold to
+    the batch_id-only stores. For the exact-dedup store + output:
+    (a) content is preserved verbatim, (b) parquet file count drops,
+    (c) ingestion CONTINUES correctly against the compacted hash store
+    (a post-compaction duplicate is still rejected), (d) a crash between
+    the compacted write and the folded-directory delete converges on
+    re-run (src_batch stamped at fold time from the partition label)."""
+    from pyspark.sql import functions as F
+
+    from tuktu_spark.streaming.llm import (
+        compact_batch_store,
+        make_exact_dedup_batch_processor,
+    )
+    from tuktu_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    store, out = str(tmp_path / "store"), str(tmp_path / "out")
+    hash_store = str(tmp_path / "store" / "content_md5")
+    proc = make_exact_dedup_batch_processor(spark, store, out)
+    for b in range(3):
+        proc(docs.filter((F.col("doc_id") % 3) == b), b)
+
+    def kept_ids():
+        return {
+            r["doc_id"] for r in spark.read.parquet(out).collect()
+        }
+
+    def stored_hashes():
+        return {
+            r["content_md5"]
+            for r in spark.read.option("mergeSchema", "true")
+            .parquet(hash_store)
+            .collect()
+        }
+
+    ids0, hashes0 = kept_ids(), stored_hashes()
+    files_before = _parquet_files(out) + _parquet_files(hash_store)
+    s1 = compact_batch_store(spark, out, keep_latest=1, target_files=1)
+    s2 = compact_batch_store(spark, hash_store, keep_latest=1, target_files=1)
+    assert s1["folded_batches"] == [0, 1] and s2["folded_batches"] == [0, 1]
+    # (a) store equality
+    assert kept_ids() == ids0 and stored_hashes() == hashes0
+    # (b) file-count reduction
+    assert _parquet_files(out) + _parquet_files(hash_store) < files_before
+    # (c) continued ingestion: clones of already-kept docs are rejected
+    clones = docs.limit(10).select(
+        (F.col("doc_id") + 500000).alias("doc_id"), "text"
+    )
+    proc(clones, 7)
+    assert kept_ids() == ids0
+    # ... and genuinely new content still enters
+    novel = spark.createDataFrame(
+        [(900001, "r9 novel content that exists nowhere else")],
+        "doc_id long, text string",
+    )
+    proc(novel, 8)
+    assert kept_ids() == ids0 | {900001}
+
+    # (d) crash simulation: the folded batch-0 directory "reappears"
+    # (compacted write survived, delete crashed) — rows duplicated vs the
+    # compacted partition with the SAME fold-time src_batch provenance
+    compacted = (
+        spark.read.option("mergeSchema", "true")
+        .parquet(hash_store)
+        .filter((F.col("batch_id") == -1) & (F.col("src_batch") == 0))
+    )
+    n_total = spark.read.parquet(hash_store).count()
+    n_dup = compacted.count()
+    assert n_dup > 0
+    (
+        compacted.withColumn("batch_id", F.lit(0))
+        .write.mode("overwrite")
+        .options(partitionOverwriteMode="dynamic")
+        .partitionBy("batch_id")
+        .parquet(hash_store)
+    )
+    assert spark.read.parquet(hash_store).count() == n_total + n_dup
+    compact_batch_store(spark, hash_store, keep_latest=1, target_files=1)
+    assert spark.read.parquet(hash_store).count() == n_total
+    import hashlib
+
+    novel_md5 = hashlib.md5(
+        b"r9 novel content that exists nowhere else"
+    ).hexdigest()
+    assert stored_hashes() == hashes0 | {novel_md5}
+
+
+def test_generic_compaction_minhash_store(spark, sf_dir, tmp_path):
+    """r9 (verdict #3): compacting the MinHash signature store + pairs
+    output preserves the candidate pair set exactly, and a later batch
+    still band-joins against the COMPACTED signatures (cross-batch pairs
+    keep being discovered after the fold)."""
+    from pyspark.sql import functions as F
+
+    from tuktu_spark.streaming.llm import (
+        compact_batch_store,
+        make_minhash_batch_processor,
+    )
+    from tuktu_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    store, pairs = str(tmp_path / "store"), str(tmp_path / "pairs")
+    sig_store = str(tmp_path / "store" / "signatures")
+    proc = make_minhash_batch_processor(spark, store, pairs)
+    for b in range(3):
+        proc(docs.filter((F.col("doc_id") % 3) == b), b)
+
+    def pair_set():
+        return {
+            (r["id_a"], r["id_b"])
+            for r in spark.read.option("mergeSchema", "true")
+            .parquet(pairs)
+            .collect()
+        }
+
+    pairs0 = pair_set()
+    assert pairs0  # the corpus has near-dups by construction (TESTDATA)
+    files_before = _parquet_files(sig_store)
+    compact_batch_store(spark, sig_store, keep_latest=1, target_files=1)
+    compact_batch_store(spark, pairs, keep_latest=1, target_files=1)
+    assert pair_set() == pairs0
+    assert _parquet_files(sig_store) < files_before
+    # a post-compaction batch carrying an exact clone of an early doc must
+    # pair with it via the COMPACTED store
+    first = docs.orderBy("doc_id").limit(1).collect()[0]
+    clone = spark.createDataFrame(
+        [(int(first["doc_id"]) + 700000, first["text"])],
+        "doc_id long, text string",
+    )
+    proc(clone, 9)
+    new_pairs = pair_set() - pairs0
+    assert (first["doc_id"], first["doc_id"] + 700000) in new_pairs
+
+
+def test_generic_compaction_dsir_score_store(spark, sf_dir, tmp_path):
+    """r9 (verdict #3): the stateless score stores compact with the same
+    helper — DSIR weights are preserved row-for-row (weights are exact
+    BIGINT sums, so set equality is exact)."""
+    from pyspark.sql import functions as F
+
+    from tuktu_spark.llm.dsir import hashed_ngram_features, train_dsir_llr
+    from tuktu_spark.streaming.llm import (
+        compact_batch_store,
+        make_dsir_weight_batch_processor,
+    )
+    from tuktu_spark.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.split("text", " ").alias("tokens")
+    )
+    tf = hashed_ngram_features(d.filter(F.col("lang") == "en"), buckets=256)
+    rf = hashed_ngram_features(d, buckets=256)
+    llr = train_dsir_llr(tf, rf, buckets=256)
+    out = str(tmp_path / "scores")
+    proc = make_dsir_weight_batch_processor(
+        spark, llr, out, buckets=256
+    )
+    for b in range(3):
+        proc(d.filter((F.col("doc_id") % 3) == b), b)
+
+    def weights():
+        return {
+            (r["doc_id"], r["logw_q"])
+            for r in spark.read.option("mergeSchema", "true")
+            .parquet(out)
+            .select("doc_id", "logw_q")
+            .collect()
+        }
+
+    w0 = weights()
+    files_before = _parquet_files(out)
+    stats = compact_batch_store(spark, out, keep_latest=1, target_files=1)
+    assert stats["folded_batches"] == [0, 1]
+    assert weights() == w0 and _parquet_files(out) < files_before

@@ -143,3 +143,45 @@ def test_e_step_rejects_unknown_mode(spark):
     df = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
     with pytest.raises(ValueError, match="e_step"):
         train_unigram(df, e_step="cluster")
+
+
+def test_auto_e_step_dispatches_on_word_table_size(spark, monkeypatch):
+    """r9 (verdict #8): e_step='auto' (the new default) dispatches on the
+    measured distinct-word count — driver EM at or below
+    auto_driver_max_words, distributed above — and yields the identical
+    model on BOTH sides of the threshold (the dispatch is a pure
+    performance knob)."""
+    from tuktu_spark.llm import unigram as U
+
+    rows = [
+        (i, ("banana bandana ana " * (1 + i % 3)) + f"w{i % 17} quux")
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(5)
+    kw = dict(vocab_size=12, seed_size=100, em_rounds=2, max_piece_len=6)
+
+    calls = {"driver": 0, "distributed": 0}
+    real_driver, real_dist = U._em_counts_driver, U._em_counts_distributed
+
+    def spy_driver(*a, **k):
+        calls["driver"] += 1
+        return real_driver(*a, **k)
+
+    def spy_dist(*a, **k):
+        calls["distributed"] += 1
+        return real_dist(*a, **k)
+
+    monkeypatch.setattr(U, "_em_counts_driver", spy_driver)
+    monkeypatch.setattr(U, "_em_counts_distributed", spy_dist)
+
+    # word table is small — a huge threshold routes to the driver walk
+    m_small = U.train_unigram(df, e_step="auto", auto_driver_max_words=10**9, **kw)
+    assert calls == {"driver": kw["em_rounds"], "distributed": 0}
+
+    # threshold 0 forces the distributed E-step on the same corpus
+    calls.update(driver=0, distributed=0)
+    m_big = U.train_unigram(df, e_step="auto", auto_driver_max_words=0, **kw)
+    assert calls == {"driver": 0, "distributed": kw["em_rounds"]}
+
+    # both sides of the threshold: bit-identical model
+    assert m_small.to_json() == m_big.to_json()

@@ -216,7 +216,8 @@ def train_unigram(
     lowercase: bool = True,
     min_freq: int = 1,
     max_vocab: int | None = 5_000_000,
-    e_step: str = "driver",
+    e_step: str = "auto",
+    auto_driver_max_words: int = 2_000_000,
 ) -> UnigramModel:
     """Train: distributed word frequencies + seed vocab, then EM rounds
     with bottom-``prune_frac`` pruning per round until at most
@@ -224,68 +225,86 @@ def train_unigram(
     pruned. The seed collect is bounded by seed_size + alphabet.
 
     ``e_step`` selects where Viterbi counting runs (r7 verdict #6):
-    'driver' (default) collects the ``min_freq``/``max_vocab``-bounded
-    word table once and walks it in Python per round — the same bounded
-    contract as train_bpe (a trillion-token crawl has ~10^7 distinct
-    normalized words); 'distributed' keeps the word table on the
-    cluster (persisted across rounds) and runs each E-step as a
-    partition-parallel Viterbi count + piece-keyed reduce, so vocab
-    learning scales past driver memory — and, counts being exact
-    integers, produces the BIT-IDENTICAL model (pinned in tests)."""
-    if e_step not in ("driver", "distributed"):
-        raise ValueError(f"e_step={e_step!r}: expected 'driver' or 'distributed'")
+    'driver' collects the ``min_freq``/``max_vocab``-bounded word table
+    once and walks it in Python per round — the same bounded contract as
+    train_bpe (a trillion-token crawl has ~10^7 distinct normalized
+    words); 'distributed' keeps the word table on the cluster (persisted
+    across rounds) and runs each E-step as a partition-parallel Viterbi
+    count + piece-keyed reduce, so vocab learning scales past driver
+    memory — and, counts being exact integers, produces the
+    BIT-IDENTICAL model (pinned in tests). 'auto' (default, r8 verdict
+    #8) dispatches on the measured word-table size: at most
+    ``auto_driver_max_words`` distinct words → driver (one bounded
+    collect beats em_rounds distributed jobs), above → distributed —
+    the same size-dispatch pattern as the positional kernels
+    (operators/joins.py). Either branch yields the identical model, so
+    the threshold is a pure performance knob."""
+    if e_step not in ("auto", "driver", "distributed"):
+        raise ValueError(
+            f"e_step={e_step!r}: expected 'auto', 'driver' or 'distributed'"
+        )
     wf = word_frequencies(
         df, text_col, lowercase=lowercase, min_freq=min_freq,
         max_vocab=max_vocab,
     )
-    if e_step == "distributed":
-        wf = wf.persist()  # scanned once per EM round
-    seed = seed_vocabulary(wf, max_piece_len, seed_size)
-    rows = seed.collect()  # seed_size + alphabet — bounded by construction
-    total = sum(r["total"] for r in rows) or 1
-    logp = {r["piece"]: math.log(r["total"] / total) for r in rows}
+    # Persisted in every mode: driver scans wf twice (seed + collect),
+    # auto three times (count + seed + collect), distributed once per EM
+    # round. try/finally so an exception in any EM round cannot leak the
+    # persisted table for the session lifetime (r8 ADVICE).
+    wf = wf.persist()
+    try:
+        if e_step == "auto":
+            e_step = (
+                "driver"
+                if wf.count() <= auto_driver_max_words
+                else "distributed"
+            )
+        seed = seed_vocabulary(wf, max_piece_len, seed_size)
+        rows = seed.collect()  # seed_size + alphabet — bounded by construction
+        total = sum(r["total"] for r in rows) or 1
+        logp = {r["piece"]: math.log(r["total"] / total) for r in rows}
 
-    words = (
-        [(r["word"], int(r["freq"])) for r in wf.collect()]
-        if e_step == "driver"
-        else None
-    )
-    # bounded by min_freq/max_vocab (enforced inside the aggregation job)
-    rounds = 0
-    while True:
-        rounds += 1
-        counts = (
-            _em_counts_driver(words, logp, max_piece_len)
-            if words is not None
-            else _em_counts_distributed(wf, logp, max_piece_len)
+        words = (
+            [(r["word"], int(r["freq"])) for r in wf.collect()]
+            if e_step == "driver"
+            else None
         )
-        tot = sum(counts.values()) or 1.0
-        # re-estimate; unseen pieces die unless single-char
-        new_logp: dict[str, float] = {}
-        for piece in logp:
-            c = counts.get(piece, 0.0)
-            if c > 0:
-                new_logp[piece] = math.log(c / tot)
-            elif len(piece) == 1:
-                new_logp[piece] = math.log(0.5 / tot)
-        logp = new_logp
-        multi = sorted(
-            ((p, lp) for p, lp in logp.items() if len(p) > 1),
-            key=lambda t: (t[1], t[0]),
-        )
-        n_multi = len(multi)
-        if rounds >= em_rounds:
-            # final trim straight to the target, then one more E/M pass
-            # would not change counts materially — stop here
-            for p, _ in multi[: max(n_multi - vocab_size, 0)]:
+        # bounded by min_freq/max_vocab (enforced inside the aggregation job)
+        rounds = 0
+        while True:
+            rounds += 1
+            counts = (
+                _em_counts_driver(words, logp, max_piece_len)
+                if words is not None
+                else _em_counts_distributed(wf, logp, max_piece_len)
+            )
+            tot = sum(counts.values()) or 1.0
+            # re-estimate; unseen pieces die unless single-char
+            new_logp: dict[str, float] = {}
+            for piece in logp:
+                c = counts.get(piece, 0.0)
+                if c > 0:
+                    new_logp[piece] = math.log(c / tot)
+                elif len(piece) == 1:
+                    new_logp[piece] = math.log(0.5 / tot)
+            logp = new_logp
+            multi = sorted(
+                ((p, lp) for p, lp in logp.items() if len(p) > 1),
+                key=lambda t: (t[1], t[0]),
+            )
+            n_multi = len(multi)
+            if rounds >= em_rounds:
+                # final trim straight to the target, then one more E/M pass
+                # would not change counts materially — stop here
+                for p, _ in multi[: max(n_multi - vocab_size, 0)]:
+                    del logp[p]
+                break
+            # interior rounds: prune the bottom fraction (the paper's shrink
+            # schedule), never below the target
+            n_drop = min(int(n_multi * prune_frac), max(n_multi - vocab_size, 0))
+            for p, _ in multi[:n_drop]:
                 del logp[p]
-            break
-        # interior rounds: prune the bottom fraction (the paper's shrink
-        # schedule), never below the target
-        n_drop = min(int(n_multi * prune_frac), max(n_multi - vocab_size, 0))
-        for p, _ in multi[:n_drop]:
-            del logp[p]
-    if e_step == "distributed":
+    finally:
         wf.unpersist()
     return UnigramModel(
         logp=logp, max_piece_len=int(max_piece_len), lowercase=bool(lowercase)

@@ -282,10 +282,20 @@ def kinesis_sink(config: dict):
                     ]
                     if attempt < max_retries:
                         _time.sleep(min(0.1 * 2**attempt, 2.0))
+                # index 0 of the final response may be a record that
+                # SUCCEEDED on the last attempt — report the first entry
+                # that actually carries an ErrorCode
+                first_err = next(
+                    (
+                        s.get("ErrorCode")
+                        for s in resp.get("Records", [])
+                        if s.get("ErrorCode")
+                    ),
+                    None,
+                )
                 raise RuntimeError(
                     f"kinesis_sink: {len(pending)} records still failing "
-                    f"after {max_retries} retries (first error: "
-                    f"{resp['Records'][0].get('ErrorCode')})"
+                    f"after {max_retries} retries (first error: {first_err})"
                 )
 
             batch: list[dict] = []

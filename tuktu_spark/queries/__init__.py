@@ -228,6 +228,32 @@ _VERIFIED_ROUND = {
         ),
         7,
     ),
+    **dict.fromkeys(
+        (
+            "cube_orders", "dedup_decontaminate_report", "dedup_edit_distance",
+            "dedup_edit_distance_skew", "dedup_embedding_cosine",
+            "dedup_exact_md5", "flow_filter_aggregate", "flow_if_then_else",
+            "flow_probability_draw", "flow_recursive_lookup",
+            "flow_row_transform_chain", "join_asof_latest_ref",
+            "join_range_bands", "ml_dummy_variables", "ml_fpgrowth_itemsets",
+            "ml_impute_mean", "ml_normalize_minmax", "ml_normalize_zscore",
+            "multimodal_audio_classify", "multimodal_cnn_classify",
+            "multimodal_cnn_pretrained_classify", "multimodal_video_classify",
+            "nlp_cleanup_tokens", "nlp_location_detect", "nlp_nbsvm_ratios",
+            "nlp_pmi_cooccurrence", "nlp_shorttext_statics",
+            "nlp_shorttext_vocab", "nlp_stem", "nlp_summarize_top_sentences",
+            "nlp_top_terms", "pivot_linestatus", "q1_pricing_summary",
+            "rollup_orders", "similarity_label_centroids",
+            "similarity_quantize_codes", "similarity_topk_bruteforce",
+            "similarity_topk_ivf_bucketed", "streaming_ann_compact_replay",
+            "streaming_ann_ingest_replay", "streaming_cnn_classify_replay",
+            "text_corpus_audit", "text_gopher_rules", "text_language_id",
+            "text_language_id_ngram", "text_line_filter",
+            "text_quality_features", "text_token_fingerprint",
+            "text_unigram_tokenize", "ts_changepoint_cusum",
+        ),
+        8,
+    ),
 }
 
 # Queries whose implementation (or a shared helper they exercise) changed in
@@ -235,15 +261,10 @@ _VERIFIED_ROUND = {
 # green, so this round's edits cannot silently regress them.
 _TOUCHED = frozenset(
     {
-        # round 8 edits
-        "text_line_filter",            # NULL-text coalesce + keep_cols param
-        "dedup_edit_distance",         # Ed-Join prefix filter now the default
-        "multimodal_cnn_classify",     # classify_images head -> batch matmul
-        "multimodal_audio_classify",   # same head
-        "multimodal_video_classify",   # same head
-        "streaming_cnn_classify_replay",  # make_classify_batch_processor head
-        "text_unigram_tokenize",       # train_unigram e_step refactor
-        "streaming_ann_ingest_replay",  # ingest rows gain src_batch provenance
+        # round 9 edits
+        "streaming_ann_compact_replay",  # compact_ann_index now delegates to
+        # the generalized compact_batch_store (mergeSchema read, shared fold)
+        "text_unigram_tokenize",       # train_unigram e_step='auto' dispatch
     }
 )
 

@@ -542,3 +542,75 @@ def streaming_ann_compact_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_probe_ingested(
         spark, index_dir, queries, centroids, k=5, n_probe=3
     )
+
+
+# First-seen-by-content truth for the exact-dedup stream: chunks replay in
+# doc_id order, so the canonical survivor of every distinct text is the
+# global min doc_id — DuckDB recomputes it from scratch.
+_EXACT_DEDUP_COMPACT_ORACLE = """
+SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id
+FROM documents GROUP BY md5(text)
+"""
+
+
+@query(
+    "streaming_dedup_compact_replay",
+    oracle=_EXACT_DEDUP_COMPACT_ORACLE,
+    tags=("streaming", "llm", "dedup"),
+)
+def streaming_dedup_compact_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup + STORE COMPACTION (r9, verdict #3): documents
+    replay through the foreachBatch content-hash store in 4 micro-batches,
+    then BOTH batch_id-partitioned directories (the kept-docs output and
+    the md5 hash store) fold into single compacted partitions via the
+    generalized compact_batch_store — the small-files fix the ANN index
+    got in r8, now covering the dedup-store layout. After compaction:
+    (a) one more batch of pure clones ingests against the COMPACTED hash
+    store and is fully rejected, proving continued-ingestion correctness,
+    and (b) the surviving doc_ids hash-match the batch first-seen-by-md5
+    truth the oracle recomputes — fewer files, identical results."""
+    import os
+
+    from ..streaming.llm import (
+        compact_batch_store,
+        make_exact_dedup_batch_processor,
+        streaming_exact_dedup,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    stage = tempfile.mkdtemp(prefix="tuktu_dedupc_replay_")
+    store = tempfile.mkdtemp(prefix="tuktu_dedupc_store_")
+    out_dir = tempfile.mkdtemp(prefix="tuktu_dedupc_out_")
+    ckpt = tempfile.mkdtemp(prefix="tuktu_dedupc_ckpt_")
+    hash_store = os.path.join(store, "content_md5")
+    stream = STR.replay_dataframe(docs, stage, chunks=4, order_col="doc_id")
+    q = streaming_exact_dedup(stream, store, out_dir, ckpt)
+    q.processAllAvailable()
+    q.stop()
+
+    def n_parquet_files() -> int:
+        return sum(
+            1
+            for d in (out_dir, hash_store)
+            for _r, _dd, fs in os.walk(d)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+
+    before = n_parquet_files()
+    s_out = compact_batch_store(spark, out_dir, keep_latest=1, target_files=1)
+    s_hash = compact_batch_store(
+        spark, hash_store, keep_latest=1, target_files=1
+    )
+    assert s_out["folded_batches"] and s_hash["folded_batches"], (s_out, s_hash)
+    assert n_parquet_files() < before, (before, n_parquet_files())
+    # continued ingestion against the compacted store: clones of already
+    # kept content (shifted ids) must all be rejected
+    proc = make_exact_dedup_batch_processor(spark, store, out_dir)
+    proc(
+        docs.limit(20).select(
+            (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
+        ),
+        99,
+    )
+    return spark.read.parquet(out_dir).select("doc_id")

