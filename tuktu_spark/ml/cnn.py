@@ -437,3 +437,168 @@ def video_embed_bytes(
         img = _to_gray_square(frames[i], w, h, 3)
         acc += model.forward(img)
     return (acc / take).tolist()
+
+
+# --- trainable dense head over any embedding front end ---------------------
+#
+# The audio twin of the TinyConvNet classifier head (r8 verdict #9): the
+# reference's deeplearn module never trained anything; here the SAME
+# full-batch momentum-SGD machinery trains a softmax head directly on a
+# front-end feature vector (energy/ZCR for audio — audio_embed_bytes).
+# Gradients are exact SUMS (closed-form softmax CE, no approximation), so
+# the distributed trainer is bit-identical to the local one for a fixed
+# partition layout, same as train_cnn_distributed.
+
+_HEAD_PARAMS = ("w", "b")
+
+
+class DenseHead:
+    """dense(d -> k) softmax classifier: logits = feat @ w + b. He-random
+    by default; ``save_weights``/``load_weights`` is the same .npz seam
+    TinyConvNet uses for trained artifacts."""
+
+    def __init__(self, d: int, k: int, seed: int = 1234) -> None:
+        rng = np.random.RandomState(seed)
+        self.w = _he(rng, d, k)
+        self.b = np.zeros(k)
+
+    def save_weights(self, path: str) -> None:
+        np.savez(path, w=self.w, b=self.b)
+
+    @classmethod
+    def load_weights(cls, path: str) -> "DenseHead":
+        with np.load(path) as z:
+            w, b = z["w"], z["b"]
+        if w.ndim != 2 or b.shape != (w.shape[1],):
+            raise ValueError(
+                f"head w {w.shape} / b {b.shape} invalid: expected (d, k) / (k,)"
+            )
+        head = cls(*w.shape)
+        head.w = w.astype(np.float64)
+        head.b = b.astype(np.float64)
+        return head
+
+    def forward(self, feat: "np.ndarray | list[float]") -> np.ndarray:
+        return np.asarray(feat, dtype=np.float64) @ self.w + self.b
+
+
+def head_loss_and_grads(
+    head: DenseHead, feats: np.ndarray, labels: "list[int]"
+) -> tuple[float, dict]:
+    """Summed softmax cross-entropy + gradient SUMS over a feature batch
+    (sums, not means — partition results add exactly, same contract as
+    loss_and_grads)."""
+    x = np.asarray(feats, dtype=np.float64)
+    y = np.asarray(labels, dtype=np.int64)
+    logits = x @ head.w + head.b
+    m = logits.max(axis=1, keepdims=True)
+    e = np.exp(logits - m)
+    z = e.sum(axis=1, keepdims=True)
+    probs = e / z
+    total = float(
+        (m.ravel() + np.log(z.ravel()) - logits[np.arange(len(y)), y]).sum()
+    )
+    dlogits = probs
+    dlogits[np.arange(len(y)), y] -= 1.0
+    return total, {"w": x.T @ dlogits, "b": dlogits.sum(axis=0)}
+
+
+def train_head_local(
+    feats: np.ndarray, labels: "list[int]", n_classes: int,
+    epochs: int = 200, lr: float = 0.5, momentum: float = 0.9,
+    seed: int = 1234,
+) -> tuple[DenseHead, "list[float]"]:
+    """Single-process full-batch momentum SGD (the reference model for the
+    distributed trainer; bit-identical results for a fixed layout)."""
+    x = np.asarray(feats, dtype=np.float64)
+    head = DenseHead(x.shape[1], n_classes, seed=seed)
+    vel = {p: np.zeros_like(getattr(head, p)) for p in _HEAD_PARAMS}
+    losses = []
+    n = len(labels)
+    for _ in range(epochs):
+        loss, grads = head_loss_and_grads(head, x, labels)
+        losses.append(loss / max(n, 1))
+        for p in _HEAD_PARAMS:
+            vel[p] = momentum * vel[p] - lr * grads[p] / max(n, 1)
+            setattr(head, p, getattr(head, p) + vel[p])
+    return head, losses
+
+
+def train_head_distributed(
+    df, media_col: str, label_col: str, embedder, d: int, n_classes: int,
+    epochs: int = 200, lr: float = 0.5, momentum: float = 0.9,
+    seed: int = 1234,
+) -> tuple[DenseHead, "list[float]"]:
+    """Data-parallel full-batch SGD for the dense head: each epoch ships
+    the (d x k) weights in the UDF closure, every partition decodes +
+    embeds its clips ONCE per epoch inside one Arrow pass and returns
+    exact gradient sums, the driver reduces and steps — the same DDP
+    shape as train_cnn_distributed, with a far smaller closure. Media
+    never moves; per epoch only d*k + k floats per partition do."""
+    import pandas as pd
+
+    data = df.select(media_col, label_col).persist()
+    try:
+        n_rows = data.count()
+        head = DenseHead(d, n_classes, seed=seed)
+        vel = {p: np.zeros_like(getattr(head, p)) for p in _HEAD_PARAMS}
+        losses = []
+        for _ in range(epochs):
+            weights = {p: getattr(head, p) for p in _HEAD_PARAMS}
+
+            def part_grads(batches):
+                cur = DenseHead(d, n_classes, seed=seed)
+                for p, v in weights.items():
+                    setattr(cur, p, v)
+                feats, ys = [], []
+                for pdf in batches:
+                    for media, y in zip(pdf[media_col], pdf[label_col]):
+                        feats.append(embedder(bytes(media)))
+                        ys.append(int(y))
+                if not feats:
+                    return
+                loss, grads = head_loss_and_grads(
+                    cur, np.asarray(feats), ys
+                )
+                yield pd.DataFrame([{
+                    "loss": loss, "n": len(ys),
+                    "w": grads["w"].ravel().tolist(),
+                    "b": grads["b"].tolist(),
+                }])
+
+            parts = data.mapInPandas(
+                part_grads,
+                schema="loss double, n long, w array<double>, b array<double>",
+            ).collect()
+            total_loss = sum(r["loss"] for r in parts)
+            grads = {
+                "w": sum(
+                    (np.array(r["w"]).reshape(d, n_classes) for r in parts),
+                    start=np.zeros((d, n_classes)),
+                ),
+                "b": sum(
+                    (np.array(r["b"]) for r in parts),
+                    start=np.zeros(n_classes),
+                ),
+            }
+            losses.append(total_loss / max(n_rows, 1))
+            for p in _HEAD_PARAMS:
+                vel[p] = momentum * vel[p] - lr * grads[p] / max(n_rows, 1)
+                setattr(head, p, getattr(head, p) + vel[p])
+        return head, losses
+    finally:
+        data.unpersist()
+
+
+def audio_head_embedder(weights_path: str):
+    """bytes -> trained-head logits over the energy/ZCR front end: the
+    audio analogue of image_classify's model='cnn' + config['weights']
+    path. The returned callable plugs into classify_images as the
+    embedder; scored against one-hot centroids, cosine argmax equals
+    logit argmax (per-clip norm divides every score)."""
+    head = DenseHead.load_weights(weights_path)
+
+    def embed(data: bytes) -> list[float]:
+        return head.forward(audio_embed_bytes(data)).tolist()
+
+    return embed

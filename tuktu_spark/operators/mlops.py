@@ -728,11 +728,18 @@ def audio_classify_op(config: dict):
     head as image_classify (ml/deeplearn.classify_images is
     embedder-generic): the bundled embedder is the real energy+ZCR front
     end over the stdlib PCM/G.711 decode (ml/cnn.audio_embed_bytes);
-    inject config['embedder'] to wrap a learned acoustic model. config:
-    {field, centroids, top_n, flatten, categories, embedder, result}."""
-    from ..ml.cnn import audio_embed_bytes
+    inject config['embedder'] to wrap a learned acoustic model, or set
+    config['weights'] to a DenseHead .npz (scripts/
+    train_audio_head_weights.py) to score TRAINED logits over the front
+    end — the audio analogue of image_classify's model='cnn' + weights.
+    config: {field, centroids, top_n, flatten, categories, embedder,
+    weights, result}."""
+    from ..ml.cnn import audio_embed_bytes, audio_head_embedder
 
-    return _classify_transform(config, config.get("embedder") or audio_embed_bytes)
+    embedder = config.get("embedder")
+    if embedder is None and config.get("weights"):
+        embedder = audio_head_embedder(config["weights"])
+    return _classify_transform(config, embedder or audio_embed_bytes)
 
 
 @operator("video_classify")

@@ -265,6 +265,7 @@ _TOUCHED = frozenset(
         "streaming_ann_compact_replay",  # compact_ann_index now delegates to
         # the generalized compact_batch_store (mergeSchema read, shared fold)
         "text_unigram_tokenize",       # train_unigram e_step='auto' dispatch
+        "multimodal_audio_classify",   # audio_classify gained the weights seam
     }
 )
 
