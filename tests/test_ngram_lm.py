@@ -79,6 +79,28 @@ def _py_score(toks: list[str], counts, total: int, n: int, alpha: float):
     return probs, hits
 
 
+class TestFusedTraining:
+    @pytest.mark.parametrize("min_count", [1, 2])
+    def test_fused_identical_to_per_order(self, spark, corpus, min_count):
+        """r9 (verdict #6): the single-pass (k, gram) aggregation must
+        produce the SAME model as the per-order jobs — counts are exact
+        integers, so set equality per order, not approximation."""
+        a = train_ngram_lm(corpus, n=3, min_count=min_count, method="fused")
+        b = train_ngram_lm(
+            corpus, n=3, min_count=min_count, method="per_order"
+        )
+        assert a.total == b.total
+        assert a.fused is not None and b.fused is None
+        for k in range(1, 4):
+            ra = {(r["gram"], r["cnt"]) for r in a.order_table(k).collect()}
+            rb = {(r["gram"], r["cnt"]) for r in b.order_table(k).collect()}
+            assert ra == rb, (min_count, k)
+
+    def test_unknown_method_rejected(self, spark, corpus):
+        with pytest.raises(ValueError, match="method"):
+            train_ngram_lm(corpus, method="bogus")
+
+
 class TestBackoffMath:
     @pytest.mark.parametrize("min_count", [1, 2])
     def test_matches_python_reference(self, spark, corpus, min_count):
@@ -219,14 +241,14 @@ class TestPlanShape:
         # formatted explain prints each node twice (tree + detail):
         # 5 joins = c1, c2+ctx, c3+ctx
         assert plan.count("BroadcastHashJoin") == 10
-        # the scoring path shuffles the corpus ONCE: the window's
-        # doc-keyed exchange is reused by the final per-doc aggregate.
-        # The other two doc-keyed exchanges in the text live INSIDE the
-        # c2/c3 InMemoryRelations (their one-time build plans, printed as
-        # part of the cache node); after materialization they never
-        # re-execute. 1 scoring + (n-1)=2 cached builds:
-        assert plan.count("hashpartitioning(doc_id") == 3
-        assert plan.count("InMemoryRelation") >= 5  # every count table cached
+        # the WHOLE text shuffles the corpus by doc exactly ONCE — the
+        # scoring window's exchange, reused by the final per-doc
+        # aggregate. Fused training (r9) removed the per-order cache
+        # builds' doc-keyed window exchanges entirely: the one cached
+        # (k, gram, cnt) parent is built from the token arrays with no
+        # window, and all five broadcast sides are filters over it.
+        assert plan.count("hashpartitioning(doc_id") == 1
+        assert plan.count("InMemoryRelation") >= 5  # 5 refs to the cache
         release_persisted()
 
 

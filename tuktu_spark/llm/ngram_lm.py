@@ -49,12 +49,15 @@ from ..exactness import dsum
 class NgramLM:
     """Stupid-backoff model: per-order gram-count DataFrames (gram text
     joined with single spaces -> count), the total token count, and the
-    training params. ``counts[k]`` holds (k+1)-gram counts."""
+    training params. ``counts[k]`` holds (k+1)-gram counts. ``fused``
+    (method='fused' training) is the single (k, gram, cnt) table every
+    ``counts`` entry filters — the one cacheable parent."""
 
     counts: list[DataFrame]
     total: int
     n: int
     min_count: int
+    fused: DataFrame | None = None
 
     def order_table(self, k: int) -> DataFrame:
         return self.counts[k - 1]
@@ -64,10 +67,20 @@ class NgramLM:
         (released on the next pipeline's entry / run_flow boundary) so a
         train-then-score plan computes each order ONCE — unpinned, c1 and
         c2 are each rebuilt for their gram AND context join roles, i.e.
-        the corpus is re-scanned 2n-1 times for training counts."""
+        the corpus is re-scanned 2n-1 times for training counts. A fused
+        model pins the ONE parent table (a single cache-build job; the
+        per-order tables become in-memory filters)."""
         from .dedup import _persist_scoped
 
-        self.counts = [_persist_scoped(c) for c in self.counts]
+        if self.fused is not None:
+            f = _persist_scoped(self.fused)
+            self.fused = f
+            self.counts = [
+                f.filter(F.col("k") == k).select("gram", "cnt")
+                for k in range(1, self.n + 1)
+            ]
+        else:
+            self.counts = [_persist_scoped(c) for c in self.counts]
         return self
 
 
@@ -133,6 +146,43 @@ def _positions(
     return out
 
 
+def _fused_counts(
+    df: DataFrame, tokens_col: str, n: int, min_count: int
+) -> DataFrame:
+    """ALL orders' counts in one pass: every token position emits its
+    (k, gram) pairs for k = 1..min(n, pos+1) straight from the token
+    array (slice + concat_ws inside nested HOF transforms — no window,
+    no doc shuffle, no per-order re-scan), then ONE map-side-combined
+    groupBy(k, gram). The per-order method runs n independent jobs that
+    each re-scan the corpus and re-shuffle (LAG window by doc + gram
+    agg): 2n shuffles and n scans against this method's single shuffle
+    and single scan. Counts are exact integers either way, so the two
+    methods produce identical models (pinned in tests)."""
+    t = F.col(tokens_col)
+    pairs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.size(t)),
+            lambda i: F.transform(
+                F.sequence(F.lit(1), F.least(F.lit(n), i)),
+                lambda k: F.struct(
+                    k.cast("int").alias("k"),
+                    F.concat_ws(" ", F.slice(t, i - k + 1, k)).alias("gram"),
+                ),
+            ),
+        )
+    )
+    fused = (
+        df.select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.k").alias("k"), F.col("p.gram").alias("gram"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    if min_count > 1:
+        # min_count prunes every order identically, so one global filter
+        # (total is counted from the corpus, not from here — see caller)
+        fused = fused.filter(F.col("cnt") >= min_count)
+    return fused
+
+
 def train_ngram_lm(
     df: DataFrame,
     tokens_col: str = "tokens",
@@ -140,12 +190,21 @@ def train_ngram_lm(
     n: int = 3,
     min_count: int = 1,
     positions: DataFrame | None = None,
+    method: str = "fused",
 ) -> NgramLM:
     """Count tables for orders 1..n over the corpus. min_count prunes
     every order identically (the scale knob: at 100 TB raise it until
     the model fits the broadcast budget — or keep it 1 and shuffle-join).
     ``total`` (the unigram denominator) is counted BEFORE pruning so
     probabilities stay proper.
+
+    ``method='fused'`` (default, r8 verdict #6) builds every order in ONE
+    exploded (k, gram) aggregation — one corpus scan, one shuffle, no
+    window — instead of n per-order jobs (see _fused_counts; identical
+    model, measured ~2x faster training at sf0.1). ``method='per_order'``
+    keeps the independent per-order aggregations (and is implied by
+    ``positions``, which exists for callers that already materialized a
+    position table).
 
     ``positions``: a prebuilt ``_positions`` table, for callers that
     already materialized one (e.g. scoring several models over one
@@ -155,10 +214,23 @@ def train_ngram_lm(
     is codegen-cheap against a cached scan, and at 100 TB caching an
     exploded corpus costs more memory than it saves, so the bench query
     deliberately does NOT use it."""
+    if method not in ("fused", "per_order"):
+        raise ValueError(f"method={method!r}: expected 'fused' or 'per_order'")
+    if method == "fused" and positions is None:
+        fused = _fused_counts(df, tokens_col, n, min_count)
+        counts = [
+            fused.filter(F.col("k") == k).select("gram", "cnt")
+            for k in range(1, n + 1)
+        ]
+        total = df.select(F.sum(F.size(tokens_col))).collect()[0][0] or 0
+        return NgramLM(
+            counts=counts, total=int(total), n=n, min_count=min_count,
+            fused=fused,
+        )
     pos = positions if positions is not None else _positions(
         df, tokens_col, id_col, n
     )
-    counts: list[DataFrame] = []
+    counts = []
     for k in range(1, n + 1):
         gram = F.col("w") if k == 1 else F.col(f"g{k}")
         valid = F.lit(True) if k == 1 else F.col("pos") >= k - 1

@@ -266,6 +266,7 @@ _TOUCHED = frozenset(
         # the generalized compact_batch_store (mergeSchema read, shared fold)
         "text_unigram_tokenize",       # train_unigram e_step='auto' dispatch
         "multimodal_audio_classify",   # audio_classify gained the weights seam
+        "text_ngram_lm_score",         # fused single-pass LM training default
     }
 )
 
