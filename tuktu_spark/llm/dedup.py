@@ -977,12 +977,21 @@ def edit_distance_pairs(
     < q + d*q form a SHORT bucket joined all-pairs among themselves
     (bounded: short strings over a finite alphabet are few distinct;
     the join is further banded by |len(a) - len(b)| <= d). At corpus
-    scale the shuffle carries prefix-bounded (gram, occ, id) rows and
-    candidate verification is candidate-proportional, the same shape as
-    the MinHash verify stage. The prefix path adds one gram-frequency
+    scale the shuffle carries prefix-bounded (gram, occ, string) rows
+    and candidate verification is candidate-proportional, the same shape
+    as the MinHash verify stage. The prefix path adds one gram-frequency
     groupBy (map-side partial agg) and one 1:N frequency join (AQE
     skew-split applies on the hot-gram build rows; the hot gram itself
-    still never *pairs*)."""
+    still never *pairs*).
+
+    The ENTIRE filter pipeline runs over DISTINCT STRINGS, not rows
+    (r9, profiled in SCALE.md): on duplicate-heavy corpora an id-level
+    candidate join is quadratic in group size for every repeated string
+    — 5k rows with shared titles produced 533k id-level candidates where
+    the distinct-string join produces ~4k. Equal-string id pairs
+    (distance 0) come from ONE equi self-join on the string, and
+    verified string pairs expand back to id pairs through two joins —
+    both output-proportional, nothing quadratic off the output size."""
     if method not in ("prefix", "count"):
         raise ValueError(f"method={method!r}: expected 'prefix' or 'count'")
     release_persisted()
@@ -990,6 +999,8 @@ def edit_distance_pairs(
         df.select(F.col(id_col), F.col(text_col).alias("__s"))
         .withColumn("__len", F.length("__s"))
     )
+    # the filter pipeline's working set: one row per DISTINCT string
+    sd = _persist_scoped(s.select("__s", "__len").distinct())
     d = int(max_dist)
     short_max = q + d * q - 1  # below this, the count bound is vacuous
 
@@ -1000,19 +1011,19 @@ def edit_distance_pairs(
                         lambda i: col.substr(i, F.lit(q)))
         )
 
-    long_side = s.filter(F.col("__len") > short_max)
+    long_side = sd.filter(F.col("__len") > short_max)
     exploded = long_side.select(
-        F.col(id_col), F.col("__len"),
+        "__s", F.col("__len"),
         F.posexplode(grams(F.col("__s"))).alias("__pos", "gram"),
     )
-    # occurrence index per (id, gram): equi-join on (gram, occ) counts the
-    # BAG intersection, not the set intersection
+    # occurrence index per (string, gram): equi-join on (gram, occ)
+    # counts the BAG intersection, not the set intersection
     from pyspark.sql import Window
 
     occ = F.row_number().over(
-        Window.partitionBy(id_col, "gram").orderBy("__pos")
+        Window.partitionBy("__s", "gram").orderBy("__pos")
     )
-    bag = exploded.withColumn("__occ", occ).select(id_col, "__len", "gram", "__occ")
+    bag = exploded.withColumn("__occ", occ).select("__s", "__len", "gram", "__occ")
     if method == "prefix":
         # Ed-Join: global rarity order over (gram, occ) occurrences.
         # Frequency = total occurrence count (any total order is valid
@@ -1021,103 +1032,100 @@ def edit_distance_pairs(
         ranked = bag.join(gfreq, "gram").withColumn(
             "__r",
             F.row_number().over(
-                Window.partitionBy(id_col).orderBy("__gf", "gram", "__occ")
+                Window.partitionBy("__s").orderBy("__gf", "gram", "__occ")
             ),
         )
         prefix = ranked.filter(F.col("__r") <= d * q + 1).select(
-            id_col, "__len", "gram", "__occ"
+            "__s", "__len", "gram", "__occ"
         )
         a = prefix.select(
-            F.col(id_col).alias("id_a"), F.col("__len").alias("la"), "gram", "__occ"
+            F.col("__s").alias("__ta"), F.col("__len").alias("la"), "gram", "__occ"
         )
         b = prefix.select(
-            F.col(id_col).alias("id_b"), F.col("__len").alias("lb"), "gram", "__occ"
+            F.col("__s").alias("__tb"), F.col("__len").alias("lb"), "gram", "__occ"
         )
         cand_long = (
             a.join(b, ["gram", "__occ"])
             .filter(
-                (F.col("id_a") < F.col("id_b"))
+                (F.col("__ta") < F.col("__tb"))
                 & (F.abs(F.col("la") - F.col("lb")) <= d)  # length filter
             )
-            .select("id_a", "id_b")
+            .select("__ta", "__tb")
             .distinct()
         )
     else:
         a = bag.select(
-            F.col(id_col).alias("id_a"), F.col("__len").alias("la"), "gram", "__occ"
+            F.col("__s").alias("__ta"), F.col("__len").alias("la"), "gram", "__occ"
         )
         b = bag.select(
-            F.col(id_col).alias("id_b"), F.col("__len").alias("lb"), "gram", "__occ"
+            F.col("__s").alias("__tb"), F.col("__len").alias("lb"), "gram", "__occ"
         )
         cand_long = (
             a.join(b, ["gram", "__occ"])
             .filter(
-                (F.col("id_a") < F.col("id_b"))
+                (F.col("__ta") < F.col("__tb"))
                 & (F.abs(F.col("la") - F.col("lb")) <= d)  # length filter
             )
-            .groupBy("id_a", "id_b")
+            .groupBy("__ta", "__tb")
             .agg(F.count(F.lit(1)).alias("__common"), F.max("la").alias("la"),
                  F.max("lb").alias("lb"))
             .filter(
                 F.col("__common")
                 >= F.greatest(F.col("la"), F.col("lb")) - (q - 1) - d * q
             )
-            .select("id_a", "id_b")
+            .select("__ta", "__tb")
         )
-    # The vacuous-bound buckets pair DISTINCT STRINGS, not rows (review
-    # finding: a row-level nested-loop join would be quadratic in row
-    # count even when almost no pair verifies; distinct short strings
-    # over a finite alphabet are bounded). Verified string pairs then
-    # expand back to id pairs via two joins.
-    shorts = s.filter(F.col("__len") <= short_max)
-    sdist = _persist_scoped(
-        shorts.select("__s", "__len").distinct()
-    )
+    # The vacuous-bound buckets pair the same distinct-string table.
+    sdist = sd.filter(F.col("__len") <= short_max)
     da = sdist.select(F.col("__s").alias("__ta"), F.col("__len").alias("la"))
     db = sdist.select(F.col("__s").alias("__tb"), F.col("__len").alias("lb"))
-    # distinct-string candidate pairs (short-short), including the
-    # SAME-string case (covers distance-0 pairs between different ids)
+    # distinct-string candidate pairs (short-short); same-string pairs
+    # are handled globally by the distance-0 equi-join below
     sp_short = (
-        da.join(db, (F.col("__ta") <= F.col("__tb"))
+        da.join(db, (F.col("__ta") < F.col("__tb"))
                 & (F.abs(F.col("la") - F.col("lb")) <= d))
         .select("__ta", "__tb")
     )
     # short-vs-long: within distance d the long side is at most
     # short_max + d chars — band the DISTINCT long strings directly
-    ldist = s.filter(
+    ldist = sd.filter(
         (F.col("__len") > short_max) & (F.col("__len") <= short_max + d)
-    ).select("__s", "__len").distinct()
+    )
     sp_cross = (
         da.join(
             ldist.select(F.col("__s").alias("__tb"), F.col("__len").alias("lb")),
             F.abs(F.col("la") - F.col("lb")) <= d,
         ).select("__ta", "__tb")
     )
+    # verify DISTINCT STRING pairs: one codegen levenshtein per pair.
+    # The three sources are disjoint by length class (long-long,
+    # short-short, short-long), so no cross-source duplicates exist.
     verified_str = (
-        sp_short.unionByName(sp_cross)
+        cand_long.unionByName(sp_short).unionByName(sp_cross)
         .withColumn("dist", F.levenshtein("__ta", "__tb"))
         .filter(F.col("dist") <= d)
     )
+    # expansion back to id pairs — output-proportional equi-joins:
+    # (1) distance 0 = ids sharing the exact string
+    same = (
+        s.select(F.col(id_col).alias("id_a"), "__s")
+        .join(s.select(F.col(id_col).alias("id_b"), "__s"), "__s")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.lit(0).cast("int").alias("dist"))
+    )
+    # (2) verified distinct pairs x all ids of each side; the string
+    # pair is ordered (__ta < __tb), which says nothing about id order —
+    # canonicalize with least/greatest, never filter (ids are distinct:
+    # different strings cannot share an id)
     ia = s.select(F.col(id_col).alias("id_a"), F.col("__s").alias("__ta"))
     ib = s.select(F.col(id_col).alias("id_b"), F.col("__s").alias("__tb"))
-    cand_bucket = (
+    expanded = (
         verified_str.join(ia, "__ta")
         .join(ib, "__tb")
-        # the string pair is ordered (__ta <= __tb), which says nothing
-        # about id order — canonicalize with least/greatest, never filter
-        .filter(F.col("id_a") != F.col("id_b"))
         .select(
             F.least("id_a", "id_b").alias("id_a"),
             F.greatest("id_a", "id_b").alias("id_b"),
+            F.col("dist").cast("int").alias("dist"),
         )
     )
-    cands = cand_long.unionByName(cand_bucket).distinct()
-    ta = s.select(F.col(id_col).alias("id_a"), F.col("__s").alias("__ta"))
-    tb = s.select(F.col(id_col).alias("id_b"), F.col("__s").alias("__tb"))
-    return (
-        cands.join(ta, "id_a")
-        .join(tb, "id_b")
-        .withColumn("dist", F.levenshtein("__ta", "__tb"))
-        .filter(F.col("dist") <= d)
-        .select("id_a", "id_b", "dist")
-    )
+    return same.unionByName(expanded)

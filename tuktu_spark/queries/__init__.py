@@ -267,6 +267,8 @@ _TOUCHED = frozenset(
         "text_unigram_tokenize",       # train_unigram e_step='auto' dispatch
         "multimodal_audio_classify",   # audio_classify gained the weights seam
         "text_ngram_lm_score",         # fused single-pass LM training default
+        "dedup_edit_distance",         # distinct-string Ed-Join pipeline
+        "dedup_edit_distance_skew",    # same rewrite (the profiled fix)
     }
 )
 
