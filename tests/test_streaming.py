@@ -878,3 +878,39 @@ def test_generic_compaction_dsir_score_store(spark, sf_dir, tmp_path):
     stats = compact_batch_store(spark, out, keep_latest=1, target_files=1)
     assert stats["folded_batches"] == [0, 1]
     assert weights() == w0 and _parquet_files(out) < files_before
+
+
+def test_batch_store_compact_operator(spark, sf_dir, tmp_path):
+    """The flow-reachable wrapper (r9): batch_store_compact folds a
+    batch_id-partitioned store from a config dict and passes the piped
+    DataFrame through unchanged."""
+    from pyspark.sql import functions as F
+
+    from tuktu_spark.operators import make_operator
+
+    store = str(tmp_path / "store")
+    for b in range(3):
+        (
+            spark.range(20).select(
+                (F.col("id") + b * 100).alias("v"), F.lit(b).alias("batch_id")
+            )
+            .write.mode("overwrite")
+            .options(partitionOverwriteMode="dynamic")
+            .partitionBy("batch_id")
+            .parquet(store)
+        )
+    before = {r["v"] for r in spark.read.parquet(store).collect()}
+    piped = spark.range(3)
+    out = make_operator(
+        "batch_store_compact",
+        {"store_dir": store, "keep_latest": 1, "target_files": 1},
+    )(piped)
+    assert out.count() == 3  # passthrough
+    after = spark.read.option("mergeSchema", "true").parquet(store)
+    assert {r["v"] for r in after.collect()} == before
+    import os
+
+    batches = {
+        d for d in os.listdir(store) if d.startswith("batch_id=")
+    }
+    assert batches == {"batch_id=-1", "batch_id=2"}

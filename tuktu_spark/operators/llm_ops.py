@@ -590,6 +590,34 @@ def ann_index_compact(config: dict):
     return transform
 
 
+@operator("batch_store_compact")
+def batch_store_compact(config: dict):
+    """Fold committed batch partitions of ANY batch_id-partitioned
+    streaming store (dedup hash stores, kept-doc outputs, score stores;
+    streaming/llm.compact_batch_store — r9 generalization of
+    ann_index_compact) into the compacted partition. Passthrough: the
+    piped DataFrame flows on unchanged. config: {store_dir, keep_latest,
+    compact_label, partition_cols, target_files}."""
+    from ..streaming.llm import compact_batch_store
+
+    def transform(df: DataFrame) -> DataFrame:
+        compact_batch_store(
+            df.sparkSession,
+            config["store_dir"],
+            keep_latest=int(config.get("keep_latest", 1)),
+            compact_label=int(config.get("compact_label", -1)),
+            extra_partition_cols=tuple(config.get("partition_cols", ())),
+            target_files=(
+                int(config["target_files"])
+                if config.get("target_files") is not None
+                else None
+            ),
+        )
+        return df
+
+    return transform
+
+
 def _with_tokens(df: DataFrame, config: dict) -> tuple[DataFrame, str, bool]:
     """tokens_field passthrough (default: an existing `tokens` column),
     or derive a temp token array by whitespace-splitting text_field
