@@ -590,6 +590,35 @@ def ann_index_compact(config: dict):
     return transform
 
 
+@operator("dedup_ingest_batch")
+def dedup_ingest_batch(config: dict):
+    """One micro-batch of STREAMING exact-dedup ingestion, flow-reachable
+    (the dedup twin of ann_ingest_batch): the piped documents run through
+    the content-hash store processor — first-seen contents land in
+    ``out_dir``, their md5s accumulate in the store, replays of a
+    committed batch_id skip (streaming/llm.
+    make_exact_dedup_batch_processor). Passthrough: returns the FULL
+    input so a flow can chain further batches. ``where`` (optional SQL
+    predicate) selects this batch's slice of the piped rows — how a
+    replay flow carves one table into sequential micro-batches. config:
+    {store_dir, out_dir, batch_id, where, text_field, id_field}."""
+    from ..streaming.llm import make_exact_dedup_batch_processor
+
+    def transform(df: DataFrame) -> DataFrame:
+        proc = make_exact_dedup_batch_processor(
+            df.sparkSession,
+            config["store_dir"],
+            config["out_dir"],
+            config.get("text_field", "text"),
+            config.get("id_field", "doc_id"),
+        )
+        batch = df.filter(config["where"]) if config.get("where") else df
+        proc(batch, int(config.get("batch_id", 0)))
+        return df
+
+    return transform
+
+
 @operator("batch_store_compact")
 def batch_store_compact(config: dict):
     """Fold committed batch partitions of ANY batch_id-partitioned
