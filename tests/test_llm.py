@@ -2618,3 +2618,53 @@ def test_edit_distance_pairs_matches_naive(spark):
                 ).collect()
             }
             assert got == want, (d, method)
+
+
+class TestDistinctContentMinhash:
+    """r9: the edit-distance lesson applied to LSH — identical texts make
+    every band a g^2 bucket at the id level; distinct_content=True runs
+    the pipeline on one representative per text and must be
+    BIT-IDENTICAL to the id-level output."""
+
+    @pytest.fixture(scope="class")
+    def dupheavy(self, spark, docs):
+        # clones of every doc (same text, shifted ids) + an exact triple
+        base = docs.select("doc_id", "text")
+        c1 = base.select((F.col("doc_id") + 500_000).alias("doc_id"), "text")
+        c2 = base.filter(F.col("doc_id") % 3 == 0).select(
+            (F.col("doc_id") + 900_000).alias("doc_id"), "text"
+        )
+        # degenerate too-short duplicates: must NOT appear as pairs
+        junk = spark.range(1_700_000, 1_700_400).select(
+            F.col("id").alias("doc_id"), F.lit("two tokens").alias("text")
+        )
+        return base.unionByName(c1).unionByName(c2).unionByName(junk)
+
+    def test_bit_identical_to_id_level(self, dupheavy):
+        def key(rows):
+            return {(r["id_a"], r["id_b"], round(r["jaccard"], 12)) for r in rows}
+
+        a = key(D.minhash_dedup_pairs(dupheavy, threshold=0.8).collect())
+        b = key(
+            D.minhash_dedup_pairs(
+                dupheavy, threshold=0.8, distinct_content=True
+            ).collect()
+        )
+        assert a == b and len(a) > 0
+
+    def test_equal_text_pairs_have_jaccard_one(self, dupheavy):
+        out = D.minhash_dedup_pairs(
+            dupheavy, threshold=0.8, distinct_content=True
+        )
+        r = out.filter(
+            (F.col("id_a") == 0) & (F.col("id_b") == 500_000)
+        ).collect()
+        assert len(r) == 1 and r[0]["jaccard"] == 1.0
+
+    def test_degenerate_duplicates_stay_excluded(self, dupheavy):
+        out = D.minhash_dedup_pairs(
+            dupheavy, threshold=0.8, distinct_content=True
+        )
+        assert (
+            out.filter(F.col("id_a") >= 1_700_000).limit(1).count() == 0
+        )

@@ -333,6 +333,7 @@ def minhash_dedup_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.8,
+    distinct_content: bool = False,
 ) -> DataFrame:
     """MinHash+LSH near-dup pipeline: signatures -> banded candidates ->
     exact Jaccard verification of candidates only. The hashed-shingle
@@ -343,8 +344,78 @@ def minhash_dedup_pairs(
     they cannot appear in any qualifying pair (Jaccard against an empty
     set is 0) and their shared sentinel signature would otherwise be a
     quadratic hot bucket in the banded self-join (see
-    minhash_lsh_candidates / empty_shingle_docs, which reports them)."""
+    minhash_lsh_candidates / empty_shingle_docs, which reports them).
+
+    ``distinct_content=True`` (r9, the edit-distance lesson applied to
+    LSH): identical texts have identical signatures, so every group of g
+    byte-equal documents collides in EVERY band and pays g^2 candidate
+    rows + g^2 verifications at the id level. This mode runs the whole
+    shingle->signature->band->verify pipeline over one representative
+    per DISTINCT text, emits equal-text id pairs (jaccard 1.0) from one
+    string equi self-join, and expands verified representative pairs
+    back to id pairs — output BIT-IDENTICAL to the id-level run (the
+    signature is a pure function of the text; pinned in tests), cost
+    keyed on content cardinality. Default off: on low-duplicate corpora
+    the extra distinct + expansion joins are pure overhead; turn it on
+    for raw crawl snapshots and anything downstream of a mirror-heavy
+    source."""
     release_persisted()
+    if distinct_content:
+        t = _persist_scoped(
+            df.select(F.col(id_col), F.col(text_col).alias("__t"))
+        )
+        # one representative id per distinct text: the pipeline's output
+        # over representatives is the id-level output restricted to them
+        # because every stage is a pure function of the text
+        rep = _persist_scoped(
+            t.groupBy("__t").agg(F.min(id_col).alias("__rid"))
+        )
+        h_rep = _persist_scoped(
+            hashed_shingles(
+                rep.select(
+                    F.col("__rid").alias(id_col), F.col("__t").alias(text_col)
+                ),
+                text_col, id_col, n,
+            )
+        )
+        rep_pairs = _minhash_pairs_from_hashed(h_rep, id_col, threshold)
+        # equal-text id pairs (jaccard exactly 1.0) — restricted to texts
+        # with a nonempty shingle set, matching the id-level pipeline's
+        # empty-shingle drop (two byte-equal too-short docs emit nothing)
+        valid = rep.join(
+            h_rep.filter(F.size("shingles") > 0).select(
+                F.col(id_col).alias("__rid")
+            ),
+            "__rid",
+        ).select("__t")
+        tv = t.join(valid, "__t")
+        same = (
+            tv.select(F.col(id_col).alias("id_a"), "__t")
+            .join(tv.select(F.col(id_col).alias("id_b"), "__t"), "__t")
+            .filter(
+                (F.col("id_a") < F.col("id_b"))
+                # pathological threshold > 1: the id-level run emits
+                # nothing, so neither may the equal-text branch
+                & (F.lit(1.0) >= F.lit(float(threshold)))
+            )
+            .select("id_a", "id_b", F.lit(1.0).alias("jaccard"))
+        )
+        # expand representative pairs to all id pairs of either text;
+        # rid order says nothing about id order — canonicalize
+        ra = rep.select(F.col("__rid").alias("id_a"), F.col("__t").alias("__ta"))
+        rb = rep.select(F.col("__rid").alias("id_b"), F.col("__t").alias("__tb"))
+        ia = t.select(F.col(id_col).alias("__xa"), F.col("__t").alias("__ta"))
+        ib = t.select(F.col(id_col).alias("__xb"), F.col("__t").alias("__tb"))
+        expanded = (
+            rep_pairs.join(ra, "id_a").join(rb, "id_b")
+            .join(ia, "__ta").join(ib, "__tb")
+            .select(
+                F.least("__xa", "__xb").alias("id_a"),
+                F.greatest("__xa", "__xb").alias("id_b"),
+                "jaccard",
+            )
+        )
+        return same.unionByName(expanded)
     # Filter AFTER the persist: a filter on size(shingles) upstream of the
     # materialization makes Catalyst evaluate the (expensive) shingle
     # expression twice — predicate pushdown + projection collapse inline
