@@ -84,6 +84,65 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Exact Jaccard truth over the DUPLICATE-HEAVY clone corpus (every doc
+# twice, every 5th three times): equal texts meet at jaccard exactly 1.0
+# through their shared shingles, near-dups replicate per clone pair —
+# the same recall-1 argument as _JACCARD_ORACLE applies.
+_JACCARD_DUP_ORACLE = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000000 AS doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 20000000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+), toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+  FROM corpus
+), sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+  FROM toks
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       CAST(common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - common AS DOUBLE) AS jaccard
+FROM pairs
+JOIN sizes sa ON id_a = sa.doc_id
+JOIN sizes sb ON id_b = sb.doc_id
+WHERE CAST(common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - common AS DOUBLE) >= 0.8
+"""
+
+
+@query(
+    "dedup_minhash_lsh_distinct", oracle=_JACCARD_DUP_ORACLE,
+    tags=("llm", "dedup"),
+)
+def dedup_minhash_lsh_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH in distinct_content mode (r9): the duplicate-heavy
+    clone corpus where id-level banding pays g^2 per byte-equal group;
+    the distinct-text pipeline + equal-text equi-join + expansion must
+    hash-match the exact Jaccard truth over the clones."""
+    docs = load_table(spark, sf_dir, "documents", parallel=True).select(
+        "doc_id", "text"
+    )
+    corpus = (
+        docs.unionByName(
+            docs.select((F.col("doc_id") + 10_000_000).alias("doc_id"), "text")
+        ).unionByName(
+            docs.filter(F.col("doc_id") % 5 == 0).select(
+                (F.col("doc_id") + 20_000_000).alias("doc_id"), "text"
+            )
+        )
+    )
+    return D.minhash_dedup_pairs(corpus, threshold=0.8, distinct_content=True)
+
+
 @query("dedup_minhash_lsh_skew", oracle=_JACCARD_ORACLE, tags=("llm", "dedup"), bench=True)
 def dedup_minhash_lsh_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SKEW GUARD for the round-2 scale-killer: the same MinHash+LSH run
