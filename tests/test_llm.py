@@ -2668,3 +2668,35 @@ class TestDistinctContentMinhash:
         assert (
             out.filter(F.col("id_a") >= 1_700_000).limit(1).count() == 0
         )
+
+
+class TestDistinctContentJaccard:
+    """Same contract as TestDistinctContentMinhash for the exact
+    prefix-filtered path."""
+
+    @pytest.fixture(scope="class")
+    def dupheavy(self, spark, docs):
+        base = docs.select("doc_id", "text")
+        c1 = base.select((F.col("doc_id") + 500_000).alias("doc_id"), "text")
+        junk = spark.range(1_700_000, 1_700_200).select(
+            F.col("id").alias("doc_id"), F.lit("two tokens").alias("text")
+        )
+        return base.unionByName(c1).unionByName(junk)
+
+    def test_bit_identical_to_id_level(self, dupheavy):
+        def key(rows):
+            return {(r["id_a"], r["id_b"], round(r["jaccard"], 12)) for r in rows}
+
+        a = key(D.ngram_jaccard_pairs(dupheavy, threshold=0.8).collect())
+        b = key(
+            D.ngram_jaccard_pairs(
+                dupheavy, threshold=0.8, distinct_content=True
+            ).collect()
+        )
+        assert a == b and len(a) > 0
+
+    def test_degenerate_duplicates_stay_excluded(self, dupheavy):
+        out = D.ngram_jaccard_pairs(
+            dupheavy, threshold=0.8, distinct_content=True
+        )
+        assert out.filter(F.col("id_a") >= 1_700_000).limit(1).count() == 0

@@ -158,6 +158,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.8,
+    distinct_content: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard similar pairs (id_a < id_b, jaccard >= t) via
     prefix + length filtering (PPJoin-style; Chaudhuri et al. SSJoin /
@@ -175,8 +176,67 @@ def ngram_jaccard_pairs(
     LOSSLESS for threshold queries — output equals the naive all-pairs
     join (checked in tests). Still quadratic in the worst case; at 100 TB
     use minhash_lsh_candidates first and verify candidates only.
+
+    ``distinct_content=True``: run the prefix filter once per DISTINCT
+    text and expand back to id pairs, with equal-text pairs (jaccard
+    1.0, restricted to nonempty-shingle texts) from one string
+    equi-join — the same duplicate-group g^2 fix as minhash/edit
+    distance, bit-identical output (every stage is a pure function of
+    the text; pinned in tests).
     """
     release_persisted()
+    if distinct_content:
+        t = _persist_scoped(
+            df.select(F.col(id_col), F.col(text_col).alias("__t"))
+        )
+        rep = _persist_scoped(t.groupBy("__t").agg(F.min(id_col).alias("__rid")))
+        rep_pairs = _ngram_jaccard_pairs_core(
+            rep.select(F.col("__rid").alias(id_col), F.col("__t").alias(text_col)),
+            text_col, id_col, n, threshold,
+        )
+        valid = rep.join(
+            hashed_shingles(
+                rep.select(
+                    F.col("__rid").alias(id_col), F.col("__t").alias(text_col)
+                ),
+                text_col, id_col, n,
+            )
+            .filter(F.size("shingles") > 0)
+            .select(F.col(id_col).alias("__rid")),
+            "__rid",
+        ).select("__t")
+        tv = t.join(valid, "__t")
+        same = (
+            tv.select(F.col(id_col).alias("id_a"), "__t")
+            .join(tv.select(F.col(id_col).alias("id_b"), "__t"), "__t")
+            .filter(
+                (F.col("id_a") < F.col("id_b"))
+                & (F.lit(1.0) >= F.lit(float(threshold)))
+            )
+            .select("id_a", "id_b", F.lit(1.0).alias("jaccard"))
+        )
+        ra = rep.select(F.col("__rid").alias("id_a"), F.col("__t").alias("__ta"))
+        rb = rep.select(F.col("__rid").alias("id_b"), F.col("__t").alias("__tb"))
+        ia = t.select(F.col(id_col).alias("__xa"), F.col("__t").alias("__ta"))
+        ib = t.select(F.col(id_col).alias("__xb"), F.col("__t").alias("__tb"))
+        expanded = (
+            rep_pairs.join(ra, "id_a").join(rb, "id_b")
+            .join(ia, "__ta").join(ib, "__tb")
+            .select(
+                F.least("__xa", "__xb").alias("id_a"),
+                F.greatest("__xa", "__xb").alias("id_b"),
+                "jaccard",
+            )
+        )
+        return same.unionByName(expanded)
+    return _ngram_jaccard_pairs_core(df, text_col, id_col, n, threshold)
+
+
+def _ngram_jaccard_pairs_core(
+    df: DataFrame, text_col: str, id_col: str, n: int, threshold: float
+) -> DataFrame:
+    """The prefix-filtered pair join itself (no persist release — the
+    public wrapper owns scope so distinct_content's tables survive)."""
     h = hashed_shingles(df, text_col, id_col, n)
     s = _persist_scoped(
         h.select(

@@ -269,6 +269,9 @@ _TOUCHED = frozenset(
         "text_ngram_lm_score",         # fused single-pass LM training default
         "dedup_edit_distance",         # distinct-string Ed-Join pipeline
         "dedup_edit_distance_skew",    # same rewrite (the profiled fix)
+        "dedup_ngram_jaccard",         # core extracted for distinct_content
+        "dedup_minhash_lsh",           # distinct_content branch added
+        "dedup_minhash_lsh_skew",      # same function
     }
 )
 
