@@ -2700,3 +2700,37 @@ class TestDistinctContentJaccard:
             dupheavy, threshold=0.8, distinct_content=True
         )
         assert out.filter(F.col("id_a") >= 1_700_000).limit(1).count() == 0
+
+
+class TestDistinctContentSimhash:
+    """Same contract as TestDistinctContentMinhash for the banded
+    Hamming path."""
+
+    @pytest.fixture(scope="class")
+    def dupheavy(self, spark, docs):
+        base = docs.select("doc_id", "text")
+        c1 = base.select((F.col("doc_id") + 500_000).alias("doc_id"), "text")
+        # token-less duplicates: excluded at the id level, so they must
+        # not surface as hamming-0 pairs in distinct mode either
+        junk = spark.range(1_700_000, 1_700_200).select(
+            F.col("id").alias("doc_id"), F.lit("  \t ").alias("text")
+        )
+        return base.unionByName(c1).unionByName(junk)
+
+    def test_bit_identical_to_id_level(self, dupheavy):
+        def key(rows):
+            return {(r["id_a"], r["id_b"], r["hamming"]) for r in rows}
+
+        a = key(D.simhash_near_pairs(dupheavy, max_hamming=3).collect())
+        b = key(
+            D.simhash_near_pairs(
+                dupheavy, max_hamming=3, distinct_content=True
+            ).collect()
+        )
+        assert a == b and len(a) > 0
+
+    def test_tokenless_duplicates_stay_excluded(self, dupheavy):
+        out = D.simhash_near_pairs(
+            dupheavy, max_hamming=3, distinct_content=True
+        )
+        assert out.filter(F.col("id_a") >= 1_700_000).limit(1).count() == 0

@@ -719,7 +719,11 @@ def simhash_table(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 
 
 def simhash_near_pairs(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    distinct_content: bool = False,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance, banded: split the
     signature into max_hamming+1 chunks — any pair within distance k shares
@@ -730,7 +734,58 @@ def simhash_near_pairs(
     simhash 0 (no votes), which at corpus scale is a quadratic hot bucket
     in every chunk — and a pair of empty docs is exact-dedup territory
     (md5), not a near-dup signal. Matches the SQL oracle, where token-less
-    docs vanish at the unnest. empty_shingle_docs(df, n=1) reports them."""
+    docs vanish at the unnest. empty_shingle_docs(df, n=1) reports them.
+
+    ``distinct_content=True``: identical texts share every chunk, so a
+    group of g byte-equal docs is a g^2 bucket in all max_hamming+1
+    bands. Band once per DISTINCT text, emit equal-text id pairs
+    (hamming 0) from one string equi-join (zero-token texts excluded,
+    matching the id-level filter), expand verified pairs back to ids —
+    bit-identical output (the simhash is a pure function of the text;
+    pinned in tests). Same fix as minhash/jaccard/edit distance."""
+    release_persisted()
+    if distinct_content:
+        t = _persist_scoped(
+            df.select(F.col(id_col), F.col(text_col).alias("__t"))
+        )
+        rep = _persist_scoped(
+            t.groupBy("__t").agg(F.min(id_col).alias("__rid"))
+        )
+        rep_pairs = _simhash_near_pairs_core(
+            rep.select(F.col("__rid").alias(id_col), F.col("__t").alias(text_col)),
+            text_col, id_col, max_hamming,
+        )
+        tv = t.filter(F.col("__t").rlike(r"\S"))
+        same = (
+            tv.select(F.col(id_col).alias("id_a"), "__t")
+            .join(tv.select(F.col(id_col).alias("id_b"), "__t"), "__t")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select(
+                "id_a", "id_b", F.lit(0).cast("integer").alias("hamming")
+            )
+        )
+        ra = rep.select(F.col("__rid").alias("id_a"), F.col("__t").alias("__ta"))
+        rb = rep.select(F.col("__rid").alias("id_b"), F.col("__t").alias("__tb"))
+        ia = t.select(F.col(id_col).alias("__xa"), F.col("__t").alias("__ta"))
+        ib = t.select(F.col(id_col).alias("__xb"), F.col("__t").alias("__tb"))
+        expanded = (
+            rep_pairs.join(ra, "id_a").join(rb, "id_b")
+            .join(ia, "__ta").join(ib, "__tb")
+            .select(
+                F.least("__xa", "__xb").alias("id_a"),
+                F.greatest("__xa", "__xb").alias("id_b"),
+                "hamming",
+            )
+        )
+        return same.unionByName(expanded)
+    return _simhash_near_pairs_core(df, text_col, id_col, max_hamming)
+
+
+def _simhash_near_pairs_core(
+    df: DataFrame, text_col: str, id_col: str, max_hamming: int
+) -> DataFrame:
+    """The banded Hamming join itself (no persist release — the public
+    wrapper owns scope so distinct_content's tables survive)."""
     chunks = max_hamming + 1
     width = SIMHASH_BITS // chunks
     # The zero-token filter is `text RLIKE '\S'` — EXACTLY equivalent to
@@ -744,7 +799,6 @@ def simhash_near_pairs(
     # it, and without the persist each side re-runs tokenize+simhash over
     # the corpus (measured ~1.1 s/side at sf0.1 — same shape as the
     # persisted MinHash signature table).
-    release_persisted()
     sh = _persist_scoped(
         simhash_table(df.filter(F.col(text_col).rlike(r"\S")), text_col, id_col)
     )

@@ -272,6 +272,7 @@ _TOUCHED = frozenset(
         "dedup_ngram_jaccard",         # core extracted for distinct_content
         "dedup_minhash_lsh",           # distinct_content branch added
         "dedup_minhash_lsh_skew",      # same function
+        "dedup_simhash_near_pairs",    # core extracted for distinct_content
     }
 )
 
