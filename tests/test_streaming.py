@@ -1072,3 +1072,84 @@ def test_flow_streaming_dedup_lifecycle(spark, sf_dir, tmp_path):
     for d in (out, os.path.join(store, "content_md5")):
         batches = {p for p in os.listdir(d) if p.startswith("batch_id=")}
         assert batches == {"batch_id=-1", "batch_id=1"}, (d, batches)
+
+
+def test_streaming_exact_dedup_auto_compaction(spark, sf_dir, tmp_path):
+    """r9: compact_every folds the stores FROM WITHIN the running stream
+    (after every Nth committed batch) — final kept set identical to an
+    uncompacted run, layout reduced to the compacted partition plus the
+    newest batches."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    import tuktu_spark.streaming as STR
+    from tuktu_spark.streaming.llm import streaming_exact_dedup
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    want = {
+        r["doc_id"]
+        for r in docs.groupBy("text").agg(F.min("doc_id").alias("doc_id")).collect()
+    }
+
+    def run(compact_every):
+        stage = str(tmp_path / f"stage{compact_every}")
+        store = str(tmp_path / f"store{compact_every}")
+        out = str(tmp_path / f"out{compact_every}")
+        ckpt = str(tmp_path / f"ckpt{compact_every}")
+        stream = STR.replay_dataframe(docs, stage, chunks=4, order_col="doc_id")
+        q = streaming_exact_dedup(
+            stream, store, out, ckpt, compact_every=compact_every
+        )
+        q.processAllAvailable()
+        q.stop()
+        kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+        batches = {
+            p for p in os.listdir(out) if p.startswith("batch_id=")
+        }
+        return kept, batches
+
+    kept_plain, batches_plain = run(None)
+    kept_auto, batches_auto = run(2)
+    assert kept_plain == kept_auto == want
+    assert batches_plain == {f"batch_id={b}" for b in range(4)}
+    # batches 0..3; compaction fired after batch 1 (fold 0) and after
+    # batch 3 (fold -1, 1, 2) — final layout: compacted + newest real
+    assert batches_auto == {"batch_id=-1", "batch_id=3"}
+
+
+def test_streaming_ann_ingest_auto_compaction_probe_equality(
+    spark, sf_dir, tmp_path
+):
+    """ANN ingest with compact_every: probes over the auto-compacted
+    index equal probes over the uncompacted one."""
+    from pyspark.sql import functions as F
+
+    import tuktu_spark.streaming as STR
+    from tuktu_spark.streaming.llm import ann_probe_ingested, streaming_ann_ingest
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id") < 4).orderBy("vec_id").collect()
+    ]
+    queries = emb.filter(F.col("vec_id") < 3)
+
+    def run(compact_every):
+        stage = str(tmp_path / f"astage{compact_every}")
+        idx = str(tmp_path / f"aidx{compact_every}")
+        ckpt = str(tmp_path / f"ackpt{compact_every}")
+        stream = STR.replay_dataframe(emb, stage, chunks=4, order_col="vec_id")
+        q = streaming_ann_ingest(
+            stream, idx, ckpt, centroids, compact_every=compact_every
+        )
+        q.processAllAvailable()
+        q.stop()
+        return sorted(
+            (r["query_id"], r["neighbor_id"], r["rank"])
+            for r in ann_probe_ingested(
+                spark, idx, queries, centroids, k=5, n_probe=3
+            ).collect()
+        )
+
+    assert run(2) == run(None)

@@ -273,6 +273,8 @@ _TOUCHED = frozenset(
         "dedup_minhash_lsh",           # distinct_content branch added
         "dedup_minhash_lsh_skew",      # same function
         "dedup_simhash_near_pairs",    # core extracted for distinct_content
+        "streaming_ann_ingest_replay",  # compact_every wrapper (default off)
+        "streaming_media_dedup_replay",  # same
     }
 )
 

@@ -63,6 +63,7 @@ def streaming_minhash_candidates(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
+    compact_every: int | None = None,
 ):
     """Start a streaming query emitting LSH candidate pairs incrementally.
     Returns the StreamingQuery; results land in ``pairs_dir`` (parquet,
@@ -70,9 +71,16 @@ def streaming_minhash_candidates(
     micro-batch emitted the pair), signatures accumulate in ``store_dir``
     (signature columns plus the same ``batch_id`` partition column).
     Consumers reading either directory should ignore/drop ``batch_id``;
-    it exists for idempotent replay (dynamic partition overwrite)."""
+    it exists for idempotent replay (dynamic partition overwrite).
+    ``compact_every`` folds both directories every N batches (see
+    auto_compacting)."""
     process = make_minhash_batch_processor(
         stream.sparkSession, store_dir, pairs_dir, text_col, id_col, n
+    )
+    process = auto_compacting(
+        process, stream.sparkSession,
+        [(os.path.join(store_dir, "signatures"), ()), (pairs_dir, ())],
+        compact_every,
     )
     return foreach_batch_sink(stream, process, checkpoint=checkpoint)
 
@@ -165,6 +173,52 @@ def make_minhash_batch_processor(
     return process
 
 
+def auto_compacting(
+    process,
+    spark,
+    dirs: "list[tuple[str, tuple[str, ...]]]",
+    compact_every: int | None,
+    keep_latest: int = 1,
+):
+    """Wrap a foreachBatch processor with periodic store compaction (r9):
+    after every ``compact_every``-th committed batch, each listed
+    ``(store_dir, extra_partition_cols)`` folds via compact_batch_store —
+    a long-running stream does its own small-files maintenance instead of
+    depending on an external job. ``compact_every=None`` returns the
+    processor unchanged.
+
+    Replay safety: compaction runs AFTER the processor committed the
+    batch, and keep_latest >= 1 keeps that newest batch partition real,
+    so a crash-replay of the last batch still finds its own partition
+    (dedup stores' skip check) or dynamically overwrites it (ANN). A
+    crash BETWEEN the compacted write and the folded-directory delete
+    leaves duplicates that the NEXT compaction's full-row dropDuplicates
+    removes — the same write-before-delete convergence contract as a
+    manual fold, stretched across one compaction interval."""
+    if not compact_every:
+        return process
+    if keep_latest < 1:
+        raise ValueError("auto_compacting requires keep_latest >= 1")
+    every = int(compact_every)
+
+    def wrapped(batch_df: DataFrame, batch_id: int) -> None:
+        process(batch_df, batch_id)
+        if (int(batch_id) + 1) % every != 0:
+            return
+        from pyspark.errors.exceptions.captured import AnalysisException
+
+        for d, extra in dirs:
+            try:
+                compact_batch_store(
+                    spark, d, keep_latest=keep_latest,
+                    extra_partition_cols=tuple(extra),
+                )
+            except AnalysisException:
+                continue  # store not created yet (e.g. all-empty batches)
+
+    return wrapped
+
+
 def streaming_exact_dedup(
     stream: DataFrame,
     store_dir: str,
@@ -172,6 +226,7 @@ def streaming_exact_dedup(
     checkpoint: str,
     text_col: str = "text",
     id_col: str = "doc_id",
+    compact_every: int | None = None,
 ):
     """Incremental EXACT dedup at ingest: only first-seen document contents
     (by md5) survive to ``out_dir``. Complements streaming MinHash (near
@@ -181,9 +236,15 @@ def streaming_exact_dedup(
     than the corpus and unbounded-watermark-free by design (content
     equality has no event-time horizon). Same idempotency contract as the
     MinHash store: batch_id-partitioned dynamic overwrite, hash store
-    commits last, replays skip."""
+    commits last, replays skip. ``compact_every`` folds both directories
+    every N batches (see auto_compacting)."""
     process = make_exact_dedup_batch_processor(
         stream.sparkSession, store_dir, out_dir, text_col, id_col
+    )
+    process = auto_compacting(
+        process, stream.sparkSession,
+        [(out_dir, ()), (os.path.join(store_dir, "content_md5"), ())],
+        compact_every,
     )
     return foreach_batch_sink(stream, process, checkpoint=checkpoint)
 
@@ -253,6 +314,7 @@ def streaming_paragraph_dedup(
     id_col: str = "doc_id",
     sep_regex: str = r"\n{2,}",
     joiner: str = "\n\n",
+    compact_every: int | None = None,
 ):
     """Incremental PARAGRAPH-level dedup at ingest (round 6, verdict #7):
     each arriving document is rewritten keeping only paragraphs never
@@ -268,9 +330,15 @@ def streaming_paragraph_dedup(
     hash store commits LAST so a stored batch_id proves the whole batch
     committed, and replays skip. For an id-ordered replay of a static
     corpus the output is pinned equal to batch
-    ``paragraph_dedup_rebuild`` (tests)."""
+    ``paragraph_dedup_rebuild`` (tests). ``compact_every`` folds both
+    directories every N batches (see auto_compacting)."""
     process = make_paragraph_dedup_batch_processor(
         stream.sparkSession, store_dir, out_dir, text_col, id_col, sep_regex, joiner
+    )
+    process = auto_compacting(
+        process, stream.sparkSession,
+        [(out_dir, ()), (os.path.join(store_dir, "paragraph_md5"), ())],
+        compact_every,
     )
     return foreach_batch_sink(stream, process, checkpoint=checkpoint)
 
@@ -555,13 +623,21 @@ def streaming_media_dedup(
     kind: str = "image",
     media_col: str = "media",
     id_col: str = "doc_id",
+    compact_every: int | None = None,
 ):
     """Incremental perceptual media dedup at ingest: only first-seen
     signatures (image dHash / audio fingerprint) survive to ``out_dir``.
     The streaming counterpart of image_dhash_table/audio_fingerprint_table
-    + exact-signature keep — the media analogue of streaming_exact_dedup."""
+    + exact-signature keep — the media analogue of streaming_exact_dedup.
+    ``compact_every`` folds both directories every N batches (see
+    auto_compacting)."""
     process = make_media_dedup_batch_processor(
         stream.sparkSession, store_dir, out_dir, kind, media_col, id_col
+    )
+    process = auto_compacting(
+        process, stream.sparkSession,
+        [(out_dir, ()), (os.path.join(store_dir, "media_sigs"), ())],
+        compact_every,
     )
     return foreach_batch_sink(stream, process, checkpoint=checkpoint)
 
@@ -729,14 +805,20 @@ def streaming_ann_ingest(
     centroids: "list[list[float]]",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    compact_every: int | None = None,
 ):
     """ANN index construction AT INGEST: vectors stream in, the index
     grows incrementally against frozen coarse centroids, and probes are
     possible at any moment over everything ingested so far — the
     streaming member of the IVF family (write-once -> append ->
-    streaming)."""
+    streaming). ``compact_every`` folds the index every N batches (see
+    auto_compacting; one file per list via the list_id partition)."""
     process = make_ann_ingest_batch_processor(
         stream.sparkSession, index_dir, centroids, id_col, vec_col
+    )
+    process = auto_compacting(
+        process, stream.sparkSession,
+        [(index_dir, ("list_id",))], compact_every,
     )
     return foreach_batch_sink(stream, process, checkpoint=checkpoint)
 
