@@ -1153,3 +1153,43 @@ def test_streaming_ann_ingest_auto_compaction_probe_equality(
         )
 
     assert run(2) == run(None)
+
+
+def test_streaming_dsir_auto_compaction_scores_identical(spark, sf_dir, tmp_path):
+    """compact_every on a SCORE store: the weight rows after in-stream
+    compaction equal the uncompacted run bit-for-bit."""
+    from pyspark.sql import functions as F
+
+    import tuktu_spark.streaming as STR
+    from tuktu_spark.llm.dsir import hashed_ngram_features, train_dsir_llr
+    from tuktu_spark.streaming.llm import streaming_dsir_weights
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.split("text", " ").alias("tokens")
+    )
+    B = 512
+    tf = hashed_ngram_features(d.filter(F.col("lang") == "en"), buckets=B)
+    rf = hashed_ngram_features(d, buckets=B)
+    llr = train_dsir_llr(tf, rf, buckets=B)
+
+    def run(compact_every):
+        stage = str(tmp_path / f"ds{compact_every}")
+        out = str(tmp_path / f"do{compact_every}")
+        ckpt = str(tmp_path / f"dc{compact_every}")
+        stream = STR.replay_dataframe(
+            d.select("doc_id", "tokens"), stage, chunks=4, order_col="doc_id"
+        )
+        q = streaming_dsir_weights(
+            stream, llr, out, ckpt, buckets=B, compact_every=compact_every
+        )
+        q.processAllAvailable()
+        q.stop()
+        return {
+            (r["doc_id"], r["n_feats"], r["logw_q"])
+            for r in spark.read.option("mergeSchema", "true")
+            .parquet(out)
+            .select("doc_id", "n_feats", "logw_q")
+            .collect()
+        }
+
+    assert run(2) == run(None)

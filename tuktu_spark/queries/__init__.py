@@ -275,6 +275,8 @@ _TOUCHED = frozenset(
         "dedup_simhash_near_pairs",    # core extracted for distinct_content
         "streaming_ann_ingest_replay",  # compact_every wrapper (default off)
         "streaming_media_dedup_replay",  # same
+        "streaming_dsir_replay",        # same (score-store wiring)
+        "streaming_cnn_classify_replay",  # same (streaming_classify)
     }
 )
 

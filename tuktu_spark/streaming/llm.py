@@ -455,10 +455,16 @@ def streaming_lm_score(
     checkpoint_dir: str,
     tokens_col: str = "tokens",
     id_col: str = "doc_id",
+    compact_every: int | None = None,
 ):
-    """readStream -> frozen-LM scoring -> partitioned parquet scores."""
+    """readStream -> frozen-LM scoring -> partitioned parquet scores.
+    ``compact_every`` folds the score store every N batches (see
+    auto_compacting)."""
     proc = make_lm_score_batch_processor(
         stream_df.sparkSession, lm, out_dir, tokens_col, id_col
+    )
+    proc = auto_compacting(
+        proc, stream_df.sparkSession, [(out_dir, ())], compact_every
     )
     return (
         stream_df.writeStream.foreachBatch(proc)
@@ -512,11 +518,17 @@ def streaming_dsir_weights(
     id_col: str = "doc_id",
     buckets: int = 4096,
     max_n: int = 2,
+    compact_every: int | None = None,
 ):
-    """readStream -> frozen-llr DSIR weighting -> partitioned parquet."""
+    """readStream -> frozen-llr DSIR weighting -> partitioned parquet.
+    ``compact_every`` folds the score store every N batches (see
+    auto_compacting)."""
     proc = make_dsir_weight_batch_processor(
         stream_df.sparkSession, llr_table, out_dir, tokens_col, id_col,
         buckets, max_n,
+    )
+    proc = auto_compacting(
+        proc, stream_df.sparkSession, [(out_dir, ())], compact_every
     )
     return (
         stream_df.writeStream.foreachBatch(proc)
@@ -742,13 +754,19 @@ def streaming_classify(
     embedder,
     media_col: str = "media",
     id_col: str = "doc_id",
+    compact_every: int | None = None,
 ):
     """Model inference at ingest: classify every arriving media blob with
     a fixed embedder + centroid head (image CNN / audio energy-ZCR /
     video temporal-pool — all plug the same seam). Weights ride the
-    closure to each executor once; only (id, label) rows persist."""
+    closure to each executor once; only (id, label) rows persist.
+    ``compact_every`` folds the label store every N batches (see
+    auto_compacting)."""
     process = make_classify_batch_processor(
         stream.sparkSession, out_dir, centroids, embedder, media_col, id_col
+    )
+    process = auto_compacting(
+        process, stream.sparkSession, [(out_dir, ())], compact_every
     )
     return foreach_batch_sink(stream, process, checkpoint=checkpoint)
 
