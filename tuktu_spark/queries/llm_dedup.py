@@ -121,7 +121,7 @@ WHERE CAST(common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - common AS DOUBLE) >= 0.8
 
 @query(
     "dedup_minhash_lsh_distinct", oracle=_JACCARD_DUP_ORACLE,
-    tags=("llm", "dedup"),
+    tags=("llm", "dedup"), bench=True,
 )
 def dedup_minhash_lsh_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH in distinct_content mode (r9): the duplicate-heavy
