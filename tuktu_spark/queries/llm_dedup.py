@@ -131,16 +131,24 @@ def dedup_minhash_lsh_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents", parallel=True).select(
         "doc_id", "text"
     )
-    corpus = (
-        docs.unionByName(
-            docs.select((F.col("doc_id") + 10_000_000).alias("doc_id"), "text")
-        ).unionByName(
-            docs.filter(F.col("doc_id") % 5 == 0).select(
-                (F.col("doc_id") + 20_000_000).alias("doc_id"), "text"
-            )
-        )
-    )
+    corpus = _clone_corpus(docs)
     return D.minhash_dedup_pairs(corpus, threshold=0.8, distinct_content=True)
+
+
+@query(
+    "dedup_ngram_jaccard_distinct", oracle=_JACCARD_DUP_ORACLE,
+    tags=("llm", "dedup"),
+)
+def dedup_ngram_jaccard_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact prefix-filtered Jaccard in distinct_content mode over the
+    same duplicate-heavy clone corpus as dedup_minhash_lsh_distinct —
+    both fuzzy families must reproduce the identical exact truth through
+    their distinct-text pipelines."""
+    docs = load_table(spark, sf_dir, "documents", parallel=True).select(
+        "doc_id", "text"
+    )
+    corpus = _clone_corpus(docs)
+    return D.ngram_jaccard_pairs(corpus, threshold=0.8, distinct_content=True)
 
 
 @query("dedup_minhash_lsh_skew", oracle=_JACCARD_ORACLE, tags=("llm", "dedup"), bench=True)
@@ -284,6 +292,57 @@ FROM cand WHERE bit_count(xor(ha, hb)) <= {max_hamming}
 
 
 REGISTRY["dedup_simhash_near_pairs"].oracle = _simhash_pairs_oracle()
+
+
+# The duplicate-heavy clone corpus shared by the *_distinct queries
+# (every doc twice, every 5th three times) — Spark and SQL forms.
+_CLONE_CORPUS_SQL = """
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000000 AS doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 20000000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+"""
+
+
+def _clone_corpus(docs: DataFrame) -> DataFrame:
+    return (
+        docs.unionByName(
+            docs.select((F.col("doc_id") + 10_000_000).alias("doc_id"), "text")
+        ).unionByName(
+            docs.filter(F.col("doc_id") % 5 == 0).select(
+                (F.col("doc_id") + 20_000_000).alias("doc_id"), "text"
+            )
+        )
+    )
+
+
+def _simhash_pairs_distinct_oracle() -> str:
+    """The near-pairs oracle re-rooted on the clone corpus: byte-equal
+    clones share the simhash exactly, so they surface at hamming 0."""
+    body = _simhash_pairs_oracle().strip()
+    assert body.startswith("WITH ")
+    return (
+        "WITH clone_corpus AS (" + _CLONE_CORPUS_SQL + "), "
+        + body[len("WITH "):].replace("FROM documents", "FROM clone_corpus")
+    )
+
+
+@query("dedup_simhash_distinct", tags=("llm", "dedup"))
+def dedup_simhash_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash banding in distinct_content mode over the clone corpus
+    (r9): one band pass per distinct text, equal-text pairs at hamming
+    0, expansion back to ids — hash-matched against the per-bit SQL
+    replay over the same clones."""
+    docs = load_table(spark, sf_dir, "documents", parallel=True).select(
+        "doc_id", "text"
+    )
+    return D.simhash_near_pairs(
+        _clone_corpus(docs), max_hamming=3, distinct_content=True
+    )
+
+
+REGISTRY["dedup_simhash_distinct"].oracle = _simhash_pairs_distinct_oracle()
 
 
 # ---------------------------------------------------------------------------
