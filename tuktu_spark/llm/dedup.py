@@ -152,6 +152,72 @@ def shingle_table(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     )
 
 
+def _distinct_content_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    core,
+    value_col: str,
+    same_value,
+    emit_same: bool = True,
+):
+    """Shared distinct_content scaffolding for the fuzzy-dedup family
+    (r9): run a pair ``core`` over one representative per DISTINCT text,
+    emit equal-text id pairs from an equi self-join, expand verified
+    representative pairs back to id pairs.
+
+    Every wide join here keys on ``md5(text)`` — the repo's established
+    content identity (exact_dedup) — so shuffles carry 32-byte digests,
+    not document bodies; at 100 TB re-keying the same-text and
+    expansion joins off the raw text is the difference between
+    shuffling hashes and shuffling the corpus twice.
+
+    ``core(rep_df)`` receives (id_col, text_col) with one row per
+    distinct text and returns ``(pairs, valid_ids)``: id-keyed pairs
+    carrying ``value_col``, and the representative ids whose text is
+    PAIRABLE (nonempty shingles / has tokens) — equal-text pairs are
+    restricted to those, matching each id-level pipeline's
+    degenerate-doc exclusion. ``emit_same=False`` suppresses the
+    equal-text branch for pathological parameters under which the
+    id-level run emits nothing."""
+    t = _persist_scoped(
+        df.select(F.col(id_col), F.col(text_col).alias("__t"))
+        .withColumn("__h", F.md5("__t"))
+    )
+    rep = _persist_scoped(
+        t.groupBy("__h").agg(
+            F.min(id_col).alias("__rid"), F.min("__t").alias("__t")
+        )
+    )
+    pairs, valid_ids = core(
+        rep.select(F.col("__rid").alias(id_col), F.col("__t").alias(text_col))
+    )
+    vh = rep.join(
+        valid_ids.select(F.col(id_col).alias("__rid")), "__rid"
+    ).select("__h")
+    tv = t.join(vh, "__h")
+    same = (
+        tv.select(F.col(id_col).alias("id_a"), "__h")
+        .join(tv.select(F.col(id_col).alias("id_b"), "__h"), "__h")
+        .filter((F.col("id_a") < F.col("id_b")) & F.lit(bool(emit_same)))
+        .select("id_a", "id_b", same_value.alias(value_col))
+    )
+    ra = rep.select(F.col("__rid").alias("id_a"), F.col("__h").alias("__ha"))
+    rb = rep.select(F.col("__rid").alias("id_b"), F.col("__h").alias("__hb"))
+    ia = t.select(F.col(id_col).alias("__xa"), F.col("__h").alias("__ha"))
+    ib = t.select(F.col(id_col).alias("__xb"), F.col("__h").alias("__hb"))
+    expanded = (
+        pairs.join(ra, "id_a").join(rb, "id_b")
+        .join(ia, "__ha").join(ib, "__hb")
+        .select(
+            F.least("__xa", "__xb").alias("id_a"),
+            F.greatest("__xa", "__xb").alias("id_b"),
+            value_col,
+        )
+    )
+    return same.unionByName(expanded)
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -186,49 +252,23 @@ def ngram_jaccard_pairs(
     """
     release_persisted()
     if distinct_content:
-        t = _persist_scoped(
-            df.select(F.col(id_col), F.col(text_col).alias("__t"))
-        )
-        rep = _persist_scoped(t.groupBy("__t").agg(F.min(id_col).alias("__rid")))
-        rep_pairs = _ngram_jaccard_pairs_core(
-            rep.select(F.col("__rid").alias(id_col), F.col("__t").alias(text_col)),
-            text_col, id_col, n, threshold,
-        )
-        valid = rep.join(
-            hashed_shingles(
-                rep.select(
-                    F.col("__rid").alias(id_col), F.col("__t").alias(text_col)
-                ),
-                text_col, id_col, n,
+
+        def core(rep_df):
+            pairs = _ngram_jaccard_pairs_core(
+                rep_df, text_col, id_col, n, threshold
             )
-            .filter(F.size("shingles") > 0)
-            .select(F.col(id_col).alias("__rid")),
-            "__rid",
-        ).select("__t")
-        tv = t.join(valid, "__t")
-        same = (
-            tv.select(F.col(id_col).alias("id_a"), "__t")
-            .join(tv.select(F.col(id_col).alias("id_b"), "__t"), "__t")
-            .filter(
-                (F.col("id_a") < F.col("id_b"))
-                & (F.lit(1.0) >= F.lit(float(threshold)))
+            valid = (
+                hashed_shingles(rep_df, text_col, id_col, n)
+                .filter(F.size("shingles") > 0)
+                .select(id_col)
             )
-            .select("id_a", "id_b", F.lit(1.0).alias("jaccard"))
+            return pairs, valid
+
+        return _distinct_content_pairs(
+            df, text_col, id_col, core,
+            value_col="jaccard", same_value=F.lit(1.0),
+            emit_same=float(threshold) <= 1.0,
         )
-        ra = rep.select(F.col("__rid").alias("id_a"), F.col("__t").alias("__ta"))
-        rb = rep.select(F.col("__rid").alias("id_b"), F.col("__t").alias("__tb"))
-        ia = t.select(F.col(id_col).alias("__xa"), F.col("__t").alias("__ta"))
-        ib = t.select(F.col(id_col).alias("__xb"), F.col("__t").alias("__tb"))
-        expanded = (
-            rep_pairs.join(ra, "id_a").join(rb, "id_b")
-            .join(ia, "__ta").join(ib, "__tb")
-            .select(
-                F.least("__xa", "__xb").alias("id_a"),
-                F.greatest("__xa", "__xb").alias("id_b"),
-                "jaccard",
-            )
-        )
-        return same.unionByName(expanded)
     return _ngram_jaccard_pairs_core(df, text_col, id_col, n, threshold)
 
 
@@ -421,61 +461,27 @@ def minhash_dedup_pairs(
     source."""
     release_persisted()
     if distinct_content:
-        t = _persist_scoped(
-            df.select(F.col(id_col), F.col(text_col).alias("__t"))
-        )
-        # one representative id per distinct text: the pipeline's output
+        # one representative per distinct text: the pipeline's output
         # over representatives is the id-level output restricted to them
-        # because every stage is a pure function of the text
-        rep = _persist_scoped(
-            t.groupBy("__t").agg(F.min(id_col).alias("__rid"))
-        )
-        h_rep = _persist_scoped(
-            hashed_shingles(
-                rep.select(
-                    F.col("__rid").alias(id_col), F.col("__t").alias(text_col)
-                ),
-                text_col, id_col, n,
+        # because every stage is a pure function of the text; equal-text
+        # pairs (jaccard exactly 1.0) are restricted to texts with a
+        # nonempty shingle set, matching the id-level empty-shingle drop
+
+        def core(rep_df):
+            h_rep = _persist_scoped(
+                hashed_shingles(rep_df, text_col, id_col, n)
             )
+            pairs = _minhash_pairs_from_hashed(h_rep, id_col, threshold)
+            valid = h_rep.filter(F.size("shingles") > 0).select(id_col)
+            return pairs, valid
+
+        return _distinct_content_pairs(
+            df, text_col, id_col, core,
+            value_col="jaccard", same_value=F.lit(1.0),
+            # pathological threshold > 1: the id-level run emits
+            # nothing, so neither may the equal-text branch
+            emit_same=float(threshold) <= 1.0,
         )
-        rep_pairs = _minhash_pairs_from_hashed(h_rep, id_col, threshold)
-        # equal-text id pairs (jaccard exactly 1.0) — restricted to texts
-        # with a nonempty shingle set, matching the id-level pipeline's
-        # empty-shingle drop (two byte-equal too-short docs emit nothing)
-        valid = rep.join(
-            h_rep.filter(F.size("shingles") > 0).select(
-                F.col(id_col).alias("__rid")
-            ),
-            "__rid",
-        ).select("__t")
-        tv = t.join(valid, "__t")
-        same = (
-            tv.select(F.col(id_col).alias("id_a"), "__t")
-            .join(tv.select(F.col(id_col).alias("id_b"), "__t"), "__t")
-            .filter(
-                (F.col("id_a") < F.col("id_b"))
-                # pathological threshold > 1: the id-level run emits
-                # nothing, so neither may the equal-text branch
-                & (F.lit(1.0) >= F.lit(float(threshold)))
-            )
-            .select("id_a", "id_b", F.lit(1.0).alias("jaccard"))
-        )
-        # expand representative pairs to all id pairs of either text;
-        # rid order says nothing about id order — canonicalize
-        ra = rep.select(F.col("__rid").alias("id_a"), F.col("__t").alias("__ta"))
-        rb = rep.select(F.col("__rid").alias("id_b"), F.col("__t").alias("__tb"))
-        ia = t.select(F.col(id_col).alias("__xa"), F.col("__t").alias("__ta"))
-        ib = t.select(F.col(id_col).alias("__xb"), F.col("__t").alias("__tb"))
-        expanded = (
-            rep_pairs.join(ra, "id_a").join(rb, "id_b")
-            .join(ia, "__ta").join(ib, "__tb")
-            .select(
-                F.least("__xa", "__xb").alias("id_a"),
-                F.greatest("__xa", "__xb").alias("id_b"),
-                "jaccard",
-            )
-        )
-        return same.unionByName(expanded)
     # Filter AFTER the persist: a filter on size(shingles) upstream of the
     # materialization makes Catalyst evaluate the (expensive) shingle
     # expression twice — predicate pushdown + projection collapse inline
@@ -745,39 +751,22 @@ def simhash_near_pairs(
     pinned in tests). Same fix as minhash/jaccard/edit distance."""
     release_persisted()
     if distinct_content:
-        t = _persist_scoped(
-            df.select(F.col(id_col), F.col(text_col).alias("__t"))
-        )
-        rep = _persist_scoped(
-            t.groupBy("__t").agg(F.min(id_col).alias("__rid"))
-        )
-        rep_pairs = _simhash_near_pairs_core(
-            rep.select(F.col("__rid").alias(id_col), F.col("__t").alias(text_col)),
-            text_col, id_col, max_hamming,
-        )
-        tv = t.filter(F.col("__t").rlike(r"\S"))
-        same = (
-            tv.select(F.col(id_col).alias("id_a"), "__t")
-            .join(tv.select(F.col(id_col).alias("id_b"), "__t"), "__t")
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select(
-                "id_a", "id_b", F.lit(0).cast("integer").alias("hamming")
+
+        def core(rep_df):
+            pairs = _simhash_near_pairs_core(
+                rep_df, text_col, id_col, max_hamming
             )
+            # pairable = has at least one token (the rlike filter the
+            # id-level path applies before banding)
+            valid = rep_df.filter(F.col(text_col).rlike(r"\S")).select(id_col)
+            return pairs, valid
+
+        return _distinct_content_pairs(
+            df, text_col, id_col, core,
+            value_col="hamming",
+            same_value=F.lit(0).cast("integer"),
+            emit_same=int(max_hamming) >= 0,
         )
-        ra = rep.select(F.col("__rid").alias("id_a"), F.col("__t").alias("__ta"))
-        rb = rep.select(F.col("__rid").alias("id_b"), F.col("__t").alias("__tb"))
-        ia = t.select(F.col(id_col).alias("__xa"), F.col("__t").alias("__ta"))
-        ib = t.select(F.col(id_col).alias("__xb"), F.col("__t").alias("__tb"))
-        expanded = (
-            rep_pairs.join(ra, "id_a").join(rb, "id_b")
-            .join(ia, "__ta").join(ib, "__tb")
-            .select(
-                F.least("__xa", "__xb").alias("id_a"),
-                F.greatest("__xa", "__xb").alias("id_b"),
-                "hamming",
-            )
-        )
-        return same.unionByName(expanded)
     return _simhash_near_pairs_core(df, text_col, id_col, max_hamming)
 
 
