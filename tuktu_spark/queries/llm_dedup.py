@@ -119,9 +119,15 @@ WHERE CAST(common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - common AS DOUBLE) >= 0.8
 """
 
 
+# Deliberately NOT bench-tagged (r9, measured): the clone corpus has
+# duplicate groups of size 2-3, below distinct_content's break-even —
+# the bench would time the mode's overhead case (~2x the id-level run
+# here) and its 11k-doc heaviness polluted the neighboring skew query's
+# timings in the shared session. The perf claim lives in SCALE.md's
+# 16-copy mirror measurement; this query is the CORRECTNESS pin.
 @query(
     "dedup_minhash_lsh_distinct", oracle=_JACCARD_DUP_ORACLE,
-    tags=("llm", "dedup"), bench=True,
+    tags=("llm", "dedup"),
 )
 def dedup_minhash_lsh_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH in distinct_content mode (r9): the duplicate-heavy
