@@ -366,3 +366,50 @@ def test_edit_distance_pairs_property(spark, words, d):
         if lev(words[i], words[j]) <= d
     }
     assert got == want
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    texts=st.lists(
+        st.lists(WORD, min_size=0, max_size=8).map(" ".join),
+        min_size=1, max_size=8,
+    ),
+    copies=st.lists(st.integers(min_value=1, max_value=4), min_size=8, max_size=8),
+)
+def test_distinct_content_modes_match_id_level(spark, texts, copies):
+    """r9 invariant: distinct_content=True is BIT-IDENTICAL to the
+    id-level pipeline for minhash LSH and simhash banding on ARBITRARY
+    corpora with arbitrary duplication multiplicities (including empty
+    and sub-shingle texts, which both modes must exclude identically)."""
+    from tuktu_spark.llm.dedup import minhash_dedup_pairs, simhash_near_pairs
+
+    rows, i = [], 0
+    for t, c in zip(texts, copies):
+        for _ in range(c):
+            rows.append((i, t))
+            i += 1
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    mh_id = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 12))
+        for r in minhash_dedup_pairs(df, threshold=0.8).collect()
+    }
+    mh_dc = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 12))
+        for r in minhash_dedup_pairs(
+            df, threshold=0.8, distinct_content=True
+        ).collect()
+    }
+    assert mh_dc == mh_id
+
+    sh_id = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash_near_pairs(df, max_hamming=2).collect()
+    }
+    sh_dc = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash_near_pairs(
+            df, max_hamming=2, distinct_content=True
+        ).collect()
+    }
+    assert sh_dc == sh_id
