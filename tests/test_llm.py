@@ -2734,3 +2734,95 @@ class TestDistinctContentSimhash:
             dupheavy, max_hamming=3, distinct_content=True
         )
         assert out.filter(F.col("id_a") >= 1_700_000).limit(1).count() == 0
+
+
+class TestBloomDecontamination:
+    """r9: the beyond-broadcast decontamination path — Bloom prefilter in
+    the closure + exact verify of survivors. The report must EQUAL the
+    broadcast form regardless of filter sizing (FPs die in the verify
+    join); the prefilter itself must demonstrably pass FPs at tiny
+    sizings (so the exactness claim is doing real work)."""
+
+    @pytest.fixture(scope="class")
+    def corpus_eval(self, spark, docs):
+        corpus = docs.select("doc_id", "text")
+        ev = corpus.filter(F.col("doc_id") % 7 == 0).select("text")
+        return corpus, ev
+
+    def test_report_equals_broadcast_form(self, corpus_eval):
+        from tuktu_spark.llm.decontaminate import (
+            contamination_report,
+            contamination_report_bloom,
+        )
+
+        corpus, ev = corpus_eval
+        want = {
+            (r["doc_id"], r["n_matched_grams"])
+            for r in contamination_report(corpus, ev, n=5).collect()
+        }
+        for n_bits, k in ((1 << 20, 7), (1 << 10, 2)):
+            got = {
+                (r["doc_id"], r["n_matched_grams"])
+                for r in contamination_report_bloom(
+                    corpus, ev, n=5, n_bits=n_bits, k=k
+                ).collect()
+            }
+            assert got == want, (n_bits, k)
+        assert want  # the planted eval rows guarantee real contamination
+
+    def test_tiny_bloom_passes_false_positives(self, corpus_eval):
+        from tuktu_spark.llm.decontaminate import (
+            _gram_table,
+            bloom_might_contain_udf,
+            build_gram_bloom,
+        )
+
+        corpus, ev = corpus_eval
+        bloom = build_gram_bloom(ev, n=5, n_bits=1 << 10, k=2)
+        might = bloom_might_contain_udf(bloom, 2)
+        cg = _gram_table(corpus, "text", "doc_id", 5, "gram")
+        survivors = cg.filter(might(F.col("gram"))).count()
+        true_hits = cg.join(
+            _gram_table(ev, "text", None, 5, "gram").distinct(), "gram"
+        ).count()
+        assert survivors > true_hits  # FPs present pre-verify
+
+    def test_bloom_has_no_false_negatives(self, corpus_eval):
+        """Every eval gram must test positive against its own filter —
+        the Bloom guarantee the exactness argument rests on."""
+        from tuktu_spark.llm.decontaminate import (
+            _gram_table,
+            bloom_might_contain_udf,
+            build_gram_bloom,
+        )
+
+        _, ev = corpus_eval
+        bloom = build_gram_bloom(ev, n=5, n_bits=1 << 10, k=2)
+        might = bloom_might_contain_udf(bloom, 2)
+        eg = _gram_table(ev, "text", None, 5, "gram")
+        assert eg.filter(~might(F.col("gram"))).count() == 0
+
+    def test_power_of_two_enforced(self, corpus_eval):
+        from tuktu_spark.llm.decontaminate import build_gram_bloom
+
+        _, ev = corpus_eval
+        with pytest.raises(ValueError, match="power of two"):
+            build_gram_bloom(ev, n=5, n_bits=1000)
+
+    def test_operator_engine_bloom(self, corpus_eval):
+        from tuktu_spark.operators import make_operator
+
+        corpus, ev = corpus_eval
+        rep = make_operator(
+            "decontaminate",
+            {"n": 5, "report": True, "engine": "bloom", "bloom_bits": 1 << 12,
+             "bloom_hashes": 3},
+        )(corpus, ev)
+        base = make_operator("decontaminate", {"n": 5, "report": True})(
+            corpus, ev
+        )
+        assert {tuple(r) for r in rep.collect()} == {
+            tuple(r) for r in base.collect()
+        }
+        with pytest.raises(ValueError, match="report form"):
+            make_operator("decontaminate", {"engine": "bloom"})(corpus, ev)

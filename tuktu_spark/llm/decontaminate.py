@@ -109,3 +109,128 @@ def semantic_decontaminate(
         )
     contaminated = hits.select(corpus_id).distinct()
     return corpus.join(F.broadcast(contaminated), corpus_id, "left_anti")
+
+
+# --- Bloom-prefiltered decontamination (r9) --------------------------------
+#
+# contamination_report broadcasts the eval n-gram SET — right whenever the
+# eval side fits the broadcast budget (the common case). When it does not
+# (a consortium eval suite can reach 10^8+ distinct 13-grams ~ GBs as a
+# join table), the scalable shape is two-phase: ship a FIXED-SIZE Bloom
+# filter of the eval grams in the UDF closure (a 2^30-bit filter is
+# 128 MB regardless of gram count), drop the overwhelming majority of
+# corpus grams map-side, and exact-verify only the survivors with a
+# shuffle join against the true eval grams — false positives die there,
+# so the result is EXACTLY contamination_report's. Spark's internal
+# bloom_filter_agg/might_contain expressions are not exposed as public
+# SQL functions in this build, so the filter is built distributed with
+# the repo's partition-sum DDP shape: each partition sets bits in a
+# local numpy bitmap inside one Arrow pass, the driver ORs the bitmaps.
+# Standard double hashing (Kirsch-Mitzenmacher, public literature):
+# position_i = (h1 + i*h2) mod n_bits over the split halves of the
+# 64-bit gram hash.
+
+
+def _bloom_positions(hashes_u64, n_bits: int, k: int):
+    """(n, k) uint64 bit positions for a vector of 64-bit gram hashes."""
+    import numpy as np
+
+    u = hashes_u64.astype(np.uint64)
+    h1 = u & np.uint64(0xFFFFFFFF)
+    h2 = (u >> np.uint64(32)) | np.uint64(1)  # odd stride
+    i = np.arange(k, dtype=np.uint64)[None, :]
+    return (h1[:, None] + i * h2[:, None]) & np.uint64(n_bits - 1)
+
+
+def build_gram_bloom(
+    eval_set: DataFrame,
+    text_col: str = "text",
+    n: int = 13,
+    n_bits: int = 1 << 23,
+    k: int = 7,
+) -> bytes:
+    """Bloom bitmap of the eval set's word-n-gram hashes. ``n_bits`` must
+    be a power of two (sized for the expected distinct-gram count: FPR
+    ~ (1 - e^{-k m / n_bits})^k; at n_bits = 16m and k = 7 that is
+    ~0.5%). Build is one Arrow pass per partition + a driver OR of
+    n_bits/8-byte bitmaps — eval grams never shuffle and never collect."""
+    import numpy as np
+    import pandas as pd
+
+    if n_bits & (n_bits - 1):
+        raise ValueError(f"n_bits={n_bits} must be a power of two")
+    grams = _gram_table(eval_set, text_col, None, n, "gram")
+
+    def part_bitmap(batches):
+        bm = np.zeros(n_bits // 8, dtype=np.uint8)
+        seen = False
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            seen = True
+            pos = _bloom_positions(
+                pdf["gram"].to_numpy(dtype=np.int64), n_bits, k
+            ).ravel()
+            np.bitwise_or.at(
+                bm, (pos >> np.uint64(3)).astype(np.int64),
+                np.left_shift(
+                    np.uint8(1), (pos & np.uint64(7)).astype(np.uint8)
+                ),
+            )
+        if seen:
+            yield pd.DataFrame({"bm": [bm.tobytes()]})
+
+    parts = grams.mapInPandas(part_bitmap, schema="bm binary").collect()
+    out = np.zeros(n_bits // 8, dtype=np.uint8)
+    for r in parts:
+        out |= np.frombuffer(r["bm"], dtype=np.uint8)
+    return out.tobytes()
+
+
+def bloom_might_contain_udf(bloom: bytes, k: int = 7):
+    """Vectorized membership test over a LongType gram-hash column; the
+    bitmap rides the closure (shipped once per executor)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    bm = np.frombuffer(bloom, dtype=np.uint8)
+    n_bits = len(bm) * 8
+
+    def test(grams):
+        pos = _bloom_positions(grams.to_numpy(dtype=np.int64), n_bits, k)
+        bits = (
+            bm[(pos >> np.uint64(3)).astype(np.int64)]
+            >> (pos & np.uint64(7)).astype(np.uint8)
+        ) & 1
+        return pd.Series(bits.all(axis=1))
+
+    test.__annotations__ = {"grams": pd.Series, "return": pd.Series}
+    return pandas_udf("boolean")(test)
+
+
+def contamination_report_bloom(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    corpus_text: str = "text",
+    corpus_id: str = "doc_id",
+    eval_text: str = "text",
+    n: int = 13,
+    n_bits: int = 1 << 23,
+    k: int = 7,
+) -> DataFrame:
+    """contamination_report for eval sets too big to broadcast: Bloom
+    prefilter map-side (fixed-size closure), then exact verification of
+    the surviving grams via a shuffle join against the true eval grams.
+    Output EXACTLY equals contamination_report (oracle-pinned) — the
+    Bloom's false positives are removed by the verify join; only
+    survivors (true hits + the ~FPR sliver) ever shuffle."""
+    bloom = build_gram_bloom(eval_set, eval_text, n, n_bits, k)
+    might = bloom_might_contain_udf(bloom, k)
+    corpus_grams = _gram_table(corpus, corpus_text, corpus_id, n, "gram")
+    survivors = corpus_grams.filter(might(F.col("gram")))
+    eval_grams = _gram_table(eval_set, eval_text, None, n, "gram").distinct()
+    hits = survivors.join(eval_grams, "gram")
+    return hits.groupBy(corpus_id).agg(
+        F.count_distinct("gram").alias("n_matched_grams")
+    )

@@ -101,15 +101,28 @@ def decontaminate_op(config: dict):
     def transform(corpus: DataFrame, eval_set: DataFrame | None = None) -> DataFrame:
         if eval_set is None:
             raise ValueError("decontaminate needs (corpus, eval_set) inputs")
-        fn = DC.contamination_report if config.get("report") else DC.decontaminate
-        return fn(
-            corpus,
-            eval_set,
+        kwargs = dict(
             corpus_text=config.get("text_field", "text"),
             corpus_id=config.get("id_field", "doc_id"),
             eval_text=config.get("eval_text_field", config.get("text_field", "text")),
             n=int(config.get("n", 13)),
         )
+        if config.get("engine") == "bloom":
+            # eval set past the broadcast budget: Bloom prefilter +
+            # exact verify (identical output, see llm/decontaminate.py)
+            if not config.get("report"):
+                raise ValueError(
+                    "engine='bloom' currently implements the report form; "
+                    "anti-join the report against the corpus to drop docs"
+                )
+            return DC.contamination_report_bloom(
+                corpus, eval_set,
+                n_bits=int(config.get("bloom_bits", 1 << 23)),
+                k=int(config.get("bloom_hashes", 7)),
+                **kwargs,
+            )
+        fn = DC.contamination_report if config.get("report") else DC.decontaminate
+        return fn(corpus, eval_set, **kwargs)
 
     return transform
 

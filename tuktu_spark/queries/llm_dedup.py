@@ -383,6 +383,24 @@ def dedup_decontaminate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_report(docs, eval_set, n=13)
 
 
+@query("dedup_decontaminate_bloom", oracle=_DECON_ORACLE, tags=("llm", "dedup"))
+def dedup_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The beyond-broadcast decontamination path (r9): a fixed-size Bloom
+    filter of the eval grams prefilters corpus grams map-side, survivors
+    exact-verify through a shuffle join — same oracle as
+    dedup_decontaminate_report because false positives die in the verify
+    join. Deliberately undersized bits/hashes so the FP path is
+    exercised, not vacuous (at sf0.01 the prefilter passes ~4x the true
+    hits; the report still hash-matches)."""
+    from ..llm.decontaminate import contamination_report_bloom
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    eval_set = docs.filter(F.col("doc_id") % 17 == 0).select("text")
+    return contamination_report_bloom(
+        docs, eval_set, n=13, n_bits=1 << 12, k=3
+    )
+
+
 # ---------------------------------------------------------------------------
 # INCREMENTAL dedup: a "new batch" (every 10th doc, re-identified) against
 # the full corpus — the daily-crawl shape. Oracle: exact cross Jaccard
