@@ -84,7 +84,16 @@ class TestFusedTraining:
     def test_fused_identical_to_per_order(self, spark, corpus, min_count):
         """r9 (verdict #6): the single-pass (k, gram) aggregation must
         produce the SAME model as the per-order jobs — counts are exact
-        integers, so set equality per order, not approximation."""
+        integers, so set equality per order, not approximation. The
+        corpus includes an EMPTY-token doc (r10, advisor): sequence(1, 0)
+        descends to [1, 0] and the unguarded slice threw
+        INVALID_PARAMETER_VALUE.START — real corpora always contain
+        empty/short documents, and per_order (posexplode drops empties)
+        never had the hazard."""
+        empties = spark.createDataFrame(
+            [(90, []), (91, ["solo"])], "doc_id long, tokens array<string>"
+        )
+        corpus = corpus.unionByName(empties)
         a = train_ngram_lm(corpus, n=3, min_count=min_count, method="fused")
         b = train_ngram_lm(
             corpus, n=3, min_count=min_count, method="per_order"

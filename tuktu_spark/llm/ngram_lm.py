@@ -159,7 +159,7 @@ def _fused_counts(
     and single scan. Counts are exact integers either way, so the two
     methods produce identical models (pinned in tests)."""
     t = F.col(tokens_col)
-    pairs = F.flatten(
+    exploded = F.flatten(
         F.transform(
             F.sequence(F.lit(1), F.size(t)),
             lambda i: F.transform(
@@ -170,6 +170,14 @@ def _fused_counts(
                 ),
             ),
         )
+    )
+    # Empty-token guard: sequence(1, size=0) yields DESCENDING [1, 0],
+    # so the inner slice would throw INVALID_PARAMETER_VALUE.START.
+    # Real corpora always contain empty/short documents (same hazard
+    # _shingles_from_tokens documents in dedup.py); CaseWhen evaluates
+    # branches lazily per row, so empty docs never touch the sequence.
+    pairs = F.when(F.size(t) > 0, exploded).otherwise(
+        F.array().cast("array<struct<k:int,gram:string>>")
     )
     fused = (
         df.select(F.explode(pairs).alias("p"))
