@@ -254,6 +254,34 @@ _VERIFIED_ROUND = {
         ),
         8,
     ),
+    **dict.fromkeys(
+        (
+            "cube_orders", "dedup_decontaminate_bloom", "dedup_edit_distance",
+            "dedup_edit_distance_skew", "dedup_first_per_key",
+            "dedup_minhash_components", "dedup_minhash_lsh",
+            "dedup_minhash_lsh_distinct", "dedup_minhash_lsh_skew",
+            "dedup_ngram_jaccard", "dedup_ngram_jaccard_distinct",
+            "dedup_simhash_distinct", "dedup_simhash_near_pairs",
+            "dedup_simhash_values", "filter_predicate", "filter_regex",
+            "group_agg_orders", "join_asof_latest_ref", "join_range_bands",
+            "mix_weighted_sample", "ml_hmm_train_loglik",
+            "ml_kmeans_cluster_sizes", "ml_logreg_accuracy",
+            "multimodal_audio_classify",
+            "multimodal_audio_pretrained_classify", "multimodal_audio_stats",
+            "multimodal_frame_sample", "multimodal_probe_roundtrip",
+            "nlp_nbsvm_accuracy", "nlp_rhetorics_counts",
+            "nlp_shorttext_accuracy", "nlp_word2vec_nearest",
+            "pivot_linestatus", "rollup_orders", "select_project",
+            "similarity_topk_ivf_kmeans", "similarity_topk_pq",
+            "streaming_ann_compact_replay", "streaming_dedup_compact_replay",
+            "streaming_join_replay", "streaming_session_replay",
+            "streaming_tumbling_replay", "text_ngram_lm_score",
+            "text_pii_scrub", "text_repetition_stats",
+            "text_unigram_tokenize", "top_k_orders", "ts_ar_forecast",
+            "ts_arima_forecast", "tumbling_window_hourly",
+        ),
+        9,
+    ),
 }
 
 # Queries whose implementation (or a shared helper they exercise) changed in
@@ -261,25 +289,17 @@ _VERIFIED_ROUND = {
 # green, so this round's edits cannot silently regress them.
 _TOUCHED = frozenset(
     {
-        # round 9 edits
-        "streaming_ann_compact_replay",  # compact_ann_index now delegates to
-        # the generalized compact_batch_store (mergeSchema read, shared fold)
-        "text_unigram_tokenize",       # train_unigram e_step='auto' dispatch
-        "multimodal_audio_classify",   # audio_classify gained the weights seam
-        "text_ngram_lm_score",         # fused single-pass LM training default
-        "dedup_edit_distance",         # distinct-string Ed-Join pipeline
-        "dedup_edit_distance_skew",    # same rewrite (the profiled fix)
-        "dedup_ngram_jaccard",         # core extracted for distinct_content
-        "dedup_minhash_lsh",           # distinct_content branch added
-        "dedup_minhash_lsh_skew",      # same function
-        "dedup_simhash_near_pairs",    # core extracted for distinct_content
-        # NOT listed: the streaming_*_replay queries whose entry points
-        # only gained the compact_every parameter — auto_compacting(None)
-        # returns the processor unchanged (identity, unit-visible), and
-        # all four were re-verified against the oracle in-session
-        # (driver_sim MATCH). Listing them would push the last two
-        # r4-stale queries out of the 50-row window, defeating the tail
-        # drain this round exists to finish.
+        # round 10 edits
+        "text_ngram_lm_score",  # _fused_counts empty-token-array guard
+        # The four streaming queries whose entry points gained
+        # compact_every in ROUND 9 but whose last driver check predates
+        # that edit (r9 omitted them from _TOUCHED to protect the r4
+        # tail drain — the advisor correctly called that a guard
+        # weakening, so they re-enter the window now):
+        "streaming_dsir_replay",         # streaming_dsir_weights edited r9
+        "streaming_media_dedup_replay",  # streaming_media_dedup edited r9
+        "streaming_cnn_classify_replay", # streaming_classify edited r9
+        "streaming_ann_ingest_replay",   # streaming_ann_ingest edited r9
     }
 )
 
