@@ -2736,6 +2736,60 @@ class TestDistinctContentSimhash:
         assert out.filter(F.col("id_a") >= 1_700_000).limit(1).count() == 0
 
 
+class TestDistinctContentAutoDispatch:
+    """r10 (verdict #4): distinct_content='auto' probes the corpus
+    duplication ratio (count vs approx_count_distinct of a text hash —
+    one cheap scan) and dispatches at the measured ~2x crossover,
+    mirroring the unigram e_step='auto' pattern. The output must be
+    bit-identical on BOTH sides of the threshold (the probe only picks
+    the plan), and the explicit flags must stay overridable."""
+
+    @pytest.fixture(scope="class")
+    def unique_corpus(self, spark, docs):
+        return docs.select("doc_id", "text")
+
+    @pytest.fixture(scope="class")
+    def dup_corpus(self, spark, docs):
+        base = docs.select("doc_id", "text")
+        c1 = base.select((F.col("doc_id") + 500_000).alias("doc_id"), "text")
+        c2 = base.select((F.col("doc_id") + 900_000).alias("doc_id"), "text")
+        return base.unionByName(c1).unionByName(c2)
+
+    def test_probe_decision_both_sides(self, unique_corpus, dup_corpus):
+        from tuktu_spark.llm.dedup import _resolve_distinct_content
+
+        # sf docs are (near-)unique: ratio ~1, stays id-level
+        assert _resolve_distinct_content(unique_corpus, "text", "auto") is False
+        # 3 copies of every text: ratio ~3 >= 2, dispatches to distinct
+        assert _resolve_distinct_content(dup_corpus, "text", "auto") is True
+        # explicit flags bypass the probe entirely
+        assert _resolve_distinct_content(dup_corpus, "text", False) is False
+        assert _resolve_distinct_content(unique_corpus, "text", True) is True
+
+    @pytest.mark.parametrize("fam", ["minhash", "jaccard", "simhash"])
+    def test_auto_bit_identical_both_sides(
+        self, unique_corpus, dup_corpus, fam
+    ):
+        def run(df, dc):
+            if fam == "minhash":
+                out = D.minhash_dedup_pairs(df, threshold=0.8, distinct_content=dc)
+                v = "jaccard"
+            elif fam == "jaccard":
+                out = D.ngram_jaccard_pairs(df, threshold=0.8, distinct_content=dc)
+                v = "jaccard"
+            else:
+                out = D.simhash_near_pairs(df, max_hamming=3, distinct_content=dc)
+                v = "hamming"
+            return {
+                (r["id_a"], r["id_b"], round(float(r[v]), 12))
+                for r in out.collect()
+            }
+
+        for corpus in (unique_corpus, dup_corpus):
+            want = run(corpus, False)
+            assert run(corpus, "auto") == want
+
+
 class TestBloomDecontamination:
     """r9: the beyond-broadcast decontamination path — Bloom prefilter in
     the closure + exact verify of survivors. The report must EQUAL the
@@ -2808,6 +2862,46 @@ class TestBloomDecontamination:
         _, ev = corpus_eval
         with pytest.raises(ValueError, match="power of two"):
             build_gram_bloom(ev, n=5, n_bits=1000)
+
+    def test_staged_fold_partitioning_invariant(self, corpus_eval):
+        """r10 (verdict #2): the staged OR — per-partition bitmaps folded
+        executor-side to fold_partitions rows, then streamed to the
+        driver — must yield the SAME bitmap regardless of how the eval
+        set is partitioned or how wide the fold fan-in is. (The old
+        collect() shape held one bitmap PER eval partition on the driver
+        at once: O(P * n_bits) memory; the fold makes it O(n_bits).)"""
+        from tuktu_spark.llm.decontaminate import build_gram_bloom
+
+        _, ev = corpus_eval
+        want = build_gram_bloom(
+            ev.coalesce(1), n=5, n_bits=1 << 10, k=2, fold_partitions=1
+        )
+        for n_parts, fan_in in ((3, 1), (7, 2), (16, 8)):
+            got = build_gram_bloom(
+                ev.repartition(n_parts), n=5, n_bits=1 << 10, k=2,
+                fold_partitions=fan_in,
+            )
+            assert got == want, (n_parts, fan_in)
+
+    def test_auto_sizing_from_gram_count(self, corpus_eval):
+        """n_bits=None sizes the filter from approx_count_distinct: a
+        power of two >= 16 * m, clamped to [2^23, 2^30]. The tiny test
+        eval set lands exactly on the 2^23 floor, and the filter it
+        produces must still carry the no-false-negative guarantee."""
+        from pyspark.sql import functions as F
+        from tuktu_spark.llm.decontaminate import (
+            _gram_table,
+            bloom_might_contain_udf,
+            build_gram_bloom,
+        )
+
+        _, ev = corpus_eval
+        bloom = build_gram_bloom(ev, n=5, n_bits=None, k=7)
+        n_bits = len(bloom) * 8
+        assert n_bits == 1 << 23  # the floor: tiny eval set
+        might = bloom_might_contain_udf(bloom, 7)
+        eg = _gram_table(ev, "text", None, 5, "gram")
+        assert eg.filter(~might(F.col("gram"))).count() == 0
 
     def test_operator_engine_bloom(self, corpus_eval):
         from tuktu_spark.operators import make_operator

@@ -146,20 +146,40 @@ def build_gram_bloom(
     eval_set: DataFrame,
     text_col: str = "text",
     n: int = 13,
-    n_bits: int = 1 << 23,
+    n_bits: int | None = 1 << 23,
     k: int = 7,
+    fold_partitions: int = 8,
 ) -> bytes:
     """Bloom bitmap of the eval set's word-n-gram hashes. ``n_bits`` must
     be a power of two (sized for the expected distinct-gram count: FPR
     ~ (1 - e^{-k m / n_bits})^k; at n_bits = 16m and k = 7 that is
-    ~0.5%). Build is one Arrow pass per partition + a driver OR of
-    n_bits/8-byte bitmaps — eval grams never shuffle and never collect."""
+    ~0.5%). Pass ``n_bits=None`` to size it from one cheap
+    approx_count_distinct scan of the gram table (next power of two
+    >= 16m, clamped to [2^23, 2^30]) — the explicit default 2^23 (1 MiB,
+    ~0.5M grams) only suits SMALL eval sets; the beyond-broadcast suites
+    this module exists for (10^8+ distinct 13-grams) need ~2^30 bits, so
+    scale users should pass None or size it themselves.
+
+    Build is one Arrow pass per partition (eval grams never shuffle and
+    never collect), then a STAGED OR: the per-partition bitmap rows —
+    one per input partition — fold down to ``fold_partitions`` rows with
+    an executor-side OR before the driver streams them one at a time
+    (toLocalIterator). Driver peak memory is therefore O(n_bits) (two
+    bitmaps), NOT O(input_partitions * n_bits): at 2^30 bits over a
+    1000-partition eval suite the old collect() shape materialized
+    ~128 GB on the driver; this shape holds 256 MB. The fold shuffle
+    moves only P bitmap rows, never grams."""
     import numpy as np
     import pandas as pd
 
+    grams = _gram_table(eval_set, text_col, None, n, "gram")
+    if n_bits is None:
+        m = grams.agg(
+            F.approx_count_distinct("gram").alias("m")
+        ).collect()[0]["m"] or 1
+        n_bits = min(max(1 << (16 * m - 1).bit_length(), 1 << 23), 1 << 30)
     if n_bits & (n_bits - 1):
         raise ValueError(f"n_bits={n_bits} must be a power of two")
-    grams = _gram_table(eval_set, text_col, None, n, "gram")
 
     def part_bitmap(batches):
         bm = np.zeros(n_bits // 8, dtype=np.uint8)
@@ -180,9 +200,23 @@ def build_gram_bloom(
         if seen:
             yield pd.DataFrame({"bm": [bm.tobytes()]})
 
-    parts = grams.mapInPandas(part_bitmap, schema="bm binary").collect()
+    def or_fold(batches):
+        acc = None
+        for pdf in batches:
+            for buf in pdf["bm"]:
+                if acc is None:
+                    acc = np.frombuffer(buf, dtype=np.uint8).copy()
+                else:
+                    acc |= np.frombuffer(buf, dtype=np.uint8)
+        if acc is not None:
+            yield pd.DataFrame({"bm": [acc.tobytes()]})
+
+    bitmaps = grams.mapInPandas(part_bitmap, schema="bm binary")
+    folded = bitmaps.repartition(fold_partitions).mapInPandas(
+        or_fold, schema="bm binary"
+    )
     out = np.zeros(n_bits // 8, dtype=np.uint8)
-    for r in parts:
+    for r in folded.toLocalIterator():
         out |= np.frombuffer(r["bm"], dtype=np.uint8)
     return out.tobytes()
 
@@ -216,7 +250,7 @@ def contamination_report_bloom(
     corpus_id: str = "doc_id",
     eval_text: str = "text",
     n: int = 13,
-    n_bits: int = 1 << 23,
+    n_bits: int | None = 1 << 23,
     k: int = 7,
 ) -> DataFrame:
     """contamination_report for eval sets too big to broadcast: Bloom
@@ -224,7 +258,16 @@ def contamination_report_bloom(
     the surviving grams via a shuffle join against the true eval grams.
     Output EXACTLY equals contamination_report (oracle-pinned) — the
     Bloom's false positives are removed by the verify join; only
-    survivors (true hits + the ~FPR sliver) ever shuffle."""
+    survivors (true hits + the ~FPR sliver) ever shuffle.
+
+    ``n_bits``: the 2^23 default (1 MiB, ~0.5M grams at ~0.5% FPR) only
+    suits SMALL eval sets — an undersized filter stays CORRECT (false
+    positives die in the verify join) but saturates toward FPR 1, and
+    the prefilter stops paying for itself: nearly the whole corpus gram
+    table shuffles to the verify join. For the beyond-broadcast suites
+    this function exists for (10^8+ distinct 13-grams), pass
+    ``n_bits=None`` to auto-size from the eval gram count (~2^30 bits =
+    128 MB closure), or size it yourself at ~16 bits per distinct gram."""
     bloom = build_gram_bloom(eval_set, eval_text, n, n_bits, k)
     might = bloom_might_contain_udf(bloom, k)
     corpus_grams = _gram_table(corpus, corpus_text, corpus_id, n, "gram")

@@ -152,6 +152,31 @@ def shingle_table(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     )
 
 
+# Auto-dispatch threshold for distinct_content (r10, verdict #4): the
+# measured sf0.1 crossover (SCALE.md) — at ~2x duplication id-level and
+# distinct-content run within noise; above it the distinct pipeline wins
+# and grows quadratically better with group size. Mirrors the unigram
+# e_step='auto' pattern (llm/unigram.py): measure, then dispatch.
+_DISTINCT_CONTENT_AUTO_THRESHOLD = 2.0
+
+
+def _resolve_distinct_content(df: DataFrame, text_col: str, flag) -> bool:
+    """Resolve a distinct_content flag of True/False/'auto'. 'auto' runs
+    ONE cheap probe — count vs approx_count_distinct of xxhash64(text),
+    a single scan with a partial-aggregated sketch, no shuffle of the
+    texts — and turns the mode on when the duplication ratio reaches the
+    measured crossover. The ~5% sketch error is immaterial against a 2x
+    threshold, and the OUTPUT is flag-independent (bit-identical either
+    way, pinned in tests): the probe only picks the cheaper plan."""
+    if flag == "auto":
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.approx_count_distinct(F.xxhash64(F.col(text_col))).alias("m"),
+        ).collect()[0]
+        return row["n"] >= _DISTINCT_CONTENT_AUTO_THRESHOLD * max(row["m"], 1)
+    return bool(flag)
+
+
 def _distinct_content_pairs(
     df: DataFrame,
     text_col: str,
@@ -224,7 +249,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.8,
-    distinct_content: bool = False,
+    distinct_content: "bool | str" = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard similar pairs (id_a < id_b, jaccard >= t) via
     prefix + length filtering (PPJoin-style; Chaudhuri et al. SSJoin /
@@ -248,9 +273,11 @@ def ngram_jaccard_pairs(
     1.0, restricted to nonempty-shingle texts) from one string
     equi-join — the same duplicate-group g^2 fix as minhash/edit
     distance, bit-identical output (every stage is a pure function of
-    the text; pinned in tests).
+    the text; pinned in tests). ``'auto'`` probes the corpus duplication
+    ratio once and picks the mode (see _resolve_distinct_content).
     """
     release_persisted()
+    distinct_content = _resolve_distinct_content(df, text_col, distinct_content)
     if distinct_content:
 
         def core(rep_df):
@@ -433,7 +460,7 @@ def minhash_dedup_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.8,
-    distinct_content: bool = False,
+    distinct_content: "bool | str" = False,
 ) -> DataFrame:
     """MinHash+LSH near-dup pipeline: signatures -> banded candidates ->
     exact Jaccard verification of candidates only. The hashed-shingle
@@ -458,8 +485,11 @@ def minhash_dedup_pairs(
     keyed on content cardinality. Default off: on low-duplicate corpora
     the extra distinct + expansion joins are pure overhead; turn it on
     for raw crawl snapshots and anything downstream of a mirror-heavy
-    source."""
+    source — or pass ``'auto'`` (r10) to probe the corpus duplication
+    ratio once and dispatch at the measured crossover (see
+    _resolve_distinct_content)."""
     release_persisted()
+    distinct_content = _resolve_distinct_content(df, text_col, distinct_content)
     if distinct_content:
         # one representative per distinct text: the pipeline's output
         # over representatives is the id-level output restricted to them
@@ -729,7 +759,7 @@ def simhash_near_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
-    distinct_content: bool = False,
+    distinct_content: "bool | str" = False,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance, banded: split the
     signature into max_hamming+1 chunks — any pair within distance k shares
@@ -748,8 +778,11 @@ def simhash_near_pairs(
     (hamming 0) from one string equi-join (zero-token texts excluded,
     matching the id-level filter), expand verified pairs back to ids —
     bit-identical output (the simhash is a pure function of the text;
-    pinned in tests). Same fix as minhash/jaccard/edit distance."""
+    pinned in tests). Same fix as minhash/jaccard/edit distance.
+    ``'auto'`` probes the corpus duplication ratio once and dispatches
+    at the measured crossover (see _resolve_distinct_content)."""
     release_persisted()
+    distinct_content = _resolve_distinct_content(df, text_col, distinct_content)
     if distinct_content:
 
         def core(rep_df):

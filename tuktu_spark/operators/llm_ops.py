@@ -24,12 +24,18 @@ def exact_dedup(config: dict):
 @operator("minhash_dedup")
 def minhash_dedup(config: dict):
     """MinHash+LSH near-dup pairs (signatures -> banded candidates ->
-    exact verification). config: {text_field, id_field, threshold, n}."""
+    exact verification). config: {text_field, id_field, threshold, n,
+    distinct_content} — distinct_content: false (default) | true |
+    "auto" (probe the corpus duplication ratio once; same output either
+    way, the flag only picks the cheaper plan)."""
     text_col = config.get("text_field", "text")
     id_col = config.get("id_field", "doc_id")
     threshold = float(config.get("threshold", 0.8))
     n = int(config.get("n", 3))
-    return lambda df: D.minhash_dedup_pairs(df, text_col, id_col, n, threshold)
+    dc = config.get("distinct_content", False)
+    return lambda df: D.minhash_dedup_pairs(
+        df, text_col, id_col, n, threshold, distinct_content=dc
+    )
 
 
 @operator("shingle_index_write")
@@ -67,12 +73,17 @@ def minhash_dedup_from_index(config: dict):
 
 @operator("jaccard_dedup")
 def jaccard_dedup(config: dict):
-    """Exact n-gram Jaccard pairs via prefix+length filtering."""
+    """Exact n-gram Jaccard pairs via prefix+length filtering. config:
+    {text_field, id_field, threshold, n, distinct_content} —
+    distinct_content: false (default) | true | "auto"."""
     text_col = config.get("text_field", "text")
     id_col = config.get("id_field", "doc_id")
     threshold = float(config.get("threshold", 0.8))
     n = int(config.get("n", 3))
-    return lambda df: D.ngram_jaccard_pairs(df, text_col, id_col, n, threshold)
+    dc = config.get("distinct_content", False)
+    return lambda df: D.ngram_jaccard_pairs(
+        df, text_col, id_col, n, threshold, distinct_content=dc
+    )
 
 
 @operator("simhash_add")
@@ -115,9 +126,13 @@ def decontaminate_op(config: dict):
                     "engine='bloom' currently implements the report form; "
                     "anti-join the report against the corpus to drop docs"
                 )
+            # bloom_bits: explicit power of two, or "auto" to size from
+            # the eval gram count (the default 2^23 only suits SMALL eval
+            # sets — see contamination_report_bloom's sizing note)
+            bits_cfg = config.get("bloom_bits", 1 << 23)
             return DC.contamination_report_bloom(
                 corpus, eval_set,
-                n_bits=int(config.get("bloom_bits", 1 << 23)),
+                n_bits=None if bits_cfg == "auto" else int(bits_cfg),
                 k=int(config.get("bloom_hashes", 7)),
                 **kwargs,
             )
