@@ -1118,6 +1118,40 @@ def test_streaming_exact_dedup_auto_compaction(spark, sf_dir, tmp_path):
     assert batches_auto == {"batch_id=-1", "batch_id=3"}
 
 
+def test_auto_compacting_skip_is_narrow(spark, tmp_path):
+    """r10 (advisor): a store directory that does not exist yet (all
+    batches empty so far) is SKIPPED — but a genuinely failing
+    compaction (here: a store that exists but holds no readable
+    parquet) must PROPAGATE and fail the stream, not silently disable
+    small-files maintenance for the stream's lifetime the way the old
+    blanket AnalysisException handler did."""
+    import pytest
+
+    from tuktu_spark.streaming.llm import auto_compacting
+
+    seen = []
+    batch = spark.range(1)
+
+    missing = str(tmp_path / "never_written")
+    wrapped = auto_compacting(
+        lambda df, bid: seen.append(bid), spark, [(missing, ())],
+        compact_every=1,
+    )
+    wrapped(batch, 0)  # skip, no raise
+    assert seen == [0]
+
+    bad = tmp_path / "bad_store"
+    bad.mkdir()
+    (bad / "junk.txt").write_text("not parquet")
+    wrapped = auto_compacting(
+        lambda df, bid: seen.append(bid), spark, [(str(bad), ())],
+        compact_every=1,
+    )
+    with pytest.raises(Exception, match="(?i)parquet|schema|PATH"):
+        wrapped(batch, 0)
+    assert seen == [0, 0]  # the batch itself still committed first
+
+
 def test_streaming_ann_ingest_auto_compaction_probe_equality(
     spark, sf_dir, tmp_path
 ):

@@ -25,6 +25,7 @@ batch pipeline; signatures alone cannot verify exactly.
 
 from __future__ import annotations
 
+import logging
 import os
 
 from pyspark.sql import DataFrame
@@ -32,6 +33,8 @@ from pyspark.sql import functions as F
 
 from ..llm import dedup as D
 from .ops import foreach_batch_sink
+
+_LOG = logging.getLogger(__name__)
 
 
 def _banded(sigs: DataFrame, id_col: str) -> DataFrame:
@@ -205,16 +208,26 @@ def auto_compacting(
         process(batch_df, batch_id)
         if (int(batch_id) + 1) % every != 0:
             return
-        from pyspark.errors.exceptions.captured import AnalysisException
-
+        # Existence pre-check instead of swallowing AnalysisException
+        # (r10, advisor): a store directory legitimately doesn't exist
+        # yet when every batch so far was empty — skip and say so — but
+        # a genuinely failing compaction (schema corruption, column
+        # resolution) must PROPAGATE and fail the stream, not silently
+        # disable small-files maintenance for the stream's lifetime.
+        jvm = spark._jvm
+        hconf = spark._jsc.hadoopConfiguration()
         for d, extra in dirs:
-            try:
-                compact_batch_store(
-                    spark, d, keep_latest=keep_latest,
-                    extra_partition_cols=tuple(extra),
+            p = jvm.org.apache.hadoop.fs.Path(d)
+            if not p.getFileSystem(hconf).exists(p):
+                _LOG.info(
+                    "auto_compacting: store %s not created yet at batch "
+                    "%s; skipping this compaction tick", d, batch_id,
                 )
-            except AnalysisException:
-                continue  # store not created yet (e.g. all-empty batches)
+                continue
+            compact_batch_store(
+                spark, d, keep_latest=keep_latest,
+                extra_partition_cols=tuple(extra),
+            )
 
     return wrapped
 
