@@ -83,29 +83,44 @@ class TestVerificationStaleness:
 
     def test_staleness_sla(self):
         """r10 (verdict #7): the oldest driver-green may trail the newest
-        by at most 4 rounds. The driver checks ~50 of the 205 queries per
-        round, so a perfectly rotated tail re-verifies every query within
-        4 rounds (205/50 < 4.1); a gap wider than that means the window
-        ordering regressed (e.g. an unmerged artifact re-burning slots on
-        fresh greens) and should fail CI rather than wait for a judge."""
+        by at most 5 rounds. The cycle math: the driver checks ~50 of
+        205 queries per round, and touched + brand-new queries take
+        window slots first, so a full rotation needs ceil(205/50) = 5
+        rounds with realistic per-round overhead (the idealized 4.1 is
+        only reachable with zero touched/new queries). A gap wider than
+        5 means the window ordering regressed (e.g. an unmerged
+        artifact re-burning slots on fresh greens) and should fail CI
+        rather than wait for a judge."""
         newest = max(_VERIFIED_ROUND.values())
         oldest = min(_VERIFIED_ROUND.values())
-        assert newest - oldest <= 4, (
+        assert newest - oldest <= 5, (
             f"verification tail too stale: oldest green r{oldest} vs "
             f"newest r{newest} — merge the latest CORRECTNESS artifact "
             "into _VERIFIED_ROUND and let load_all() rotate the tail in"
         )
 
-    def test_window_prioritizes_stalest(self):
-        """The first 50 registry entries (the driver's window) must
-        contain EVERY query at the oldest verified round — the rotation
-        exists to drain the tail, so the tail must actually fit."""
+    def test_window_never_queue_jumps(self):
+        """The rotation's real invariant: no previously-verified query
+        sits in the driver's 50-row window on recency grounds while a
+        STALER one waits outside. (Touched and never-verified queries
+        legitimately outrank the tail, so the tail may not fully fit in
+        a heavy round — but the rank-by-staleness slice itself must be
+        taken oldest-first.)"""
         registry = load_all()
-        oldest = min(_VERIFIED_ROUND.values())
-        stalest = {n for n, v in _VERIFIED_ROUND.items() if v == oldest}
-        window = set(list(registry)[:50])
-        left_out = stalest - window
-        assert not left_out, (
-            f"r{oldest}-stale queries outside the 50-row window: "
-            f"{sorted(left_out)}"
-        )
+        names = list(registry)
+        window, outside = set(names[:50]), names[50:]
+        from tuktu_spark.queries import _TOUCHED
+
+        def rotation_round(n):
+            # rank-2 rows only: verified, not touched this round
+            if n in _VERIFIED_ROUND and n not in _TOUCHED:
+                return _VERIFIED_ROUND[n]
+            return None
+
+        in_rounds = [r for n in window if (r := rotation_round(n)) is not None]
+        out_rounds = [r for n in outside if (r := rotation_round(n)) is not None]
+        if in_rounds and out_rounds:
+            assert max(in_rounds) <= min(out_rounds), (
+                f"queue jump: window holds an r{max(in_rounds)} green "
+                f"while an r{min(out_rounds)} green waits outside"
+            )

@@ -300,18 +300,28 @@ _TOUCHED = frozenset(
         "streaming_media_dedup_replay",  # streaming_media_dedup edited r9
         "streaming_cnn_classify_replay", # streaming_classify edited r9
         "streaming_ann_ingest_replay",   # streaming_ann_ingest edited r9
+        # distinct_content='auto' dispatch added at the top of all three
+        # fuzzy-pair entry points (llm/dedup.py) — the explicit-flag
+        # paths resolve to identical plans (bit-identical pinned in
+        # tests) but the functions changed, so every query through them
+        # re-enters the window. COMPLETE list, no ranking-management
+        # omissions (the r9 lesson):
+        "dedup_minhash_lsh", "dedup_minhash_lsh_skew",
+        "dedup_minhash_lsh_distinct", "dedup_minhash_components",
+        "dedup_ngram_jaccard", "dedup_ngram_jaccard_distinct",
+        "dedup_simhash_near_pairs", "dedup_simhash_distinct",
+        # staged OR-reduce in build_gram_bloom (driver memory fix)
+        "dedup_decontaminate_bloom",
     }
 )
 
 # Queries that failed a past driver round before being fixed (the round-1
-# rollup/cube/pivot/asof/range family) — kept near the window's front for a
-# second hard row even when recently green.
-_REVERIFY_PRIORITY = frozenset(
-    {
-        "rollup_orders", "cube_orders", "pivot_linestatus",
-        "join_asof_latest_ref", "join_range_bands",
-    }
-)
+# rollup/cube/pivot/asof/range family) — RETIRED r10: each member has now
+# been driver-green in five separate windows (r2, r4, r5, r7/r8, r9)
+# since the r1 fixes; pinning them at the window's front forever costs
+# slots the stale tail needs. The set stays defined (empty) so the rank
+# function keeps its seam for future regressions.
+_REVERIFY_PRIORITY = frozenset()
 
 
 def load_all() -> dict[str, QueryDef]:

@@ -157,6 +157,73 @@ def dedup_ngram_jaccard_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_jaccard_pairs(corpus, threshold=0.8, distinct_content=True)
 
 
+# Exact Jaccard truth over the MIRROR-HEAVY corpus (16 copies of every
+# 8th document, the rest singletons): byte-equal mirrors meet at jaccard
+# exactly 1.0 through their shared shingles; near-dup pairs whose both
+# sides are mirrored replicate 16x16 — the exhaustive shingle self-join
+# replays all of it.
+_JACCARD_MIRROR_ORACLE = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 8 <> 0
+  UNION ALL
+  SELECT d.doc_id + 10000000 * (r.range + 1) AS doc_id, d.text
+  FROM documents d CROSS JOIN range(16) r
+  WHERE d.doc_id % 8 = 0
+), toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+  FROM corpus
+), sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+  FROM toks
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       CAST(common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - common AS DOUBLE) AS jaccard
+FROM pairs
+JOIN sizes sa ON id_a = sa.doc_id
+JOIN sizes sb ON id_b = sb.doc_id
+WHERE CAST(common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - common AS DOUBLE) >= 0.8
+"""
+
+
+@query(
+    "dedup_ngram_jaccard_skew", oracle=_JACCARD_MIRROR_ORACLE,
+    tags=("llm", "dedup"), bench=True,
+)
+def dedup_ngram_jaccard_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DUPLICATE-SKEW stress for the PPJoin path, bench-tagged (r10,
+    verdict #5): 16 byte-equal mirrors of every 8th document make each
+    mirrored text a g^2=256 bucket in the id-level prefix join — the
+    regime where distinct_content wins (SCALE.md 16-copy measurement),
+    deliberately OUT of the mode's overhead regime (the 2-3-copy clone
+    corpus dedup_ngram_jaccard_distinct pins for correctness). Driven
+    through distinct_content='auto' so the duplication-ratio dispatch
+    (~2.9x here at every sf, comfortably over the 2x crossover) gets
+    live driver coverage; the result hash-matches DuckDB's exhaustive
+    all-pairs replay of the same mirror corpus."""
+    docs = load_table(spark, sf_dir, "documents", parallel=True).select(
+        "doc_id", "text"
+    )
+    singles = docs.filter(F.col("doc_id") % 8 != 0)
+    mirrors = (
+        docs.filter(F.col("doc_id") % 8 == 0)
+        .crossJoin(spark.range(16).select(F.col("id").alias("__k")))
+        .select(
+            (F.col("doc_id") + 10_000_000 * (F.col("__k") + 1)).alias("doc_id"),
+            "text",
+        )
+    )
+    corpus = singles.unionByName(mirrors)
+    return D.ngram_jaccard_pairs(corpus, threshold=0.8, distinct_content="auto")
+
+
 @query("dedup_minhash_lsh_skew", oracle=_JACCARD_ORACLE, tags=("llm", "dedup"), bench=True)
 def dedup_minhash_lsh_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SKEW GUARD for the round-2 scale-killer: the same MinHash+LSH run
