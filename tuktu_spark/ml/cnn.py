@@ -602,3 +602,20 @@ def audio_head_embedder(weights_path: str):
         return head.forward(audio_embed_bytes(data)).tolist()
 
     return embed
+
+
+def video_head_embedder(weights_path: str, max_frames: int = 16):
+    """bytes -> trained-head logits over the decode->CNN->mean-pool
+    front end: the video analogue of audio_head_embedder, completing
+    the image/audio/video trained-artifact trio (r10). The returned
+    callable plugs into classify_images as the embedder; scored against
+    one-hot centroids, cosine argmax equals logit argmax (per-clip norm
+    divides every score)."""
+    head = DenseHead.load_weights(weights_path)
+
+    def embed(data: bytes) -> list[float]:
+        return head.forward(
+            np.asarray(video_embed_bytes(data, max_frames=max_frames))
+        ).tolist()
+
+    return embed

@@ -746,13 +746,19 @@ def audio_classify_op(config: dict):
 def video_classify_op(config: dict):
     """Video clip -> top-n (label, score): REAL container decode (AVI
     DIB/MJPEG, MP4 sample tables), per-frame CNN embedding, temporal mean
-    pool (ml/cnn.video_embed_bytes), shared cosine scoring head. config:
-    {field, centroids, top_n, flatten, categories, max_frames, embedder,
-    result}."""
-    from ..ml.cnn import video_embed_bytes
+    pool (ml/cnn.video_embed_bytes), shared cosine scoring head. Set
+    config['weights'] to a DenseHead .npz (scripts/
+    train_video_head_weights.py) to score TRAINED logits over the
+    mean-pooled embedding — the video analogue of audio_classify's
+    weights seam. config: {field, centroids, top_n, flatten, categories,
+    max_frames, embedder, weights, result}."""
+    from ..ml.cnn import video_embed_bytes, video_head_embedder
 
     max_frames = int(config.get("max_frames", 16))
-    embedder = config.get("embedder") or (
+    embedder = config.get("embedder")
+    if embedder is None and config.get("weights"):
+        embedder = video_head_embedder(config["weights"], max_frames)
+    embedder = embedder or (
         lambda data: video_embed_bytes(data, max_frames=max_frames)
     )
     return _classify_transform(config, embedder)
