@@ -595,10 +595,11 @@ def test_ann_compaction_multiplicity_and_crash_recovery(spark, sf_dir, tmp_path)
 
 
 def test_flow_streaming_ann_lifecycle(spark, sf_dir, tmp_path):
-    """The streamed-ANN lifecycle as a config DAG (r8: ann_ingest_batch /
-    ann_index_compact / ann_probe_ingested operators): two ingest
-    batches, compaction, then a partition-pruned probe — results must
-    equal the direct-API probe over the same uncompacted data."""
+    """The streamed-ANN lifecycle as a config DAG: two ingest batches
+    with IN-FLOW auto-compaction (r10: compact_every=2 on the ingest
+    nodes, no explicit ann_index_compact node), then a partition-pruned
+    probe — results must equal the direct-API probe over the same
+    uncompacted data."""
     from pyspark.sql import functions as F
 
     from tuktu_spark.flow import run_flow
@@ -1033,12 +1034,12 @@ def test_generic_compaction_media_store(spark, sf_dir, tmp_path):
 
 
 def test_flow_streaming_dedup_lifecycle(spark, sf_dir, tmp_path):
-    """The streamed exact-dedup lifecycle as a config DAG (r9:
-    dedup_ingest_batch / batch_store_compact operators): two sequential
-    micro-batches (even ids then odd ids), compact both store
-    directories — the kept set must equal the first-seen truth under
-    that batch order and the layout must fold to the compacted
-    partition plus the newest real batch."""
+    """The streamed exact-dedup lifecycle as a config DAG: two
+    sequential micro-batches (even ids then odd ids) with IN-FLOW
+    auto-compaction (r10: compact_every=2 on the ingest nodes, no
+    explicit batch_store_compact node) — the kept set must equal the
+    first-seen truth under that batch order and the layout must fold to
+    the compacted partition plus the newest real batch."""
     import os
 
     from pyspark.sql import functions as F

@@ -556,9 +556,13 @@ def ann_ingest_batch(config: dict):
     centroids and land in the (batch_id, list_id)-partitioned index
     (idempotent dynamic overwrite — streaming/llm.
     make_ann_ingest_batch_processor). Passthrough: returns the input so
-    a flow can chain. config: {index_dir, centroids: [[...]], batch_id,
-    id_field, vec_field}."""
-    from ..streaming.llm import make_ann_ingest_batch_processor
+    a flow can chain. ``compact_every`` (r10, verdict #8) folds the
+    (batch_id, list_id) index after every Nth committed batch via
+    auto_compacting — the in-flow form of ann_index_compact;
+    ``keep_latest`` >= 1 preserves replay safety. config: {index_dir,
+    centroids: [[...]], batch_id, id_field, vec_field, compact_every,
+    keep_latest}."""
+    from ..streaming.llm import auto_compacting, make_ann_ingest_batch_processor
 
     def transform(df: DataFrame) -> DataFrame:
         proc = make_ann_ingest_batch_processor(
@@ -567,6 +571,12 @@ def ann_ingest_batch(config: dict):
             [[float(x) for x in c] for c in config["centroids"]],
             config.get("id_field", "vec_id"),
             config.get("vec_field", "embedding"),
+        )
+        proc = auto_compacting(
+            proc, df.sparkSession,
+            [(config["index_dir"], ("list_id",))],
+            config.get("compact_every"),
+            keep_latest=int(config.get("keep_latest", 1)),
         )
         proc(df, int(config.get("batch_id", 0)))
         return df
@@ -628,9 +638,18 @@ def dedup_ingest_batch(config: dict):
     make_exact_dedup_batch_processor). Passthrough: returns the FULL
     input so a flow can chain further batches. ``where`` (optional SQL
     predicate) selects this batch's slice of the piped rows — how a
-    replay flow carves one table into sequential micro-batches. config:
-    {store_dir, out_dir, batch_id, where, text_field, id_field}."""
-    from ..streaming.llm import make_exact_dedup_batch_processor
+    replay flow carves one table into sequential micro-batches.
+    ``compact_every`` (r10, verdict #8) wraps the processor in
+    auto_compacting: both store directories fold themselves after every
+    Nth committed batch — the flow-level expression of in-stream
+    small-files maintenance, no explicit batch_store_compact node
+    needed; ``keep_latest`` (default 1, must stay >= 1 for replay
+    safety) bounds how many newest real batches stay un-folded. config:
+    {store_dir, out_dir, batch_id, where, text_field, id_field,
+    compact_every, keep_latest}."""
+    import os
+
+    from ..streaming.llm import auto_compacting, make_exact_dedup_batch_processor
 
     def transform(df: DataFrame) -> DataFrame:
         proc = make_exact_dedup_batch_processor(
@@ -639,6 +658,15 @@ def dedup_ingest_batch(config: dict):
             config["out_dir"],
             config.get("text_field", "text"),
             config.get("id_field", "doc_id"),
+        )
+        proc = auto_compacting(
+            proc, df.sparkSession,
+            [
+                (config["out_dir"], ()),
+                (os.path.join(config["store_dir"], "content_md5"), ()),
+            ],
+            config.get("compact_every"),
+            keep_latest=int(config.get("keep_latest", 1)),
         )
         batch = df.filter(config["where"]) if config.get("where") else df
         proc(batch, int(config.get("batch_id", 0)))
