@@ -1119,6 +1119,77 @@ def test_streaming_exact_dedup_auto_compaction(spark, sf_dir, tmp_path):
     assert batches_auto == {"batch_id=-1", "batch_id=3"}
 
 
+def test_streaming_decontaminate_matches_batch_report(spark, sf_dir, tmp_path):
+    """r10: per-batch contamination reports against FROZEN eval
+    artifacts (gram table + Bloom built once) — the union of batch
+    reports must equal the whole-corpus broadcast contamination_report
+    both WITH the Bloom prefilter (undersized, so FPs flow to the
+    verify join and must die there) and WITHOUT it."""
+    from pyspark.sql import functions as F
+
+    import tuktu_spark.streaming as STR
+    from tuktu_spark.llm.decontaminate import (
+        build_gram_bloom,
+        contamination_report,
+        load_gram_bloom,
+        save_gram_bloom,
+        write_eval_gram_table,
+    )
+    from tuktu_spark.streaming.llm import streaming_decontaminate
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ev = docs.filter(F.col("doc_id") % 7 == 0).select("text")
+    grams_dir = str(tmp_path / "eval_grams")
+    write_eval_gram_table(ev, grams_dir, n=5)
+    bp = str(tmp_path / "bloom.npz")
+    save_gram_bloom(build_gram_bloom(ev, n=5, n_bits=1 << 10, k=2), bp, k=2)
+    bloom, k = load_gram_bloom(bp)
+    assert k == 2 and len(bloom) * 8 == 1 << 10
+
+    want = {
+        (r["doc_id"], r["n_matched_grams"])
+        for r in contamination_report(docs, ev, n=5).collect()
+    }
+    assert want
+
+    for tag, blm in (("bloom", bloom), ("nobloom", None)):
+        stage = str(tmp_path / f"stage_{tag}")
+        out = str(tmp_path / f"out_{tag}")
+        ckpt = str(tmp_path / f"ckpt_{tag}")
+        stream = STR.replay_dataframe(docs, stage, chunks=3, order_col="doc_id")
+        q = streaming_decontaminate(
+            stream, grams_dir, out, ckpt, bloom=blm, bloom_k=k, n=5,
+            compact_every=2,
+        )
+        q.processAllAvailable()
+        q.stop()
+        got = {
+            (r["doc_id"], r["n_matched_grams"])
+            for r in spark.read.parquet(out).collect()
+        }
+        assert got == want, tag
+        # compact_every=2 fired after batch 1 (fold 0, keep 1); batch 2
+        # then landed un-folded ((2+1)%2 != 0)
+        import os
+
+        batches = {p for p in os.listdir(out) if p.startswith("batch_id=")}
+        assert batches == {"batch_id=-1", "batch_id=1", "batch_id=2"}, (
+            tag, batches,
+        )
+
+
+def test_gram_bloom_artifact_rejects_garbage(tmp_path):
+    import numpy as np
+    import pytest
+
+    from tuktu_spark.llm.decontaminate import load_gram_bloom
+
+    p = str(tmp_path / "junk.npz")
+    np.savez(p, something=np.zeros(3))
+    with pytest.raises(ValueError, match="invalid"):
+        load_gram_bloom(p)
+
+
 def test_auto_compacting_skip_is_narrow(spark, tmp_path):
     """r10 (advisor): a store directory that does not exist yet (all
     batches empty so far) is SKIPPED — but a genuinely failing

@@ -277,3 +277,44 @@ def contamination_report_bloom(
     return hits.groupBy(corpus_id).agg(
         F.count_distinct("gram").alias("n_matched_grams")
     )
+
+
+# --- persisted eval-set artifacts + streaming decontamination seam (r10) ---
+#
+# A daily-crawl pipeline decontaminates every new batch against the SAME
+# eval suite; rebuilding the Bloom filter and re-gramming the eval set per
+# batch wastes a full eval scan each time. These helpers persist the two
+# artifacts once — the fixed-size Bloom bitmap (a driver-side file; it
+# rides UDF closures) and the distinct eval GRAM-HASH table (parquet of
+# 8-byte longs: the exact-verify side, partition-prunable and far smaller
+# than the eval text) — so streaming/llm.streaming_decontaminate and any
+# incremental batch job can reuse them.
+
+
+def save_gram_bloom(bloom: bytes, path: str, k: int = 7) -> None:
+    """Persist a built Bloom bitmap + its hash count. npz keeps the
+    artifact self-describing (n_bits = 8 * len(bitmap))."""
+    import numpy as np
+
+    np.savez(path, bitmap=np.frombuffer(bloom, dtype=np.uint8), k=int(k))
+
+
+def load_gram_bloom(path: str) -> "tuple[bytes, int]":
+    """(bitmap_bytes, k) back from save_gram_bloom."""
+    import numpy as np
+
+    with np.load(path) as z:
+        if "bitmap" not in z or "k" not in z:
+            raise ValueError(f"invalid gram-bloom artifact: {path}")
+        return z["bitmap"].tobytes(), int(z["k"])
+
+
+def write_eval_gram_table(
+    eval_set: DataFrame, path: str, text_col: str = "text", n: int = 13
+) -> None:
+    """Materialize the DISTINCT eval gram-hash table (column ``gram``
+    long) as parquet — the exact-verify join side for incremental /
+    streaming decontamination. Write once per eval-suite version."""
+    _gram_table(eval_set, text_col, None, n, "gram").distinct().write.mode(
+        "overwrite"
+    ).parquet(path)

@@ -614,3 +614,57 @@ def streaming_dedup_compact_replay(spark: SparkSession, sf_dir: str) -> DataFram
         99,
     )
     return spark.read.parquet(out_dir).select("doc_id")
+
+
+# Decontamination through the REAL streaming path (r10): the eval suite's
+# artifacts (distinct gram-hash table + Bloom bitmap) are built ONCE, the
+# documents replay in 3 micro-batches through the foreachBatch reporter,
+# and the union of per-batch reports must equal the batch
+# contamination_report the oracle replays (a doc's grams all live in its
+# own batch). The Bloom is deliberately undersized (2^12, k=3 — same
+# configuration dedup_decontaminate_bloom pins) so the FP-kill path is
+# always exercised in-stream too.
+from .llm_dedup import _DECON_ORACLE  # noqa: E402
+
+
+@query(
+    "streaming_decontaminate_replay",
+    oracle=_DECON_ORACLE,
+    tags=("streaming", "llm", "dedup"),
+)
+def streaming_decontaminate_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-batch contamination reports against FROZEN eval artifacts
+    (write_eval_gram_table + build_gram_bloom/save_gram_bloom built once,
+    reused every batch — the daily-crawl shape): the report store's
+    union must hash-match the whole-corpus broadcast report."""
+    import os
+
+    from ..llm.decontaminate import (
+        build_gram_bloom,
+        load_gram_bloom,
+        save_gram_bloom,
+        write_eval_gram_table,
+    )
+    from ..streaming.llm import streaming_decontaminate
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    eval_set = docs.filter(F.col("doc_id") % 17 == 0).select("text")
+    art = tempfile.mkdtemp(prefix="tuktu_decon_art_")
+    grams_dir = os.path.join(art, "eval_grams")
+    bloom_path = os.path.join(art, "gram_bloom.npz")
+    write_eval_gram_table(eval_set, grams_dir, n=13)
+    save_gram_bloom(
+        build_gram_bloom(eval_set, n=13, n_bits=1 << 12, k=3),
+        bloom_path, k=3,
+    )
+    bloom, k = load_gram_bloom(bloom_path)
+    stage = tempfile.mkdtemp(prefix="tuktu_decon_replay_")
+    out_dir = tempfile.mkdtemp(prefix="tuktu_decon_report_")
+    ckpt = tempfile.mkdtemp(prefix="tuktu_decon_ckpt_")
+    stream = STR.replay_dataframe(docs, stage, chunks=3, order_col="doc_id")
+    q = streaming_decontaminate(
+        stream, grams_dir, out_dir, ckpt, bloom=bloom, bloom_k=k, n=13
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.read.parquet(out_dir).select("doc_id", "n_matched_grams")

@@ -551,6 +551,94 @@ def streaming_dsir_weights(
     )
 
 
+def make_decontaminate_batch_processor(
+    spark,
+    eval_grams_dir: str,
+    out_dir: str,
+    bloom: "bytes | None" = None,
+    bloom_k: int = 7,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 13,
+):
+    """foreachBatch processor producing each micro-batch's contamination
+    report against FROZEN eval-suite artifacts (r10 — the daily-crawl
+    shape: the eval suite is versioned and prebuilt ONCE via
+    llm/decontaminate.write_eval_gram_table + build_gram_bloom/
+    save_gram_bloom; batches are checked as they arrive, no per-batch
+    eval scan). Per batch: gram the batch (one narrow scan), optionally
+    Bloom-prefilter map-side (the fixed-size bitmap rides the closure —
+    zero false negatives, so the verify join sees every true hit), then
+    exact-verify survivors against the stored distinct gram-hash table
+    and write (doc_id, n_matched_grams) rows to a batch_id-partitioned
+    parquet store (dynamic-overwrite replay idempotency + src_batch
+    provenance, same contract as the LM/DSIR score stores).
+
+    Output equality: a doc's grams all live in its own batch, so the
+    union of per-batch reports EQUALS contamination_report over the
+    whole replayed corpus (pinned in tests and by the driver oracle).
+
+    ``bloom=None`` skips the prefilter (right when the eval gram table
+    is small enough that the extra map-side pass outweighs the join
+    savings); with a bloom the join side still reads the SAME stored
+    table, so correctness is sizing-independent."""
+    from ..llm.decontaminate import _gram_table, bloom_might_contain_udf
+
+    eval_grams = spark.read.parquet(eval_grams_dir)
+    might = bloom_might_contain_udf(bloom, bloom_k) if bloom else None
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        grams = _gram_table(batch_df, text_col, id_col, n, "gram")
+        if might is not None:
+            grams = grams.filter(might(F.col("gram")))
+        report = grams.join(eval_grams, "gram").groupBy(id_col).agg(
+            F.count_distinct("gram").alias("n_matched_grams")
+        )
+        (
+            report.withColumn("batch_id", F.lit(batch_id))
+            .withColumn("src_batch", F.lit(batch_id))
+            .write.mode("overwrite")
+            .options(partitionOverwriteMode="dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_dir)
+        )
+
+    return process
+
+
+def streaming_decontaminate(
+    stream_df: DataFrame,
+    eval_grams_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    bloom: "bytes | None" = None,
+    bloom_k: int = 7,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 13,
+    compact_every: int | None = None,
+):
+    """readStream -> frozen-eval-artifact contamination reports ->
+    partitioned parquet (see make_decontaminate_batch_processor).
+    ``compact_every`` folds the report store every N batches (see
+    auto_compacting)."""
+    proc = make_decontaminate_batch_processor(
+        stream_df.sparkSession, eval_grams_dir, out_dir, bloom, bloom_k,
+        text_col, id_col, n,
+    )
+    proc = auto_compacting(
+        proc, stream_df.sparkSession, [(out_dir, ())], compact_every
+    )
+    return (
+        stream_df.writeStream.foreachBatch(proc)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def make_media_dedup_batch_processor(
     spark,
     store_dir: str,
