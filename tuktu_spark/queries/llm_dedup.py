@@ -164,11 +164,12 @@ def dedup_ngram_jaccard_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 # replays all of it.
 _JACCARD_MIRROR_ORACLE = """
 WITH corpus AS (
-  SELECT doc_id, text FROM documents WHERE doc_id % 8 <> 0
+  SELECT doc_id, text FROM documents
+  WHERE doc_id % 2 = 0 AND doc_id % 16 <> 0
   UNION ALL
   SELECT d.doc_id + 10000000 * (r.range + 1) AS doc_id, d.text
   FROM documents d CROSS JOIN range(16) r
-  WHERE d.doc_id % 8 = 0
+  WHERE d.doc_id % 16 = 0
 ), toks AS (
   SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
   FROM corpus
@@ -199,7 +200,7 @@ WHERE CAST(common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - common AS DOUBLE) >= 0.8
 )
 def dedup_ngram_jaccard_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DUPLICATE-SKEW stress for the PPJoin path, bench-tagged (r10,
-    verdict #5): 16 byte-equal mirrors of every 8th document make each
+    verdict #5): 16 byte-equal mirrors of every 16th document make each
     mirrored text a g^2=256 bucket in the id-level prefix join — the
     regime where distinct_content wins (SCALE.md 16-copy measurement),
     deliberately OUT of the mode's overhead regime (the 2-3-copy clone
@@ -207,13 +208,19 @@ def dedup_ngram_jaccard_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     through distinct_content='auto' so the duplication-ratio dispatch
     (~2.9x here at every sf, comfortably over the 2x crossover) gets
     live driver coverage; the result hash-matches DuckDB's exhaustive
-    all-pairs replay of the same mirror corpus."""
+    all-pairs replay of the same mirror corpus. The base corpus is the
+    even-id HALF of documents (bench-set hygiene, the r9 lesson: a
+    heavyweight query in the shared bench session inflates every
+    neighbor's timings — halving the distinct-text count keeps the
+    regime while roughly quartering the PPJoin cost)."""
     docs = load_table(spark, sf_dir, "documents", parallel=True).select(
         "doc_id", "text"
     )
-    singles = docs.filter(F.col("doc_id") % 8 != 0)
+    singles = docs.filter(
+        (F.col("doc_id") % 2 == 0) & (F.col("doc_id") % 16 != 0)
+    )
     mirrors = (
-        docs.filter(F.col("doc_id") % 8 == 0)
+        docs.filter(F.col("doc_id") % 16 == 0)
         .crossJoin(spark.range(16).select(F.col("id").alias("__k")))
         .select(
             (F.col("doc_id") + 10_000_000 * (F.col("__k") + 1)).alias("doc_id"),
