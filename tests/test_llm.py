@@ -2790,6 +2790,100 @@ class TestDistinctContentAutoDispatch:
             assert run(corpus, "auto") == want
 
 
+class TestSpanDecontamination:
+    """r10: span-level decontamination — cut the contaminated n-gram
+    token intervals, keep the rest of the document."""
+
+    def test_planted_span_is_cut_exactly(self, spark):
+        leak = "alpha bravo charlie delta echo"  # the leaked 5-gram
+        rows = [
+            (1, f"keep one two three {leak} keep four five six"),
+            (2, "totally clean document with nothing leaked at all"),
+            (3, leak),  # wholly contamination -> dropped
+        ]
+        corpus = spark.createDataFrame(rows, "doc_id long, text string")
+        ev = spark.createDataFrame([(leak,)], "text string")
+        from tuktu_spark.llm.decontaminate import decontaminate_spans
+
+        got = {
+            r["doc_id"]: r["text"]
+            for r in decontaminate_spans(corpus, ev, n=5).collect()
+        }
+        assert got == {
+            1: "keep one two three keep four five six",
+            2: "totally clean document with nothing leaked at all",
+        }
+
+    def test_overlapping_leaks_merge_into_one_interval(self, spark):
+        # two eval grams overlapping in the corpus doc: w3..w7 and w5..w9
+        words = [f"w{i}" for i in range(12)]
+        corpus = spark.createDataFrame(
+            [(1, " ".join(words))], "doc_id long, text string"
+        )
+        ev = spark.createDataFrame(
+            [(" ".join(words[3:8]),), (" ".join(words[5:10]),)],
+            "text string",
+        )
+        from tuktu_spark.llm.decontaminate import (
+            contaminated_span_intervals,
+            decontaminate_spans,
+        )
+
+        iv = contaminated_span_intervals(corpus, ev, n=5).collect()
+        assert [(r["span_start"], r["span_end"]) for r in iv] == [(3, 10)]
+        got = decontaminate_spans(corpus, ev, n=5).collect()
+        assert got[0]["text"] == "w0 w1 w2 w10 w11"
+
+    def test_no_residual_contamination(self, spark, docs):
+        """Re-running the report on the rewritten corpus finds nothing:
+        every original eval-gram occurrence lost at least one token."""
+        from pyspark.sql import functions as F
+
+        from tuktu_spark.llm.decontaminate import (
+            contamination_report,
+            decontaminate_spans,
+        )
+
+        corpus = docs.select("doc_id", "text")
+        ev = corpus.filter(F.col("doc_id") % 7 == 0).select("text")
+        assert contamination_report(corpus, ev, n=5).count() > 0
+        clean = decontaminate_spans(corpus, ev, n=5)
+        assert contamination_report(clean, ev, n=5).count() == 0
+
+    def test_operator_mode_spans(self, spark):
+        from tuktu_spark.operators import make_operator
+
+        corpus = spark.createDataFrame(
+            [(1, "aa bb cc dd ee ff gg")], "doc_id long, text string"
+        )
+        ev = spark.createDataFrame([("cc dd ee",)], "text string")
+        out = make_operator("decontaminate", {"mode": "spans", "n": 3})(
+            corpus, ev
+        )
+        assert [r["text"] for r in out.collect()] == ["aa bb ff gg"]
+        import pytest
+
+        with pytest.raises(ValueError, match="spans"):
+            make_operator(
+                "decontaminate", {"mode": "spans", "report": True}
+            )(corpus, ev)
+
+    def test_short_and_empty_docs_survive_untouched(self, spark):
+        corpus = spark.createDataFrame(
+            [(1, "tiny doc"), (2, "  spaced   out  ")],
+            "doc_id long, text string",
+        )
+        ev = spark.createDataFrame([("some eval text here now",)], "text string")
+        from tuktu_spark.llm.decontaminate import decontaminate_spans
+
+        got = {
+            r["doc_id"]: r["text"]
+            for r in decontaminate_spans(corpus, ev, n=4).collect()
+        }
+        # whitespace-normalized passthrough (the rewrite contract)
+        assert got == {1: "tiny doc", 2: "spaced out"}
+
+
 class TestBloomDecontamination:
     """r9: the beyond-broadcast decontamination path — Bloom prefilter in
     the closure + exact verify of survivors. The report must EQUAL the

@@ -318,3 +318,89 @@ def write_eval_gram_table(
     _gram_table(eval_set, text_col, None, n, "gram").distinct().write.mode(
         "overwrite"
     ).parquet(path)
+
+
+# --- span-level decontamination (r10) ---------------------------------------
+#
+# Doc-level decontamination throws away a whole training document for one
+# leaked 13-gram; the surgical alternative (public practice, same family
+# as Lee et al. 2022's substring REMOVAL for duplicates) cuts only the
+# contaminated token spans and keeps the rest of the document. Built from
+# the repo's existing interval machinery: positional gram windows ->
+# broadcast join against the eval gram set -> gaps-and-islands merge
+# (dedup.merge_start_intervals) -> token-index rewrite
+# (dedup.remove_interval_tokens).
+
+
+def _positional_gram_table(
+    df: DataFrame, text_col: str, id_col: str, n: int
+) -> DataFrame:
+    """(id, start_idx, gram) — EVERY n-token window hash with its 0-based
+    token position. Unlike _gram_table this must NOT dedupe: positions
+    are the point (a gram leaking twice in one doc flags two spans).
+    Short docs (< n tokens) yield no rows (the sequence(1, 0) hazard is
+    guarded the same way as _shingles_from_tokens)."""
+    tokd = df.select(F.col(id_col), _tokens(F.col(text_col)).alias("__toks"))
+    count = F.size("__toks") - (n - 1)
+    wins = F.when(count < 1, F.array().cast("array<bigint>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(count, F.lit(1))),
+            lambda i: F.xxhash64(
+                F.array_join(F.slice(F.col("__toks"), i, n), " ")
+            ),
+        )
+    )
+    return tokd.select(
+        F.col(id_col), F.posexplode(wins).alias("start_idx", "gram")
+    )
+
+
+def contaminated_span_intervals(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    corpus_text: str = "text",
+    corpus_id: str = "doc_id",
+    eval_text: str = "text",
+    n: int = 13,
+) -> DataFrame:
+    """Maximal contaminated token intervals (id, span_start, span_end,
+    span_len; end exclusive): every corpus position whose n-token window
+    appears in the eval set, merged per document (window [s, s+n) joins
+    the island of start s iff s' - s <= n). The eval gram set broadcasts
+    exactly as in contamination_report; the corpus pays one positional
+    window pass and the islands fold's id-clustered exchange."""
+    eval_grams = _gram_table(eval_set, eval_text, None, n, "gram").distinct()
+    pos = _positional_gram_table(corpus, corpus_text, corpus_id, n)
+    flagged = pos.join(F.broadcast(eval_grams), "gram").select(
+        corpus_id, "start_idx"
+    )
+    from .dedup import merge_start_intervals
+
+    return merge_start_intervals(flagged, corpus_id, n)
+
+
+def decontaminate_spans(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    corpus_text: str = "text",
+    corpus_id: str = "doc_id",
+    eval_text: str = "text",
+    n: int = 13,
+) -> DataFrame:
+    """Corpus with the contaminated token spans CUT OUT (and documents
+    that were wholly contamination dropped) — the surgical counterpart
+    of ``decontaminate``'s whole-document filter. Same rewrite contract
+    as dedup.remove_duplicate_spans: span-free documents pass through
+    whitespace-normalized, non-text columns are preserved. Every
+    ORIGINAL eval n-gram occurrence is removed (its window start sits
+    inside a removed interval, so at least one of its tokens is cut);
+    an n-gram formed ACROSS a cut seam is a new token sequence that can
+    only match the eval set by coincidence — re-run contamination_report
+    on the rewrite for a guarantee (the tests do; zero residual hits on
+    the planted corpora)."""
+    from .dedup import remove_interval_tokens
+
+    iv = contaminated_span_intervals(
+        corpus, eval_set, corpus_text, corpus_id, eval_text, n
+    )
+    return remove_interval_tokens(corpus, iv, corpus_text, corpus_id)

@@ -1056,33 +1056,12 @@ def duplicate_span_intervals(
 
     Scale shape: one additional exchange beyond the gram clustering —
     the lag window, the island cumsum, and the island groupBy all ride
-    the same hashpartitioning(id) (prefix rule)."""
-    from pyspark.sql import Window
-
+    the same hashpartitioning(id) (prefix rule; the fold itself is the
+    shared merge_start_intervals)."""
     spans = duplicate_ngram_spans(
         df, text_col, id_col, n, min_count, engine
     ).select(id_col, "start_idx")
-    byid = Window.partitionBy(id_col).orderBy("start_idx")
-    brk = F.when(
-        F.col("start_idx") - F.lag("start_idx").over(byid) > int(n), 1
-    ).otherwise(0)
-    isl = spans.withColumn(
-        "__isl",
-        F.sum(brk).over(byid.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
-    )
-    return (
-        isl.groupBy(id_col, "__isl")
-        .agg(
-            F.min("start_idx").cast("int").alias("span_start"),
-            (F.max("start_idx") + int(n)).cast("int").alias("span_end"),
-        )
-        .select(
-            id_col,
-            "span_start",
-            "span_end",
-            (F.col("span_end") - F.col("span_start")).cast("int").alias("span_len"),
-        )
-    )
+    return merge_start_intervals(spans, id_col, n)
 
 
 def remove_duplicate_spans(
@@ -1109,6 +1088,20 @@ def remove_duplicate_spans(
     algebra — one corpus-scale shuffle for the join beyond the interval
     build."""
     iv = duplicate_span_intervals(df, text_col, id_col, n, min_count, engine)
+    return remove_interval_tokens(df, iv, text_col, id_col)
+
+
+def remove_interval_tokens(
+    df: DataFrame, iv: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Rewrite each document of ``df`` dropping the tokens inside its
+    ``iv`` intervals ((id, span_start, span_end), token-indexed,
+    end-exclusive) — the shared removal stage behind
+    remove_duplicate_spans and decontaminate.decontaminate_spans (r10).
+    Documents whose every token is covered are ABSENT from the output;
+    interval-free documents pass through whitespace-normalized (single
+    spaces — the tokenization the span detectors use). Non-text columns
+    are preserved."""
     ivs = iv.groupBy(id_col).agg(
         F.collect_list(F.struct("span_start", "span_end")).alias("__ivs")
     )
@@ -1143,6 +1136,42 @@ def remove_duplicate_spans(
         staged.withColumn("__kept", kept)
         .filter(F.size("__kept") > 0)
         .select(*keep_cols, F.array_join("__kept", " ").alias(text_col))
+    )
+
+
+def merge_start_intervals(
+    spans: DataFrame, id_col: str, n: int
+) -> DataFrame:
+    """Gaps-and-islands fold shared by duplicate_span_intervals and
+    decontaminate.contaminated_span_intervals (r10): merge flagged
+    n-token window starts (id, start_idx) into maximal per-document
+    intervals — start s' joins the current island iff s' - s <= n
+    (overlap or adjacency). Returns (id, span_start, span_end,
+    span_len), span_end exclusive. One exchange: the lag window, the
+    island cumsum and the island groupBy all ride hashpartitioning(id)
+    (prefix rule)."""
+    from pyspark.sql import Window
+
+    byid = Window.partitionBy(id_col).orderBy("start_idx")
+    brk = F.when(
+        F.col("start_idx") - F.lag("start_idx").over(byid) > int(n), 1
+    ).otherwise(0)
+    isl = spans.withColumn(
+        "__isl",
+        F.sum(brk).over(byid.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    return (
+        isl.groupBy(id_col, "__isl")
+        .agg(
+            F.min("start_idx").cast("int").alias("span_start"),
+            (F.max("start_idx") + int(n)).cast("int").alias("span_end"),
+        )
+        .select(
+            id_col,
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start")).cast("int").alias("span_len"),
+        )
     )
 
 

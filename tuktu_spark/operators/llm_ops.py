@@ -106,12 +106,30 @@ def text_features(config: dict):
 def decontaminate_op(config: dict):
     """Benchmark decontamination (merger takes (corpus, eval_set) inputs
     in flows): drop corpus docs sharing any word n-gram with the eval
-    set. config: {n, text_field, id_field, eval_text_field, report}."""
+    set — or, with mode='spans' (r10), cut only the contaminated token
+    intervals and keep the rest of each document
+    (llm/decontaminate.decontaminate_spans). config: {n, text_field,
+    id_field, eval_text_field, report, mode}."""
     from ..llm import decontaminate as DC
 
     def transform(corpus: DataFrame, eval_set: DataFrame | None = None) -> DataFrame:
         if eval_set is None:
             raise ValueError("decontaminate needs (corpus, eval_set) inputs")
+        if config.get("mode") == "spans":
+            if config.get("report") or config.get("engine") == "bloom":
+                raise ValueError(
+                    "mode='spans' rewrites documents; it has no report "
+                    "form and no bloom engine"
+                )
+            return DC.decontaminate_spans(
+                corpus, eval_set,
+                corpus_text=config.get("text_field", "text"),
+                corpus_id=config.get("id_field", "doc_id"),
+                eval_text=config.get(
+                    "eval_text_field", config.get("text_field", "text")
+                ),
+                n=int(config.get("n", 13)),
+            )
         kwargs = dict(
             corpus_text=config.get("text_field", "text"),
             corpus_id=config.get("id_field", "doc_id"),

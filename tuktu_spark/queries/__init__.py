@@ -312,6 +312,11 @@ _TOUCHED = frozenset(
         "dedup_simhash_near_pairs", "dedup_simhash_distinct",
         # staged OR-reduce in build_gram_bloom (driver memory fix)
         "dedup_decontaminate_bloom",
+        # span machinery refactor: duplicate_span_intervals and
+        # remove_duplicate_spans now delegate to the shared
+        # merge_start_intervals / remove_interval_tokens helpers that
+        # span-level decontamination (r10) reuses
+        "dedup_span_intervals", "dedup_span_removal",
     }
 )
 

@@ -457,6 +457,83 @@ def dedup_decontaminate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_report(docs, eval_set, n=13)
 
 
+# Span-level decontamination truth (r10): positional 13-gram windows
+# joined against the eval gram set, the SAME gaps-and-islands fold as the
+# span-removal oracle, then the token-by-token rewrite with an
+# anti-semijoin against the merged intervals — any off-by-one in window
+# positions, island merging, or token indexing breaks the hash.
+_DECON_SPANS_ORACLE = """
+WITH d AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS tk
+  FROM documents
+),
+g AS (
+  SELECT doc_id, CAST(r.i - 1 AS INT) AS start_idx,
+         array_to_string(list_slice(tk, r.i, r.i + 12), ' ') AS gram
+  FROM d, LATERAL (
+    SELECT unnest(range(1, greatest(len(tk) - 12, 0) + 1)) AS i
+  ) AS r
+),
+ev AS (
+  SELECT DISTINCT gram FROM g WHERE doc_id % 17 = 0
+),
+flagged AS (
+  SELECT g.doc_id, g.start_idx FROM g JOIN ev USING (gram)
+),
+brk AS (
+  SELECT doc_id, start_idx,
+         CASE WHEN start_idx
+                   - LAG(start_idx) OVER (PARTITION BY doc_id ORDER BY start_idx)
+                   > 13 THEN 1 ELSE 0 END AS b
+  FROM flagged
+),
+isl AS (
+  SELECT doc_id, start_idx,
+         SUM(b) OVER (PARTITION BY doc_id ORDER BY start_idx) AS island
+  FROM brk
+),
+iv AS (
+  SELECT doc_id, MIN(start_idx) AS lo, MAX(start_idx) + 13 AS hi
+  FROM isl GROUP BY doc_id, island
+),
+tok AS (
+  SELECT doc_id, unnest(tk) AS tok, generate_subscripts(tk, 1) - 1 AS i
+  FROM d
+),
+kept AS (
+  SELECT t.doc_id, t.tok, t.i
+  FROM tok t
+  WHERE NOT EXISTS (
+    SELECT 1 FROM iv
+    WHERE iv.doc_id = t.doc_id AND t.i >= iv.lo AND t.i < iv.hi
+  )
+)
+SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS text
+FROM kept GROUP BY doc_id
+"""
+
+
+@query(
+    "dedup_decontaminate_spans", oracle=_DECON_SPANS_ORACLE,
+    tags=("llm", "dedup"),
+)
+def dedup_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPAN-level decontamination (r10): cut only the contaminated
+    13-gram token intervals instead of dropping whole documents — the
+    surgical counterpart of dedup_decontaminate_report's filter, built
+    on the repo's gaps-and-islands + interval-rewrite machinery. The
+    eval slice (every 17th doc) is itself part of the corpus, so eval
+    members come back fully cut (absent) while overlapping docs lose
+    exactly their leaked spans; the oracle replays the whole pipeline
+    token-by-token."""
+    from ..llm.decontaminate import decontaminate_spans
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    eval_set = docs.filter(F.col("doc_id") % 17 == 0).select("text")
+    return decontaminate_spans(docs, eval_set, n=13)
+
+
 @query("dedup_decontaminate_bloom", oracle=_DECON_ORACLE, tags=("llm", "dedup"))
 def dedup_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The beyond-broadcast decontamination path (r9): a fixed-size Bloom
