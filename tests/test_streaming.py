@@ -1178,6 +1178,43 @@ def test_streaming_decontaminate_matches_batch_report(spark, sf_dir, tmp_path):
         )
 
 
+def test_streaming_decontaminate_spans_matches_batch(spark, sf_dir, tmp_path):
+    """r10: the per-batch span REWRITE against the stored gram table —
+    union of batch rewrites equals batch decontaminate_spans over the
+    whole corpus, and replaying converges (store fold at compact_every)."""
+    from pyspark.sql import functions as F
+
+    import tuktu_spark.streaming as STR
+    from tuktu_spark.llm.decontaminate import (
+        decontaminate_spans,
+        write_eval_gram_table,
+    )
+    from tuktu_spark.streaming.llm import streaming_decontaminate_spans
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ev = docs.filter(F.col("doc_id") % 7 == 0).select("text")
+    grams_dir = str(tmp_path / "eval_grams")
+    write_eval_gram_table(ev, grams_dir, n=5)
+
+    want = {
+        (r["doc_id"], r["text"])
+        for r in decontaminate_spans(docs, ev, n=5).collect()
+    }
+    assert want and len(want) < docs.count()  # some docs cut/dropped
+
+    stage, out = str(tmp_path / "stage"), str(tmp_path / "out")
+    stream = STR.replay_dataframe(docs, stage, chunks=3, order_col="doc_id")
+    q = streaming_decontaminate_spans(
+        stream, grams_dir, out, str(tmp_path / "ckpt"), n=5, compact_every=2
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r["doc_id"], r["text"]) for r in spark.read.parquet(out).collect()
+    }
+    assert got == want
+
+
 def test_gram_bloom_artifact_rejects_garbage(tmp_path):
     import numpy as np
     import pytest

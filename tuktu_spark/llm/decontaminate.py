@@ -357,19 +357,28 @@ def _positional_gram_table(
 
 def contaminated_span_intervals(
     corpus: DataFrame,
-    eval_set: DataFrame,
+    eval_set: "DataFrame | None",
     corpus_text: str = "text",
     corpus_id: str = "doc_id",
     eval_text: str = "text",
     n: int = 13,
+    eval_grams: "DataFrame | None" = None,
 ) -> DataFrame:
     """Maximal contaminated token intervals (id, span_start, span_end,
     span_len; end exclusive): every corpus position whose n-token window
     appears in the eval set, merged per document (window [s, s+n) joins
     the island of start s iff s' - s <= n). The eval gram set broadcasts
     exactly as in contamination_report; the corpus pays one positional
-    window pass and the islands fold's id-clustered exchange."""
-    eval_grams = _gram_table(eval_set, eval_text, None, n, "gram").distinct()
+    window pass and the islands fold's id-clustered exchange.
+
+    ``eval_grams``: a prebuilt DISTINCT (gram long) table — e.g. the
+    stored artifact of write_eval_gram_table — used INSTEAD of gramming
+    ``eval_set`` (pass eval_set=None then); how incremental/streaming
+    callers avoid re-scanning the eval suite per batch."""
+    if eval_grams is None:
+        eval_grams = _gram_table(
+            eval_set, eval_text, None, n, "gram"
+        ).distinct()
     pos = _positional_gram_table(corpus, corpus_text, corpus_id, n)
     flagged = pos.join(F.broadcast(eval_grams), "gram").select(
         corpus_id, "start_idx"

@@ -668,3 +668,40 @@ def streaming_decontaminate_replay(spark: SparkSession, sf_dir: str) -> DataFram
     q.processAllAvailable()
     q.stop()
     return spark.read.parquet(out_dir).select("doc_id", "n_matched_grams")
+
+
+# The surgical streaming form (r10): per-batch contaminated-SPAN rewrite
+# against the stored eval gram table. A doc's windows all live in its own
+# batch, so the union of per-batch rewrites equals the batch
+# decontaminate_spans over the whole corpus — the oracle replays that
+# token-by-token.
+from .llm_dedup import _DECON_SPANS_ORACLE  # noqa: E402
+
+
+@query(
+    "streaming_decontaminate_spans_replay",
+    oracle=_DECON_SPANS_ORACLE,
+    tags=("streaming", "llm", "dedup"),
+)
+def streaming_decontaminate_spans_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-batch contaminated-span rewrites against a FROZEN eval gram
+    table (write_eval_gram_table built once): the rewritten-store union
+    must hash-match the whole-corpus batch decontaminate_spans truth."""
+    import os
+
+    from ..llm.decontaminate import write_eval_gram_table
+    from ..streaming.llm import streaming_decontaminate_spans
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    eval_set = docs.filter(F.col("doc_id") % 17 == 0).select("text")
+    art = tempfile.mkdtemp(prefix="tuktu_deconsp_art_")
+    grams_dir = os.path.join(art, "eval_grams")
+    write_eval_gram_table(eval_set, grams_dir, n=13)
+    stage = tempfile.mkdtemp(prefix="tuktu_deconsp_replay_")
+    out_dir = tempfile.mkdtemp(prefix="tuktu_deconsp_out_")
+    ckpt = tempfile.mkdtemp(prefix="tuktu_deconsp_ckpt_")
+    stream = STR.replay_dataframe(docs, stage, chunks=3, order_col="doc_id")
+    q = streaming_decontaminate_spans(stream, grams_dir, out_dir, ckpt, n=13)
+    q.processAllAvailable()
+    q.stop()
+    return spark.read.parquet(out_dir).select("doc_id", "text")

@@ -608,6 +608,73 @@ def make_decontaminate_batch_processor(
     return process
 
 
+def make_decontaminate_spans_batch_processor(
+    spark,
+    eval_grams_dir: str,
+    out_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 13,
+):
+    """foreachBatch processor REWRITING each micro-batch with its
+    contaminated token spans cut out (llm/decontaminate.
+    decontaminate_spans against the stored distinct gram-hash table —
+    the surgical streaming form: keep the clean remainder of every doc
+    instead of only reporting). Rewritten docs land batch_id-partitioned
+    with the same replay/provenance contract as the report store; docs
+    that were wholly contamination are absent, untouched docs pass
+    through whitespace-normalized (the rewrite contract)."""
+    from ..llm.decontaminate import contaminated_span_intervals
+    from ..llm.dedup import remove_interval_tokens
+
+    eval_grams = spark.read.parquet(eval_grams_dir)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        iv = contaminated_span_intervals(
+            batch_df, None, text_col, id_col, n=n, eval_grams=eval_grams
+        )
+        clean = remove_interval_tokens(batch_df, iv, text_col, id_col)
+        (
+            clean.withColumn("batch_id", F.lit(batch_id))
+            .withColumn("src_batch", F.lit(batch_id))
+            .write.mode("overwrite")
+            .options(partitionOverwriteMode="dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_dir)
+        )
+
+    return process
+
+
+def streaming_decontaminate_spans(
+    stream_df: DataFrame,
+    eval_grams_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 13,
+    compact_every: int | None = None,
+):
+    """readStream -> per-batch contaminated-span rewrite -> partitioned
+    parquet (see make_decontaminate_spans_batch_processor).
+    ``compact_every`` folds the store every N batches."""
+    proc = make_decontaminate_spans_batch_processor(
+        stream_df.sparkSession, eval_grams_dir, out_dir, text_col, id_col, n
+    )
+    proc = auto_compacting(
+        proc, stream_df.sparkSession, [(out_dir, ())], compact_every
+    )
+    return (
+        stream_df.writeStream.foreachBatch(proc)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def streaming_decontaminate(
     stream_df: DataFrame,
     eval_grams_dir: str,
