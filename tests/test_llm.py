@@ -2765,6 +2765,10 @@ class TestDistinctContentAutoDispatch:
         # explicit flags bypass the probe entirely
         assert _resolve_distinct_content(dup_corpus, "text", False) is False
         assert _resolve_distinct_content(unique_corpus, "text", True) is True
+        # a typo must not silently become True (modes are
+        # output-identical, so a mis-dispatch would hide forever)
+        with pytest.raises(ValueError, match="distinct_content"):
+            _resolve_distinct_content(dup_corpus, "text", "atuo")
 
     @pytest.mark.parametrize("fam", ["minhash", "jaccard", "simhash"])
     def test_auto_bit_identical_both_sides(

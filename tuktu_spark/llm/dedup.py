@@ -174,6 +174,12 @@ def _resolve_distinct_content(df: DataFrame, text_col: str, flag) -> bool:
             F.approx_count_distinct(F.xxhash64(F.col(text_col))).alias("m"),
         ).collect()[0]
         return row["n"] >= _DISTINCT_CONTENT_AUTO_THRESHOLD * max(row["m"], 1)
+    if isinstance(flag, str):
+        # a typo like 'atuo' must not silently become True (the modes are
+        # output-identical, so a mis-dispatch would hide forever)
+        raise ValueError(
+            f"distinct_content={flag!r}: expected True, False or 'auto'"
+        )
     return bool(flag)
 
 
