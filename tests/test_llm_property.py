@@ -413,3 +413,66 @@ def test_distinct_content_modes_match_id_level(spark, texts, copies):
         ).collect()
     }
     assert sh_dc == sh_id
+
+
+def _py_decontaminate_spans(rows, ev_texts, n):
+    """Naive reference: flag every position whose n-gram is in the eval
+    set, merge starts into intervals (gap <= n), drop covered tokens."""
+    ev = set()
+    for t in ev_texts:
+        tk = t.split()
+        for i in range(len(tk) - n + 1):
+            ev.add(" ".join(tk[i : i + n]))
+    out = {}
+    for did, text in rows:
+        tk = text.split()
+        starts = [
+            i for i in range(max(len(tk) - n + 1, 0))
+            if " ".join(tk[i : i + n]) in ev
+        ]
+        intervals = []
+        for s in starts:  # ascending; merge iff start gap <= n
+            if intervals and s - (intervals[-1][1] - n) <= n:
+                intervals[-1][1] = s + n
+            else:
+                intervals.append([s, s + n])
+        kept = [
+            t for i, t in enumerate(tk)
+            if not any(lo <= i < hi for lo, hi in intervals)
+        ]
+        if kept:
+            out[did] = " ".join(kept)
+    return out
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    texts=st.lists(
+        st.lists(WORD, min_size=0, max_size=10).map(" ".join),
+        min_size=1, max_size=8,
+    ),
+    ev_picks=st.lists(st.integers(min_value=0, max_value=7), min_size=1, max_size=3),
+    n=st.integers(min_value=1, max_value=4),
+)
+def test_decontaminate_spans_matches_python_reference(spark, texts, ev_picks, n):
+    """r10: span-level decontamination equals the naive Python model on
+    ARBITRARY corpora — eval texts drawn from the corpus itself (the
+    planted-leak shape), covering n=1 (single-token cuts), overlapping
+    and adjacent islands, wholly-contaminated docs (absent), and
+    sub-n-gram docs (pass through normalized)."""
+    from tuktu_spark.llm.decontaminate import decontaminate_spans
+
+    rows = [(i, " ".join(t.split())) for i, t in enumerate(texts)]
+    ev_texts = [rows[p % len(rows)][1] for p in ev_picks]
+    ev_texts = [t for t in ev_texts if t]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    if ev_texts:
+        ev = spark.createDataFrame([(t,) for t in ev_texts], "text string")
+    else:
+        ev = spark.createDataFrame([], "text string")
+    got = {
+        r["doc_id"]: r["text"]
+        for r in decontaminate_spans(df, ev, n=n).collect()
+    }
+    want = _py_decontaminate_spans(rows, ev_texts, n)
+    assert got == want
