@@ -2854,6 +2854,38 @@ class TestSpanDecontamination:
         clean = decontaminate_spans(corpus, ev, n=5)
         assert contamination_report(clean, ev, n=5).count() == 0
 
+    def test_bloom_prefilter_leaves_intervals_unchanged(self, spark, docs):
+        """Beyond-broadcast path for spans (r10): an undersized Bloom
+        prefilter on the positional windows must not change the merged
+        intervals (zero false negatives; FPs die in the verify join)."""
+        from pyspark.sql import functions as F
+
+        from tuktu_spark.llm.decontaminate import (
+            _gram_table,
+            build_gram_bloom,
+            contaminated_span_intervals,
+        )
+
+        corpus = docs.select("doc_id", "text")
+        ev = corpus.filter(F.col("doc_id") % 7 == 0).select("text")
+        grams = _gram_table(ev, "text", None, 5, "gram").distinct()
+        bloom = build_gram_bloom(ev, n=5, n_bits=1 << 10, k=2)
+
+        def key(df):
+            return {
+                (r["doc_id"], r["span_start"], r["span_end"])
+                for r in df.collect()
+            }
+
+        want = key(contaminated_span_intervals(corpus, ev, n=5))
+        assert want
+        got = key(
+            contaminated_span_intervals(
+                corpus, None, n=5, eval_grams=grams, bloom=bloom, bloom_k=2
+            )
+        )
+        assert got == want
+
     def test_operator_mode_spans(self, spark):
         from tuktu_spark.operators import make_operator
 

@@ -363,6 +363,8 @@ def contaminated_span_intervals(
     eval_text: str = "text",
     n: int = 13,
     eval_grams: "DataFrame | None" = None,
+    bloom: "bytes | None" = None,
+    bloom_k: int = 7,
 ) -> DataFrame:
     """Maximal contaminated token intervals (id, span_start, span_end,
     span_len; end exclusive): every corpus position whose n-token window
@@ -374,15 +376,22 @@ def contaminated_span_intervals(
     ``eval_grams``: a prebuilt DISTINCT (gram long) table — e.g. the
     stored artifact of write_eval_gram_table — used INSTEAD of gramming
     ``eval_set`` (pass eval_set=None then); how incremental/streaming
-    callers avoid re-scanning the eval suite per batch."""
+    callers avoid re-scanning the eval suite per batch. A table built
+    here from ``eval_set`` is broadcast-hinted (eval sets are small by
+    definition); a PREBUILT table is joined without the forced hint —
+    it may be the beyond-broadcast artifact, and AQE picks the strategy
+    from its measured size. For that regime pass ``bloom`` (+
+    ``bloom_k``) to prefilter corpus windows map-side before the verify
+    join, exactly as in contamination_report_bloom — zero false
+    negatives, so intervals are unchanged."""
     if eval_grams is None:
-        eval_grams = _gram_table(
-            eval_set, eval_text, None, n, "gram"
-        ).distinct()
+        eval_grams = F.broadcast(
+            _gram_table(eval_set, eval_text, None, n, "gram").distinct()
+        )
     pos = _positional_gram_table(corpus, corpus_text, corpus_id, n)
-    flagged = pos.join(F.broadcast(eval_grams), "gram").select(
-        corpus_id, "start_idx"
-    )
+    if bloom is not None:
+        pos = pos.filter(bloom_might_contain_udf(bloom, bloom_k)(F.col("gram")))
+    flagged = pos.join(eval_grams, "gram").select(corpus_id, "start_idx")
     from .dedup import merge_start_intervals
 
     return merge_start_intervals(flagged, corpus_id, n)

@@ -615,15 +615,20 @@ def make_decontaminate_spans_batch_processor(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 13,
+    bloom: "bytes | None" = None,
+    bloom_k: int = 7,
 ):
     """foreachBatch processor REWRITING each micro-batch with its
-    contaminated token spans cut out (llm/decontaminate.
-    decontaminate_spans against the stored distinct gram-hash table —
-    the surgical streaming form: keep the clean remainder of every doc
-    instead of only reporting). Rewritten docs land batch_id-partitioned
-    with the same replay/provenance contract as the report store; docs
-    that were wholly contamination are absent, untouched docs pass
-    through whitespace-normalized (the rewrite contract)."""
+    contaminated token spans cut out (llm/decontaminate's span
+    machinery against the stored distinct gram-hash table — the
+    surgical streaming form: keep the clean remainder of every doc
+    instead of only reporting). Rewritten docs land
+    batch_id-partitioned with the same replay/provenance contract as
+    the report store; docs that were wholly contamination are absent,
+    untouched docs pass through whitespace-normalized (the rewrite
+    contract). ``bloom``: optional prefilter for beyond-broadcast gram
+    tables, same contract as the report processor (zero false
+    negatives — intervals unchanged)."""
     from ..llm.decontaminate import contaminated_span_intervals
     from ..llm.dedup import remove_interval_tokens
 
@@ -633,7 +638,8 @@ def make_decontaminate_spans_batch_processor(
         if batch_df.isEmpty():
             return
         iv = contaminated_span_intervals(
-            batch_df, None, text_col, id_col, n=n, eval_grams=eval_grams
+            batch_df, None, text_col, id_col, n=n, eval_grams=eval_grams,
+            bloom=bloom, bloom_k=bloom_k,
         )
         clean = remove_interval_tokens(batch_df, iv, text_col, id_col)
         (
@@ -656,13 +662,16 @@ def streaming_decontaminate_spans(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 13,
+    bloom: "bytes | None" = None,
+    bloom_k: int = 7,
     compact_every: int | None = None,
 ):
     """readStream -> per-batch contaminated-span rewrite -> partitioned
     parquet (see make_decontaminate_spans_batch_processor).
     ``compact_every`` folds the store every N batches."""
     proc = make_decontaminate_spans_batch_processor(
-        stream_df.sparkSession, eval_grams_dir, out_dir, text_col, id_col, n
+        stream_df.sparkSession, eval_grams_dir, out_dir, text_col, id_col,
+        n, bloom, bloom_k,
     )
     proc = auto_compacting(
         proc, stream_df.sparkSession, [(out_dir, ())], compact_every
