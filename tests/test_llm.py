@@ -2993,6 +2993,14 @@ class TestBloomDecontamination:
         with pytest.raises(ValueError, match="power of two"):
             build_gram_bloom(ev, n=5, n_bits=1000)
 
+    def test_empty_bitmap_rejected_eagerly(self):
+        """An empty bloom artifact must fail loudly at build time, not
+        as a numpy overflow deep inside a Spark task (r10 review)."""
+        from tuktu_spark.llm.decontaminate import bloom_might_contain_udf
+
+        with pytest.raises(ValueError, match="empty"):
+            bloom_might_contain_udf(b"", 2)
+
     def test_staged_fold_partitioning_invariant(self, corpus_eval):
         """r10 (verdict #2): the staged OR — per-partition bitmaps folded
         executor-side to fold_partitions rows, then streamed to the

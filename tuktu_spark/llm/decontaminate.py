@@ -223,11 +223,17 @@ def build_gram_bloom(
 
 def bloom_might_contain_udf(bloom: bytes, k: int = 7):
     """Vectorized membership test over a LongType gram-hash column; the
-    bitmap rides the closure (shipped once per executor)."""
+    bitmap rides the closure (shipped once per executor — reuse ONE
+    returned UDF across calls/batches rather than rebuilding, or the
+    bitmap re-pickles into every new task binary)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
+    if not bloom:
+        # an empty bitmap would mask positions with uint64(-1) and fail
+        # deep inside a task; fail loudly at build time instead
+        raise ValueError("bloom_might_contain_udf: empty bloom bitmap")
     bm = np.frombuffer(bloom, dtype=np.uint8)
     n_bits = len(bm) * 8
 
@@ -365,6 +371,8 @@ def contaminated_span_intervals(
     eval_grams: "DataFrame | None" = None,
     bloom: "bytes | None" = None,
     bloom_k: int = 7,
+    gram_filter=None,
+    broadcast_eval: "bool | None" = None,
 ) -> DataFrame:
     """Maximal contaminated token intervals (id, span_start, span_end,
     span_len; end exclusive): every corpus position whose n-token window
@@ -378,19 +386,29 @@ def contaminated_span_intervals(
     ``eval_set`` (pass eval_set=None then); how incremental/streaming
     callers avoid re-scanning the eval suite per batch. A table built
     here from ``eval_set`` is broadcast-hinted (eval sets are small by
-    definition); a PREBUILT table is joined without the forced hint —
-    it may be the beyond-broadcast artifact, and AQE picks the strategy
-    from its measured size. For that regime pass ``bloom`` (+
-    ``bloom_k``) to prefilter corpus windows map-side before the verify
-    join, exactly as in contamination_report_bloom — zero false
-    negatives, so intervals are unchanged."""
+    definition); for a PREBUILT table the hint is controlled by
+    ``broadcast_eval`` — None (default) hints it too UNLESS a bloom
+    prefilter is in play (passing a bloom is the caller saying the
+    table is beyond-broadcast; then AQE picks the strategy from the
+    measured size), True/False force it. For the beyond-broadcast
+    regime pass ``bloom`` (+ ``bloom_k``) to prefilter corpus windows
+    map-side before the verify join, exactly as in
+    contamination_report_bloom — zero false negatives, so intervals are
+    unchanged. Repeated callers (streaming processors) should build the
+    filter ONCE with bloom_might_contain_udf and pass it as
+    ``gram_filter`` instead of raw ``bloom`` bytes: a fresh UDF per
+    batch re-pickles the whole bitmap into every task binary."""
+    if gram_filter is None and bloom:
+        gram_filter = bloom_might_contain_udf(bloom, bloom_k)
     if eval_grams is None:
         eval_grams = F.broadcast(
             _gram_table(eval_set, eval_text, None, n, "gram").distinct()
         )
+    elif broadcast_eval or (broadcast_eval is None and gram_filter is None):
+        eval_grams = F.broadcast(eval_grams)
     pos = _positional_gram_table(corpus, corpus_text, corpus_id, n)
-    if bloom is not None:
-        pos = pos.filter(bloom_might_contain_udf(bloom, bloom_k)(F.col("gram")))
+    if gram_filter is not None:
+        pos = pos.filter(gram_filter(F.col("gram")))
     flagged = pos.join(eval_grams, "gram").select(corpus_id, "start_idx")
     from .dedup import merge_start_intervals
 

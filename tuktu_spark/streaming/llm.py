@@ -612,11 +612,11 @@ def make_decontaminate_spans_batch_processor(
     spark,
     eval_grams_dir: str,
     out_dir: str,
+    bloom: "bytes | None" = None,
+    bloom_k: int = 7,
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 13,
-    bloom: "bytes | None" = None,
-    bloom_k: int = 7,
 ):
     """foreachBatch processor REWRITING each micro-batch with its
     contaminated token spans cut out (llm/decontaminate's span
@@ -627,19 +627,27 @@ def make_decontaminate_spans_batch_processor(
     the report store; docs that were wholly contamination are absent,
     untouched docs pass through whitespace-normalized (the rewrite
     contract). ``bloom``: optional prefilter for beyond-broadcast gram
-    tables, same contract as the report processor (zero false
-    negatives — intervals unchanged)."""
-    from ..llm.decontaminate import contaminated_span_intervals
+    tables, same contract (and same parameter position) as the report
+    processor — zero false negatives, intervals unchanged. The filter
+    UDF is built ONCE here so the bitmap ships per executor, not
+    re-pickled into every batch's task binary; without a bloom the
+    stored table is broadcast-hinted (passing one is the caller saying
+    the table is beyond-broadcast; AQE then sizes the join)."""
+    from ..llm.decontaminate import (
+        bloom_might_contain_udf,
+        contaminated_span_intervals,
+    )
     from ..llm.dedup import remove_interval_tokens
 
     eval_grams = spark.read.parquet(eval_grams_dir)
+    might = bloom_might_contain_udf(bloom, bloom_k) if bloom else None
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         iv = contaminated_span_intervals(
             batch_df, None, text_col, id_col, n=n, eval_grams=eval_grams,
-            bloom=bloom, bloom_k=bloom_k,
+            gram_filter=might, broadcast_eval=might is None,
         )
         clean = remove_interval_tokens(batch_df, iv, text_col, id_col)
         (
@@ -659,19 +667,20 @@ def streaming_decontaminate_spans(
     eval_grams_dir: str,
     out_dir: str,
     checkpoint_dir: str,
+    bloom: "bytes | None" = None,
+    bloom_k: int = 7,
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 13,
-    bloom: "bytes | None" = None,
-    bloom_k: int = 7,
     compact_every: int | None = None,
 ):
     """readStream -> per-batch contaminated-span rewrite -> partitioned
-    parquet (see make_decontaminate_spans_batch_processor).
+    parquet (see make_decontaminate_spans_batch_processor; bloom sits in
+    the same parameter position as streaming_decontaminate's).
     ``compact_every`` folds the store every N batches."""
     proc = make_decontaminate_spans_batch_processor(
-        stream_df.sparkSession, eval_grams_dir, out_dir, text_col, id_col,
-        n, bloom, bloom_k,
+        stream_df.sparkSession, eval_grams_dir, out_dir, bloom, bloom_k,
+        text_col, id_col, n,
     )
     proc = auto_compacting(
         proc, stream_df.sparkSession, [(out_dir, ())], compact_every
