@@ -2794,6 +2794,106 @@ class TestDistinctContentAutoDispatch:
             assert run(corpus, "auto") == want
 
 
+class TestNormalizedDecontamination:
+    """r10: normalize=True matches grams case/punctuation-insensitively
+    (the published GPT-3-style recipe) across the report/filter/bloom
+    forms."""
+
+    @pytest.fixture(scope="class")
+    def perturbed(self, spark):
+        base = "the quick brown fox jumps over the lazy dog tonight"
+        rows = [
+            (1, base),                                   # exact leak
+            (2, "The QUICK, brown fox; jumps over the lazy dog -- tonight!"),
+            (3, "an entirely different document with no overlap at all"),
+        ]
+        corpus = spark.createDataFrame(rows, "doc_id long, text string")
+        ev = spark.createDataFrame([(base,)], "text string")
+        return corpus, ev
+
+    def test_raw_misses_what_normalize_catches(self, perturbed):
+        from tuktu_spark.llm.decontaminate import contamination_report
+
+        corpus, ev = perturbed
+        raw = {r["doc_id"] for r in contamination_report(corpus, ev, n=10).collect()}
+        assert raw == {1}  # punctuation/case hides doc 2
+        norm = {
+            r["doc_id"]
+            for r in contamination_report(
+                corpus, ev, n=10, normalize=True
+            ).collect()
+        }
+        assert norm == {1, 2}
+
+    def test_filter_and_bloom_agree_with_report(self, perturbed):
+        from tuktu_spark.llm.decontaminate import (
+            contamination_report,
+            contamination_report_bloom,
+            decontaminate,
+        )
+
+        corpus, ev = perturbed
+        kept = {
+            r["doc_id"]
+            for r in decontaminate(corpus, ev, n=10, normalize=True).collect()
+        }
+        assert kept == {3}
+        want = {
+            (r["doc_id"], r["n_matched_grams"])
+            for r in contamination_report(
+                corpus, ev, n=10, normalize=True
+            ).collect()
+        }
+        got = {
+            (r["doc_id"], r["n_matched_grams"])
+            for r in contamination_report_bloom(
+                corpus, ev, n=10, n_bits=1 << 10, k=2, normalize=True
+            ).collect()
+        }
+        assert got == want
+
+    def test_equivalent_to_pre_normalized_text(self, spark, docs):
+        """normalize=True must equal normalize=False over explicitly
+        pre-normalized columns — the flag is sugar, not new semantics."""
+        from pyspark.sql import functions as F
+
+        from tuktu_spark.llm.decontaminate import (
+            _norm_text,
+            contamination_report,
+        )
+
+        corpus = docs.select("doc_id", "text")
+        ev = corpus.filter(F.col("doc_id") % 7 == 0).select("text")
+        want = {
+            (r["doc_id"], r["n_matched_grams"])
+            for r in contamination_report(
+                corpus.withColumn("text", _norm_text(F.col("text"))),
+                ev.withColumn("text", _norm_text(F.col("text"))),
+                n=5,
+            ).collect()
+        }
+        got = {
+            (r["doc_id"], r["n_matched_grams"])
+            for r in contamination_report(
+                corpus, ev, n=5, normalize=True
+            ).collect()
+        }
+        assert got == want and got
+
+    def test_operator_normalize_and_spans_guard(self, spark, perturbed):
+        from tuktu_spark.operators import make_operator
+
+        corpus, ev = perturbed
+        out = make_operator(
+            "decontaminate", {"n": 10, "report": True, "normalize": True}
+        )(corpus, ev)
+        assert {r["doc_id"] for r in out.collect()} == {1, 2}
+        with pytest.raises(ValueError, match="raw tokens"):
+            make_operator(
+                "decontaminate", {"mode": "spans", "normalize": True}
+            )(corpus, ev)
+
+
 class TestSpanDecontamination:
     """r10: span-level decontamination — cut the contaminated n-gram
     token intervals, keep the rest of the document."""

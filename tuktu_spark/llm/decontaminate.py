@@ -23,11 +23,27 @@ from pyspark.sql import functions as F
 from .dedup import _shingles_from_tokens, _tokens
 
 
-def _gram_table(df: DataFrame, text_col: str, id_col, n: int, gram_alias: str) -> DataFrame:
+def _norm_text(col):
+    """The published decontamination normalization (GPT-3 appendix C
+    family): lowercase + every non-alphanumeric run collapsed to one
+    space, so 'The cat, sat!' and 'the cat sat' share their grams.
+    Pure column algebra — stays in whole-stage codegen."""
+    return F.regexp_replace(F.lower(col), r"[^a-z0-9]+", " ")
+
+
+def _gram_table(
+    df: DataFrame, text_col: str, id_col, n: int, gram_alias: str,
+    normalize: bool = False,
+) -> DataFrame:
     """(id?, gram_hash) — one row per distinct n-gram per row of df,
-    xxhash64-keyed (internal join key, never surfaced)."""
+    xxhash64-keyed (internal join key, never surfaced). ``normalize``
+    applies _norm_text before tokenizing (both sides of a match must
+    use the same setting — the hash spaces are disjoint otherwise)."""
     cols = [F.col(id_col)] if id_col else []
-    tokd = df.select(*cols, _tokens(F.col(text_col)).alias("__toks"))
+    text = F.col(text_col)
+    if normalize:
+        text = _norm_text(text)
+    tokd = df.select(*cols, _tokens(text).alias("__toks"))
     grams = F.transform(
         _shingles_from_tokens(F.col("__toks"), n), lambda s: F.xxhash64(s)
     )
@@ -41,12 +57,19 @@ def contamination_report(
     corpus_id: str = "doc_id",
     eval_text: str = "text",
     n: int = 13,
+    normalize: bool = False,
 ) -> DataFrame:
     """(doc_id, n_matched_grams) for corpus docs sharing at least one
     word n-gram with any eval example. The eval n-gram set is broadcast;
-    docs with zero overlap never leave the map stage."""
-    eval_grams = _gram_table(eval_set, eval_text, None, n, "gram").distinct()
-    corpus_grams = _gram_table(corpus, corpus_text, corpus_id, n, "gram")
+    docs with zero overlap never leave the map stage. ``normalize``
+    matches grams case- and punctuation-insensitively (the published
+    GPT-3-style recipe; see _norm_text) — applied to BOTH sides."""
+    eval_grams = _gram_table(
+        eval_set, eval_text, None, n, "gram", normalize
+    ).distinct()
+    corpus_grams = _gram_table(
+        corpus, corpus_text, corpus_id, n, "gram", normalize
+    )
     hits = corpus_grams.join(F.broadcast(eval_grams), "gram")
     return hits.groupBy(corpus_id).agg(
         F.count_distinct("gram").alias("n_matched_grams")
@@ -60,11 +83,17 @@ def decontaminate(
     corpus_id: str = "doc_id",
     eval_text: str = "text",
     n: int = 13,
+    normalize: bool = False,
 ) -> DataFrame:
     """Corpus minus contaminated docs (left-anti against the broadcast
-    eval n-gram set — the production filter shape)."""
-    eval_grams = _gram_table(eval_set, eval_text, None, n, "gram").distinct()
-    corpus_grams = _gram_table(corpus, corpus_text, corpus_id, n, "gram")
+    eval n-gram set — the production filter shape). ``normalize``:
+    case/punctuation-insensitive matching (see contamination_report)."""
+    eval_grams = _gram_table(
+        eval_set, eval_text, None, n, "gram", normalize
+    ).distinct()
+    corpus_grams = _gram_table(
+        corpus, corpus_text, corpus_id, n, "gram", normalize
+    )
     contaminated = corpus_grams.join(F.broadcast(eval_grams), "gram").select(
         corpus_id
     ).distinct()
@@ -149,6 +178,7 @@ def build_gram_bloom(
     n_bits: int | None = 1 << 23,
     k: int = 7,
     fold_partitions: int = 8,
+    normalize: bool = False,
 ) -> bytes:
     """Bloom bitmap of the eval set's word-n-gram hashes. ``n_bits`` must
     be a power of two (sized for the expected distinct-gram count: FPR
@@ -172,7 +202,7 @@ def build_gram_bloom(
     import numpy as np
     import pandas as pd
 
-    grams = _gram_table(eval_set, text_col, None, n, "gram")
+    grams = _gram_table(eval_set, text_col, None, n, "gram", normalize)
     if n_bits is None:
         m = grams.agg(
             F.approx_count_distinct("gram").alias("m")
@@ -258,6 +288,7 @@ def contamination_report_bloom(
     n: int = 13,
     n_bits: int | None = 1 << 23,
     k: int = 7,
+    normalize: bool = False,
 ) -> DataFrame:
     """contamination_report for eval sets too big to broadcast: Bloom
     prefilter map-side (fixed-size closure), then exact verification of
@@ -274,11 +305,17 @@ def contamination_report_bloom(
     this function exists for (10^8+ distinct 13-grams), pass
     ``n_bits=None`` to auto-size from the eval gram count (~2^30 bits =
     128 MB closure), or size it yourself at ~16 bits per distinct gram."""
-    bloom = build_gram_bloom(eval_set, eval_text, n, n_bits, k)
+    bloom = build_gram_bloom(
+        eval_set, eval_text, n, n_bits, k, normalize=normalize
+    )
     might = bloom_might_contain_udf(bloom, k)
-    corpus_grams = _gram_table(corpus, corpus_text, corpus_id, n, "gram")
+    corpus_grams = _gram_table(
+        corpus, corpus_text, corpus_id, n, "gram", normalize
+    )
     survivors = corpus_grams.filter(might(F.col("gram")))
-    eval_grams = _gram_table(eval_set, eval_text, None, n, "gram").distinct()
+    eval_grams = _gram_table(
+        eval_set, eval_text, None, n, "gram", normalize
+    ).distinct()
     hits = survivors.join(eval_grams, "gram")
     return hits.groupBy(corpus_id).agg(
         F.count_distinct("gram").alias("n_matched_grams")
@@ -316,14 +353,17 @@ def load_gram_bloom(path: str) -> "tuple[bytes, int]":
 
 
 def write_eval_gram_table(
-    eval_set: DataFrame, path: str, text_col: str = "text", n: int = 13
+    eval_set: DataFrame, path: str, text_col: str = "text", n: int = 13,
+    normalize: bool = False,
 ) -> None:
     """Materialize the DISTINCT eval gram-hash table (column ``gram``
     long) as parquet — the exact-verify join side for incremental /
-    streaming decontamination. Write once per eval-suite version."""
-    _gram_table(eval_set, text_col, None, n, "gram").distinct().write.mode(
-        "overwrite"
-    ).parquet(path)
+    streaming decontamination. Write once per eval-suite version.
+    ``normalize`` must match the corpus-side setting at read time (the
+    hash spaces are disjoint otherwise)."""
+    _gram_table(
+        eval_set, text_col, None, n, "gram", normalize
+    ).distinct().write.mode("overwrite").parquet(path)
 
 
 # --- span-level decontamination (r10) ---------------------------------------

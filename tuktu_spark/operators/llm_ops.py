@@ -109,7 +109,11 @@ def decontaminate_op(config: dict):
     set — or, with mode='spans' (r10), cut only the contaminated token
     intervals and keep the rest of each document
     (llm/decontaminate.decontaminate_spans). config: {n, text_field,
-    id_field, eval_text_field, report, mode}."""
+    id_field, eval_text_field, report, mode, normalize} — normalize
+    matches grams case/punctuation-insensitively (the published
+    GPT-3-style recipe); not valid with mode='spans' (the span rewrite
+    re-emits original tokens, and normalized positions don't map back
+    onto them)."""
     from ..llm import decontaminate as DC
 
     def transform(corpus: DataFrame, eval_set: DataFrame | None = None) -> DataFrame:
@@ -120,6 +124,12 @@ def decontaminate_op(config: dict):
                 raise ValueError(
                     "mode='spans' rewrites documents; it has no report "
                     "form and no bloom engine"
+                )
+            if config.get("normalize"):
+                raise ValueError(
+                    "mode='spans' matches raw tokens: the rewrite "
+                    "re-emits original tokens, and normalized positions "
+                    "don't map back onto them"
                 )
             return DC.decontaminate_spans(
                 corpus, eval_set,
@@ -135,6 +145,7 @@ def decontaminate_op(config: dict):
             corpus_id=config.get("id_field", "doc_id"),
             eval_text=config.get("eval_text_field", config.get("text_field", "text")),
             n=int(config.get("n", 13)),
+            normalize=bool(config.get("normalize", False)),
         )
         if config.get("engine") == "bloom":
             # eval set past the broadcast budget: Bloom prefilter +

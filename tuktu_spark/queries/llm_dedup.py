@@ -457,6 +457,31 @@ def dedup_decontaminate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_report(docs, eval_set, n=13)
 
 
+@query(
+    "dedup_decontaminate_normalized", oracle=_DECON_ORACLE,
+    tags=("llm", "dedup"),
+)
+def dedup_decontaminate_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """normalize=True (r10): the corpus is deterministically PERTURBED
+    with case and punctuation noise (odd ids uppercased, spaces turned
+    into ', ') — raw matching would miss every perturbed doc, but the
+    published-recipe normalization (lowercase + collapse non-alnum runs)
+    undoes the noise exactly, so the report must hash-match the SAME
+    oracle as the unperturbed dedup_decontaminate_report."""
+    from ..llm.decontaminate import contamination_report
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    perturbed = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 2 == 1,
+            F.upper(F.regexp_replace("text", " ", ", ")),
+        ).otherwise(F.col("text")),
+    )
+    eval_set = docs.filter(F.col("doc_id") % 17 == 0).select("text")
+    return contamination_report(perturbed, eval_set, n=13, normalize=True)
+
+
 # Span-level decontamination truth (r10): positional 13-gram windows
 # joined against the eval gram set, the SAME gaps-and-islands fold as the
 # span-removal oracle, then the token-by-token rewrite with an

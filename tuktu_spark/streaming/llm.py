@@ -560,6 +560,7 @@ def make_decontaminate_batch_processor(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 13,
+    normalize: bool = False,
 ):
     """foreachBatch processor producing each micro-batch's contamination
     report against FROZEN eval-suite artifacts (r10 — the daily-crawl
@@ -590,7 +591,7 @@ def make_decontaminate_batch_processor(
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        grams = _gram_table(batch_df, text_col, id_col, n, "gram")
+        grams = _gram_table(batch_df, text_col, id_col, n, "gram", normalize)
         if might is not None:
             grams = grams.filter(might(F.col("gram")))
         report = grams.join(eval_grams, "gram").groupBy(id_col).agg(
@@ -703,15 +704,17 @@ def streaming_decontaminate(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 13,
+    normalize: bool = False,
     compact_every: int | None = None,
 ):
     """readStream -> frozen-eval-artifact contamination reports ->
     partitioned parquet (see make_decontaminate_batch_processor).
+    ``normalize`` must match the stored gram table's setting.
     ``compact_every`` folds the report store every N batches (see
     auto_compacting)."""
     proc = make_decontaminate_batch_processor(
         stream_df.sparkSession, eval_grams_dir, out_dir, bloom, bloom_k,
-        text_col, id_col, n,
+        text_col, id_col, n, normalize,
     )
     proc = auto_compacting(
         proc, stream_df.sparkSession, [(out_dir, ())], compact_every
