@@ -2880,6 +2880,39 @@ class TestNormalizedDecontamination:
         }
         assert got == want and got
 
+    def test_engine_auto_dispatch(self, spark, perturbed, docs):
+        """engine='auto' probes the eval gram count and dispatches on
+        the broadcast memory budget (SCALE.md r10: broadcast wins
+        throughput at every size that fits — bloom is the
+        beyond-the-wall path). Small suite -> broadcast; a tiny forced
+        budget -> bloom; output identical either way."""
+        from pyspark.sql import functions as F
+
+        from tuktu_spark.llm.decontaminate import pick_decontaminate_engine
+        from tuktu_spark.operators import make_operator
+
+        corpus = docs.select("doc_id", "text")
+        ev = corpus.filter(F.col("doc_id") % 7 == 0).select("text")
+        assert pick_decontaminate_engine(ev, n=5) == "broadcast"
+        assert (
+            pick_decontaminate_engine(ev, n=5, budget_grams=10) == "bloom"
+        )
+        want = {
+            (r["doc_id"], r["n_matched_grams"])
+            for r in make_operator(
+                "decontaminate", {"n": 5, "report": True}
+            )(corpus, ev).collect()
+        }
+        got = {
+            (r["doc_id"], r["n_matched_grams"])
+            for r in make_operator(
+                "decontaminate",
+                {"n": 5, "report": True, "engine": "auto",
+                 "auto_budget_grams": 10},  # forces the bloom arm
+            )(corpus, ev).collect()
+        }
+        assert got == want and want
+
     def test_operator_normalize_and_spans_guard(self, spark, perturbed):
         from tuktu_spark.operators import make_operator
 

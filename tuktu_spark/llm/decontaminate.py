@@ -480,3 +480,30 @@ def decontaminate_spans(
         corpus, eval_set, corpus_text, corpus_id, eval_text, n
     )
     return remove_interval_tokens(corpus, iv, corpus_text, corpus_id)
+
+
+def pick_decontaminate_engine(
+    eval_set: DataFrame,
+    eval_text: str = "text",
+    n: int = 13,
+    budget_grams: int = 32_000_000,
+    normalize: bool = False,
+) -> str:
+    """'broadcast' or 'bloom' from ONE approx_count_distinct scan of the
+    eval gram table — the engine='auto' probe (flow op `decontaminate`).
+
+    The dispatch criterion is the BROADCAST MEMORY BUDGET, not wall
+    time: measured at sf0.1/local[32] (SCALE.md r10 table), broadcast
+    beats the bloom two-phase at EVERY size that fits memory — 3.8 vs
+    5.9 s at 0.14M grams through 16 vs 66 s at 11.2M — because bloom
+    pays two extra eval scans (sizing probe + bitmap build) and its
+    survivors still verify against the same gram table. Bloom's value
+    is that it EXISTS past the broadcast wall (a 10^8-gram suite is
+    several GB as a broadcast hash relation per executor: OOM), so the
+    probe picks broadcast up to ``budget_grams`` (default 32M ~ 1 GB+
+    as a long-keyed broadcast relation) and bloom beyond. The ~5%
+    sketch error is immaterial against an order-of-magnitude budget."""
+    m = _gram_table(eval_set, eval_text, None, n, "gram", normalize).agg(
+        F.approx_count_distinct("gram").alias("m")
+    ).collect()[0]["m"] or 0
+    return "broadcast" if m <= int(budget_grams) else "bloom"

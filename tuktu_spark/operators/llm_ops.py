@@ -109,11 +109,14 @@ def decontaminate_op(config: dict):
     set — or, with mode='spans' (r10), cut only the contaminated token
     intervals and keep the rest of each document
     (llm/decontaminate.decontaminate_spans). config: {n, text_field,
-    id_field, eval_text_field, report, mode, normalize} — normalize
-    matches grams case/punctuation-insensitively (the published
-    GPT-3-style recipe); not valid with mode='spans' (the span rewrite
-    re-emits original tokens, and normalized positions don't map back
-    onto them)."""
+    id_field, eval_text_field, report, mode, normalize, engine,
+    auto_budget_grams} — normalize matches grams case/punctuation-
+    insensitively (the published GPT-3-style recipe); not valid with
+    mode='spans' (the span rewrite re-emits original tokens, and
+    normalized positions don't map back onto them). engine: 'broadcast'
+    (default) | 'bloom' | 'auto' (probe the eval gram count once and
+    dispatch on the broadcast memory budget — see
+    pick_decontaminate_engine)."""
     from ..llm import decontaminate as DC
 
     def transform(corpus: DataFrame, eval_set: DataFrame | None = None) -> DataFrame:
@@ -147,7 +150,19 @@ def decontaminate_op(config: dict):
             n=int(config.get("n", 13)),
             normalize=bool(config.get("normalize", False)),
         )
-        if config.get("engine") == "bloom":
+        engine = config.get("engine")
+        if engine == "auto":
+            # one approx_count_distinct scan picks broadcast vs bloom on
+            # the broadcast MEMORY budget (measured: broadcast wins
+            # throughput at every size that fits — SCALE.md r10); only
+            # meaningful for the report form, matching engine='bloom'
+            engine = DC.pick_decontaminate_engine(
+                eval_set,
+                eval_text=kwargs["eval_text"], n=kwargs["n"],
+                budget_grams=int(config.get("auto_budget_grams", 32_000_000)),
+                normalize=kwargs["normalize"],
+            )
+        if engine == "bloom":
             # eval set past the broadcast budget: Bloom prefilter +
             # exact verify (identical output, see llm/decontaminate.py)
             if not config.get("report"):
