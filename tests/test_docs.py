@@ -48,6 +48,20 @@ class TestGeneratedDocCounts:
             "scripts/gen_operator_docs.py"
         )
 
+    def test_operators_md_is_regeneration_fresh(self):
+        """The committed file must equal a fresh regeneration
+        BYTE-FOR-BYTE (r10 review: a docstring edit without a regen
+        slipped past the count/name guards — the registry reference was
+        silently missing the new config keys)."""
+        import sys
+
+        sys.path.insert(0, os.path.join(ROOT, "scripts"))
+        from gen_operator_docs import render_operators_md
+
+        assert _read("OPERATORS.md") == render_operators_md(), (
+            "OPERATORS.md is stale — rerun scripts/gen_operator_docs.py"
+        )
+
     def test_coverage_md_totals_match_registry(self):
         registry = load_all()
         text = _read("COVERAGE.md")

@@ -2880,6 +2880,44 @@ class TestNormalizedDecontamination:
         }
         assert got == want and got
 
+    def test_corpus_is_normalization_invariant(self, docs):
+        """dedup_decontaminate_normalized reuses the RAW-token oracle;
+        that equivalence holds only while the synthetic documents are
+        already in normalized form (lowercase alnum words, single
+        spaces). Pin the invariant so a data-generator change fails
+        HERE with a message instead of as an inscrutable driver hash
+        mismatch."""
+        from tuktu_spark.llm.decontaminate import _norm_text
+
+        bad = docs.filter(
+            _norm_text(F.col("text")) != F.col("text")
+        ).count()
+        assert bad == 0, (
+            "documents.text is no longer normalization-invariant — "
+            "dedup_decontaminate_normalized's oracle reuse breaks; give "
+            "it its own normalized-SQL oracle"
+        )
+
+    def test_norm_text_keeps_unicode_letters(self, spark):
+        """r10 review: an ASCII-only class would delete CJK/Cyrillic/
+        accented text entirely — normalize=True must never LOSE recall
+        relative to raw matching on non-English corpora."""
+        from tuktu_spark.llm.decontaminate import contamination_report
+
+        leak = "机器 学习 模型 训练 数据 очень важно café"
+        corpus = spark.createDataFrame(
+            [(1, f"prefix {leak} suffix"), (2, "nothing shared here")],
+            "doc_id long, text string",
+        )
+        ev = spark.createDataFrame([(f"{leak}!",)], "text string")
+        got = {
+            r["doc_id"]
+            for r in contamination_report(
+                corpus, ev, n=8, normalize=True
+            ).collect()
+        }
+        assert got == {1}
+
     def test_engine_auto_dispatch(self, spark, perturbed, docs):
         """engine='auto' probes the eval gram count and dispatches on
         the broadcast memory budget (SCALE.md r10: broadcast wins

@@ -1142,8 +1142,13 @@ def test_streaming_decontaminate_matches_batch_report(spark, sf_dir, tmp_path):
     grams_dir = str(tmp_path / "eval_grams")
     write_eval_gram_table(ev, grams_dir, n=5)
     bp = str(tmp_path / "bloom.npz")
-    save_gram_bloom(build_gram_bloom(ev, n=5, n_bits=1 << 10, k=2), bp, k=2)
-    bloom, k = load_gram_bloom(bp)
+    save_gram_bloom(build_gram_bloom(ev, n=5, n_bits=1 << 10, k=2), bp, k=2, n=5)
+    bloom, k = load_gram_bloom(bp, expect_n=5, expect_normalize=False)
+    # a mismatched reader must fail loudly, not report zero contamination
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="disjoint hash spaces"):
+        load_gram_bloom(bp, expect_n=13)
     assert k == 2 and len(bloom) * 8 == 1 << 10
 
     want = {

@@ -25,10 +25,14 @@ from .dedup import _shingles_from_tokens, _tokens
 
 def _norm_text(col):
     """The published decontamination normalization (GPT-3 appendix C
-    family): lowercase + every non-alphanumeric run collapsed to one
+    family): lowercase + every non-letter/digit run collapsed to one
     space, so 'The cat, sat!' and 'the cat sat' share their grams.
-    Pure column algebra — stays in whole-stage codegen."""
-    return F.regexp_replace(F.lower(col), r"[^a-z0-9]+", " ")
+    UNICODE letter/digit classes, not [a-z0-9]: an ASCII-only class
+    would delete all CJK/Cyrillic/accented text and turn normalize=True
+    into a silent zero-recall hole on non-English corpora — the worst
+    failure direction for a decontamination tool. Pure column algebra —
+    stays in whole-stage codegen."""
+    return F.regexp_replace(F.lower(col), r"[^\p{L}\p{N}]+", " ")
 
 
 def _gram_table(
@@ -334,21 +338,47 @@ def contamination_report_bloom(
 # incremental batch job can reuse them.
 
 
-def save_gram_bloom(bloom: bytes, path: str, k: int = 7) -> None:
-    """Persist a built Bloom bitmap + its hash count. npz keeps the
-    artifact self-describing (n_bits = 8 * len(bitmap))."""
+def save_gram_bloom(
+    bloom: bytes, path: str, k: int = 7, n: int = 13,
+    normalize: bool = False,
+) -> None:
+    """Persist a built Bloom bitmap + the THREE parameters that define
+    its hash space (k, gram order n, normalize). npz keeps the artifact
+    self-describing (n_bits = 8 * len(bitmap)) — a reader that grams
+    with a different n or normalize setting matches NOTHING (disjoint
+    hash spaces → silent zero-contamination reports), so the settings
+    ride the artifact and load_gram_bloom can validate them."""
     import numpy as np
 
-    np.savez(path, bitmap=np.frombuffer(bloom, dtype=np.uint8), k=int(k))
+    np.savez(
+        path, bitmap=np.frombuffer(bloom, dtype=np.uint8), k=int(k),
+        n=int(n), normalize=bool(normalize),
+    )
 
 
-def load_gram_bloom(path: str) -> "tuple[bytes, int]":
-    """(bitmap_bytes, k) back from save_gram_bloom."""
+def load_gram_bloom(
+    path: str,
+    expect_n: "int | None" = None,
+    expect_normalize: "bool | None" = None,
+) -> "tuple[bytes, int]":
+    """(bitmap_bytes, k) back from save_gram_bloom. Pass ``expect_n`` /
+    ``expect_normalize`` (your read-side gramming settings) to fail
+    LOUDLY on a hash-space mismatch instead of silently reporting zero
+    contamination. Artifacts from before the settings were recorded
+    skip the check (n/normalize absent)."""
     import numpy as np
 
     with np.load(path) as z:
         if "bitmap" not in z or "k" not in z:
             raise ValueError(f"invalid gram-bloom artifact: {path}")
+        for key, expect in (("n", expect_n), ("normalize", expect_normalize)):
+            if expect is not None and key in z and z[key].item() != expect:
+                raise ValueError(
+                    f"gram-bloom artifact {path} was built with "
+                    f"{key}={z[key].item()} but the reader grams with "
+                    f"{key}={expect}: disjoint hash spaces would "
+                    "silently report zero contamination"
+                )
         return z["bitmap"].tobytes(), int(z["k"])
 
 
@@ -359,11 +389,67 @@ def write_eval_gram_table(
     """Materialize the DISTINCT eval gram-hash table (column ``gram``
     long) as parquet — the exact-verify join side for incremental /
     streaming decontamination. Write once per eval-suite version.
-    ``normalize`` must match the corpus-side setting at read time (the
-    hash spaces are disjoint otherwise)."""
+    The hash-space settings (n, normalize) are written to a
+    ``_decon_meta.json`` sidecar inside the directory (underscore
+    prefix: parquet readers ignore it) so read-side mismatches fail
+    loudly (see read_eval_gram_meta) instead of silently matching
+    nothing."""
+    import json
+    import os
+
     _gram_table(
         eval_set, text_col, None, n, "gram", normalize
     ).distinct().write.mode("overwrite").parquet(path)
+    spark = eval_set.sparkSession
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(os.path.join(path, "_decon_meta.json"))
+    out = p.getFileSystem(hconf).create(p, True)
+    out.write(bytearray(json.dumps(
+        {"n": int(n), "normalize": bool(normalize)}
+    ).encode()))
+    out.close()
+
+
+def read_eval_gram_meta(spark, path: str) -> "dict | None":
+    """The (n, normalize) sidecar of write_eval_gram_table, or None for
+    tables written before the sidecar existed."""
+    import json
+    import os
+
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(os.path.join(path, "_decon_meta.json"))
+    fs = p.getFileSystem(hconf)
+    if not fs.exists(p):
+        return None
+    stream = fs.open(p)
+    try:
+        data = bytearray()
+        b = stream.read()
+        while b >= 0:
+            data.append(b)
+            b = stream.read()
+        return json.loads(bytes(data).decode())
+    finally:
+        stream.close()
+
+
+def check_eval_gram_meta(spark, path: str, n: int, normalize: bool) -> None:
+    """Raise if the stored gram table's hash-space settings disagree
+    with the reader's — the silent-zero-report guard for the streaming
+    processors."""
+    meta = read_eval_gram_meta(spark, path)
+    if meta is None:
+        return
+    for key, mine in (("n", int(n)), ("normalize", bool(normalize))):
+        if meta.get(key) != mine:
+            raise ValueError(
+                f"eval gram table {path} was written with "
+                f"{key}={meta.get(key)} but this reader grams with "
+                f"{key}={mine}: disjoint hash spaces would silently "
+                "report zero contamination"
+            )
 
 
 # --- span-level decontamination (r10) ---------------------------------------
@@ -488,7 +574,8 @@ def pick_decontaminate_engine(
     n: int = 13,
     budget_grams: int = 32_000_000,
     normalize: bool = False,
-) -> str:
+    with_count: bool = False,
+):
     """'broadcast' or 'bloom' from ONE approx_count_distinct scan of the
     eval gram table — the engine='auto' probe (flow op `decontaminate`).
 
@@ -502,8 +589,13 @@ def pick_decontaminate_engine(
     several GB as a broadcast hash relation per executor: OOM), so the
     probe picks broadcast up to ``budget_grams`` (default 32M ~ 1 GB+
     as a long-keyed broadcast relation) and bloom beyond. The ~5%
-    sketch error is immaterial against an order-of-magnitude budget."""
+    sketch error is immaterial against an order-of-magnitude budget.
+
+    ``with_count=True`` returns ``(engine, approx_gram_count)`` so the
+    caller can reuse the measurement — e.g. to size the bloom filter
+    instead of paying build_gram_bloom's own sizing scan."""
     m = _gram_table(eval_set, eval_text, None, n, "gram", normalize).agg(
         F.approx_count_distinct("gram").alias("m")
     ).collect()[0]["m"] or 0
-    return "broadcast" if m <= int(budget_grams) else "bloom"
+    engine = "broadcast" if m <= int(budget_grams) else "bloom"
+    return (engine, int(m)) if with_count else engine

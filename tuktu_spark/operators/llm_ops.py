@@ -123,10 +123,12 @@ def decontaminate_op(config: dict):
         if eval_set is None:
             raise ValueError("decontaminate needs (corpus, eval_set) inputs")
         if config.get("mode") == "spans":
-            if config.get("report") or config.get("engine") == "bloom":
+            if config.get("report") or config.get("engine"):
                 raise ValueError(
                     "mode='spans' rewrites documents; it has no report "
-                    "form and no bloom engine"
+                    "form and no engine dispatch (pass bloom artifacts "
+                    "to the library's contaminated_span_intervals for "
+                    "the beyond-broadcast case)"
                 )
             if config.get("normalize"):
                 raise ValueError(
@@ -151,29 +153,41 @@ def decontaminate_op(config: dict):
             normalize=bool(config.get("normalize", False)),
         )
         engine = config.get("engine")
+        if engine in ("bloom", "auto") and not config.get("report"):
+            # validate BEFORE any probe scan: a flow that only crosses
+            # the auto budget months into production must not die on a
+            # config error that was statically detectable
+            raise ValueError(
+                f"engine={engine!r} currently implements the report "
+                "form; anti-join the report against the corpus to drop "
+                "docs"
+            )
+        auto_sized_bits = None
         if engine == "auto":
             # one approx_count_distinct scan picks broadcast vs bloom on
             # the broadcast MEMORY budget (measured: broadcast wins
-            # throughput at every size that fits — SCALE.md r10); only
-            # meaningful for the report form, matching engine='bloom'
-            engine = DC.pick_decontaminate_engine(
+            # throughput at every size that fits — SCALE.md r10). The
+            # probe's gram count is REUSED to size the filter: the 2^23
+            # bloom_bits default is guaranteed saturated at exactly the
+            # sizes auto selects bloom for.
+            engine, m = DC.pick_decontaminate_engine(
                 eval_set,
                 eval_text=kwargs["eval_text"], n=kwargs["n"],
                 budget_grams=int(config.get("auto_budget_grams", 32_000_000)),
                 normalize=kwargs["normalize"],
+                with_count=True,
+            )
+            auto_sized_bits = min(
+                max(1 << (16 * max(m, 1) - 1).bit_length(), 1 << 23), 1 << 30
             )
         if engine == "bloom":
             # eval set past the broadcast budget: Bloom prefilter +
             # exact verify (identical output, see llm/decontaminate.py)
-            if not config.get("report"):
-                raise ValueError(
-                    "engine='bloom' currently implements the report form; "
-                    "anti-join the report against the corpus to drop docs"
-                )
-            # bloom_bits: explicit power of two, or "auto" to size from
-            # the eval gram count (the default 2^23 only suits SMALL eval
-            # sets — see contamination_report_bloom's sizing note)
-            bits_cfg = config.get("bloom_bits", 1 << 23)
+            # bloom_bits: explicit power of two, "auto" to size from the
+            # eval gram count (the default 2^23 only suits SMALL eval
+            # sets — see contamination_report_bloom's sizing note), or
+            # the engine='auto' probe's measurement when it chose bloom
+            bits_cfg = config.get("bloom_bits", auto_sized_bits or 1 << 23)
             return DC.contamination_report_bloom(
                 corpus, eval_set,
                 n_bits=None if bits_cfg == "auto" else int(bits_cfg),

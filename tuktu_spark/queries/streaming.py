@@ -655,9 +655,9 @@ def streaming_decontaminate_replay(spark: SparkSession, sf_dir: str) -> DataFram
     write_eval_gram_table(eval_set, grams_dir, n=13)
     save_gram_bloom(
         build_gram_bloom(eval_set, n=13, n_bits=1 << 12, k=3),
-        bloom_path, k=3,
+        bloom_path, k=3, n=13,
     )
-    bloom, k = load_gram_bloom(bloom_path)
+    bloom, k = load_gram_bloom(bloom_path, expect_n=13, expect_normalize=False)
     stage = tempfile.mkdtemp(prefix="tuktu_decon_replay_")
     out_dir = tempfile.mkdtemp(prefix="tuktu_decon_report_")
     ckpt = tempfile.mkdtemp(prefix="tuktu_decon_ckpt_")

@@ -582,9 +582,17 @@ def make_decontaminate_batch_processor(
     ``bloom=None`` skips the prefilter (right when the eval gram table
     is small enough that the extra map-side pass outweighs the join
     savings); with a bloom the join side still reads the SAME stored
-    table, so correctness is sizing-independent."""
-    from ..llm.decontaminate import _gram_table, bloom_might_contain_udf
+    table, so correctness is sizing-independent. The stored table's
+    (n, normalize) sidecar is validated against this reader's settings
+    — a mismatch means disjoint hash spaces and a silently empty
+    report, so it fails loudly here instead."""
+    from ..llm.decontaminate import (
+        _gram_table,
+        bloom_might_contain_udf,
+        check_eval_gram_meta,
+    )
 
+    check_eval_gram_meta(spark, eval_grams_dir, n, normalize)
     eval_grams = spark.read.parquet(eval_grams_dir)
     might = bloom_might_contain_udf(bloom, bloom_k) if bloom else None
 
@@ -636,10 +644,13 @@ def make_decontaminate_spans_batch_processor(
     the table is beyond-broadcast; AQE then sizes the join)."""
     from ..llm.decontaminate import (
         bloom_might_contain_udf,
+        check_eval_gram_meta,
         contaminated_span_intervals,
     )
     from ..llm.dedup import remove_interval_tokens
 
+    # spans match RAW tokens (normalize=False by construction)
+    check_eval_gram_meta(spark, eval_grams_dir, n, normalize=False)
     eval_grams = spark.read.parquet(eval_grams_dir)
     might = bloom_might_contain_udf(bloom, bloom_k) if bloom else None
 
