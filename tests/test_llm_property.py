@@ -476,3 +476,60 @@ def test_decontaminate_spans_matches_python_reference(spark, texts, ev_picks, n)
     }
     want = _py_decontaminate_spans(rows, ev_texts, n)
     assert got == want
+
+
+def _py_normalize(t: str) -> str:
+    """Mirror of decontaminate._norm_text: lowercase + collapse every
+    non-letter/digit run (Unicode classes) to one space."""
+    out, prev_space = [], False
+    for ch in t.lower():
+        if ch.isalnum():
+            out.append(ch)
+            prev_space = False
+        elif not prev_space:
+            out.append(" ")
+            prev_space = True
+    return "".join(out)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    texts=st.lists(
+        st.lists(
+            st.text(alphabet="aB!,é七 ", min_size=1, max_size=6),
+            min_size=0, max_size=8,
+        ).map(" ".join),
+        min_size=1, max_size=6,
+    ),
+    ev_picks=st.lists(st.integers(min_value=0, max_value=5), min_size=1, max_size=2),
+    n=st.integers(min_value=1, max_value=3),
+)
+def test_normalized_contamination_matches_python_reference(
+    spark, texts, ev_picks, n
+):
+    """r10: contamination_report(normalize=True) equals the naive model
+    over ARBITRARY mixed-case/punctuated/Unicode corpora — including
+    CJK and accented letters (the ASCII-only-class regression this
+    round caught and fixed)."""
+    from tuktu_spark.llm.decontaminate import contamination_report
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    ev_texts = [rows[p % len(rows)][1] for p in ev_picks]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    ev = spark.createDataFrame([(t,) for t in ev_texts], "text string")
+
+    def grams(t):
+        tk = [x for x in _py_normalize(t).split(" ") if x]
+        return {" ".join(tk[i : i + n]) for i in range(len(tk) - n + 1)}
+
+    ev_grams = set().union(*(grams(t) for t in ev_texts)) if ev_texts else set()
+    want = {}
+    for did, t in rows:
+        hits = len(grams(t) & ev_grams)
+        if hits:
+            want[did] = hits
+    got = {
+        r["doc_id"]: r["n_matched_grams"]
+        for r in contamination_report(df, ev, n=n, normalize=True).collect()
+    }
+    assert got == want
