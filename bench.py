@@ -26,6 +26,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import functions as F  # noqa: E402
+
 from tuktu_spark.queries import load_all  # noqa: E402
 from tuktu_spark.session import get_spark  # noqa: E402
 
@@ -44,7 +46,18 @@ from tuktu_spark.session import get_spark  # noqa: E402
 #               broadcasts per run in a shared JVM) landing inside one
 #               timed region. Collecting between runs (untimed, JMH
 #               practice) keeps each sample a plan cost, not a debt roll.
-HARNESS_VERSION = 3
+#   v4 (r11):   v3 + a SECOND, Spark-shaped control (canonical
+#               shuffle+agg over generated data) recorded as "control2"
+#               alongside the v3 hot-loop control: r10 forensics
+#               (SCALE.md) showed the single-hot-loop control swinging
+#               0.86x between runs ten minutes apart — NOISIER than the
+#               32-way workload it normalizes — because an all-CPU
+#               compute loop tracks turbo/contention extremes, while
+#               the real queries' cost is scheduler + shuffle + agg
+#               shaped. bench_diff prefers control2 when both artifacts
+#               carry it; the v3 control stays for comparability with
+#               r8-r10 artifacts.
+HARNESS_VERSION = 4
 
 # The control is pure Spark — spark.range + hash/agg, zero repo code, zero
 # I/O — so its reading moves ONLY with the host (CPU contention, JVM/GC
@@ -73,6 +86,37 @@ def _control(spark) -> None:
     )
 
 
+# Spark-SHAPED control (harness v4): a canonical scan -> partial agg ->
+# shuffle exchange -> final agg pipeline over generated data — the same
+# execution anatomy as the bench queries (task scheduling, shuffle write/
+# fetch, hash aggregation), unlike the v3 hot loop which is pure
+# all-core arithmetic and tracks turbo/contention extremes the queries
+# don't see. Row count sized so the reading is ~1 s on this host class:
+# large enough that per-task scheduler jitter is a small fraction,
+# small enough to add only a few seconds to the bench.
+_CONTROL2_ROWS = 200_000_000
+_CONTROL2_KEYS = 65_536
+
+
+def _control_shuffle(spark) -> None:
+    (
+        spark.range(0, _CONTROL2_ROWS, 1, 32)
+        .selectExpr(
+            f"id % {_CONTROL2_KEYS} AS k",
+            "hash(id) % 1024 AS v",
+        )
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.sum("v").alias("s"),
+            F.avg("v").alias("a"),
+        )
+        .write.mode("overwrite")
+        .format("noop")
+        .save()
+    )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -85,25 +129,38 @@ def main() -> None:
 
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5")))
 
-    # Control measured FIRST (same protocol as the queries: GC barrier +
+    # Controls measured FIRST (same protocol as the queries: GC barrier +
     # one untimed warmup, then `runs` timed executions) so every artifact
-    # carries a same-JVM host-speed reference.
-    gc.collect()
-    spark._jvm.System.gc()
-    _control(spark)
-    ctrl_samples = []
-    for _ in range(runs):
+    # carries same-JVM host-speed references.
+    def _measure(fn) -> "list[float]":
         gc.collect()
         spark._jvm.System.gc()
-        t0 = time.perf_counter()
-        _control(spark)
-        ctrl_samples.append(time.perf_counter() - t0)
+        fn(spark)
+        samples = []
+        for _ in range(runs):
+            gc.collect()
+            spark._jvm.System.gc()
+            t0 = time.perf_counter()
+            fn(spark)
+            samples.append(time.perf_counter() - t0)
+        return samples
+
+    ctrl_samples = _measure(_control)
     control = {
         "median": round(statistics.median(ctrl_samples), 4),
         "min": round(min(ctrl_samples), 4),
         "max": round(max(ctrl_samples), 4),
         "runs": runs,
         "rows": _CONTROL_ROWS,
+    }
+    ctrl2_samples = _measure(_control_shuffle)
+    control2 = {
+        "median": round(statistics.median(ctrl2_samples), 4),
+        "min": round(min(ctrl2_samples), 4),
+        "max": round(max(ctrl2_samples), 4),
+        "runs": runs,
+        "rows": _CONTROL2_ROWS,
+        "kind": "shuffle_agg",
     }
     timings: dict[str, float] = {}
     spread: dict[str, dict[str, float]] = {}
@@ -160,6 +217,7 @@ def main() -> None:
                     "version": HARNESS_VERSION,
                 },
                 "spread": spread,
+                "control2": control2,
                 "control": control,
                 "queries": timings,
                 "sf": sf,

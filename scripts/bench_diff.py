@@ -71,55 +71,78 @@ def _salvage(tail: str) -> tuple[dict[str, float], dict[str, dict[str, float]]]:
 def load(
     path: str,
 ) -> tuple[
-    dict[str, float], dict[str, dict[str, float]], float | None, int | None
+    dict[str, float], dict[str, dict[str, float]], dict[str, dict]
 ]:
+    """(queries, spread, controls) — controls maps "control"/"control2"
+    to {"median", "rows"} for whichever references the artifact carries
+    (v3 artifacts have only "control"; v4 adds the Spark-shaped
+    "control2")."""
     with open(path, encoding="utf-8") as f:
         raw = json.load(f)
     parsed = raw.get("parsed", raw)  # driver artifacts nest under "parsed"
     if not isinstance(parsed, dict):  # truncated capture: parsed == null
         q, s = _salvage(str(raw.get("tail", "")))
-        ctrl, rows = _salvage_control(str(raw.get("tail", "")))
-        return q, s, ctrl, rows
-    control = parsed.get("control") or {}
-    return (
-        parsed.get("queries", {}),
-        parsed.get("spread", {}),
-        control.get("median"),
-        control.get("rows"),
-    )
+        return q, s, _salvage_controls(str(raw.get("tail", "")))
+    controls = {}
+    for key in ("control", "control2"):
+        c = parsed.get(key)
+        if isinstance(c, dict) and c.get("median") is not None:
+            controls[key] = {"median": c["median"], "rows": c.get("rows")}
+    return parsed.get("queries", {}), parsed.get("spread", {}), controls
 
 
-def _salvage_control(tail: str) -> tuple[float | None, int | None]:
-    m = re.search(r'"control":\s*\{\s*"median":\s*(-?\d+(?:\.\d+)?)', tail)
-    rows = re.search(r'"rows":\s*(\d+)', tail)
-    return (
-        float(m.group(1)) if m else None,
-        int(rows.group(1)) if rows else None,
-    )
+def _salvage_controls(tail: str) -> dict[str, dict]:
+    """Recover both control blocks from a truncated tail, each scoped to
+    its own braces (a global "rows" search would read control2's rows
+    for control, or vice versa, depending on where the cut landed)."""
+    out: dict[str, dict] = {}
+    for key in ("control", "control2"):
+        m = re.search(rf'"{key}":\s*\{{([^}}]*)\}}', tail)
+        if not m:
+            continue
+        body = m.group(1)
+        med = re.search(r'"median":\s*(-?\d+(?:\.\d+)?)', body)
+        rows = re.search(r'"rows":\s*(\d+)', body)
+        if med:
+            out[key] = {
+                "median": float(med.group(1)),
+                "rows": int(rows.group(1)) if rows else None,
+            }
+    return out
 
 
 def main(old_path: str, new_path: str) -> int:
-    old_q, old_s, old_ctrl, old_rows = load(old_path)
-    new_q, new_s, new_ctrl, new_rows = load(new_path)
-    # Host-drift normalization (r8, harness v3): both artifacts carry a
-    # constant pure-Spark control query; its ratio is the host-speed drift
-    # between the two captures. Per-query norm ratio = raw ratio / drift.
-    # Only valid when both controls did the SAME work: a control resized
-    # between harness versions would masquerade as host drift.
-    drift = (new_ctrl / old_ctrl) if (old_ctrl and new_ctrl) else None
-    if drift is not None and old_rows != new_rows:
+    old_q, old_s, old_ctrls = load(old_path)
+    new_q, new_s, new_ctrls = load(new_path)
+    # Host-drift normalization (r8 harness v3; control2 preference r11):
+    # both artifacts carry constant pure-Spark control queries; a
+    # control's ratio is the host-speed drift between the two captures.
+    # Per-query norm ratio = raw ratio / drift. The Spark-SHAPED
+    # "control2" (shuffle+agg) is preferred when both artifacts carry it
+    # — r10 forensics showed the v3 hot-loop control swinging 0.86x
+    # between runs ten minutes apart, noisier than the workload it
+    # normalizes — with fallback to the v3 "control" for r8-r10
+    # artifacts. Only valid when both sides did the SAME work: a control
+    # resized between harness versions would masquerade as host drift.
+    drift = None
+    for key in ("control2", "control"):
+        oc, nc = old_ctrls.get(key), new_ctrls.get(key)
+        if not (oc and nc):
+            continue
+        if oc.get("rows") != nc.get("rows"):
+            print(
+                f"# {key} work differs ({oc.get('rows')} vs "
+                f"{nc.get('rows')} rows) — ratio is not host drift"
+            )
+            continue
+        drift = nc["median"] / oc["median"]
         print(
-            f"# control work differs ({old_rows} vs {new_rows} rows) — "
-            "ratio is not host drift; raw ratios only"
-        )
-        drift = None
-    elif drift is not None:
-        print(
-            f"# control: old {old_ctrl:.3f}s -> new {new_ctrl:.3f}s "
+            f"# {key}: old {oc['median']:.3f}s -> new {nc['median']:.3f}s "
             f"(host drift {drift:.2f}x); 'norm' column divides out the drift"
         )
-    elif old_ctrl or new_ctrl:
-        print("# control present in only one artifact — raw ratios only")
+        break
+    if drift is None and (old_ctrls or new_ctrls):
+        print("# no shared same-work control — raw ratios only")
     names = sorted(set(old_q) | set(new_q) | set(old_s) | set(new_s))
     width = max((len(n) for n in names), default=10)
     norm_hdr = f"  {'norm':>6}" if drift is not None else ""

@@ -6,6 +6,16 @@ surface here. Also checks dtype KIND (int vs float) since the driver's
 value-hash is type-sensitive.
 
 Usage: python scripts/driver_sim.py [query-name ...]   (default: all)
+       python scripts/driver_sim.py --sweep rN [query-name ...]
+
+``--sweep rN`` (r10 verdict #7): run the check (default: the FULL
+registry) and ALSO write the per-query results to SWEEP_rN.json at the
+repo root — the full-registry staleness sweep as a checked-in artifact
+the judge can re-verify with one command, instead of an ad-hoc terminal
+scrollback. Same row shape as the driver's CORRECTNESS artifacts:
+{"name": {"rows_match", "schema_match", "hash_match", "spark_rows",
+"oracle_rows", "err"}} (rows-only queries report oracle_rows=None and
+hash_match=None).
 """
 
 from __future__ import annotations
@@ -52,7 +62,16 @@ def main() -> int:
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
     qs, osql = E.queries(), E.oracle_sql()
-    names = sys.argv[1:] or sorted(qs)
+    args = sys.argv[1:]
+    sweep_tag = None
+    if args and args[0] == "--sweep":
+        if len(args) < 2 or not args[1].startswith("r"):
+            print("--sweep needs a round tag, e.g. --sweep r11")
+            return 2
+        sweep_tag = args[1]
+        args = args[2:]
+    names = args or sorted(qs)
+    rows: dict = {}
     bad = []
     for name in names:
         if name not in qs:
@@ -60,9 +79,23 @@ def main() -> int:
         try:
             a = canon(qs[name](spark, SF).toPandas())
         except Exception as ex:
-            print(name, "ERR:", str(ex).splitlines()[0]); bad.append(name); continue
+            err = str(ex).splitlines()[0]
+            print(name, "ERR:", err)
+            bad.append(name)
+            rows[name] = {
+                "rows_match": False, "schema_match": False,
+                "hash_match": False, "spark_rows": None,
+                "oracle_rows": None, "err": err,
+            }
+            continue
         if name not in osql:
-            print(name, "rows-only", len(a)); continue
+            print(name, "rows-only", len(a))
+            rows[name] = {
+                "rows_match": True, "schema_match": True,
+                "hash_match": None, "spark_rows": len(a),
+                "oracle_rows": None, "err": None,
+            }
+            continue
         b = canon(con.execute(osql[name]).df())
         kinds_a = [d.kind for d in a.dtypes]
         kinds_b = [d.kind for d in b.dtypes]
@@ -75,6 +108,15 @@ def main() -> int:
         # kind "M" — the r4 normalize_15min_buckets blind spot. Fail loudly.
         tz_a = [getattr(d, "tz", None) for d in a.dtypes]
         tz_b = [getattr(d, "tz", None) for d in b.dtypes]
+        row = {
+            "rows_match": len(a) == len(b),
+            "schema_match": bool(kind_ok) and tz_a == tz_b,
+            "hash_match": False,
+            "spark_rows": len(a),
+            "oracle_rows": len(b),
+            "err": None,
+        }
+        rows[name] = row
         if tz_a != tz_b:
             print(name, "TZ-MISMATCH", list(zip(a.columns, tz_a, tz_b)))
             bad.append(name)
@@ -82,6 +124,7 @@ def main() -> int:
         try:
             pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
             if kind_ok:
+                row["hash_match"] = True
                 print(name, "MATCH", len(a))
             else:
                 print(name, "KIND-MISMATCH", list(zip(a.columns, kinds_a, kinds_b)))
@@ -90,6 +133,28 @@ def main() -> int:
             bad.append(name)
             print(name, "MISMATCH:", str(ex).splitlines()[0])
     print("BAD:", bad or "none")
+    if sweep_tag is not None:
+        import json
+
+        n_match = sum(
+            1 for r in rows.values()
+            if r["hash_match"] or (r["hash_match"] is None and r["rows_match"])
+        )
+        out_path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            f"SWEEP_{sweep_tag}.json",
+        )
+        with open(out_path, "w") as f:
+            json.dump(
+                {
+                    "sf_dir": SF,
+                    "checked": len(rows),
+                    "green": n_match,
+                    "results": rows,
+                },
+                f, indent=1, sort_keys=True,
+            )
+        print(f"wrote {out_path}: {n_match}/{len(rows)} green")
     return 1 if bad else 0
 
 

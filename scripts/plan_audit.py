@@ -28,17 +28,86 @@ def plan_of(df) -> str:
     )
 
 
+def plan_nodes(plan: str) -> "list[str]":
+    """Operator name per DISTINCT counted plan node of a formatted explain.
+
+    r10 verdict #2: counting matching LINES of the formatted text
+    overstates — a reused subtree (an InMemoryRelation's cached-plan
+    body, printed in FULL under every InMemoryTableScan parent; a
+    repeated broadcast) repeats its Exchange/join lines per parent, so
+    the skew query read 47 exchanges where the plan has 6. Counted =
+    distinct node ids, derived from the tree (one entry per id however
+    often the text repeats it) plus the one-per-node detail headers.
+
+    Two scoping rules keep "distinct id" honest:
+    - Subquery sections restart node numbering, so ids de-duplicate per
+      section (split on the ``Subquery:N`` markers).
+    - An AQE-finalized subtree prints BOTH ``== Final Plan ==`` and
+      ``== Initial Plan ==`` with distinct ids for the same logical
+      operators; ids appearing ONLY under an Initial block are the
+      pre-adaptive draft, never executed, and are excluded."""
+    nodes: "list[str]" = []
+    header_re = re.compile(r"^\((\d+)\) ([A-Za-z][A-Za-z0-9_]*)")
+    tree_re = re.compile(r"^(\s*[:+\-|* ]*)([A-Za-z][A-Za-z0-9_]*)[^\n]*?\((\d+)\)")
+    marker_re = re.compile(r"^(\s*[:+\-|* ]*)== (\w+) Plan ==")
+    # sections: main plan, then one per "Subquery:N Hosting operator ..."
+    for section in re.split(r"^Subquery:\d+", plan, flags=re.M):
+        lines = section.splitlines()
+        # the tree ends where the per-node detail headers begin
+        tree_end = next(
+            (i for i, ln in enumerate(lines) if header_re.match(ln)), len(lines)
+        )
+        live: "dict[int, str]" = {}   # id -> name, seen outside Initial blocks
+        initial_only: "set[int]" = set()
+        skip_indent: "int | None" = None
+        for ln in lines[:tree_end]:
+            mk = marker_re.match(ln)
+            if mk:
+                ind = len(mk.group(1))
+                if mk.group(2) == "Initial":
+                    skip_indent = ind
+                elif skip_indent is not None and ind <= skip_indent:
+                    skip_indent = None
+                continue
+            mt = tree_re.match(ln)
+            if not mt:
+                continue
+            ind, name, nid = len(mt.group(1)), mt.group(2), int(mt.group(3))
+            # strict <: the block's own first child aligns EXACTLY under
+            # the marker text (its "+- " rail was consumed as prefix)
+            if skip_indent is not None and ind < skip_indent:
+                skip_indent = None  # dedented out of the Initial block
+            if skip_indent is not None:
+                initial_only.add(nid)
+            else:
+                live.setdefault(nid, name)
+        for ln in lines[tree_end:]:
+            mh = header_re.match(ln)
+            if mh:
+                nid, name = int(mh.group(1)), mh.group(2)
+                if nid not in initial_only or nid in live:
+                    live.setdefault(nid, name)
+        nodes.extend(live.values())
+    return nodes
+
+
 def audit(plan: str) -> dict:
+    nodes = plan_nodes(plan)
     return {
-        "exchanges": len(re.findall(r"\bExchange\b", plan)),
-        "bhj": len(re.findall(r"BroadcastHashJoin", plan)),
-        "smj": len(re.findall(r"SortMergeJoin", plan)),
-        "cartesian": len(re.findall(r"CartesianProduct", plan)),
-        "bnlj": len(re.findall(r"BroadcastNestedLoopJoin", plan)),
+        # shuffle exchanges only: BroadcastExchange is its own name and
+        # ReusedExchange is free (it re-reads an existing shuffle)
+        "exchanges": sum(n == "Exchange" for n in nodes),
+        "bhj": sum(n == "BroadcastHashJoin" for n in nodes),
+        "smj": sum(n == "SortMergeJoin" for n in nodes),
+        "cartesian": sum(n == "CartesianProduct" for n in nodes),
+        "bnlj": sum(n == "BroadcastNestedLoopJoin" for n in nodes),
         "pushed": "PushedFilters: [" in plan
         and not re.search(r"PushedFilters: \[\]", plan),
         "codegen": len(set(re.findall(r"codegen id : (\d+)", plan))),
-        "arrow": len(re.findall(r"ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas", plan)),
+        "arrow": sum(
+            n in ("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas")
+            for n in nodes
+        ),
     }
 
 
@@ -92,12 +161,16 @@ def main() -> None:
         "",
         f"Cartesian-free: {'YES' if not bad else 'NO — ' + ', '.join(bad)}.",
         "",
-        "Note: queries that persist a model in-plan (text_ngram_lm_score's"
-        " five count tables) include the CACHED one-time build plans in"
-        " their counts — the formatted explain prints InMemoryRelation"
-        " bodies. The recurring corpus path is one doc-keyed shuffle plus"
-        " broadcast joins (plan-pinned: tests/test_ngram_lm.py"
-        " TestPlanShape).",
+        "Counting (r11, verdict #2): one count per DISTINCT plan node id —",
+        "the formatted explain repeats a reused subtree under every parent",
+        "(InMemoryRelation bodies, AQE initial-plan echoes), which the old",
+        "line count overstated ~7x on the skew query. Node ids are scoped",
+        "per Subquery section; ids only in '== Initial Plan ==' echoes are",
+        "excluded; cached one-time build plans (id-less InMemoryRelation",
+        "Arguments bodies, e.g. text_ngram_lm_score's count tables) do not",
+        "count — their recurring paths are plan-pinned in tests",
+        "(tests/test_ngram_lm.py TestPlanShape). Counting behavior is",
+        "unit-pinned on a reused-subtree plan in tests/test_plans.py.",
         "",
     ]
     path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLAN_AUDIT.md")

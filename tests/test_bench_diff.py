@@ -159,3 +159,92 @@ def test_resized_control_is_not_treated_as_drift(tmp_path, capsys):
     assert "control work differs" in out
     assert "(host drift" not in out  # the normalization factor line
     assert "norm" not in out.splitlines()[1]  # no norm column header
+
+
+def _artifact2(tmp_path, name, queries, spread, control=None, control2=None):
+    doc = {"queries": queries, "spread": spread, "sf": 0.1}
+    if control is not None:
+        doc["control"] = control
+    if control2 is not None:
+        doc["control2"] = control2
+    p = tmp_path / name
+    p.write_text(json.dumps({"parsed": doc}))
+    return str(p)
+
+
+def test_control2_preferred_over_hot_loop_control(tmp_path, capsys):
+    """r11 (verdict #5): when both artifacts carry the Spark-shaped
+    shuffle+agg control2, drift normalizes on IT — here the noisy v3
+    hot-loop control swung 0.7x while control2 (and the queries) stayed
+    flat, so a raw or control-normalized diff would invent an
+    improvement/regression that control2 correctly reads as none."""
+    bd = _load_bench_diff()
+    q_old = {"q": 1.0}
+    s_old = {"q": {"min": 0.95, "max": 1.05, "runs": 5}}
+    q_new = {"q": 1.0}
+    s_new = {"q": {"min": 0.96, "max": 1.06, "runs": 5}}
+    old = _artifact2(
+        tmp_path, "old.json", q_old, s_old,
+        control={"median": 1.0, "min": 0.9, "max": 1.1, "runs": 5,
+                 "rows": 1000000000},
+        control2={"median": 1.0, "min": 0.95, "max": 1.05, "runs": 5,
+                  "rows": 200000000, "kind": "shuffle_agg"},
+    )
+    new = _artifact2(
+        tmp_path, "new.json", q_new, s_new,
+        control={"median": 0.7, "min": 0.65, "max": 0.78, "runs": 5,
+                 "rows": 1000000000},
+        control2={"median": 1.0, "min": 0.96, "max": 1.04, "runs": 5,
+                  "rows": 200000000, "kind": "shuffle_agg"},
+    )
+    bd.main(old, new)
+    out = capsys.readouterr().out
+    assert "# control2: old 1.000s -> new 1.000s (host drift 1.00x)" in out
+    assert "~noise" in out
+    assert "REGRESSED (min_new > drift-adj median_old): 0" in out
+
+
+def test_control2_falls_back_to_control_for_v3_artifacts(tmp_path, capsys):
+    """A v4 artifact diffed against a v3 one (no control2) falls back to
+    the shared hot-loop control."""
+    bd = _load_bench_diff()
+    old = _artifact2(
+        tmp_path, "old.json", {"q": 1.0},
+        {"q": {"min": 0.9, "max": 1.1, "runs": 5}},
+        control={"median": 1.0, "min": 0.9, "max": 1.1, "runs": 5,
+                 "rows": 1000000000},
+    )
+    new = _artifact2(
+        tmp_path, "new.json", {"q": 1.5},
+        {"q": {"min": 1.4, "max": 1.6, "runs": 5}},
+        control={"median": 1.5, "min": 1.4, "max": 1.6, "runs": 5,
+                 "rows": 1000000000},
+        control2={"median": 1.0, "min": 0.95, "max": 1.05, "runs": 5,
+                  "rows": 200000000, "kind": "shuffle_agg"},
+    )
+    bd.main(old, new)
+    out = capsys.readouterr().out
+    assert "# control: old 1.000s -> new 1.500s" in out
+    assert "~noise" in out
+    assert "REGRESSED (min_new > drift-adj median_old): 0" in out
+
+
+def test_salvage_scopes_rows_per_control_block(tmp_path, capsys):
+    """Truncated v4 tail: each control's rows must parse from ITS OWN
+    braces — a global rows search would cross-read between the two
+    blocks and spuriously disable (or mis-enable) drift."""
+    bd = _load_bench_diff()
+    tail = (
+        '"runs": 5}}, '
+        '"control2": {"median": 2.0, "min": 1.9, "max": 2.1, "runs": 5, '
+        '"rows": 200000000, "kind": "shuffle_agg"}, '
+        '"control": {"median": 1.0, "min": 0.9, "max": 1.1, "runs": 5, '
+        '"rows": 1000000000}, '
+        '"queries": {"q": 3.0}, "sf": 0.1}'
+    )
+    p = tmp_path / "trunc.json"
+    p.write_text(json.dumps({"parsed": None, "tail": tail}))
+    q, s, ctrls = bd.load(str(p))
+    assert q == {"q": 3.0}
+    assert ctrls["control2"] == {"median": 2.0, "rows": 200000000}
+    assert ctrls["control"] == {"median": 1.0, "rows": 1000000000}

@@ -2951,7 +2951,12 @@ class TestNormalizedDecontamination:
         }
         assert got == want and want
 
-    def test_operator_normalize_and_spans_guard(self, spark, perturbed):
+    def test_operator_normalize_and_spans(self, spark, perturbed):
+        """r11 (verdict #4): mode='spans' + normalize is now supported —
+        per-token normalization keeps the raw position mapping — so the
+        operator cuts the case/punctuation-perturbed leak out of doc 2
+        (which raw span matching misses entirely) while doc 3 passes
+        through untouched."""
         from tuktu_spark.operators import make_operator
 
         corpus, ev = perturbed
@@ -2959,10 +2964,23 @@ class TestNormalizedDecontamination:
             "decontaminate", {"n": 10, "report": True, "normalize": True}
         )(corpus, ev)
         assert {r["doc_id"] for r in out.collect()} == {1, 2}
-        with pytest.raises(ValueError, match="raw tokens"):
-            make_operator(
-                "decontaminate", {"mode": "spans", "normalize": True}
-            )(corpus, ev)
+        spans = {
+            r["doc_id"]: r["text"]
+            for r in make_operator(
+                "decontaminate", {"mode": "spans", "normalize": True, "n": 10}
+            )(corpus, ev).collect()
+        }
+        # docs 1 and 2 are wholly the (perturbed) leak -> dropped whole
+        assert spans == {
+            3: "an entirely different document with no overlap at all"
+        }
+        raw_spans = {
+            r["doc_id"]
+            for r in make_operator(
+                "decontaminate", {"mode": "spans", "n": 10}
+            )(corpus, ev).collect()
+        }
+        assert 2 in raw_spans  # raw matching misses the perturbed leak
 
 
 class TestSpanDecontamination:
@@ -2988,6 +3006,55 @@ class TestSpanDecontamination:
             1: "keep one two three keep four five six",
             2: "totally clean document with nothing leaked at all",
         }
+
+    def test_normalized_spans_cut_perturbed_leak(self, spark):
+        """r11 (verdict #4): normalize=True cuts a case/punctuation-
+        perturbed leak that raw span matching misses, rewriting the RAW
+        tokens around it."""
+        from tuktu_spark.llm.decontaminate import decontaminate_spans
+
+        leak = "alpha bravo charlie delta echo"
+        rows = [(1, "keep this ALPHA, bravo; CHARLIE -- delta echo! and this")]
+        corpus = spark.createDataFrame(rows, "doc_id long, text string")
+        ev = spark.createDataFrame([(leak,)], "text string")
+        raw = decontaminate_spans(corpus, ev, n=5).collect()
+        assert raw[0]["text"] == (
+            "keep this ALPHA, bravo; CHARLIE -- delta echo! and this"
+        )  # raw matching misses the perturbation entirely
+        got = decontaminate_spans(corpus, ev, n=5, normalize=True).collect()
+        assert got[0]["text"] == "keep this and this"
+
+    def test_normalized_spans_multiword_raw_token(self, spark):
+        """A raw token holding SEVERAL normalized words ("c;d") is
+        removed whole when any of its words sits in a matched window;
+        a pure-punctuation token inside the interval goes with it."""
+        from tuktu_spark.llm.decontaminate import (
+            contaminated_span_intervals,
+            decontaminate_spans,
+        )
+
+        corpus = spark.createDataFrame(
+            [(1, "x a b c;d e y"), (2, "x a -- b c d e y")],
+            "doc_id long, text string",
+        )
+        ev = spark.createDataFrame([("a b c d e",)], "text string")
+        iv = {
+            r["doc_id"]: (r["span_start"], r["span_end"])
+            for r in contaminated_span_intervals(
+                corpus, ev, n=5, normalize=True
+            ).collect()
+        }
+        # doc 1 raw tokens: x a b c;d e y -> interval covers tokens 1..4
+        # doc 2 raw tokens: x a -- b c d e y -> covers 1..6 (the "--"
+        # normalizes to nothing but sits inside the raw range)
+        assert iv == {1: (1, 5), 2: (1, 7)}
+        got = {
+            r["doc_id"]: r["text"]
+            for r in decontaminate_spans(
+                corpus, ev, n=5, normalize=True
+            ).collect()
+        }
+        assert got == {1: "x y", 2: "x y"}
 
     def test_overlapping_leaks_merge_into_one_interval(self, spark):
         # two eval grams overlapping in the corpus doc: w3..w7 and w5..w9

@@ -533,3 +533,73 @@ def test_normalized_contamination_matches_python_reference(
         for r in contamination_report(df, ev, n=n, normalize=True).collect()
     }
     assert got == want
+
+
+def _py_decontaminate_spans_normalized(rows, ev_texts, n):
+    """Naive reference for decontaminate_spans(normalize=True): eval
+    grams over the whole-string-normalized word sequence; corpus words
+    expanded PER RAW TOKEN with back-pointers so matched windows map to
+    raw token intervals (a partially-covered raw token is removed
+    whole); overlap/abut merge; cut; re-join with single spaces."""
+    ev = set()
+    for t in ev_texts:
+        tk = [x for x in _py_normalize(t).split(" ") if x]
+        for i in range(len(tk) - n + 1):
+            ev.add(" ".join(tk[i : i + n]))
+    out = {}
+    for did, text in rows:
+        raw = text.split()
+        pairs = []  # (normalized word, raw token index)
+        for i, tok in enumerate(raw):
+            for w in _py_normalize(tok).split(" "):
+                if w:
+                    pairs.append((w, i))
+        merged = []
+        for j in range(max(len(pairs) - n + 1, 0)):
+            win = pairs[j : j + n]
+            if " ".join(w for w, _ in win) in ev:
+                s, e = win[0][1], win[-1][1] + 1
+                if merged and s <= merged[-1][1]:
+                    merged[-1][1] = max(merged[-1][1], e)
+                else:
+                    merged.append([s, e])
+        kept = [
+            t for i, t in enumerate(raw)
+            if not any(lo <= i < hi for lo, hi in merged)
+        ]
+        if kept:
+            out[did] = " ".join(kept)
+    return out
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    texts=st.lists(
+        st.lists(
+            st.text(alphabet="aB!,é七 ", min_size=1, max_size=6),
+            min_size=0, max_size=8,
+        ).map(" ".join),
+        min_size=1, max_size=6,
+    ),
+    ev_picks=st.lists(st.integers(min_value=0, max_value=5), min_size=1, max_size=2),
+    n=st.integers(min_value=1, max_value=3),
+)
+def test_normalized_spans_match_python_reference(spark, texts, ev_picks, n):
+    """r11 (verdict #4): decontaminate_spans(normalize=True) equals the
+    naive per-token-normalization model on ARBITRARY mixed-case/
+    punctuated/Unicode corpora — covering multi-word raw tokens ("a,B"
+    normalizing to two words), tokens normalizing to nothing ("!,"),
+    n=1 single-word cuts, overlapping islands, wholly-contaminated
+    docs (absent) and clean docs (whitespace-normalized pass-through)."""
+    from tuktu_spark.llm.decontaminate import decontaminate_spans
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    ev_texts = [rows[p % len(rows)][1] for p in ev_picks]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    ev = spark.createDataFrame([(t,) for t in ev_texts], "text string")
+    got = {
+        r["doc_id"]: r["text"]
+        for r in decontaminate_spans(df, ev, n=n, normalize=True).collect()
+    }
+    want = _py_decontaminate_spans_normalized(rows, ev_texts, n)
+    assert got == want

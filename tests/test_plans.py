@@ -514,3 +514,74 @@ def test_plan_audit_covers_live_bench_set(registry):
         f"PLAN_AUDIT.md stale: missing {sorted(bench - rows)}, "
         f"extra {sorted(rows - bench)} — rerun scripts/plan_audit.py"
     )
+
+
+def test_plan_audit_counts_distinct_nodes_not_lines(spark):
+    """r10 verdict #2: scripts/plan_audit.py must count DISTINCT plan
+    node ids, not matching lines of the formatted explain — a reused
+    subtree (here: a cached DataFrame joined to itself, whose
+    InMemoryRelation body is printed in full under every one of its
+    parents) repeats its Exchange/join lines per parent and inflated
+    the audit ~7x. The cached one-time build plan carries no ``(id)``
+    headers, so the node count sees only the per-run operators."""
+    import sys
+
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).resolve().parents[1] / "scripts"))
+    from plan_audit import audit, plan_nodes
+
+    from pyspark.sql import functions as F
+
+    agg = (
+        spark.range(200)
+        .withColumn("k", F.col("id") % 7)
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .cache()
+    )
+    import re
+
+    try:
+        agg.count()  # materialize so the cached body prints under each scan
+        j = (
+            agg.alias("a")
+            .join(agg.alias("b"), "k")
+            .join(agg.alias("c"), "k")
+        )
+        plan = plan_of(j)
+        # the cached build plan's shuffle Exchange lines appear in the
+        # TEXT once per InMemoryTableScan parent AND again under each
+        # AQE "== Initial Plan ==" echo — the precondition for the bug
+        # (line counting would report >= 6 exchanges here)
+        assert len(re.findall(r"\bExchange \(\d+\)", plan)) >= 6, plan
+        a = audit(plan)
+        # ...but the plan holds ONE real shuffle (the cached build's),
+        # three cache scans and two broadcast joins
+        assert a["exchanges"] == 1, plan
+        assert a["bhj"] == 2, plan
+        names = plan_nodes(plan)
+        assert names.count("InMemoryTableScan") == 3
+    finally:
+        agg.unpersist()
+
+
+def test_plan_audit_scopes_subquery_node_ids(spark):
+    """Node ids RESTART inside each formatted-explain Subquery section;
+    plan_nodes must scope de-duplication per section or a subquery's
+    operators silently collapse into the main plan's same-id nodes."""
+    import sys
+
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).resolve().parents[1] / "scripts"))
+    from plan_audit import plan_nodes
+
+    from pyspark.sql import functions as F
+
+    df = spark.range(100).withColumn("v", F.col("id") % 13)
+    df.createOrReplaceTempView("pa_sub_t")
+    q = spark.sql(
+        "SELECT id, v FROM pa_sub_t WHERE v > (SELECT avg(v) FROM pa_sub_t)"
+    )
+    plan = plan_of(q)
+    names = plan_nodes(plan)
+    if "Subquery:1" in plan:
+        # the scalar subquery's own aggregate must be counted
+        assert names.count("HashAggregate") >= 2, plan

@@ -1183,6 +1183,56 @@ def test_streaming_decontaminate_matches_batch_report(spark, sf_dir, tmp_path):
         )
 
 
+def test_decontaminate_processors_cache_eval_grams_no_bloom(
+    spark, sf_dir, tmp_path
+):
+    """r10 verdict #6 + advice: with bloom=None (the small-table regime)
+    both decontamination processors CACHE the stored eval gram table at
+    build — a long-running stream scans the parquet once, not per
+    micro-batch — and expose an unpersist_eval hook; with a bloom the
+    caller is declaring the table beyond-broadcast, so it is
+    deliberately NOT pinned in memory. The report processor's verify
+    join is broadcast-hinted in the no-bloom regime (the hint rides
+    eval_grams into every per-batch plan), mirroring the spans
+    processor."""
+    from pyspark.sql import functions as F
+
+    from tuktu_spark.llm.decontaminate import (
+        build_gram_bloom,
+        write_eval_gram_table,
+    )
+    from tuktu_spark.streaming.llm import (
+        make_decontaminate_batch_processor,
+        make_decontaminate_spans_batch_processor,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ev = docs.filter(F.col("doc_id") % 7 == 0).select("text")
+    grams_dir = str(tmp_path / "eval_grams")
+    write_eval_gram_table(ev, grams_dir, n=5)
+    bloom = build_gram_bloom(ev, n=5, n_bits=1 << 10, k=2)
+
+    for i, make in enumerate(
+        (
+            make_decontaminate_batch_processor,
+            make_decontaminate_spans_batch_processor,
+        )
+    ):
+        kw = {"n": 5}
+        proc = make(spark, grams_dir, str(tmp_path / f"o{i}"), None, 2, **kw)
+        cached = proc.unpersist_eval.__self__
+        assert cached.is_cached, make.__name__
+        # run a batch so the cache actually materializes, then release
+        proc(docs.limit(20), 0)
+        proc.unpersist_eval()
+        assert not cached.is_cached, make.__name__
+
+        proc_b = make(
+            spark, grams_dir, str(tmp_path / f"ob{i}"), bloom, 2, **kw
+        )
+        assert not proc_b.unpersist_eval.__self__.is_cached, make.__name__
+
+
 def test_streaming_decontaminate_spans_matches_batch(spark, sf_dir, tmp_path):
     """r10: the per-batch span REWRITE against the stored gram table —
     union of batch rewrites equals batch decontaminate_spans over the
@@ -1233,12 +1283,17 @@ def test_gram_bloom_artifact_rejects_garbage(tmp_path):
 
 
 def test_auto_compacting_skip_is_narrow(spark, tmp_path):
-    """r10 (advisor): a store directory that does not exist yet (all
-    batches empty so far) is SKIPPED — but a genuinely failing
-    compaction (here: a store that exists but holds no readable
-    parquet) must PROPAGATE and fail the stream, not silently disable
-    small-files maintenance for the stream's lifetime the way the old
-    blanket AnalysisException handler did."""
+    """r10 (advisor), widened r11: BOTH empty-store shapes are skipped —
+    a directory that does not exist yet AND a directory a zero-row
+    partitionBy write created with only a _SUCCESS marker (the normal
+    case for a clean batch's contamination report / a no-pairs dedup
+    batch; the r10 bare-existence pre-check passed it through to
+    spark.read.parquet, which crashed the stream with
+    UNABLE_TO_INFER_SCHEMA). A genuinely failing compaction — a store
+    that HAS a batch_id partition but unreadable contents — must still
+    PROPAGATE and fail the stream, not silently disable small-files
+    maintenance for the stream's lifetime the way the pre-r10 blanket
+    AnalysisException handler did."""
     import pytest
 
     from tuktu_spark.streaming.llm import auto_compacting
@@ -1254,16 +1309,81 @@ def test_auto_compacting_skip_is_narrow(spark, tmp_path):
     wrapped(batch, 0)  # skip, no raise
     assert seen == [0]
 
+    # zero-row partitionBy write: directory exists, no batch_id=* dirs
+    empty_store = str(tmp_path / "empty_store")
+    (
+        spark.range(1)
+        .filter("id < 0")
+        .withColumn("batch_id", F.lit(0))
+        .write.partitionBy("batch_id")
+        .parquet(empty_store)
+    )
+    wrapped = auto_compacting(
+        lambda df, bid: seen.append(bid), spark, [(empty_store, ())],
+        compact_every=1,
+    )
+    wrapped(batch, 0)  # skip, no raise (r11: was UNABLE_TO_INFER_SCHEMA)
+    assert seen == [0, 0]
+
     bad = tmp_path / "bad_store"
-    bad.mkdir()
-    (bad / "junk.txt").write_text("not parquet")
+    (bad / "batch_id=0").mkdir(parents=True)
+    (bad / "batch_id=0" / "junk.parquet").write_text("not parquet")
     wrapped = auto_compacting(
         lambda df, bid: seen.append(bid), spark, [(str(bad), ())],
         compact_every=1,
     )
     with pytest.raises(Exception, match="(?i)parquet|schema|PATH"):
         wrapped(batch, 0)
-    assert seen == [0, 0]  # the batch itself still committed first
+    assert seen == [0, 0, 0]  # the batch itself still committed first
+
+
+def test_auto_compacting_compacts_after_first_real_batch(spark, tmp_path):
+    """The empty-shape skip must not LATCH: once a real batch lands
+    batch_id partitions, the next tick compacts them."""
+    from tuktu_spark.streaming.llm import _store_has_batches, auto_compacting
+
+    store = str(tmp_path / "store")
+
+    def write_batch(df, bid):
+        (
+            df.withColumn("batch_id", F.lit(bid))
+            .write.mode("overwrite")
+            .options(partitionOverwriteMode="dynamic")
+            .partitionBy("batch_id")
+            .parquet(store)
+        )
+
+    wrapped = auto_compacting(write_batch, spark, [(store, ())], compact_every=1)
+    wrapped(spark.range(1).filter("id < 0"), 0)  # empty: store has no batches
+    assert not _store_has_batches(spark, store)
+    for bid in (1, 2, 3):
+        wrapped(spark.range(3), bid)
+    assert _store_has_batches(spark, store)
+    got = sorted(
+        r["batch_id"]
+        for r in spark.read.parquet(store).select("batch_id").distinct().collect()
+    )
+    assert got == [-1, 3]  # older real batches folded, newest kept
+
+
+def test_save_gram_bloom_normalizes_suffix(tmp_path):
+    """r10 advice: np.savez silently appends '.npz' when the path lacks
+    it, so load_gram_bloom on the exact saved path FileNotFoundError'd.
+    save_gram_bloom now normalizes the suffix and returns the canonical
+    path; extensionless and .npz spellings land on the same artifact."""
+    from tuktu_spark.llm.decontaminate import load_gram_bloom, save_gram_bloom
+
+    bitmap = bytes([0x0F] * 16)
+    bare = str(tmp_path / "bloom")
+    canonical = save_gram_bloom(bitmap, bare, k=3, n=5)
+    assert canonical == bare + ".npz"
+    got, k = load_gram_bloom(canonical, expect_n=5, expect_normalize=False)
+    assert got == bitmap and k == 3
+
+    explicit = save_gram_bloom(bitmap, str(tmp_path / "b2.npz"), k=2, n=7)
+    assert explicit.endswith("b2.npz")
+    got2, k2 = load_gram_bloom(explicit, expect_n=7)
+    assert got2 == bitmap and k2 == 2
 
 
 def test_streaming_ann_ingest_auto_compaction_probe_equality(

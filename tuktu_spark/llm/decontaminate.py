@@ -341,19 +341,28 @@ def contamination_report_bloom(
 def save_gram_bloom(
     bloom: bytes, path: str, k: int = 7, n: int = 13,
     normalize: bool = False,
-) -> None:
+) -> str:
     """Persist a built Bloom bitmap + the THREE parameters that define
     its hash space (k, gram order n, normalize). npz keeps the artifact
     self-describing (n_bits = 8 * len(bitmap)) — a reader that grams
     with a different n or normalize setting matches NOTHING (disjoint
     hash spaces → silent zero-contamination reports), so the settings
-    ride the artifact and load_gram_bloom can validate them."""
+    ride the artifact and load_gram_bloom can validate them.
+
+    Returns the canonical path actually written. np.savez silently
+    appends ``.npz`` when the path lacks the extension (r10 advice:
+    ``load_gram_bloom(path)`` on the exact path passed here would then
+    FileNotFoundError), so the suffix is normalized HERE and the
+    returned path — not necessarily the argument — is the one to load."""
     import numpy as np
 
+    if not path.endswith(".npz"):
+        path = path + ".npz"
     np.savez(
         path, bitmap=np.frombuffer(bloom, dtype=np.uint8), k=int(k),
         n=int(n), normalize=bool(normalize),
     )
+    return path
 
 
 def load_gram_bloom(
@@ -487,6 +496,71 @@ def _positional_gram_table(
     )
 
 
+def _normalized_positional_gram_table(
+    df: DataFrame, text_col: str, id_col: str, n: int
+) -> DataFrame:
+    """(id, first_raw, last_raw, gram) — n-WORD windows over the
+    per-token-NORMALIZED word sequence, each carrying the range of RAW
+    token indices it covers (0-based, inclusive). The key identity: raw
+    tokens are whitespace-split, and _norm_text maps whitespace to
+    space, so the whole-string-normalized word sequence (what
+    _gram_table(normalize=True) hashes on the eval side) EQUALS the
+    concatenation of per-token-normalized words — the hash spaces
+    match, while positions still map back onto raw tokens, which
+    whole-string normalization destroys (r10 verdict #4). One raw token
+    can yield several words ("don't" -> "don t") or none ("--" -> []);
+    empty expansions are skipped exactly as whole-string normalization
+    collapses them, and a window covering part of a multi-word raw
+    token covers the WHOLE raw token (token-level surgery cannot cut
+    finer). Like _positional_gram_table this must NOT dedupe, and docs
+    with fewer than n normalized words yield no rows."""
+    win_t = "array<struct<gram:bigint,first_raw:int,last_raw:int>>"
+    tokd = df.select(F.col(id_col), _tokens(F.col(text_col)).alias("__toks"))
+    # (word, raw_idx) pairs: raw token i -> its normalized words, tagged i
+    pairs = F.flatten(
+        F.transform(
+            F.col("__toks"),
+            lambda t, i: F.transform(
+                F.filter(
+                    F.split(_norm_text(t), " "), lambda w: w != ""
+                ),
+                lambda w: F.struct(
+                    w.alias("w"), i.cast("int").alias("i")
+                ),
+            ),
+        )
+    )
+    paired = tokd.select(F.col(id_col), pairs.alias("__pairs"))
+    count = F.size("__pairs") - (n - 1)
+    wins = F.when(count < 1, F.array().cast(win_t)).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(count, F.lit(1))),
+            lambda j: F.struct(
+                F.xxhash64(
+                    F.array_join(
+                        F.transform(
+                            F.slice(F.col("__pairs"), j, n), lambda p: p["w"]
+                        ),
+                        " ",
+                    )
+                ).alias("gram"),
+                F.element_at(F.slice(F.col("__pairs"), j, n), 1)["i"].alias(
+                    "first_raw"
+                ),
+                F.element_at(F.slice(F.col("__pairs"), j, n), -1)["i"].alias(
+                    "last_raw"
+                ),
+            ),
+        )
+    )
+    return paired.select(F.col(id_col), F.explode(wins).alias("__w")).select(
+        id_col,
+        F.col("__w.gram").alias("gram"),
+        F.col("__w.first_raw").alias("first_raw"),
+        F.col("__w.last_raw").alias("last_raw"),
+    )
+
+
 def contaminated_span_intervals(
     corpus: DataFrame,
     eval_set: "DataFrame | None",
@@ -499,6 +573,7 @@ def contaminated_span_intervals(
     bloom_k: int = 7,
     gram_filter=None,
     broadcast_eval: "bool | None" = None,
+    normalize: bool = False,
 ) -> DataFrame:
     """Maximal contaminated token intervals (id, span_start, span_end,
     span_len; end exclusive): every corpus position whose n-token window
@@ -523,15 +598,44 @@ def contaminated_span_intervals(
     unchanged. Repeated callers (streaming processors) should build the
     filter ONCE with bloom_might_contain_udf and pass it as
     ``gram_filter`` instead of raw ``bloom`` bytes: a fresh UDF per
-    batch re-pickles the whole bitmap into every task binary."""
+    batch re-pickles the whole bitmap into every task binary.
+
+    ``normalize`` (r11, verdict #4): match grams case/punctuation-
+    insensitively while intervals still index RAW tokens — each token
+    normalizes individually so positions survive (the per-token word
+    expansion of _normalized_positional_gram_table; whole-string
+    normalization destroys the position mapping). The eval side (or
+    the prebuilt ``eval_grams`` table / ``bloom``) must be built with
+    the SAME normalize setting — disjoint hash spaces otherwise; the
+    streaming processors validate this via the stored artifact's
+    metadata sidecar. Windows have variable raw coverage under
+    normalization (one raw token may hold several matched words), so
+    the merge is the generic interval fold instead of the fixed-n
+    islands one."""
     if gram_filter is None and bloom:
         gram_filter = bloom_might_contain_udf(bloom, bloom_k)
     if eval_grams is None:
         eval_grams = F.broadcast(
-            _gram_table(eval_set, eval_text, None, n, "gram").distinct()
+            _gram_table(
+                eval_set, eval_text, None, n, "gram", normalize
+            ).distinct()
         )
     elif broadcast_eval or (broadcast_eval is None and gram_filter is None):
         eval_grams = F.broadcast(eval_grams)
+    if normalize:
+        pos = _normalized_positional_gram_table(
+            corpus, corpus_text, corpus_id, n
+        )
+        if gram_filter is not None:
+            pos = pos.filter(gram_filter(F.col("gram")))
+        flagged = pos.join(eval_grams, "gram").select(
+            corpus_id,
+            F.col("first_raw").alias("span_start"),
+            (F.col("last_raw") + 1).cast("int").alias("span_end"),
+        )
+        from .dedup import merge_intervals
+
+        return merge_intervals(flagged, corpus_id)
     pos = _positional_gram_table(corpus, corpus_text, corpus_id, n)
     if gram_filter is not None:
         pos = pos.filter(gram_filter(F.col("gram")))
@@ -548,6 +652,7 @@ def decontaminate_spans(
     corpus_id: str = "doc_id",
     eval_text: str = "text",
     n: int = 13,
+    normalize: bool = False,
 ) -> DataFrame:
     """Corpus with the contaminated token spans CUT OUT (and documents
     that were wholly contamination dropped) — the surgical counterpart
@@ -559,11 +664,20 @@ def decontaminate_spans(
     an n-gram formed ACROSS a cut seam is a new token sequence that can
     only match the eval set by coincidence — re-run contamination_report
     on the rewrite for a guarantee (the tests do; zero residual hits on
-    the planted corpora)."""
+    the planted corpora).
+
+    ``normalize`` (r11): cut spans whose grams match the eval set
+    case/punctuation-insensitively while REWRITING the raw tokens — the
+    per-token normalization of contaminated_span_intervals keeps the
+    position mapping, closing the gap where a perturbed leak ("The
+    Cat, Sat!" vs the eval's "the cat sat") survived the raw-token
+    span pass. A raw token partially covered by a matched normalized
+    window is removed whole (token-level surgery)."""
     from .dedup import remove_interval_tokens
 
     iv = contaminated_span_intervals(
-        corpus, eval_set, corpus_text, corpus_id, eval_text, n
+        corpus, eval_set, corpus_text, corpus_id, eval_text, n,
+        normalize=normalize,
     )
     return remove_interval_tokens(corpus, iv, corpus_text, corpus_id)
 

@@ -1181,6 +1181,46 @@ def merge_start_intervals(
     )
 
 
+def merge_intervals(iv: DataFrame, id_col: str) -> DataFrame:
+    """Merge overlapping or abutting (id, span_start, span_end) intervals
+    per id — the VARIABLE-LENGTH generalization of merge_start_intervals
+    (r11: normalized span decontamination flags windows whose raw-token
+    coverage varies, because one raw token can normalize to several words,
+    so the fixed-n islands fold doesn't apply). Same contract: returns
+    (id, span_start, span_end, span_len), end exclusive; [a,b) and [b,c)
+    merge to [a,c) exactly as adjacent fixed-n windows do. Same scale
+    shape: the running-max window, the island cumsum and the island
+    groupBy all ride one hashpartitioning(id) exchange."""
+    from pyspark.sql import Window
+
+    byid = Window.partitionBy(id_col).orderBy("span_start", "span_end")
+    prev_max_end = F.max("span_end").over(
+        byid.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    brk = F.when(
+        prev_max_end.isNull() | (F.col("span_start") > prev_max_end), 1
+    ).otherwise(0)
+    isl = iv.withColumn("__brk", brk).withColumn(
+        "__isl",
+        F.sum("__brk").over(
+            byid.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        isl.groupBy(id_col, "__isl")
+        .agg(
+            F.min("span_start").cast("int").alias("span_start"),
+            F.max("span_end").cast("int").alias("span_end"),
+        )
+        .select(
+            id_col,
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start")).cast("int").alias("span_len"),
+        )
+    )
+
+
 def edit_distance_pairs(
     df: DataFrame,
     text_col: str = "text",

@@ -111,9 +111,10 @@ def decontaminate_op(config: dict):
     (llm/decontaminate.decontaminate_spans). config: {n, text_field,
     id_field, eval_text_field, report, mode, normalize, engine,
     auto_budget_grams} — normalize matches grams case/punctuation-
-    insensitively (the published GPT-3-style recipe); not valid with
-    mode='spans' (the span rewrite re-emits original tokens, and
-    normalized positions don't map back onto them). engine: 'broadcast'
+    insensitively (the published GPT-3-style recipe); with mode='spans'
+    (r11) each token normalizes individually so matching is
+    perturbation-insensitive while the rewrite still re-emits raw
+    tokens. engine: 'broadcast'
     (default) | 'bloom' | 'auto' (probe the eval gram count once and
     dispatch on the broadcast memory budget — see
     pick_decontaminate_engine)."""
@@ -130,12 +131,6 @@ def decontaminate_op(config: dict):
                     "to the library's contaminated_span_intervals for "
                     "the beyond-broadcast case)"
                 )
-            if config.get("normalize"):
-                raise ValueError(
-                    "mode='spans' matches raw tokens: the rewrite "
-                    "re-emits original tokens, and normalized positions "
-                    "don't map back onto them"
-                )
             return DC.decontaminate_spans(
                 corpus, eval_set,
                 corpus_text=config.get("text_field", "text"),
@@ -144,6 +139,7 @@ def decontaminate_op(config: dict):
                     "eval_text_field", config.get("text_field", "text")
                 ),
                 n=int(config.get("n", 13)),
+                normalize=bool(config.get("normalize", False)),
             )
         kwargs = dict(
             corpus_text=config.get("text_field", "text"),

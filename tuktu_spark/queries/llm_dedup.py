@@ -167,7 +167,9 @@ WITH corpus AS (
   SELECT doc_id, text FROM documents
   WHERE doc_id % 2 = 0 AND doc_id % 16 <> 0
   UNION ALL
-  SELECT d.doc_id + 10000000 * (r.range + 1) AS doc_id, d.text
+  SELECT d.doc_id + (SELECT MAX(doc_id) + 1 FROM documents) * (r.range + 1)
+           AS doc_id,
+         d.text
   FROM documents d CROSS JOIN range(16) r
   WHERE d.doc_id % 16 = 0
 ), toks AS (
@@ -212,18 +214,27 @@ def dedup_ngram_jaccard_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     even-id HALF of documents (bench-set hygiene, the r9 lesson: a
     heavyweight query in the shared bench session inflates every
     neighbor's timings — halving the distinct-text count keeps the
-    regime while roughly quartering the PPJoin cost)."""
+    regime while roughly quartering the PPJoin cost). Mirror ids are
+    offset by MAX(doc_id)+1 per copy — an in-plan scalar broadcast, no
+    driver collect — instead of a fixed 10M constant (r10 advice: the
+    constant aliases real or other-mirror ids once documents exceeds
+    ~10M rows, silently breaking the hash match at large sf while the
+    oracle's DISTINCT merges the collision)."""
     docs = load_table(spark, sf_dir, "documents", parallel=True).select(
         "doc_id", "text"
     )
     singles = docs.filter(
         (F.col("doc_id") % 2 == 0) & (F.col("doc_id") % 16 != 0)
     )
+    off = docs.agg((F.max("doc_id") + 1).alias("__off"))
     mirrors = (
         docs.filter(F.col("doc_id") % 16 == 0)
         .crossJoin(spark.range(16).select(F.col("id").alias("__k")))
+        .crossJoin(F.broadcast(off))
         .select(
-            (F.col("doc_id") + 10_000_000 * (F.col("__k") + 1)).alias("doc_id"),
+            (F.col("doc_id") + F.col("__off") * (F.col("__k") + 1)).alias(
+                "doc_id"
+            ),
             "text",
         )
     )
@@ -557,6 +568,100 @@ def dedup_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     eval_set = docs.filter(F.col("doc_id") % 17 == 0).select("text")
     return decontaminate_spans(docs, eval_set, n=13)
+
+
+# Normalized span truth (r11): intervals computed over the CLEAN corpus
+# (the ", "-perturbation maps token 1:1, so raw positions are unchanged),
+# then the kept tokens re-perturbed token-by-token for the output — the
+# oracle is token-exact on the PERTURBED text the Spark side rewrites.
+_DECON_SPANS_NORM_ORACLE = """
+WITH d AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS tk
+  FROM documents
+),
+g AS (
+  SELECT doc_id, CAST(r.i - 1 AS INT) AS start_idx,
+         array_to_string(list_slice(tk, r.i, r.i + 12), ' ') AS gram
+  FROM d, LATERAL (
+    SELECT unnest(range(1, greatest(len(tk) - 12, 0) + 1)) AS i
+  ) AS r
+),
+ev AS (
+  SELECT DISTINCT gram FROM g WHERE doc_id % 17 = 0
+),
+flagged AS (
+  SELECT g.doc_id, g.start_idx FROM g JOIN ev USING (gram)
+),
+brk AS (
+  SELECT doc_id, start_idx,
+         CASE WHEN start_idx
+                   - LAG(start_idx) OVER (PARTITION BY doc_id ORDER BY start_idx)
+                   > 13 THEN 1 ELSE 0 END AS b
+  FROM flagged
+),
+isl AS (
+  SELECT doc_id, start_idx,
+         SUM(b) OVER (PARTITION BY doc_id ORDER BY start_idx) AS island
+  FROM brk
+),
+iv AS (
+  SELECT doc_id, MIN(start_idx) AS lo, MAX(start_idx) + 13 AS hi
+  FROM isl GROUP BY doc_id, island
+),
+tok AS (
+  SELECT doc_id, unnest(tk) AS tok, generate_subscripts(tk, 1) - 1 AS i,
+         len(tk) AS nt
+  FROM d
+),
+kept AS (
+  SELECT t.doc_id, t.tok, t.i, t.nt
+  FROM tok t
+  WHERE NOT EXISTS (
+    SELECT 1 FROM iv
+    WHERE iv.doc_id = t.doc_id AND t.i >= iv.lo AND t.i < iv.hi
+  )
+)
+SELECT doc_id,
+       string_agg(
+         CASE WHEN doc_id % 2 = 1
+              THEN upper(tok)
+                   || CASE WHEN i < nt - 1 THEN ',' ELSE '' END
+              ELSE tok END,
+         ' ' ORDER BY i) AS text
+FROM kept GROUP BY doc_id
+"""
+
+
+@query(
+    "dedup_decontaminate_spans_normalized", oracle=_DECON_SPANS_NORM_ORACLE,
+    tags=("llm", "dedup"),
+)
+def dedup_decontaminate_spans_normalized(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Normalized SPAN decontamination (r11, verdict #4): odd-id docs
+    get the same deterministic case+punctuation perturbation as
+    dedup_decontaminate_normalized (uppercase, ' ' -> ', '), which raw
+    span matching misses entirely; per-token normalization must find
+    exactly the clean corpus' contaminated intervals (the perturbation
+    maps raw tokens 1:1, so positions are unchanged) while the rewrite
+    re-emits the PERTURBED tokens. The oracle replays intervals over
+    the clean tokens and re-perturbs the kept ones token-by-token, so
+    any drift in per-token word expansion, interval mapping, or raw
+    re-emission breaks the hash."""
+    from ..llm.decontaminate import decontaminate_spans
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    perturbed = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 2 == 1,
+            F.upper(F.regexp_replace("text", " ", ", ")),
+        ).otherwise(F.col("text")),
+    )
+    eval_set = docs.filter(F.col("doc_id") % 17 == 0).select("text")
+    return decontaminate_spans(perturbed, eval_set, n=13, normalize=True)
 
 
 @query("dedup_decontaminate_bloom", oracle=_DECON_ORACLE, tags=("llm", "dedup"))

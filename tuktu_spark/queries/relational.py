@@ -293,14 +293,24 @@ def join_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ANTI_ORACLE = """
 SELECT c_custkey, c_name
 FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey AND o_totalprice > 300000
+)
 """
 
 
 @query("join_anti_customers_without_orders", oracle=_ANTI_ORACLE, tags=("join",))
 def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join with a price floor on the right side (r10 verdict #3:
+    the unrestricted form returned 0 rows at every sf because this
+    testdata gives every customer an order — the oracle agreed on
+    emptiness, so a broken anti join returning wrong-but-empty would
+    also have passed). 'Customers without a >300k order' is nonzero at
+    every sf (3/150 at sf0.001, 30/1500 at sf0.01, 308/15000 at sf0.1),
+    so the driver row now asserts real exclusion semantics."""
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
 
 
@@ -413,14 +423,25 @@ def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 _EXCEPT_ORACLE = """
 SELECT c_nationkey AS nationkey FROM customer
 EXCEPT
-SELECT s_nationkey AS nationkey FROM supplier
+SELECT s_nationkey AS nationkey FROM supplier WHERE s_nationkey < 10
 """
 
 
 @query("setop_except_nations", oracle=_EXCEPT_ORACLE, tags=("setop",))
 def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT against the suppliers of a nation SUBSET (r10 verdict #3:
+    the unrestricted form returned 0 rows at every sf because every
+    nation has a supplier in this testdata — emptiness-agreeing oracles
+    are weak evidence for subtract). Customer nations minus
+    low-key supplier nations is nonzero at every sf (23/15/15 rows at
+    sf0.001/0.01/0.1), so the driver row now asserts real set
+    difference."""
     c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
-    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_nationkey") < 10)
+        .select(F.col("s_nationkey").alias("nationkey"))
+    )
     return c.subtract(s)
 
 

@@ -208,20 +208,24 @@ def auto_compacting(
         process(batch_df, batch_id)
         if (int(batch_id) + 1) % every != 0:
             return
-        # Existence pre-check instead of swallowing AnalysisException
-        # (r10, advisor): a store directory legitimately doesn't exist
-        # yet when every batch so far was empty — skip and say so — but
-        # a genuinely failing compaction (schema corruption, column
-        # resolution) must PROPAGATE and fail the stream, not silently
-        # disable small-files maintenance for the stream's lifetime.
-        jvm = spark._jvm
-        hconf = spark._jsc.hadoopConfiguration()
+        # Data pre-check instead of swallowing AnalysisException (r10,
+        # advisor; widened r11): a store legitimately has nothing to
+        # compact when every batch so far was empty — and "empty" has
+        # TWO shapes: the directory doesn't exist yet, or a zero-row
+        # partitionBy write created the directory with a _SUCCESS marker
+        # and no batch_id=* partitions (the normal case for a clean
+        # batch's contamination report or a no-pairs dedup batch), where
+        # spark.read.parquet would raise UNABLE_TO_INFER_SCHEMA. Both
+        # shapes skip and say so; a genuinely failing compaction (schema
+        # corruption, column resolution) must PROPAGATE and fail the
+        # stream, not silently disable small-files maintenance for the
+        # stream's lifetime.
         for d, extra in dirs:
-            p = jvm.org.apache.hadoop.fs.Path(d)
-            if not p.getFileSystem(hconf).exists(p):
+            if not _store_has_batches(spark, d):
                 _LOG.info(
-                    "auto_compacting: store %s not created yet at batch "
-                    "%s; skipping this compaction tick", d, batch_id,
+                    "auto_compacting: store %s has no batch partitions "
+                    "yet at batch %s; skipping this compaction tick",
+                    d, batch_id,
                 )
                 continue
             compact_batch_store(
@@ -230,6 +234,27 @@ def auto_compacting(
             )
 
     return wrapped
+
+
+def _store_has_batches(spark, store_dir: str) -> bool:
+    """True iff ``store_dir`` exists AND holds at least one ``batch_id=*``
+    partition directory — i.e. some batch has actually committed rows.
+    Every store this module compacts is batch_id-partitioned at the top
+    level, so this is exactly the "is there anything to fold" predicate;
+    a bare directory containing only a _SUCCESS marker (a zero-row
+    partitionBy write) counts as not-yet-created. Hadoop FS API, so it
+    holds on local/HDFS/s3a alike."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(store_dir)
+    fs = p.getFileSystem(hconf)
+    if not fs.exists(p):
+        return False
+    glob = jvm.org.apache.hadoop.fs.Path(
+        store_dir.rstrip("/") + "/batch_id=*"
+    )
+    matches = fs.globStatus(glob)
+    return matches is not None and len(matches) > 0
 
 
 def streaming_exact_dedup(
@@ -585,7 +610,19 @@ def make_decontaminate_batch_processor(
     table, so correctness is sizing-independent. The stored table's
     (n, normalize) sidecar is validated against this reader's settings
     — a mismatch means disjoint hash spaces and a silently empty
-    report, so it fails loudly here instead."""
+    report, so it fails loudly here instead.
+
+    No-bloom is by definition the small-table regime, so the stored
+    table is broadcast-hinted (mirroring the spans processor — r10
+    advice: without the hint each micro-batch's verify join can fall
+    back to a shuffle join, paying per-batch exchange cost) AND cached
+    at build (r10 verdict #6: a long-running stream otherwise re-scans
+    the parquet every micro-batch; ``process.unpersist_eval()`` releases
+    it when the stream stops). With a bloom the caller is saying the
+    table is beyond-broadcast — too big to pin in executor memory —
+    so it is deliberately NEITHER hinted nor cached there (AQE sizes
+    the join; the per-batch scan is the documented cost of that
+    regime)."""
     from ..llm.decontaminate import (
         _gram_table,
         bloom_might_contain_udf,
@@ -593,8 +630,13 @@ def make_decontaminate_batch_processor(
     )
 
     check_eval_gram_meta(spark, eval_grams_dir, n, normalize)
-    eval_grams = spark.read.parquet(eval_grams_dir)
+    eval_cached = spark.read.parquet(eval_grams_dir)
     might = bloom_might_contain_udf(bloom, bloom_k) if bloom else None
+    if might is None:
+        eval_cached = eval_cached.cache()
+        eval_grams = F.broadcast(eval_cached)
+    else:
+        eval_grams = eval_cached
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -614,6 +656,7 @@ def make_decontaminate_batch_processor(
             .parquet(out_dir)
         )
 
+    process.unpersist_eval = eval_cached.unpersist
     return process
 
 
@@ -641,7 +684,11 @@ def make_decontaminate_spans_batch_processor(
     UDF is built ONCE here so the bitmap ships per executor, not
     re-pickled into every batch's task binary; without a bloom the
     stored table is broadcast-hinted (passing one is the caller saying
-    the table is beyond-broadcast; AQE then sizes the join)."""
+    the table is beyond-broadcast; AQE then sizes the join) and cached
+    at build so a long stream scans the parquet once, not per
+    micro-batch (r10 verdict #6; ``process.unpersist_eval()`` releases
+    it — with a bloom the beyond-broadcast table is deliberately left
+    uncached)."""
     from ..llm.decontaminate import (
         bloom_might_contain_udf,
         check_eval_gram_meta,
@@ -653,6 +700,8 @@ def make_decontaminate_spans_batch_processor(
     check_eval_gram_meta(spark, eval_grams_dir, n, normalize=False)
     eval_grams = spark.read.parquet(eval_grams_dir)
     might = bloom_might_contain_udf(bloom, bloom_k) if bloom else None
+    if might is None:
+        eval_grams = eval_grams.cache()
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -671,6 +720,7 @@ def make_decontaminate_spans_batch_processor(
             .parquet(out_dir)
         )
 
+    process.unpersist_eval = eval_grams.unpersist
     return process
 
 
