@@ -3296,3 +3296,114 @@ class TestBloomDecontamination:
         }
         with pytest.raises(ValueError, match="report form"):
             make_operator("decontaminate", {"engine": "bloom"})(corpus, ev)
+
+
+class TestKeepClusterRepresentatives:
+    """r11: quality-ranked cluster-representative selection — the policy
+    completion of pairs -> components into an actual corpus filter."""
+
+    @pytest.fixture(scope="class")
+    def corpus(self, spark):
+        # clusters by pairs below: {1,2,3} and {4,5}; 6 and 7 unclustered
+        rows = [
+            (1, "short", 5.0),
+            (2, "the longest doc of cluster one", 31.0),
+            (3, "mid length", 10.0),
+            (4, "tie a", 2.0),
+            (5, "tie b", 2.0),
+            (6, "never paired", 1.0),
+            (7, "also unpaired", None),
+        ]
+        return spark.createDataFrame(
+            rows, "doc_id long, text string, quality double"
+        )
+
+    @pytest.fixture(scope="class")
+    def pairs(self, spark):
+        return spark.createDataFrame(
+            [(1, 2), (2, 3), (4, 5)], "id_a long, id_b long"
+        )
+
+    def test_best_score_wins_ties_take_min_id(self, corpus, pairs):
+        from tuktu_spark.llm.dedup import keep_cluster_representatives
+
+        kept = {
+            r["doc_id"]
+            for r in keep_cluster_representatives(
+                corpus, pairs, score_col="quality"
+            ).collect()
+        }
+        # cluster {1,2,3}: 2 wins on score; {4,5}: tie -> min id 4;
+        # 6 and 7 pass through (7's NULL score is irrelevant unclustered)
+        assert kept == {2, 4, 6, 7}
+
+    def test_no_score_keeps_min_id(self, corpus, pairs):
+        from tuktu_spark.llm.dedup import keep_cluster_representatives
+
+        kept = {
+            r["doc_id"]
+            for r in keep_cluster_representatives(corpus, pairs).collect()
+        }
+        assert kept == {1, 4, 6, 7}
+
+    def test_null_scores_lose_all_null_cluster_keeps_min_id(self, spark):
+        from tuktu_spark.llm.dedup import keep_cluster_representatives
+
+        corpus = spark.createDataFrame(
+            [(1, None), (2, 3.0), (10, None), (11, None)],
+            "doc_id long, quality double",
+        )
+        pairs = spark.createDataFrame(
+            [(1, 2), (10, 11)], "id_a long, id_b long"
+        )
+        kept = {
+            r["doc_id"]
+            for r in keep_cluster_representatives(
+                corpus, pairs, score_col="quality"
+            ).collect()
+        }
+        assert kept == {2, 10}
+
+    def test_prebuilt_components_and_missing_members(self, spark):
+        """A prebuilt components table is reusable across policies, and
+        a component member ABSENT from the corpus neither wins nor
+        drops anything."""
+        from tuktu_spark.llm.dedup import keep_cluster_representatives
+
+        corpus = spark.createDataFrame(
+            [(1, 1.0), (2, 9.0)], "doc_id long, quality double"
+        )
+        components = spark.createDataFrame(
+            # member 99 is not in the corpus
+            [(1, 1), (2, 1), (99, 1)], "id long, component long"
+        )
+        kept = {
+            r["doc_id"]
+            for r in keep_cluster_representatives(
+                corpus, components=components, score_col="quality"
+            ).collect()
+        }
+        assert kept == {2}
+
+    def test_requires_pairs_or_components(self, spark):
+        from tuktu_spark.llm.dedup import keep_cluster_representatives
+
+        with pytest.raises(ValueError, match="pairs= or components="):
+            keep_cluster_representatives(spark.range(1))
+
+    def test_flow_operator_two_input(self, spark):
+        from tuktu_spark.operators import make_operator
+
+        corpus = spark.createDataFrame(
+            [(1, 2.0), (2, 5.0), (3, 1.0)], "doc_id long, quality double"
+        )
+        pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+        kept = {
+            r["doc_id"]
+            for r in make_operator(
+                "keep_cluster_representatives", {"score_field": "quality"}
+            )(corpus, pairs).collect()
+        }
+        assert kept == {2, 3}
+        with pytest.raises(ValueError, match="corpus, pairs"):
+            make_operator("keep_cluster_representatives", {})(corpus)

@@ -1181,6 +1181,76 @@ def merge_start_intervals(
     )
 
 
+def keep_cluster_representatives(
+    corpus: DataFrame,
+    pairs: "DataFrame | None" = None,
+    components: "DataFrame | None" = None,
+    id_col: str = "doc_id",
+    score_col: "str | None" = None,
+    src: str = "id_a",
+    dst: str = "id_b",
+    comp_id_col: str = "id",
+    comp_col: str = "component",
+) -> DataFrame:
+    """Corpus with every near-duplicate CLUSTER collapsed to its single
+    best representative — the production completion of the pair-producing
+    dedup family (r11): pairs (MinHash/Jaccard/SimHash/edit-distance) ->
+    connected components -> keep ONE doc per component, ranked by
+    ``score_col`` (highest wins; ties and score_col=None fall back to the
+    lowest id — the same canonical-min convention as exact_dedup,
+    dedup.py:121). Docs that appear in no pair pass through untouched.
+    This is the "keep best, not first" policy public pipelines apply
+    after fuzzy clustering (quality-ranked representative selection).
+
+    Pass EITHER ``pairs`` (built into components via min-label
+    propagation, operators/iterative.py:66) or a prebuilt ``components``
+    table ((comp_id_col, comp_col), e.g. connected_components output —
+    how a pipeline reuses one clustering across policies). NULL scores
+    rank below every real score; a doc in ``components`` but absent
+    from ``corpus`` can't win (it has no score row) and can't lose
+    anything (it has no corpus row to drop).
+
+    Scale shape: the components table is MEMBERSHIP-sized (only docs
+    that appear in some pair — far below corpus scale at real dup
+    rates). Attaching scores is one membership-sized join; the winner
+    per cluster is one partial-aggregable max_by; losers = membership
+    minus winners (strictly smaller than membership) anti-join the
+    corpus — the corpus shuffles at most once (the anti join; AQE
+    broadcasts the loser side when it fits), and never on cluster keys."""
+    if components is None:
+        if pairs is None:
+            raise ValueError(
+                "keep_cluster_representatives needs pairs= or components="
+            )
+        from ..operators.iterative import connected_components
+
+        components = connected_components(pairs, src, dst)
+        comp_id_col, comp_col = "id", "component"
+    comp = components.select(
+        F.col(comp_id_col).alias("__m_id"), F.col(comp_col).alias("__comp")
+    )
+    score = (
+        F.coalesce(F.col(score_col).cast("double"), F.lit(float("-inf")))
+        if score_col
+        else F.lit(0.0)
+    )
+    members = comp.join(
+        corpus.select(F.col(id_col).alias("__m_id"), score.alias("__score")),
+        "__m_id",
+    )
+    winners = members.groupBy("__comp").agg(
+        F.max_by(
+            "__m_id", F.struct(F.col("__score"), (-F.col("__m_id")).alias("__ni"))
+        ).alias("__win")
+    )
+    losers = (
+        comp.join(winners, "__comp")
+        .filter(F.col("__m_id") != F.col("__win"))
+        .select(F.col("__m_id").alias(id_col))
+    )
+    return corpus.join(losers, id_col, "left_anti")
+
+
 def merge_intervals(iv: DataFrame, id_col: str) -> DataFrame:
     """Merge overlapping or abutting (id, span_start, span_end) intervals
     per id — the VARIABLE-LENGTH generalization of merge_start_intervals

@@ -196,6 +196,32 @@ def decontaminate_op(config: dict):
     return transform
 
 
+@operator("keep_cluster_representatives")
+def keep_cluster_representatives_op(config: dict):
+    """Collapse near-duplicate clusters to their best doc (r11): merger
+    takes (corpus, pairs) inputs in flows — pairs from any of the fuzzy
+    families (minhash_dedup / ngram_jaccard / simhash / edit_distance
+    ops) — builds components and keeps the highest-``score_field`` doc
+    per cluster (ties / no score_field: lowest id, the exact_dedup
+    convention). config: {id_field, score_field, src, dst}."""
+    from ..llm import dedup as DD
+
+    def transform(corpus: DataFrame, pairs: DataFrame | None = None) -> DataFrame:
+        if pairs is None:
+            raise ValueError(
+                "keep_cluster_representatives needs (corpus, pairs) inputs"
+            )
+        return DD.keep_cluster_representatives(
+            corpus, pairs,
+            id_col=config.get("id_field", "doc_id"),
+            score_col=config.get("score_field"),
+            src=config.get("src", "id_a"),
+            dst=config.get("dst", "id_b"),
+        )
+
+    return transform
+
+
 @operator("quantize_embeddings")
 def quantize_embeddings_op(config: dict):
     """Symmetric int8 scalar quantization of an embedding column (codes +

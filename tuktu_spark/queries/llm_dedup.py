@@ -352,6 +352,60 @@ def dedup_minhash_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Quality-ranked cluster representatives (r11): the same recursive-CTE
+# components, scored by text length, one winner per cluster (score DESC,
+# id ASC), corpus minus the losers — the full keep-best policy replayed
+# token-exactly.
+_KEEP_BEST_ORACLE = f"""
+WITH RECURSIVE pairs AS (
+  SELECT id_a, id_b FROM ({_JACCARD_ORACLE}) t
+), sym AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION ALL
+  SELECT id_b AS u, id_a AS v FROM pairs
+), reach(id, r) AS (
+  SELECT DISTINCT u, u FROM sym
+  UNION
+  SELECT s.u, reach.r FROM sym s JOIN reach ON s.v = reach.id
+), comp AS (
+  SELECT id AS doc_id, MIN(r) AS c FROM reach GROUP BY id
+), scored AS (
+  SELECT comp.doc_id, comp.c, length(d.text) AS score
+  FROM comp JOIN documents d USING (doc_id)
+), winners AS (
+  SELECT doc_id FROM scored
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY c ORDER BY score DESC, doc_id) = 1
+), losers AS (
+  SELECT doc_id FROM scored
+  WHERE doc_id NOT IN (SELECT doc_id FROM winners)
+)
+SELECT doc_id, text FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+"""
+
+
+@query(
+    "dedup_keep_best_per_cluster", oracle=_KEEP_BEST_ORACLE,
+    tags=("llm", "dedup"),
+)
+def dedup_keep_best_per_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-ranked cluster-representative selection (r11): MinHash
+    pairs -> connected components -> keep the LONGEST doc per near-dup
+    cluster (ties: lowest id), unclustered docs untouched — the policy
+    completion of dedup_minhash_components' (doc, canonical) mapping
+    into an actual corpus filter (llm/dedup.keep_cluster_representatives;
+    reference analogue: the dedup decision Tuktu leaves to the user
+    after its membership tests, SURVEY §2.6). Oracle replays pairs ->
+    recursive components -> argmax -> anti-select token-exactly."""
+    docs = load_table(spark, sf_dir, "documents", parallel=True).select(
+        "doc_id", "text"
+    )
+    pairs = D.minhash_dedup_pairs(docs, threshold=0.8)
+    scored = docs.withColumn("__len", F.length("text"))
+    kept = D.keep_cluster_representatives(scored, pairs, score_col="__len")
+    return kept.select("doc_id", "text")
+
+
 # Upgrade: the banded SimHash near-pair search IS SQL-expressible (chunk
 # extraction = shifts+masks, candidate join, bit_count(xor) distance), so
 # the rows-only check becomes a full oracle match.
