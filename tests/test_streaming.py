@@ -1270,6 +1270,73 @@ def test_streaming_decontaminate_spans_matches_batch(spark, sf_dir, tmp_path):
     assert got == want
 
 
+def test_streaming_decontaminate_spans_normalized_matches_batch(
+    spark, sf_dir, tmp_path
+):
+    """r11: the streaming span rewrite with normalize=True — per-batch
+    union over a case/punctuation-PERTURBED corpus equals the batch
+    decontaminate_spans(normalize=True); a raw (normalize=False) gram
+    table is rejected loudly by the metadata check instead of silently
+    matching nothing."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    import tuktu_spark.streaming as STR
+    from tuktu_spark.llm.decontaminate import (
+        decontaminate_spans,
+        write_eval_gram_table,
+    )
+    from tuktu_spark.streaming.llm import streaming_decontaminate_spans
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    perturbed = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 2 == 1,
+            F.upper(F.regexp_replace("text", " ", ", ")),
+        ).otherwise(F.col("text")),
+    )
+    ev = docs.filter(F.col("doc_id") % 7 == 0).select("text")
+    grams_dir = str(tmp_path / "eval_grams_norm")
+    write_eval_gram_table(ev, grams_dir, n=5, normalize=True)
+
+    want = {
+        (r["doc_id"], r["text"])
+        for r in decontaminate_spans(
+            perturbed, ev, n=5, normalize=True
+        ).collect()
+    }
+    assert want and len(want) < docs.count()
+
+    stage, out = str(tmp_path / "stage_n"), str(tmp_path / "out_n")
+    stream = STR.replay_dataframe(
+        perturbed, stage, chunks=3, order_col="doc_id"
+    )
+    q = streaming_decontaminate_spans(
+        stream, grams_dir, out, str(tmp_path / "ckpt_n"), n=5,
+        compact_every=2, normalize=True,
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r["doc_id"], r["text"]) for r in spark.read.parquet(out).collect()
+    }
+    assert got == want
+
+    # hash-space guard: a raw table read with normalize=True must fail
+    raw_dir = str(tmp_path / "eval_grams_raw")
+    write_eval_gram_table(ev, raw_dir, n=5)
+    from tuktu_spark.streaming.llm import (
+        make_decontaminate_spans_batch_processor,
+    )
+
+    with pytest.raises(ValueError, match="normalize"):
+        make_decontaminate_spans_batch_processor(
+            spark, raw_dir, str(tmp_path / "o"), None, 2, n=5,
+            normalize=True,
+        )
+
+
 def test_gram_bloom_artifact_rejects_garbage(tmp_path):
     import numpy as np
     import pytest

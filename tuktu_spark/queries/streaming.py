@@ -705,3 +705,51 @@ def streaming_decontaminate_spans_replay(spark: SparkSession, sf_dir: str) -> Da
     q.processAllAvailable()
     q.stop()
     return spark.read.parquet(out_dir).select("doc_id", "text")
+
+
+from .llm_dedup import _DECON_SPANS_NORM_ORACLE  # noqa: E402
+
+
+@query(
+    "streaming_decontaminate_spans_normalized_replay",
+    oracle=_DECON_SPANS_NORM_ORACLE,
+    tags=("streaming", "llm", "dedup"),
+)
+def streaming_decontaminate_spans_normalized_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """r11: the streaming span rewrite with normalize=True — the
+    case/punctuation-PERTURBED corpus (odd ids uppercased, ' ' -> ', ',
+    the dedup_decontaminate_spans_normalized shape) replays in three
+    micro-batches against a FROZEN normalize=True gram table; the
+    rewritten-store union must hash-match the same token-exact oracle
+    that re-perturbs the kept tokens."""
+    import os
+
+    from ..llm.decontaminate import write_eval_gram_table
+    from ..streaming.llm import streaming_decontaminate_spans
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    perturbed = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 2 == 1,
+            F.upper(F.regexp_replace("text", " ", ", ")),
+        ).otherwise(F.col("text")),
+    )
+    eval_set = docs.filter(F.col("doc_id") % 17 == 0).select("text")
+    art = tempfile.mkdtemp(prefix="tuktu_deconspn_art_")
+    grams_dir = os.path.join(art, "eval_grams")
+    write_eval_gram_table(eval_set, grams_dir, n=13, normalize=True)
+    stage = tempfile.mkdtemp(prefix="tuktu_deconspn_replay_")
+    out_dir = tempfile.mkdtemp(prefix="tuktu_deconspn_out_")
+    ckpt = tempfile.mkdtemp(prefix="tuktu_deconspn_ckpt_")
+    stream = STR.replay_dataframe(
+        perturbed, stage, chunks=3, order_col="doc_id"
+    )
+    q = streaming_decontaminate_spans(
+        stream, grams_dir, out_dir, ckpt, n=13, normalize=True
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.read.parquet(out_dir).select("doc_id", "text")

@@ -669,6 +669,7 @@ def make_decontaminate_spans_batch_processor(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 13,
+    normalize: bool = False,
 ):
     """foreachBatch processor REWRITING each micro-batch with its
     contaminated token spans cut out (llm/decontaminate's span
@@ -688,7 +689,14 @@ def make_decontaminate_spans_batch_processor(
     at build so a long stream scans the parquet once, not per
     micro-batch (r10 verdict #6; ``process.unpersist_eval()`` releases
     it — with a bloom the beyond-broadcast table is deliberately left
-    uncached)."""
+    uncached).
+
+    ``normalize`` (r11): per-token-normalized matching — cut spans that
+    leak the eval set through case/punctuation perturbation while still
+    rewriting the batch's RAW tokens (contaminated_span_intervals'
+    normalize path). The stored gram table must have been written with
+    the SAME normalize setting; the metadata sidecar check fails loudly
+    on a mismatch exactly as in the report processor."""
     from ..llm.decontaminate import (
         bloom_might_contain_udf,
         check_eval_gram_meta,
@@ -696,8 +704,7 @@ def make_decontaminate_spans_batch_processor(
     )
     from ..llm.dedup import remove_interval_tokens
 
-    # spans match RAW tokens (normalize=False by construction)
-    check_eval_gram_meta(spark, eval_grams_dir, n, normalize=False)
+    check_eval_gram_meta(spark, eval_grams_dir, n, normalize=normalize)
     eval_grams = spark.read.parquet(eval_grams_dir)
     might = bloom_might_contain_udf(bloom, bloom_k) if bloom else None
     if might is None:
@@ -709,6 +716,7 @@ def make_decontaminate_spans_batch_processor(
         iv = contaminated_span_intervals(
             batch_df, None, text_col, id_col, n=n, eval_grams=eval_grams,
             gram_filter=might, broadcast_eval=might is None,
+            normalize=normalize,
         )
         clean = remove_interval_tokens(batch_df, iv, text_col, id_col)
         (
@@ -735,14 +743,17 @@ def streaming_decontaminate_spans(
     id_col: str = "doc_id",
     n: int = 13,
     compact_every: int | None = None,
+    normalize: bool = False,
 ):
     """readStream -> per-batch contaminated-span rewrite -> partitioned
     parquet (see make_decontaminate_spans_batch_processor; bloom sits in
     the same parameter position as streaming_decontaminate's).
-    ``compact_every`` folds the store every N batches."""
+    ``normalize`` (r11): per-token-normalized matching against a
+    normalize=True gram table, raw-token rewrite. ``compact_every``
+    folds the store every N batches."""
     proc = make_decontaminate_spans_batch_processor(
         stream_df.sparkSession, eval_grams_dir, out_dir, bloom, bloom_k,
-        text_col, id_col, n,
+        text_col, id_col, n, normalize,
     )
     proc = auto_compacting(
         proc, stream_df.sparkSession, [(out_dir, ())], compact_every
