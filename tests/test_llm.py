@@ -3407,3 +3407,28 @@ class TestKeepClusterRepresentatives:
         assert kept == {2, 3}
         with pytest.raises(ValueError, match="corpus, pairs"):
             make_operator("keep_cluster_representatives", {})(corpus)
+
+    def test_string_ids_supported(self, spark):
+        """The tie-break is struct-ordered (no id negation), so string
+        document ids work too."""
+        from tuktu_spark.llm.dedup import keep_cluster_representatives
+
+        corpus = spark.createDataFrame(
+            [("a", 1.0), ("b", 1.0), ("z", 9.0)],
+            "doc_id string, quality double",
+        )
+        pairs = spark.createDataFrame(
+            [("a", "b"), ("b", "z")], "id_a string, id_b string"
+        )
+        kept = {
+            r["doc_id"]
+            for r in keep_cluster_representatives(
+                corpus, pairs, score_col="quality"
+            ).collect()
+        }
+        assert kept == {"z"}
+        kept_ties = {
+            r["doc_id"]
+            for r in keep_cluster_representatives(corpus, pairs).collect()
+        }
+        assert kept_ties == {"a"}

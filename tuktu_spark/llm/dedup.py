@@ -1229,18 +1229,23 @@ def keep_cluster_representatives(
     comp = components.select(
         F.col(comp_id_col).alias("__m_id"), F.col(comp_col).alias("__comp")
     )
-    score = (
-        F.coalesce(F.col(score_col).cast("double"), F.lit(float("-inf")))
+    # NEGATED score + min_by: smallest (-score, id) = highest score, ties
+    # to the lowest id — and the id needs no negation, so the tie-break
+    # works for string ids too. NULL scores negate to +inf and lose.
+    neg_score = (
+        -F.coalesce(F.col(score_col).cast("double"), F.lit(float("-inf")))
         if score_col
         else F.lit(0.0)
     )
     members = comp.join(
-        corpus.select(F.col(id_col).alias("__m_id"), score.alias("__score")),
+        corpus.select(
+            F.col(id_col).alias("__m_id"), neg_score.alias("__ns")
+        ),
         "__m_id",
     )
     winners = members.groupBy("__comp").agg(
-        F.max_by(
-            "__m_id", F.struct(F.col("__score"), (-F.col("__m_id")).alias("__ni"))
+        F.min_by(
+            "__m_id", F.struct(F.col("__ns"), F.col("__m_id"))
         ).alias("__win")
     )
     losers = (
