@@ -3135,11 +3135,20 @@ class TestSpanDecontamination:
             corpus, ev
         )
         assert [r["text"] for r in out.collect()] == ["aa bb ff gg"]
+        # r11: report=True now returns the per-doc span STATS table
+        # (contamination_span_stats) instead of raising
+        stats = make_operator(
+            "decontaminate", {"mode": "spans", "report": True, "n": 3}
+        )(corpus, ev).collect()
+        assert [
+            (r["doc_id"], r["n_tokens"], r["contaminated_tokens"])
+            for r in stats
+        ] == [(1, 7, 3)]
         import pytest
 
-        with pytest.raises(ValueError, match="spans"):
+        with pytest.raises(ValueError, match="engine"):
             make_operator(
-                "decontaminate", {"mode": "spans", "report": True}
+                "decontaminate", {"mode": "spans", "engine": "bloom"}
             )(corpus, ev)
 
     def test_short_and_empty_docs_survive_untouched(self, spark):
@@ -3432,3 +3441,123 @@ class TestKeepClusterRepresentatives:
             for r in keep_cluster_representatives(corpus, pairs).collect()
         }
         assert kept_ties == {"a"}
+
+
+class TestSpanPolicyAndStats:
+    """r11: contamination_span_stats (how MUCH of each doc is leakage)
+    and decontaminate_spans_policy (drop past max_frac, cut the rest)."""
+
+    @pytest.fixture(scope="class")
+    def planted(self, spark):
+        leak = "alpha bravo charlie delta echo"
+        rows = [
+            # 5 leaked of 13 tokens -> frac 5/13 ~ 0.385
+            (1, f"one two three four {leak} five six seven eight"),
+            # 5 leaked of 7 tokens -> frac 5/7 ~ 0.714
+            (2, f"pre {leak} post"),
+            (3, "entirely clean text that matches nothing at all"),
+            (4, leak),  # frac 1.0
+        ]
+        corpus = spark.createDataFrame(rows, "doc_id long, text string")
+        ev = spark.createDataFrame([(leak,)], "text string")
+        return corpus, ev
+
+    def test_stats_rows_and_fractions(self, planted):
+        from tuktu_spark.llm.decontaminate import contamination_span_stats
+
+        corpus, ev = planted
+        got = {
+            r["doc_id"]: (
+                r["n_tokens"], r["n_spans"], r["contaminated_tokens"],
+                round(r["contaminated_frac"], 3),
+            )
+            for r in contamination_span_stats(corpus, ev, n=5).collect()
+        }
+        assert got == {
+            1: (13, 1, 5, round(5 / 13, 3)),
+            2: (7, 1, 5, round(5 / 7, 3)),
+            4: (5, 1, 5, 1.0),
+        }  # doc 3 clean -> absent
+
+    def test_policy_drops_past_threshold_cuts_below(self, planted):
+        from tuktu_spark.llm.decontaminate import decontaminate_spans_policy
+
+        corpus, ev = planted
+        got = {
+            r["doc_id"]: r["text"]
+            for r in decontaminate_spans_policy(
+                corpus, ev, max_frac=0.5, n=5
+            ).collect()
+        }
+        # doc 2 (0.714 > 0.5) dropped whole; doc 1 cut; doc 3 untouched;
+        # doc 4 wholly covered -> absent regardless
+        assert got == {
+            1: "one two three four five six seven eight",
+            3: "entirely clean text that matches nothing at all",
+        }
+
+    def test_policy_extremes_match_named_forms(self, planted):
+        from tuktu_spark.llm.decontaminate import (
+            decontaminate,
+            decontaminate_spans,
+            decontaminate_spans_policy,
+        )
+
+        corpus, ev = planted
+        lax = {
+            (r["doc_id"], r["text"])
+            for r in decontaminate_spans_policy(
+                corpus, ev, max_frac=1.0, n=5
+            ).collect()
+        }
+        plain = {
+            (r["doc_id"], r["text"])
+            for r in decontaminate_spans(corpus, ev, n=5).collect()
+        }
+        assert lax == plain
+        strict = {
+            r["doc_id"]
+            for r in decontaminate_spans_policy(
+                corpus, ev, max_frac=0.0, n=5
+            ).collect()
+        }
+        whole_doc = {
+            r["doc_id"] for r in decontaminate(corpus, ev, n=5).collect()
+        }
+        assert strict == whole_doc == {3}
+
+    def test_operator_report_and_policy_forms(self, planted):
+        from tuktu_spark.operators import make_operator
+
+        corpus, ev = planted
+        stats = make_operator(
+            "decontaminate", {"mode": "spans", "report": True, "n": 5}
+        )(corpus, ev)
+        assert {r["doc_id"] for r in stats.collect()} == {1, 2, 4}
+        kept = make_operator(
+            "decontaminate", {"mode": "spans", "max_frac": 0.5, "n": 5}
+        )(corpus, ev)
+        assert {r["doc_id"] for r in kept.collect()} == {1, 3}
+        with pytest.raises(ValueError, match="pick one"):
+            make_operator(
+                "decontaminate",
+                {"mode": "spans", "report": True, "max_frac": 0.5},
+            )(corpus, ev)
+
+    def test_normalized_policy(self, spark):
+        """max_frac composes with normalize: the perturbed leak counts
+        toward the fraction."""
+        from tuktu_spark.llm.decontaminate import decontaminate_spans_policy
+
+        leak = "alpha bravo charlie delta echo"
+        corpus = spark.createDataFrame(
+            [(1, "pre ALPHA, BRAVO; charlie DELTA echo! post")],
+            "doc_id long, text string",
+        )
+        ev = spark.createDataFrame([(leak,)], "text string")
+        raw = decontaminate_spans_policy(corpus, ev, max_frac=0.5, n=5)
+        assert raw.count() == 1  # raw matching misses -> doc kept intact
+        norm = decontaminate_spans_policy(
+            corpus, ev, max_frac=0.5, n=5, normalize=True
+        )
+        assert norm.count() == 0  # 5/7 > 0.5 -> dropped whole

@@ -603,3 +603,84 @@ def test_normalized_spans_match_python_reference(spark, texts, ev_picks, n):
     }
     want = _py_decontaminate_spans_normalized(rows, ev_texts, n)
     assert got == want
+
+
+def _py_keep_representatives(ids_scores, edges):
+    """Naive reference: union-find components over edges, keep argmax
+    (score, then min id) per component among ids present in the corpus;
+    docs outside any component pass through."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[rb] = ra
+
+    for a, b in edges:
+        union(a, b)
+    comps = {}
+    for node in parent:
+        comps.setdefault(find(node), []).append(node)
+    scores = dict(ids_scores)
+    losers = set()
+    for members in comps.values():
+        present = [m for m in members if m in scores]
+        if not present:
+            continue
+        neg_inf = float("-inf")
+        win = min(
+            present,
+            key=lambda m: (-(scores[m] if scores[m] is not None else neg_inf), m),
+        )
+        losers.update(m for m in present if m != win)
+    return {i for i, _ in ids_scores if i not in losers}
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    n=st.integers(min_value=1, max_value=10),
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=11),
+            st.integers(min_value=0, max_value=11),
+        ),
+        min_size=0, max_size=12,
+    ),
+    score_mod=st.integers(min_value=1, max_value=4),
+    with_nulls=st.booleans(),
+)
+def test_keep_representatives_matches_union_find(
+    spark, n, edges, score_mod, with_nulls
+):
+    """r11: keep_cluster_representatives equals a naive union-find +
+    argmax model on arbitrary edge sets — including self-loops, edges
+    naming docs outside the corpus, duplicate edges, NULL scores, score
+    ties, and singleton docs."""
+    from tuktu_spark.llm.dedup import keep_cluster_representatives
+
+    ids_scores = [
+        (i, None if (with_nulls and i % 3 == 0) else float(i % score_mod))
+        for i in range(n)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    corpus = spark.createDataFrame(
+        ids_scores, "doc_id long, quality double"
+    )
+    if edges:
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    else:
+        pairs = spark.createDataFrame([], "id_a long, id_b long")
+    got = {
+        r["doc_id"]
+        for r in keep_cluster_representatives(
+            corpus, pairs, score_col="quality"
+        ).collect()
+    }
+    assert got == _py_keep_representatives(ids_scores, edges)

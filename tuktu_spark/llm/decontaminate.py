@@ -682,6 +682,98 @@ def decontaminate_spans(
     return remove_interval_tokens(corpus, iv, corpus_text, corpus_id)
 
 
+def contamination_span_stats(
+    corpus: DataFrame,
+    eval_set: "DataFrame | None",
+    corpus_text: str = "text",
+    corpus_id: str = "doc_id",
+    eval_text: str = "text",
+    n: int = 13,
+    normalize: bool = False,
+    eval_grams: "DataFrame | None" = None,
+    bloom: "bytes | None" = None,
+    bloom_k: int = 7,
+    gram_filter=None,
+    broadcast_eval: "bool | None" = None,
+) -> DataFrame:
+    """(id, n_tokens, n_spans, contaminated_tokens, contaminated_frac)
+    for every corpus doc with at least one contaminated span (clean docs
+    are absent, like contamination_report) — the measurement behind
+    threshold policies: HOW MUCH of each doc is eval leakage, not just
+    whether any of it is. Same eval-side options as
+    contaminated_span_intervals (prebuilt gram table, bloom prefilter,
+    normalize). Intervals are disjoint after the islands fold, so
+    contaminated_tokens = SUM(span_len) exactly; one extra narrow token
+    -count scan of the corpus beyond the interval build."""
+    iv = contaminated_span_intervals(
+        corpus, eval_set, corpus_text, corpus_id, eval_text, n,
+        eval_grams, bloom, bloom_k, gram_filter, broadcast_eval, normalize,
+    )
+    per_doc = iv.groupBy(corpus_id).agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum("span_len").cast("long").alias("contaminated_tokens"),
+    )
+    toks = corpus.select(
+        F.col(corpus_id), F.size(_tokens(F.col(corpus_text))).alias("n_tokens")
+    )
+    return per_doc.join(toks, corpus_id).select(
+        corpus_id,
+        "n_tokens",
+        "n_spans",
+        "contaminated_tokens",
+        (
+            F.col("contaminated_tokens") / F.col("n_tokens")
+        ).alias("contaminated_frac"),
+    )
+
+
+def decontaminate_spans_policy(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    max_frac: float = 0.5,
+    corpus_text: str = "text",
+    corpus_id: str = "doc_id",
+    eval_text: str = "text",
+    n: int = 13,
+    normalize: bool = False,
+) -> DataFrame:
+    """The threshold POLICY over span decontamination (r11): a doc whose
+    contaminated token fraction EXCEEDS ``max_frac`` is dropped whole —
+    past some point the doc mostly IS eval content (a dumped eval file,
+    a scraped answer key) and cutting the spans would keep a gutted
+    remnant of it — while docs at or under the threshold are
+    surgically span-cut exactly as decontaminate_spans does (same
+    rewrite contract: whitespace-normalized pass-through for clean
+    docs, wholly-covered docs absent regardless of threshold).
+    ``max_frac=0`` drops every contaminated doc (= the whole-document
+    ``decontaminate`` filter, modulo the rewrite's whitespace
+    normalization of clean docs); ``max_frac>=1`` never drops (= plain
+    decontaminate_spans).
+
+    The interval table feeds BOTH the fraction filter and the rewrite;
+    it is lazily localCheckpoint-ed so the positional gram pass — the
+    corpus-scale cost — runs ONCE per action, not once per branch
+    (intervals are hits-sized, far below corpus scale)."""
+    iv = contaminated_span_intervals(
+        corpus, eval_set, corpus_text, corpus_id, eval_text, n,
+        normalize=normalize,
+    ).localCheckpoint(eager=False)
+    per_doc = iv.groupBy(corpus_id).agg(F.sum("span_len").alias("__ct"))
+    toks = corpus.select(
+        F.col(corpus_id), F.size(_tokens(F.col(corpus_text))).alias("__nt")
+    )
+    drops = (
+        per_doc.join(toks, corpus_id)
+        .filter(F.col("__ct") > float(max_frac) * F.col("__nt"))
+        .select(corpus_id)
+    )
+    from .dedup import remove_interval_tokens
+
+    kept = corpus.join(drops, corpus_id, "left_anti")
+    iv_kept = iv.join(drops, corpus_id, "left_anti")
+    return remove_interval_tokens(kept, iv_kept, corpus_text, corpus_id)
+
+
 def pick_decontaminate_engine(
     eval_set: DataFrame,
     eval_text: str = "text",

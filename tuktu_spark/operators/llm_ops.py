@@ -110,11 +110,16 @@ def decontaminate_op(config: dict):
     intervals and keep the rest of each document
     (llm/decontaminate.decontaminate_spans). config: {n, text_field,
     id_field, eval_text_field, report, mode, normalize, engine,
-    auto_budget_grams} — normalize matches grams case/punctuation-
-    insensitively (the published GPT-3-style recipe); with mode='spans'
-    (r11) each token normalizes individually so matching is
-    perturbation-insensitive while the rewrite still re-emits raw
-    tokens. engine: 'broadcast'
+    auto_budget_grams, max_frac} — normalize matches grams case/
+    punctuation-insensitively (the published GPT-3-style recipe); with
+    mode='spans' (r11) each token normalizes individually so matching
+    is perturbation-insensitive while the rewrite still re-emits raw
+    tokens. mode='spans' extras (r11): report=True returns the
+    per-doc span STATS table (n_tokens / n_spans / contaminated_tokens
+    / contaminated_frac — contamination_span_stats) instead of
+    rewriting; max_frac applies the threshold POLICY (drop docs more
+    than max_frac contaminated, span-cut the rest —
+    decontaminate_spans_policy). engine: 'broadcast'
     (default) | 'bloom' | 'auto' (probe the eval gram count once and
     dispatch on the broadcast memory budget — see
     pick_decontaminate_engine)."""
@@ -124,15 +129,15 @@ def decontaminate_op(config: dict):
         if eval_set is None:
             raise ValueError("decontaminate needs (corpus, eval_set) inputs")
         if config.get("mode") == "spans":
-            if config.get("report") or config.get("engine"):
+            if config.get("engine"):
                 raise ValueError(
-                    "mode='spans' rewrites documents; it has no report "
-                    "form and no engine dispatch (pass bloom artifacts "
-                    "to the library's contaminated_span_intervals for "
-                    "the beyond-broadcast case)"
+                    "mode='spans' has no engine dispatch (pass bloom "
+                    "artifacts to the library's "
+                    "contaminated_span_intervals / "
+                    "contamination_span_stats for the beyond-broadcast "
+                    "case)"
                 )
-            return DC.decontaminate_spans(
-                corpus, eval_set,
+            span_kwargs = dict(
                 corpus_text=config.get("text_field", "text"),
                 corpus_id=config.get("id_field", "doc_id"),
                 eval_text=config.get(
@@ -141,6 +146,21 @@ def decontaminate_op(config: dict):
                 n=int(config.get("n", 13)),
                 normalize=bool(config.get("normalize", False)),
             )
+            if config.get("report"):
+                if config.get("max_frac") is not None:
+                    raise ValueError(
+                        "mode='spans' report=True measures; max_frac "
+                        "rewrites — pick one"
+                    )
+                return DC.contamination_span_stats(
+                    corpus, eval_set, **span_kwargs
+                )
+            if config.get("max_frac") is not None:
+                return DC.decontaminate_spans_policy(
+                    corpus, eval_set,
+                    max_frac=float(config["max_frac"]), **span_kwargs,
+                )
+            return DC.decontaminate_spans(corpus, eval_set, **span_kwargs)
         kwargs = dict(
             corpus_text=config.get("text_field", "text"),
             corpus_id=config.get("id_field", "doc_id"),

@@ -352,6 +352,122 @@ def dedup_minhash_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Span stats + threshold policy (r11): shared interval CTE; stats joins
+# token counts; the policy drops docs more than half contaminated and
+# rewrites the rest token-by-token.
+_DECON_IV_CTE = """
+WITH d AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS tk
+  FROM documents
+),
+g AS (
+  SELECT doc_id, CAST(r.i - 1 AS INT) AS start_idx,
+         array_to_string(list_slice(tk, r.i, r.i + 12), ' ') AS gram
+  FROM d, LATERAL (
+    SELECT unnest(range(1, greatest(len(tk) - 12, 0) + 1)) AS i
+  ) AS r
+),
+ev AS (
+  SELECT DISTINCT gram FROM g WHERE doc_id % 17 = 0
+),
+flagged AS (
+  SELECT g.doc_id, g.start_idx FROM g JOIN ev USING (gram)
+),
+brk AS (
+  SELECT doc_id, start_idx,
+         CASE WHEN start_idx
+                   - LAG(start_idx) OVER (PARTITION BY doc_id ORDER BY start_idx)
+                   > 13 THEN 1 ELSE 0 END AS b
+  FROM flagged
+),
+isl AS (
+  SELECT doc_id, start_idx,
+         SUM(b) OVER (PARTITION BY doc_id ORDER BY start_idx) AS island
+  FROM brk
+),
+iv AS (
+  SELECT doc_id, MIN(start_idx) AS lo, MAX(start_idx) + 13 AS hi
+  FROM isl GROUP BY doc_id, island
+)
+"""
+
+_DECON_STATS_ORACLE = _DECON_IV_CTE + """
+, st AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+         CAST(SUM(hi - lo) AS BIGINT) AS contaminated_tokens
+  FROM iv GROUP BY doc_id
+)
+SELECT st.doc_id, CAST(len(d.tk) AS BIGINT) AS n_tokens, st.n_spans,
+       st.contaminated_tokens,
+       CAST(st.contaminated_tokens AS DOUBLE) / len(d.tk)
+         AS contaminated_frac
+FROM st JOIN d USING (doc_id)
+"""
+
+
+@query(
+    "dedup_decontaminate_span_stats", oracle=_DECON_STATS_ORACLE,
+    tags=("llm", "dedup"),
+)
+def dedup_decontaminate_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc contamination MEASUREMENT (r11): how many tokens of each
+    doc sit inside contaminated 13-gram intervals, as a count and a
+    fraction — the input to threshold policies
+    (llm/decontaminate.contamination_span_stats). The oracle recomputes
+    intervals and token counts token-exactly."""
+    from ..llm.decontaminate import contamination_span_stats
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    eval_set = docs.filter(F.col("doc_id") % 17 == 0).select("text")
+    return contamination_span_stats(docs, eval_set, n=13)
+
+
+_DECON_POLICY_ORACLE = _DECON_IV_CTE + """
+, ct AS (
+  SELECT doc_id, SUM(hi - lo) AS c FROM iv GROUP BY doc_id
+),
+drops AS (
+  SELECT ct.doc_id FROM ct JOIN d USING (doc_id)
+  WHERE CAST(c AS DOUBLE) > 0.5 * len(tk)
+),
+tok AS (
+  SELECT doc_id, unnest(tk) AS tok, generate_subscripts(tk, 1) - 1 AS i
+  FROM d WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+),
+kept AS (
+  SELECT t.doc_id, t.tok, t.i
+  FROM tok t
+  WHERE NOT EXISTS (
+    SELECT 1 FROM iv
+    WHERE iv.doc_id = t.doc_id AND t.i >= iv.lo AND t.i < iv.hi
+  )
+)
+SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS text
+FROM kept GROUP BY doc_id
+"""
+
+
+@query(
+    "dedup_decontaminate_policy", oracle=_DECON_POLICY_ORACLE,
+    tags=("llm", "dedup"),
+)
+def dedup_decontaminate_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold POLICY over span decontamination (r11): docs more than
+    half contaminated are dropped whole (past some point the doc IS
+    eval content), the rest are span-cut
+    (llm/decontaminate.decontaminate_spans_policy, max_frac=0.5). The
+    testdata has mid-fraction docs at every sf (2/1/14 docs in
+    (0.5, 1) at sf0.001/0.01/0.1) so the drop branch is exercised
+    beyond the always-dropped frac=1.0 eval members; the oracle replays
+    intervals, the fraction filter, and the token rewrite exactly."""
+    from ..llm.decontaminate import decontaminate_spans_policy
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    eval_set = docs.filter(F.col("doc_id") % 17 == 0).select("text")
+    return decontaminate_spans_policy(docs, eval_set, max_frac=0.5, n=13)
+
+
 # Quality-ranked cluster representatives (r11): the same recursive-CTE
 # components, scored by text length, one winner per cluster (score DESC,
 # id ASC), corpus minus the losers — the full keep-best policy replayed
