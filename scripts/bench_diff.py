@@ -129,6 +129,11 @@ def main(old_path: str, new_path: str) -> int:
         oc, nc = old_ctrls.get(key), new_ctrls.get(key)
         if not (oc and nc):
             continue
+        if not (oc["median"] > 0 and nc["median"] > 0):
+            # a tail capture cut inside the median's digits can salvage
+            # 0.0 — treat it as absent rather than dividing by it
+            print(f"# {key} median unusable in one artifact — skipped")
+            continue
         if oc.get("rows") != nc.get("rows"):
             print(
                 f"# {key} work differs ({oc.get('rows')} vs "

@@ -248,3 +248,26 @@ def test_salvage_scopes_rows_per_control_block(tmp_path, capsys):
     assert q == {"q": 3.0}
     assert ctrls["control2"] == {"median": 2.0, "rows": 200000000}
     assert ctrls["control"] == {"median": 1.0, "rows": 1000000000}
+
+
+def test_zero_salvaged_control_median_degrades_not_crashes(tmp_path, capsys):
+    """r11 review: a tail capture cut inside the median's digits can
+    salvage median=0.0 — the diff must skip that control (and fall back
+    or print raw ratios), not ZeroDivisionError."""
+    bd = _load_bench_diff()
+    old = _artifact2(
+        tmp_path, "old.json", {"q": 1.0},
+        {"q": {"min": 0.9, "max": 1.1, "runs": 5}},
+        control={"median": 0.0, "min": 0.0, "max": 0.0, "runs": 5,
+                 "rows": 1000000000},
+    )
+    new = _artifact2(
+        tmp_path, "new.json", {"q": 1.0},
+        {"q": {"min": 0.9, "max": 1.1, "runs": 5}},
+        control={"median": 1.0, "min": 0.9, "max": 1.1, "runs": 5,
+                 "rows": 1000000000},
+    )
+    bd.main(old, new)
+    out = capsys.readouterr().out
+    assert "# control median unusable" in out
+    assert "~noise" in out

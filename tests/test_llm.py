@@ -3543,6 +3543,10 @@ class TestSpanPolicyAndStats:
                 "decontaminate",
                 {"mode": "spans", "report": True, "max_frac": 0.5},
             )(corpus, ev)
+        # r11 review: max_frac without mode='spans' must fail loudly,
+        # not silently run the whole-document filter
+        with pytest.raises(ValueError, match="silently ignored"):
+            make_operator("decontaminate", {"max_frac": 0.5})(corpus, ev)
 
     def test_normalized_policy(self, spark):
         """max_frac composes with normalize: the perturbed leak counts

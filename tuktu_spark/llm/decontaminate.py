@@ -532,6 +532,10 @@ def _normalized_positional_gram_table(
     )
     paired = tokd.select(F.col(id_col), pairs.alias("__pairs"))
     count = F.size("__pairs") - (n - 1)
+    # first/last raw indices via element_at on the FULL pairs array —
+    # slicing it three times per window would copy the O(n) struct slice
+    # twice more for two scalar reads (Catalyst does not CSE inside HOF
+    # lambdas; see _shingles_from_tokens's measured note, dedup.py)
     wins = F.when(count < 1, F.array().cast(win_t)).otherwise(
         F.transform(
             F.sequence(F.lit(1), F.greatest(count, F.lit(1))),
@@ -544,10 +548,8 @@ def _normalized_positional_gram_table(
                         " ",
                     )
                 ).alias("gram"),
-                F.element_at(F.slice(F.col("__pairs"), j, n), 1)["i"].alias(
-                    "first_raw"
-                ),
-                F.element_at(F.slice(F.col("__pairs"), j, n), -1)["i"].alias(
+                F.element_at(F.col("__pairs"), j)["i"].alias("first_raw"),
+                F.element_at(F.col("__pairs"), j + F.lit(n - 1))["i"].alias(
                     "last_raw"
                 ),
             ),
@@ -709,14 +711,7 @@ def contamination_span_stats(
         corpus, eval_set, corpus_text, corpus_id, eval_text, n,
         eval_grams, bloom, bloom_k, gram_filter, broadcast_eval, normalize,
     )
-    per_doc = iv.groupBy(corpus_id).agg(
-        F.count(F.lit(1)).alias("n_spans"),
-        F.sum("span_len").cast("long").alias("contaminated_tokens"),
-    )
-    toks = corpus.select(
-        F.col(corpus_id), F.size(_tokens(F.col(corpus_text))).alias("n_tokens")
-    )
-    return per_doc.join(toks, corpus_id).select(
+    return _span_totals(iv, corpus, corpus_text, corpus_id).select(
         corpus_id,
         "n_tokens",
         "n_spans",
@@ -725,6 +720,24 @@ def contamination_span_stats(
             F.col("contaminated_tokens") / F.col("n_tokens")
         ).alias("contaminated_frac"),
     )
+
+
+def _span_totals(
+    iv: DataFrame, corpus: DataFrame, corpus_text: str, corpus_id: str
+) -> DataFrame:
+    """(id, n_tokens, n_spans, contaminated_tokens) for docs with >= 1
+    interval — the one definition of the contamination fraction's
+    numerator and denominator, shared by contamination_span_stats and
+    decontaminate_spans_policy so the report and the policy can never
+    silently disagree."""
+    per_doc = iv.groupBy(corpus_id).agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum("span_len").cast("long").alias("contaminated_tokens"),
+    )
+    toks = corpus.select(
+        F.col(corpus_id), F.size(_tokens(F.col(corpus_text))).alias("n_tokens")
+    )
+    return per_doc.join(toks, corpus_id)
 
 
 def decontaminate_spans_policy(
@@ -758,13 +771,12 @@ def decontaminate_spans_policy(
         corpus, eval_set, corpus_text, corpus_id, eval_text, n,
         normalize=normalize,
     ).localCheckpoint(eager=False)
-    per_doc = iv.groupBy(corpus_id).agg(F.sum("span_len").alias("__ct"))
-    toks = corpus.select(
-        F.col(corpus_id), F.size(_tokens(F.col(corpus_text))).alias("__nt")
-    )
     drops = (
-        per_doc.join(toks, corpus_id)
-        .filter(F.col("__ct") > float(max_frac) * F.col("__nt"))
+        _span_totals(iv, corpus, corpus_text, corpus_id)
+        .filter(
+            F.col("contaminated_tokens")
+            > float(max_frac) * F.col("n_tokens")
+        )
         .select(corpus_id)
     )
     from .dedup import remove_interval_tokens

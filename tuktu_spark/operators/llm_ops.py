@@ -161,6 +161,15 @@ def decontaminate_op(config: dict):
                     max_frac=float(config["max_frac"]), **span_kwargs,
                 )
             return DC.decontaminate_spans(corpus, eval_set, **span_kwargs)
+        if config.get("max_frac") is not None:
+            # fail loudly like the other statically-detectable config
+            # errors: silently ignoring max_frac would run the
+            # whole-document filter where the user asked for a
+            # threshold policy
+            raise ValueError(
+                "max_frac is a mode='spans' policy knob; without "
+                "mode='spans' it would be silently ignored"
+            )
         kwargs = dict(
             corpus_text=config.get("text_field", "text"),
             corpus_id=config.get("id_field", "doc_id"),
