@@ -308,6 +308,36 @@ _VERIFIED_ROUND = {
         ),
         10,
     ),
+    **dict.fromkeys(
+        (
+            "dedup_decontaminate_policy", "dedup_decontaminate_span_stats",
+            "dedup_decontaminate_spans", "dedup_decontaminate_spans_normalized",
+            "dedup_keep_best_per_cluster", "dedup_ngram_jaccard_skew",
+            "dedup_semantic_decontam", "dedup_semdedup",
+            "join_anti_customers_without_orders", "mix_budget_sample",
+            "mix_sample_exact_k", "mix_temperature_sample", "ml_hmm_decode",
+            "multimodal_audio_features", "multimodal_audio_fingerprint",
+            "multimodal_audio_near_pairs", "multimodal_audio_resample",
+            "multimodal_avi_frames", "multimodal_bmp_decode",
+            "multimodal_crop_stats", "multimodal_decode_stats",
+            "multimodal_frame_timestamps", "multimodal_gif_decode",
+            "multimodal_jpeg420_decode", "multimodal_jpeg_decode",
+            "multimodal_luma_histogram", "multimodal_mjpeg_frames",
+            "multimodal_mp4_frames", "multimodal_mp4_probe",
+            "multimodal_mp4_timestamps", "multimodal_png_indexed",
+            "multimodal_resize_stats", "multimodal_video_scene_cuts",
+            "multimodal_webdataset_shards", "nlp_fasttext_similar_pairs",
+            "nlp_pos_tags", "nlp_rbem_multilang", "nlp_tfidf_top",
+            "running_count_per_user", "setop_except_nations",
+            "similarity_ivf_index_append", "similarity_ivfpq_topk",
+            "streaming_decontaminate_replay",
+            "streaming_decontaminate_spans_normalized_replay",
+            "streaming_decontaminate_spans_replay", "text_arpa_lm_score",
+            "text_arpa_ppl_buckets", "text_chunk_documents",
+            "text_html_extract", "text_normalize_nfc",
+        ),
+        11,
+    ),
 }
 
 # Queries whose implementation (or a shared helper they exercise) changed in
@@ -315,32 +345,10 @@ _VERIFIED_ROUND = {
 # green, so this round's edits cannot silently regress them.
 _TOUCHED = frozenset(
     {
-        # round 11 edits — scoped to queries whose EXECUTED code changed
-        # (r11 note: the auto_compacting data pre-check widening, ADVICE
-        # r10 high, is on NO driver query's path — no registry query
-        # passes compact_every; the in-stream compaction contract is
-        # pinned by tests/test_streaming.py and the two lifecycle-flow
-        # pytest cases, so burning window slots on the nine replay
-        # queries would cost the r5/r6 stale drain nothing gained)
-        #
-        # ADVICE r10: mirror-id offset in dedup_ngram_jaccard_skew derived
-        # from the corpus max doc_id instead of a fixed 10M constant
-        "dedup_ngram_jaccard_skew",
-        # de-trivialized zero-row driver rows (VERDICT r10 #3): right side
-        # restricted so truth is nonzero at every sf
-        "join_anti_customers_without_orders", "setop_except_nations",
-        # streaming decontamination processors: eval gram table cached at
-        # processor build (VERDICT r10 #6), broadcast hint on the
-        # no-bloom verify join (ADVICE r10 low), save_gram_bloom now
-        # suffix-normalizing and returning the canonical path (ADVICE
-        # r10 low; the replay query calls save+load)
-        "streaming_decontaminate_replay",
-        "streaming_decontaminate_spans_replay",
-        # contaminated_span_intervals / decontaminate_spans gained the
-        # normalize parameter (VERDICT r10 #4) — raw-path plans are
-        # unchanged but the functions changed, so the queries through
-        # them re-enter the window
-        "dedup_decontaminate_spans",
+        # round 12 edits — populated as this round's code changes land;
+        # scoped to queries whose EXECUTED code changes (r11 lesson: a
+        # shared-helper edit on no driver query's path doesn't burn
+        # window slots — say so here when that applies).
     }
 )
 
