@@ -8,6 +8,10 @@ rule documented in bench.py/SCALE.md:
 
   REGRESSED   min_new > median_old   (the whole new spread sits above the
                                       old typical run — real, not noise)
+  REGRESSED(paired)  raw AND drift-normalized ratio both > 1.15x AND
+                     min_new > max_old — catches a real regression the
+                     min-rule would excuse as host drift when the old
+                     capture ran in a fast-host window (r11 verdict #6)
   IMPROVED    max_new < median_old   (the whole new spread sits below)
   ~noise      otherwise              (spreads overlap)
 
@@ -58,6 +62,15 @@ def _salvage(tail: str) -> tuple[dict[str, float], dict[str, dict[str, float]]]:
             "max": float(m.group(3)),
             "runs": int(m.group(4)),
         }
+    # harness v5 compact layout: spread travels as "name":[min,max]
+    for m in re.finditer(
+        r'"([A-Za-z0-9_]+)":\s*\[\s*(-?\d+(?:\.\d+)?),\s*(-?\d+(?:\.\d+)?)\s*\]',
+        tail,
+    ):
+        spread.setdefault(
+            m.group(1),
+            {"min": float(m.group(2)), "max": float(m.group(3)), "runs": None},
+        )
     lost = sorted(set(spread) - set(queries))
     if lost:
         print(
@@ -88,7 +101,15 @@ def load(
         c = parsed.get(key)
         if isinstance(c, dict) and c.get("median") is not None:
             controls[key] = {"median": c["median"], "rows": c.get("rows")}
-    return parsed.get("queries", {}), parsed.get("spread", {}), controls
+    runs = (parsed.get("harness") or {}).get("runs")
+    spread = {
+        # harness v5 compact artifacts carry spread as [min, max] arrays
+        n: {"min": v[0], "max": v[1], "runs": runs}
+        if isinstance(v, (list, tuple)) and len(v) == 2
+        else v
+        for n, v in (parsed.get("spread") or {}).items()
+    }
+    return parsed.get("queries", {}), spread, controls
 
 
 def _salvage_controls(tail: str) -> dict[str, dict]:
@@ -188,8 +209,27 @@ def main(old_path: str, new_path: str) -> int:
         # exists: a min that only cleared the old median because the host
         # itself slowed down is not a code regression (and vice versa).
         om_adj = om * drift if drift is not None else om
+        omax = old_s.get(n, {}).get("max")
+        # Paired rule (r11 verdict #6): with normalized magnitudes declared
+        # direction-only (SCALE.md r11 — the controls over-track host
+        # swings), the min-rule alone lets a real regression hide when the
+        # OLD capture ran in a fast-host window (drift > 1 inflates om_adj
+        # past the regressed new min). Flag it anyway when the move is
+        # large in BOTH the raw and the drift-normalized readings AND the
+        # whole new spread sits above the whole old spread — three
+        # independent signals a noise swing doesn't produce together.
+        paired = (
+            drift is not None
+            and ratio > 1.15
+            and ratio / drift > 1.15
+            and nmin is not None
+            and omax is not None
+            and nmin > omax
+        )
         if nmin is not None and nmin > om_adj:
             verdict, n_reg = "REGRESSED", n_reg + 1
+        elif paired:
+            verdict, n_reg = "REGRESSED(paired)", n_reg + 1
         elif nmax is not None and nmax < om_adj:
             verdict = "IMPROVED"
         else:
@@ -208,7 +248,7 @@ def main(old_path: str, new_path: str) -> int:
         print(
             f"\nshared {len(shared)} queries: {so:.2f}s -> {sn:.2f}s "
             f"({sn / so:.2f}x){norm_note}; "
-            f"REGRESSED (min_new > drift-adj median_old): {n_reg}"
+            f"REGRESSED (min_new > drift-adj median_old, or paired rule): {n_reg}"
         )
     return 0
 

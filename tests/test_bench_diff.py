@@ -49,7 +49,7 @@ def test_drift_normalization_declassifies_host_slowdown(tmp_path, capsys):
     q_line = next(line for line in out.splitlines() if line.startswith("q "))
     assert q_line.endswith("~noise"), q_line
     assert "1.00x" in q_line  # drift-normalized ratio column
-    assert "drift-adj median_old): 0" in out
+    assert "drift-adj median_old, or paired rule): 0" in out
 
 
 def test_real_regression_still_flagged_under_stable_control(tmp_path, capsys):
@@ -201,7 +201,7 @@ def test_control2_preferred_over_hot_loop_control(tmp_path, capsys):
     out = capsys.readouterr().out
     assert "# control2: old 1.000s -> new 1.000s (host drift 1.00x)" in out
     assert "~noise" in out
-    assert "REGRESSED (min_new > drift-adj median_old): 0" in out
+    assert "REGRESSED (min_new > drift-adj median_old, or paired rule): 0" in out
 
 
 def test_control2_falls_back_to_control_for_v3_artifacts(tmp_path, capsys):
@@ -226,7 +226,7 @@ def test_control2_falls_back_to_control_for_v3_artifacts(tmp_path, capsys):
     out = capsys.readouterr().out
     assert "# control: old 1.000s -> new 1.500s" in out
     assert "~noise" in out
-    assert "REGRESSED (min_new > drift-adj median_old): 0" in out
+    assert "REGRESSED (min_new > drift-adj median_old, or paired rule): 0" in out
 
 
 def test_salvage_scopes_rows_per_control_block(tmp_path, capsys):
