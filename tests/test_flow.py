@@ -628,22 +628,28 @@ def test_web_corpus_refinement_flow(spark, sf_dir):
     """flows/examples/web_corpus_refinement.json: the RefinedWeb front end
     as one config-driven DAG — URL blocklist, HTML extraction, line-wise
     boilerplate removal, quality features, slim paragraph dedup, PII
-    scrub. Shape + semantics checks against direct library calls."""
+    scrub — extended r12 (r11 verdict #4) with fuzzy-pair keep-best
+    cluster collapse and the normalized span max_frac policy. Shape +
+    semantics checks against direct library calls."""
+    import json
+
     from pyspark.sql import functions as F
+
+    from tuktu_spark.llm import dedup as DD
+    from tuktu_spark.llm.decontaminate import decontaminate_spans_policy
 
     out = run_flow(
         spark, "flows/examples/web_corpus_refinement.json",
         params={"dir": sf_dir},
     )
-    df = out["pii"]
+    df = out["policy"]
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     n_all = docs.count()
     n_zz = docs.filter(F.col("lang") == "zz").count()
     got = df.count()
-    # the blocklist drops every zz-domain doc; slim paragraph dedup may
-    # additionally drop full-duplicate docs (every line seen before), so
-    # the bound is <= with a sanity floor
-    assert 0.9 * n_all <= got <= n_all - n_zz
+    # the blocklist drops every zz-domain doc; dedup/keep-best/policy may
+    # drop more, so the bound is <= with a nonempty floor
+    assert 0 < got <= n_all - n_zz
     zz_ids = {r["doc_id"] for r in docs.filter(F.col("lang") == "zz").collect()}
     kept_ids = {r["doc_id"] for r in df.select("doc_id").collect()}
     assert not (zz_ids & kept_ids)
@@ -652,6 +658,43 @@ def test_web_corpus_refinement_flow(spark, sf_dir):
     # the quality audit branch (fan-out leaf) carries the features
     qcols = out["quality"].columns
     assert "predicted_lang" in qcols and "n_tokens" in qcols
+
+    # semantics of the r12 tail: replay the front end up to the PII
+    # scrub (same spec truncated at "pii"), then compose the keep-best +
+    # span-policy stages from the library directly — the flow's policy
+    # leaf must match row-for-row
+    with open("flows/examples/web_corpus_refinement.json") as f:
+        spec = json.load(f)
+    spec["generators"] = [g for g in spec["generators"] if g["id"] != "evalsrc"]
+    tail_ids = {"score", "pairs", "keepbest", "policy", "evalslice"}
+    spec["processors"] = [
+        p for p in spec["processors"] if p["id"] not in tail_ids
+    ]
+    for p in spec["processors"]:
+        if p["id"] == "pii":
+            p["next"] = []
+    corpus = run_flow(spark, spec, params={"dir": sf_dir})["pii"]
+    feats = corpus.withColumn(
+        "n_tokens",
+        F.size(F.split(F.trim("clean"), r"\s+")),
+    )
+    pairs = DD.ngram_jaccard_pairs(
+        feats, "clean", "doc_id", 3, 0.5, distinct_content="auto"
+    )
+    kept = DD.keep_cluster_representatives(
+        feats, pairs, id_col="doc_id", score_col="n_tokens"
+    )
+    ev = docs.filter(F.col("doc_id") % 17 == 0)
+    want = decontaminate_spans_policy(
+        kept, ev, max_frac=0.5, corpus_text="clean", corpus_id="doc_id",
+        eval_text="text", n=13, normalize=True,
+    )
+    got_rows = {(r["doc_id"], r["clean"]) for r in df.collect()}
+    want_rows = {
+        (r["doc_id"], r["clean"])
+        for r in want.select("doc_id", "clean").collect()
+    }
+    assert got_rows == want_rows
 
 
 def test_tokenize_and_pack_flow(spark, sf_dir):

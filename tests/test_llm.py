@@ -3565,3 +3565,65 @@ class TestSpanPolicyAndStats:
             corpus, ev, max_frac=0.5, n=5, normalize=True
         )
         assert norm.count() == 0  # 5/7 > 0.5 -> dropped whole
+
+
+def test_normalized_spans_oracle_holds_on_mixed_case_corpus(spark):
+    """r12 (r11 advice): _DECON_SPANS_NORM_ORACLE used to match RAW
+    clean-token grams, so it agreed with the normalized implementation
+    only because the synthetic documents happen to be lowercase and
+    unpunctuated. The re-derived oracle encodes per-token normalization
+    itself (word expansion tagged with raw indices, variable-coverage
+    interval merge) — pin that by running BOTH sides on a deliberately
+    mixed-case, punctuated corpus (multi-word expansions included) that
+    the old oracle would mis-replay."""
+    import duckdb
+    import pandas as pd
+
+    from tuktu_spark.llm.decontaminate import _norm_text, decontaminate_spans
+    from tuktu_spark.queries.llm_dedup import _DECON_SPANS_NORM_ORACLE
+
+    from .oracle_utils import assert_frames_match
+
+    words = [
+        "Alpha", "bravo!", "Charlie,", "delta", "Echo-Fox", "golf",
+        "HOTEL", "india", "Juliet's", "kilo", "Lima", "mike?",
+        "November", "oscar", "PAPA", "quebec", "romeo;", "sierra",
+        "Tango", "uniform",
+    ]
+    rows = []
+    for did in range(34):
+        base = [words[(did * 7 + j) % len(words)] for j in range(20 + did % 5)]
+        if did % 17 == 0 or did % 5 == 3:
+            # eval docs and planted leaks share a 16-word run, so leaks
+            # contaminate non-eval docs through the query's own odd-id
+            # case/punctuation perturbation as well
+            base[2:18] = [words[j % len(words)] for j in range(16)]
+        rows.append((did, " ".join(base)))
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+
+    docs = spark.createDataFrame(pdf)
+    # guard against a future editor "simplifying" the fixture back into
+    # normalized form, which would make this test vacuous
+    assert docs.filter(_norm_text(F.col("text")) != F.col("text")).count() > 0
+
+    perturbed = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 2 == 1,
+            F.upper(F.regexp_replace("text", " ", ", ")),
+        ).otherwise(F.col("text")),
+    )
+    eval_set = docs.filter(F.col("doc_id") % 17 == 0).select("text")
+    got = decontaminate_spans(
+        perturbed, eval_set, n=13, normalize=True
+    ).toPandas()
+
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    want = con.execute(_DECON_SPANS_NORM_ORACLE).df()
+    con.close()
+
+    # something was actually cut (the planted 16-word runs exceed n=13)
+    assert len(want) < len(pdf)
+    assert len(got)
+    assert_frames_match(got, want, "normalized_spans_mixed_case")

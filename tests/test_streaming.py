@@ -1528,3 +1528,161 @@ def test_streaming_dsir_auto_compaction_scores_identical(spark, sf_dir, tmp_path
         }
 
     assert run(2) == run(None)
+
+
+def test_streaming_decontaminate_policy_matches_batch(spark, sf_dir, tmp_path):
+    """r12 (r11 verdict #4): the max_frac threshold policy in the stream —
+    union of per-batch outputs equals batch decontaminate_spans_policy
+    over the whole corpus (docs past the threshold dropped whole, the
+    rest span-cut), in both eval regimes (no-bloom cached/broadcast,
+    bloom prefiltered), replay-converging under compact_every, with the
+    release hook reachable on the returned query through the
+    auto_compacting wrapper (r11 advice)."""
+    from pyspark.sql import functions as F
+
+    import tuktu_spark.streaming as STR
+    from tuktu_spark.llm.decontaminate import (
+        build_gram_bloom,
+        decontaminate_spans,
+        decontaminate_spans_policy,
+        write_eval_gram_table,
+    )
+    from tuktu_spark.streaming.llm import streaming_decontaminate_spans_policy
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ev = docs.filter(F.col("doc_id") % 7 == 0).select("text")
+    grams_dir = str(tmp_path / "eval_grams")
+    write_eval_gram_table(ev, grams_dir, n=5)
+
+    want = {
+        (r["doc_id"], r["text"])
+        for r in decontaminate_spans_policy(
+            docs, ev, max_frac=0.5, n=5
+        ).collect()
+    }
+    spans_only = {
+        (r["doc_id"], r["text"])
+        for r in decontaminate_spans(docs, ev, n=5).collect()
+    }
+    # the threshold drop branch is exercised: some doc survives the span
+    # cut but exceeds max_frac and is dropped whole by the policy
+    assert want and want < spans_only
+
+    bloom = build_gram_bloom(ev, n=5, n_bits=1 << 14, k=3)
+    for tag, blm in (("nobloom", None), ("bloom", bloom)):
+        stage = str(tmp_path / f"stage_{tag}")
+        out = str(tmp_path / f"out_{tag}")
+        stream = STR.replay_dataframe(docs, stage, chunks=3, order_col="doc_id")
+        q = streaming_decontaminate_spans_policy(
+            stream, grams_dir, out, str(tmp_path / f"ckpt_{tag}"),
+            max_frac=0.5, bloom=blm, bloom_k=3, n=5, compact_every=2,
+        )
+        q.processAllAvailable()
+        q.stop()
+        got = {
+            (r["doc_id"], r["text"])
+            for r in spark.read.parquet(out).collect()
+        }
+        assert got == want, tag
+        # the release hook survives the auto_compacting wrapper and is
+        # reachable from the entry point's returned query
+        assert callable(q.unpersist_eval), tag
+        q.unpersist_eval()
+
+
+def test_auto_compacting_preserves_processor_attributes(spark):
+    """r11 advice: compact_every used to drop the inner processor's
+    attributes (unpersist_eval among them), pinning the cached eval
+    table for the session lifetime with no reachable release handle."""
+    from tuktu_spark.streaming.llm import auto_compacting
+
+    def proc(batch_df, batch_id):
+        pass
+
+    released = []
+    proc.unpersist_eval = lambda: released.append(True)
+
+    wrapped = auto_compacting(proc, spark, [], compact_every=3)
+    wrapped.unpersist_eval()
+    assert released == [True]
+    # compact_every=None returns the processor unchanged (identity)
+    assert auto_compacting(proc, spark, [], None) is proc
+
+
+def test_store_has_batches_warns_on_unexpected_layout(spark, tmp_path, caplog):
+    """r11 advice: a store partitioned with anything other than batch_id
+    OUTERMOST would silently never compact — the exact
+    silent-maintenance-disable failure mode the pre-check exists to
+    avoid. That layout now logs a WARNING; a genuinely empty store
+    stays a quiet skip."""
+    import logging
+
+    from tuktu_spark.streaming.llm import _store_has_batches
+
+    # nonexistent: False, no warning
+    with caplog.at_level(logging.WARNING, logger="tuktu_spark.streaming.llm"):
+        assert _store_has_batches(spark, str(tmp_path / "nope")) is False
+        assert not caplog.records
+
+        # empty dir (zero-row partitionBy write shape): False, no warning
+        empty = tmp_path / "empty"
+        empty.mkdir()
+        (empty / "_SUCCESS").touch()
+        assert _store_has_batches(spark, str(empty)) is False
+        assert not caplog.records
+
+        # batch_id partitions: True
+        good = tmp_path / "good"
+        (good / "batch_id=0").mkdir(parents=True)
+        assert _store_has_batches(spark, str(good)) is True
+        assert not caplog.records
+
+        # foreign partition layout: False + WARNING
+        odd = tmp_path / "odd"
+        (odd / "list_id=3").mkdir(parents=True)
+        assert _store_has_batches(spark, str(odd)) is False
+        assert any(
+            "NEVER be" in r.getMessage() for r in caplog.records
+        ), [r.getMessage() for r in caplog.records]
+
+
+def test_decontaminate_entry_points_expose_release_hook(spark, sf_dir, tmp_path):
+    """r11 advice: unpersist_eval is reachable from ALL THREE high-level
+    decontamination entry points (report / spans / policy), including
+    when compact_every wraps the processor, and calling it actually
+    releases the no-bloom regime's cached gram table."""
+    from pyspark.sql import functions as F
+
+    import tuktu_spark.streaming as STR
+    from tuktu_spark.llm.decontaminate import write_eval_gram_table
+    from tuktu_spark.streaming.llm import (
+        streaming_decontaminate,
+        streaming_decontaminate_spans,
+        streaming_decontaminate_spans_policy,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ev = docs.filter(F.col("doc_id") % 7 == 0).select("text")
+    grams_dir = str(tmp_path / "eval_grams")
+    write_eval_gram_table(ev, grams_dir, n=5)
+
+    entries = (
+        ("report", streaming_decontaminate, {}),
+        ("spans", streaming_decontaminate_spans, {}),
+        ("policy", streaming_decontaminate_spans_policy, {"max_frac": 0.5}),
+    )
+    for tag, entry, kw in entries:
+        stage = str(tmp_path / f"stage_{tag}")
+        stream = STR.replay_dataframe(
+            docs.limit(30), stage, chunks=2, order_col="doc_id"
+        )
+        q = entry(
+            stream, grams_dir, str(tmp_path / f"out_{tag}"),
+            str(tmp_path / f"ckpt_{tag}"), n=5, compact_every=2, **kw
+        )
+        q.processAllAvailable()
+        q.stop()
+        cached = q.unpersist_eval.__self__
+        assert cached.is_cached, tag
+        q.unpersist_eval()
+        assert not cached.is_cached, tag

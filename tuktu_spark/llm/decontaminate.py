@@ -742,13 +742,18 @@ def _span_totals(
 
 def decontaminate_spans_policy(
     corpus: DataFrame,
-    eval_set: DataFrame,
+    eval_set: "DataFrame | None",
     max_frac: float = 0.5,
     corpus_text: str = "text",
     corpus_id: str = "doc_id",
     eval_text: str = "text",
     n: int = 13,
     normalize: bool = False,
+    eval_grams: "DataFrame | None" = None,
+    bloom: "bytes | None" = None,
+    bloom_k: int = 7,
+    gram_filter=None,
+    broadcast_eval: "bool | None" = None,
 ) -> DataFrame:
     """The threshold POLICY over span decontamination (r11): a doc whose
     contaminated token fraction EXCEEDS ``max_frac`` is dropped whole —
@@ -766,10 +771,18 @@ def decontaminate_spans_policy(
     The interval table feeds BOTH the fraction filter and the rewrite;
     it is lazily localCheckpoint-ed so the positional gram pass — the
     corpus-scale cost — runs ONCE per action, not once per branch
-    (intervals are hits-sized, far below corpus scale)."""
+    (intervals are hits-sized, far below corpus scale).
+
+    Eval-side options (``eval_grams``/``bloom``/``gram_filter``/
+    ``broadcast_eval``) pass through to contaminated_span_intervals with
+    the same contract as contamination_span_stats — this is how the
+    streaming policy processor (streaming/llm.py, r11 verdict #4) runs
+    THIS function per micro-batch against a frozen stored gram table, so
+    batch and streaming policy share one code path and cannot
+    disagree."""
     iv = contaminated_span_intervals(
         corpus, eval_set, corpus_text, corpus_id, eval_text, n,
-        normalize=normalize,
+        eval_grams, bloom, bloom_k, gram_filter, broadcast_eval, normalize,
     ).localCheckpoint(eager=False)
     drops = (
         _span_totals(iv, corpus, corpus_text, corpus_id)

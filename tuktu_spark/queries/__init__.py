@@ -345,10 +345,27 @@ _VERIFIED_ROUND = {
 # green, so this round's edits cannot silently regress them.
 _TOUCHED = frozenset(
     {
-        # round 12 edits — populated as this round's code changes land;
-        # scoped to queries whose EXECUTED code changes (r11 lesson: a
-        # shared-helper edit on no driver query's path doesn't burn
-        # window slots — say so here when that applies).
+        # round 12 edits — scoped to queries whose EXECUTED code changed.
+        # (r12 note: the auto_compacting functools.wraps fix and the
+        # _store_has_batches layout WARNING are on NO driver query's path
+        # — no registry query passes compact_every; both are pinned by
+        # tests/test_streaming.py instead.)
+        #
+        # _DECON_SPANS_NORM_ORACLE re-derived to encode per-token
+        # normalization itself instead of assuming a normalization-
+        # invariant corpus (r11 advice) — both queries through it
+        # re-enter the window
+        "dedup_decontaminate_spans_normalized",
+        "streaming_decontaminate_spans_normalized_replay",
+        # decontaminate_spans_policy gained the eval-side passthrough
+        # (eval_grams/bloom/gram_filter/broadcast_eval) for the streaming
+        # processor — the batch policy query executes the changed function
+        "dedup_decontaminate_policy",
+        # streaming_decontaminate / streaming_decontaminate_spans entry
+        # points now attach the unpersist_eval release hook to the
+        # returned query (r11 advice) — the replay queries execute them
+        "streaming_decontaminate_replay",
+        "streaming_decontaminate_spans_replay",
     }
 )
 

@@ -740,43 +740,95 @@ def dedup_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate_spans(docs, eval_set, n=13)
 
 
-# Normalized span truth (r11): intervals computed over the CLEAN corpus
-# (the ", "-perturbation maps token 1:1, so raw positions are unchanged),
-# then the kept tokens re-perturbed token-by-token for the output — the
-# oracle is token-exact on the PERTURBED text the Spark side rewrites.
+# Normalized span truth (r11; oracle re-derived r12 per ADVICE): the
+# oracle now encodes the SAME semantics as the implementation instead of
+# assuming the testdata is normalization-invariant — it normalizes the
+# PERTURBED corpus per raw token (lower + non-letter/digit runs -> one
+# space, the GPT-3-family normalization _norm_text applies), expands each
+# raw token to its normalized words tagged with the raw index, matches
+# 13-WORD windows against whole-string-normalized grams of the CLEAN eval
+# docs (equal hash spaces by the same key identity the implementation
+# relies on), maps flagged windows back to raw-token intervals
+# [first_raw, last_raw+1), merges overlapping/abutting intervals with a
+# running-max fold (merge_intervals' exact contract), and re-emits the
+# kept PERTURBED tokens. On a mixed-case or punctuated corpus this oracle
+# and the implementation still agree; the old oracle only agreed because
+# the generator emits lowercase unpunctuated text.
 _DECON_SPANS_NORM_ORACLE = """
 WITH d AS (
   SELECT doc_id,
          list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS tk
   FROM documents
 ),
-g AS (
-  SELECT doc_id, CAST(r.i - 1 AS INT) AS start_idx,
-         array_to_string(list_slice(tk, r.i, r.i + 12), ' ') AS gram
-  FROM d, LATERAL (
-    SELECT unnest(range(1, greatest(len(tk) - 12, 0) + 1)) AS i
+pt AS (
+  SELECT doc_id, generate_subscripts(tk, 1) - 1 AS ri, unnest(tk) AS tok,
+         len(tk) AS nt
+  FROM d
+),
+ptok AS (
+  SELECT doc_id, ri, nt,
+         CASE WHEN doc_id % 2 = 1
+              THEN upper(tok) || CASE WHEN ri < nt - 1 THEN ',' ELSE '' END
+              ELSE tok END AS ptok
+  FROM pt
+),
+wl AS (
+  SELECT doc_id, ri,
+         list_filter(
+           string_split_regex(
+             regexp_replace(lower(ptok), '[^\\p{L}\\p{N}]+', ' ', 'g'), ' '),
+           x -> x <> '') AS ws
+  FROM ptok
+),
+w AS (
+  SELECT doc_id, ri, unnest(ws) AS word, generate_subscripts(ws, 1) AS wi
+  FROM wl
+),
+seq AS (
+  SELECT doc_id, list(word ORDER BY ri, wi) AS words,
+         list(ri ORDER BY ri, wi) AS rix
+  FROM w GROUP BY doc_id
+),
+wins AS (
+  SELECT doc_id,
+         array_to_string(list_slice(words, r.i, r.i + 12), ' ') AS gram,
+         rix[r.i] AS lo_raw, rix[r.i + 12] + 1 AS hi_ex
+  FROM seq, LATERAL (
+    SELECT unnest(range(1, greatest(len(words) - 12, 0) + 1)) AS i
   ) AS r
 ),
-ev AS (
-  SELECT DISTINCT gram FROM g WHERE doc_id % 17 = 0
+evg AS (
+  SELECT DISTINCT array_to_string(list_slice(ws, r.i, r.i + 12), ' ') AS gram
+  FROM (
+    SELECT list_filter(
+             string_split_regex(
+               regexp_replace(lower(text), '[^\\p{L}\\p{N}]+', ' ', 'g'), ' '),
+             x -> x <> '') AS ws
+    FROM documents WHERE doc_id % 17 = 0
+  ) e, LATERAL (
+    SELECT unnest(range(1, greatest(len(ws) - 12, 0) + 1)) AS i
+  ) AS r
 ),
-flagged AS (
-  SELECT g.doc_id, g.start_idx FROM g JOIN ev USING (gram)
+hit AS (
+  SELECT DISTINCT w.doc_id, w.lo_raw, w.hi_ex
+  FROM wins w JOIN evg USING (gram)
 ),
 brk AS (
-  SELECT doc_id, start_idx,
-         CASE WHEN start_idx
-                   - LAG(start_idx) OVER (PARTITION BY doc_id ORDER BY start_idx)
-                   > 13 THEN 1 ELSE 0 END AS b
-  FROM flagged
+  SELECT doc_id, lo_raw, hi_ex,
+         CASE WHEN lo_raw > COALESCE(MAX(hi_ex) OVER (
+                PARTITION BY doc_id ORDER BY lo_raw, hi_ex
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS b
+  FROM hit
 ),
 isl AS (
-  SELECT doc_id, start_idx,
-         SUM(b) OVER (PARTITION BY doc_id ORDER BY start_idx) AS island
+  SELECT doc_id, lo_raw, hi_ex,
+         SUM(b) OVER (PARTITION BY doc_id ORDER BY lo_raw, hi_ex
+                      ROWS UNBOUNDED PRECEDING) AS island
   FROM brk
 ),
 iv AS (
-  SELECT doc_id, MIN(start_idx) AS lo, MAX(start_idx) + 13 AS hi
+  SELECT doc_id, MIN(lo_raw) AS lo, MAX(hi_ex) AS hi
   FROM isl GROUP BY doc_id, island
 ),
 tok AS (

@@ -753,3 +753,45 @@ def streaming_decontaminate_spans_normalized_replay(
     q.processAllAvailable()
     q.stop()
     return spark.read.parquet(out_dir).select("doc_id", "text")
+
+
+from .llm_dedup import _DECON_POLICY_ORACLE  # noqa: E402
+
+
+@query(
+    "streaming_decontaminate_policy_replay",
+    oracle=_DECON_POLICY_ORACLE,
+    tags=("streaming", "llm", "dedup"),
+)
+def streaming_decontaminate_policy_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """r12 (r11 verdict #4): the max_frac threshold POLICY in the
+    stream — docs more than half contaminated drop whole, the rest are
+    span-cut — replayed in three micro-batches against a FROZEN gram
+    table. A doc's grams and token count live wholly in its own batch,
+    so the store union must hash-match the SAME oracle as the batch
+    policy query dedup_decontaminate_policy (intervals + fraction
+    filter + token rewrite, replayed token-exactly). Also exercises the
+    query-attached ``unpersist_eval`` release hook (r11 advice)."""
+    import os
+
+    from ..llm.decontaminate import write_eval_gram_table
+    from ..streaming.llm import streaming_decontaminate_spans_policy
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    eval_set = docs.filter(F.col("doc_id") % 17 == 0).select("text")
+    art = tempfile.mkdtemp(prefix="tuktu_deconpol_art_")
+    grams_dir = os.path.join(art, "eval_grams")
+    write_eval_gram_table(eval_set, grams_dir, n=13)
+    stage = tempfile.mkdtemp(prefix="tuktu_deconpol_replay_")
+    out_dir = tempfile.mkdtemp(prefix="tuktu_deconpol_out_")
+    ckpt = tempfile.mkdtemp(prefix="tuktu_deconpol_ckpt_")
+    stream = STR.replay_dataframe(docs, stage, chunks=3, order_col="doc_id")
+    q = streaming_decontaminate_spans_policy(
+        stream, grams_dir, out_dir, ckpt, max_frac=0.5, n=13
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.unpersist_eval()
+    return spark.read.parquet(out_dir).select("doc_id", "text")

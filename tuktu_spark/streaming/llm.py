@@ -25,6 +25,7 @@ batch pipeline; signatures alone cannot verify exactly.
 
 from __future__ import annotations
 
+import functools
 import logging
 import os
 
@@ -197,13 +198,20 @@ def auto_compacting(
     crash BETWEEN the compacted write and the folded-directory delete
     leaves duplicates that the NEXT compaction's full-row dropDuplicates
     removes — the same write-before-delete convergence contract as a
-    manual fold, stretched across one compaction interval."""
+    manual fold, stretched across one compaction interval.
+
+    The wrapped processor keeps the inner processor's attributes
+    (functools.wraps copies __dict__) — r11 advice: the decontamination
+    processors hang their cached eval table's release handle off
+    ``process.unpersist_eval``, and the compact_every wrapper used to
+    drop it, pinning the cache for the session lifetime."""
     if not compact_every:
         return process
     if keep_latest < 1:
         raise ValueError("auto_compacting requires keep_latest >= 1")
     every = int(compact_every)
 
+    @functools.wraps(process)
     def wrapped(batch_df: DataFrame, batch_id: int) -> None:
         process(batch_df, batch_id)
         if (int(batch_id) + 1) % every != 0:
@@ -243,7 +251,16 @@ def _store_has_batches(spark, store_dir: str) -> bool:
     level, so this is exactly the "is there anything to fold" predicate;
     a bare directory containing only a _SUCCESS marker (a zero-row
     partitionBy write) counts as not-yet-created. Hadoop FS API, so it
-    holds on local/HDFS/s3a alike."""
+    holds on local/HDFS/s3a alike.
+
+    Layout guard (r11 advice): every store this module compacts writes
+    ``partitionBy("batch_id", *extra)`` — batch_id OUTERMOST — so a
+    top-level ``something_else=*`` partition directory here means a
+    future store changed the layout without updating this predicate,
+    and compaction would silently never run for the stream's lifetime.
+    That shape logs a WARNING (and still returns False — compacting an
+    unexpected layout blind would be worse), distinct from the routine
+    INFO skip for a genuinely empty store."""
     jvm = spark._jvm
     hconf = spark._jsc.hadoopConfiguration()
     p = jvm.org.apache.hadoop.fs.Path(store_dir)
@@ -254,7 +271,20 @@ def _store_has_batches(spark, store_dir: str) -> bool:
         store_dir.rstrip("/") + "/batch_id=*"
     )
     matches = fs.globStatus(glob)
-    return matches is not None and len(matches) > 0
+    if matches is not None and len(matches) > 0:
+        return True
+    for st in fs.listStatus(p):
+        name = st.getPath().getName()
+        if st.isDirectory() and "=" in name:
+            _LOG.warning(
+                "auto_compacting: store %s has partition directories "
+                "(e.g. %s) but none named batch_id=* — the store is not "
+                "batch_id-outermost-partitioned and will NEVER be "
+                "auto-compacted by this stream",
+                store_dir, name,
+            )
+            break
+    return False
 
 
 def streaming_exact_dedup(
@@ -732,6 +762,117 @@ def make_decontaminate_spans_batch_processor(
     return process
 
 
+def make_decontaminate_spans_policy_batch_processor(
+    spark,
+    eval_grams_dir: str,
+    out_dir: str,
+    max_frac: float = 0.5,
+    bloom: "bytes | None" = None,
+    bloom_k: int = 7,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 13,
+    normalize: bool = False,
+):
+    """foreachBatch processor applying the ``max_frac`` threshold POLICY
+    (r11 verdict #4: the batch side had decontaminate_spans_policy, the
+    stream had no policy at all): per micro-batch, a doc whose
+    contaminated token fraction exceeds ``max_frac`` is dropped whole —
+    past some point the doc mostly IS eval content — while docs at or
+    under it are span-cut surgically; same store contract as the spans
+    processor (batch_id-partitioned, dynamic-overwrite replay
+    idempotency, src_batch provenance).
+
+    One code path with batch: each micro-batch runs
+    llm/decontaminate.decontaminate_spans_policy itself (the eval-side
+    passthrough added for exactly this), so the streaming policy cannot
+    drift from the batch policy — and since a doc's grams AND its token
+    count live wholly in its own micro-batch, the union of per-batch
+    outputs EQUALS the batch policy over the replayed corpus (pinned in
+    tests/test_streaming_llm.py and by the driver replay query
+    streaming_decontaminate_policy_replay). The per-batch lazy
+    localCheckpoint inside the policy keeps the batch's positional gram
+    pass single-run across the filter and rewrite branches; the
+    checkpointed interval RDD is hits-sized and released by the context
+    cleaner once the batch's reference drops.
+
+    Eval-side regimes exactly as make_decontaminate_spans_batch_processor:
+    no bloom = small-table regime (stored table cached at build +
+    broadcast-hinted; ``process.unpersist_eval()`` releases the cache),
+    bloom = beyond-broadcast regime (map-side prefilter, table
+    deliberately uncached, AQE sizes the verify join). The stored
+    table's (n, normalize) sidecar is validated up front — a mismatch
+    means disjoint hash spaces and a silently clean stream."""
+    from ..llm.decontaminate import (
+        bloom_might_contain_udf,
+        check_eval_gram_meta,
+        decontaminate_spans_policy,
+    )
+
+    check_eval_gram_meta(spark, eval_grams_dir, n, normalize=normalize)
+    eval_grams = spark.read.parquet(eval_grams_dir)
+    might = bloom_might_contain_udf(bloom, bloom_k) if bloom else None
+    if might is None:
+        eval_grams = eval_grams.cache()
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        clean = decontaminate_spans_policy(
+            batch_df, None, max_frac, text_col, id_col, n=n,
+            normalize=normalize, eval_grams=eval_grams, gram_filter=might,
+            broadcast_eval=might is None,
+        )
+        (
+            clean.withColumn("batch_id", F.lit(batch_id))
+            .withColumn("src_batch", F.lit(batch_id))
+            .write.mode("overwrite")
+            .options(partitionOverwriteMode="dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_dir)
+        )
+
+    process.unpersist_eval = eval_grams.unpersist
+    return process
+
+
+def streaming_decontaminate_spans_policy(
+    stream_df: DataFrame,
+    eval_grams_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    max_frac: float = 0.5,
+    bloom: "bytes | None" = None,
+    bloom_k: int = 7,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 13,
+    compact_every: int | None = None,
+    normalize: bool = False,
+):
+    """readStream -> per-batch max_frac span policy -> partitioned
+    parquet (see make_decontaminate_spans_policy_batch_processor).
+    The returned query carries ``unpersist_eval`` (r11 advice: the
+    cached eval table's release handle was unreachable from the
+    high-level entry points) — call it after awaitTermination to
+    release the no-bloom regime's cached gram table."""
+    proc = make_decontaminate_spans_policy_batch_processor(
+        stream_df.sparkSession, eval_grams_dir, out_dir, max_frac, bloom,
+        bloom_k, text_col, id_col, n, normalize,
+    )
+    proc = auto_compacting(
+        proc, stream_df.sparkSession, [(out_dir, ())], compact_every
+    )
+    query = (
+        stream_df.writeStream.foreachBatch(proc)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.unpersist_eval = proc.unpersist_eval
+    return query
+
+
 def streaming_decontaminate_spans(
     stream_df: DataFrame,
     eval_grams_dir: str,
@@ -758,12 +899,16 @@ def streaming_decontaminate_spans(
     proc = auto_compacting(
         proc, stream_df.sparkSession, [(out_dir, ())], compact_every
     )
-    return (
+    query = (
         stream_df.writeStream.foreachBatch(proc)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
     )
+    # r11 advice: the cached eval table's release handle must be
+    # reachable from the entry point, not only from the raw processor
+    query.unpersist_eval = proc.unpersist_eval
+    return query
 
 
 def streaming_decontaminate(
@@ -791,12 +936,16 @@ def streaming_decontaminate(
     proc = auto_compacting(
         proc, stream_df.sparkSession, [(out_dir, ())], compact_every
     )
-    return (
+    query = (
         stream_df.writeStream.foreachBatch(proc)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
     )
+    # r11 advice: the cached eval table's release handle must be
+    # reachable from the entry point, not only from the raw processor
+    query.unpersist_eval = proc.unpersist_eval
+    return query
 
 
 def make_media_dedup_batch_processor(
