@@ -7,6 +7,17 @@ joins, cartesian products (never acceptable), scan-level filter pushdown
 and whole-stage codegen coverage.
 
 Usage: python scripts/plan_audit.py [sf_dir]
+       python scripts/plan_audit.py --all [sf_dir]
+
+``--all`` (r11 verdict #7, the full-registry guard): explain EVERY
+registry query — not just the bench set — and enforce two invariants:
+CartesianProduct count is zero everywhere, and every query whose plan
+contains a BroadcastNestedLoopJoin is on BNLJ_ALLOWLIST with a written
+scalar/query-size justification. A stray cartesian or an unadjudicated
+bnlj anywhere in the registry fails the run (exit 1) instead of shipping
+unnoticed; the findings and the allowlist are appended to PLAN_AUDIT.md.
+Also runnable as an opt-in pytest (tests/test_plan_guard.py,
+SPARK_GRAFT_PLAN_GUARD=1).
 """
 
 from __future__ import annotations
@@ -111,7 +122,158 @@ def audit(plan: str) -> dict:
     }
 
 
+# Every registry query whose physical plan may contain a
+# BroadcastNestedLoopJoin, with the scalar/query-size justification that
+# makes it acceptable at 100 TB (the broadcast side is O(1) or O(query)
+# by construction, never corpus-shaped). --all fails on any bnlj from a
+# query NOT listed here. Justifications are rendered into PLAN_AUDIT.md.
+BNLJ_ALLOWLIST: "dict[str, str]" = {
+    "approx_sketch_accuracy": (
+        "two 1-row aggregate tables crossJoined to compare exact vs "
+        "sketch totals (queries/relational.py: exact.crossJoin(approx))"
+    ),
+    "dedup_edit_distance": (
+        "two scalar broadcasts in the Ed-Join pipeline: the rare-gram "
+        "document-frequency cutoff and the candidate total — both 1-row "
+        "aggregates (llm/dedup.py Ed-Join; r8 plan read)"
+    ),
+    "dedup_edit_distance_skew": (
+        "same two scalar broadcasts as dedup_edit_distance on the "
+        "skew-stress corpus"
+    ),
+    "dedup_ngram_jaccard_skew": (
+        "the 16-row mirror copy generator and the MAX(doc_id)+1 offset "
+        "scalar — both broadcast-scalar by construction "
+        "(queries/llm_dedup.py:225-244; r11 plan read + r12 A/B in "
+        "SCALE.md)"
+    ),
+    "dedup_semantic_decontam": (
+        "eval-side embedding table broadcast into the non-equi cosine "
+        "threshold join — eval suites are small by definition (the same "
+        "size assumption the broadcast decontamination regime documents)"
+    ),
+    "join_range_bands": (
+        "the bands table is a small dimension joined on a range "
+        "predicate (non-equi joins cannot hash-partition); broadcast of "
+        "the dim is exactly the wanted plan at any corpus scale"
+    ),
+    "ml_kmeans_cluster_sizes": (
+        "1-row SSE/total aggregate crossJoined onto the cluster-size "
+        "table (queries/ml.py:259,297)"
+    ),
+    "ml_logreg_accuracy": (
+        "1-row correct/total aggregate attach — accuracy is a scalar"
+    ),
+    "ml_normalize_zscore": (
+        "global mean/std 1-row stats broadcast onto every row "
+        "(ml/features.py:26) — the standard scalar-stats attach"
+    ),
+    "nlp_bm25_search": (
+        "corpus-level scalar stats (N, avgdl) and the query-term set — "
+        "both O(1)/O(query terms), never corpus-shaped "
+        "(llm/ngram_lm.py BM25)"
+    ),
+    "nlp_bm25_top": "same scalar BM25 stats attach as nlp_bm25_search",
+    "nlp_nbsvm_ratios": (
+        "1-row class-total table broadcast into the log-count ratio "
+        "(ml/nbsvm.py:62)"
+    ),
+    "nlp_shorttext_accuracy": (
+        "1-row correct/total aggregate attach — accuracy is a scalar"
+    ),
+    "nlp_tfidf_top": (
+        "1-row corpus document count broadcast into the IDF term "
+        "(ml/nlp.py:102)"
+    ),
+    "similarity_topk_bruteforce": (
+        "the broadcast side is the QUERY rows (k vectors) in the "
+        "brute-force baseline — query-row-sized by construction; the "
+        "scale path is the IVF/PQ family, not this oracle role"
+    ),
+    "text_language_id_ngram": (
+        "1-row language-count scalar broadcast onto per-doc scores "
+        "(llm/text.py:320); the n-gram profile side is a fixed "
+        "languages-sized dim"
+    ),
+}
+
+
+def guard_all(spark, sf_dir: str) -> int:
+    """The --all mode body: audit every registry query's plan, enforce
+    cartesian == 0 and bnlj ⊆ allowlist, append findings to PLAN_AUDIT.md.
+    Returns a process exit code."""
+    reg = load_all()
+    rows: "list[tuple[str, dict]]" = []
+    for name, qd in sorted(reg.items()):
+        try:
+            df = qd.fn(spark, sf_dir)
+            rows.append((name, audit(plan_of(df))))
+        except Exception as e:  # pragma: no cover - audit tool
+            rows.append((name, {"error": str(e).splitlines()[0]}))
+
+    carts = [n for n, a in rows if a.get("cartesian")]
+    errors = [(n, a["error"]) for n, a in rows if "error" in a]
+    bnlj_rows = [(n, a["bnlj"]) for n, a in rows if a.get("bnlj")]
+    rogue = [n for n, _ in bnlj_rows if n not in BNLJ_ALLOWLIST]
+    stale_allow = sorted(set(BNLJ_ALLOWLIST) - {n for n, _ in bnlj_rows})
+
+    out = [
+        "",
+        "## Full-registry cartesian/bnlj guard (`--all`)",
+        "",
+        f"All {len(rows)} registry queries explained at `{sf_dir}`"
+        " (r11 verdict #7 — the per-query pins in tests/test_plans.py"
+        " cover specific pipelines; this guard covers EVERYTHING the"
+        " driver can run).",
+        "",
+        f"- CartesianProduct: {'0 everywhere' if not carts else 'FOUND in ' + ', '.join(carts)}",
+        f"- build errors: {len(errors)}"
+        + (" — " + "; ".join(f"{n}: {e}" for n, e in errors) if errors else ""),
+        f"- BroadcastNestedLoopJoin: {len(bnlj_rows)} queries, all "
+        "allowlisted below" if not rogue else
+        f"- BroadcastNestedLoopJoin: UNADJUDICATED in {', '.join(rogue)}",
+        "",
+        "| query | bnlj | why the broadcast side is scalar/query-sized |",
+        "|---|---|---|",
+    ]
+    for n, k in sorted(bnlj_rows):
+        out.append(f"| {n} | {k} | {BNLJ_ALLOWLIST.get(n, 'NOT ALLOWLISTED')} |")
+    if stale_allow:
+        out += ["", f"Allowlist entries with no bnlj in today's plans "
+                    f"(kept for plan-shape drift tolerance): "
+                    f"{', '.join(stale_allow)}."]
+    out.append("")
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "PLAN_AUDIT.md",
+    )
+    with open(path, encoding="utf-8") as f:
+        existing = f.read()
+    marker = "\n## Full-registry cartesian/bnlj guard"
+    if marker in existing:
+        existing = existing[: existing.index(marker)].rstrip() + "\n"
+    with open(path, "w", encoding="utf-8") as f:
+        f.write(existing + "\n".join(out))
+
+    ok = not carts and not rogue and not errors
+    print(
+        f"guard --all: {len(rows)} queries; cartesian={len(carts)}; "
+        f"bnlj queries={len(bnlj_rows)} (rogue={len(rogue)}); "
+        f"errors={len(errors)} -> {'OK' if ok else 'FAIL'}"
+    )
+    return 0 if ok else 1
+
+
 def main() -> None:
+    args = [a for a in sys.argv[1:] if a != "--all"]
+    if "--all" in sys.argv[1:]:
+        sf_dir = args[0] if args else os.environ.get(
+            "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"
+        )
+        spark = get_spark(app_name="plan-audit-all")
+        spark.sparkContext.setLogLevel("ERROR")
+        sys.exit(guard_all(spark, sf_dir))
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"
     )
