@@ -226,12 +226,25 @@ def main(old_path: str, new_path: str) -> int:
             and omax is not None
             and nmin > omax
         )
-        if nmin is not None and nmin > om_adj:
+        # Raw-worse AND min-worse are NECESSARY for any REGRESSED verdict
+        # (r12): when the host speeds up far more than the workload
+        # (controls over-track host swings — SCALE.md r11; measured r12:
+        # control2 0.59x vs workload 0.81x), om_adj collapses below even
+        # an IMPROVED query's min and the min-rule mass-flags raw-faster
+        # queries. "Didn't keep up with the control" is not a regression:
+        # the gate fires only when the new median is slower raw AND the
+        # new MIN cleared the old min — bench.py's own documented reading
+        # ("a regression whose MIN also moved is real; one visible only
+        # in median/max is noise").
+        min_worse = omin is None or (nmin is not None and nmin > omin)
+        if ratio > 1 and min_worse and nmin is not None and nmin > om_adj:
             verdict, n_reg = "REGRESSED", n_reg + 1
         elif paired:
             verdict, n_reg = "REGRESSED(paired)", n_reg + 1
         elif nmax is not None and nmax < om_adj:
             verdict = "IMPROVED"
+        elif ratio <= 1 and nmin is not None and nmin > om_adj:
+            verdict = "~noise (lagged control)"
         else:
             verdict = "~noise"
         norm_col = f"  {ratio / drift:>5.2f}x" if drift is not None else ""

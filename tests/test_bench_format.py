@@ -177,3 +177,51 @@ def test_paired_rule_flags_regression_hidden_by_fast_old_host(tmp_path, capsys):
     q_line = next(line for line in out2.splitlines() if line.startswith("q "))
     assert q_line.endswith("~noise"), q_line
     assert "or paired rule): 0" in out2
+
+
+def test_raw_faster_query_never_flagged_regressed(tmp_path, capsys):
+    """r12: when the control speeds up far more than the workload (the
+    over-tracking SCALE.md documents; measured r12: control2 0.59x vs
+    workload 0.81x), the drift-adjusted old median collapses below even
+    an improved query's min — the min-rule used to mass-flag raw-FASTER
+    queries as REGRESSED. Raw-worse is now necessary for any REGRESSED
+    verdict; the lagged-control case is labeled distinctly."""
+    import importlib.util as ilu
+
+    bd_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "scripts", "bench_diff.py",
+    )
+    spec = ilu.spec_from_file_location("bench_diff_rawfaster", bd_path)
+    bd = ilu.module_from_spec(spec)
+    spec.loader.exec_module(bd)
+
+    def artifact(name, qmed, qmin, qmax, cmed):
+        doc = {
+            "queries": {"q": qmed},
+            "spread": {"q": {"min": qmin, "max": qmax, "runs": 5}},
+            "control2": {"median": cmed, "rows": 200_000_000},
+            "sf": 0.1,
+        }
+        p = tmp_path / name
+        p.write_text(json.dumps({"parsed": doc}))
+        return str(p)
+
+    # host 1.7x faster (control2 1.0 -> 0.59); query 1.2x faster raw
+    # (1.0 -> 0.83, min 0.80 > om_adj 0.59): lagged the control but
+    # IMPROVED in absolute terms — must not count as a regression
+    old = artifact("old.json", 1.0, 0.95, 1.1, 1.0)
+    new = artifact("new.json", 0.83, 0.80, 0.90, 0.59)
+    assert bd.main(old, new) == 0
+    out = capsys.readouterr().out
+    q_line = next(line for line in out.splitlines() if line.startswith("q "))
+    assert q_line.endswith("~noise (lagged control)"), q_line
+    assert "or paired rule): 0" in out
+
+    # the same shape with the query actually SLOWER raw stays REGRESSED
+    old2 = artifact("old2.json", 1.0, 0.95, 1.1, 1.0)
+    new2 = artifact("new2.json", 1.3, 1.25, 1.4, 1.0)
+    assert bd.main(old2, new2) == 0
+    out2 = capsys.readouterr().out
+    q2 = next(line for line in out2.splitlines() if line.startswith("q "))
+    assert q2.endswith("REGRESSED"), q2
