@@ -714,3 +714,127 @@ def test_tokenize_and_pack_flow(spark, sf_dir):
         c = cum.get(r["lang"], 0) + r["n_tokens"]
         cum[r["lang"]] = c
         assert r["chunk_id"] == (c - 1) // 512, r
+
+
+def test_streaming_decontaminate_lifecycle_flow(spark, sf_dir, tmp_path_factory):
+    """flows/examples/streaming_decontaminate_lifecycle.json (r12): the
+    frozen eval gram artifact is written IN the DAG (write_eval_grams,
+    wired as the ingest nodes' second input so the artifact-write
+    orders before the first batch), then two sequential micro-batches
+    of the max_frac span-policy store — the union of the batch
+    partitions must equal the whole-corpus batch
+    decontaminate_spans_policy, and the in-flow compaction (every 2
+    batches) must have folded batch 0."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from tuktu_spark.llm.decontaminate import decontaminate_spans_policy
+
+    base = tmp_path_factory.mktemp("decon_lifecycle")
+    grams_dir = str(base / "eval_grams")
+    out_dir = str(base / "out")
+    out = run_flow(
+        spark, "flows/examples/streaming_decontaminate_lifecycle.json",
+        params={
+            "dir": sf_dir, "grams_dir": grams_dir, "out_dir": out_dir,
+            "eval_mod": "7", "n": "5",
+        },
+    )
+    # passthrough leaf carries the full piped corpus
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    assert out["ingest1"].count() == docs.count()
+
+    ev = docs.filter(F.col("doc_id") % 7 == 0).select("text")
+    want = {
+        (r["doc_id"], r["text"])
+        for r in decontaminate_spans_policy(
+            docs, ev, max_frac=0.5, n=5
+        ).collect()
+    }
+    got = {
+        (r["doc_id"], r["text"])
+        for r in spark.read.parquet(out_dir).select("doc_id", "text").collect()
+    }
+    assert want and got == want
+    # compact_every=2 fired after batch 1: batch 0 folded into the
+    # compacted partition, batch 1 (newest) kept real
+    batches = {p for p in os.listdir(out_dir) if p.startswith("batch_id=")}
+    assert batches == {"batch_id=-1", "batch_id=1"}, batches
+
+
+def test_decontaminate_ingest_batch_modes_and_validation(
+    spark, sf_dir, tmp_path
+):
+    """The decontaminate_ingest_batch flow op: report and spans modes
+    against the same frozen artifact match the batch library truth;
+    bloom_path engages the prefilter regime without changing results;
+    statically-detectable config errors fail at op build, not mid-DAG."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    import tuktu_spark.operators.llm_ops  # noqa: F401 - registers ops
+    from tuktu_spark.operators.registry import OPERATORS
+    from tuktu_spark.llm.decontaminate import (
+        build_gram_bloom,
+        contamination_report,
+        decontaminate_spans,
+        save_gram_bloom,
+        write_eval_gram_table,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    ev = docs.filter(F.col("doc_id") % 7 == 0).select("text")
+    grams_dir = str(tmp_path / "grams")
+    write_eval_gram_table(ev, grams_dir, n=5)
+    bloom_path = save_gram_bloom(
+        build_gram_bloom(ev, n=5, n_bits=1 << 14, k=3),
+        str(tmp_path / "bloom"), k=3, n=5,
+    )
+
+    make = OPERATORS["decontaminate_ingest_batch"]
+
+    want_report = {
+        (r["doc_id"], r["n_matched_grams"])
+        for r in contamination_report(docs, ev, n=5).collect()
+    }
+    for tag, extra in (("plain", {}), ("bloom", {"bloom_path": bloom_path})):
+        out_dir = str(tmp_path / f"rep_{tag}")
+        t = make({
+            "eval_grams_dir": grams_dir, "out_dir": out_dir, "n": 5,
+            "mode": "report", **extra,
+        })
+        assert t(docs) is docs  # passthrough
+        got = {
+            (r["doc_id"], r["n_matched_grams"])
+            for r in spark.read.parquet(out_dir).collect()
+        }
+        assert got == want_report, tag
+
+    out_dir = str(tmp_path / "spans")
+    t = make({
+        "eval_grams_dir": grams_dir, "out_dir": out_dir, "n": 5,
+        "mode": "spans",
+    })
+    t(docs)
+    want_spans = {
+        (r["doc_id"], r["text"])
+        for r in decontaminate_spans(docs, ev, n=5).collect()
+    }
+    got_spans = {
+        (r["doc_id"], r["text"])
+        for r in spark.read.parquet(out_dir).select("doc_id", "text").collect()
+    }
+    assert got_spans == want_spans
+
+    with _pytest.raises(ValueError, match="report|spans|policy"):
+        make({"eval_grams_dir": grams_dir, "out_dir": "x", "mode": "nope"})
+    with _pytest.raises(ValueError, match="max_frac"):
+        make({
+            "eval_grams_dir": grams_dir, "out_dir": "x",
+            "mode": "spans", "max_frac": 0.5,
+        })

@@ -658,6 +658,118 @@ def ann_topk_from_index(config: dict):
     return transform
 
 
+@operator("write_eval_grams")
+def write_eval_grams(config: dict):
+    """Materialize the FROZEN distinct eval gram-hash table from the
+    piped eval DataFrame (llm/decontaminate.write_eval_gram_table — the
+    build-once artifact every incremental/streaming decontamination
+    reads), flow-reachable so a lifecycle flow can version its eval
+    artifacts in the same config DAG that consumes them. Passthrough:
+    returns the input unchanged; downstream decontaminate_ingest_batch
+    nodes take this node as their second input purely as the DAG edge
+    that orders the artifact write before the first batch. config:
+    {path, text_field, n, normalize}."""
+    from ..llm.decontaminate import write_eval_gram_table
+
+    def transform(df: DataFrame) -> DataFrame:
+        write_eval_gram_table(
+            df, config["path"],
+            text_col=config.get("text_field", "text"),
+            n=int(config.get("n", 13)),
+            normalize=bool(config.get("normalize", False)),
+        )
+        return df
+
+    return transform
+
+
+@operator("decontaminate_ingest_batch")
+def decontaminate_ingest_batch(config: dict):
+    """One micro-batch of STREAMING decontamination against frozen eval
+    gram artifacts, flow-reachable (the decontamination twin of
+    dedup_ingest_batch / ann_ingest_batch — r12, closing the lifecycle
+    gap: the report/spans/policy processors existed but no config DAG
+    could run them). The piped documents' ``where`` slice runs through
+    the chosen processor (streaming/llm.make_decontaminate_*): mode
+    'report' writes per-doc (doc_id, n_matched_grams) rows, 'spans'
+    writes the span-cut rewrite, 'policy' additionally drops docs more
+    than ``max_frac`` contaminated — all to the batch_id-partitioned
+    ``out_dir`` with the dynamic-overwrite replay contract. Passthrough:
+    returns the FULL input so a flow chains further batches; an optional
+    SECOND input is accepted and ignored data-wise — wire the
+    write_eval_grams node there to make the artifact-write-then-ingest
+    ordering an explicit DAG edge instead of a declaration-order
+    accident. ``bloom_path`` loads a saved gram bloom (n/normalize
+    metadata cross-checked — disjoint hash spaces fail loudly) for the
+    beyond-broadcast regime; without it the stored table is cached +
+    broadcast-hinted for the batch and released right after (each flow
+    node is self-contained; a long-lived stream keeps the cache and
+    exposes unpersist_eval instead). ``compact_every``/``keep_latest``
+    fold the store in-flow exactly as the other ingest ops. config:
+    {eval_grams_dir, out_dir, batch_id, where, mode, max_frac, n,
+    normalize, bloom_path, text_field, id_field, compact_every,
+    keep_latest}."""
+    from ..streaming.llm import (
+        auto_compacting,
+        make_decontaminate_batch_processor,
+        make_decontaminate_spans_batch_processor,
+        make_decontaminate_spans_policy_batch_processor,
+    )
+
+    mode = config.get("mode", "report")
+    if mode not in ("report", "spans", "policy"):
+        raise ValueError(
+            f"decontaminate_ingest_batch mode must be report|spans|policy, "
+            f"got {mode!r}"
+        )
+    if config.get("max_frac") is not None and mode != "policy":
+        raise ValueError(
+            "max_frac is the mode='policy' threshold; with "
+            f"mode={mode!r} it would be silently ignored"
+        )
+
+    def transform(df: DataFrame, _artifact_gate: DataFrame | None = None) -> DataFrame:
+        n = int(config.get("n", 13))
+        normalize = bool(config.get("normalize", False))
+        bloom, bloom_k = None, 7
+        if config.get("bloom_path"):
+            from ..llm.decontaminate import load_gram_bloom
+
+            bloom, bloom_k = load_gram_bloom(
+                config["bloom_path"], expect_n=n, expect_normalize=normalize
+            )
+        common = (
+            df.sparkSession, config["eval_grams_dir"], config["out_dir"],
+        )
+        tail = (
+            bloom, bloom_k,
+            config.get("text_field", "text"),
+            config.get("id_field", "doc_id"),
+            n, normalize,
+        )
+        if mode == "report":
+            proc = make_decontaminate_batch_processor(*common, *tail)
+        elif mode == "spans":
+            proc = make_decontaminate_spans_batch_processor(*common, *tail)
+        else:
+            proc = make_decontaminate_spans_policy_batch_processor(
+                *common, float(config.get("max_frac", 0.5)), *tail
+            )
+        proc = auto_compacting(
+            proc, df.sparkSession, [(config["out_dir"], ())],
+            config.get("compact_every"),
+            keep_latest=int(config.get("keep_latest", 1)),
+        )
+        batch = df.filter(config["where"]) if config.get("where") else df
+        try:
+            proc(batch, int(config.get("batch_id", 0)))
+        finally:
+            proc.unpersist_eval()
+        return df
+
+    return transform
+
+
 @operator("ann_ingest_batch")
 def ann_ingest_batch(config: dict):
     """One micro-batch of STREAMING ANN-index ingestion, flow-reachable:
