@@ -3627,3 +3627,118 @@ def test_normalized_spans_oracle_holds_on_mixed_case_corpus(spark):
     assert len(want) < len(pdf)
     assert len(got)
     assert_frames_match(got, want, "normalized_spans_mixed_case")
+
+
+class TestContaminationAttribution:
+    def test_matches_python_reference_and_report(self, spark, sf_dir):
+        """contamination_attribution (r12): per-(doc, eval) shared-gram
+        counts against a plain Python reference over the whole sf
+        corpus, plus the consistency invariant with
+        contamination_report (same contaminated-doc set; a doc's
+        distinct matched grams across ALL eval docs equals the report's
+        count)."""
+        from tuktu_spark.llm.decontaminate import (
+            contamination_attribution,
+            contamination_report,
+        )
+
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        ev = docs.filter(F.col("doc_id") % 7 == 0).select(
+            F.col("doc_id").alias("eval_id"), "text"
+        )
+        got = {
+            (r["doc_id"], r["eval_id"]): r["n_shared_grams"]
+            for r in contamination_attribution(docs, ev, n=5).collect()
+        }
+
+        def grams(text, n=5):
+            tk = text.split()
+            return {" ".join(tk[i : i + n]) for i in range(len(tk) - n + 1)}
+
+        rows = [(r["doc_id"], r["text"]) for r in docs.collect()]
+        evrows = [(d, grams(t)) for d, t in rows if d % 7 == 0]
+        want = {}
+        for d, t in rows:
+            g = grams(t)
+            for eid, eg in evrows:
+                shared = len(g & eg)
+                if shared:
+                    want[(d, eid)] = shared
+        assert want and got == want
+
+        report = {
+            r["doc_id"]: r["n_matched_grams"]
+            for r in contamination_report(
+                docs, ev.select("text"), n=5
+            ).collect()
+        }
+        assert {d for d, _ in got} == set(report)
+        for d in report:
+            g = grams(dict(rows)[d])
+            all_eval = set().union(*(eg for _, eg in evrows))
+            assert report[d] == len(g & all_eval)
+
+    def test_suite_granularity_and_normalize(self, spark, sf_dir):
+        """A suite column passed as eval_id attributes per-suite, and
+        normalize=True finds attribution through the standard
+        case/punctuation perturbation."""
+        from tuktu_spark.llm.decontaminate import contamination_attribution
+
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        ev = docs.filter(F.col("doc_id") % 7 == 0).select(
+            F.when(F.col("doc_id") % 14 == 0, F.lit("suite_even"))
+            .otherwise(F.lit("suite_odd"))
+            .alias("suite"),
+            "text",
+        )
+        by_suite = contamination_attribution(
+            docs, ev, eval_id="suite", n=5
+        )
+        suites = {r["suite"] for r in by_suite.select("suite").distinct().collect()}
+        assert suites == {"suite_even", "suite_odd"}
+
+        perturbed = docs.withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 2 == 1,
+                F.upper(F.regexp_replace("text", " ", ", ")),
+            ).otherwise(F.col("text")),
+        )
+        raw = contamination_attribution(
+            perturbed, ev, eval_id="suite", n=5
+        )
+        norm = contamination_attribution(
+            perturbed, ev, eval_id="suite", n=5, normalize=True
+        )
+        # the perturbation hides odd-id leaks from raw matching; the
+        # normalized run must recover the clean corpus' attribution
+        clean = {
+            (r["doc_id"], r["suite"], r["n_shared_grams"])
+            for r in by_suite.collect()
+        }
+        got_norm = {
+            (r["doc_id"], r["suite"], r["n_shared_grams"])
+            for r in norm.collect()
+        }
+        assert got_norm == clean
+        assert raw.filter(F.col("doc_id") % 2 == 1).count() < len(
+            {x for x in clean if x[0] % 2 == 1}
+        )
+
+    def test_flow_op_two_inputs(self, spark, sf_dir):
+        import tuktu_spark.operators.llm_ops  # noqa: F401
+
+        from tuktu_spark.operators.registry import OPERATORS
+
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        ev = docs.filter(F.col("doc_id") % 7 == 0).select(
+            F.col("doc_id").alias("eval_id"), "text"
+        )
+        t = OPERATORS["contamination_attribution"]({"n": 5})
+        out = t(docs, ev)
+        assert set(out.columns) == {"doc_id", "eval_id", "n_shared_grams"}
+        assert out.count() > 0
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="eval_set"):
+            t(docs)

@@ -80,6 +80,44 @@ def contamination_report(
     )
 
 
+def contamination_attribution(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    corpus_text: str = "text",
+    corpus_id: str = "doc_id",
+    eval_text: str = "text",
+    eval_id: str = "eval_id",
+    n: int = 13,
+    normalize: bool = False,
+) -> DataFrame:
+    """(doc_id, eval_id, n_shared_grams) — WHICH eval example (or suite)
+    each contaminated corpus doc leaks, not just that it leaks (r12).
+    contamination_report collapses the eval side to an anonymous gram
+    set; real decontamination reporting is per-benchmark (the GPT-3
+    appendix-C style overlap tables are per-task), and the per-suite
+    view is what decides "drop this doc for GSM8K but it's clean for
+    MMLU". Pass a SUITE column as ``eval_id`` to attribute at suite
+    granularity directly.
+
+    Scale shape: the eval side still broadcasts (it now carries eval_id
+    per distinct (eval_id, gram) row — a small constant factor over the
+    anonymous set, same eval-sized ceiling and the same bloom/stored-
+    table escape hatch applies upstream); the corpus pays the one gram
+    scan, zero-overlap docs never leave the map stage, and the final
+    groupBy shuffles only the HITS (doc x eval x gram matches), never
+    the corpus."""
+    eval_grams = _gram_table(
+        eval_set, eval_text, eval_id, n, "gram", normalize
+    ).distinct()
+    corpus_grams = _gram_table(
+        corpus, corpus_text, corpus_id, n, "gram", normalize
+    )
+    hits = corpus_grams.join(F.broadcast(eval_grams), "gram")
+    return hits.groupBy(corpus_id, eval_id).agg(
+        F.count_distinct("gram").alias("n_shared_grams")
+    )
+
+
 def decontaminate(
     corpus: DataFrame,
     eval_set: DataFrame,

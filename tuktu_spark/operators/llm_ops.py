@@ -102,6 +102,39 @@ def text_features(config: dict):
     return lambda df: T.with_text_features(df, text_col)
 
 
+@operator("contamination_attribution")
+def contamination_attribution_op(config: dict):
+    """Per-eval-example (or per-suite) contamination attribution (r12):
+    (corpus, eval_set) inputs -> (doc_id, eval_id, n_shared_grams) —
+    WHICH benchmark each contaminated doc leaks, the per-task overlap
+    view decontamination reports are actually written in. Pass a suite
+    column as eval_id_field to attribute at suite granularity. config:
+    {text_field, id_field, eval_text_field, eval_id_field, n,
+    normalize}."""
+    from ..llm import decontaminate as DC
+
+    def transform(
+        corpus: DataFrame, eval_set: DataFrame | None = None
+    ) -> DataFrame:
+        if eval_set is None:
+            raise ValueError(
+                "contamination_attribution needs (corpus, eval_set) inputs"
+            )
+        return DC.contamination_attribution(
+            corpus, eval_set,
+            corpus_text=config.get("text_field", "text"),
+            corpus_id=config.get("id_field", "doc_id"),
+            eval_text=config.get(
+                "eval_text_field", config.get("text_field", "text")
+            ),
+            eval_id=config.get("eval_id_field", "eval_id"),
+            n=int(config.get("n", 13)),
+            normalize=bool(config.get("normalize", False)),
+        )
+
+    return transform
+
+
 @operator("decontaminate")
 def decontaminate_op(config: dict):
     """Benchmark decontamination (merger takes (corpus, eval_set) inputs

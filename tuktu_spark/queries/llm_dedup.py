@@ -629,6 +629,43 @@ GROUP BY c.doc_id
 """
 
 
+_DECON_ATTR_ORACLE = """
+WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+corpus_grams AS (
+  SELECT DISTINCT doc_id, array_to_string(list_slice(t, CAST(g.i AS INT), CAST(g.i AS INT) + 12), ' ') AS gram
+  FROM tk, UNNEST(generate_series(1, len(t) - 12)) AS g(i)
+),
+eval_grams AS (
+  SELECT DISTINCT doc_id AS eval_id, gram FROM corpus_grams WHERE doc_id % 17 = 0
+)
+SELECT c.doc_id, e.eval_id, COUNT(DISTINCT c.gram) AS n_shared_grams
+FROM corpus_grams c JOIN eval_grams e USING (gram)
+GROUP BY c.doc_id, e.eval_id
+"""
+
+
+@query(
+    "dedup_decontaminate_attribution", oracle=_DECON_ATTR_ORACLE,
+    tags=("llm", "dedup"),
+)
+def dedup_decontaminate_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-eval-example contamination ATTRIBUTION (r12): (doc_id,
+    eval_id, n_shared_grams) — which eval doc each contaminated corpus
+    doc leaks, the per-benchmark view decontamination reports are
+    written in (contamination_report collapses the eval side to an
+    anonymous gram set). Window note: registering this query displaces
+    exactly one r7-verified row from the r12 driver window to r13 — a
+    deliberate trade, recorded in PROGRESS.md, because a new component
+    without driver-hash evidence is the weaker posture."""
+    from ..llm.decontaminate import contamination_attribution
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    eval_set = docs.filter(F.col("doc_id") % 17 == 0).select(
+        F.col("doc_id").alias("eval_id"), "text"
+    )
+    return contamination_attribution(docs, eval_set, n=13)
+
+
 @query("dedup_decontaminate_report", oracle=_DECON_ORACLE, tags=("llm", "dedup"))
 def dedup_decontaminate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..llm.decontaminate import contamination_report
