@@ -838,3 +838,38 @@ def test_decontaminate_ingest_batch_modes_and_validation(
             "eval_grams_dir": grams_dir, "out_dir": "x",
             "mode": "spans", "max_frac": 0.5,
         })
+
+
+def test_decontaminate_ingest_batch_attribution_mode(spark, sf_dir, tmp_path):
+    """mode='attribution' (r12): the ingest op against an ATTRIBUTED
+    artifact written by the write_eval_grams op matches batch
+    contamination_attribution."""
+    from pyspark.sql import functions as F
+
+    import tuktu_spark.operators.llm_ops  # noqa: F401
+    from tuktu_spark.llm.decontaminate import contamination_attribution
+    from tuktu_spark.operators.registry import OPERATORS
+    from tuktu_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ev = docs.filter(F.col("doc_id") % 7 == 0).select(
+        F.col("doc_id").alias("eval_id"), "text"
+    )
+    grams_dir = str(tmp_path / "attr_grams")
+    OPERATORS["write_eval_grams"](
+        {"path": grams_dir, "n": 5, "eval_id_field": "eval_id"}
+    )(ev)
+    out_dir = str(tmp_path / "out")
+    OPERATORS["decontaminate_ingest_batch"]({
+        "eval_grams_dir": grams_dir, "out_dir": out_dir, "n": 5,
+        "mode": "attribution",
+    })(docs)
+    want = {
+        (r["doc_id"], r["eval_id"], r["n_shared_grams"])
+        for r in contamination_attribution(docs, ev, n=5).collect()
+    }
+    got = {
+        (r["doc_id"], r["eval_id"], r["n_shared_grams"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert want and got == want

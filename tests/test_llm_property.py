@@ -684,3 +684,54 @@ def test_keep_representatives_matches_union_find(
         ).collect()
     }
     assert got == _py_keep_representatives(ids_scores, edges)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    texts=st.lists(
+        st.lists(
+            st.text(alphabet="aB!,é七 ", min_size=1, max_size=6),
+            min_size=0, max_size=8,
+        ).map(" ".join),
+        min_size=1, max_size=6,
+    ),
+    ev_picks=st.lists(st.integers(min_value=0, max_value=5), min_size=1, max_size=2),
+    n=st.integers(min_value=1, max_value=3),
+    normalize=st.booleans(),
+)
+def test_contamination_attribution_matches_python_reference(
+    spark, texts, ev_picks, n, normalize
+):
+    """r12: contamination_attribution equals the naive per-(doc, eval)
+    model over arbitrary corpora (raw AND normalized matching), with
+    duplicate eval texts under distinct eval ids attributed
+    independently."""
+    from tuktu_spark.llm.decontaminate import contamination_attribution
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    ev_rows = [(100 + j, rows[p % len(rows)][1]) for j, p in enumerate(ev_picks)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    ev = spark.createDataFrame(ev_rows, "eval_id long, text string")
+
+    def grams(t):
+        tk = [
+            x
+            for x in (_py_normalize(t) if normalize else t).split(" ")
+            if x
+        ]
+        return {" ".join(tk[i : i + n]) for i in range(len(tk) - n + 1)}
+
+    want = {}
+    for did, t in rows:
+        g = grams(t)
+        for eid, et in ev_rows:
+            shared = len(g & grams(et))
+            if shared:
+                want[(did, eid)] = shared
+    got = {
+        (r["doc_id"], r["eval_id"]): r["n_shared_grams"]
+        for r in contamination_attribution(
+            df, ev, n=n, normalize=normalize
+        ).collect()
+    }
+    assert got == want

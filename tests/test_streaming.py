@@ -1686,3 +1686,69 @@ def test_decontaminate_entry_points_expose_release_hook(spark, sf_dir, tmp_path)
         assert cached.is_cached, tag
         q.unpersist_eval()
         assert not cached.is_cached, tag
+
+
+def test_streaming_attribution_matches_batch(spark, sf_dir, tmp_path):
+    """r12: per-batch contamination ATTRIBUTION against a frozen
+    attributed (eval_id, gram) table — union of batch outputs equals
+    batch contamination_attribution over the whole corpus, in both eval
+    regimes; the artifact kind is validated both ways (plain table ->
+    attribution processor fails loudly, attributed table -> anonymous
+    report processor fails loudly)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    import tuktu_spark.streaming as STR
+    from tuktu_spark.llm.decontaminate import (
+        build_gram_bloom,
+        contamination_attribution,
+        write_eval_gram_table,
+    )
+    from tuktu_spark.streaming.llm import (
+        make_attribution_batch_processor,
+        make_decontaminate_batch_processor,
+        streaming_attribution,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ev = docs.filter(F.col("doc_id") % 7 == 0).select(
+        F.col("doc_id").alias("eval_id"), "text"
+    )
+    grams_dir = str(tmp_path / "attr_grams")
+    write_eval_gram_table(ev, grams_dir, n=5, eval_id="eval_id")
+
+    want = {
+        (r["doc_id"], r["eval_id"], r["n_shared_grams"])
+        for r in contamination_attribution(docs, ev, n=5).collect()
+    }
+    assert want
+
+    bloom = build_gram_bloom(ev, n=5, n_bits=1 << 14, k=3)
+    for tag, blm in (("nobloom", None), ("bloom", bloom)):
+        stage = str(tmp_path / f"stage_{tag}")
+        out = str(tmp_path / f"out_{tag}")
+        stream = STR.replay_dataframe(docs, stage, chunks=3, order_col="doc_id")
+        q = streaming_attribution(
+            stream, grams_dir, out, str(tmp_path / f"ckpt_{tag}"),
+            bloom=blm, bloom_k=3, n=5, compact_every=2,
+        )
+        q.processAllAvailable()
+        q.stop()
+        got = {
+            (r["doc_id"], r["eval_id"], r["n_shared_grams"])
+            for r in spark.read.parquet(out).collect()
+        }
+        assert got == want, tag
+        q.unpersist_eval()
+
+    # artifact-kind guards, both directions
+    plain_dir = str(tmp_path / "plain_grams")
+    write_eval_gram_table(ev.select("text"), plain_dir, n=5)
+    with pytest.raises(ValueError, match="attributed"):
+        make_attribution_batch_processor(
+            spark, plain_dir, str(tmp_path / "x"), None, 2, n=5
+        )
+    with pytest.raises(ValueError, match="plain"):
+        make_decontaminate_batch_processor(
+            spark, grams_dir, str(tmp_path / "y"), None, 2, n=5
+        )

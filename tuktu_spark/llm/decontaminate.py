@@ -431,7 +431,7 @@ def load_gram_bloom(
 
 def write_eval_gram_table(
     eval_set: DataFrame, path: str, text_col: str = "text", n: int = 13,
-    normalize: bool = False,
+    normalize: bool = False, eval_id: "str | None" = None,
 ) -> None:
     """Materialize the DISTINCT eval gram-hash table (column ``gram``
     long) as parquet — the exact-verify join side for incremental /
@@ -440,12 +440,21 @@ def write_eval_gram_table(
     ``_decon_meta.json`` sidecar inside the directory (underscore
     prefix: parquet readers ignore it) so read-side mismatches fail
     loudly (see read_eval_gram_meta) instead of silently matching
-    nothing."""
+    nothing.
+
+    ``eval_id`` (r12): pass the eval id (or suite) column to write an
+    ATTRIBUTED table — DISTINCT (eval_id, gram) rows, the verify side
+    of streaming contamination ATTRIBUTION. The sidecar records
+    ``attributed: true`` and the anonymous-table processors reject it
+    loudly (an attributed table is a different product: per-eval
+    duplicate grams would silently inflate their broadcast), exactly as
+    the attribution processor rejects a plain table."""
     import json
     import os
 
+    attributed = eval_id is not None
     _gram_table(
-        eval_set, text_col, None, n, "gram", normalize
+        eval_set, text_col, eval_id, n, "gram", normalize
     ).distinct().write.mode("overwrite").parquet(path)
     spark = eval_set.sparkSession
     jvm = spark._jvm
@@ -453,7 +462,8 @@ def write_eval_gram_table(
     p = jvm.org.apache.hadoop.fs.Path(os.path.join(path, "_decon_meta.json"))
     out = p.getFileSystem(hconf).create(p, True)
     out.write(bytearray(json.dumps(
-        {"n": int(n), "normalize": bool(normalize)}
+        {"n": int(n), "normalize": bool(normalize),
+         "attributed": attributed}
     ).encode()))
     out.close()
 
@@ -482,10 +492,17 @@ def read_eval_gram_meta(spark, path: str) -> "dict | None":
         stream.close()
 
 
-def check_eval_gram_meta(spark, path: str, n: int, normalize: bool) -> None:
+def check_eval_gram_meta(
+    spark, path: str, n: int, normalize: bool,
+    attributed: "bool | None" = None,
+) -> None:
     """Raise if the stored gram table's hash-space settings disagree
     with the reader's — the silent-zero-report guard for the streaming
-    processors."""
+    processors. ``attributed`` (r12): pass the reader's expectation to
+    also reject a plain table fed to the attribution processor (no
+    eval_id to attribute to) or an attributed table fed to an
+    anonymous-gram processor (per-eval duplicate grams inflate the
+    broadcast side); None or a pre-r12 sidecar skips that check."""
     meta = read_eval_gram_meta(spark, path)
     if meta is None:
         return
@@ -497,6 +514,18 @@ def check_eval_gram_meta(spark, path: str, n: int, normalize: bool) -> None:
                 f"{key}={mine}: disjoint hash spaces would silently "
                 "report zero contamination"
             )
+    if (
+        attributed is not None
+        and "attributed" in meta
+        and bool(meta["attributed"]) != attributed
+    ):
+        want = "an attributed (eval_id, gram)" if attributed else "a plain gram"
+        got = "attributed" if meta["attributed"] else "plain"
+        raise ValueError(
+            f"eval gram table {path} is {got} but this reader needs "
+            f"{want} table — rewrite the artifact with "
+            f"write_eval_gram_table(eval_id={'<col>' if attributed else 'None'})"
+        )
 
 
 # --- span-level decontamination (r10) ---------------------------------------

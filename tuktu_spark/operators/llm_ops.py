@@ -701,7 +701,9 @@ def write_eval_grams(config: dict):
     returns the input unchanged; downstream decontaminate_ingest_batch
     nodes take this node as their second input purely as the DAG edge
     that orders the artifact write before the first batch. config:
-    {path, text_field, n, normalize}."""
+    {path, text_field, n, normalize, eval_id_field} — eval_id_field
+    writes the ATTRIBUTED (eval_id, gram) variant for attribution
+    consumers."""
     from ..llm.decontaminate import write_eval_gram_table
 
     def transform(df: DataFrame) -> DataFrame:
@@ -710,6 +712,7 @@ def write_eval_grams(config: dict):
             text_col=config.get("text_field", "text"),
             n=int(config.get("n", 13)),
             normalize=bool(config.get("normalize", False)),
+            eval_id=config.get("eval_id_field"),
         )
         return df
 
@@ -726,7 +729,9 @@ def decontaminate_ingest_batch(config: dict):
     the chosen processor (streaming/llm.make_decontaminate_*): mode
     'report' writes per-doc (doc_id, n_matched_grams) rows, 'spans'
     writes the span-cut rewrite, 'policy' additionally drops docs more
-    than ``max_frac`` contaminated — all to the batch_id-partitioned
+    than ``max_frac`` contaminated, 'attribution' (r12) writes
+    per-(doc, eval) shared-gram rows against an ATTRIBUTED artifact
+    (write_eval_grams with eval_id_field) — all to the batch_id-partitioned
     ``out_dir`` with the dynamic-overwrite replay contract. Passthrough:
     returns the FULL input so a flow chains further batches; an optional
     SECOND input is accepted and ignored data-wise — wire the
@@ -744,16 +749,17 @@ def decontaminate_ingest_batch(config: dict):
     keep_latest}."""
     from ..streaming.llm import (
         auto_compacting,
+        make_attribution_batch_processor,
         make_decontaminate_batch_processor,
         make_decontaminate_spans_batch_processor,
         make_decontaminate_spans_policy_batch_processor,
     )
 
     mode = config.get("mode", "report")
-    if mode not in ("report", "spans", "policy"):
+    if mode not in ("report", "spans", "policy", "attribution"):
         raise ValueError(
-            f"decontaminate_ingest_batch mode must be report|spans|policy, "
-            f"got {mode!r}"
+            f"decontaminate_ingest_batch mode must be "
+            f"report|spans|policy|attribution, got {mode!r}"
         )
     if config.get("max_frac") is not None and mode != "policy":
         raise ValueError(
@@ -784,6 +790,10 @@ def decontaminate_ingest_batch(config: dict):
             proc = make_decontaminate_batch_processor(*common, *tail)
         elif mode == "spans":
             proc = make_decontaminate_spans_batch_processor(*common, *tail)
+        elif mode == "attribution":
+            # the frozen table must be ATTRIBUTED (write_eval_grams with
+            # eval_id_field set); the processor validates the sidecar
+            proc = make_attribution_batch_processor(*common, *tail)
         else:
             proc = make_decontaminate_spans_policy_batch_processor(
                 *common, float(config.get("max_frac", 0.5)), *tail

@@ -659,7 +659,7 @@ def make_decontaminate_batch_processor(
         check_eval_gram_meta,
     )
 
-    check_eval_gram_meta(spark, eval_grams_dir, n, normalize)
+    check_eval_gram_meta(spark, eval_grams_dir, n, normalize, attributed=False)
     eval_cached = spark.read.parquet(eval_grams_dir)
     might = bloom_might_contain_udf(bloom, bloom_k) if bloom else None
     if might is None:
@@ -734,7 +734,7 @@ def make_decontaminate_spans_batch_processor(
     )
     from ..llm.dedup import remove_interval_tokens
 
-    check_eval_gram_meta(spark, eval_grams_dir, n, normalize=normalize)
+    check_eval_gram_meta(spark, eval_grams_dir, n, normalize=normalize, attributed=False)
     eval_grams = spark.read.parquet(eval_grams_dir)
     might = bloom_might_contain_udf(bloom, bloom_k) if bloom else None
     if might is None:
@@ -760,6 +760,112 @@ def make_decontaminate_spans_batch_processor(
 
     process.unpersist_eval = eval_grams.unpersist
     return process
+
+
+def make_attribution_batch_processor(
+    spark,
+    eval_grams_dir: str,
+    out_dir: str,
+    bloom: "bytes | None" = None,
+    bloom_k: int = 7,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 13,
+    normalize: bool = False,
+):
+    """foreachBatch processor producing per-(doc, eval) contamination
+    ATTRIBUTION against a frozen ATTRIBUTED gram table (r12 —
+    write_eval_gram_table(eval_id=...), distinct (eval_id, gram) rows):
+    each micro-batch's docs are gram-joined against the stored table and
+    (doc_id, eval_id, n_shared_grams) rows land batch_id-partitioned with
+    the same replay/provenance contract as the report store. A doc's
+    grams live wholly in its own batch, so the union of per-batch
+    attributions EQUALS contamination_attribution over the replayed
+    corpus (pinned in tests).
+
+    The sidecar check requires attributed=True — a plain gram table has
+    no eval_id to attribute to and fails loudly here. Eval-side regimes
+    as the report processor: no bloom = cached + broadcast-hinted
+    (``process.unpersist_eval()`` releases), bloom = map-side prefilter
+    over the SAME gram hash space (the bitmap ignores eval_id; zero
+    false negatives, so attribution rows are unchanged) with the table
+    deliberately uncached."""
+    from ..llm.decontaminate import (
+        bloom_might_contain_udf,
+        check_eval_gram_meta,
+    )
+
+    check_eval_gram_meta(spark, eval_grams_dir, n, normalize, attributed=True)
+    eval_cached = spark.read.parquet(eval_grams_dir)
+    if "gram" not in eval_cached.columns or len(eval_cached.columns) != 2:
+        raise ValueError(
+            f"attribution needs an attributed (eval_id, gram) table; "
+            f"{eval_grams_dir} has columns {eval_cached.columns}"
+        )
+    eval_id_col = next(c for c in eval_cached.columns if c != "gram")
+    might = bloom_might_contain_udf(bloom, bloom_k) if bloom else None
+    if might is None:
+        eval_cached = eval_cached.cache()
+        eval_grams = F.broadcast(eval_cached)
+    else:
+        eval_grams = eval_cached
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        from ..llm.decontaminate import _gram_table
+
+        grams = _gram_table(batch_df, text_col, id_col, n, "gram", normalize)
+        if might is not None:
+            grams = grams.filter(might(F.col("gram")))
+        attr = grams.join(eval_grams, "gram").groupBy(
+            id_col, eval_id_col
+        ).agg(F.count_distinct("gram").alias("n_shared_grams"))
+        (
+            attr.withColumn("batch_id", F.lit(batch_id))
+            .withColumn("src_batch", F.lit(batch_id))
+            .write.mode("overwrite")
+            .options(partitionOverwriteMode="dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_dir)
+        )
+
+    process.unpersist_eval = eval_cached.unpersist
+    return process
+
+
+def streaming_attribution(
+    stream_df: DataFrame,
+    eval_grams_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    bloom: "bytes | None" = None,
+    bloom_k: int = 7,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 13,
+    compact_every: int | None = None,
+    normalize: bool = False,
+):
+    """readStream -> per-batch contamination attribution against a frozen
+    ATTRIBUTED gram table -> partitioned parquet (see
+    make_attribution_batch_processor). The returned query carries
+    ``unpersist_eval``; ``compact_every`` folds the store."""
+    proc = make_attribution_batch_processor(
+        stream_df.sparkSession, eval_grams_dir, out_dir, bloom, bloom_k,
+        text_col, id_col, n, normalize,
+    )
+    proc = auto_compacting(
+        proc, stream_df.sparkSession, [(out_dir, ())], compact_every
+    )
+    query = (
+        stream_df.writeStream.foreachBatch(proc)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.unpersist_eval = proc.unpersist_eval
+    return query
 
 
 def make_decontaminate_spans_policy_batch_processor(
@@ -809,7 +915,7 @@ def make_decontaminate_spans_policy_batch_processor(
         decontaminate_spans_policy,
     )
 
-    check_eval_gram_meta(spark, eval_grams_dir, n, normalize=normalize)
+    check_eval_gram_meta(spark, eval_grams_dir, n, normalize=normalize, attributed=False)
     eval_grams = spark.read.parquet(eval_grams_dir)
     might = bloom_might_contain_udf(bloom, bloom_k) if bloom else None
     if might is None:
