@@ -735,3 +735,83 @@ def test_contamination_attribution_matches_python_reference(
         ).collect()
     }
     assert got == want
+
+
+def _py_spans_policy(rows, ev_texts, n, max_frac):
+    """Naive reference for decontaminate_spans_policy (raw matching):
+    flag every n-gram window start whose gram is in the eval set, merge
+    overlapping/abutting [s, s+n) windows, drop the whole doc when the
+    merged coverage exceeds max_frac of its tokens, otherwise cut the
+    covered tokens and re-join with single spaces. Docs whose KEPT token
+    list is empty are absent — both the wholly-covered case and the
+    zero-token (empty/whitespace) doc, matching remove_interval_tokens'
+    size(__kept) > 0 filter and the string_agg-over-no-rows shape of the
+    driver oracles."""
+    ev = set()
+    for t in ev_texts:
+        tk = t.split()
+        for i in range(len(tk) - n + 1):
+            ev.add(" ".join(tk[i : i + n]))
+    out = {}
+    for did, text in rows:
+        tk = text.split()
+        starts = [
+            i
+            for i in range(max(len(tk) - n + 1, 0))
+            if " ".join(tk[i : i + n]) in ev
+        ]
+        merged = []
+        for s in starts:
+            if merged and s <= merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], s + n)
+            else:
+                merged.append([s, s + n])
+        covered = sum(hi - lo for lo, hi in merged)
+        if covered > max_frac * len(tk):
+            continue
+        keep = [
+            t
+            for i, t in enumerate(tk)
+            if not any(lo <= i < hi for lo, hi in merged)
+        ]
+        if not keep:
+            continue
+        out[did] = " ".join(keep)
+    return out
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    texts=st.lists(
+        st.lists(
+            st.text(alphabet="aB!,é七 ", min_size=1, max_size=6),
+            min_size=0, max_size=8,
+        ).map(" ".join),
+        min_size=1, max_size=6,
+    ),
+    ev_picks=st.lists(st.integers(min_value=0, max_value=5), min_size=1, max_size=2),
+    n=st.integers(min_value=1, max_value=3),
+    max_frac=st.sampled_from([0.0, 0.3, 0.5, 1.0]),
+)
+def test_spans_policy_matches_python_reference(
+    spark, texts, ev_picks, n, max_frac
+):
+    """r12: decontaminate_spans_policy equals the naive model over
+    arbitrary corpora at several thresholds — including max_frac=0
+    (drop every contaminated doc) and max_frac=1 (never drop; plain
+    span cutting)."""
+    from tuktu_spark.llm.decontaminate import decontaminate_spans_policy
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    ev_texts = [rows[p % len(rows)][1] for p in ev_picks]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    ev = spark.createDataFrame([(t,) for t in ev_texts], "text string")
+
+    want = _py_spans_policy(rows, ev_texts, n, max_frac)
+    got = {
+        r["doc_id"]: r["text"]
+        for r in decontaminate_spans_policy(
+            df, ev, max_frac=max_frac, n=n
+        ).collect()
+    }
+    assert got == want

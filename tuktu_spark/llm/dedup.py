@@ -1107,7 +1107,11 @@ def remove_interval_tokens(
     Documents whose every token is covered are ABSENT from the output;
     interval-free documents pass through whitespace-normalized (single
     spaces — the tokenization the span detectors use). Non-text columns
-    are preserved."""
+    are preserved. Zero-token documents (empty / whitespace-only text)
+    are also absent — the size(kept) > 0 filter doesn't distinguish
+    "nothing survived" from "nothing to begin with", and the driver
+    oracles agree by construction (string_agg over zero kept rows emits
+    no group); pinned by the r12 spans-policy Hypothesis reference."""
     ivs = iv.groupBy(id_col).agg(
         F.collect_list(F.struct("span_start", "span_end")).alias("__ivs")
     )
