@@ -106,6 +106,12 @@ def contamination_attribution(
     scan, zero-overlap docs never leave the map stage, and the final
     groupBy shuffles only the HITS (doc x eval x gram matches), never
     the corpus."""
+    if eval_id == corpus_id:
+        raise ValueError(
+            f"eval_id and corpus_id are both {eval_id!r}: the gram join "
+            "output would carry two identically-named id columns — alias "
+            "the eval side (e.g. F.col('doc_id').alias('eval_id'))"
+        )
     eval_grams = _gram_table(
         eval_set, eval_text, eval_id, n, "gram", normalize
     ).distinct()

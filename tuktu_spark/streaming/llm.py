@@ -803,6 +803,12 @@ def make_attribution_batch_processor(
             f"{eval_grams_dir} has columns {eval_cached.columns}"
         )
     eval_id_col = next(c for c in eval_cached.columns if c != "gram")
+    if eval_id_col == id_col:
+        raise ValueError(
+            f"the attributed table's id column {eval_id_col!r} collides "
+            f"with the corpus id column {id_col!r} — rewrite the artifact "
+            "with a distinct eval_id name (e.g. eval_id)"
+        )
     might = bloom_might_contain_udf(bloom, bloom_k) if bloom else None
     if might is None:
         eval_cached = eval_cached.cache()
