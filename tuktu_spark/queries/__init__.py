@@ -338,6 +338,32 @@ _VERIFIED_ROUND = {
         ),
         11,
     ),
+    **dict.fromkeys(
+        (
+            "approx_sketch_accuracy", "array_algebra_tokens", "calendar_parts",
+            "date_trunc_month", "dedup_decontaminate_attribution",
+            "dedup_decontaminate_policy", "dedup_decontaminate_spans_normalized",
+            "dedup_image_semantic", "dedup_incremental_batch", "drop_offset",
+            "explode_token_histogram", "flow_multimodal_curation",
+            "implode_ids_per_lang", "json_fetch_props", "json_parse_filter",
+            "mix_dsir_select", "mix_pack_sequences", "multimodal_audio_decontaminate",
+            "multimodal_audio_trim", "multimodal_cdc_dedup",
+            "multimodal_cnn_train_eval", "multimodal_frames_at_ticks",
+            "multimodal_g711_stats", "multimodal_image_decontaminate",
+            "multimodal_image_dhash", "multimodal_reshard_tars",
+            "multimodal_strip_metadata", "multimodal_tiff_decode", "nlp_bm25_search",
+            "nlp_bm25_top", "nlp_fasttext_vec_embed", "nlp_rbem_polarity",
+            "period_add_shift", "reshape_csv_roundtrip", "reshape_datum_merge",
+            "reshape_document_build", "reshape_fixed_width", "reshape_struct_flatten",
+            "session_window_per_user", "ship_latency_days", "sliding_window_counts",
+            "streaming_decontaminate_policy_replay", "streaming_decontaminate_replay",
+            "streaming_decontaminate_spans_normalized_replay",
+            "streaming_decontaminate_spans_replay", "streaming_scene_cuts_replay",
+            "string_functions", "text_url_domain_stats", "unpivot_measures",
+            "zip_merge_branches",
+        ),
+        12,
+    ),
 }
 
 # Queries whose implementation (or a shared helper they exercise) changed in
@@ -345,27 +371,19 @@ _VERIFIED_ROUND = {
 # green, so this round's edits cannot silently regress them.
 _TOUCHED = frozenset(
     {
-        # round 12 edits — scoped to queries whose EXECUTED code changed.
-        # (r12 note: the auto_compacting functools.wraps fix and the
-        # _store_has_batches layout WARNING are on NO driver query's path
-        # — no registry query passes compact_every; both are pinned by
-        # tests/test_streaming.py instead.)
+        # round 13 edits — scoped to queries whose EXECUTED code changed.
+        # (r13 note: bench.py compact_summary overflow hardening and the
+        # bench_diff salvage-banner / lagged-control tracker are harness
+        # code on NO driver query's path; the web_corpus_refinement.json
+        # reformat is whitespace-only and replayed row-for-row by its
+        # flow test.)
         #
-        # _DECON_SPANS_NORM_ORACLE re-derived to encode per-token
-        # normalization itself instead of assuming a normalization-
-        # invariant corpus (r11 advice) — both queries through it
-        # re-enter the window
-        "dedup_decontaminate_spans_normalized",
-        "streaming_decontaminate_spans_normalized_replay",
-        # decontaminate_spans_policy gained the eval-side passthrough
-        # (eval_grams/bloom/gram_filter/broadcast_eval) for the streaming
-        # processor — the batch policy query executes the changed function
-        "dedup_decontaminate_policy",
-        # streaming_decontaminate / streaming_decontaminate_spans entry
-        # points now attach the unpersist_eval release hook to the
-        # returned query (r11 advice) — the replay queries execute them
-        "streaming_decontaminate_replay",
-        "streaming_decontaminate_spans_replay",
+        # make_attribution_batch_processor gained the reserved-column
+        # collision guard (r12 advice) — the new streaming attribution
+        # replay query executes it, but it enters at rank 0 (never
+        # verified) anyway; dedup_decontaminate_attribution shares
+        # contamination_attribution() whose plan is now shape-pinned but
+        # whose code is unchanged, so it does NOT re-enter the window.
     }
 )
 
