@@ -158,6 +158,37 @@ def test_hmm_viterbi_single_shuffle(spark, sf_dir, registry):
     assert plan.count("+- Exchange") == 1
 
 
+def test_attribution_broadcasts_eval_and_shuffles_only_hits(
+    spark, sf_dir, registry
+):
+    """r12 verdict #6: the 100 TB claim for contamination attribution is
+    'eval-sized broadcast, hits-only shuffle' — measured in SCALE.md r12,
+    pinned here so a future edit can't silently add a corpus shuffle.
+    Shape: exactly ONE BroadcastExchange and it is the EVAL side (its
+    input carries eval_id); the corpus branch reaches the gram join
+    straight from the scan (no Exchange between corpus scan and join);
+    every hashpartitioning exchange carries eval_id — i.e. the eval-side
+    distinct and the post-join hits aggregations — never the raw corpus."""
+    import re
+
+    plan = plan_of(registry["dedup_decontaminate_attribution"].fn(spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    # one broadcast, and it is the eval side: its detail block's Input
+    # line names eval_id
+    bx = re.findall(r"\(\d+\) BroadcastExchange\nInput \[\d+\]: \[([^\]]*)\]", plan)
+    assert len(bx) == 1, plan
+    assert "eval_id" in bx[0], bx
+    # every data-keyed exchange partitions on keys that include eval_id
+    # (eval distinct / hits aggregation) — a corpus-side shuffle would
+    # hashpartition on doc_id/gram alone
+    hp = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    assert hp and all("eval_id" in args for args in hp), hp
+    assert len(hp) <= 3, hp
+
+
 def test_summarize_no_join(spark, sf_dir, registry):
     """Sentence scoring stays within the row (map lookup, no TF join)."""
     plan = plan_of(registry["nlp_summarize_top_sentences"].fn(spark, sf_dir))

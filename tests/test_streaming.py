@@ -1752,3 +1752,30 @@ def test_streaming_attribution_matches_batch(spark, sf_dir, tmp_path):
         make_decontaminate_batch_processor(
             spark, grams_dir, str(tmp_path / "y"), None, 2, n=5
         )
+
+
+def test_attribution_reserved_eval_id_columns_rejected(spark, sf_dir, tmp_path):
+    """r12 advice: an attributed table whose id column is named after a
+    STORE column (batch_id/src_batch — withColumn(lit(batch_id)) would
+    silently overwrite the eval id, corrupting both the output and the
+    partition layout — or the n_shared_grams aggregate alias) must be
+    rejected at processor build time with the same rewrite-the-artifact
+    message as a corpus-id collision."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from tuktu_spark.llm.decontaminate import write_eval_gram_table
+    from tuktu_spark.streaming.llm import make_attribution_batch_processor
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ev = docs.filter(F.col("doc_id") % 7 == 0)
+    for bad in ("batch_id", "src_batch", "n_shared_grams", "doc_id"):
+        grams_dir = str(tmp_path / f"grams_{bad}")
+        write_eval_gram_table(
+            ev.select(F.col("doc_id").alias(bad), "text"),
+            grams_dir, n=5, eval_id=bad,
+        )
+        with pytest.raises(ValueError, match="collides"):
+            make_attribution_batch_processor(
+                spark, grams_dir, str(tmp_path / f"out_{bad}"), None, 2, n=5
+            )

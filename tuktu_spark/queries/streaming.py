@@ -795,3 +795,46 @@ def streaming_decontaminate_policy_replay(
     q.stop()
     q.unpersist_eval()
     return spark.read.parquet(out_dir).select("doc_id", "text")
+
+
+from .llm_dedup import _DECON_ATTR_ORACLE  # noqa: E402
+
+
+@query(
+    "streaming_attribution_replay",
+    oracle=_DECON_ATTR_ORACLE,
+    tags=("streaming", "llm", "dedup"),
+)
+def streaming_attribution_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r13 (r12 verdict #2): per-(doc, eval) contamination ATTRIBUTION
+    through the REAL streaming path — the ATTRIBUTED gram table
+    (write_eval_gram_table(eval_id='eval_id'), distinct (eval_id, gram)
+    rows) is frozen once, the documents replay in 3 micro-batches
+    through the foreachBatch attribution processor, and the store union
+    must hash-match the SAME DuckDB oracle as the batch
+    dedup_decontaminate_attribution query (a doc's grams live wholly in
+    its own batch, so per-batch attribution composes exactly). Also
+    exercises the query-attached ``unpersist_eval`` release hook."""
+    import os
+
+    from ..llm.decontaminate import write_eval_gram_table
+    from ..streaming.llm import streaming_attribution
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    eval_set = docs.filter(F.col("doc_id") % 17 == 0).select(
+        F.col("doc_id").alias("eval_id"), "text"
+    )
+    art = tempfile.mkdtemp(prefix="tuktu_deconattr_art_")
+    grams_dir = os.path.join(art, "eval_grams")
+    write_eval_gram_table(eval_set, grams_dir, n=13, eval_id="eval_id")
+    stage = tempfile.mkdtemp(prefix="tuktu_deconattr_replay_")
+    out_dir = tempfile.mkdtemp(prefix="tuktu_deconattr_out_")
+    ckpt = tempfile.mkdtemp(prefix="tuktu_deconattr_ckpt_")
+    stream = STR.replay_dataframe(docs, stage, chunks=3, order_col="doc_id")
+    q = streaming_attribution(stream, grams_dir, out_dir, ckpt, n=13)
+    q.processAllAvailable()
+    q.stop()
+    q.unpersist_eval()
+    return spark.read.parquet(out_dir).select(
+        "doc_id", "eval_id", "n_shared_grams"
+    )

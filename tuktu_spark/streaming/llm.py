@@ -803,11 +803,19 @@ def make_attribution_batch_processor(
             f"{eval_grams_dir} has columns {eval_cached.columns}"
         )
     eval_id_col = next(c for c in eval_cached.columns if c != "gram")
-    if eval_id_col == id_col:
+    # r12 advice: 'batch_id'/'src_batch' would be silently OVERWRITTEN by
+    # the store's withColumn(lit(batch_id)) below — corrupting both the
+    # attribution output and the partition layout — and 'n_shared_grams'
+    # would collide with the aggregate alias; reject all of them with the
+    # same rewrite-the-artifact remedy as a corpus-id collision.
+    if eval_id_col == id_col or eval_id_col in (
+        "batch_id", "src_batch", "n_shared_grams"
+    ):
         raise ValueError(
             f"the attributed table's id column {eval_id_col!r} collides "
-            f"with the corpus id column {id_col!r} — rewrite the artifact "
-            "with a distinct eval_id name (e.g. eval_id)"
+            f"with the corpus id column {id_col!r} or a reserved store "
+            "column (batch_id/src_batch/n_shared_grams) — rewrite the "
+            "artifact with a distinct eval_id name (e.g. eval_id)"
         )
     might = bloom_might_contain_udf(bloom, bloom_k) if bloom else None
     if might is None:
