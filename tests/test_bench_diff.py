@@ -244,7 +244,8 @@ def test_salvage_scopes_rows_per_control_block(tmp_path, capsys):
     )
     p = tmp_path / "trunc.json"
     p.write_text(json.dumps({"parsed": None, "tail": tail}))
-    q, s, ctrls = bd.load(str(p))
+    q, s, ctrls, salvaged = bd.load(str(p))
+    assert salvaged is True
     assert q == {"q": 3.0}
     assert ctrls["control2"] == {"median": 2.0, "rows": 200000000}
     assert ctrls["control"] == {"median": 1.0, "rows": 1000000000}
@@ -271,3 +272,103 @@ def test_zero_salvaged_control_median_degrades_not_crashes(tmp_path, capsys):
     out = capsys.readouterr().out
     assert "# control median unusable" in out
     assert "~noise" in out
+
+
+def test_incomplete_old_spread_prints_loud_banner(tmp_path, capsys):
+    """r12 verdict #3: a pre-v5 OLD artifact with medians but no
+    per-query min/max degrades min_worse to always-True — REGRESSED can
+    fire on median-only evidence (the r11->r12 dedup_paragraphs flag).
+    The diff must say so up front, and the complete-artifact path must
+    NOT print the banner."""
+    bd = _load_bench_diff()
+    old = _artifact(tmp_path, "old.json", {"q": 1.0, "r": 1.0}, {})
+    new = _artifact(
+        tmp_path, "new.json",
+        {"q": 1.5, "r": 1.0},
+        {"q": {"min": 1.4, "max": 1.6, "runs": 5},
+         "r": {"min": 0.9, "max": 1.1, "runs": 5}},
+    )
+    bd.main(old, new)
+    out = capsys.readouterr().out
+    assert "WARNING: old spread incomplete for 2/2 shared queries" in out
+    assert "min/max rules degraded" in out
+    assert "REGRESSED" in out  # q still flags — banner explains on what basis
+    # complete old artifact: no banner
+    old2 = _artifact(
+        tmp_path, "old2.json", {"q": 1.0, "r": 1.0},
+        {"q": {"min": 0.95, "max": 1.1, "runs": 5},
+         "r": {"min": 0.95, "max": 1.1, "runs": 5}},
+    )
+    bd.main(old2, new)
+    assert "WARNING: old spread incomplete" not in capsys.readouterr().out
+
+
+def test_salvaged_old_spread_banner_names_truncation(tmp_path, capsys):
+    """The banner distinguishes a truncation-salvaged old side (pre-v5
+    tail capture) from an artifact that simply never carried spread."""
+    bd = _load_bench_diff()
+    p = tmp_path / "trunc_old.json"
+    p.write_text(json.dumps({"parsed": None, "tail": '"queries": {"q": 1.0}, "sf": 0.1}'}))
+    new = _artifact(
+        tmp_path, "new_for_trunc.json",
+        {"q": 1.0}, {"q": {"min": 0.9, "max": 1.1, "runs": 5}},
+    )
+    bd.main(str(p), new)
+    out = capsys.readouterr().out
+    assert "salvaged from a truncated tail (pre-v5 capture)" in out
+
+
+def _lagged_artifact(tmp_path, name, q_median, ctrl_median):
+    """An artifact whose control runs at ctrl_median: with q constant
+    while the control halves, each consecutive pair reads ratio<=1 but
+    min above the drift-adjusted old median — '~noise (lagged control)'."""
+    return _artifact2(
+        tmp_path, name,
+        {"q": q_median},
+        {"q": {"min": q_median * 0.95, "max": q_median * 1.05, "runs": 5}},
+        control2={"median": ctrl_median, "min": ctrl_median * 0.9,
+                  "max": ctrl_median * 1.1, "runs": 5, "rows": 50000000},
+    )
+
+
+def test_lagged_control_tracker_flags_persistent_creep(tmp_path, capsys):
+    """r12 verdict #4: q raw-flat while the control speeds up 2x every
+    round — each per-round diff excuses it as '~noise (lagged control)',
+    but 3 consecutive such reads must flag as possible slow creep."""
+    bd = _load_bench_diff()
+    paths = [
+        _lagged_artifact(tmp_path, f"b{i}.json", 1.0, 8.0 / (2 ** i))
+        for i in range(4)
+    ]
+    rc = bd.track_lagged(paths, k=3)
+    out = capsys.readouterr().out
+    assert rc == 1
+    assert "LAGGED-CONTROL CREEP: q" in out
+    assert "3 consecutive pair-diffs" in out
+
+
+def test_lagged_control_tracker_streak_broken_by_clean_read(tmp_path, capsys):
+    """Two lagged reads, a clean (stable-control) read, then two more
+    lagged reads: no streak reaches 3 — nothing flagged. A missing
+    median in one artifact must also break the streak."""
+    bd = _load_bench_diff()
+    ctrls = [8.0, 4.0, 2.0, 2.0, 1.0, 0.5]  # pair 3 (2.0->2.0) is clean
+    paths = [
+        _lagged_artifact(tmp_path, f"c{i}.json", 1.0, c)
+        for i, c in enumerate(ctrls)
+    ]
+    rc = bd.track_lagged(paths, k=3)
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "flagged: 0" in out
+    # absence breaks the streak too: drop q's median from the middle artifact
+    paths2 = [
+        _lagged_artifact(tmp_path, f"d{i}.json", 1.0, 16.0 / (2 ** i))
+        for i in range(5)
+    ]
+    gap = _artifact2(tmp_path, "d2.json", {}, {},
+                     control2={"median": 4.0, "min": 3.6, "max": 4.4,
+                               "runs": 5, "rows": 50000000})
+    paths2[2] = gap
+    rc2 = bd.track_lagged(paths2, k=3)
+    assert rc2 == 0, capsys.readouterr().out
