@@ -147,6 +147,15 @@ def compact_summary(rich: dict) -> str:
         bulk besides the medians) is dropped from stdout — it still
         lives in the rich stderr line — and ``spread_dropped: true``
         records the omission; queries/controls are never dropped.
+      * the budget is RE-CHECKED after the drop (r12 advice: the drop
+        used to be the only fallback, so a bench set whose
+        controls+medians alone exceed the budget would silently
+        regress the artifact to parsed:null again): still over ->
+        query/value medians round to 2 decimals (``medians_rounded``
+        records it; ~1.2 s vs 1.23 s is plenty for the spread rule);
+        over even then -> fail LOUDLY with the actual byte count (the
+        rich stderr line has already been emitted, so no measurement
+        is lost) instead of printing a line the capture will truncate.
     """
     payload = {
         "metric": rich["metric"],
@@ -174,6 +183,20 @@ def compact_summary(rich: dict) -> str:
         del payload["spread"]
         payload["harness"] = {**payload["harness"], "spread_dropped": True}
         line = json.dumps(payload, separators=(",", ":"))
+    if len(line) > _STDOUT_BUDGET:
+        payload["queries"] = {
+            k: round(v, 2) for k, v in payload["queries"].items()
+        }
+        payload["value"] = round(payload["value"], 2)
+        payload["harness"] = {**payload["harness"], "medians_rounded": 2}
+        line = json.dumps(payload, separators=(",", ":"))
+    if len(line) > _STDOUT_BUDGET:
+        raise RuntimeError(
+            f"compact bench line is {len(line)} bytes > {_STDOUT_BUDGET} "
+            "even after dropping spread and rounding medians — the bench "
+            "set outgrew the driver's 2000-char tail capture; shorten "
+            "query names or split the set (rich line already on stderr)"
+        )
     return line
 
 

@@ -79,12 +79,52 @@ def test_load_bearing_blocks_ordered_last():
 
 def test_overflow_drops_spread_never_queries():
     bench = _load_bench()
-    line = bench.compact_summary(_rich(80, name_len=40))
+    # 30 queries at 28-char names: over budget with spread, comfortably
+    # under once spread drops (the 80x40 case now escalates further —
+    # see the staged-overflow test below)
+    line = bench.compact_summary(_rich(30, name_len=28))
     doc = json.loads(line)
+    assert len(line) <= bench._STDOUT_BUDGET
     assert "spread" not in doc
     assert doc["harness"]["spread_dropped"] is True
-    assert len(doc["queries"]) == 80
+    assert "medians_rounded" not in doc["harness"]
+    assert len(doc["queries"]) == 30
     assert doc["control2"]["median"] == 1.0421
+
+
+def test_overflow_stages_round_medians_then_fail_loudly():
+    """r12 advice: dropping spread used to be the ONLY fallback — a set
+    whose controls+medians alone exceed the budget silently overflowed
+    the driver's tail capture again (parsed:null). Now the budget is
+    re-checked after the drop: first the query/value medians round to 2
+    decimals (recorded as harness.medians_rounded), and a set that
+    cannot fit even then raises with the byte count instead of printing
+    a line the capture will truncate. Sizes are found empirically so the
+    test tracks the real byte layout, not hand arithmetic."""
+    import pytest
+
+    bench = _load_bench()
+    rounded_n = fail_n = None
+    for n in range(24, 200):
+        try:
+            doc = json.loads(bench.compact_summary(_rich(n, name_len=28)))
+        except RuntimeError:
+            fail_n = n
+            break
+        if "medians_rounded" in doc["harness"] and rounded_n is None:
+            rounded_n = n
+    assert rounded_n is not None and fail_n is not None and rounded_n < fail_n
+    line = bench.compact_summary(_rich(rounded_n, name_len=28))
+    doc = json.loads(line)
+    # the post-drop, post-round line actually FITS — the docstring's
+    # 'guaranteed to fit' claim, asserted after every fallback stage
+    assert len(line) <= bench._STDOUT_BUDGET
+    assert doc["harness"]["spread_dropped"] is True
+    assert doc["harness"]["medians_rounded"] == 2
+    assert len(doc["queries"]) == rounded_n  # queries never dropped
+    assert all(v == 0.57 for v in doc["queries"].values())
+    with pytest.raises(RuntimeError, match="outgrew"):
+        bench.compact_summary(_rich(fail_n, name_len=28))
 
 
 def test_bench_diff_reads_compact_artifact():
@@ -112,7 +152,8 @@ def test_bench_diff_reads_compact_artifact():
         json.dump({"n": 24, "rc": 0, "tail": line, "parsed": json.loads(line)}, f)
         path = f.name
     try:
-        q, s, ctrls = bd.load(path)
+        q, s, ctrls, salvaged = bd.load(path)
+        assert salvaged is False
         assert len(q) == 24
         assert all(set(v) == {"min", "max", "runs"} for v in s.values())
         assert next(iter(s.values()))["min"] == 0.123
@@ -120,7 +161,8 @@ def test_bench_diff_reads_compact_artifact():
         # salvage path: parsed == null, only the tail survives
         with open(path, "w", encoding="utf-8") as f2:
             json.dump({"n": 24, "rc": 0, "tail": line[-2000:], "parsed": None}, f2)
-        q2, s2, ctrls2 = bd.load(path)
+        q2, s2, ctrls2, salvaged2 = bd.load(path)
+        assert salvaged2 is True
         assert q2 == q
         assert {n: (v["min"], v["max"]) for n, v in s2.items()} == {
             n: (v["min"], v["max"]) for n, v in s.items()
