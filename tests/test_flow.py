@@ -873,3 +873,59 @@ def test_decontaminate_ingest_batch_attribution_mode(spark, sf_dir, tmp_path):
         for r in spark.read.parquet(out_dir).collect()
     }
     assert want and got == want
+
+
+def test_streaming_attribution_lifecycle_flow(spark, sf_dir, tmp_path_factory):
+    """flows/examples/streaming_attribution_lifecycle.json (r13 — r12
+    verdict #5): SUITE-granularity attribution end-to-end in a config
+    DAG — the eval slice's lang column renamed to 'suite', the
+    ATTRIBUTED (suite, gram) artifact written IN the DAG, two
+    micro-batches of the attribution store. The store union must equal
+    whole-corpus contamination_attribution with the suite column as
+    eval_id, row-for-row; in-flow compaction (every 2 batches) must
+    have folded batch 0."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from tuktu_spark.llm.decontaminate import contamination_attribution
+
+    base = tmp_path_factory.mktemp("attr_lifecycle")
+    grams_dir = str(base / "eval_grams")
+    out_dir = str(base / "out")
+    out = run_flow(
+        spark, "flows/examples/streaming_attribution_lifecycle.json",
+        params={
+            "dir": sf_dir, "grams_dir": grams_dir, "out_dir": out_dir,
+            "eval_mod": "7", "n": "5",
+        },
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    assert out["ingest1"].count() == docs.count()  # passthrough leaf
+
+    ev = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") % 7 == 0)
+        .select(F.col("lang").alias("suite"), "text")
+    )
+    want = {
+        (r["doc_id"], r["suite"], r["n_shared_grams"])
+        for r in contamination_attribution(
+            docs, ev, eval_id="suite", n=5
+        ).collect()
+    }
+    got = {
+        (r["doc_id"], r["suite"], r["n_shared_grams"])
+        for r in spark.read.parquet(out_dir)
+        .select("doc_id", "suite", "n_shared_grams")
+        .collect()
+    }
+    assert want and got == want
+    # fewer suites than eval docs: attribution actually aggregated ACROSS
+    # eval examples within a suite (the granularity under test), not one
+    # row per eval doc
+    assert len({s for _, s, _ in got}) < ev.count()
+    batches = {p for p in os.listdir(out_dir) if p.startswith("batch_id=")}
+    assert batches == {"batch_id=-1", "batch_id=1"}, batches

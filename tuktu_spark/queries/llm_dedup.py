@@ -666,6 +666,49 @@ def dedup_decontaminate_attribution(spark: SparkSession, sf_dir: str) -> DataFra
     return contamination_attribution(docs, eval_set, n=13)
 
 
+_DECON_ATTR_SUITE_ORACLE = """
+WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+corpus_grams AS (
+  SELECT DISTINCT doc_id, array_to_string(list_slice(t, CAST(g.i AS INT), CAST(g.i AS INT) + 12), ' ') AS gram
+  FROM tk, UNNEST(generate_series(1, len(t) - 12)) AS g(i)
+),
+eval_grams AS (
+  SELECT DISTINCT d.lang AS suite, c.gram
+  FROM corpus_grams c JOIN documents d USING (doc_id)
+  WHERE d.doc_id % 17 = 0
+)
+SELECT c.doc_id, e.suite, COUNT(DISTINCT c.gram) AS n_shared_grams
+FROM corpus_grams c JOIN eval_grams e USING (gram)
+GROUP BY c.doc_id, e.suite
+"""
+
+
+@query(
+    "dedup_decontaminate_attribution_suite", oracle=_DECON_ATTR_SUITE_ORACLE,
+    tags=("llm", "dedup"),
+)
+def dedup_decontaminate_attribution_suite(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SUITE-granularity attribution (r13 — r12 verdict #5): the same
+    contamination_attribution with a suite column (here lang, standing
+    in for the benchmark name) as ``eval_id`` — (doc_id, suite,
+    n_shared_grams), the actual reporting granularity ("drop this doc
+    for GSM8K but it's clean for MMLU"). Distinct grams aggregate
+    ACROSS the suite's eval examples before counting, so the count is
+    per-suite overlap, not a per-example sum; the oracle replays that
+    with a distinct (lang, gram) eval table."""
+    from ..llm.decontaminate import contamination_attribution
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    eval_set = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 17 == 0)
+        .select(F.col("lang").alias("suite"), "text")
+    )
+    return contamination_attribution(docs, eval_set, eval_id="suite", n=13)
+
+
 @query("dedup_decontaminate_report", oracle=_DECON_ORACLE, tags=("llm", "dedup"))
 def dedup_decontaminate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..llm.decontaminate import contamination_report
