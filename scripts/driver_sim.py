@@ -16,6 +16,12 @@ scrollback. Same row shape as the driver's CORRECTNESS artifacts:
 {"name": {"rows_match", "schema_match", "hash_match", "spark_rows",
 "oracle_rows", "err"}} (rows-only queries report oracle_rows=None and
 hash_match=None).
+
+A FULL ``--sweep`` (no explicit names) also runs the full-registry
+cartesian/bnlj plan guard (scripts/plan_audit.py --all) in the same
+session and records ``plan_guard`` in the artifact (r12 verdict #7):
+the sweep step and the plan guard cannot drift apart, so a late
+registry addition cannot land sweep-green but plan-unguarded.
 """
 
 from __future__ import annotations
@@ -136,6 +142,19 @@ def main() -> int:
     if sweep_tag is not None:
         import json
 
+        # r12 verdict #7: a FULL sweep also runs the full-registry
+        # cartesian/bnlj plan guard (scripts/plan_audit.py --all) in the
+        # same session, so a late registry addition cannot land with a
+        # green sweep but an unguarded plan. Name-scoped sweeps skip it
+        # (the guard is whole-registry by definition).
+        plan_guard = None
+        if not args:
+            from plan_audit import guard_all
+
+            rc = guard_all(spark, SF)
+            plan_guard = "OK" if rc == 0 else "FAIL"
+            if rc != 0:
+                bad.append("__plan_guard__")
         n_match = sum(
             1 for r in rows.values()
             if r["hash_match"] or (r["hash_match"] is None and r["rows_match"])
@@ -150,11 +169,13 @@ def main() -> int:
                     "sf_dir": SF,
                     "checked": len(rows),
                     "green": n_match,
+                    "plan_guard": plan_guard,
                     "results": rows,
                 },
                 f, indent=1, sort_keys=True,
             )
-        print(f"wrote {out_path}: {n_match}/{len(rows)} green")
+        print(f"wrote {out_path}: {n_match}/{len(rows)} green"
+              + (f"; plan guard {plan_guard}" if plan_guard else ""))
     return 1 if bad else 0
 
 
