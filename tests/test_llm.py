@@ -299,6 +299,151 @@ class TestDecontamination:
         assert "CartesianProduct" not in plan
 
 
+class TestFuzzyDecontamination:
+    """fuzzy_contamination_pairs / decontaminate_fuzzy (r13): bipartite
+    MinHash-LSH near-dup decontamination — banding proposes, exact
+    Jaccard verifies, so on deterministic inputs the output equals the
+    exact corpus-vs-eval pair set."""
+
+    def _corpus(self, spark):
+        long_a = " ".join(f"a{i}" for i in range(40))
+        long_b = " ".join(f"b{i}" for i in range(40))
+        near_b = " ".join(
+            ("XX" if i == 7 else f"b{i}") for i in range(40)
+        )  # one token changed: high-jaccard near-dup of long_b
+        rows = [
+            (1, long_a),           # clean
+            (2, long_b),           # == eval example (j = 1.0)
+            (3, near_b),           # near-dup of eval (j ~ 0.85)
+            (4, "tiny doc"),       # < n tokens: no shingles, never flagged
+            (5, " ".join(f"c{i}" for i in range(40))),  # clean
+        ]
+        return spark.createDataFrame(rows, "doc_id int, text string")
+
+    def _eval(self, spark):
+        return spark.createDataFrame(
+            [(100, " ".join(f"b{i}" for i in range(40))),
+             (101, " ".join(f"z{i}" for i in range(40))),
+             (102, "al so tiny")],  # degenerate eval doc: 3 tokens -> 1 shingle... still valid
+            "eval_id int, text string",
+        )
+
+    @staticmethod
+    def _exact_pairs(corpus_rows, eval_rows, n=3, threshold=0.5):
+        def shingles(text):
+            t = [w for w in text.split() if w]
+            return {" ".join(t[i:i + n]) for i in range(len(t) - n + 1)}
+
+        out = {}
+        for did, dtext in corpus_rows:
+            sa = shingles(dtext)
+            if not sa:
+                continue
+            for eid, etext in eval_rows:
+                sb = shingles(etext)
+                if not sb:
+                    continue
+                j = len(sa & sb) / len(sa | sb)
+                if j >= threshold:
+                    out[(did, eid)] = j
+        return out
+
+    def test_pairs_equal_exact_reference(self, spark):
+        from tuktu_spark.llm.decontaminate import fuzzy_contamination_pairs
+
+        corpus, ev = self._corpus(spark), self._eval(spark)
+        got = {
+            (r["doc_id"], r["eval_id"]): r["jaccard"]
+            for r in fuzzy_contamination_pairs(
+                corpus, ev, n=3, threshold=0.5
+            ).collect()
+        }
+        want = self._exact_pairs(
+            [(r["doc_id"], r["text"]) for r in corpus.collect()],
+            [(r["eval_id"], r["text"]) for r in ev.collect()],
+        )
+        assert got == pytest.approx(want)
+        assert (2, 100) in got and got[(2, 100)] == 1.0
+        assert (3, 100) in got and 0.5 <= got[(3, 100)] < 1.0
+
+    def test_filter_form_drops_flagged_keeps_degenerates(self, spark):
+        from tuktu_spark.llm.decontaminate import decontaminate_fuzzy
+
+        corpus, ev = self._corpus(spark), self._eval(spark)
+        kept = sorted(
+            r["doc_id"]
+            for r in decontaminate_fuzzy(
+                corpus, ev.select("text"), n=3, threshold=0.5
+            ).collect()
+        )
+        # 2 (exact leak) and 3 (near-dup) drop; the tiny doc passes
+        # through — it cannot reach any positive threshold
+        assert kept == [1, 4, 5]
+
+    def test_normalize_matches_case_punct_perturbed_eval(self, spark):
+        from pyspark.sql import functions as F
+
+        from tuktu_spark.llm.decontaminate import fuzzy_contamination_pairs
+
+        corpus = self._corpus(spark)
+        ev = self._eval(spark).withColumn(
+            "text", F.upper(F.regexp_replace("text", " ", ", "))
+        )
+        raw = fuzzy_contamination_pairs(
+            corpus, ev, n=3, threshold=0.5
+        ).count()
+        norm = {
+            (r["doc_id"], r["eval_id"])
+            for r in fuzzy_contamination_pairs(
+                corpus, ev, n=3, threshold=0.5, normalize=True
+            ).collect()
+        }
+        assert raw == 0  # perturbed eval shares no raw shingles
+        assert {(2, 100), (3, 100)} <= norm
+
+    def test_validation_errors(self, spark):
+        from tuktu_spark.llm.decontaminate import fuzzy_contamination_pairs
+
+        corpus, ev = self._corpus(spark), self._eval(spark)
+        with pytest.raises(ValueError, match="identically-named"):
+            fuzzy_contamination_pairs(
+                corpus, ev.withColumnRenamed("eval_id", "doc_id"),
+                eval_id="doc_id",
+            )
+        with pytest.raises(ValueError, match="threshold > 0"):
+            fuzzy_contamination_pairs(corpus, ev, threshold=0.0)
+
+    def test_flow_op_report_and_filter(self, spark):
+        import tuktu_spark.operators.llm_ops  # noqa: F401
+        from tuktu_spark.operators.registry import OPERATORS
+
+        corpus, ev = self._corpus(spark), self._eval(spark)
+        rep = OPERATORS["fuzzy_decontaminate"](
+            {"report": True, "n": 3, "threshold": 0.5}
+        )(corpus, ev)
+        assert {(r["doc_id"], r["eval_id"]) for r in rep.collect()} == {
+            (2, 100), (3, 100)
+        }
+        kept = OPERATORS["fuzzy_decontaminate"]({"n": 3, "threshold": 0.5})(
+            corpus, ev.select("text")
+        )
+        assert sorted(r["doc_id"] for r in kept.collect()) == [1, 4, 5]
+        with pytest.raises(ValueError, match="inputs"):
+            OPERATORS["fuzzy_decontaminate"]({})(corpus)
+
+    def test_eval_side_broadcasts_no_corpus_self_join(self, spark):
+        from tuktu_spark.llm.decontaminate import fuzzy_contamination_pairs
+
+        corpus, ev = self._corpus(spark), self._eval(spark)
+        plan = (
+            fuzzy_contamination_pairs(corpus, ev, n=3, threshold=0.5)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "BroadcastHashJoin" in plan
+
+
 class TestQuantization:
     def test_round_trip_error_bounded(self, spark, sf_dir):
         from tuktu_spark.llm.similarity import (

@@ -415,6 +415,66 @@ def test_distinct_content_modes_match_id_level(spark, texts, copies):
     assert sh_dc == sh_id
 
 
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    texts=st.lists(
+        st.lists(WORD, min_size=0, max_size=8).map(" ".join),
+        min_size=1, max_size=8,
+    ),
+)
+def test_fuzzy_decontamination_consistent_with_self_join_pipeline(
+    spark, texts
+):
+    """r13: fuzzy_contamination_pairs run with the corpus AS the eval
+    set must agree with minhash_dedup_pairs on the same corpus — same
+    shingles, same signatures, same banding, so identical recall by
+    construction (this pins bipartite == self-join without depending on
+    LSH recall): cross pairs (i != j, both orders collapsed) equal the
+    self-join pair set, every pairable doc self-matches at exactly 1.0,
+    and decontaminate_fuzzy keeps exactly the unflagged ids."""
+    from pyspark.sql import functions as F
+
+    from tuktu_spark.llm.decontaminate import (
+        decontaminate_fuzzy,
+        fuzzy_contamination_pairs,
+    )
+    from tuktu_spark.llm.dedup import minhash_dedup_pairs
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    ev = df.select(F.col("doc_id").alias("eval_id"), "text")
+
+    fuzzy = {
+        (r["doc_id"], r["eval_id"]): round(r["jaccard"], 12)
+        for r in fuzzy_contamination_pairs(
+            df, ev, n=3, threshold=0.8
+        ).collect()
+    }
+    self_pairs = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 12)
+        for r in minhash_dedup_pairs(df, threshold=0.8).collect()
+    }
+    cross = {
+        (min(a, b), max(a, b)): j for (a, b), j in fuzzy.items() if a != b
+    }
+    assert cross == self_pairs
+    # symmetric: every cross pair appears in both orders with equal j
+    for (a, b), j in list(fuzzy.items()):
+        if a != b:
+            assert fuzzy.get((b, a)) == j
+    pairable = {i for i, t in rows if len([w for w in t.split() if w]) >= 3}
+    assert {k for k in fuzzy if k[0] == k[1]} == {(i, i) for i in pairable}
+    assert all(fuzzy[(i, i)] == 1.0 for i in pairable)
+
+    kept = {
+        r["doc_id"]
+        for r in decontaminate_fuzzy(
+            df, ev.select("text"), n=3, threshold=0.8
+        ).collect()
+    }
+    assert kept == {i for i, _ in rows} - {a for a, _ in fuzzy}
+
+
 def _py_decontaminate_spans(rows, ev_texts, n):
     """Naive reference: flag every position whose n-gram is in the eval
     set, merge starts into intervals (gap <= n), drop covered tokens."""

@@ -124,6 +124,131 @@ def contamination_attribution(
     )
 
 
+def fuzzy_contamination_pairs(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    corpus_text: str = "text",
+    corpus_id: str = "doc_id",
+    eval_text: str = "text",
+    eval_id: str = "eval_id",
+    n: int = 3,
+    threshold: float = 0.8,
+    normalize: bool = False,
+) -> DataFrame:
+    """FUZZY decontamination (r13): (doc_id, eval_id, jaccard) for corpus
+    docs whose shingle-set Jaccard against an eval example reaches
+    ``threshold`` — the near-duplicate middle ground between exact
+    long-n-gram matching (contamination_report: misses lightly edited
+    eval leaks) and embedding-based semantic decontamination
+    (semantic_decontaminate: needs an embedder). Public recipe: the
+    MinHash-LSH train/test-overlap pass of the Dolma/FineWeb-style
+    curation pipelines, run BIPARTITE corpus-vs-eval instead of
+    corpus-vs-corpus.
+
+    Same candidates->exact-verify contract as minhash_dedup_pairs
+    (llm/dedup.py): banding only PROPOSES (doc, eval) pairs, every
+    candidate is verified with exact Jaccard over the full shingle
+    sets, so output equals the exact pair set whenever banding recall
+    is 1 at the threshold (the 16x4 banding misses a j>=0.8 pair with
+    p <= (1-0.8^4)^16 ~ 2e-4 and a j~0.99 pair with p ~ 1e-22).
+
+    Scale shape: the eval side is small by definition — its banded
+    buckets AND its shingle arrays broadcast, so the corpus crosses no
+    exchange to produce candidates (map-side broadcast join on
+    (band, bucket)); verification joins the hits-sized candidate set
+    back to the corpus shingles by id (AQE broadcasts the candidate
+    side), never the corpus to itself. Degenerate docs (< n tokens,
+    empty shingle set) are dropped on both sides exactly as the
+    self-join pipeline drops them — they cannot reach any positive
+    threshold and their shared sentinel signature would otherwise be a
+    (corpus x eval-degenerates) hot bucket in every band.
+
+    ``normalize`` applies the decontamination text normalization
+    (_norm_text) to BOTH sides before shingling, matching
+    contamination_report's normalize semantics."""
+    from .dedup import (
+        MERSENNE_P,
+        hashed_shingles,
+        minhash_signatures_from_hashed,
+        _banded_buckets,
+    )
+
+    if eval_id == corpus_id:
+        raise ValueError(
+            f"eval_id and corpus_id are both {eval_id!r}: the verified "
+            "pair output would carry two identically-named id columns — "
+            "alias the eval side (e.g. F.col('doc_id').alias('eval_id'))"
+        )
+    if threshold <= 0:
+        raise ValueError(
+            "fuzzy decontamination requires threshold > 0: at 0 every "
+            "banding collision passes, which enumerates LSH buckets, not "
+            "contamination"
+        )
+
+    def _shingled(df, text_col, id_col):
+        text = F.col(text_col)
+        if normalize:
+            text = _norm_text(text)
+        src = df.select(F.col(id_col), text.alias("__txt"))
+        return hashed_shingles(src, "__txt", id_col, n).filter(
+            F.size("shingles") > 0
+        )
+
+    h_c = _shingled(corpus, corpus_text, corpus_id)
+    h_e = _shingled(eval_set, eval_text, eval_id)
+    sig_c = minhash_signatures_from_hashed(h_c, corpus_id)
+    sig_e = minhash_signatures_from_hashed(h_e, eval_id)
+    b_c = _banded_buckets(sig_c.filter(F.col("signature")[0] != MERSENNE_P), corpus_id)
+    b_e = _banded_buckets(sig_e.filter(F.col("signature")[0] != MERSENNE_P), eval_id)
+    cands = (
+        b_c.join(F.broadcast(b_e), ["band", "bucket"])
+        .select(corpus_id, eval_id)
+        .distinct()
+    )
+    sa = h_c.select(F.col(corpus_id), F.col("shingles").alias("__sa"))
+    sb = F.broadcast(
+        h_e.select(F.col(eval_id), F.col("shingles").alias("__sb"))
+    )
+    common = F.size(F.array_intersect("__sa", "__sb"))
+    jac = common.cast("double") / (
+        F.size("__sa") + F.size("__sb") - common
+    ).cast("double")
+    return (
+        cands.join(sa, corpus_id)
+        .join(sb, eval_id)
+        .select(corpus_id, eval_id, jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def decontaminate_fuzzy(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    corpus_text: str = "text",
+    corpus_id: str = "doc_id",
+    eval_text: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    normalize: bool = False,
+) -> DataFrame:
+    """Corpus minus fuzzily-contaminated docs (the production filter
+    form of fuzzy_contamination_pairs): any doc within ``threshold``
+    shingle-Jaccard of any eval example is dropped whole. Left-anti on
+    the flagged id set — the corpus passes through untouched except one
+    id-keyed anti join (AQE broadcasts the flagged side, which is
+    hits-sized)."""
+    # the pair output's eval id never surfaces here — synthesize one
+    # (monotonically_increasing_id is partition-local arithmetic, no
+    # shuffle; the values only need to be distinct, not stable)
+    ev = eval_set.withColumn("__eval_id", F.monotonically_increasing_id())
+    flagged = fuzzy_contamination_pairs(
+        corpus, ev, corpus_text, corpus_id, eval_text, "__eval_id",
+        n, threshold, normalize,
+    ).select(corpus_id).distinct()
+    return corpus.join(flagged, corpus_id, "left_anti")
+
+
 def decontaminate(
     corpus: DataFrame,
     eval_set: DataFrame,

@@ -418,6 +418,32 @@ def minhash_signatures_from_hashed(
     return h.select(F.col(id_col), sig.alias("signature"))
 
 
+def _banded_buckets(sigs: DataFrame, id_col: str) -> DataFrame:
+    """(id, band, bucket) — one row per LSH band per signature, the
+    banded-join side shared by the self-join pipeline
+    (minhash_lsh_candidates) and the bipartite corpus-vs-eval form
+    (llm/decontaminate.fuzzy_contamination_pairs). The join key is
+    (band, raw slice array): Spark hash-partitions array keys natively,
+    so hashing the slice to a scalar first is pure overhead (measured
+    2x slower). Callers filter sentinel signatures FIRST."""
+    bands = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.slice("signature", b * ROWS_PER_BAND + 1, ROWS_PER_BAND).alias(
+                        "bucket"
+                    ),
+                )
+                for b in range(BANDS)
+            ]
+        )
+    )
+    return sigs.select(F.col(id_col), bands.alias("bb")).select(
+        id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+
+
 def minhash_lsh_candidates(
     sigs: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:
@@ -434,22 +460,7 @@ def minhash_lsh_candidates(
     the shared sentinel is a quadratic hot bucket in every band (K
     short/empty docs -> K^2 candidate pairs through one task)."""
     sigs = sigs.filter(F.col("signature")[0] != MERSENNE_P)
-    bands = F.explode(
-        F.array(
-            *[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.slice("signature", b * ROWS_PER_BAND + 1, ROWS_PER_BAND).alias(
-                        "bucket"
-                    ),
-                )
-                for b in range(BANDS)
-            ]
-        )
-    )
-    buckets = sigs.select(F.col(id_col), bands.alias("bb")).select(
-        id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
-    )
+    buckets = _banded_buckets(sigs, id_col)
     a = buckets.select(F.col(id_col).alias("id_a"), "band", "bucket")
     b = buckets.select(F.col(id_col).alias("id_b"), "band", "bucket")
     return (

@@ -135,6 +135,47 @@ def contamination_attribution_op(config: dict):
     return transform
 
 
+@operator("fuzzy_decontaminate")
+def fuzzy_decontaminate_op(config: dict):
+    """FUZZY (MinHash-LSH near-dup) decontamination (r13): (corpus,
+    eval_set) inputs -> corpus minus docs within ``threshold``
+    shingle-Jaccard of any eval example (llm/decontaminate.
+    decontaminate_fuzzy), or with report=True the verified
+    (doc_id, eval_id, jaccard) pair table (fuzzy_contamination_pairs).
+    The near-dup complement of the exact long-n-gram 'decontaminate'
+    op — catches lightly edited eval leaks exact matching misses.
+    config: {n, threshold, text_field, id_field, eval_text_field,
+    eval_id_field, report, normalize}."""
+    from ..llm import decontaminate as DC
+
+    def transform(
+        corpus: DataFrame, eval_set: DataFrame | None = None
+    ) -> DataFrame:
+        if eval_set is None:
+            raise ValueError(
+                "fuzzy_decontaminate needs (corpus, eval_set) inputs"
+            )
+        common = dict(
+            corpus_text=config.get("text_field", "text"),
+            corpus_id=config.get("id_field", "doc_id"),
+            eval_text=config.get(
+                "eval_text_field", config.get("text_field", "text")
+            ),
+            n=int(config.get("n", 3)),
+            threshold=float(config.get("threshold", 0.8)),
+            normalize=bool(config.get("normalize", False)),
+        )
+        if config.get("report"):
+            return DC.fuzzy_contamination_pairs(
+                corpus, eval_set,
+                eval_id=config.get("eval_id_field", "eval_id"),
+                **common,
+            )
+        return DC.decontaminate_fuzzy(corpus, eval_set, **common)
+
+    return transform
+
+
 @operator("decontaminate")
 def decontaminate_op(config: dict):
     """Benchmark decontamination (merger takes (corpus, eval_set) inputs

@@ -666,6 +666,106 @@ def dedup_decontaminate_attribution(spark: SparkSession, sf_dir: str) -> DataFra
     return contamination_attribution(docs, eval_set, n=13)
 
 
+# Fuzzy (MinHash-LSH) decontamination truth: EXACT corpus-vs-eval
+# shingle-Jaccard — same recall-1 argument as _JACCARD_ORACLE (banding
+# misses a j~0.99 planted pair with p ~ 1e-22; every candidate is
+# exact-verified), run bipartite against the %17 eval slice. Self-pairs
+# (the eval docs themselves, jaccard exactly 1.0) are genuine
+# contamination and stay in.
+_DECON_FUZZY_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+  FROM toks
+), ev AS (
+  SELECT doc_id AS eval_id, shingle FROM sh WHERE doc_id % 17 = 0
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+), esizes AS (
+  SELECT eval_id, COUNT(*) AS n_sh FROM ev GROUP BY eval_id
+), pairs AS (
+  SELECT c.doc_id, e.eval_id, COUNT(*) AS common
+  FROM sh c JOIN ev e USING (shingle)
+  GROUP BY 1, 2
+)
+SELECT p.doc_id, p.eval_id,
+       CAST(common AS DOUBLE) / CAST(s.n_sh + es.n_sh - common AS DOUBLE) AS jaccard
+FROM pairs p JOIN sizes s USING (doc_id) JOIN esizes es USING (eval_id)
+WHERE CAST(common AS DOUBLE) / CAST(s.n_sh + es.n_sh - common AS DOUBLE) >= 0.8
+"""
+
+
+@query(
+    "dedup_decontaminate_fuzzy", oracle=_DECON_FUZZY_ORACLE,
+    tags=("llm", "dedup"),
+)
+def dedup_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy decontamination pairs (r13): corpus docs within 0.8
+    shingle-Jaccard of an eval example — the MinHash-LSH near-dup
+    train/test-overlap pass (Dolma/FineWeb-style), bipartite
+    corpus-vs-eval. Banding proposes, exact Jaccard verifies, so the
+    output equals the oracle's exact pair set at recall-1 thresholds
+    (the dedup_minhash_lsh argument, bipartite)."""
+    from ..llm.decontaminate import fuzzy_contamination_pairs
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    eval_set = docs.filter(F.col("doc_id") % 17 == 0).select(
+        F.col("doc_id").alias("eval_id"), "text"
+    )
+    return fuzzy_contamination_pairs(docs, eval_set, n=3, threshold=0.8)
+
+
+_DECON_FUZZY_FILTER_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+  FROM toks
+), ev AS (
+  SELECT doc_id AS eval_id, shingle FROM sh WHERE doc_id % 17 = 0
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+), esizes AS (
+  SELECT eval_id, COUNT(*) AS n_sh FROM ev GROUP BY eval_id
+), flagged AS (
+  SELECT DISTINCT c.doc_id
+  FROM sh c JOIN ev e USING (shingle)
+  JOIN sizes s ON c.doc_id = s.doc_id
+  JOIN esizes es ON e.eval_id = es.eval_id
+  GROUP BY c.doc_id, e.eval_id, s.n_sh, es.n_sh
+  HAVING CAST(COUNT(*) AS DOUBLE) / CAST(s.n_sh + es.n_sh - COUNT(*) AS DOUBLE) >= 0.8
+)
+SELECT d.doc_id, d.text FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM flagged)
+"""
+
+
+@query(
+    "dedup_decontaminate_fuzzy_filter", oracle=_DECON_FUZZY_FILTER_ORACLE,
+    tags=("llm", "dedup"),
+)
+def dedup_decontaminate_fuzzy_filter(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The production filter form of fuzzy decontamination (r13): corpus
+    minus every doc within 0.8 shingle-Jaccard of any eval example —
+    one left-anti join on the hits-sized flagged id set; docs too short
+    to shingle pass through (they cannot reach any positive
+    threshold)."""
+    from ..llm.decontaminate import decontaminate_fuzzy
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    eval_set = docs.filter(F.col("doc_id") % 17 == 0).select("text")
+    return decontaminate_fuzzy(docs, eval_set, n=3, threshold=0.8)
+
+
 _DECON_ATTR_SUITE_ORACLE = """
 WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
 corpus_grams AS (
