@@ -875,6 +875,55 @@ def test_decontaminate_ingest_batch_attribution_mode(spark, sf_dir, tmp_path):
     assert want and got == want
 
 
+def test_decontaminate_ingest_batch_fuzzy_mode(spark, sf_dir, tmp_path):
+    """mode='fuzzy' (r13): the ingest op against a write_eval_fuzzy
+    artifact matches batch fuzzy_contamination_pairs; fuzzy-only config
+    is rejected elsewhere (threshold outside mode='fuzzy', bloom_path
+    with it)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    import tuktu_spark.operators.llm_ops  # noqa: F401
+    from tuktu_spark.llm.decontaminate import fuzzy_contamination_pairs
+    from tuktu_spark.operators.registry import OPERATORS
+    from tuktu_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ev = docs.filter(F.col("doc_id") % 7 == 0).select(
+        F.col("doc_id").alias("eval_id"), "text"
+    )
+    fuzzy_dir = str(tmp_path / "fuzzy_art")
+    OPERATORS["write_eval_fuzzy"]({"path": fuzzy_dir, "n": 3})(ev)
+    out_dir = str(tmp_path / "out")
+    OPERATORS["decontaminate_ingest_batch"]({
+        "eval_grams_dir": fuzzy_dir, "out_dir": out_dir, "n": 3,
+        "mode": "fuzzy", "threshold": 0.8,
+    })(docs)
+    want = {
+        (r["doc_id"], r["eval_id"], round(r["jaccard"], 12))
+        for r in fuzzy_contamination_pairs(
+            docs, ev, n=3, threshold=0.8
+        ).collect()
+    }
+    got = {
+        (r["doc_id"], r["eval_id"], round(r["jaccard"], 12))
+        for r in spark.read.parquet(out_dir)
+        .select("doc_id", "eval_id", "jaccard").collect()
+    }
+    assert want and got == want
+
+    with _pytest.raises(ValueError, match="threshold"):
+        OPERATORS["decontaminate_ingest_batch"]({
+            "eval_grams_dir": fuzzy_dir, "out_dir": "x",
+            "mode": "report", "threshold": 0.8,
+        })
+    with _pytest.raises(ValueError, match="bloom"):
+        OPERATORS["decontaminate_ingest_batch"]({
+            "eval_grams_dir": fuzzy_dir, "out_dir": "x",
+            "mode": "fuzzy", "bloom_path": "y",
+        })
+
+
 def test_streaming_attribution_lifecycle_flow(spark, sf_dir, tmp_path_factory):
     """flows/examples/streaming_attribution_lifecycle.json (r13 — r12
     verdict #5): SUITE-granularity attribution end-to-end in a config

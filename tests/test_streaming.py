@@ -1754,6 +1754,108 @@ def test_streaming_attribution_matches_batch(spark, sf_dir, tmp_path):
         )
 
 
+def test_streaming_fuzzy_decontaminate_matches_batch(spark, sf_dir, tmp_path):
+    """r13: per-batch FUZZY (MinHash-LSH) contamination pairs against a
+    frozen write_eval_fuzzy_table artifact — union of batch outputs
+    equals batch fuzzy_contamination_pairs over the whole corpus
+    (banding + exact verify are pure functions of the text, so
+    per-batch pairs compose exactly); the eval cache is released by the
+    query-attached hook."""
+    from pyspark.sql import functions as F
+
+    import tuktu_spark.streaming as STR
+    from tuktu_spark.llm.decontaminate import (
+        fuzzy_contamination_pairs,
+        write_eval_fuzzy_table,
+    )
+    from tuktu_spark.streaming.llm import streaming_fuzzy_decontaminate
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ev = docs.filter(F.col("doc_id") % 7 == 0).select(
+        F.col("doc_id").alias("eval_id"), "text"
+    )
+    fuzzy_dir = str(tmp_path / "fuzzy_art")
+    write_eval_fuzzy_table(ev, fuzzy_dir, n=3)
+
+    want = {
+        (r["doc_id"], r["eval_id"], round(r["jaccard"], 12))
+        for r in fuzzy_contamination_pairs(
+            docs, ev, n=3, threshold=0.8
+        ).collect()
+    }
+    assert want
+
+    stage = str(tmp_path / "stage")
+    out = str(tmp_path / "out")
+    stream = STR.replay_dataframe(docs, stage, chunks=3, order_col="doc_id")
+    q = streaming_fuzzy_decontaminate(
+        stream, fuzzy_dir, out, str(tmp_path / "ckpt"),
+        threshold=0.8, n=3, compact_every=2,
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r["doc_id"], r["eval_id"], round(r["jaccard"], 12))
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == want
+    cached = q.unpersist_eval.__self__
+    assert cached.is_cached
+    q.unpersist_eval()
+    assert not cached.is_cached
+
+
+def test_fuzzy_artifact_guards(spark, sf_dir, tmp_path):
+    """r13: the fuzzy processor rejects (a) a GRAM table (different
+    artifact kind — no _fuzzy_meta.json), (b) a shingle-setting or
+    banding-geometry mismatch, (c) an eval id column colliding with the
+    corpus id or a reserved store column, (d) threshold <= 0."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from tuktu_spark.llm.decontaminate import (
+        write_eval_fuzzy_table,
+        write_eval_gram_table,
+    )
+    from tuktu_spark.streaming.llm import make_fuzzy_decontaminate_batch_processor
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ev = docs.filter(F.col("doc_id") % 7 == 0).select(
+        F.col("doc_id").alias("eval_id"), "text"
+    )
+    gram_dir = str(tmp_path / "grams")
+    write_eval_gram_table(ev.select("text"), gram_dir, n=3)
+    with pytest.raises(ValueError, match="_fuzzy_meta"):
+        make_fuzzy_decontaminate_batch_processor(
+            spark, gram_dir, str(tmp_path / "a"), n=3
+        )
+
+    fuzzy_dir = str(tmp_path / "fuzzy")
+    write_eval_fuzzy_table(ev, fuzzy_dir, n=3)
+    with pytest.raises(ValueError, match="n=3"):
+        make_fuzzy_decontaminate_batch_processor(
+            spark, fuzzy_dir, str(tmp_path / "b"), n=5
+        )
+    with pytest.raises(ValueError, match="normalize"):
+        make_fuzzy_decontaminate_batch_processor(
+            spark, fuzzy_dir, str(tmp_path / "c"), n=3, normalize=True
+        )
+    with pytest.raises(ValueError, match="threshold > 0"):
+        make_fuzzy_decontaminate_batch_processor(
+            spark, fuzzy_dir, str(tmp_path / "d"), threshold=0.0, n=3
+        )
+    for bad in ("batch_id", "src_batch", "jaccard", "doc_id"):
+        bad_dir = str(tmp_path / f"fuzzy_{bad}")
+        write_eval_fuzzy_table(
+            ev.select(F.col("eval_id").alias(bad), "text"),
+            bad_dir, eval_id=bad, n=3,
+        )
+        with pytest.raises(ValueError, match="collides"):
+            make_fuzzy_decontaminate_batch_processor(
+                spark, bad_dir, str(tmp_path / f"e_{bad}"), n=3
+            )
+
+
 def test_attribution_reserved_eval_id_columns_rejected(spark, sf_dir, tmp_path):
     """r12 advice: an attributed table whose id column is named after a
     STORE column (batch_id/src_batch — withColumn(lit(batch_id)) would

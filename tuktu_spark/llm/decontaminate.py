@@ -166,13 +166,6 @@ def fuzzy_contamination_pairs(
     ``normalize`` applies the decontamination text normalization
     (_norm_text) to BOTH sides before shingling, matching
     contamination_report's normalize semantics."""
-    from .dedup import (
-        MERSENNE_P,
-        hashed_shingles,
-        minhash_signatures_from_hashed,
-        _banded_buckets,
-    )
-
     if eval_id == corpus_id:
         raise ValueError(
             f"eval_id and corpus_id are both {eval_id!r}: the verified "
@@ -186,21 +179,64 @@ def fuzzy_contamination_pairs(
             "contamination"
         )
 
-    def _shingled(df, text_col, id_col):
-        text = F.col(text_col)
-        if normalize:
-            text = _norm_text(text)
-        src = df.select(F.col(id_col), text.alias("__txt"))
-        return hashed_shingles(src, "__txt", id_col, n).filter(
-            F.size("shingles") > 0
-        )
+    h_e = _fuzzy_shingled(eval_set, eval_text, eval_id, n, normalize)
+    from .dedup import minhash_signatures_from_hashed
 
-    h_c = _shingled(corpus, corpus_text, corpus_id)
-    h_e = _shingled(eval_set, eval_text, eval_id)
+    eval_tbl = h_e.join(
+        minhash_signatures_from_hashed(h_e, eval_id), eval_id
+    ).select(eval_id, "shingles", "signature")
+    return _fuzzy_pairs_against(
+        corpus, eval_tbl, corpus_text, corpus_id, eval_id, n, threshold,
+        normalize,
+    )
+
+
+def _fuzzy_shingled(df, text_col, id_col, n, normalize):
+    """(id, shingles) with the fuzzy-decontamination text treatment:
+    optional _norm_text, then the dedup-family shingle pass; empty
+    shingle sets dropped (degenerate docs cannot reach any positive
+    threshold and would hot-bucket every band via the shared
+    sentinel)."""
+    from .dedup import hashed_shingles
+
+    text = F.col(text_col)
+    if normalize:
+        text = _norm_text(text)
+    src = df.select(F.col(id_col), text.alias("__txt"))
+    return hashed_shingles(src, "__txt", id_col, n).filter(
+        F.size("shingles") > 0
+    )
+
+
+def _fuzzy_pairs_against(
+    corpus: DataFrame,
+    eval_tbl: DataFrame,
+    corpus_text: str,
+    corpus_id: str,
+    eval_id: str,
+    n: int,
+    threshold: float,
+    normalize: bool,
+) -> DataFrame:
+    """The shared fuzzy tail (batch inline AND frozen-artifact /
+    streaming consumers): corpus (text) x eval (eval_id, shingles,
+    signature) -> verified (corpus_id, eval_id, jaccard) pairs. The
+    eval side broadcasts twice (banded buckets for candidates, shingle
+    arrays for verification) — both eval-sized; the corpus produces
+    candidates map-side and meets the hits-sized candidate set once by
+    id."""
+    from .dedup import (
+        MERSENNE_P,
+        _banded_buckets,
+        minhash_signatures_from_hashed,
+    )
+
+    h_c = _fuzzy_shingled(corpus, corpus_text, corpus_id, n, normalize)
     sig_c = minhash_signatures_from_hashed(h_c, corpus_id)
-    sig_e = minhash_signatures_from_hashed(h_e, eval_id)
-    b_c = _banded_buckets(sig_c.filter(F.col("signature")[0] != MERSENNE_P), corpus_id)
-    b_e = _banded_buckets(sig_e.filter(F.col("signature")[0] != MERSENNE_P), eval_id)
+    b_c = _banded_buckets(
+        sig_c.filter(F.col("signature")[0] != MERSENNE_P), corpus_id
+    )
+    b_e = _banded_buckets(eval_tbl.select(eval_id, "signature"), eval_id)
     cands = (
         b_c.join(F.broadcast(b_e), ["band", "bucket"])
         .select(corpus_id, eval_id)
@@ -208,7 +244,7 @@ def fuzzy_contamination_pairs(
     )
     sa = h_c.select(F.col(corpus_id), F.col("shingles").alias("__sa"))
     sb = F.broadcast(
-        h_e.select(F.col(eval_id), F.col("shingles").alias("__sb"))
+        eval_tbl.select(F.col(eval_id), F.col("shingles").alias("__sb"))
     )
     common = F.size(F.array_intersect("__sa", "__sb"))
     jac = common.cast("double") / (
@@ -657,6 +693,91 @@ def check_eval_gram_meta(
             f"{want} table — rewrite the artifact with "
             f"write_eval_gram_table(eval_id={'<col>' if attributed else 'None'})"
         )
+
+
+def write_eval_fuzzy_table(
+    eval_set: DataFrame,
+    path: str,
+    text_col: str = "text",
+    eval_id: str = "eval_id",
+    n: int = 3,
+    normalize: bool = False,
+) -> None:
+    """Materialize the FROZEN fuzzy-decontamination eval artifact
+    (r13): (eval_id, shingles, signature) parquet — the verify side of
+    incremental / streaming fuzzy decontamination, written once per
+    eval-suite version exactly like write_eval_gram_table writes the
+    exact-gram artifact. The shingle/signature settings (n, normalize,
+    and the banding geometry, which is baked into the library
+    constants) go to a ``_fuzzy_meta.json`` sidecar so read-side
+    mismatches fail loudly instead of silently matching nothing."""
+    import json
+    import os
+
+    from .dedup import BANDS, NUM_HASHES, minhash_signatures_from_hashed
+
+    h_e = _fuzzy_shingled(eval_set, text_col, eval_id, n, normalize)
+    (
+        h_e.join(minhash_signatures_from_hashed(h_e, eval_id), eval_id)
+        .select(eval_id, "shingles", "signature")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    spark = eval_set.sparkSession
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(os.path.join(path, "_fuzzy_meta.json"))
+    out = p.getFileSystem(hconf).create(p, True)
+    out.write(bytearray(json.dumps(
+        {"kind": "fuzzy", "n": int(n), "normalize": bool(normalize),
+         "num_hashes": int(NUM_HASHES), "bands": int(BANDS)}
+    ).encode()))
+    out.close()
+
+
+def check_eval_fuzzy_meta(spark, path: str, n: int, normalize: bool) -> None:
+    """Raise unless ``path`` is a fuzzy artifact written with the
+    reader's shingle settings AND the library's current banding
+    geometry. Unlike the gram-table sidecar there is no legacy-table
+    grace: a missing ``_fuzzy_meta.json`` means the directory is NOT a
+    write_eval_fuzzy_table artifact (e.g. a gram table fed to the fuzzy
+    processor) and matching would silently report zero overlap."""
+    import json
+    import os
+
+    from .dedup import BANDS, NUM_HASHES
+
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(os.path.join(path, "_fuzzy_meta.json"))
+    fs = p.getFileSystem(hconf)
+    if not fs.exists(p):
+        raise ValueError(
+            f"{path} has no _fuzzy_meta.json — not a write_eval_fuzzy_table "
+            "artifact (a plain/attributed GRAM table is a different "
+            "product; rewrite the artifact with write_eval_fuzzy_table)"
+        )
+    stream = fs.open(p)
+    try:
+        data = bytearray()
+        b = stream.read()
+        while b >= 0:
+            data.append(b)
+            b = stream.read()
+        meta = json.loads(bytes(data).decode())
+    finally:
+        stream.close()
+    for key, mine in (
+        ("n", int(n)), ("normalize", bool(normalize)),
+        ("num_hashes", int(NUM_HASHES)), ("bands", int(BANDS)),
+    ):
+        if meta.get(key) != mine:
+            raise ValueError(
+                f"fuzzy eval artifact {path} was written with "
+                f"{key}={meta.get(key)} but this reader uses {key}={mine}: "
+                "disjoint shingle/signature spaces would silently report "
+                "zero overlap — rewrite the artifact"
+            )
 
 
 # --- span-level decontamination (r10) ---------------------------------------

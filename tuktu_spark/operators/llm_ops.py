@@ -760,6 +760,31 @@ def write_eval_grams(config: dict):
     return transform
 
 
+@operator("write_eval_fuzzy")
+def write_eval_fuzzy(config: dict):
+    """Materialize the FROZEN fuzzy-decontamination eval artifact from
+    the piped eval DataFrame (llm/decontaminate.write_eval_fuzzy_table:
+    (eval_id, shingles, signature) + sidecar — the verify side every
+    incremental/streaming FUZZY decontamination reads), flow-reachable
+    like write_eval_grams so a lifecycle flow versions it in the same
+    config DAG. Passthrough: returns the input unchanged; wire it as a
+    downstream ingest node's second input for the artifact-gate edge.
+    config: {path, text_field, eval_id_field, n, normalize}."""
+    from ..llm.decontaminate import write_eval_fuzzy_table
+
+    def transform(df: DataFrame) -> DataFrame:
+        write_eval_fuzzy_table(
+            df, config["path"],
+            text_col=config.get("text_field", "text"),
+            eval_id=config.get("eval_id_field", "eval_id"),
+            n=int(config.get("n", 3)),
+            normalize=bool(config.get("normalize", False)),
+        )
+        return df
+
+    return transform
+
+
 @operator("decontaminate_ingest_batch")
 def decontaminate_ingest_batch(config: dict):
     """One micro-batch of STREAMING decontamination against frozen eval
@@ -772,8 +797,11 @@ def decontaminate_ingest_batch(config: dict):
     writes the span-cut rewrite, 'policy' additionally drops docs more
     than ``max_frac`` contaminated, 'attribution' (r12) writes
     per-(doc, eval) shared-gram rows against an ATTRIBUTED artifact
-    (write_eval_grams with eval_id_field) — all to the batch_id-partitioned
-    ``out_dir`` with the dynamic-overwrite replay contract. Passthrough:
+    (write_eval_grams with eval_id_field), 'fuzzy' (r13) writes
+    per-(doc, eval) near-dup (doc_id, eval_id, jaccard) rows at
+    ``threshold`` against a write_eval_fuzzy artifact — all to the
+    batch_id-partitioned ``out_dir`` with the dynamic-overwrite replay
+    contract. Passthrough:
     returns the FULL input so a flow chains further batches; an optional
     SECOND input is accepted and ignored data-wise — wire the
     write_eval_grams node there to make the artifact-write-then-ingest
@@ -785,27 +813,39 @@ def decontaminate_ingest_batch(config: dict):
     node is self-contained; a long-lived stream keeps the cache and
     exposes unpersist_eval instead). ``compact_every``/``keep_latest``
     fold the store in-flow exactly as the other ingest ops. config:
-    {eval_grams_dir, out_dir, batch_id, where, mode, max_frac, n,
-    normalize, bloom_path, text_field, id_field, compact_every,
-    keep_latest}."""
+    {eval_grams_dir, out_dir, batch_id, where, mode, max_frac,
+    threshold, n, normalize, bloom_path, text_field, id_field,
+    compact_every, keep_latest}."""
     from ..streaming.llm import (
         auto_compacting,
         make_attribution_batch_processor,
         make_decontaminate_batch_processor,
         make_decontaminate_spans_batch_processor,
         make_decontaminate_spans_policy_batch_processor,
+        make_fuzzy_decontaminate_batch_processor,
     )
 
     mode = config.get("mode", "report")
-    if mode not in ("report", "spans", "policy", "attribution"):
+    if mode not in ("report", "spans", "policy", "attribution", "fuzzy"):
         raise ValueError(
             f"decontaminate_ingest_batch mode must be "
-            f"report|spans|policy|attribution, got {mode!r}"
+            f"report|spans|policy|attribution|fuzzy, got {mode!r}"
         )
     if config.get("max_frac") is not None and mode != "policy":
         raise ValueError(
             "max_frac is the mode='policy' threshold; with "
             f"mode={mode!r} it would be silently ignored"
+        )
+    if config.get("threshold") is not None and mode != "fuzzy":
+        raise ValueError(
+            "threshold is the mode='fuzzy' Jaccard cutoff; with "
+            f"mode={mode!r} it would be silently ignored"
+        )
+    if config.get("bloom_path") and mode == "fuzzy":
+        raise ValueError(
+            "mode='fuzzy' verifies against the frozen "
+            "(eval_id, shingles, signature) artifact — there is no gram "
+            "bloom regime; drop bloom_path"
         )
 
     def transform(df: DataFrame, _artifact_gate: DataFrame | None = None) -> DataFrame:
@@ -835,6 +875,15 @@ def decontaminate_ingest_batch(config: dict):
             # the frozen table must be ATTRIBUTED (write_eval_grams with
             # eval_id_field set); the processor validates the sidecar
             proc = make_attribution_batch_processor(*common, *tail)
+        elif mode == "fuzzy":
+            # the frozen table must be a write_eval_fuzzy artifact (its
+            # _fuzzy_meta.json sidecar is validated, geometry included)
+            proc = make_fuzzy_decontaminate_batch_processor(
+                *common, float(config.get("threshold", 0.8)),
+                config.get("text_field", "text"),
+                config.get("id_field", "doc_id"),
+                n, normalize,
+            )
         else:
             proc = make_decontaminate_spans_policy_batch_processor(
                 *common, float(config.get("max_frac", 0.5)), *tail

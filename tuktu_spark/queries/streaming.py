@@ -838,3 +838,49 @@ def streaming_attribution_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out_dir).select(
         "doc_id", "eval_id", "n_shared_grams"
     )
+
+
+from .llm_dedup import _DECON_FUZZY_ORACLE  # noqa: E402
+
+
+@query(
+    "streaming_fuzzy_decontaminate_replay",
+    oracle=_DECON_FUZZY_ORACLE,
+    tags=("streaming", "llm", "dedup"),
+)
+def streaming_fuzzy_decontaminate_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """r13: FUZZY (MinHash-LSH near-dup) decontamination through the
+    REAL streaming path — the frozen (eval_id, shingles, signature)
+    artifact (write_eval_fuzzy_table) is built once, the documents
+    replay in 3 micro-batches through the foreachBatch fuzzy processor,
+    and the store union must hash-match the SAME exact-Jaccard DuckDB
+    oracle as the batch dedup_decontaminate_fuzzy query (a doc's
+    shingles live wholly in its own batch; banding + exact verify are
+    pure functions of the text, so per-batch pairs compose exactly).
+    Also exercises the query-attached ``unpersist_eval`` release
+    hook."""
+    import os
+
+    from ..llm.decontaminate import write_eval_fuzzy_table
+    from ..streaming.llm import streaming_fuzzy_decontaminate
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    eval_set = docs.filter(F.col("doc_id") % 17 == 0).select(
+        F.col("doc_id").alias("eval_id"), "text"
+    )
+    art = tempfile.mkdtemp(prefix="tuktu_fuzzy_art_")
+    fuzzy_dir = os.path.join(art, "eval_fuzzy")
+    write_eval_fuzzy_table(eval_set, fuzzy_dir, n=3)
+    stage = tempfile.mkdtemp(prefix="tuktu_fuzzy_replay_")
+    out_dir = tempfile.mkdtemp(prefix="tuktu_fuzzy_out_")
+    ckpt = tempfile.mkdtemp(prefix="tuktu_fuzzy_ckpt_")
+    stream = STR.replay_dataframe(docs, stage, chunks=3, order_col="doc_id")
+    q = streaming_fuzzy_decontaminate(
+        stream, fuzzy_dir, out_dir, ckpt, threshold=0.8, n=3
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.unpersist_eval()
+    return spark.read.parquet(out_dir).select("doc_id", "eval_id", "jaccard")

@@ -882,6 +882,119 @@ def streaming_attribution(
     return query
 
 
+def make_fuzzy_decontaminate_batch_processor(
+    spark,
+    eval_fuzzy_dir: str,
+    out_dir: str,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    normalize: bool = False,
+):
+    """foreachBatch processor producing FUZZY (MinHash-LSH near-dup)
+    contamination pairs against a frozen write_eval_fuzzy_table artifact
+    (r13 — the streaming twin of llm/decontaminate.
+    fuzzy_contamination_pairs, same banded-candidates -> exact-verify
+    core via _fuzzy_pairs_against): each micro-batch's docs are banded
+    against the stored (eval_id, shingles, signature) table and
+    (doc_id, eval_id, jaccard) rows land batch_id-partitioned with the
+    same replay/provenance contract as the other decontamination
+    stores. A doc's shingles live wholly in its own batch, so the union
+    of per-batch outputs EQUALS the batch pairs over the replayed
+    corpus (pinned in tests).
+
+    The sidecar check requires a _fuzzy_meta.json with matching
+    shingle settings AND banding geometry — a gram table (a different
+    artifact kind) or a stale-geometry artifact fails loudly. The
+    eval table is cached + its broadcasts are eval-sized;
+    ``process.unpersist_eval()`` releases the cache."""
+    from ..llm.decontaminate import (
+        _fuzzy_pairs_against,
+        check_eval_fuzzy_meta,
+    )
+
+    if threshold <= 0:
+        raise ValueError(
+            "fuzzy decontamination requires threshold > 0 (see "
+            "llm/decontaminate.fuzzy_contamination_pairs)"
+        )
+    check_eval_fuzzy_meta(spark, eval_fuzzy_dir, n, normalize)
+    eval_cached = spark.read.parquet(eval_fuzzy_dir)
+    extra = set(eval_cached.columns) - {"shingles", "signature"}
+    if (
+        len(extra) != 1
+        or {"shingles", "signature"} - set(eval_cached.columns)
+    ):
+        raise ValueError(
+            f"fuzzy eval artifact needs (eval_id, shingles, signature) "
+            f"columns; {eval_fuzzy_dir} has {eval_cached.columns}"
+        )
+    eval_id_col = next(iter(extra))
+    if eval_id_col == id_col or eval_id_col in (
+        "batch_id", "src_batch", "jaccard"
+    ):
+        raise ValueError(
+            f"the fuzzy artifact's id column {eval_id_col!r} collides "
+            f"with the corpus id column {id_col!r} or a reserved store "
+            "column (batch_id/src_batch/jaccard) — rewrite the artifact "
+            "with a distinct eval_id name (e.g. eval_id)"
+        )
+    eval_cached = eval_cached.cache()
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        pairs = _fuzzy_pairs_against(
+            batch_df, eval_cached, text_col, id_col, eval_id_col, n,
+            threshold, normalize,
+        )
+        (
+            pairs.withColumn("batch_id", F.lit(batch_id))
+            .withColumn("src_batch", F.lit(batch_id))
+            .write.mode("overwrite")
+            .options(partitionOverwriteMode="dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_dir)
+        )
+
+    process.unpersist_eval = eval_cached.unpersist
+    return process
+
+
+def streaming_fuzzy_decontaminate(
+    stream_df: DataFrame,
+    eval_fuzzy_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    compact_every: int | None = None,
+    normalize: bool = False,
+):
+    """readStream -> per-batch fuzzy contamination pairs against a
+    frozen write_eval_fuzzy_table artifact -> partitioned parquet (see
+    make_fuzzy_decontaminate_batch_processor). The returned query
+    carries ``unpersist_eval``; ``compact_every`` folds the store."""
+    proc = make_fuzzy_decontaminate_batch_processor(
+        stream_df.sparkSession, eval_fuzzy_dir, out_dir, threshold,
+        text_col, id_col, n, normalize,
+    )
+    proc = auto_compacting(
+        proc, stream_df.sparkSession, [(out_dir, ())], compact_every
+    )
+    query = (
+        stream_df.writeStream.foreachBatch(proc)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.unpersist_eval = proc.unpersist_eval
+    return query
+
+
 def make_decontaminate_spans_policy_batch_processor(
     spark,
     eval_grams_dir: str,
