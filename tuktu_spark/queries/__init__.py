@@ -384,6 +384,22 @@ _TOUCHED = frozenset(
         # verified) anyway; dedup_decontaminate_attribution shares
         # contamination_attribution() whose plan is now shape-pinned but
         # whose code is unchanged, so it does NOT re-enter the window.
+        # The decontaminate_ingest_batch mode='fuzzy' dispatch and the
+        # new write_eval_fuzzy op are on NO driver query's path (the only
+        # registry-executed flow is webdataset_curation_lifecycle, which
+        # uses neither); both are pinned by tests/test_flow.py.
+        #
+        # minhash_lsh_candidates' banding was EXTRACTED into
+        # _banded_buckets (shared with the new bipartite fuzzy
+        # decontamination) — a pure refactor, but these five queries
+        # execute the changed function, so they re-enter the window.
+        # (dedup_incremental_batch and the streaming minhash store keep
+        # their own inline banding — unchanged.)
+        "dedup_minhash_lsh",
+        "dedup_minhash_lsh_distinct",
+        "dedup_minhash_lsh_skew",
+        "dedup_minhash_components",
+        "dedup_keep_best_per_cluster",
     }
 )
 
