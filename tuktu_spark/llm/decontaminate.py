@@ -285,6 +285,34 @@ def decontaminate_fuzzy(
     return corpus.join(flagged, corpus_id, "left_anti")
 
 
+def contamination_overlap_summary(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    corpus_text: str = "text",
+    corpus_id: str = "doc_id",
+    eval_text: str = "text",
+    eval_id: str = "suite",
+    n: int = 13,
+    normalize: bool = False,
+) -> DataFrame:
+    """The per-SUITE overlap table decontamination reports are published
+    as (the GPT-3 appendix-C shape, r13): one row per eval suite with
+    ``n_contaminated_docs`` (distinct corpus docs sharing >= 1 n-gram
+    with that suite), ``total_shared_grams`` (sum of per-doc distinct
+    shared-gram counts) and ``max_shared_grams`` (the worst leak).
+    A groupBy(suite) fold over contamination_attribution — the corpus
+    still shuffles only the hits; the summary is suites-sized."""
+    attr = contamination_attribution(
+        corpus, eval_set, corpus_text, corpus_id, eval_text, eval_id,
+        n, normalize,
+    )
+    return attr.groupBy(eval_id).agg(
+        F.count_distinct(corpus_id).alias("n_contaminated_docs"),
+        F.sum("n_shared_grams").alias("total_shared_grams"),
+        F.max("n_shared_grams").alias("max_shared_grams"),
+    )
+
+
 def decontaminate(
     corpus: DataFrame,
     eval_set: DataFrame,

@@ -701,7 +701,7 @@ WHERE CAST(common AS DOUBLE) / CAST(s.n_sh + es.n_sh - common AS DOUBLE) >= 0.8
 
 @query(
     "dedup_decontaminate_fuzzy", oracle=_DECON_FUZZY_ORACLE,
-    tags=("llm", "dedup"),
+    tags=("llm", "dedup"), bench=True,
 )
 def dedup_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy decontamination pairs (r13): corpus docs within 0.8
@@ -807,6 +807,53 @@ def dedup_decontaminate_attribution_suite(
         .select(F.col("lang").alias("suite"), "text")
     )
     return contamination_attribution(docs, eval_set, eval_id="suite", n=13)
+
+
+_DECON_OVERLAP_ORACLE = """
+WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+corpus_grams AS (
+  SELECT DISTINCT doc_id, array_to_string(list_slice(t, CAST(g.i AS INT), CAST(g.i AS INT) + 12), ' ') AS gram
+  FROM tk, UNNEST(generate_series(1, len(t) - 12)) AS g(i)
+),
+eval_grams AS (
+  SELECT DISTINCT d.lang AS suite, c.gram
+  FROM corpus_grams c JOIN documents d USING (doc_id)
+  WHERE d.doc_id % 17 = 0
+),
+attr AS (
+  SELECT c.doc_id, e.suite, COUNT(DISTINCT c.gram) AS n_shared_grams
+  FROM corpus_grams c JOIN eval_grams e USING (gram)
+  GROUP BY c.doc_id, e.suite
+)
+SELECT suite,
+       COUNT(DISTINCT doc_id) AS n_contaminated_docs,
+       CAST(SUM(n_shared_grams) AS BIGINT) AS total_shared_grams,
+       MAX(n_shared_grams) AS max_shared_grams
+FROM attr GROUP BY suite
+"""
+
+
+@query(
+    "dedup_decontaminate_overlap_summary", oracle=_DECON_OVERLAP_ORACLE,
+    tags=("llm", "dedup"),
+)
+def dedup_decontaminate_overlap_summary(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-suite contamination overlap table (r13): the GPT-3
+    appendix-C reporting shape — one row per suite (lang standing in
+    for the benchmark name) with contaminated-doc count, total and max
+    per-doc distinct shared grams. Suites-sized output folded from the
+    hits-only attribution."""
+    from ..llm.decontaminate import contamination_overlap_summary
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    eval_set = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 17 == 0)
+        .select(F.col("lang").alias("suite"), "text")
+    )
+    return contamination_overlap_summary(docs, eval_set, n=13)
 
 
 @query("dedup_decontaminate_report", oracle=_DECON_ORACLE, tags=("llm", "dedup"))
