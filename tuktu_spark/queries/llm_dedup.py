@@ -712,7 +712,9 @@ def dedup_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the dedup_minhash_lsh argument, bipartite)."""
     from ..llm.decontaminate import fuzzy_contamination_pairs
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = load_table(spark, sf_dir, "documents", parallel=True).select(
+        "doc_id", "text"
+    )
     eval_set = docs.filter(F.col("doc_id") % 17 == 0).select(
         F.col("doc_id").alias("eval_id"), "text"
     )
@@ -761,7 +763,9 @@ def dedup_decontaminate_fuzzy_filter(
     threshold)."""
     from ..llm.decontaminate import decontaminate_fuzzy
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = load_table(spark, sf_dir, "documents", parallel=True).select(
+        "doc_id", "text"
+    )
     eval_set = docs.filter(F.col("doc_id") % 17 == 0).select("text")
     return decontaminate_fuzzy(docs, eval_set, n=3, threshold=0.8)
 
