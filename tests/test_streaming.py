@@ -1805,6 +1805,48 @@ def test_streaming_fuzzy_decontaminate_matches_batch(spark, sf_dir, tmp_path):
     assert not cached.is_cached
 
 
+def test_fuzzy_processor_engine_passthrough(spark, sf_dir, tmp_path):
+    """r13: the fuzzy processor's engine knob — 'shuffle' (no forced
+    broadcasts) and 'auto' (pick_fuzzy_engine probe, resolved ONCE at
+    build time) both reproduce the default engine's exact pair set
+    against the same frozen artifact."""
+    from pyspark.sql import functions as F
+
+    from tuktu_spark.llm.decontaminate import (
+        fuzzy_contamination_pairs,
+        write_eval_fuzzy_table,
+    )
+    from tuktu_spark.streaming.llm import (
+        make_fuzzy_decontaminate_batch_processor,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ev = docs.filter(F.col("doc_id") % 7 == 0).select(
+        F.col("doc_id").alias("eval_id"), "text"
+    )
+    fuzzy_dir = str(tmp_path / "fuzzy_art")
+    write_eval_fuzzy_table(ev, fuzzy_dir, n=3)
+    want = {
+        (r["doc_id"], r["eval_id"], round(r["jaccard"], 12))
+        for r in fuzzy_contamination_pairs(
+            docs, ev, n=3, threshold=0.8
+        ).collect()
+    }
+    assert want
+    for engine in ("shuffle", "auto"):
+        out = str(tmp_path / f"out_{engine}")
+        proc = make_fuzzy_decontaminate_batch_processor(
+            spark, fuzzy_dir, out, threshold=0.8, n=3, engine=engine
+        )
+        proc(docs, 0)
+        got = {
+            (r["doc_id"], r["eval_id"], round(r["jaccard"], 12))
+            for r in spark.read.parquet(out).collect()
+        }
+        assert got == want, engine
+        proc.unpersist_eval()
+
+
 def test_fuzzy_artifact_guards(spark, sf_dir, tmp_path):
     """r13: the fuzzy processor rejects (a) a GRAM table (different
     artifact kind — no _fuzzy_meta.json), (b) a shingle-setting or

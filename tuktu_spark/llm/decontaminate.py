@@ -134,6 +134,7 @@ def fuzzy_contamination_pairs(
     n: int = 3,
     threshold: float = 0.8,
     normalize: bool = False,
+    engine: str = "broadcast",
 ) -> DataFrame:
     """FUZZY decontamination (r13): (doc_id, eval_id, jaccard) for corpus
     docs whose shingle-set Jaccard against an eval example reaches
@@ -165,7 +166,19 @@ def fuzzy_contamination_pairs(
 
     ``normalize`` applies the decontamination text normalization
     (_norm_text) to BOTH sides before shingling, matching
-    contamination_report's normalize semantics."""
+    contamination_report's normalize semantics.
+
+    ``engine``: ``'broadcast'`` (default) force-broadcasts the eval
+    side's banded buckets and shingle arrays — right whenever the eval
+    suite fits the broadcast budget, which is the overwhelmingly common
+    case. ``'shuffle'`` drops the forced hints so both eval joins plan
+    as ordinary equi-joins (shuffle on (band, bucket) / eval_id when
+    the planner's own stats say the eval side is too big, broadcast
+    again if AQE disagrees) — the beyond-broadcast escape hatch, the
+    fuzzy twin of the exact-gram family's engine='bloom' regime.
+    ``'auto'`` runs pick_fuzzy_engine's one eval-sized probe and
+    dispatches on the broadcast memory budget. Output is
+    engine-independent (pinned in tests)."""
     if eval_id == corpus_id:
         raise ValueError(
             f"eval_id and corpus_id are both {eval_id!r}: the verified "
@@ -194,9 +207,11 @@ def fuzzy_contamination_pairs(
             minhash_signatures_from_hashed(h_e, eval_id), eval_id
         ).select(eval_id, "shingles", "signature")
     )
+    if engine == "auto":
+        engine = pick_fuzzy_engine(eval_tbl)
     return _fuzzy_pairs_against(
         corpus, eval_tbl, corpus_text, corpus_id, eval_id, n, threshold,
-        normalize, persist=True,
+        normalize, persist=True, engine=engine,
     )
 
 
@@ -238,6 +253,7 @@ def _fuzzy_pairs_against(
     threshold: float,
     normalize: bool,
     persist: bool = False,
+    engine: str = "broadcast",
 ) -> DataFrame:
     """The shared fuzzy tail (batch inline AND frozen-artifact /
     streaming consumers): corpus (text) x eval (eval_id, shingles,
@@ -246,6 +262,17 @@ def _fuzzy_pairs_against(
     arrays for verification) — both eval-sized; the corpus produces
     candidates map-side and meets the hits-sized candidate set once by
     id.
+
+    ``engine='shuffle'`` drops both forced broadcast hints (see
+    fuzzy_contamination_pairs): the banded candidate join and the
+    verification join plan from the planner's own stats — shuffle
+    equi-joins once the eval side is genuinely beyond the broadcast
+    budget. Candidate generation then shuffles ~corpus_docs*BANDS rows
+    of 4 longs on (band, bucket) — the minhash SELF-join's exact
+    shuffle shape, which is the proven at-scale path — and the verify
+    join shuffles the hits-sized candidate set plus the two shingle
+    tables on ids. 'auto'/'broadcast' resolution happens in the entry
+    points; this tail takes only the resolved literal.
 
     ``persist=True`` (the batch entry point) caches the corpus shingle
     table under the dedup family's scoped-cache protocol
@@ -262,6 +289,12 @@ def _fuzzy_pairs_against(
         minhash_signatures_from_hashed,
     )
 
+    if engine not in ("broadcast", "shuffle"):
+        raise ValueError(
+            f"unknown fuzzy engine {engine!r}: expected 'broadcast' or "
+            "'shuffle' (entry points resolve 'auto' before this tail)"
+        )
+    hint = F.broadcast if engine == "broadcast" else (lambda df: df)
     h_c = _fuzzy_shingled(corpus, corpus_text, corpus_id, n, normalize)
     if persist:
         h_c = _persist_scoped(h_c)
@@ -271,12 +304,12 @@ def _fuzzy_pairs_against(
     )
     b_e = _banded_buckets(eval_tbl.select(eval_id, "signature"), eval_id)
     cands = (
-        b_c.join(F.broadcast(b_e), ["band", "bucket"])
+        b_c.join(hint(b_e), ["band", "bucket"])
         .select(corpus_id, eval_id)
         .distinct()
     )
     sa = h_c.select(F.col(corpus_id), F.col("shingles").alias("__sa"))
-    sb = F.broadcast(
+    sb = hint(
         eval_tbl.select(F.col(eval_id), F.col("shingles").alias("__sb"))
     )
     common = F.size(F.array_intersect("__sa", "__sb"))
@@ -300,20 +333,22 @@ def decontaminate_fuzzy(
     n: int = 3,
     threshold: float = 0.8,
     normalize: bool = False,
+    engine: str = "broadcast",
 ) -> DataFrame:
     """Corpus minus fuzzily-contaminated docs (the production filter
     form of fuzzy_contamination_pairs): any doc within ``threshold``
     shingle-Jaccard of any eval example is dropped whole. Left-anti on
     the flagged id set — the corpus passes through untouched except one
     id-keyed anti join (AQE broadcasts the flagged side, which is
-    hits-sized)."""
+    hits-sized). ``engine`` passes through to
+    fuzzy_contamination_pairs ('broadcast'/'shuffle'/'auto')."""
     # the pair output's eval id never surfaces here — synthesize one
     # (monotonically_increasing_id is partition-local arithmetic, no
     # shuffle; the values only need to be distinct, not stable)
     ev = eval_set.withColumn("__eval_id", F.monotonically_increasing_id())
     flagged = fuzzy_contamination_pairs(
         corpus, ev, corpus_text, corpus_id, eval_text, "__eval_id",
-        n, threshold, normalize,
+        n, threshold, normalize, engine,
     ).select(corpus_id).distinct()
     return corpus.join(flagged, corpus_id, "left_anti")
 
@@ -1209,4 +1244,31 @@ def pick_decontaminate_engine(
         F.approx_count_distinct("gram").alias("m")
     ).collect()[0]["m"] or 0
     engine = "broadcast" if m <= int(budget_grams) else "bloom"
+    return (engine, int(m)) if with_count else engine
+
+
+def pick_fuzzy_engine(
+    eval_tbl: DataFrame,
+    budget_shingles: int = 32_000_000,
+    with_count: bool = False,
+):
+    """'broadcast' or 'shuffle' for the FUZZY decontamination eval side
+    — the engine='auto' probe, the fuzzy twin of
+    pick_decontaminate_engine. Takes any frame carrying the eval
+    ``shingles`` column (the in-flight shingled eval table or a frozen
+    write_eval_fuzzy_table artifact) and runs ONE eval-sized scalar
+    aggregate: total shingle hashes, the quantity that dominates both
+    forced broadcasts (the verification arrays outweigh the banded
+    buckets — BANDS*5 longs per doc — for any eval doc longer than a
+    sentence). Same budget philosophy as the gram probe: broadcast
+    beats shuffle at every size that FITS executor memory, so the
+    criterion is the memory budget (default 32M longs ~ the same
+    1 GB-class hash relation as budget_grams), not wall time; past it
+    the joins fall back to the minhash self-join's proven shuffle
+    shape. ``with_count=True`` returns (engine, total_shingles)."""
+    m = (
+        eval_tbl.agg(F.sum(F.size("shingles")).alias("m")).collect()[0]["m"]
+        or 0
+    )
+    engine = "broadcast" if m <= int(budget_shingles) else "shuffle"
     return (engine, int(m)) if with_count else engine

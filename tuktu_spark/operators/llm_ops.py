@@ -145,7 +145,9 @@ def fuzzy_decontaminate_op(config: dict):
     The near-dup complement of the exact long-n-gram 'decontaminate'
     op — catches lightly edited eval leaks exact matching misses.
     config: {n, threshold, text_field, id_field, eval_text_field,
-    eval_id_field, report, normalize}."""
+    eval_id_field, report, normalize, engine} — engine
+    'broadcast' (default) / 'shuffle' / 'auto', the fuzzy twin of the
+    exact op's broadcast/bloom dispatch (pick_fuzzy_engine)."""
     from ..llm import decontaminate as DC
 
     def transform(
@@ -164,6 +166,7 @@ def fuzzy_decontaminate_op(config: dict):
             n=int(config.get("n", 3)),
             threshold=float(config.get("threshold", 0.8)),
             normalize=bool(config.get("normalize", False)),
+            engine=str(config.get("engine", "broadcast")),
         )
         if config.get("report"):
             return DC.fuzzy_contamination_pairs(

@@ -395,6 +395,13 @@ _TOUCHED = frozenset(
         # execute the changed function, so they re-enter the window.
         # (dedup_incremental_batch and the streaming minhash store keep
         # their own inline banding — unchanged.)
+        #
+        # The fuzzy-path perf fix (token-level degenerate filter in
+        # _fuzzy_shingled + scoped persists in the batch entry) changes
+        # executed code ONLY of dedup_decontaminate_fuzzy{,_filter} and
+        # streaming_fuzzy_decontaminate_replay — all three are r13-new
+        # and enter at rank 0 (never verified), so listing them here
+        # would not move the window.
         "dedup_minhash_lsh",
         "dedup_minhash_lsh_distinct",
         "dedup_minhash_lsh_skew",

@@ -770,6 +770,36 @@ def dedup_decontaminate_fuzzy_filter(
     return decontaminate_fuzzy(docs, eval_set, n=3, threshold=0.8)
 
 
+@query(
+    "dedup_decontaminate_fuzzy_shuffle", oracle=_DECON_FUZZY_ORACLE,
+    tags=("llm", "dedup"),
+)
+def dedup_decontaminate_fuzzy_shuffle(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """engine='shuffle' form of fuzzy decontamination (r13): the
+    beyond-broadcast escape hatch — no forced broadcast hints, the
+    banded candidate join and the verification join plan from the
+    planner's own stats (shuffle equi-joins at real beyond-budget eval
+    sizes; the sf0.01 eval side is small enough that AQE may still
+    elect a broadcast, which is exactly the engine's contract: stop
+    FORCING, don't forbid). Must hash-match the same exact-Jaccard
+    oracle as the broadcast engine — the engine-independence claim
+    under driver evidence, the fuzzy twin of dedup_decontaminate_bloom
+    vs dedup_decontaminate_report."""
+    from ..llm.decontaminate import fuzzy_contamination_pairs
+
+    docs = load_table(spark, sf_dir, "documents", parallel=True).select(
+        "doc_id", "text"
+    )
+    eval_set = docs.filter(F.col("doc_id") % 17 == 0).select(
+        F.col("doc_id").alias("eval_id"), "text"
+    )
+    return fuzzy_contamination_pairs(
+        docs, eval_set, n=3, threshold=0.8, engine="shuffle"
+    )
+
+
 _DECON_ATTR_SUITE_ORACLE = """
 WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
 corpus_grams AS (

@@ -891,6 +891,7 @@ def make_fuzzy_decontaminate_batch_processor(
     id_col: str = "doc_id",
     n: int = 3,
     normalize: bool = False,
+    engine: str = "broadcast",
 ):
     """foreachBatch processor producing FUZZY (MinHash-LSH near-dup)
     contamination pairs against a frozen write_eval_fuzzy_table artifact
@@ -908,10 +909,17 @@ def make_fuzzy_decontaminate_batch_processor(
     shingle settings AND banding geometry — a gram table (a different
     artifact kind) or a stale-geometry artifact fails loudly. The
     eval table is cached + its broadcasts are eval-sized;
-    ``process.unpersist_eval()`` releases the cache."""
+    ``process.unpersist_eval()`` releases the cache.
+
+    ``engine``: 'broadcast' (default) / 'shuffle' / 'auto' with the
+    batch semantics (fuzzy_contamination_pairs). 'auto' runs
+    pick_fuzzy_engine's probe ONCE here at build time against the
+    cached artifact — never per micro-batch — so every batch plans
+    with the same resolved engine."""
     from ..llm.decontaminate import (
         _fuzzy_pairs_against,
         check_eval_fuzzy_meta,
+        pick_fuzzy_engine,
     )
 
     if threshold <= 0:
@@ -941,13 +949,15 @@ def make_fuzzy_decontaminate_batch_processor(
             "with a distinct eval_id name (e.g. eval_id)"
         )
     eval_cached = eval_cached.cache()
+    if engine == "auto":
+        engine = pick_fuzzy_engine(eval_cached)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         pairs = _fuzzy_pairs_against(
             batch_df, eval_cached, text_col, id_col, eval_id_col, n,
-            threshold, normalize,
+            threshold, normalize, engine=engine,
         )
         (
             pairs.withColumn("batch_id", F.lit(batch_id))
@@ -973,14 +983,16 @@ def streaming_fuzzy_decontaminate(
     n: int = 3,
     compact_every: int | None = None,
     normalize: bool = False,
+    engine: str = "broadcast",
 ):
     """readStream -> per-batch fuzzy contamination pairs against a
     frozen write_eval_fuzzy_table artifact -> partitioned parquet (see
-    make_fuzzy_decontaminate_batch_processor). The returned query
+    make_fuzzy_decontaminate_batch_processor; ``engine`` passes
+    through, 'auto' resolved once at build time). The returned query
     carries ``unpersist_eval``; ``compact_every`` folds the store."""
     proc = make_fuzzy_decontaminate_batch_processor(
         stream_df.sparkSession, eval_fuzzy_dir, out_dir, threshold,
-        text_col, id_col, n, normalize,
+        text_col, id_col, n, normalize, engine,
     )
     proc = auto_compacting(
         proc, stream_df.sparkSession, [(out_dir, ())], compact_every
