@@ -509,6 +509,58 @@ class TestFuzzyDecontamination:
                 engine="bloom",
             )
 
+    def test_suite_summary_folds_pairs_per_suite(self, spark):
+        """fuzzy_overlap_summary: per-example pairs folded by the eval
+        suite label — doc 2 (j=1.0 vs example 100) and doc 3 (near-dup)
+        both hit suite 's1'; suite 's2' (example 101, no corpus match)
+        is absent; a doc near-duping TWO examples of one suite counts
+        once in n_contaminated_docs, twice in n_flagged_pairs."""
+        from pyspark.sql import functions as F
+
+        from tuktu_spark.llm.decontaminate import fuzzy_overlap_summary
+
+        corpus = self._corpus(spark)
+        # third example: ALSO equal to long_b -> doc 2 pairs with both
+        # s1 examples (j=1.0 each), doc 3 near-dups both
+        ev = self._eval(spark).withColumn(
+            "suite", F.when(F.col("eval_id") == 101, "s2").otherwise("s1")
+        ).union(
+            spark.createDataFrame(
+                [(103, " ".join(f"b{i}" for i in range(40)), "s1")],
+                "eval_id int, text string, suite string",
+            )
+        )
+        rows = {
+            r["suite"]: r
+            for r in fuzzy_overlap_summary(
+                corpus, ev, n=3, threshold=0.5
+            ).collect()
+        }
+        assert set(rows) == {"s1"}
+        s1 = rows["s1"]
+        assert s1["n_contaminated_docs"] == 2  # docs 2 and 3, each once
+        assert s1["n_flagged_pairs"] == 4      # each vs examples 100+103
+        assert s1["max_jaccard"] == 1.0
+        with pytest.raises(ValueError, match="suite"):
+            fuzzy_overlap_summary(corpus, self._eval(spark))
+
+    def test_flow_op_suite_summary(self, spark):
+        from pyspark.sql import functions as F
+
+        import tuktu_spark.operators.llm_ops  # noqa: F401
+        from tuktu_spark.operators.registry import OPERATORS
+
+        corpus = self._corpus(spark)
+        ev = self._eval(spark).withColumn(
+            "suite", F.when(F.col("eval_id") == 101, "s2").otherwise("s1")
+        )
+        out = OPERATORS["fuzzy_decontaminate"](
+            {"suite_field": "suite", "n": 3, "threshold": 0.5}
+        )(corpus, ev)
+        rows = {r["suite"]: r for r in out.collect()}
+        assert set(rows) == {"s1"}
+        assert rows["s1"]["n_contaminated_docs"] == 2
+
 
 class TestQuantization:
     def test_round_trip_error_bounded(self, spark, sf_dir):

@@ -381,6 +381,60 @@ def contamination_overlap_summary(
     )
 
 
+def fuzzy_overlap_summary(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    corpus_text: str = "text",
+    corpus_id: str = "doc_id",
+    eval_text: str = "text",
+    eval_id: str = "eval_id",
+    suite: str = "suite",
+    n: int = 3,
+    threshold: float = 0.8,
+    normalize: bool = False,
+    engine: str = "broadcast",
+) -> DataFrame:
+    """The per-SUITE table for FUZZY (near-dup) contamination — the
+    fuzzy twin of contamination_overlap_summary, completing the
+    {exact, fuzzy} x {pairs, filter, suite summary} reporting matrix
+    (r13): one row per eval suite with ``n_contaminated_docs``
+    (distinct corpus docs within ``threshold`` shingle-Jaccard of ANY
+    of the suite's examples), ``n_flagged_pairs`` (verified
+    (doc, example) pairs hitting the suite) and ``max_jaccard`` (the
+    worst leak — 1.0 means a verbatim copy of an example).
+
+    Unlike the exact-gram summary — where a suite's grams union into
+    one matchable set — Jaccard is inherently PER-EXAMPLE (a doc can
+    be a near-dup of one example, never of a suite's pooled
+    shingles), so the eval set must carry BOTH an example id and a
+    ``suite`` label: pairs are verified per example, then folded by
+    suite. The fold adds one suites-sized aggregation over the
+    hits-sized pair table; the suite labels ride the eval-sized
+    mapping (broadcast by AQE), so the corpus-side cost is exactly
+    fuzzy_contamination_pairs' (``engine`` passes through)."""
+    for col, role in ((eval_id, "example id"), (suite, "suite")):
+        if col not in eval_set.columns:
+            raise ValueError(
+                f"fuzzy_overlap_summary needs the eval {role} column "
+                f"{col!r} (per-example Jaccard folded by suite); "
+                f"eval_set has {eval_set.columns}"
+            )
+    pairs = fuzzy_contamination_pairs(
+        corpus, eval_set, corpus_text, corpus_id, eval_text, eval_id,
+        n, threshold, normalize, engine,
+    )
+    labels = eval_set.select(eval_id, suite).distinct()
+    return (
+        pairs.join(labels, eval_id)
+        .groupBy(suite)
+        .agg(
+            F.count_distinct(corpus_id).alias("n_contaminated_docs"),
+            F.count(F.lit(1)).alias("n_flagged_pairs"),
+            F.max("jaccard").alias("max_jaccard"),
+        )
+    )
+
+
 def decontaminate(
     corpus: DataFrame,
     eval_set: DataFrame,

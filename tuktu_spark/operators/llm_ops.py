@@ -145,9 +145,12 @@ def fuzzy_decontaminate_op(config: dict):
     The near-dup complement of the exact long-n-gram 'decontaminate'
     op — catches lightly edited eval leaks exact matching misses.
     config: {n, threshold, text_field, id_field, eval_text_field,
-    eval_id_field, report, normalize, engine} — engine
+    eval_id_field, report, normalize, engine, suite_field} — engine
     'broadcast' (default) / 'shuffle' / 'auto', the fuzzy twin of the
-    exact op's broadcast/bloom dispatch (pick_fuzzy_engine)."""
+    exact op's broadcast/bloom dispatch (pick_fuzzy_engine);
+    suite_field selects the per-SUITE summary table instead
+    (fuzzy_overlap_summary — eval_set must carry both the example id
+    and the suite label)."""
     from ..llm import decontaminate as DC
 
     def transform(
@@ -168,6 +171,13 @@ def fuzzy_decontaminate_op(config: dict):
             normalize=bool(config.get("normalize", False)),
             engine=str(config.get("engine", "broadcast")),
         )
+        if config.get("suite_field"):
+            return DC.fuzzy_overlap_summary(
+                corpus, eval_set,
+                eval_id=config.get("eval_id_field", "eval_id"),
+                suite=str(config["suite_field"]),
+                **common,
+            )
         if config.get("report"):
             return DC.fuzzy_contamination_pairs(
                 corpus, eval_set,

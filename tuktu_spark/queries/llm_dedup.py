@@ -770,6 +770,75 @@ def dedup_decontaminate_fuzzy_filter(
     return decontaminate_fuzzy(docs, eval_set, n=3, threshold=0.8)
 
 
+# Fuzzy per-suite truth: the exact bipartite Jaccard pair set (the
+# _DECON_FUZZY_ORACLE argument — banding is recall-1 at these
+# thresholds and every candidate is exact-verified), each eval
+# example labeled with its suite (lang), folded per suite. max_jaccard
+# is exact cross-engine: both engines compute common/union from the
+# same integers, and MAX of identical doubles is order-free.
+_DECON_FUZZY_SUITE_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+  FROM toks
+), ev AS (
+  SELECT doc_id AS eval_id, shingle FROM sh WHERE doc_id % 17 = 0
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+), esizes AS (
+  SELECT eval_id, COUNT(*) AS n_sh FROM ev GROUP BY eval_id
+), pairs AS (
+  SELECT c.doc_id, e.eval_id, COUNT(*) AS common
+  FROM sh c JOIN ev e USING (shingle)
+  GROUP BY 1, 2
+), flagged AS (
+  SELECT p.doc_id, p.eval_id,
+         CAST(common AS DOUBLE) / CAST(s.n_sh + es.n_sh - common AS DOUBLE) AS jaccard
+  FROM pairs p JOIN sizes s USING (doc_id) JOIN esizes es USING (eval_id)
+  WHERE CAST(common AS DOUBLE) / CAST(s.n_sh + es.n_sh - common AS DOUBLE) >= 0.8
+)
+SELECT d.lang AS suite,
+       COUNT(DISTINCT f.doc_id) AS n_contaminated_docs,
+       COUNT(*) AS n_flagged_pairs,
+       MAX(f.jaccard) AS max_jaccard
+FROM flagged f JOIN documents d ON f.eval_id = d.doc_id
+GROUP BY d.lang
+"""
+
+
+@query(
+    "dedup_decontaminate_fuzzy_suite", oracle=_DECON_FUZZY_SUITE_ORACLE,
+    tags=("llm", "dedup"),
+)
+def dedup_decontaminate_fuzzy_suite(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-suite FUZZY overlap table (r13): near-dup contamination
+    folded to the suite granularity reports are published at — the
+    fuzzy twin of dedup_decontaminate_overlap_summary (lang stands in
+    for the benchmark name). Per-example Jaccard pairs fold by suite;
+    the fold is one suites-sized aggregation over the hits."""
+    from ..llm.decontaminate import fuzzy_overlap_summary
+
+    docs = load_table(spark, sf_dir, "documents", parallel=True).select(
+        "doc_id", "text"
+    )
+    eval_set = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 17 == 0)
+        .select(
+            F.col("doc_id").alias("eval_id"),
+            F.col("lang").alias("suite"),
+            "text",
+        )
+    )
+    return fuzzy_overlap_summary(docs, eval_set, n=3, threshold=0.8)
+
+
 @query(
     "dedup_decontaminate_fuzzy_shuffle", oracle=_DECON_FUZZY_ORACLE,
     tags=("llm", "dedup"),
