@@ -1754,6 +1754,72 @@ def test_streaming_attribution_matches_batch(spark, sf_dir, tmp_path):
         )
 
 
+def test_attribution_store_summary_matches_batch(spark, sf_dir, tmp_path):
+    """r13: the read-side dashboard fold — attribution_store_summary
+    over a replayed SUITE-granularity attribution store equals the
+    batch contamination_overlap_summary over the same corpus (the
+    store composition invariant), survives store compaction, and
+    rejects a store without attribution columns."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    import tuktu_spark.streaming as STR
+    from tuktu_spark.llm.decontaminate import (
+        contamination_overlap_summary,
+        write_eval_gram_table,
+    )
+    from tuktu_spark.streaming.llm import (
+        attribution_store_summary,
+        streaming_attribution,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ev = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 7 == 0)
+        .select(F.col("lang").alias("suite"), "text")
+    )
+    grams_dir = str(tmp_path / "suite_grams")
+    write_eval_gram_table(ev, grams_dir, n=5, eval_id="suite")
+
+    want = {
+        (r["suite"], r["n_contaminated_docs"], r["total_shared_grams"],
+         r["max_shared_grams"])
+        for r in contamination_overlap_summary(
+            docs, ev, eval_id="suite", n=5
+        ).collect()
+    }
+    assert want
+
+    out = str(tmp_path / "store")
+    stream = STR.replay_dataframe(
+        docs, str(tmp_path / "stage"), chunks=3, order_col="doc_id"
+    )
+    q = streaming_attribution(
+        stream, grams_dir, out, str(tmp_path / "ckpt"), n=5,
+        compact_every=2,  # summary must be compaction-invariant
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.unpersist_eval()
+    got = {
+        (r["suite"], r["n_contaminated_docs"], r["total_shared_grams"],
+         r["max_shared_grams"])
+        for r in attribution_store_summary(
+            spark, out, eval_id_col="suite"
+        ).collect()
+    }
+    assert got == want
+
+    # a plain (anonymous) store lacks the attribution columns
+    plain = str(tmp_path / "plain_store")
+    docs.limit(2).select("doc_id").withColumn(
+        "batch_id", F.lit(0)
+    ).write.partitionBy("batch_id").parquet(plain)
+    with pytest.raises(ValueError, match="anonymous"):
+        attribution_store_summary(spark, plain, eval_id_col="suite")
+
+
 def test_streaming_fuzzy_decontaminate_matches_batch(spark, sf_dir, tmp_path):
     """r13: per-batch FUZZY (MinHash-LSH) contamination pairs against a
     frozen write_eval_fuzzy_table artifact — union of batch outputs

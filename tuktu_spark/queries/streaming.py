@@ -840,6 +840,53 @@ def streaming_attribution_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from .llm_dedup import _DECON_OVERLAP_ORACLE  # noqa: E402
+
+
+@query(
+    "streaming_overlap_summary_replay",
+    oracle=_DECON_OVERLAP_ORACLE,
+    tags=("streaming", "llm", "dedup"),
+)
+def streaming_overlap_summary_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """r13: the per-suite overlap table folded from a LIVE attribution
+    store — the read-side dashboard fold over an always-on
+    decontamination monitor. The ATTRIBUTED gram table is frozen at
+    SUITE granularity (eval_id = lang), the documents replay in 3
+    micro-batches through the attribution processor, and
+    attribution_store_summary over the accumulated store must
+    hash-match the SAME DuckDB oracle as the BATCH
+    dedup_decontaminate_overlap_summary query: a doc's grams live
+    wholly in its own batch, so the store holds each (doc, suite) row
+    exactly once with its full count and the store fold equals the
+    batch summary."""
+    import os
+
+    from ..llm.decontaminate import write_eval_gram_table
+    from ..streaming.llm import attribution_store_summary, streaming_attribution
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    eval_set = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 17 == 0)
+        .select(F.col("lang").alias("suite"), "text")
+    )
+    art = tempfile.mkdtemp(prefix="tuktu_deconsum_art_")
+    grams_dir = os.path.join(art, "eval_grams")
+    write_eval_gram_table(eval_set, grams_dir, n=13, eval_id="suite")
+    stage = tempfile.mkdtemp(prefix="tuktu_deconsum_replay_")
+    out_dir = tempfile.mkdtemp(prefix="tuktu_deconsum_out_")
+    ckpt = tempfile.mkdtemp(prefix="tuktu_deconsum_ckpt_")
+    stream = STR.replay_dataframe(docs, stage, chunks=3, order_col="doc_id")
+    q = streaming_attribution(stream, grams_dir, out_dir, ckpt, n=13)
+    q.processAllAvailable()
+    q.stop()
+    q.unpersist_eval()
+    return attribution_store_summary(spark, out_dir, eval_id_col="suite")
+
+
 from .llm_dedup import _DECON_FUZZY_ORACLE  # noqa: E402
 
 

@@ -882,6 +882,48 @@ def streaming_attribution(
     return query
 
 
+def attribution_store_summary(
+    spark,
+    store_dir: str,
+    eval_id_col: str = "eval_id",
+    corpus_id: str = "doc_id",
+) -> DataFrame:
+    """The per-suite overlap table folded from a LIVE attribution store
+    (r13): the read-side reporting fold that turns the batch_id-
+    partitioned (doc, eval/suite, n_shared_grams) rows a
+    streaming_attribution store accumulates into exactly the
+    contamination_overlap_summary shape (n_contaminated_docs /
+    total_shared_grams / max_shared_grams per eval id) — the dashboard
+    query over an always-on decontamination monitor, no re-scan of any
+    corpus text.
+
+    Correctness rides the store's composition invariant (the
+    streaming_attribution_replay argument): a doc's grams live wholly
+    in its own micro-batch, so the store holds each (doc, eval) row
+    exactly once with its full count and the fold over store rows
+    EQUALS the batch summary over the replayed corpus (pinned in
+    tests and by the driver oracle). Scale shape: one aggregation over
+    the hits-sized store, eval-cardinality output; partition-column
+    reads (batch_id/src_batch) are excluded from the fold, and
+    compaction (auto_compacting) never changes row content, only
+    layout, so the summary is compaction-invariant."""
+    df = spark.read.parquet(store_dir)
+    missing = {eval_id_col, corpus_id, "n_shared_grams"} - set(df.columns)
+    if missing:
+        raise ValueError(
+            f"attribution store {store_dir} lacks column(s) "
+            f"{sorted(missing)}: expected the "
+            f"({corpus_id}, {eval_id_col}, n_shared_grams) rows a "
+            "streaming_attribution processor writes — is this a plain "
+            "(anonymous) decontamination store?"
+        )
+    return df.groupBy(eval_id_col).agg(
+        F.count_distinct(corpus_id).alias("n_contaminated_docs"),
+        F.sum("n_shared_grams").alias("total_shared_grams"),
+        F.max("n_shared_grams").alias("max_shared_grams"),
+    )
+
+
 def make_fuzzy_decontaminate_batch_processor(
     spark,
     eval_fuzzy_dir: str,
