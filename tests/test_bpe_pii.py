@@ -159,6 +159,51 @@ class TestMixing:
         assert by[("a", 1)] == 0 and by[("a", 2)] == 1
         assert by[("b", 1)] == 0 and by[("b", 2)] == 1
 
+    def test_epoch_shuffle_deterministic_and_epoch_varying(self, spark):
+        """epoch_shuffle (r13): same (seed, epoch) -> bit-identical
+        (shard, epoch_pos) at any parallelism; a different epoch
+        re-deals the order; positions are a dense 1..K per shard and
+        every row keeps exactly one position."""
+        import pytest
+
+        from tuktu_spark.llm.mixing import epoch_shuffle
+
+        df = spark.range(2_000).select(F.col("id").alias("doc_id"))
+        a = {r["doc_id"]: (r["shard"], r["epoch_pos"]) for r in
+             epoch_shuffle(df, 8, seed=1, epoch=0).collect()}
+        b = {r["doc_id"]: (r["shard"], r["epoch_pos"]) for r in
+             epoch_shuffle(df.repartition(13), 8, seed=1, epoch=0).collect()}
+        assert a == b                                  # parallelism-invariant
+        c = {r["doc_id"]: (r["shard"], r["epoch_pos"]) for r in
+             epoch_shuffle(df, 8, seed=1, epoch=1).collect()}
+        assert c != a                                  # new epoch re-deals
+        assert set(c) == set(a)                        # ...but keeps every row
+        # dense per-shard positions 1..K, no duplicates
+        per_shard = {}
+        for shard, pos in a.values():
+            per_shard.setdefault(shard, []).append(pos)
+        assert set(per_shard) == set(range(8))         # 2000 rows fill 8 shards
+        for shard, ps in per_shard.items():
+            assert sorted(ps) == list(range(1, len(ps) + 1)), shard
+        # shards are hash-balanced in expectation (2000/8 = 250 +/- 20%)
+        assert all(200 <= len(ps) <= 300 for ps in per_shard.values())
+        with pytest.raises(ValueError, match="n_shards"):
+            epoch_shuffle(df, 0)
+
+    def test_epoch_shuffle_flow_op(self, spark):
+        import tuktu_spark.operators.llm_ops  # noqa: F401
+        from tuktu_spark.llm.mixing import epoch_shuffle
+        from tuktu_spark.operators.registry import OPERATORS
+
+        df = spark.range(100).select(F.col("id").alias("doc_id"))
+        want = {r["doc_id"]: (r["shard"], r["epoch_pos"]) for r in
+                epoch_shuffle(df, 4, seed=3, epoch=5).collect()}
+        got = {r["doc_id"]: (r["shard"], r["epoch_pos"]) for r in
+               OPERATORS["epoch_shuffle"](
+                   {"n_shards": 4, "seed": 3, "epoch": 5}
+               )(df).collect()}
+        assert got == want
+
 
 class TestBpeVocabCap:
     """Round-4 verdict #4: the train_bpe collect must be bounded."""

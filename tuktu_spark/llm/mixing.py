@@ -36,6 +36,70 @@ def _md5_key(id_col):
     ).cast("long")
 
 
+def epoch_shuffle(
+    df: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    epoch: int = 0,
+) -> DataFrame:
+    """Deterministic, epoch-varying global shuffle order — the training
+    dataloader's 'reshuffle every epoch, reproducibly' contract as a
+    data-parallel operator: every row gets a ``shard`` (which of
+    ``n_shards`` reader streams serves it) and an ``epoch_pos`` (its
+    position within that shard), both pure functions of
+    (seed, epoch, id). Same (seed, epoch) -> bit-identical order at
+    any parallelism and across re-runs (resumable training); a new
+    epoch re-deals both assignments wholesale. The reference shuffles
+    with scala.util.Random.shuffle (app/tuktu/processors/sample/
+    StratifiedSamplingProcessor.scala:34 — nondeterministic under
+    re-partitioning and unseeded); this is the deterministic,
+    cluster-stable replacement.
+
+    Scale shape: NO global sort. The order key is the sampling
+    family's portable md5 int ('<seed>:<epoch>:<id>'); shard =
+    pmod(key, n_shards) hash-partitions in one exchange, and
+    positions come from a PARTITIONED window (row_number per shard,
+    ordered by (key, id) — the id tie-break makes the order total even
+    under 60-bit key collisions). A global ORDER BY at 100 TB would
+    range-partition and resort the corpus; per-shard numbering is the
+    shape shard-file writers actually need (choose n_shards ~
+    corpus / target_shard_rows, never 1: one shard = one sort task).
+    ``epoch_pos`` is long (shard populations at 100 TB exceed int32).
+    """
+    if int(n_shards) < 1:
+        raise ValueError(
+            f"epoch_shuffle needs n_shards >= 1, got {n_shards}: shards "
+            "bound the per-task sort; a global order is n_shards=1 run "
+            "at your own scale risk"
+        )
+    key = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.lit(int(seed)),
+                    F.lit(int(epoch)),
+                    F.col(id_col).cast("string"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    out = df.withColumn("__ekey", key).withColumn(
+        "shard", F.pmod(F.col("__ekey"), F.lit(int(n_shards))).cast("int")
+    )
+    w = Window.partitionBy("shard").orderBy(
+        F.col("__ekey").asc(), F.col(id_col).asc()
+    )
+    return out.withColumn(
+        "epoch_pos", F.row_number().over(w).cast("long")
+    ).drop("__ekey")
+
+
 def weighted_sample(
     df: DataFrame,
     weights: dict[str, float],

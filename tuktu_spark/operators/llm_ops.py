@@ -509,6 +509,24 @@ def weighted_sample_op(config: dict):
     )
 
 
+@operator("epoch_shuffle")
+def epoch_shuffle_op(config: dict):
+    """Deterministic epoch-varying global shuffle order: (shard,
+    epoch_pos) as pure functions of (seed, epoch, id) — the
+    reproducible dataloader-order contract, shard-partitioned so no
+    global sort (llm/mixing.epoch_shuffle). config: {n_shards, seed,
+    epoch, id_field}."""
+    from ..llm.mixing import epoch_shuffle
+
+    return lambda df: epoch_shuffle(
+        df,
+        int(config["n_shards"]),
+        config.get("id_field", "doc_id"),
+        int(config.get("seed", 0)),
+        int(config.get("epoch", 0)),
+    )
+
+
 @operator("sample_exact_k")
 def sample_exact_k_op(config: dict):
     """Exact-k deterministic sample without replacement (smallest md5

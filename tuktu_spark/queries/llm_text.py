@@ -547,6 +547,40 @@ def mix_sample_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_exact_k(d, 40, "doc_id", "lang").select("doc_id", "lang")
 
 
+_EPOCH_SHUFFLE_ORACLE = """
+WITH keyed AS (
+  SELECT doc_id, lang,
+         CAST('0x' || substr(md5('7:2:' || CAST(doc_id AS VARCHAR)), 1, 15)
+              AS BIGINT) AS ekey
+  FROM documents
+)
+SELECT doc_id, lang,
+       CAST(ekey % 8 AS INT) AS shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY ekey % 8 ORDER BY ekey, doc_id)
+            AS BIGINT) AS epoch_pos
+FROM keyed
+"""
+
+
+@query(
+    "mix_epoch_shuffle", oracle=_EPOCH_SHUFFLE_ORACLE,
+    tags=("llm", "mixing"),
+)
+def mix_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch-varying shuffle order (r13): every doc gets
+    (shard, epoch_pos) as pure functions of (seed=7, epoch=2, id) —
+    the reproducible dataloader-order contract (same inputs ->
+    bit-identical order at any parallelism; next epoch re-deals
+    wholesale). The DuckDB oracle reproduces the EXACT assignment with
+    the same md5-prefix arithmetic (60-bit key is non-negative, so
+    pmod == %). No global sort: positions come from a window
+    partitioned on the 8 shards."""
+    from ..llm.mixing import epoch_shuffle
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return epoch_shuffle(d, n_shards=8, seed=7, epoch=2)
+
+
 # round 6: unicode normalization stage. The corpus text is ASCII, so the
 # query appends a stress suffix (decomposed e-acute, a BEL control char,
 # a C1 NEL, whitespace runs) to every document — the oracle embeds the
