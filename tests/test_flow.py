@@ -699,9 +699,14 @@ def test_web_corpus_refinement_flow(spark, sf_dir):
 
 def test_tokenize_and_pack_flow(spark, sf_dir):
     """flows/examples/tokenize_and_pack.json: learned unigram tokenizer ->
-    per-doc piece counts -> per-language token-budget packing. Chunk ids
-    must follow the greedy cumulative rule within each language stream."""
+    per-doc piece counts -> per-language token-budget packing -> a
+    deterministic epoch-0 reading order. Chunk ids must follow the
+    greedy cumulative rule within each language stream; (shard,
+    epoch_pos) must match epoch_shuffle's library contract row-for-row
+    (r13)."""
     from pyspark.sql import functions as F
+
+    from tuktu_spark.llm.mixing import epoch_shuffle
 
     out = run_flow(
         spark, "flows/examples/tokenize_and_pack.json", params={"dir": sf_dir}
@@ -714,6 +719,13 @@ def test_tokenize_and_pack_flow(spark, sf_dir):
         c = cum.get(r["lang"], 0) + r["n_tokens"]
         cum[r["lang"]] = c
         assert r["chunk_id"] == (c - 1) // 512, r
+    want = {
+        r["doc_id"]: (r["shard"], r["epoch_pos"])
+        for r in epoch_shuffle(
+            df.select("doc_id"), 4, seed=13, epoch=0
+        ).collect()
+    }
+    assert {r["doc_id"]: (r["shard"], r["epoch_pos"]) for r in rows} == want
 
 
 def test_streaming_decontaminate_lifecycle_flow(spark, sf_dir, tmp_path_factory):
