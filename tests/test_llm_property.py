@@ -282,14 +282,30 @@ def test_line_filter_matches_python_model(spark, docs, min_chars, max_digit, max
     """line_filter_table == a direct Python model of the documented rules
     (Unicode-aware punct = not letter/digit/whitespace), on arbitrary
     Unicode lines."""
-    import unicodedata
+    from functools import lru_cache
 
     from tuktu_spark.llm.text import line_filter_table
 
     # exact mirror of the Column rules: digits are ASCII [0-9]; punct is
     # the complement of \p{L} / \p{N} / Java-\s (ASCII whitespace only —
-    # NBSP etc. count as punctuation, deliberately: they ARE decoration)
+    # NBSP etc. count as punctuation, deliberately: they ARE decoration).
+    # Letter/digit classification consults the JVM's OWN Unicode tables
+    # (java.lang.Character.getType is exactly what Java regex \p{L}/\p{N}
+    # reads) instead of Python's unicodedata: the two runtimes ship
+    # different Unicode versions (JDK 17 = 13.0, CPython 3.11 = 14.0), so
+    # a codepoint assigned in between (e.g. U+12F90, Cypro-Minoan, added
+    # in 14.0) is a letter to Python but UNASSIGNED — hence "punct" — to
+    # the JVM, falsifying a unicodedata-based model on chars the
+    # implementation classifies exactly as documented (r13 inherited-state
+    # fix; the structural logic under test is unchanged).
     _JAVA_WS = set(" \t\n\x0b\f\r")
+    jchar = spark._jvm.java.lang.Character
+    # Character.getType: 1-5 = Lu Ll Lt Lm Lo (\p{L}); 9-11 = Nd Nl No (\p{N})
+    _ALNUM_TYPES = {1, 2, 3, 4, 5, 9, 10, 11}
+
+    @lru_cache(maxsize=None)
+    def jvm_alnum(c: str) -> bool:
+        return jchar.getType(ord(c)) in _ALNUM_TYPES
 
     def keep(line: str) -> bool:
         if len(line) < min_chars:
@@ -300,10 +316,7 @@ def test_line_filter_matches_python_model(spark, docs, min_chars, max_digit, max
                 return False
         if max_punct is not None:
             def is_punct(c):
-                cat = unicodedata.category(c)
-                return not (
-                    cat.startswith("L") or cat.startswith("N") or c in _JAVA_WS
-                )
+                return not (jvm_alnum(c) or c in _JAVA_WS)
             if sum(is_punct(c) for c in line) / n > max_punct:
                 return False
         return True
