@@ -109,6 +109,34 @@ class TestFusedTraining:
         with pytest.raises(ValueError, match="method"):
             train_ngram_lm(corpus, method="bogus")
 
+    @pytest.mark.parametrize("min_count", [1, 2])
+    def test_persist_total_sentinel(self, spark, corpus, min_count):
+        """Optimization r13: persist=True derives ``total`` from the
+        k=0 sentinel row of the SAME fused aggregation (no second
+        corpus-scan job). The model must stay bit-identical to the
+        per-order path: same total (sentinel count == pre-prune token
+        count, min_count-exempt), same order tables (the sentinel never
+        leaks into them), and identical scores."""
+        empties = spark.createDataFrame(
+            [(90, []), (91, ["solo"])], "doc_id long, tokens array<string>"
+        )
+        c = corpus.unionByName(empties)
+        a = train_ngram_lm(c, n=3, min_count=min_count, persist=True)
+        b = train_ngram_lm(c, n=3, min_count=min_count, method="per_order")
+        assert a.persisted
+        assert a.total == b.total
+        ks = {r["k"] for r in a.fused.select("k").distinct().collect()}
+        assert 0 in ks  # sentinel row present even under min_count=2
+        for k in range(1, 4):
+            ra = {(r["gram"], r["cnt"]) for r in a.order_table(k).collect()}
+            rb = {(r["gram"], r["cnt"]) for r in b.order_table(k).collect()}
+            assert ra == rb, (min_count, k)
+        sa = {tuple(r) for r in score_ngram_lm(corpus, a).collect()}
+        sb = {tuple(r) for r in score_ngram_lm(corpus, b).collect()}
+        assert sa == sb
+        # .persist() on an already-pinned model is a no-op, not a re-pin
+        assert a.persist() is a
+
 
 class TestBackoffMath:
     @pytest.mark.parametrize("min_count", [1, 2])

@@ -58,6 +58,7 @@ class NgramLM:
     n: int
     min_count: int
     fused: DataFrame | None = None
+    persisted: bool = False
 
     def order_table(self, k: int) -> DataFrame:
         return self.counts[k - 1]
@@ -69,9 +70,13 @@ class NgramLM:
         c2 are each rebuilt for their gram AND context join roles, i.e.
         the corpus is re-scanned 2n-1 times for training counts. A fused
         model pins the ONE parent table (a single cache-build job; the
-        per-order tables become in-memory filters)."""
+        per-order tables become in-memory filters). No-op on a model
+        already pinned by ``train_ngram_lm(..., persist=True)``."""
         from .dedup import _persist_scoped
 
+        if self.persisted:
+            return self
+        self.persisted = True
         if self.fused is not None:
             f = _persist_scoped(self.fused)
             self.fused = f
@@ -147,7 +152,8 @@ def _positions(
 
 
 def _fused_counts(
-    df: DataFrame, tokens_col: str, n: int, min_count: int
+    df: DataFrame, tokens_col: str, n: int, min_count: int,
+    with_total: bool = False,
 ) -> DataFrame:
     """ALL orders' counts in one pass: every token position emits its
     (k, gram) pairs for k = 1..min(n, pos+1) straight from the token
@@ -157,13 +163,28 @@ def _fused_counts(
     each re-scan the corpus and re-shuffle (LAG window by doc + gram
     agg): 2n shuffles and n scans against this method's single shuffle
     and single scan. Counts are exact integers either way, so the two
-    methods produce identical models (pinned in tests)."""
+    methods produce identical models (pinned in tests).
+
+    ``with_total=True`` (optimization r13, guide §1.2 "fewer passes"):
+    additionally emit one (k=0, '') pair per token position — the inner
+    sequence simply starts at 0; slice(t, i+1, 0) is [] so concat_ws
+    yields '' with no conditional in the lambda — so the aggregated
+    table carries a single (0, '', total_tokens) row. The caller reads
+    ``total`` (the unigram denominator, an exact integer) from that row
+    of the SAME aggregation instead of running a second full corpus
+    scan+tokenize job for sum(size(tokens)). Map-side partial
+    aggregation collapses the hot (0, '') group per partition, so the
+    extra cost is one struct per position pre-combine — far cheaper
+    than a second corpus pass at any scale. The sentinel is exempt from
+    min_count (its count IS the pre-prune position total) and filtered
+    out of every per-order count table by the existing k == j filters."""
     t = F.col(tokens_col)
+    k_lo = 0 if with_total else 1
     pairs = F.flatten(
         F.transform(
             F.sequence(F.lit(1), F.size(t)),
             lambda i: F.transform(
-                F.sequence(F.lit(1), F.least(F.lit(n), i)),
+                F.sequence(F.lit(k_lo), F.least(F.lit(n), i)),
                 lambda k: F.struct(
                     k.cast("int").alias("k"),
                     F.concat_ws(" ", F.slice(t, i - k + 1, k)).alias("gram"),
@@ -189,8 +210,12 @@ def _fused_counts(
     )
     if min_count > 1:
         # min_count prunes every order identically, so one global filter
-        # (total is counted from the corpus, not from here — see caller)
-        fused = fused.filter(F.col("cnt") >= min_count)
+        # (total is counted from the corpus — or, with_total=True, from
+        # the exempt k=0 sentinel row of this very table)
+        pred = F.col("cnt") >= min_count
+        if with_total:
+            pred = pred | (F.col("k") == 0)
+        fused = fused.filter(pred)
     return fused
 
 
@@ -202,6 +227,7 @@ def train_ngram_lm(
     min_count: int = 1,
     positions: DataFrame | None = None,
     method: str = "fused",
+    persist: bool = False,
 ) -> NgramLM:
     """Count tables for orders 1..n over the corpus. min_count prunes
     every order identically (the scale knob: at 100 TB raise it until
@@ -224,10 +250,45 @@ def train_ngram_lm(
     recompute (alternating A/B medians 1.02 s vs 1.17 s) — the explode
     is codegen-cheap against a cached scan, and at 100 TB caching an
     exploded corpus costs more memory than it saves, so the bench query
-    deliberately does NOT use it."""
+    deliberately does NOT use it.
+
+    ``persist=True`` (optimization r13): pin the model via the scoped
+    cache registry AND, on the fused path, derive ``total`` from the
+    fused table's k=0 sentinel row (_fused_counts with_total) so the
+    whole training is one corpus scan + one shuffle — no separate
+    sum(size(tokens)) scan job. Prefer this over calling ``.persist()``
+    on the returned model (which pins the same tables but has already
+    paid the extra total-scan job)."""
     if method not in ("fused", "per_order"):
         raise ValueError(f"method={method!r}: expected 'fused' or 'per_order'")
     if method == "fused" and positions is None:
+        if persist:
+            # Optimization r13 (guide §1.2, fewer corpus passes): pin the
+            # fused table FIRST, then read ``total`` from its k=0 sentinel
+            # row (see _fused_counts with_total) — the one collect both
+            # materializes the cache and returns the exact token total, so
+            # training is ONE corpus scan + one shuffle total, with no
+            # separate sum(size(tokens)) scan job. Bit-identical model:
+            # the sentinel count is exactly the pre-prune position count.
+            from .dedup import _persist_scoped
+
+            fused = _persist_scoped(
+                _fused_counts(df, tokens_col, n, min_count, with_total=True)
+            )
+            total = (
+                fused.filter(F.col("k") == 0)
+                .agg(F.sum("cnt"))
+                .collect()[0][0]
+                or 0
+            )
+            counts = [
+                fused.filter(F.col("k") == k).select("gram", "cnt")
+                for k in range(1, n + 1)
+            ]
+            return NgramLM(
+                counts=counts, total=int(total), n=n, min_count=min_count,
+                fused=fused, persisted=True,
+            )
         fused = _fused_counts(df, tokens_col, n, min_count)
         counts = [
             fused.filter(F.col("k") == k).select("gram", "cnt")
@@ -257,7 +318,8 @@ def train_ngram_lm(
         total = pos.count()  # one row per token; reuses the caller's cache
     else:
         total = df.select(F.sum(F.size(tokens_col))).collect()[0][0] or 0
-    return NgramLM(counts=counts, total=int(total), n=n, min_count=min_count)
+    lm = NgramLM(counts=counts, total=int(total), n=n, min_count=min_count)
+    return lm.persist() if persist else lm
 
 
 def _backoff_prob(n: int, alpha: float, total: int):

@@ -1118,9 +1118,10 @@ def ngram_lm_score_op(config: dict):
             id_col=config.get("id_field", "doc_id"),
             n=int(config.get("n", 3)),
             min_count=int(config.get("min_count", 2)),
+            # persist=True also folds the token-total scan into the
+            # fused-counts job (one corpus pass; optimization r13)
+            persist=bool(config.get("persist_model", True)),
         )
-        if config.get("persist_model", True):
-            lm = lm.persist()
         return score_ngram_lm(
             d,
             lm,
@@ -1147,7 +1148,8 @@ def ngram_perplexity_filter_op(config: dict):
             id_col=config.get("id_field", "doc_id"),
             n=int(config.get("n", 3)),
             min_count=int(config.get("min_count", 2)),
-        ).persist()
+            persist=True,
+        )
         kept = perplexity_filter(
             d,
             lm,
@@ -1179,7 +1181,8 @@ def ngram_perplexity_buckets_op(config: dict):
             d, tokens_col=tokens, id_col=idc,
             n=int(config.get("n", 3)),
             min_count=int(config.get("min_count", 2)),
-        ).persist()
+            persist=True,
+        )
         scored = score_ngram_lm(
             d, lm, tokens_col=tokens, id_col=idc,
             alpha=float(config.get("alpha", 0.4)),

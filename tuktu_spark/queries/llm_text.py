@@ -697,13 +697,23 @@ def text_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..llm.ngram_lm import score_ngram_lm, train_ngram_lm
 
     release_persisted()
-    d = load_table(spark, sf_dir, "documents", parallel=True).select(
-        "doc_id", F.split("text", " ").alias("tokens")
-    )
+    from ..tables import partition_by_keys
+
+    # Optimization r13: hash-partition the corpus by doc_id BEFORE
+    # tokenize/explode — the score window's and final aggregation's
+    # required clustering is then already established, so the plan's one
+    # corpus exchange carries whole documents instead of exploded
+    # (doc, pos, w) rows (2 Exchange -> 1 on the corpus path; see
+    # partition_by_keys). train(persist=True) folds the token-total scan
+    # into the fused-counts job (one corpus pass for training, see
+    # train_ngram_lm).
+    d = partition_by_keys(
+        load_table(spark, sf_dir, "documents"), "doc_id"
+    ).select("doc_id", F.split("text", " ").alias("tokens"))
     # positions= deliberately NOT used: A/B-measured neutral-to-slower
     # here, and caching an exploded corpus is the wrong trade at scale
     # (see train_ngram_lm docstring)
-    lm = train_ngram_lm(d, n=3, min_count=2).persist()
+    lm = train_ngram_lm(d, n=3, min_count=2, persist=True)
     out = score_ngram_lm(d, lm)
     return out.select(
         "doc_id", "n_pos", "hits1", "hits2", "hits3", "prob_q30"

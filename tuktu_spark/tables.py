@@ -110,6 +110,32 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
     return df.repartition(target)
 
 
+def partition_by_keys(df: DataFrame, *keys: str) -> DataFrame:
+    """Hash-partition ``df`` by ``keys`` at scale-adaptive width
+    (optimization r13, guide §2.4 "two operations keyed the same way can
+    share one exchange").
+
+    For a pipeline that will explode rows and then window/aggregate by
+    ``keys``, EnsureRequirements inserts a hash exchange on ``keys``
+    AFTER the explode — shuffling one row per exploded element. Keying
+    the input BEFORE the explode gives the window/groupBy the same
+    clustering (ClusteredDistribution is satisfied by hash partitioning
+    on the keys at any partition count) while the exchange carries one
+    row per document: same shuffle count, strictly fewer shuffled rows,
+    at any scale. It also doubles as the small-local-file parallelism
+    fix (ensure_parallelism) for keyed consumers.
+
+    The width is pinned explicitly — max(current partitions, cluster
+    parallelism) — because an un-numbered repartition(col) is an
+    AQE-coalescible shuffle: on a small input AQE folds it to ONE
+    partition and serializes every downstream stage."""
+    spark = df.sparkSession
+    n = max(
+        df.rdd.getNumPartitions(), spark.sparkContext.defaultParallelism
+    )
+    return df.repartition(n, *[F.col(k) for k in keys])
+
+
 def register_views(spark: SparkSession, sf_dir: str, names=TABLES) -> None:
     """Register each table as a temp view so flows can use ``spark.sql``."""
     for name in names:
