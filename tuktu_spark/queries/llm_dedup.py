@@ -1312,7 +1312,10 @@ FROM para
 
 @query("dedup_paragraphs", oracle=_PARA_ORACLE, tags=("llm", "dedup"), bench=True)
 def dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # parallel=True (optimization r13): paragraph split + md5 ran on the
+    # single-task local scan ahead of the one md5-keyed exchange;
+    # interleaved ABAB measured 1.13 -> 0.70 s. No-op at scale.
+    docs = load_table(spark, sf_dir, "documents", parallel=True)
     toks = F.filter(F.split(F.trim("text"), r"\s+"), lambda x: x != "")
     n_chunks = F.greatest(F.ceil(F.size(toks) / F.lit(8)).cast("int"), F.lit(1))
     para_text = F.array_join(
@@ -1359,7 +1362,10 @@ QUALIFY COUNT(*) OVER (PARTITION BY gram_hash) >= 2
 
 @query("dedup_ngram_spans", oracle=_NGRAM_SPANS_ORACLE, tags=("llm", "dedup"), bench=True)
 def dedup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # parallel=True (optimization r13): the Arrow window-hash pass ran on
+    # the single-task local scan ahead of the one gram-keyed exchange;
+    # interleaved ABAB measured 1.16 -> 0.83 s. No-op at scale.
+    docs = load_table(spark, sf_dir, "documents", parallel=True)
     return D.duplicate_ngram_spans(docs, "text", "doc_id", n=10, min_count=2)
 
 

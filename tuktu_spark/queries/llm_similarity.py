@@ -54,7 +54,10 @@ FROM ranked WHERE rank <= {_K}
 
 @query("similarity_topk_bruteforce", oracle=_BRUTE_ORACLE, tags=("llm", "similarity"), bench=True)
 def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    # parallel=True (optimization r13): the corpus side of the brute-force
+    # dot-product ran on the single-task local scan; interleaved ABAB
+    # measured 0.82 -> 0.52 s. No-op at scale.
+    emb = load_table(spark, sf_dir, "embeddings", parallel=True)
     queries = emb.filter(F.col("vec_id") < _N_QUERIES)
     return S.brute_force_topk(emb, queries, k=_K)
 

@@ -92,7 +92,11 @@ FROM base
 
 @query("text_quality_features", oracle=_QUALITY_ORACLE, tags=("llm", "text"), bench=True)
 def text_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    # parallel=True (optimization r13): the feature algebra is per-row and
+    # exchange-free, which previously meant the ENTIRE query ran on the
+    # single-task local scan; interleaved ABAB measured 0.87 -> 0.48 s.
+    # No-op at scale (scan splits >= cores).
+    d = load_table(spark, sf_dir, "documents", parallel=True)
     feats = T.quality_features("text")
     return d.select("doc_id", *[col.alias(name) for name, col in feats.items()])
 

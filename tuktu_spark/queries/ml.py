@@ -170,7 +170,10 @@ ORDER BY tfidf DESC, term ASC, doc_id ASC LIMIT 100
 
 @query("nlp_tfidf_top", oracle=_TFIDF_ORACLE, tags=("ml", "nlp"), bench=True)
 def nlp_tfidf_top(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # parallel=True (optimization r13): tokenize + explode fed the term
+    # repartition from the single-task local scan; interleaved ABAB
+    # measured 1.20 -> 0.97 s (min 1.02 -> 0.88). No-op at scale.
+    docs = load_table(spark, sf_dir, "documents", parallel=True)
     out = NLP.tf_idf(docs, use_log=False)
     return out.orderBy(
         F.col("tfidf").desc(), F.col("term").asc(), F.col("doc_id").asc()

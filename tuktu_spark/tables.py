@@ -65,8 +65,11 @@ def load_table(
     kernels, codecs) into ``ensure_parallelism`` on the scan — a no-op
     whenever the scan already has >= cores partitions (always true at
     cluster scale), a repartition away from the 1-small-file = 1-task
-    serialization locally. Plain relational queries leave it off: their
-    scans feed JVM aggregates where an extra shuffle only costs."""
+    serialization locally. Per-query A/B-measured (r13): heavy map-side
+    work (decode+decimal agg on q1's one-row-group lineitem, per-row
+    feature algebra, paragraph/gram hashing) wins; broadcast-join map
+    sides and small window inputs measured neutral-to-slower and stay
+    serial."""
     ensure_session_confs(spark)
     df = spark.read.parquet(table_path(sf_dir, name))
     if parallel:
