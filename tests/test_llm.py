@@ -248,6 +248,32 @@ def test_ngram_jaccard_prefix_filter_matches_naive(spark):
     assert got == want and (0, 2) in got
 
 
+def test_verify_jaccard_engines_identical(spark):
+    """Optimization r13: the Arrow (numpy intersect1d) verification engine
+    must be bit-identical to the codegen array_intersect form — same
+    pairs, same jaccard doubles (both divide the same exact integers)."""
+    texts = [
+        (0, "a b c d e f g h"),
+        (1, "a b c d e f g x"),
+        (2, "a b c d e f g h"),
+        (3, "a b c q e f g h"),
+        (4, "z y x w v u t s"),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    h = D.hashed_shingles(df, "text", "doc_id", 3)
+    ids = [t[0] for t in texts]
+    cands = spark.createDataFrame(
+        [(i, j) for i in ids for j in ids if i < j], "id_a long, id_b long"
+    )
+    a = {tuple(r) for r in
+         D._verify_jaccard_pairs(cands, h, h, "doc_id", 0.2, engine="sql").collect()}
+    b = {tuple(r) for r in
+         D._verify_jaccard_pairs(cands, h, h, "doc_id", 0.2, engine="arrow").collect()}
+    assert a == b and a  # identical incl. the jaccard doubles, non-empty
+    with pytest.raises(ValueError, match="engine"):
+        D._verify_jaccard_pairs(cands, h, h, "doc_id", 0.2, engine="bogus")
+
+
 class TestDecontamination:
     def _corpus(self, spark):
         base = "w%d " * 20
