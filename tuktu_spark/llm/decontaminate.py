@@ -194,18 +194,19 @@ def fuzzy_contamination_pairs(
 
     from .dedup import (
         _persist_scoped,
-        minhash_signatures_from_hashed,
+        minhash_signature_col,
         release_persisted,
     )
 
     release_persisted()
-    h_e = _persist_scoped(
-        _fuzzy_shingled(eval_set, eval_text, eval_id, n, normalize)
-    )
+    # ONE persisted (eval_id, shingles, signature) table (optimization
+    # r13, the dedup family's single-cache shape): the signature is a
+    # pure column over the shingle array, so attaching it via a second
+    # persist + self-join was an extra cache build and join job per run.
     eval_tbl = _persist_scoped(
-        h_e.join(
-            minhash_signatures_from_hashed(h_e, eval_id), eval_id
-        ).select(eval_id, "shingles", "signature")
+        _fuzzy_shingled(eval_set, eval_text, eval_id, n, normalize)
+        .withColumn("signature", minhash_signature_col(F.col("shingles")))
+        .select(eval_id, "shingles", "signature")
     )
     if engine == "auto":
         engine = pick_fuzzy_engine(eval_tbl)

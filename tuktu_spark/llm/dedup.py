@@ -353,23 +353,13 @@ def minhash_signatures(
     )
 
 
-def minhash_signatures_from_hashed(
-    h: DataFrame, id_col: str = "doc_id", engine: str = "arrow"
-) -> DataFrame:
-    """Signatures from a precomputed (id, array<long> shingles) frame.
-
-    engine='arrow' (default): vectorized numpy inside an Arrow pandas UDF
-    — the (n_shingles x NUM_HASHES) min-hash matrix is one uint64
-    broadcast multiply (all operands are 31-bit, so products stay under
-    2^62 — native machine arithmetic, no bignum). Measured 2.3x the
-    Catalyst fold at sf0.1; bit-identical output (pinned in tests).
-
-    engine='sql': the pure-JVM single fold over the shingle array
-    updating all NUM_HASHES minima per step. Kept for UDF-free
-    deployments. (The third option — NUM_HASHES separate
-    array_min(transform(...)) columns — re-evaluates the shingle
-    pipeline per hash function: 64x the work; rejected by measurement.)
-    """
+def minhash_signature_col(shingles_col, engine: str = "arrow"):
+    """The MinHash signature as a COLUMN over an array<long> shingle
+    column (optimization r13): lets a pipeline persist ONE
+    (id, shingles, signature) table — one cache build, one pass — where
+    attaching signatures via ``minhash_signatures_from_hashed`` + join
+    took a second persist and an extra join job. Empty arrays yield the
+    sentinel signature (every entry MERSENNE_P), same as before."""
     if engine == "arrow":
         import numpy as np
         import pandas as pd
@@ -394,7 +384,7 @@ def minhash_signatures_from_hashed(
 
         np_sig.__annotations__ = {"shingles": pd.Series, "return": pd.Series}
         sig_udf = pandas_udf("array<long>")(np_sig)
-        return h.select(F.col(id_col), sig_udf(F.col("shingles")).alias("signature"))
+        return sig_udf(shingles_col)
 
     ab = F.array(
         *[
@@ -405,8 +395,8 @@ def minhash_signatures_from_hashed(
             for i in range(NUM_HASHES)
         ]
     )
-    sig = F.aggregate(
-        F.col("shingles"),
+    return F.aggregate(
+        shingles_col,
         F.array_repeat(F.lit(MERSENNE_P).cast("long"), NUM_HASHES),
         lambda acc, x: F.zip_with(
             acc,
@@ -415,7 +405,29 @@ def minhash_signatures_from_hashed(
             lambda m, c: F.least(m, (F.pmod(x, MERSENNE_P) * c["a"] + c["b"]) % MERSENNE_P),
         ),
     )
-    return h.select(F.col(id_col), sig.alias("signature"))
+
+
+def minhash_signatures_from_hashed(
+    h: DataFrame, id_col: str = "doc_id", engine: str = "arrow"
+) -> DataFrame:
+    """Signatures from a precomputed (id, array<long> shingles) frame.
+
+    engine='arrow' (default): vectorized numpy inside an Arrow pandas UDF
+    — the (n_shingles x NUM_HASHES) min-hash matrix is one uint64
+    broadcast multiply (all operands are 31-bit, so products stay under
+    2^62 — native machine arithmetic, no bignum). Measured 2.3x the
+    Catalyst fold at sf0.1; bit-identical output (pinned in tests).
+
+    engine='sql': the pure-JVM single fold over the shingle array
+    updating all NUM_HASHES minima per step. Kept for UDF-free
+    deployments. (The third option — NUM_HASHES separate
+    array_min(transform(...)) columns — re-evaluates the shingle
+    pipeline per hash function: 64x the work; rejected by measurement.)
+    """
+    return h.select(
+        F.col(id_col),
+        minhash_signature_col(F.col("shingles"), engine).alias("signature"),
+    )
 
 
 def _banded_buckets(sigs: DataFrame, id_col: str) -> DataFrame:
@@ -516,7 +528,9 @@ def minhash_dedup_pairs(
 
         def core(rep_df):
             h_rep = _persist_scoped(
-                hashed_shingles(rep_df, text_col, id_col, n)
+                hashed_shingles(rep_df, text_col, id_col, n).withColumn(
+                    "signature", minhash_signature_col(F.col("shingles"))
+                )
             )
             pairs = _minhash_pairs_from_hashed(h_rep, id_col, threshold)
             valid = h_rep.filter(F.size("shingles") > 0).select(id_col)
@@ -535,8 +549,14 @@ def minhash_dedup_pairs(
     # the array expression into both the filter and the output, and there
     # is no CSE across them (measured 2x the whole query at sf0.1). On the
     # persisted table the size check is a cheap scan of materialized
-    # arrays.
-    h_all = _persist_scoped(hashed_shingles(df, text_col, id_col, n))
+    # arrays. The signature rides the SAME cache (r13 single-cache
+    # shape): one build job materializes shingles + signatures together
+    # instead of a second signature persist reading the first cache.
+    h_all = _persist_scoped(
+        hashed_shingles(df, text_col, id_col, n).withColumn(
+            "signature", minhash_signature_col(F.col("shingles"))
+        )
+    )
     return _minhash_pairs_from_hashed(h_all, id_col, threshold)
 
 
@@ -642,12 +662,23 @@ def _verify_jaccard_pairs(
 def _minhash_pairs_from_hashed(
     h_all: DataFrame, id_col: str, threshold: float
 ) -> DataFrame:
-    """Shared LSH tail: (id, shingles array) -> verified near-dup pairs."""
+    """Shared LSH tail: (id, shingles array) -> verified near-dup pairs.
+
+    If ``h_all`` already carries a ``signature`` column (the r13
+    single-cache shape: the caller persisted ONE (id, shingles,
+    signature) table), banding reads it straight from that cache —
+    no second persist, no extra cache-build job. Otherwise (e.g. the
+    bucketed shingle index, which stores shingles only) the signatures
+    are computed and pinned separately as before: without a persist both
+    sides of the banded self-join re-run the signature fold (measured
+    ~1.4 s/side at sf0.1). Empty-shingle docs carry the sentinel
+    signature either way and are dropped by minhash_lsh_candidates'
+    existing sentinel filter."""
     h = h_all.filter(F.size("shingles") > 0)
-    # signatures are docs x NUM_HASHES longs (tiny vs the corpus); without
-    # the persist both sides of the banded self-join re-run the signature
-    # fold (measured ~1.4 s/side at sf0.1)
-    sigs = _persist_scoped(minhash_signatures_from_hashed(h, id_col))
+    if "signature" in h_all.columns:
+        sigs = h_all.select(id_col, "signature")
+    else:
+        sigs = _persist_scoped(minhash_signatures_from_hashed(h, id_col))
     cands = minhash_lsh_candidates(sigs, id_col)
     return _verify_jaccard_pairs(cands, h, h, id_col, threshold)
 
