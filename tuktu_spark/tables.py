@@ -58,6 +58,18 @@ def table_path(sf_dir: str, name: str) -> str:
     return f"{sf_dir}/{name}.parquet"
 
 
+# Plan-object memo (optimization r13): building the reader costs ~60 ms
+# of DRIVER time per call (DataSource resolution + parquet footer schema
+# read over py4j), and a bench/driver session re-resolves the same static
+# tables for every query build. The memo returns the SAME DataFrame
+# object — an immutable PLAN, not data: every action still computes from
+# the parquet files, so this is reader reuse (what any long-lived Spark
+# app does with a catalog table), not result caching. Keyed by
+# (applicationId, sf_dir, name, parallel) so a new session or data dir
+# re-resolves.
+_PLAN_MEMO: "dict[tuple[str, str, str, bool], DataFrame]" = {}
+
+
 def load_table(
     spark: SparkSession, sf_dir: str, name: str, parallel: bool = False
 ) -> DataFrame:
@@ -71,6 +83,16 @@ def load_table(
     sides and small window inputs measured neutral-to-slower and stay
     serial."""
     ensure_session_confs(spark)
+    # id(spark) in the key: a DataFrame is bound to its SparkSession, so
+    # a second session in the same app must not receive the first one's
+    # plan object (it would execute on the wrong session)
+    key = (
+        spark.sparkContext.applicationId, id(spark), sf_dir, name,
+        bool(parallel),
+    )
+    cached = _PLAN_MEMO.get(key)
+    if cached is not None:
+        return cached
     df = spark.read.parquet(table_path(sf_dir, name))
     if parallel:
         df = ensure_parallelism(df)
@@ -85,6 +107,7 @@ def load_table(
             # (already micros-truncated, byte-identical to DuckDB). Session
             # TZ is pinned to UTC, so the cast reinterprets the same instant.
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    _PLAN_MEMO[key] = df
     return df
 
 
