@@ -201,3 +201,48 @@ class TestBm25Search:
         assert len(rows) == 3
         assert {r["doc_id"] for r in rows} == {1, 2, 3}  # doc 4 scores 0 terms
         assert rows[0]["n_terms"] == 2
+
+
+class TestBm25EdgeSemantics:
+    """Pins the operator contract the r14 single-pass rewrite must keep:
+    zero-token docs (empty text / all-stopword) still count in n_docs and
+    contribute dl=0 to avgdl, and duplicate ids score against the id's
+    max row length — exactly the r13 three-scan implementation's output."""
+
+    def test_zero_token_docs_enter_corpus_stats(self, spark):
+        import math
+
+        from tuktu_spark.ml.nlp import bm25
+
+        docs = spark.createDataFrame(
+            [(1, "apple banana apple"), (2, ""), (3, "the and of")],
+            "doc_id long, text string",
+        )
+        rows = {(r["doc_id"], r["term"]): r for r in bm25(docs, use_log=True).collect()}
+        # docs 2 and 3 have zero post-stopword tokens: no output rows...
+        assert set(rows) == {(1, "apple"), (1, "banana")}
+        # ...but they count in N and avgdl: N=3, dl_sum=3, avgdl=1
+        r = rows[(1, "apple")]
+        idf = math.log(1 + (3 - 1 + 0.5) / (1 + 0.5))
+        norm = 2 * 2.2 / (2 + 1.2 * (0.25 + 0.75 * 3 / 1.0))
+        assert (r["tf"], r["df_t"], r["dl"]) == (2, 1, 3)
+        assert abs(r["bm25"] - idf * norm) < 1e-12
+
+    def test_duplicate_ids_use_max_row_length(self, spark):
+        import math
+
+        from tuktu_spark.ml.nlp import bm25
+
+        # same id twice: r13 semantics joined dl = max(size) across the
+        # id's rows; tf stays per (term, id) over all of the id's tokens
+        docs = spark.createDataFrame(
+            [(1, "apple banana"), (1, "cherry date elder fig"), (2, "apple")],
+            "doc_id long, text string",
+        )
+        rows = {(r["doc_id"], r["term"]): r for r in bm25(docs, use_log=True).collect()}
+        r = rows[(1, "apple")]
+        # N=2 distinct ids, dl(1)=max(2,4)=4, dl(2)=1, dl_sum=5, avgdl=2.5
+        assert (r["tf"], r["df_t"], r["dl"]) == (1, 2, 4)
+        idf = math.log(1 + (2 - 2 + 0.5) / (2 + 0.5))
+        norm = 1 * 2.2 / (1 + 1.2 * (0.25 + 0.75 * 4 / 2.5))
+        assert abs(r["bm25"] - idf * norm) < 1e-12

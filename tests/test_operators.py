@@ -549,3 +549,52 @@ def test_ensure_parallelism_adaptive(spark, tmp_path):
     wide = spark.range(1000).repartition(cores)
     same = ensure_parallelism(wide)
     assert same is wide  # identical object: no plan change at scale
+
+
+class TestPlanMemoHygiene:
+    """r14 (r13 verdict #7 / advice #1): the reader-plan memo lives on the
+    SparkSession object, so a different session object can never be handed
+    a DataFrame bound to another (possibly dead) session, and the memo is
+    garbage-collected with its session instead of pinning it globally."""
+
+    def test_memo_is_per_session_object(self, spark, sf_dir):
+        from tuktu_spark.tables import load_table
+
+        df1 = load_table(spark, sf_dir, "region")
+        assert load_table(spark, sf_dir, "region") is df1  # memo hit
+
+        other = spark.newSession()
+        df2 = load_table(other, sf_dir, "region")
+        assert df2 is not df1  # a different session never shares plans
+        assert df2.sparkSession is other
+        # and the memos are independent attribute dicts
+        assert spark._tuktu_plan_memo is not other._tuktu_plan_memo
+
+    def test_memo_is_capped(self, spark, sf_dir):
+        from tuktu_spark import tables as T
+
+        s = spark.newSession()
+        memo = T._plan_memo_of(s)
+        for i in range(T._PLAN_MEMO_MAX_ENTRIES):
+            memo[("fake", str(i), False)] = None
+        # next real load clears the oversized memo instead of growing it
+        T.load_table(s, sf_dir, "region")
+        assert len(T._plan_memo_of(s)) <= T._PLAN_MEMO_MAX_ENTRIES
+
+
+def test_partition_by_keys_width_is_default_parallelism(spark):
+    """r14 (r13 advice #4): partition_by_keys must not physically plan the
+    input per call (df.rdd) — width comes from defaultParallelism or the
+    spark.tuktu.partition.width override."""
+    from tuktu_spark.tables import partition_by_keys
+
+    df = spark.range(100).selectExpr("id as doc_id", "id * 2 as v")
+    out = partition_by_keys(df, "doc_id")
+    assert out.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+    assert sorted(r["doc_id"] for r in out.collect()) == list(range(100))
+
+    spark.conf.set("spark.tuktu.partition.width", "7")
+    try:
+        assert partition_by_keys(df, "doc_id").rdd.getNumPartitions() == 7
+    finally:
+        spark.conf.unset("spark.tuktu.partition.width")

@@ -282,6 +282,18 @@ def ngram_jaccard_pairs(
     the text; pinned in tests). ``'auto'`` probes the corpus duplication
     ratio once and picks the mode (see _resolve_distinct_content).
     """
+    if threshold <= 0:
+        # Validate at the PPJoin entry with the right story (r13 advice):
+        # the prefix-filter lemma needs t > 0 — at t <= 0 the prefix length
+        # |X| - ceil(t*|X|) + 1 exceeds the set size, the "filter" is an
+        # all-pairs join, and the old inline verify's t=0 output was
+        # already lossy under it. Rejecting is the only honest answer.
+        raise ValueError(
+            "ngram_jaccard_pairs requires threshold > 0: the prefix-filter "
+            "candidate join is only defined (and only lossless) for a "
+            "positive threshold — at 0 every pair qualifies, which is an "
+            "all-pairs enumeration, not a similarity query"
+        )
     release_persisted()
     distinct_content = _resolve_distinct_content(df, text_col, distinct_content)
     if distinct_content:
@@ -582,7 +594,11 @@ def _verify_jaccard_pairs(
     ``engine='arrow'`` (optimization r13, the r4 Arrow-kernel pattern):
     the per-pair intersection SIZE is computed by numpy
     (``np.intersect1d(assume_unique=True)`` — shingle arrays are
-    array_distinct by construction) over Arrow batches. Measured 1.52 ->
+    array_distinct by construction; uniqueness holds for the shingle
+    STRINGS pre-hash, so a 64-bit xxhash64 collision *within one doc*
+    would double-count where array_intersect's set semantics would not —
+    covered by the repo's existing xxhash64-collision disclaimer in
+    hashed_shingles, same probability class) over Arrow batches. Measured 1.52 ->
     0.94 s on the sf0.1 PPJoin verify stage (81,635 candidates): the
     JVM's codegen ``array_intersect`` allocates a per-row hash set and
     materializes the intersection ARRAY only to take its size, where the

@@ -130,9 +130,24 @@ def bm25(
     partitioning; doc lengths join back broadcast (N rows of (doc,
     dl) aggregate to corpus scale only in doc COUNT, and the join is
     on the doc key the tf table already carries — a broadcast at
-    dimension scale, a doc-keyed shuffle at corpus scale)."""
+    dimension scale, a doc-keyed shuffle at corpus scale).
+
+    Optimization r14 (guide §1.2 fewer passes, §5 caching a reused
+    small table): the (doc, dl) aggregate is PERSISTED scoped — it has
+    two consumers (the dl join side and the corpus-stats scalar), and
+    without the cache each consumer re-scans and re-tokenizes the
+    whole corpus (the r13 plan read the parquet three times; exchange
+    reuse cannot collapse the two subtrees because the join side's
+    pushed-down null filter makes them canonically different). The
+    cache is one small row per doc — the §8 "decide with small rows"
+    shape, NOT a corpus-payload cache; output is bit-identical (pinned
+    by the edge-semantics tests: zero-token docs still enter n_docs
+    with dl=0, duplicate ids still take the id's max row length)."""
     from pyspark.sql import Window
 
+    from ..llm.dedup import _persist_scoped, release_persisted
+
+    release_persisted()
     toks = remove_stopwords(tokenize(F.col(text_col)), stopwords)
     exploded = df.select(F.col(id_col), F.explode(toks).alias("term"))
     tf = (
@@ -142,8 +157,9 @@ def bm25(
     )
     df_t = F.count(F.lit(1)).over(Window.partitionBy("term"))
     scored = tf.withColumn("df_t", df_t)
-    # doc length (post-stopword token count) + corpus stats
-    dl = (
+    # doc length (post-stopword token count) + corpus stats — persisted:
+    # one corpus pass feeds both consumers below
+    dl = _persist_scoped(
         df.select(F.col(id_col), F.size(toks).alias("dl"))
         .groupBy(id_col)
         .agg(F.max("dl").alias("dl"))

@@ -64,10 +64,30 @@ def table_path(sf_dir: str, name: str) -> str:
 # tables for every query build. The memo returns the SAME DataFrame
 # object — an immutable PLAN, not data: every action still computes from
 # the parquet files, so this is reader reuse (what any long-lived Spark
-# app does with a catalog table), not result caching. Keyed by
-# (applicationId, sf_dir, name, parallel) so a new session or data dir
-# re-resolves.
-_PLAN_MEMO: "dict[tuple[str, str, str, bool], DataFrame]" = {}
+# app does with a catalog table), not result caching.
+#
+# r14 hygiene (r13 verdict #7 / advice #1): the memo now lives ON the
+# SparkSession object (``spark._tuktu_plan_memo``) instead of a global
+# dict keyed by (applicationId, id(spark)). That removes both failure
+# modes of the global: (a) CPython id() reuse after a session is GC'd
+# could have handed a new session a DataFrame bound to the dead one —
+# the attribute is looked up on the live object itself, so a different
+# session object can never see another's memo; (b) the global pinned
+# every session (DataFrames hold their session) and its file listings
+# for process lifetime — the attribute dict is garbage-collected with
+# the session. Entries are capped (a memo this size means sf_dirs are
+# being generated dynamically; re-resolving is the correct behavior
+# then). sf_dir contents must be immutable within a session — true for
+# the driver corpus and documented in TESTDATA.md.
+_PLAN_MEMO_MAX_ENTRIES = 64
+
+
+def _plan_memo_of(spark: SparkSession) -> dict:
+    memo = getattr(spark, "_tuktu_plan_memo", None)
+    if memo is None:
+        memo = {}
+        spark._tuktu_plan_memo = memo
+    return memo
 
 
 def load_table(
@@ -83,14 +103,9 @@ def load_table(
     sides and small window inputs measured neutral-to-slower and stay
     serial."""
     ensure_session_confs(spark)
-    # id(spark) in the key: a DataFrame is bound to its SparkSession, so
-    # a second session in the same app must not receive the first one's
-    # plan object (it would execute on the wrong session)
-    key = (
-        spark.sparkContext.applicationId, id(spark), sf_dir, name,
-        bool(parallel),
-    )
-    cached = _PLAN_MEMO.get(key)
+    memo = _plan_memo_of(spark)
+    key = (sf_dir, name, bool(parallel))
+    cached = memo.get(key)
     if cached is not None:
         return cached
     df = spark.read.parquet(table_path(sf_dir, name))
@@ -107,7 +122,9 @@ def load_table(
             # (already micros-truncated, byte-identical to DuckDB). Session
             # TZ is pinned to UTC, so the cast reinterprets the same instant.
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
-    _PLAN_MEMO[key] = df
+    if len(memo) >= _PLAN_MEMO_MAX_ENTRIES:
+        memo.clear()
+    memo[key] = df
     return df
 
 
@@ -151,14 +168,25 @@ def partition_by_keys(df: DataFrame, *keys: str) -> DataFrame:
     at any scale. It also doubles as the small-local-file parallelism
     fix (ensure_parallelism) for keyed consumers.
 
-    The width is pinned explicitly — max(current partitions, cluster
-    parallelism) — because an un-numbered repartition(col) is an
-    AQE-coalescible shuffle: on a small input AQE folds it to ONE
-    partition and serializes every downstream stage."""
+    The width is pinned explicitly — because an un-numbered
+    repartition(col) is an AQE-coalescible shuffle: on a small input AQE
+    folds it to ONE partition and serializes every downstream stage.
+
+    Width derivation (r14, r13 advice #4): ``defaultParallelism``, one
+    cheap py4j property read. The r13 form max'd it with
+    ``df.rdd.getNumPartitions()``, which physically plans the query over
+    py4j on EVERY invocation — the same per-build driver-overhead class
+    the reader memo removed (~40-60 ms per call on the bench host). At
+    cluster scale defaultParallelism is the executor-core count — the
+    natural exchange width for a keyed corpus shuffle; a deployment that
+    wants wider keyed exchanges (e.g. giant docs, tight memory) sets
+    ``spark.tuktu.partition.width`` instead of relying on the input's
+    accidental split count."""
     spark = df.sparkSession
-    n = max(
-        df.rdd.getNumPartitions(), spark.sparkContext.defaultParallelism
-    )
+    try:
+        n = int(spark.conf.get("spark.tuktu.partition.width", ""))
+    except (TypeError, ValueError):
+        n = spark.sparkContext.defaultParallelism
     return df.repartition(n, *[F.col(k) for k in keys])
 
 
