@@ -2909,6 +2909,51 @@ def test_edit_distance_pairs_matches_naive(spark):
             assert got == want, (d, method)
 
 
+def test_edit_distance_row_local_occurrence_bag(spark):
+    """r14 pin for the row-local (gram, occ) bag (replacing the
+    post-explode row_number window): on single-char-run strings every
+    q-gram repeats, so candidate survival depends ENTIRELY on correct
+    occurrence indices — 'aaaaaa' and 'aaaaaab' share ('aa', k) for
+    k=1..5 as a BAG; a set-level (occ always 1) bug would still pair
+    them, but 'aaaaaa' vs 'bbbbbb' pairs under NO occ scheme while
+    'aaaaaab' vs 'aaaaabb' (dist 1) must survive the prefix filter via
+    a shared rare-gram occurrence. Expected sets are the exhaustive
+    levenshtein truth, both methods."""
+    import itertools
+
+    from tuktu_spark.llm.dedup import edit_distance_pairs
+
+    def lev(a, b):
+        m, n = len(a), len(b)
+        dp = list(range(n + 1))
+        for i in range(1, m + 1):
+            prev, dp[0] = dp[0], i
+            for j in range(1, n + 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (a[i - 1] != b[j - 1])
+                )
+        return dp[n]
+
+    words = ["aaaaaa", "aaaaaab", "aaaaabb", "bbbbbb", "ababab", "bababa"]
+    df = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)], "doc_id long, text string"
+    )
+    for d in (1, 2):
+        want = {
+            (i, j, lev(words[i], words[j]))
+            for i, j in itertools.combinations(range(len(words)), 2)
+            if lev(words[i], words[j]) <= d
+        }
+        for method in ("prefix", "count"):
+            got = {
+                (r["id_a"], r["id_b"], r["dist"])
+                for r in edit_distance_pairs(
+                    df, max_dist=d, q=2, method=method
+                ).collect()
+            }
+            assert got == want, (d, method)
+
+
 class TestDistinctContentMinhash:
     """r9: the edit-distance lesson applied to LSH — identical texts make
     every band a g^2 bucket at the id level; distinct_content=True runs

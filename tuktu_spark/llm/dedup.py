@@ -191,6 +191,7 @@ def _distinct_content_pairs(
     value_col: str,
     same_value,
     emit_same: bool = True,
+    prebuilt_t: "DataFrame | None" = None,
 ):
     """Shared distinct_content scaffolding for the fuzzy-dedup family
     (r9): run a pair ``core`` over one representative per DISTINCT text,
@@ -210,8 +211,13 @@ def _distinct_content_pairs(
     restricted to those, matching each id-level pipeline's
     degenerate-doc exclusion. ``emit_same=False`` suppresses the
     equal-text branch for pathological parameters under which the
-    id-level run emits nothing."""
-    t = _persist_scoped(
+    id-level run emits nothing.
+
+    ``prebuilt_t``: the already-persisted (id, __t, __h) content table,
+    when the caller materialized it for the 'auto' dispatch probe
+    (optimization r14) — same definition, built once instead of
+    twice."""
+    t = prebuilt_t if prebuilt_t is not None else _persist_scoped(
         df.select(F.col(id_col), F.col(text_col).alias("__t"))
         .withColumn("__h", F.md5("__t"))
     )
@@ -280,7 +286,9 @@ def ngram_jaccard_pairs(
     equi-join — the same duplicate-group g^2 fix as minhash/edit
     distance, bit-identical output (every stage is a pure function of
     the text; pinned in tests). ``'auto'`` probes the corpus duplication
-    ratio once and picks the mode (see _resolve_distinct_content).
+    ratio once and picks the mode; since r14 the probe aggregate rides
+    the same job that materializes the content-table cache, so dispatch
+    costs no standalone corpus pass (see inline comment).
     """
     if threshold <= 0:
         # Validate at the PPJoin entry with the right story (r13 advice):
@@ -295,7 +303,39 @@ def ngram_jaccard_pairs(
             "all-pairs enumeration, not a similarity query"
         )
     release_persisted()
-    distinct_content = _resolve_distinct_content(df, text_col, distinct_content)
+    prebuilt_t = None
+    if distinct_content == "auto":
+        # Fused dispatch probe (optimization r14, r13 verdict #2 — guide
+        # §1.2 fewer passes, §5 driver/jobs): the old 'auto' path ran a
+        # STANDALONE probe job over the corpus (count vs
+        # approx_count_distinct of a text hash) and then, having picked
+        # distinct mode, scanned the corpus AGAIN to build the content
+        # table — two corpus passes before any real work, plus a repeat
+        # of any in-plan broadcast subqueries feeding the corpus (e.g.
+        # the skew query's MAX(doc_id) offset scalar). Here the probe
+        # aggregates over the persisted content table the distinct
+        # branch needs anyway, so ONE job materializes the cache AND
+        # returns the dispatch aggregate; the id-level branch reads the
+        # same cache instead of re-deriving the corpus. The decision is
+        # unchanged in kind (dup ratio = rows / approx distinct content
+        # hashes; md5 here, xxhash64 before — both are content
+        # cardinality, and the OUTPUT is flag-independent, so the probe
+        # only ever picks between bit-identical plans).
+        prebuilt_t = _persist_scoped(
+            df.select(F.col(id_col), F.col(text_col).alias("__t"))
+            .withColumn("__h", F.md5("__t"))
+        )
+        row = prebuilt_t.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.approx_count_distinct("__h").alias("m"),
+        ).collect()[0]
+        distinct_content = (
+            row["n"] >= _DISTINCT_CONTENT_AUTO_THRESHOLD * max(row["m"], 1)
+        )
+    else:
+        distinct_content = _resolve_distinct_content(
+            df, text_col, distinct_content
+        )
     if distinct_content:
 
         def core(rep_df):
@@ -313,8 +353,12 @@ def ngram_jaccard_pairs(
             df, text_col, id_col, core,
             value_col="jaccard", same_value=F.lit(1.0),
             emit_same=float(threshold) <= 1.0,
+            prebuilt_t=prebuilt_t,
         )
-    return _ngram_jaccard_pairs_core(df, text_col, id_col, n, threshold)
+    src = df if prebuilt_t is None else prebuilt_t.select(
+        F.col(id_col), F.col("__t").alias(text_col)
+    )
+    return _ngram_jaccard_pairs_core(src, text_col, id_col, n, threshold)
 
 
 def _ngram_jaccard_pairs_core(
@@ -1483,27 +1527,56 @@ def edit_distance_pairs(
     d = int(max_dist)
     short_max = q + d * q - 1  # below this, the count bound is vacuous
 
-    def grams(col):
+    def gram_occ_pairs(col):
+        # Row-local positional q-gram BAG (optimization r14, r13 verdict
+        # #3 / guide §2.1 remove the shuffle outright): each element is
+        # (gram, occ) where occ is the 1-based occurrence index of that
+        # gram within the string, in position order. The r13 shape
+        # computed occ as row_number() over a window partitioned by
+        # (__s, gram) AFTER exploding — a full hashpartitioning(__s,
+        # gram) exchange+sort of every gram row of the corpus, carrying
+        # the string itself as the partition key. occ is a pure function
+        # of the string, so it is computed here BEFORE the explode with
+        # string-local algebra instead: occ(i) = #{j <= i : gram(j) =
+        # gram(i)}, O(len^2) substr comparisons per DISTINCT string.
+        # Lambdas reference only the scalar string column (substr is
+        # cheap), not a shared array expression — the Catalyst no-CSE
+        # trap of re-evaluating an expensive array per lambda element
+        # does not apply. Strings in this family are short (titles,
+        # names, ids) and the pipeline runs over distinct strings only,
+        # so the quadratic term is bounded; at corpus scale this trades
+        # bounded map-side CPU for an entire corpus-wide exchange.
+        # Bag equivalence with the window form is pinned by the
+        # duplicate-gram unit test and the all-pairs property test.
         n = F.greatest(F.length(col) - (q - 1), F.lit(0))
-        return F.when(n <= 0, F.array().cast("array<string>")).otherwise(
-            F.transform(F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
-                        lambda i: col.substr(i, F.lit(q)))
+        return F.when(
+            n <= 0, F.array().cast("array<struct<gram:string,occ:int>>")
+        ).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
+                lambda i: F.struct(
+                    col.substr(i, F.lit(q)).alias("gram"),
+                    F.size(
+                        F.filter(
+                            F.sequence(F.lit(1), i),
+                            lambda j: col.substr(j, F.lit(q))
+                            == col.substr(i, F.lit(q)),
+                        )
+                    ).alias("occ"),
+                ),
+            )
         )
 
     long_side = sd.filter(F.col("__len") > short_max)
-    exploded = long_side.select(
+    bag = long_side.select(
         "__s", F.col("__len"),
-        F.posexplode(grams(F.col("__s"))).alias("__pos", "gram"),
+        F.explode(gram_occ_pairs(F.col("__s"))).alias("__go"),
+    ).select(
+        "__s", "__len",
+        F.col("__go.gram").alias("gram"), F.col("__go.occ").alias("__occ"),
     )
-    # occurrence index per (string, gram): equi-join on (gram, occ)
-    # counts the BAG intersection, not the set intersection
-    from pyspark.sql import Window
-
-    occ = F.row_number().over(
-        Window.partitionBy("__s", "gram").orderBy("__pos")
-    )
-    bag = exploded.withColumn("__occ", occ).select("__s", "__len", "gram", "__occ")
     if method == "prefix":
+        from pyspark.sql import Window
         # Ed-Join: global rarity order over (gram, occ) occurrences.
         # Frequency = total occurrence count (any total order is valid
         # for the lemma; occurrence count needs no distinct).
