@@ -582,6 +582,58 @@ class TestPlanMemoHygiene:
         assert len(T._plan_memo_of(s)) <= T._PLAN_MEMO_MAX_ENTRIES
 
 
+class TestColumnMemo:
+    """r14 (r13 verdict #4): memo_column caches pure expression subtrees
+    per SparkContext so repeated query builds stop re-paying py4j
+    round-trips for identical Column trees."""
+
+    def test_hit_returns_same_object_and_skips_builder(self, spark):
+        from pyspark.sql import functions as F
+
+        from tuktu_spark.tables import memo_column
+
+        calls = []
+
+        def build():
+            calls.append(1)
+            return F.col("x") + 1
+
+        c1 = memo_column(("test.memo", "a"), build)
+        c2 = memo_column(("test.memo", "a"), build)
+        assert c1 is c2
+        assert len(calls) == 1
+        # a different key builds fresh
+        c3 = memo_column(("test.memo", "b"), build)
+        assert c3 is not c1
+        assert len(calls) == 2
+
+    def test_memoized_column_reusable_across_frames_and_sessions(self, spark):
+        from pyspark.sql import functions as F
+
+        from tuktu_spark.tables import memo_column
+
+        doubled = memo_column(("test.memo.double",), lambda: F.col("x") * 2)
+        a = spark.range(3).selectExpr("id as x").select(doubled.alias("y"))
+        assert sorted(r["y"] for r in a.collect()) == [0, 2, 4]
+        # Columns are unresolved expressions owned by the JVM gateway,
+        # not a session: the same memoized tree must resolve in a
+        # sibling session of the same SparkContext.
+        other = spark.newSession()
+        b = other.range(2).selectExpr("id + 10 as x").select(doubled.alias("y"))
+        assert sorted(r["y"] for r in b.collect()) == [20, 22]
+
+    def test_parameterized_dedup_builders_not_cross_keyed(self, spark):
+        # hashed_shingles memoizes per n — different n must not collide
+        from tuktu_spark.llm.dedup import hashed_shingles
+
+        df = spark.createDataFrame(
+            [(1, "a b c d")], ["doc_id", "text"]
+        )
+        n2 = hashed_shingles(df, "text", "doc_id", 2).collect()[0]["shingles"]
+        n3 = hashed_shingles(df, "text", "doc_id", 3).collect()[0]["shingles"]
+        assert len(n2) == 3 and len(n3) == 2
+
+
 def test_partition_by_keys_width_is_default_parallelism(spark):
     """r14 (r13 advice #4): partition_by_keys must not physically plan the
     input per call (df.rdd) — width comes from defaultParallelism or the

@@ -389,6 +389,35 @@ def test_fasttext_buckets_fused_single_data_exchange(spark, sf_dir, registry):
     assert "SinglePartition" not in plan
 
 
+def test_ngram_lm_doc_exchange_below_explode(spark, sf_dir, registry):
+    """r14 pin (r13 verdict #8) for the r13 pre-explode partitioning
+    win: in text_ngram_lm_score's scoring spine the ONE doc-keyed
+    exchange sits BELOW the posexplode (whole docs cross the wire, not
+    (doc, pos, gram) rows) and the per-doc Window rides it with no
+    exchange of its own. A refactor that reintroduces the exploded-row
+    shuffle (hash exchange above the Generate) must fail here."""
+    import re
+
+    plan = plan_of(registry["text_ngram_lm_score"].fn(spark, sf_dir))
+    lines = plan.splitlines()
+    win = next(i for i, l in enumerate(lines) if re.search(r"Window \(\d+\)", l))
+    gen = next(i for i, l in enumerate(lines) if re.search(r"Generate \(\d+\)", l))
+    leaf = next(i for i, l in enumerate(lines) if "Scan parquet" in l)
+    # tree prints root-first: Window above Generate above the leaf scan
+    assert win < gen < leaf, plan
+    # no exchange between the window and the explode (window rides the
+    # doc partitioning established below)
+    assert not any("Exchange" in l for l in lines[win:gen]), plan
+    # exactly one exchange between the explode and the corpus scan...
+    spine = [l for l in lines[gen : leaf + 1] if re.search(r"Exchange \(\d+\)", l)]
+    assert len(spine) == 1, plan
+    # ...and it is the doc-keyed pinned-width repartition
+    node = re.search(r"Exchange \((\d+)\)", spine[0]).group(1)
+    detail = plan.split(f"({node}) Exchange", 1)[1].split("\n\n", 1)[0]
+    assert "hashpartitioning(doc_id" in detail, detail
+    assert "REPARTITION_BY_NUM" in detail, detail
+
+
 def test_zip_merge_default_engine_is_distributed(spark):
     """Round-5 verdict #2: zip_merge/js_merge must not default to the
     single-partition global window. The default plan numbers both branches

@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..tables import memo_column
+
 # Mersenne prime 2^31-1: (p-1)^2 + b < 2^63, so the universal-hash product
 # never overflows int64 (Spark runs ANSI mode; overflow would throw).
 MERSENNE_P = (1 << 31) - 1
@@ -139,9 +141,18 @@ def hashed_shingles(
     of the shingle-pass cost). The hash never surfaces in results — the
     Jaccard oracle recomputes from raw strings — so engine portability
     doesn't apply; equality holds up to 64-bit collision probability."""
-    tokd = df.select(F.col(id_col), _tokens(F.col(text_col)).alias("__toks"))
-    sh = F.transform(
-        _shingles_from_tokens(F.col("__toks"), n), lambda s: F.xxhash64(s)
+    # Both expression trees are memoized per SparkContext (r14, guide §5
+    # driver overhead): they are pure functions of (column name, n) and
+    # cost ~100 py4j round-trips to assemble per build otherwise.
+    toks = memo_column(
+        ("dedup.tokens", text_col), lambda: _tokens(F.col(text_col))
+    )
+    tokd = df.select(F.col(id_col), toks.alias("__toks"))
+    sh = memo_column(
+        ("dedup.hashed_shingles", n),
+        lambda: F.transform(
+            _shingles_from_tokens(F.col("__toks"), n), lambda s: F.xxhash64(s)
+        ),
     )
     return tokd.select(F.col(id_col), sh.alias("shingles"))
 
@@ -494,18 +505,23 @@ def _banded_buckets(sigs: DataFrame, id_col: str) -> DataFrame:
     (band, raw slice array): Spark hash-partitions array keys natively,
     so hashing the slice to a scalar first is pure overhead (measured
     2x slower). Callers filter sentinel signatures FIRST."""
-    bands = F.explode(
-        F.array(
-            *[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.slice("signature", b * ROWS_PER_BAND + 1, ROWS_PER_BAND).alias(
-                        "bucket"
-                    ),
-                )
-                for b in range(BANDS)
-            ]
-        )
+    # BANDS structs = ~250 py4j calls to assemble; memoized per
+    # SparkContext (r14, guide §5) — pure function of the band constants
+    bands = memo_column(
+        ("dedup.banded_buckets", BANDS, ROWS_PER_BAND),
+        lambda: F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.slice(
+                            "signature", b * ROWS_PER_BAND + 1, ROWS_PER_BAND
+                        ).alias("bucket"),
+                    )
+                    for b in range(BANDS)
+                ]
+            )
+        ),
     )
     return sigs.select(F.col(id_col), bands.alias("bb")).select(
         id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
