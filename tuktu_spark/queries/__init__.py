@@ -371,42 +371,48 @@ _VERIFIED_ROUND = {
 # green, so this round's edits cannot silently regress them.
 _TOUCHED = frozenset(
     {
-        # round 13 edits — scoped to queries whose EXECUTED code changed.
-        # (r13 note: bench.py compact_summary overflow hardening and the
-        # bench_diff salvage-banner / lagged-control tracker are harness
-        # code on NO driver query's path; the web_corpus_refinement.json
-        # reformat is whitespace-only and replayed row-for-row by its
-        # flow test.)
+        # round 14 (optimization) edits — scoped to queries whose
+        # EXECUTED operator code changed:
         #
-        # make_attribution_batch_processor gained the reserved-column
-        # collision guard (r12 advice) — the new streaming attribution
-        # replay query executes it, but it enters at rank 0 (never
-        # verified) anyway; dedup_decontaminate_attribution shares
-        # contamination_attribution() whose plan is now shape-pinned but
-        # whose code is unchanged, so it does NOT re-enter the window.
-        # The decontaminate_ingest_batch mode='fuzzy' dispatch and the
-        # new write_eval_fuzzy op are on NO driver query's path (the only
-        # registry-executed flow is webdataset_curation_lifecycle, which
-        # uses neither); both are pinned by tests/test_flow.py.
+        # - ngram_jaccard_pairs: threshold validation at entry + the
+        #   fused 'auto' dispatch probe (the skew query's path) — the
+        #   whole jaccard family re-verifies;
+        # - edit_distance_pairs: row-local gram-occurrence bag replaces
+        #   the (string, gram) window;
+        # - hashed_shingles/_banded_buckets: expression-memoized trees
+        #   (plan-identical, but executed code changed) — minhash/LSH,
+        #   keep-best, incremental-batch and the fuzzy decontamination
+        #   family all execute them;
+        # - bm25(): persist_dl knob (default path plan-identical);
+        # - mix_dsir_select: persistFeatures conf branch;
+        # - text_ngram_lm_score: partition_by_keys width derivation.
         #
-        # minhash_lsh_candidates' banding was EXTRACTED into
-        # _banded_buckets (shared with the new bipartite fuzzy
-        # decontamination) — a pure refactor, but these five queries
-        # execute the changed function, so they re-enter the window.
-        # (dedup_incremental_batch and the streaming minhash store keep
-        # their own inline banding — unchanged.)
-        #
-        # The fuzzy-path perf fix (token-level degenerate filter in
-        # _fuzzy_shingled + scoped persists in the batch entry) changes
-        # executed code ONLY of dedup_decontaminate_fuzzy{,_filter} and
-        # streaming_fuzzy_decontaminate_replay — all three are r13-new
-        # and enter at rank 0 (never verified), so listing them here
-        # would not move the window.
+        # load_table's plan memo also changed and is on EVERY query's
+        # path; all 228 cannot fit a ~50-row window, so the loader is
+        # covered by its unit tests plus the least-recently-verified
+        # rotation that cycles the rest of the registry through
+        # subsequent windows. (The r13-touched minhash five are all in
+        # this round's list again via the memoized banding.)
+        "dedup_ngram_jaccard",
+        "dedup_ngram_jaccard_distinct",
+        "dedup_ngram_jaccard_skew",
+        "dedup_edit_distance",
+        "dedup_edit_distance_skew",
         "dedup_minhash_lsh",
         "dedup_minhash_lsh_distinct",
         "dedup_minhash_lsh_skew",
         "dedup_minhash_components",
         "dedup_keep_best_per_cluster",
+        "dedup_incremental_batch",
+        "dedup_decontaminate_fuzzy",
+        "dedup_decontaminate_fuzzy_filter",
+        "dedup_decontaminate_fuzzy_shuffle",
+        "dedup_decontaminate_fuzzy_suite",
+        "streaming_fuzzy_decontaminate_replay",
+        "nlp_bm25_top",
+        "nlp_bm25_search",
+        "mix_dsir_select",
+        "text_ngram_lm_score",
     }
 )
 
